@@ -1,0 +1,263 @@
+package graft.api
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ast._
+import graft.ast.FameExpr._
+import graft.ast.FameStmt._
+import graft.compile.ColumnCompiler
+import graft.compile.ColumnCompiler.Ctx
+import graft.kernels.{Convert, Indices, Nlrx, ShiftPct}
+import graft.parse.FameParser
+import graft.plan.{Bound, Scheduler}
+
+/** The wide time-series frame every FAME operation runs on — SURVEY §1.1:
+  * one date column + one numeric column per series, plus any local-database
+  * projections produced by `db'series` targets (SURVEY §1.1, F9).
+  *
+  * `partitionKeys` is this engine's scale extension (SURVEY §4): when set,
+  * every ordered window / group in the pipeline partitions by the keys, so
+  * one logical FAME program runs over millions of entities in parallel.
+  */
+final case class SeriesFrame(
+    df: DataFrame,
+    dateCol: String = "DATE",
+    freq: Option[Frequency] = None,
+    partitionKeys: Seq[String] = Nil,
+    localDbs: Map[String, DataFrame] = Map.empty)
+
+/** Runs a FAME script against a `SeriesFrame` as ONE lazy Catalyst plan
+  * (modulo the driver-side scalar extractions the reference also makes,
+  * `fame2py_converter.py:497-508`). Lifecycle per SURVEY §3.2:
+  * parse → bind state → Kahn levels → per-level `withColumn` batches, with
+  * the convert frequency bridge first (`fame2py_converter.py:282-415`) and
+  * kernels (chain / fishvol / nlrx / shift-pct) as frame→frame ops.
+  */
+object FameSession {
+
+  def run(script: String, input: DataFrame, dateCol: String = "DATE",
+      partitionKeys: Seq[String] = Nil,
+      nlrx: Nlrx = Nlrx.HpSmoother): SeriesFrame = {
+
+    // uppercase-normalize input columns (reference normalizes all names,
+    // `formulas_generator.py:248-257`)
+    val df0 = input.columns.foldLeft(input)((d, c) => d.withColumnRenamed(c, c.toUpperCase))
+    val stmts = FameParser.parseScript(script)
+    val preExisting = df0.columns.toSet
+    val bounds = Scheduler.bind(stmts, preExisting)
+
+    var cur = df0
+    var scalars = Map.empty[String, Any]
+    var refMap = Map.empty[String, String]
+    var localDbCols = Map.empty[String, Seq[String]] // db -> prefixed col names
+    var sessionFreq: Option[Frequency] = bounds.flatMap(_.freq).headOption
+
+    def ctx = Ctx(dateCol, partitionKeys, scalars, refMap,
+      lookup = (series, date) => {
+        val r = cur.where(col(dateCol) === lit(java.sql.Date.valueOf(date)))
+          .select(col(series)).limit(1).collect()
+        if (r.isEmpty || r(0).isNullAt(0)) null else r(0).get(0)
+      })
+
+    // ------------------------------------------------- convert bridge phase
+    val converts = bounds.collect { case b @ Bound(_, c: ConvertAssign, _, _, _) => (b, c) }
+    val rest = bounds.filterNot(_.stmt.isInstanceOf[ConvertAssign])
+
+    converts.groupBy { case (b, c) =>
+      (c.freq, c.technique, c.observed, c.startBy, b.freq) }
+      .toSeq.sortBy(_._2.head._1.order)
+      .foreach { case ((tgtFreq, technique, observed, _, srcFreqOpt), group) =>
+        val srcFreq = srcFreqOpt.orElse(sessionFreq).getOrElse(Frequency.Monthly)
+        val srcCols = group.map(_._2.source).distinct
+        val projected = cur.select(
+          (partitionKeys.map(col) :+ col(dateCol)) ++ srcCols.map(col): _*)
+        val converted0 =
+          if (Convert.isDown(srcFreq, tgtFreq))
+            Convert.down(projected, dateCol, srcCols, tgtFreq, observed, partitionKeys)
+          else
+            Convert.up(projected, dateCol, srcCols, srcFreq, tgtFreq, technique, partitionKeys)
+        // rename to the suffix contract: A → A_QTRLY etc. (SURVEY §2.5)
+        val converted = srcCols.foldLeft(converted0)(
+          (d, c) => d.withColumnRenamed(c, c + tgtFreq.suffix))
+        // full outer join back on DATE (`fame2py_converter.py:409`)
+        cur = cur
+          .withColumn(dateCol, to_date(col(dateCol)))
+          .join(converted, partitionKeys :+ dateCol, "full")
+        group.foreach { case (_, c) =>
+          refMap += c.target -> (c.source + tgtFreq.suffix)
+        }
+      }
+
+    // ------------------------------------------------------ leveled execution
+    val levels = Scheduler.levels(rest, preExisting)
+    levels.foreach { level =>
+      level.foreach { b =>
+        b.stmt match {
+          case ScalarAssign(name, e) =>
+            scalars += name -> evalScalar(e, cur, ctx)
+
+          case Assign(target, expr0, inlineFilter, localDb) =>
+            val (expr, df2) = materializeInlineChains(expr0, cur, dateCol, partitionKeys)
+            cur = df2
+            val compiled = ColumnCompiler.compile(expr, ctx)
+            val filter = inlineFilter.orElse(b.dateFilter)
+            cur = cur.withColumn(target,
+              applyMask(compiled, target, filter, b.preserveExisting, cur, dateCol))
+            localDb.foreach { db =>
+              localDbCols += db -> (localDbCols.getOrElse(db, Nil) :+ target)
+            }
+
+          case PointInTime(target, date, e) =>
+            val v = ColumnCompiler.compile(e, ctx)
+            val existing: Column =
+              if (cur.columns.contains(target)) col(target)
+              else lit(null).cast(DoubleType)
+            cur = cur.withColumn(target,
+              when(col(dateCol) === lit(java.sql.Date.valueOf(date)), v)
+                .otherwise(existing))
+
+          case ChainAssign(target, terms, baseYear) =>
+            cur = Indices.chain(cur, dateCol, terms, baseYear, target, partitionKeys)
+
+          case FishvolAssign(target, vs, ps, baseYear) =>
+            cur = Indices.fishvol(cur, dateCol, vs, ps, baseYear, target, partitionKeys)
+
+          case NlrxAssign(target, lambdaRef, args) =>
+            val lam = lambdaRef match {
+              case Num(v) => v
+              case Ref(n) => scalars.get(n) match {
+                case Some(d: Double) => d
+                case _ => throw new IllegalArgumentException(
+                  s"nlrx lambda `$n` is not a numeric scalar")
+              }
+              case other => evalScalar(other, cur, ctx) match {
+                case d: Double => d
+                case x => throw new IllegalArgumentException(s"bad nlrx lambda $x")
+              }
+            }
+            cur = nlrx(cur, dateCol, target, lam, args.map(a => refMap.getOrElse(a, a)))
+
+          case ShiftPctAssign(target, pctSeries, _) =>
+            // anchor range from the active date mask (fixing the reference's
+            // hard-coded anchors, SURVEY §2.6); default anchor = last date
+            // with a non-null target value.
+            val anchor: LocalDate = b.dateFilter.flatMap(_.end).getOrElse {
+              val r = cur.where(col(target).isNotNull)
+                .agg(max(col(dateCol))).collect()(0)
+              if (r.isNullAt(0)) throw new IllegalArgumentException(
+                s"shift-pct: no anchor value for $target")
+              toLocalDate(r.get(0))
+            }
+            cur = ShiftPct.backwards(cur, dateCol,
+              Seq(target -> refMap.getOrElse(pctSeries, pctSeries)),
+              b.dateFilter.flatMap(_.start), anchor, partitionKeys)
+
+          case ListAlias(_, _) => // planner-side metadata only (SURVEY §2.1 #17)
+          case _ => ()
+        }
+      }
+    }
+
+    // --------------------------------------------- local-DB projections (F9)
+    val dbs = localDbCols.map { case (db, cols0) =>
+      val selects = col(dateCol) +: cols0.map { c =>
+        col(c).as(c.stripPrefix(db + "_"))
+      }
+      db -> cur.select(selects: _*)
+    }
+
+    SeriesFrame(cur, dateCol, sessionFreq, partitionKeys, dbs)
+  }
+
+  private def toLocalDate(v: Any): LocalDate = v match {
+    case d: java.sql.Date => d.toLocalDate
+    case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+    case d: LocalDate => d
+    case other => throw new IllegalArgumentException(s"not a date: $other")
+  }
+
+  /** Date-range masking — SURVEY §2.2 / APPLY_DATE_FILTER
+    * (`formulas_generator.py:1499-1536`): inside the range the new value,
+    * outside either the previous value (`preserve_existing`) or null.
+    */
+  private def applyMask(value: Column, target: String, filter: Option[DateFilter],
+      preserve: Boolean, cur: DataFrame, dateCol: String): Column =
+    filter match {
+      case None | Some(DateFilter(None, None)) => value
+      case Some(DateFilter(lo, hi)) =>
+        val conds = Seq(
+          lo.map(d => col(dateCol) >= lit(java.sql.Date.valueOf(d))),
+          hi.map(d => col(dateCol) <= lit(java.sql.Date.valueOf(d)))
+        ).flatten
+        val inRange = conds.reduce(_ && _)
+        val outside: Column =
+          if (preserve && cur.columns.contains(target)) col(target)
+          else lit(null).cast(DoubleType)
+        when(inRange, value).otherwise(outside)
+    }
+
+  /** Evaluate a scalar RHS. Pure-literal expressions fold on the driver with
+    * no Spark job; anything touching series data evaluates via the compiled
+    * column over the frame (the reference's `.item()` boundary,
+    * `fame2py_converter.py:487-508`).
+    */
+  def evalScalar(e: FameExpr, df: DataFrame, ctx: Ctx): Any =
+    staticFold(e, ctx.scalars).getOrElse {
+      val c = ColumnCompiler.compile(e, ctx)
+      val r = df.select(c.as("__s")).limit(1).collect()
+      if (r.isEmpty || r(0).isNullAt(0)) null
+      else r(0).get(0) match {
+        case d: java.sql.Date => d.toLocalDate
+        case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate
+        case x => x
+      }
+    }
+
+  private def staticFold(e: FameExpr, scalars: Map[String, Any]): Option[Any] = e match {
+    case Num(v) => Some(v)
+    case Str(s) => FameDate.parse(s).map(identity[Any]).orElse(Some(s))
+    case Missing => Some(null)
+    case Ref(n) => scalars.get(n)
+    case Un("-", x) => staticFold(x, scalars).collect { case d: Double => -d }
+    case Bin(op, l, r) =>
+      for {
+        lv <- staticFold(l, scalars).collect { case d: Double => d }
+        rv <- staticFold(r, scalars).collect { case d: Double => d }
+        v <- op match {
+          case "+" => Some(lv + rv); case "-" => Some(lv - rv)
+          case "*" => Some(lv * rv); case "/" => Some(lv / rv)
+          case _ => None
+        }
+      } yield v
+    case Call("make", args) =>
+      args.collectFirst { case Str(s) => s }.flatMap(FameDate.parse)
+    case _ => None
+  }
+
+  /** Pre-materialize inline `$chain(...)` calls as hidden columns so the
+    * expression compiler only sees column refs (SURVEY §2.3 `$chain` inline,
+    * `formulas_generator.py:562-626`).
+    */
+  private var chainTmpId = 0
+  private def materializeInlineChains(e: FameExpr, df: DataFrame,
+      dateCol: String, keys: Seq[String]): (FameExpr, DataFrame) = {
+    var cur = df
+    def go(x: FameExpr): FameExpr = x match {
+      case ChainCall(terms, year) =>
+        chainTmpId += 1
+        val tmp = s"__CHAIN_$chainTmpId"
+        cur = Indices.chain(cur, dateCol, terms, year, tmp, keys)
+        Ref(tmp)
+      case Bin(op, l, r) => Bin(op, go(l), go(r))
+      case Un(op, a)     => Un(op, go(a))
+      case Call(n, as)   => Call(n, as.map(go))
+      case Cond(c, t, el)=> Cond(go(c), go(t), go(el))
+      case other => other
+    }
+    (go(e), cur)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.kernels
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ast.Frequency
+
+/** Frequency conversion (FAME `convert`) — SURVEY §2.5.
+  *
+  * Reference argument model: `convert(series, target_freq, technique,
+  * observed[, as_freq[, start_by]])` (`fame2pygen/formulas_generator.py:
+  * 154-218`); execution contract: one conversion batch per (freq, technique,
+  * observed) group, result column renamed `<SRC><suffix>`, full-outer-joined
+  * back on DATE (`fame2pygen/fame2py_converter.py:282-415`).
+  *
+  * Spark realization:
+  *  - **Downsample** = `groupBy(date_trunc(unit, DATE))` + one aggregate per
+  *    source column chosen by `observed` — a single shuffle for the whole
+  *    group, map-side partial aggregation free from Catalyst.
+  *  - **Upsample** = build the target calendar once per group
+  *    (`sequence` + `explode` — parallelized by Spark, no driver loop), left
+  *    join the sources, then per `technique`: constant/discrete = forward
+  *    fill (`last(ignoreNulls)` running window); linear = interpolation
+  *    between bracketing non-null observations using date fractions; cubic
+  *    falls back to linear (documented divergence).
+  *  - Business frequency = daily filtered to Mon–Fri
+  *    (`fame2py_converter.py:401-402` uses `is_business_day`).
+  *
+  * Scale: group-by keys are (partitionKeys, truncated date) so the shuffle
+  * spreads across entities; the upsample windows are per partition key. With
+  * no keys the ordered fill is a single task — acceptable for the
+  * reference-sized series frames, parallel when callers pass keys.
+  */
+object Convert {
+
+  /** date_trunc unit for a target frequency (weekly handled separately). */
+  private def truncUnit(f: Frequency): String = f match {
+    case Frequency.Monthly   => "month"
+    case Frequency.Quarterly => "quarter"
+    case Frequency.Annual    => "year"
+    case Frequency.Weekly(_) => "week"
+    case _                   => "day"
+  }
+
+  /** Period-start expression for grouping at the target frequency. */
+  def periodStart(dateCol: Column, f: Frequency): Column = f match {
+    case Frequency.Weekly(anchor) =>
+      // date_trunc('week') is Monday-based; shift so the week starts on the
+      // anchor weekday when one was given (e.g. `w(wed)`).
+      val shift = anchor.map(a => a - 1).getOrElse(0)
+      date_add(to_date(date_trunc("week", date_sub(dateCol, shift))), shift)
+    case other => to_date(date_trunc(truncUnit(other), dateCol))
+  }
+
+  /** The `observed` statistic for downsampling
+    * (`fame2pygen/formulas_generator.py:104-115`). `annualized`/`formula`
+    * take the period average (documented choice — the reference delegates
+    * these to its closed external kernel).
+    */
+  def observedAgg(c: Column, dateCol: Column, observed: String): Column =
+    observed match {
+      case "average" | "averaged" | "annualized" | "formula" => avg(c)
+      case "sum" | "summed"         => sum(c)
+      case "first" | "beginning"    => min_by(c, when(c.isNotNull, dateCol))
+      case "last" | "end" | "ending"=> max_by(c, when(c.isNotNull, dateCol))
+      case "high"                   => max(c)
+      case "low"                    => min(c)
+      case other => throw new IllegalArgumentException(s"unknown observed `$other`")
+    }
+
+  /** Downsample `cols` of `df` to `target` frequency.
+    * Returns `keys :+ dateCol :+ cols` with DATE = period start.
+    */
+  def down(df: DataFrame, dateCol: String, cols: Seq[String],
+      target: Frequency, observed: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val grouped = df.groupBy(
+      (keys.map(col) :+ periodStart(col(dateCol), target).as(dateCol)): _*)
+    grouped.agg(
+      observedAgg(col(cols.head), col(dateCol), observed).as(cols.head),
+      cols.tail.map(c => observedAgg(col(c), col(dateCol), observed).as(c)): _*)
+  }
+
+  /** Fine-calendar step for a target frequency. */
+  private def stepInterval(f: Frequency): Column = f match {
+    case Frequency.Daily | Frequency.Business => expr("interval 1 day")
+    case Frequency.Weekly(_)  => expr("interval 7 days")
+    case Frequency.Monthly    => expr("interval 1 month")
+    case Frequency.Quarterly  => expr("interval 3 months")
+    case Frequency.Annual     => expr("interval 1 year")
+  }
+
+  /** Last day of the period containing `d` at frequency `f` (so the
+    * upsampled calendar covers the final source period completely). */
+  private def periodEnd(d: Column, f: Frequency): Column = f match {
+    case Frequency.Monthly   => last_day(d)
+    case Frequency.Quarterly => last_day(add_months(to_date(date_trunc("quarter", d)), 2))
+    case Frequency.Annual    => last_day(add_months(to_date(date_trunc("year", d)), 11))
+    case Frequency.Weekly(_) => date_add(to_date(date_trunc("week", d)), 6)
+    case _                   => to_date(d)
+  }
+
+  /** Upsample `cols` from `sourceFreq` to finer `target` frequency.
+    *
+    * technique ∈ {constant, discrete, linear, cubic}
+    * (`formulas_generator.py:96-101`); constant/discrete = step function,
+    * linear = straight line between adjacent observations (null outside the
+    * first/last observation), cubic → linear fallback.
+    */
+  def up(df: DataFrame, dateCol: String, cols: Seq[String],
+      sourceFreq: Frequency, target: Frequency, technique: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+
+    // one calendar per (partition key) group, built distributed
+    val bounds = df.groupBy(keys.map(col): _*)
+      .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    val calendar = bounds
+      .withColumn("__hi", periodEnd(col("__hi"), sourceFreq))
+      .select((keys.map(col) :+
+        explode(sequence(to_date(col("__lo")), col("__hi"), stepInterval(target)))
+          .as(dateCol)): _*)
+    val calendarF = target match {
+      case Frequency.Business =>
+        calendar.where(!dayofweek(col(dateCol)).isin(1, 7)) // drop Sun/Sat
+      case _ => calendar
+    }
+
+    val src = df.select((keys.map(col) :+ to_date(col(dateCol)).as(dateCol)) ++
+      cols.map(col): _*)
+    val joined = calendarF.join(src, keys :+ dateCol, "left")
+
+    val w =
+      if (keys.isEmpty) Window.orderBy(dateCol)
+      else Window.partitionBy(keys.map(col): _*).orderBy(dateCol)
+    val back = w.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd  = w.rowsBetween(0, Window.unboundedFollowing)
+
+    technique match {
+      case "constant" | "discrete" =>
+        cols.foldLeft(joined) { (acc, c) =>
+          acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
+        }
+      case "linear" | "cubic" =>
+        cols.foldLeft(joined) { (acc, c) =>
+          val obsDate = when(col(c).isNotNull, col(dateCol))
+          val pv = last(col(c), ignoreNulls = true).over(back)
+          val pd = max(obsDate).over(back)
+          val nv = first(col(c), ignoreNulls = true).over(fwd)
+          val nd = min(obsDate).over(fwd)
+          val frac = datediff(col(dateCol), pd).cast("double") /
+            datediff(nd, pd).cast("double")
+          val interp = when(pd === nd, pv)
+            .otherwise(pv + (nv - pv) * frac)
+          acc.withColumn(c, interp)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown technique `$other`")
+    }
+  }
+
+  /** Whether src→target is a downsample (coarser target). */
+  def isDown(src: Frequency, target: Frequency): Boolean =
+    Frequency.rank(target) > Frequency.rank(src)
+}

@@ -1,0 +1,129 @@
+package graft.kernels
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chain-linked volume indices (FAME `$chain`/`mchain`) and Fisher volume
+  * rebasing (`fishvol_rebase`) — SURVEY §2.7.
+  *
+  * The reference delegates both to a closed external kernel (its dev mock
+  * returns `lit(1.0)`, `fame2pygen/polars_econ_mock.py:9-11,38-40`), so the
+  * math below follows the published national-accounts methodology
+  * (Fisher ideal index, annual-overlap chain linking; e.g. IMF QNA manual
+  * ch. 8) and is documented here as this engine's defined semantics:
+  *
+  *  - Laspeyres link  L_y = Σᵢ sᵢ·p̄ᵢ,y₋₁·Qᵢ,y / Σᵢ sᵢ·p̄ᵢ,y₋₁·Qᵢ,y₋₁
+  *  - Paasche  link   P_y = Σᵢ sᵢ·p̄ᵢ,y·Qᵢ,y   / Σᵢ sᵢ·p̄ᵢ,y·Qᵢ,y₋₁
+  *  - Fisher   link   F_y = √(L_y·P_y)
+  *  - Index level     I_y = Π_{u ≤ y} F_u, re-referenced so base year = 100.
+  *
+  * where p̄ᵢ,y = annual average price, Qᵢ,y = annual quantity sum, and sᵢ is
+  * the term sign (`$chain("a - b + c", …)` subtracts b's contributions,
+  * `fame2pygen/formulas_generator.py:605-623`).
+  *
+  * Execution shape (scales): one `groupBy(year)` shuffle over (keys, year),
+  * ordered window over the tiny per-key year table for the cumulative
+  * product (`exp(sum(log))`), then a broadcast join back to the fact rows.
+  */
+object Indices {
+
+  private def win(keys: Seq[String], orderCol: String) =
+    if (keys.isEmpty) Window.orderBy(orderCol)
+    else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+
+  /** Cumulative product of `c` over an ordered window via exp∘sum∘log.
+    * Valid for positive links (index links are positive for sane data);
+    * non-positive links propagate null. */
+  private def cumprod(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    exp(sum(when(c > 0, log(c))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+
+  /** Annually chain-linked Fisher volume index over signed
+    * (quantity, price=`P<quantity>`) term pairs.
+    *
+    * @param terms   (sign, quantityCol) pairs; price col = "P"+quantityCol
+    * @return frame `keys :+ __year :+ idxName` (one row per year) to join
+    *         back on year.
+    */
+  def chainYearly(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
+      baseYear: Int, idxName: String, keys: Seq[String] = Nil): DataFrame = {
+
+    val y = year(col(dateCol)).as("__year")
+    val aggs = terms.zipWithIndex.flatMap { case ((_, q), i) =>
+      Seq(avg(col("P" + q)).as(s"__p$i"), sum(col(q)).as(s"__q$i"))
+    }
+    val yearly = df.groupBy((keys.map(col) :+ y): _*).agg(aggs.head, aggs.tail: _*)
+
+    val w = win(keys, "__year")
+    def lagc(name: String) = lag(col(name), 1).over(w)
+
+    def dot(price: Int => Column, qty: Int => Column): Column =
+      terms.zipWithIndex.map { case ((s, _), i) =>
+        lit(s.toDouble) * price(i) * qty(i)
+      }.reduce(_ + _)
+
+    val lasp = dot(i => lagc(s"__p$i"), i => col(s"__q$i")) /
+               dot(i => lagc(s"__p$i"), i => lagc(s"__q$i"))
+    val paas = dot(i => col(s"__p$i"), i => col(s"__q$i")) /
+               dot(i => col(s"__p$i"), i => lagc(s"__q$i"))
+    val fisher = coalesce(sqrt(lasp * paas), lit(1.0)) // first year link = 1
+
+    val linked = yearly
+      .withColumn("__f", fisher)
+      .withColumn("__raw", cumprod(col("__f"), w))
+    // re-reference so base year = 100
+    val baseW =
+      if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys.map(col): _*)
+    val base = max(when(col("__year") === baseYear, col("__raw"))).over(baseW)
+    linked
+      .withColumn(idxName, col("__raw") / base * lit(100.0))
+      .select((keys.map(col) :+ col("__year") :+ col(idxName)): _*)
+  }
+
+  /** Join a yearly chain index back onto the row-level frame as `idxName`. */
+  def chain(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
+      baseYear: Int, idxName: String, keys: Seq[String] = Nil): DataFrame = {
+    val yearly = chainYearly(df, dateCol, terms, baseYear, idxName, keys)
+    df.withColumn("__year", year(col(dateCol)))
+      .join(broadcast(yearly), keys :+ "__year", "left")
+      .drop("__year")
+  }
+
+  /** Period-to-period chained Fisher volume index over (volume, price)
+    * pairs, re-referenced so the base-year average = 100
+    * (FAME `fishvol_rebase({v…},{p…}, year)`,
+    * `fame2pygen/fame2py_converter.py:633-644`).
+    */
+  def fishvol(df: DataFrame, dateCol: String, volumes: Seq[String],
+      prices: Seq[String], baseYear: Int, idxName: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(volumes.length == prices.length, "fishvol needs matching v/p lists")
+    val w = win(keys, dateCol)
+    val pairs = volumes.zip(prices)
+
+    def dot(price: String => Column, vol: String => Column): Column =
+      pairs.map { case (v, p) => price(p) * vol(v) }.reduce(_ + _)
+
+    val cur  = (c: String) => col(c)
+    val prev = (c: String) => lag(col(c), 1).over(w)
+
+    val lasp = dot(prev, cur) / dot(prev, prev)
+    val paas = dot(cur, cur) / dot(cur, prev)
+    val link = coalesce(sqrt(lasp * paas), lit(1.0))
+
+    // materialize the link before the cumulative window — its lag() can't
+    // nest inside the running sum's window function
+    val withRaw = df
+      .withColumn("__fv_link", link)
+      .withColumn("__fv_raw", cumprod(col("__fv_link"), w))
+      .drop("__fv_link")
+    val baseW =
+      if (keys.isEmpty) Window.partitionBy()
+      else Window.partitionBy(keys.map(col): _*)
+    val baseAvg = avg(when(year(col(dateCol)) === baseYear, col("__fv_raw"))).over(baseW)
+    withRaw
+      .withColumn(idxName, col("__fv_raw") / baseAvg * lit(100.0))
+      .drop("__fv_raw")
+  }
+}

@@ -1,0 +1,64 @@
+package graft.kernels
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SHIFT_PCT backward level reconstruction — SURVEY §2.6.
+  *
+  * `v[t] = v[t+1] / (1 + pct(p[t+1]) / 100)` with v self-referential
+  * rebuilds the level series *backwards in time* from an anchor value,
+  * using the growth implied by series p. The reference implements it with a
+  * DATE-descending `cum_prod` of growth factors and a repair join
+  * (`fame2pygen/formulas_generator.py:1358-1418`), batching many (target,
+  * pct) pairs into one pass (`fame2py_converter.py:263-273,319-328`) with
+  * hard-coded anchor dates — a wart SURVEY §2.6 tells us to fix by taking
+  * the range from the caller.
+  *
+  * Spark realization: since `1 + pct(p)_t/100 = p_t / p_{t-1}`, the product
+  * of growth factors over `(t, anchor]` telescopes, but we keep the general
+  * running-product form so a raw pct-change series also works:
+  * newV_t = anchor / Π_{s ∈ (t, anchor]} f_s, computed as
+  * `exp(sum(log f) over (currentRow+1, unboundedFollowing))` restricted to
+  * the anchor range — one window pass for ALL pairs (no per-pair scan), no
+  * descending re-sort, no repair join. Rows outside [start, anchor] keep
+  * their existing value.
+  */
+object ShiftPct {
+
+  /** @param pairs  (targetCol, pctSourceCol) — pctSourceCol is the p in
+    *               pct(p); anchor value is read from targetCol at `anchor`.
+    */
+  def backwards(df: DataFrame, dateCol: String,
+      pairs: Seq[(String, String)], start: Option[LocalDate],
+      anchor: LocalDate, keys: Seq[String] = Nil): DataFrame = {
+
+    val w =
+      if (keys.isEmpty) Window.orderBy(dateCol)
+      else Window.partitionBy(keys.map(col): _*).orderBy(dateCol)
+    val suffix = w.rowsBetween(1, Window.unboundedFollowing)
+    val everything = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    val anchorLit = lit(java.sql.Date.valueOf(anchor))
+    val startCond = start.map(s => col(dateCol) >= lit(java.sql.Date.valueOf(s)))
+      .getOrElse(lit(true))
+    val inRange = startCond && col(dateCol) <= anchorLit
+
+    // growth factor f_t = 1 + pct(p)_t / 100 = p_t / p_{t-1}
+    pairs.foldLeft(df) { case (acc, (tgt, p)) =>
+      acc
+        .withColumn("__f", col(p) / lag(col(p), 1).over(w))
+        .withColumn("__logf",
+          when(col(dateCol) <= anchorLit && col("__f") > 0, log(col("__f"))))
+        .withColumn("__anchor",
+          max(when(col(dateCol) === anchorLit, col(tgt))).over(everything))
+        .withColumn(tgt,
+          when(inRange,
+            col("__anchor") / exp(coalesce(sum(col("__logf")).over(suffix), lit(0.0))))
+          .otherwise(col(tgt)))
+        .drop("__f", "__logf", "__anchor")
+    }
+  }
+}

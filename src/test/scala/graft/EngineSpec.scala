@@ -1,0 +1,160 @@
+package graft
+
+import graft.api.FameSession
+
+/** End-to-end FAME-script execution vs hand-computed expectations — ports
+  * the reference's rung-3 suite (SURVEY §5; FIXTURES F1–F5, F9).
+  */
+class EngineSpec extends SparkSpec {
+
+  test("F1: z = x + y") {
+    val in = frame(Seq("2020-01-01"), "X" -> Seq(10), "Y" -> Seq(20))
+    val out = FameSession.run("freq m\nz = x + y", in).df
+    assertSeq(column(out, "Z"), Seq(Some(30.0)))
+  }
+
+  test("F2: conditional routing (tests/test_master_suite.py:326-341)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"),
+      "X" -> Seq(10, 3), "Y" -> Seq(100, 200), "Z" -> Seq(0, 0))
+    val out = FameSession.run("result = if x gt 5 then y else z", in).df
+    assertSeq(column(out, "RESULT"), Seq(Some(100.0), Some(0.0)))
+  }
+
+  test("F2b: else nd yields null (tests/test_master_suite.py:822-836)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "X" -> Seq(10, 3))
+    val out = FameSession.run("result = if x gt 5 then x else nd", in).df
+    assertSeq(column(out, "RESULT"), Seq(Some(10.0), None))
+  }
+
+  test("F3: date-range masking (tests/test_fame2pygen.py:319-389)") {
+    val in = frame(Seq("2019-12-01", "2020-06-01", "2020-12-01", "2021-06-01"))
+    val out = FameSession.run(
+      """freq m
+        |v_base = 100
+        |date 2020-01-01 to 2020-12-31
+        |v_filtered = v_base * 2
+        |date *
+        |v_all = v_base * 3""".stripMargin, in).df
+    assertSeq(column(out, "V_BASE"), Seq.fill(4)(Some(100.0)))
+    assertSeq(column(out, "V_FILTERED"), Seq(None, Some(200.0), Some(200.0), None))
+    assertSeq(column(out, "V_ALL"), Seq.fill(4)(Some(300.0)))
+  }
+
+  test("F3b: piecewise re-assignment preserves existing (tests/test_fame2pygen.py:788-820)") {
+    val in = frame(Seq("2019-12-01", "2020-06-01", "2021-06-01"))
+    val out = FameSession.run(
+      """freq m
+        |v = 1
+        |date 2020-01-01 to 2020-12-31
+        |v = 2""".stripMargin, in).df
+    assertSeq(column(out, "V"), Seq(Some(1.0), Some(2.0), Some(1.0)))
+  }
+
+  test("F4: point-in-time assignment") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"))
+    val out = FameSession.run("""gdp["2020-01-01"] = 500""", in).df
+    assertSeq(column(out, "GDP"), Seq(Some(500.0), None))
+  }
+
+  test("F4b: multiple point-in-time updates fuse") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"), "A" -> Seq(1, 1, 1))
+    val out = FameSession.run(
+      """a[2020-02-01] = 22
+        |a[2020-03-01] = 33""".stripMargin, in).df
+    assertSeq(column(out, "A"), Seq(Some(1.0), Some(22.0), Some(33.0)))
+  }
+
+  test("F5: lsum null-as-zero (tests/test_master_suite.py:808-820)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"),
+      "A" -> Seq(10, null), "B" -> Seq(null, 20))
+    val out = FameSession.run("total = lsum(a, b)", in).df
+    assertSeq(column(out, "TOTAL"), Seq(Some(10.0), Some(20.0)))
+  }
+
+  test("lead/lag time indexing") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(1, 2, 3))
+    val out = FameSession.run("x = v[t+1]\ny = v[t-1]", in).df
+    assertSeq(column(out, "X"), Seq(Some(2.0), Some(3.0), None))
+    assertSeq(column(out, "Y"), Seq(None, Some(1.0), Some(2.0)))
+  }
+
+  test("pct and diff") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(100, 110, 99))
+    val out = FameSession.run("p = pct(v)\nd = diff(v)", in).df
+    assertSeq(column(out, "P"), Seq(None, Some(10.0), Some(-10.0)))
+    assertSeq(column(out, "D"), Seq(None, Some(10.0), Some(-11.0)))
+  }
+
+  test("pct of a shifted series (offset pushdown, no nested windows)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(100, 110, 121))
+    val out = FameSession.run("p = pct(v[t+1])", in).df
+    // pct(v)[t+1]: at row t the pct between t+1 and t
+    assertSeq(column(out, "P"), Seq(Some(10.0), Some(10.0), None))
+  }
+
+  test("firstvalue / lastvalue broadcast") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(null, 5, 7))
+    val out = FameSession.run("f = firstvalue(v)\nl = lastvalue(v)", in).df
+    assertSeq(column(out, "F"), Seq.fill(3)(Some(5.0)))
+    assertSeq(column(out, "L"), Seq.fill(3)(Some(7.0)))
+  }
+
+  test("exists and elementwise min/max") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"),
+      "A" -> Seq(1, null), "B" -> Seq(0, 3))
+    val out = FameSession.run(
+      "e = if exists(a) then 1 else 0\nm = min(a, b)\nx = max(a, b)", in).df
+    assertSeq(column(out, "E"), Seq(Some(1.0), Some(0.0)))
+    assertSeq(column(out, "M"), Seq(Some(0.0), Some(3.0)))
+    assertSeq(column(out, "X"), Seq(Some(1.0), Some(3.0)))
+  }
+
+  test("scalar + ave + dependency ordering") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
+    val out = FameSession.run(
+      """scalar m = ave(v)
+        |dev = v - m""".stripMargin, in).df
+    assertSeq(column(out, "DEV"), Seq(Some(-5.0), Some(5.0)))
+  }
+
+  test("dynamic lookup via date scalar (fame2py_converter.py:497-503)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
+    val out = FameSession.run(
+      """scalar idx = make(date(m), "2020-02-01")
+        |x = v[idx]""".stripMargin, in).df
+    assertSeq(column(out, "X"), Seq(Some(20.0), Some(20.0)))
+  }
+
+  test("dependency levels: c before d when d = f(c) (tests/test_master_suite.py:874-887)") {
+    val in = frame(Seq("2020-01-01"), "A" -> Seq(1))
+    val out = FameSession.run("d = c * 2\nc = a + 1", in).df
+    assertSeq(column(out, "C"), Seq(Some(2.0)))
+    assertSeq(column(out, "D"), Seq(Some(4.0)))
+  }
+
+  test("cycle detection errors (stricter than reference, SURVEY §7)") {
+    val in = frame(Seq("2020-01-01"), "A" -> Seq(1))
+    intercept[graft.plan.Scheduler.CycleError] {
+      FameSession.run("x = y + 1\ny = x + 1", in)
+    }
+  }
+
+  test("F9: local database projection") {
+    val in = frame(Seq("2020-01-01"))
+    val sf = FameSession.run("aa'abc = 5", in)
+    assertSeq(column(sf.df, "AA_ABC"), Seq(Some(5.0)))
+    assert(sf.localDbs.keySet == Set("AA"))
+    assert(sf.localDbs("AA").columns.toSeq == Seq("DATE", "ABC"))
+  }
+
+  test("T compiles to the date column") {
+    val in = frame(Seq("2020-01-01", "2021-01-01"), "V" -> Seq(1, 2))
+    val out = FameSession.run(
+      """x = if t ge "2021-01-01" then v else nd""".stripMargin, in).df
+    assertSeq(column(out, "X"), Seq(None, Some(2.0)))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ast._
+import graft.ast.FameExpr._
+import graft.ast.FameStmt._
+import graft.parse.FameParser
+
+/** Parser unit tests — the reference's rung-1 suite re-expressed over our
+  * AST (`tests/test_fame2pygen.py:6-95`, `tests/test_master_suite.py:95-634`).
+  */
+class ParserSpec extends AnyFunSuite {
+  import FameParser.parseLine
+
+  test("assign literal series") {
+    assert(parseLine("vbot = 1") == Assign("VBOT", Num(1.0)))
+  }
+
+  test("simple arithmetic") {
+    assert(parseLine("v1 = v2 + v3 - v4") ==
+      Assign("V1", Bin("-", Bin("+", Ref("V2"), Ref("V3")), Ref("V4"))))
+  }
+
+  test("operator precedence") {
+    assert(parseLine("x = a + b * c") ==
+      Assign("X", Bin("+", Ref("A"), Bin("*", Ref("B"), Ref("C")))))
+  }
+
+  test("freq and date statements") {
+    assert(parseLine("freq m") == SetFreq(Frequency.Monthly))
+    assert(parseLine("freq q") == SetFreq(Frequency.Quarterly))
+    assert(parseLine("date *") == ClearDate)
+    assert(parseLine("date 2020-01-01 to 2020-12-31") ==
+      SetDate(DateFilter(Some(LocalDate.of(2020, 1, 1)), Some(LocalDate.of(2020, 12, 31)))))
+    assert(parseLine("date 01Jan2021 to *") ==
+      SetDate(DateFilter(Some(LocalDate.of(2021, 1, 1)), None)))
+  }
+
+  test("scalar") {
+    assert(parseLine("scalar x = 5 * 2") ==
+      ScalarAssign("X", Bin("*", Num(5), Num(2))))
+  }
+
+  test("inline date filter via set <date a to b>") {
+    val s = parseLine("set <date 2020-01-01 to 2020-06-30> v = v2 * 2")
+    assert(s == Assign("V", Bin("*", Ref("V2"), Num(2)),
+      Some(DateFilter(Some(LocalDate.of(2020, 1, 1)), Some(LocalDate.of(2020, 6, 30))))))
+  }
+
+  test("point-in-time forms (F4)") {
+    assert(parseLine("""gdp["2020-01-01"] = 500""") ==
+      PointInTime("GDP", LocalDate.of(2020, 1, 1), Num(500)))
+    assert(parseLine("set a[12mar2020] = 33") ==
+      PointInTime("A", LocalDate.of(2020, 3, 12), Num(33)))
+    assert(parseLine("cpi[2020Q1] = 105.5") ==
+      PointInTime("CPI", LocalDate.of(2020, 1, 1), Num(105.5)))
+  }
+
+  test("conditional with word comparisons") {
+    assert(parseLine("result = if x gt 5 then y else z") ==
+      Assign("RESULT", Cond(Bin("gt", Ref("X"), Num(5)), Ref("Y"), Ref("Z"))))
+  }
+
+  test("nested else-if and logic ops") {
+    val s = parseLine("r = if a gt 1 and not (b lt 2) then 1 else if c eq 3 then 2 else nd")
+    assert(s == Assign("R", Cond(
+      Bin("and", Bin("gt", Ref("A"), Num(1)), Un("not", Bin("lt", Ref("B"), Num(2)))),
+      Num(1),
+      Cond(Bin("eq", Ref("C"), Num(3)), Num(2), Missing))))
+  }
+
+  test("lsum") {
+    assert(parseLine("total = lsum(a, b, c)") ==
+      Assign("TOTAL", Call("lsum", Seq(Ref("A"), Ref("B"), Ref("C")))))
+  }
+
+  test("time indexing") {
+    assert(parseLine("x = v[t+1] - v[t-2]") ==
+      Assign("X", Bin("-", TimeShift("V", 1), TimeShift("V", -2))))
+    assert(parseLine("x = v[T]") == Assign("X", TimeShift("V", 0)))
+  }
+
+  test("dynamic lookup and date lookup") {
+    assert(parseLine("x = v[somedate]") == Assign("X", DynLookup("V", "SOMEDATE")))
+    assert(parseLine("""x = v["2020-03-01"]""") ==
+      Assign("X", DateLookup("V", LocalDate.of(2020, 3, 1))))
+  }
+
+  test("shift-pct backward pattern (SURVEY §2.6)") {
+    assert(parseLine("v1014s[t] = v1014s[t+1]/(1+(pct(v123s[t+1])/100))") ==
+      ShiftPctAssign("V1014S", "V123S", 1))
+  }
+
+  test("convert") {
+    assert(parseLine("x = convert(v_monthly, q, discrete, average)") ==
+      ConvertAssign("X", "V_MONTHLY", Frequency.Quarterly, "discrete", "average", None))
+    assert(parseLine("vd = convert(vm, b, linear, end)") ==
+      ConvertAssign("VD", "VM", Frequency.Business, "linear", "end", None))
+  }
+
+  test("chain statement and inline") {
+    assert(parseLine("""set x = $chain("a - b + c", "2020")""") ==
+      ChainAssign("X", Seq((1, "A"), (-1, "B"), (1, "C")), 2020))
+    assert(parseLine("""y = 2 * $chain("a", "2019")""") ==
+      Assign("Y", Bin("*", Num(2), ChainCall(Seq((1, "A")), 2019))))
+  }
+
+  test("fishvol") {
+    assert(parseLine("x = fishvol_rebase({v1,v2},{p1,p2},2020)") ==
+      FishvolAssign("X", Seq("V1", "V2"), Seq("P1", "P2"), 2020))
+  }
+
+  test("nlrx drops extra params (tests/test_nlrx.py:333-338)") {
+    assert(parseLine("a_t = nlrx(lambda20, a, b1, b2, b3, b4, c, d, extra1)") ==
+      NlrxAssign("A_T", Ref("LAMBDA20"),
+        Seq("A", "B1", "B2", "B3", "B4", "C", "D")))
+  }
+
+  test("list alias") {
+    assert(parseLine("v27 = {a, b, c}") == ListAlias("V27", Seq("A", "B", "C")))
+  }
+
+  test("local db names (F9)") {
+    assert(parseLine("aa'abc = 5") ==
+      Assign("AA_ABC", Num(5), localDb = Some("AA")))
+    assert(parseLine("work'x = 5") == Assign("X", Num(5)))
+  }
+
+  test("name normalization: $, quote, dots (tests/test_new_features.py:63-84)") {
+    assert(FameParser.colName("v$x.y") == "V_X.Y")
+    assert(parseLine("a.b = 1") == Assign("A.B", Num(1)))
+  }
+
+  test("FAME date formats (SURVEY §2.4 goldens)") {
+    def p(s: String) = FameDate.parse(s).get
+    assert(p("2020-01-15") == LocalDate.of(2020, 1, 15))
+    assert(p("2020Q3") == LocalDate.of(2020, 7, 1))
+    assert(p("12jul1985") == LocalDate.of(1985, 7, 12))
+    assert(p("2020") == LocalDate.of(2020, 1, 1))
+    assert(p("2020m03") == LocalDate.of(2020, 3, 1))
+    assert(p("jan2020") == LocalDate.of(2020, 1, 1))
+    assert(p("2020.05") == LocalDate.of(2020, 1, 29)) // Jan1 + 7*(w-1)
+  }
+}
