@@ -1,0 +1,496 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.api.FameSession
+
+/** Driver-checkable queries for the FAME operator inventory (SURVEY §2.1):
+  * each entry builds a deterministic time-series frame from the driver's
+  * parquet tables, runs one operator through [[FameSession]], and has an
+  * equivalent DuckDB SQL oracle in [[QueriesCore.oracles]].
+  *
+  * Determinism across engines: the base series are produced with
+  * `DECIMAL(18,2)` sums (exact, order-independent) cast to double, so both
+  * Spark and DuckDB start from bit-identical values; derived pointwise ops
+  * are then IEEE-identical, and every double output is rounded to 6 dp to
+  * absorb window/aggregate summation-order noise.
+  */
+object QueriesCore {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Monthly (DATE, REV, CNT) from orders: REV = exact decimal revenue in
+    * millions, CNT = order count. The shared base frame of most queries.
+    */
+  def monthly(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("DATE"))
+      .agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / lit(1e6))
+          .as("REV"),
+        count(lit(1)).cast("double").as("CNT"))
+
+  /** The same frame as a DuckDB CTE (oracle side of [[monthly]]). */
+  val monthlySql: String =
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate)::DATE AS date,
+      |         (sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE)/1e6 AS rev,
+      |         count(*)::DOUBLE AS cnt
+      |  FROM orders GROUP BY 1
+      |)""".stripMargin
+
+  /** Quarterly (DATE, REV, REVL) from orders — upsample-source frame;
+    * REVL duplicates REV so two convert techniques can coexist (the
+    * rename-to-suffix contract is per source column).
+    */
+  def quarterly(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(trunc(col("o_orderdate").cast("date"), "quarter").as("DATE"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / lit(1e6))
+        .as("REV"))
+      .withColumn("REVL", col("REV"))
+
+  val quarterlySql: String =
+    """WITH q AS (
+      |  SELECT date_trunc('quarter', o_orderdate)::DATE AS date,
+      |         (sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE)/1e6 AS rev
+      |  FROM orders GROUP BY 1
+      |)""".stripMargin
+
+  /** Monthly two-good frame from lineitem for the index kernels: quantities
+    * A (returnflag 'A') and B (returnflag 'R'), prices PA/PB = revenue/qty.
+    */
+  def twoGoods(spark: SparkSession, dir: String): DataFrame = {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("DATE", trunc(col("l_shipdate").cast("date"), "month"))
+    def side(flag: String, q: String, p: String): DataFrame =
+      li.where(col("l_returnflag") === flag)
+        .groupBy(col("DATE"))
+        .agg(
+          (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double") / lit(1e3)).as(q),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") /
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")).as(p))
+    side("A", "A", "PA").join(side("R", "B", "PB"), Seq("DATE"), "inner")
+  }
+
+  val twoGoodsSql: String =
+    """WITH g AS (
+      |  SELECT date_trunc('month', l_shipdate)::DATE AS date, l_returnflag AS f,
+      |         (sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE)/1e3 AS q,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+      |           / sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS p
+      |  FROM lineitem WHERE l_returnflag IN ('A','R') GROUP BY 1, 2
+      |), w AS (
+      |  SELECT a.date AS date, a.q AS a, a.p AS pa, b.q AS b, b.p AS pb
+      |  FROM (SELECT * FROM g WHERE f='A') a
+      |  JOIN (SELECT * FROM g WHERE f='R') b USING (date)
+      |)""".stripMargin
+
+  // ------------------------------------------------------------------ queries
+
+  private def runScript(script: String, in: DataFrame): DataFrame =
+    FameSession.run(script, in).df
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // #1 assign_series + #2 simple expressions (SURVEY §2.1)
+    "q01_assign_arith" -> ((s, dir) => {
+      val out = runScript(
+        """freq m
+          |base = 100
+          |v2 = rev * 2
+          |v3 = v2 + cnt - base / 10""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV")).as("rev"),
+        r6(col("V2")).as("v2"), r6(col("V3")).as("v3")).orderBy("date")
+    }),
+
+    // #9 conditional (when/otherwise, nested else-if, and/or/not)
+    "q02_conditional" -> ((s, dir) => {
+      val out = runScript(
+        """flag = if rev gt 5 and not (cnt lt 10) then 1 else if rev lt 4 then 2 else 0
+          |routed = if flag eq 1 then rev else cnt""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("FLAG")).as("flag"),
+        r6(col("ROUTED")).as("routed")).orderBy("date")
+    }),
+
+    // #5/#6/#7 date-range masking incl. preserve_existing + inline set<...>
+    "q03_datemask" -> ((s, dir) => {
+      val out = runScript(
+        """freq m
+          |v = 1
+          |date 1995-01-01 to 1995-12-31
+          |v = 2
+          |w = rev * 2
+          |date *
+          |set <date 1996-01-01 to 1996-06-01> u = 5""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("V")).as("v"),
+        r6(col("W")).as("w"), r6(col("U")).as("u")).orderBy("date")
+    }),
+
+    // #8 point-in-time assignment (fused when-chain)
+    "q04_point_in_time" -> ((s, dir) => {
+      val out = runScript(
+        """rev2 = rev
+          |rev2[1995-06-01] = 42
+          |rev2[1995-07-01] = 43""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV2")).as("rev2")).orderBy("date")
+    }),
+
+    // v[t+k] / v[t-k] lead-lag
+    "q05_leadlag" -> ((s, dir) => {
+      val out = runScript(
+        """x = rev[t+1]
+          |y = rev[t-1]
+          |z = rev[t+1] - rev[t-2]""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("X")).as("x"),
+        r6(col("Y")).as("y"), r6(col("Z")).as("z")).orderBy("date")
+    }),
+
+    // pct / diff (incl. k-period and offset pushdown)
+    "q06_pct_diff" -> ((s, dir) => {
+      val out = runScript(
+        """p1 = pct(rev)
+          |p3 = pct(rev, 3)
+          |d1 = diff(rev)
+          |pl = pct(rev[t+1])""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("P1")).as("p1"),
+        r6(col("P3")).as("p3"), r6(col("D1")).as("d1"),
+        r6(col("PL")).as("pl")).orderBy("date")
+    }),
+
+    // #10 lsum null-as-zero
+    "q07_lsum" -> ((s, dir) => {
+      val out = runScript("total = lsum(rev[t+1], cnt, 1)", monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("TOTAL")).as("total")).orderBy("date")
+    }),
+
+    // #15 firstvalue / lastvalue broadcast
+    "q08_first_last" -> ((s, dir) => {
+      val out = runScript(
+        """f = firstvalue(rev)
+          |l = lastvalue(rev)""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("F")).as("f"),
+        r6(col("L")).as("l")).orderBy("date")
+    }),
+
+    // #3 scalar + ave + math funcs
+    "q09_scalar_ave" -> ((s, dir) => {
+      val out = runScript(
+        """scalar mu = ave(rev)
+          |dev = rev - mu
+          |lg = log(rev)
+          |rt = sqrt(cnt)
+          |ab = abs(dev)
+          |ex = exp(rev / 10)""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("DEV")).as("dev"),
+        r6(col("LG")).as("lg"), r6(col("RT")).as("rt"),
+        r6(col("AB")).as("ab"), r6(col("EX")).as("ex")).orderBy("date")
+    }),
+
+    // elementwise min/max + exists
+    "q10_minmax_exists" -> ((s, dir) => {
+      val out = runScript(
+        """mn = min(rev, cnt / 4)
+          |mx = max(rev, cnt / 4)
+          |e = if exists(rev[t+1]) then 1 else 0""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("MN")).as("mn"),
+        r6(col("MX")).as("mx"), r6(col("E")).as("e")).orderBy("date")
+    }),
+
+    // #12 convert: downsample m→q (sum) and m→a (average)
+    "q11_convert_down" -> ((s, dir) => {
+      val out = runScript(
+        """freq m
+          |rev_q = convert(rev, q, discrete, sum)
+          |cnt_q = convert(cnt, q, discrete, sum)
+          |rev_a = convert(rev, a, discrete, average)""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV_QTRLY")).as("rev_qtrly"),
+        r6(col("CNT_QTRLY")).as("cnt_qtrly"), r6(col("REV_ANN")).as("rev_ann"))
+        .orderBy("date")
+    }),
+
+    // #12 convert: upsample q→m, constant (ffill) and linear techniques
+    "q12_convert_up" -> ((s, dir) => {
+      val out = runScript(
+        """freq q
+          |rev_m = convert(rev, m, constant, average)
+          |rev_ml = convert(revl, m, linear, average)""".stripMargin, quarterly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV_MON")).as("rev_mon"),
+        r6(col("REVL_MON")).as("revl_mon")).orderBy("date")
+    }),
+
+    // #11 shift_pct backward level reconstruction
+    "q13_shift_pct" -> ((s, dir) => {
+      val out = runScript(
+        """rev2 = rev
+          |date 1995-01-01 to 1996-06-01
+          |rev2[t] = rev2[t+1]/(1+(pct(cnt[t+1])/100))""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV2")).as("rev2")).orderBy("date")
+    }),
+
+    // #13 chain-linked Fisher volume index
+    "q14_chain" -> ((s, dir) => {
+      val out = runScript("""set x = $chain("a - b", "1995")""", twoGoods(s, dir))
+      out.select(col("DATE").as("date"), r6(col("X")).as("x")).orderBy("date")
+    }),
+
+    // #14 fishvol_rebase
+    "q15_fishvol" -> ((s, dir) => {
+      val out = runScript("x = fishvol_rebase({a,b},{pa,pb},1995)", twoGoods(s, dir))
+      out.select(col("DATE").as("date"), r6(col("X")).as("x")).orderBy("date")
+    }),
+
+    // dateof (real implementation; reference stubs it)
+    "q16_dateof" -> ((s, dir) => {
+      val out = runScript(
+        """date 1995-01-01 to 1996-12-01
+          |v = rev
+          |date *
+          |dlast = dateof(v, *, CONTAIN, END)
+          |dbefore = dateof(v, *, BEFORE)""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), col("DLAST").as("dlast"),
+        col("DBEFORE").as("dbefore")).orderBy("date")
+    }),
+
+    // dynamic lookup via scalar date + literal date lookup
+    "q17_lookup" -> ((s, dir) => {
+      val out = runScript(
+        """scalar idx = make(date(m), "1995-06-01")
+          |x = rev[idx]
+          |y = rev["1995-03-01"]""".stripMargin, monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("X")).as("x"),
+        r6(col("Y")).as("y")).orderBy("date")
+    }),
+
+    // #16 nlrx (HP smoother; no SQL oracle — rows-only check)
+    "q18_nlrx" -> ((s, dir) => {
+      val out = runScript(
+        "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)", monthly(s, dir))
+      out.select(col("DATE").as("date"), r6(col("REV")).as("rev"),
+        r6(col("SM")).as("sm")).orderBy("date")
+    })
+  )
+
+  // ------------------------------------------------------------------ oracles
+
+  private val winD = "OVER (ORDER BY date)"
+
+  val oracles: Map[String, String] = Map(
+
+    "q01_assign_arith" ->
+      s"""$monthlySql
+         |SELECT date, round(rev, 6) AS rev, round(rev*2, 6) AS v2,
+         |       round(rev*2 + cnt - 100/10, 6) AS v3
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q02_conditional" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
+         |             WHEN rev < 4 THEN 2 ELSE 0 END, 6) AS flag,
+         |  round(CASE WHEN (CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
+         |                        WHEN rev < 4 THEN 2 ELSE 0 END) = 1
+         |             THEN rev ELSE cnt END, 6) AS routed
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q03_datemask" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         |             THEN 2 ELSE 1 END, 6) AS v,
+         |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         |             THEN rev*2 END, 6) AS w,
+         |  round(CASE WHEN date BETWEEN DATE '1996-01-01' AND DATE '1996-06-01'
+         |             THEN 5 END, 6) AS u
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q04_point_in_time" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(CASE WHEN date = DATE '1995-06-01' THEN 42
+         |             WHEN date = DATE '1995-07-01' THEN 43
+         |             ELSE rev END, 6) AS rev2
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q05_leadlag" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(lead(rev, 1) $winD, 6) AS x,
+         |  round(lag(rev, 1) $winD, 6) AS y,
+         |  round(lead(rev, 1) $winD - lag(rev, 2) $winD, 6) AS z
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q06_pct_diff" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round((rev - lag(rev,1) $winD) / lag(rev,1) $winD * 100, 6) AS p1,
+         |  round((rev - lag(rev,3) $winD) / lag(rev,3) $winD * 100, 6) AS p3,
+         |  round(rev - lag(rev,1) $winD, 6) AS d1,
+         |  round((lead(rev,1) $winD - rev) / rev * 100, 6) AS pl
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q07_lsum" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(coalesce(lead(rev,1) $winD, 0) + coalesce(cnt, 0) + 1, 6) AS total
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q08_first_last" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round((SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date LIMIT 1), 6) AS f,
+         |  round((SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date DESC LIMIT 1), 6) AS l
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q09_scalar_ave" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(rev - (SELECT avg(rev) FROM m), 6) AS dev,
+         |  round(ln(rev), 6) AS lg,
+         |  round(sqrt(cnt), 6) AS rt,
+         |  round(abs(rev - (SELECT avg(rev) FROM m)), 6) AS ab,
+         |  round(exp(rev / 10), 6) AS ex
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q10_minmax_exists" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round(least(rev, cnt/4), 6) AS mn,
+         |  round(greatest(rev, cnt/4), 6) AS mx,
+         |  round(CASE WHEN lead(rev,1) $winD IS NOT NULL THEN 1 ELSE 0 END, 6) AS e
+         |FROM m ORDER BY date""".stripMargin,
+
+    "q11_convert_down" ->
+      s"""$monthlySql, qq AS (
+         |  SELECT date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq,
+         |         sum(cnt) AS cq
+         |  FROM m GROUP BY 1
+         |), aa AS (
+         |  SELECT date_trunc('year', date)::DATE AS ad, avg(rev) AS ra
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT m.date AS date, round(qq.rq, 6) AS rev_qtrly,
+         |       round(qq.cq, 6) AS cnt_qtrly, round(aa.ra, 6) AS rev_ann
+         |FROM m LEFT JOIN qq ON m.date = qq.qd LEFT JOIN aa ON m.date = aa.ad
+         |ORDER BY date""".stripMargin,
+
+    "q12_convert_up" ->
+      s"""$quarterlySql, cal AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(date) FROM q),
+         |    (SELECT (date_trunc('quarter', max(date)) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::DATE FROM q),
+         |    INTERVAL 1 MONTH))::DATE AS date
+         |), j AS (
+         |  SELECT cal.date AS date, q.rev AS rev FROM cal LEFT JOIN q USING (date)
+         |), f AS (
+         |  SELECT date, rev,
+         |    last_value(rev IGNORE NULLS) OVER
+         |      (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    max(CASE WHEN rev IS NOT NULL THEN date END) OVER
+         |      (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(rev IGNORE NULLS) OVER
+         |      (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    min(CASE WHEN rev IS NOT NULL THEN date END) OVER
+         |      (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j
+         |)
+         |SELECT date, round(pv, 6) AS rev_mon,
+         |  round(CASE WHEN pd = nd THEN pv
+         |             ELSE pv + (nv - pv) * (date_diff('day', pd, date)::DOUBLE
+         |                                    / date_diff('day', pd, nd)::DOUBLE) END, 6)
+         |    AS revl_mon
+         |FROM f ORDER BY date""".stripMargin,
+
+    "q13_shift_pct" ->
+      s"""$monthlySql, b AS (
+         |  SELECT date, rev, cnt,
+         |    cnt / lag(cnt, 1) $winD AS f
+         |  FROM m
+         |), l AS (
+         |  SELECT date, rev,
+         |    CASE WHEN date <= DATE '1996-06-01' AND f > 0 THEN ln(f) END AS logf
+         |  FROM b
+         |), sfx AS (
+         |  SELECT date, rev,
+         |    sum(logf) OVER (ORDER BY date ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ssum,
+         |    max(CASE WHEN date = DATE '1996-06-01' THEN rev END) OVER () AS anch
+         |  FROM l
+         |)
+         |SELECT date,
+         |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1996-06-01'
+         |             THEN anch / exp(coalesce(ssum, 0))
+         |             ELSE rev END, 6) AS rev2
+         |FROM sfx ORDER BY date""".stripMargin,
+
+    "q14_chain" ->
+      s"""$twoGoodsSql, y AS (
+         |  SELECT year(date) AS yr, avg(pa) AS pa, sum(a) AS qa,
+         |         avg(pb) AS pb, sum(b) AS qb
+         |  FROM w GROUP BY 1
+         |), l AS (
+         |  SELECT yr, pa, qa, pb, qb,
+         |    lag(pa) OVER (ORDER BY yr) AS ppa, lag(qa) OVER (ORDER BY yr) AS pqa,
+         |    lag(pb) OVER (ORDER BY yr) AS ppb, lag(qb) OVER (ORDER BY yr) AS pqb
+         |  FROM y
+         |), f AS (
+         |  SELECT yr,
+         |    coalesce(sqrt(CASE WHEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) > 0
+         |                       THEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) END), 1.0)
+         |      AS fisher
+         |  FROM l
+         |), c AS (
+         |  SELECT yr, exp(sum(CASE WHEN fisher > 0 THEN ln(fisher) END)
+         |    OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS raw
+         |  FROM f
+         |), r AS (
+         |  SELECT yr, raw / max(CASE WHEN yr = 1995 THEN raw END) OVER () * 100 AS idx
+         |  FROM c
+         |)
+         |SELECT w.date AS date, round(r.idx, 6) AS x
+         |FROM w JOIN r ON year(w.date) = r.yr ORDER BY date""".stripMargin,
+
+    "q15_fishvol" ->
+      s"""$twoGoodsSql, l AS (
+         |  SELECT date,
+         |    (lag(pa) $winD * a + lag(pb) $winD * b)
+         |      / (lag(pa) $winD * lag(a) $winD + lag(pb) $winD * lag(b) $winD) AS lasp,
+         |    (pa * a + pb * b) / (pa * lag(a) $winD + pb * lag(b) $winD) AS paas
+         |  FROM w
+         |), lk AS (
+         |  SELECT date, coalesce(sqrt(CASE WHEN lasp * paas > 0
+         |                                  THEN lasp * paas END), 1.0) AS link
+         |  FROM l
+         |), c AS (
+         |  SELECT date, exp(sum(CASE WHEN link > 0 THEN ln(link) END)
+         |    OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS raw
+         |  FROM lk
+         |)
+         |SELECT date,
+         |  round(raw / avg(CASE WHEN year(date) = 1995 THEN raw END) OVER () * 100, 6) AS x
+         |FROM c ORDER BY date""".stripMargin,
+
+    "q16_dateof" ->
+      s"""$monthlySql, v AS (
+         |  SELECT date, CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1996-12-01'
+         |                    THEN rev END AS v
+         |  FROM m
+         |)
+         |SELECT date,
+         |  (SELECT max(date) FROM v WHERE v IS NOT NULL) AS dlast,
+         |  max(CASE WHEN v IS NOT NULL THEN date END)
+         |    OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dbefore
+         |FROM v ORDER BY date""".stripMargin,
+
+    "q17_lookup" ->
+      s"""$monthlySql
+         |SELECT date,
+         |  round((SELECT rev FROM m WHERE date = DATE '1995-06-01'), 6) AS x,
+         |  round((SELECT rev FROM m WHERE date = DATE '1995-03-01'), 6) AS y
+         |FROM m ORDER BY date""".stripMargin
+    // q18_nlrx: no SQL oracle (pentadiagonal solve) — rows-only check
+  )
+}

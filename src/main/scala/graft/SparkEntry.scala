@@ -2,12 +2,30 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * a multi-operator FAME model over the monthly revenue series.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val monthly = QueriesCore.monthly(spark, dir)
+    graft.api.FameSession.run(
+      """freq m
+        |rev_pct = pct(rev)
+        |rev_diff = diff(rev)
+        |avg_order = rev / cnt * 1000000
+        |big = if rev_pct gt 10 then 1 else 0
+        |total = lsum(rev, cnt)
+        |scalar mean_rev = ave(rev)
+        |rev_dev = rev - mean_rev
+        |rev_q = convert(rev, q, discrete, sum)""".stripMargin, monthly).df
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueriesCore.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    QueriesCore.oracles
 }

@@ -66,7 +66,11 @@ object Indices {
                dot(i => lagc(s"__p$i"), i => lagc(s"__q$i"))
     val paas = dot(i => col(s"__p$i"), i => col(s"__q$i")) /
                dot(i => col(s"__p$i"), i => lagc(s"__q$i"))
-    val fisher = coalesce(sqrt(lasp * paas), lit(1.0)) // first year link = 1
+    // first-year link (lag null) and degenerate negative products (signed
+    // baskets can net below zero) both collapse to a unit link — sqrt(NaN)
+    // would otherwise poison the cumulative product
+    val lp = lasp * paas
+    val fisher = coalesce(sqrt(when(lp > 0, lp)), lit(1.0))
 
     val linked = yearly
       .withColumn("__f", fisher)
@@ -110,7 +114,8 @@ object Indices {
 
     val lasp = dot(prev, cur) / dot(prev, prev)
     val paas = dot(cur, cur) / dot(cur, prev)
-    val link = coalesce(sqrt(lasp * paas), lit(1.0))
+    val lp = lasp * paas
+    val link = coalesce(sqrt(when(lp > 0, lp)), lit(1.0))
 
     // materialize the link before the cumulative window — its lag() can't
     // nest inside the running sum's window function

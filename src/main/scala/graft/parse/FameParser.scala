@@ -241,11 +241,16 @@ object FameParser {
 
     private def parseArgs(): Seq[FameExpr] = {
       if (peek.contains(TOp(")"))) { next(); return Seq.empty }
+      // a bare `*` argument (dateof's wildcard) is not an expression
+      def arg(): FameExpr = peek match {
+        case Some(TOp("*")) => next(); Str("*")
+        case _ => parseExpr()
+      }
       val args = Seq.newBuilder[FameExpr]
-      args += parseExpr()
+      args += arg()
       var go = true
       while (go) peek match {
-        case Some(TOp(",")) => next(); args += parseExpr()
+        case Some(TOp(",")) => next(); args += arg()
         case Some(TOp(")")) => next(); go = false
         case other => throw ParseError(s"expected , or ) got $other", line)
       }
