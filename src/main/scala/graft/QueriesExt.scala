@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver-checkable queries for the training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal) over the `documents`
+  * and `embeddings` tables. SQL-expressible ones have DuckDB oracles in
+  * [[QueriesExt.oracles]]; hash/LSH-based ones are rows-only (DuckDB has no
+  * xxhash64) and get their exactness tests in `OpsSpec`.
+  */
+object QueriesExt {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: hash-groupBy on normalized text
+    "q20_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select(col("keep_id"), col("dup_count")).orderBy("keep_id")
+    }),
+
+    // character-trigram Jaccard between consecutive doc ids (array-native,
+    // no explode — set ops stay inside one projection)
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        array_distinct(TextOps.charNgrams(TextOps.normText(col("text")), 3))
+          .as("g"))
+      val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
+      val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jaccard", round(col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")), 6))
+        .select("id1", "id2", "jaccard").orderBy("id1")
+    }),
+
+    // MinHash + banded LSH near-dup candidates, verified with true Jaccard
+    // (rows-only: LSH hashing is not SQL-expressible)
+    "q22_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 16, shingleWidth = 2)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
+    // 64-bit SimHash per document (rows-only)
+    "q23_simhash" -> ((s, dir) => {
+      Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // exact brute-force cosine top-5 for the first 10 vectors
+    "q24_ann_brute" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN with multi-probe (scale path; rows-only)
+    "q25_ann_lsh" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.annTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, planes = 6)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-dup pairs via hyperplane buckets (rows-only)
+    "q26_embed_neardup" -> ((s, dir) => {
+      // synthetic embeddings top out near cosine 0.5 — 0.25 exercises the
+      // bucket-then-verify path with non-empty output
+      Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
+        minCosine = 0.25, planes = 4)
+        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id1", "id2")
+    }),
+
+    // heuristic language ID
+    "q27_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+
+    // quality scoring: punct/digit ratios, mean word length, stopword
+    // ratio, composite score
+    "q28_quality" -> ((s, dir) => {
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+        round(TextOps.punctRatio(t), 6).as("punct_ratio"),
+        round(TextOps.digitRatio(t), 6).as("digit_ratio"),
+        round(TextOps.avgWordLen(t), 6).as("avg_word_len"),
+        round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
+        round(TextOps.qualityScore(t), 6).as("quality")).orderBy("doc_id")
+    }),
+
+    // token + char counting
+    "q29_tokens" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual")).orderBy("doc_id")
+    }),
+
+    // document fingerprints: whole-content hash + min-shingle winnowing
+    // (rows-only: xxhash64 not in DuckDB)
+    "q30_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextOps.contentHash(col("text")).as("content_hash"),
+        TextOps.minShingleFingerprint(col("text"), 8).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // multimodal plumbing: binary payload + typed metadata through the
+    // per-partition decode stub; oracle checks the SQL-visible subset
+    "q31_multimodal" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "video/mp4")
+          .otherwise("audio/wav").as("mime"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.stubDecode(media)
+        .select(col("media_id"), col("mime"), col("n_bytes")).orderBy("media_id")
+    })
+  )
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  private def langCountSql(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(?:${words.mkString("|")})\\b'))"
+
+  val oracles: Map[String, String] = Map(
+
+    "q20_dedup_exact" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM (SELECT doc_id, $normSql AS tn FROM documents)
+         |GROUP BY tn ORDER BY keep_id""".stripMargin,
+
+    "q21_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
+         |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
+         |  WHERE length(t) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY 1),
+         |iv AS (
+         |  SELECT a.doc_id AS id1, count(*) AS inter
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
+         |  GROUP BY 1
+         |)
+         |SELECT sa.doc_id AS id1, sb.doc_id AS id2,
+         |  round(coalesce(iv.inter, 0)::DOUBLE
+         |        / (sa.s + sb.s - coalesce(iv.inter, 0)), 6) AS jaccard
+         |FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+         |LEFT JOIN iv ON iv.id1 = sa.doc_id
+         |ORDER BY id1""".stripMargin,
+
+    "q24_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+        |      AS cosine
+        |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q27_lang_id" -> {
+      val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
+      s"""SELECT doc_id,
+         |  CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
+         |       WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+         |       WHEN $es >= $fr AND $es >= $de THEN 'es'
+         |       WHEN $fr >= $de THEN 'fr'
+         |       ELSE 'de' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_quality" -> {
+      val stop = langCountSql(TextOps.EnStopwords)
+      val tok = s"len(string_split_regex(trim(text), '\\s+'))"
+      val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
+      val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
+      val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
+      val stopr = s"$stop::DOUBLE / $tok"
+      s"""SELECT doc_id,
+         |  round($punct, 6) AS punct_ratio,
+         |  round($digit, 6) AS digit_ratio,
+         |  round($awl, 6) AS avg_word_len,
+         |  round($stopr, 6) AS stop_ratio,
+         |  round(0.4 * least($stopr * 4, 1.0) + 0.3 * least($awl / 8, 1.0)
+         |        + 0.3 - 0.5 * $punct - 0.5 * $digit, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q29_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  length(text)::BIGINT AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'video/mp4'
+        |       ELSE 'audio/wav' END AS mime,
+        |  octet_length(encode(text))::BIGINT AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -20,12 +20,14 @@ object SparkEntry {
         |rev_q = convert(rev, q, discrete, sum)""".stripMargin, monthly).df
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (dedup/similarity/text/multimodal).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesCore.queries
+    QueriesCore.queries ++ QueriesExt.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    QueriesCore.oracles
+    QueriesCore.oracles ++ QueriesExt.oracles
 }

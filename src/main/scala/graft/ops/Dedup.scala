@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Four families, each with a different recall/cost point:
+  *  - [[exact]] — hash-groupBy on normalized text; one shuffle, exact.
+  *  - [[minHashLshPairs]] — MinHash signatures + banded LSH: candidate
+  *    pairs only meet inside a band bucket, so the all-pairs O(n²) never
+  *    materializes; candidates are then verified with true shingle Jaccard.
+  *  - [[simHash]] / [[simHashPairs]] — 64-bit SimHash; near-dup pairs via
+  *    16-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 chunks
+  *    equal), verified with `bit_count(xor)`.
+  *  - [[embeddingNearDupPairs]] — cosine near-dups over an embedding
+  *    column, bucketed by [[Similarity.lshBucket]] hyperplane signs.
+  *
+  * Scale design: every stage is groupBy/join on a key whose cardinality
+  * grows with n (shingle hash, band bucket, chunk value) — no driver
+  * collects, no cross join, no global windows. Skewed buckets (boilerplate
+  * shingles) are bounded by `maxBucketSize` which drops pathological
+  * buckets the way production LSH dedup does.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct normalized text with the surviving
+    * (minimum) id and the duplicate-group size. Single hash shuffle;
+    * map-side partial aggregation applies.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.normText(col(textCol)).as("text_norm"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Deterministic MinHash signature table: (id, sig_0 … sig_{h-1}).
+    *
+    * Shingles are word `w`-shingles; each permutation is the classic
+    * `a_i·x + b_i` over the 64-bit shingle hash (odd multipliers, wraparound
+    * arithmetic — deterministic across runs and partitionings).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
+    val shingled = df
+      .select(col(idCol),
+        explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWidth)))
+          .as("__sh"))
+      .withColumn("__h", xxhash64(col("__sh")))
+    // permutation i = re-hash with a per-i seed (xxhash64 is ANSI-safe —
+    // no overflowing multiply — and deterministic across partitionings)
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"sig_$i")
+    }
+    shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Near-duplicate candidate pairs via banded LSH over MinHash signatures,
+    * verified with true word-shingle Jaccard.
+    *
+    * @return (id1, id2, est_jaccard, jaccard) with id1 < id2, one row per
+    *         verified candidate pair; filter on `jaccard` downstream.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+
+    // band hash = hash of the band's signature slice
+    val banded = sig.select(col(idCol) +: (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+        .as(s"band_$b")
+    }: _*)
+    val buckets = banded.select(col(idCol), posexplode(
+      array((0 until bands).map(b => col(s"band_$b")): _*)).as(Seq("band", "bucket")))
+
+    // drop pathological buckets (boilerplate) before the self-join
+    val sized = buckets.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucketSize).drop("__n")
+
+    val l = sized.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = sized.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+
+    // estimated Jaccard = fraction of matching signature components
+    val sigL = sig.select(col(idCol).as("id1"),
+      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__s1"))
+    val sigR = sig.select(col(idCol).as("id2"),
+      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__s2"))
+    val withEst = cand.join(sigL, "id1").join(sigR, "id2")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__s1"), col("__s2"), (a, b) =>
+          when(a === b, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+      .drop("__s1", "__s2")
+
+    // verify with true shingle Jaccard: |A∩B| via a shingle-level join
+    val sh = df.select(col(idCol).as("__id"),
+      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWidth)))
+        .as("__sh"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val inter = withEst.select("id1", "id2")
+      .join(sh.withColumnRenamed("__id", "id1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2")
+        .withColumnRenamed("__sh", "__sh2"), "id2")
+      .where(col("__sh") === col("__sh2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("__inter"))
+
+    withEst
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.withColumnRenamed("__id", "id1")
+        .withColumnRenamed("__sz", "__sz1"), "id1")
+      .join(sizes.withColumnRenamed("__id", "id2")
+        .withColumnRenamed("__sz", "__sz2"), "id2")
+      .withColumn("jaccard",
+        coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("__sz1") + col("__sz2") - coalesce(col("__inter"), lit(0L))))
+      .select("id1", "id2", "est_jaccard", "jaccard")
+  }
+
+  /** 64-bit SimHash per document over word tokens: bit i of the hash is the
+    * sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"__b$i")
+    }
+    val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until 64).map { i =>
+      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** Near-dup pairs with hamming(simhash) ≤ `maxHamming`, blocked on 16-bit
+    * chunks (4 chunks ⇒ exact for maxHamming ≤ 3, high-recall above).
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(df, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"), posexplode(array(
+      (0 until 4).map(c =>
+        shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL)): _*))
+      .as(Seq("chunk", "val")))
+    val l = chunked.select(col("chunk"), col("val"),
+      col(idCol).as("id1"), col("simhash").as("__h1"))
+    val r = chunked.select(col("chunk"), col("val"),
+      col(idCol).as("id2"), col("simhash").as("__h2"))
+    l.join(r, Seq("chunk", "val"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: candidates from hyperplane-LSH
+    * buckets, verified with exact cosine ≥ `minCosine`.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, planes: Int = 12): DataFrame = {
+    val b = df.select(col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"))
+    l.join(r, "bucket")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("__v1"), col("__v2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

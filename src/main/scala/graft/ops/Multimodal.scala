@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
+  * columns with typed metadata, processed per-partition in batches.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernel is a clearly-marked deterministic fake ([[stubDecode]]);
+  * everything around it — the schema contract, the per-partition batch
+  * iteration (the Scala analogue of `mapInPandas`: one buffer of rows per
+  * partition, amortized setup), partition sizing, and the downstream
+  * typed-feature operators — is real and tested, so swapping a real codec
+  * in is a one-function change.
+  *
+  * Scale notes: media bytes never pass through a shuffle here (decode is a
+  * narrow mapPartitions); only the small typed features continue into
+  * joins/aggregations. For very large blobs, pair with
+  * `spark.sql.files.maxPartitionBytes` tuning so a partition's batch fits
+  * executor memory.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside the opaque payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Decoded-feature schema appended by [[stubDecode]]. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("sample_rate", IntegerType)))
+
+  /** Deterministic fake "decode": derives plausible media dimensions from a
+    * stable 64-bit mix of the payload bytes. STUB — replace `fakeProbe`
+    * with a real codec probe (e.g. javacv / soundlibs) when available.
+    */
+  private def fakeProbe(bytes: Array[Byte], mime: String): (Int, Int, Int, Int) = {
+    var h = 0xCBF29CE484222325L // FNV offset basis; deterministic, no RNG
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
+    def pick(shift: Int, mod: Int, base: Int) =
+      base + (((h >>> shift) % mod).toInt + mod) % mod
+    mime.takeWhile(_ != '/') match {
+      case "image" => (pick(0, 3840, 16), pick(12, 2160, 16), 1, 0)
+      case "video" => (pick(0, 1920, 16), pick(12, 1080, 16), pick(24, 14400, 1), 0)
+      case "audio" => (0, 0, 0, Seq(8000, 16000, 22050, 44100, 48000)(pick(8, 5, 0)))
+      case _       => (0, 0, 0, 0)
+    }
+  }
+
+  /** Decode/probe each payload, per-partition in one pass (batch shape:
+    * the iterator is consumed lazily row-by-row but setup — codec init in
+    * the real version — happens once per partition).
+    */
+  def stubDecode(df: DataFrame, idCol: String = "media_id",
+      mimeCol: String = "mime", payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ decodedSchema.fields)
+    val (idIdx, mimeIdx, payIdx) =
+      (df.schema.fieldIndex(idCol), df.schema.fieldIndex(mimeCol),
+        df.schema.fieldIndex(payloadCol))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      // real impl: initialize the codec ONCE here, then stream the batch
+      it.map { row =>
+        val bytes = if (row.isNullAt(payIdx)) Array.empty[Byte]
+          else row.getAs[Array[Byte]](payIdx)
+        val mime = row.getString(mimeIdx)
+        val (w, hgt, frames, rate) = fakeProbe(bytes, mime)
+        Row.fromSeq(row.toSeq ++ Seq[Any](bytes.length.toLong, w, hgt, frames, rate))
+      }
+    }(enc)
+  }
+
+  /** Resize plan for decoded images: target box preserving aspect ratio —
+    * pure column math over the typed features (no payload touch).
+    */
+  def resizePlan(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW) / col("width"), lit(maxH) / col("height"), lit(1.0))
+    df.withColumn("out_width", (col("width") * scale).cast("int"))
+      .withColumn("out_height", (col("height") * scale).cast("int"))
+  }
+
+  /** Frame-sampling plan for decoded video: every `stride`-th frame index. */
+  def frameSamplePlan(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("sampled_frames",
+      when(col("n_frames") > 0,
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")))
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting, and the
+  * shingle machinery shared by the dedup family ([[Dedup]]).
+  *
+  * All functions are pure `Column => Column` compositions of codegen'd
+  * Spark builtins — no UDFs, so whole-stage codegen survives and every
+  * operator runs at scan speed on a 1000-executor cluster. Counting uses
+  * integer builtins (`regexp_count`, `length`) so results are
+  * bit-reproducible against any SQL engine computing the same definition.
+  */
+object TextOps {
+
+  /** Canonical normalization for dedup keys: lowercase, collapse internal
+    * whitespace, trim.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), lit("\\s+"), lit(" ")))
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** Array of whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => length(t) > 0)
+
+  /** Array of character n-grams (positions 1..len-n+1) of the raw column. */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - n + 1), i => substr(c, i, lit(n))))
+      .otherwise(array())
+
+  /** Array of word w-shingles: space-joined runs of w consecutive tokens. */
+  def wordShingles(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(when(size(toks) > 0, array(concat_ws(" ", toks)))
+        .otherwise(array()))
+  }
+
+  // ----------------------------------------------------------- quality
+
+  /** Count of regex matches (codegen'd builtin). */
+  def countMatches(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
+  // ratios are null (not an ANSI divide-by-zero error) on empty text
+  def punctRatio(c: Column): Column =
+    countMatches(c, "[.,;:!?]").cast("double") / nullif(length(c), lit(0))
+
+  def digitRatio(c: Column): Column =
+    countMatches(c, "[0-9]").cast("double") / nullif(length(c), lit(0))
+
+  def spaceRatio(c: Column): Column =
+    countMatches(c, " ").cast("double") / nullif(length(c), lit(0))
+
+  /** Mean token length = non-space chars / tokens (null on empty text). */
+  def avgWordLen(c: Column): Column =
+    length(regexp_replace(c, lit("\\s+"), lit(""))).cast("double") /
+      nullif(tokenCount(c), lit(0)).cast("double")
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
+
+  def stopwordCount(c: Column, words: Seq[String] = EnStopwords): Column =
+    countMatches(lower(c), "\\b(?:" + words.mkString("|") + ")\\b")
+
+  def stopwordRatio(c: Column, words: Seq[String] = EnStopwords): Column =
+    stopwordCount(c, words).cast("double") /
+      nullif(tokenCount(c), lit(0)).cast("double")
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * moderate word length, penalizes punctuation/digit noise. A linear,
+    * fully deterministic definition (documented so oracles can mirror it).
+    */
+  def qualityScore(c: Column): Column =
+    lit(0.4) * least(stopwordRatio(c) * 4, lit(1.0)) +
+      lit(0.3) * least(avgWordLen(c) / 8, lit(1.0)) +
+      lit(0.3) - lit(0.5) * punctRatio(c) - lit(0.5) * digitRatio(c)
+
+  // ----------------------------------------------------------- language ID
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. Order is
+    * the tie-break priority.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit"))
+
+  /** Heuristic language ID: per-language whole-word stopword counts,
+    * argmax with earlier-profile priority; all-zero → "und".
+    */
+  def langId(c: Column): Column = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      lang -> stopwordCount(c, words)
+    }
+    val allZero = scores.map(_._2 === 0).reduce(_ && _)
+    val argmax = scores.zipWithIndex.foldRight(lit("und") /* never hit */) {
+      case (((lang, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        if (laterScores.isEmpty) lit(lang)
+        else when(laterScores.map(score >= _).reduce(_ && _), lit(lang))
+          .otherwise(elseCol)
+    }
+    when(allZero, lit("und")).otherwise(argmax)
+  }
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64). */
+  def contentHash(c: Column): Column = xxhash64(normText(c))
+
+  /** Winnowing-style document fingerprint: the minimum 64-bit hash over the
+    * k-gram shingles of the normalized text (rolling-hash family; one value
+    * per doc, stable under local edits elsewhere in the doc).
+    */
+  def minShingleFingerprint(c: Column, k: Int = 8): Column =
+    array_min(transform(charNgrams(normText(c), k), g => xxhash64(g)))
+}

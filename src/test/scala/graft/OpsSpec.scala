@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-data-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing) on hand-built fixtures.
+  */
+class OpsSpec extends SparkSpec {
+
+  private def docFrame(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, t) => Row(i, t) }).asJava), schema)
+  }
+
+  test("exact dedup keeps min id and counts the group") {
+    val df = docFrame(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
+    val out = Dedup.exact(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L))) // normalization merges 1 and 2
+  }
+
+  test("minhash LSH finds a near-duplicate pair and estimates jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val distinct = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = docFrame((1L, base), (2L, nearDup), (3L, distinct))
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 2).collect()
+    val p12 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined, s"expected (1,2) pair, got ${pairs.toSeq}")
+    // true 2-shingle jaccard: |A∩B|=37, |A∪B|=41+... compute: A has 39
+    // shingles, B has 39, common 37 → 37/(39+39-37)=37/41
+    assert(math.abs(p12.get.getDouble(3) - 37.0 / 41.0) < 1e-9)
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("simhash: identical docs equal, near docs close, far docs far") {
+    val a = (1 to 30).map(i => s"w$i").mkString(" ")
+    val b = (1 to 28).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val c = (200 to 230).map(i => s"q$i").mkString(" ")
+    val df = docFrame((1L, a), (2L, a), (3L, b), (4L, c))
+    val h = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosine and brute-force top-k") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val rows = Seq(
+      Row(0L, v(1, 0, 0)), Row(1L, v(0.9, 0.1, 0)), Row(2L, v(0, 1, 0)),
+      Row(3L, v(-1, 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val top = Similarity.bruteForceTopK(
+      df.where(col("vec_id") === 0), df, "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // ranked by cosine
+    assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("ann top-k recalls the exact top neighbor on clustered vectors") {
+    // two tight clusters: LSH buckets must separate them
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Array(10.0, 0.0, 1.0) else Array(-10.0, 1.0, -1.0)
+      Row(i.toLong, base.zipWithIndex.map { case (x, d) =>
+        (x + 0.01 * i * (d + 1)).toFloat }.toSeq)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val exact = Similarity.bruteForceTopK(
+      df.where(col("vec_id") === 0), df, "vec_id", "embedding", 1).collect()
+    val ann = Similarity.annTopK(
+      df.where(col("vec_id") === 0), df, "vec_id", "embedding", 1, planes = 4)
+      .collect()
+    assert(ann.nonEmpty && ann.head.getLong(1) == exact.head.getLong(1))
+  }
+
+  test("text ops: tokens, ratios, langid, fingerprints") {
+    val df = docFrame(
+      (1L, "The cat and the dog, in the house!"),
+      (2L, "el perro y la casa de la gente"),
+      (3L, ""))
+    val out = df.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("tc"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.punctRatio(col("text")).as("pr")).orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 8)
+    assert(out(0).getString(2) == "en")
+    assert(out(1).getString(2) == "es")
+    assert(out(2).getInt(1) == 0)
+    assert(math.abs(out(0).getDouble(3) - 2.0 / 34) < 1e-12)
+    // fingerprint is stable and insensitive to outer whitespace
+    val fp = docFrame((1L, "stable text body"), (2L, "  stable   text body "))
+      .select(TextOps.contentHash(col("text"))).collect()
+    assert(fp(0).getLong(0) == fp(1).getLong(0))
+  }
+
+  test("multimodal stub decode: schema, determinism, plans") {
+    val media = docFrame((0L, "aaa"), (1L, "bbbb"), (2L, "ccccc"))
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") === 0, "image/png")
+          .when(col("doc_id") === 1, "video/mp4").otherwise("audio/wav").as("mime"),
+        col("text").cast("binary").as("payload"))
+    val dec = Multimodal.stubDecode(media)
+    val rows = dec.orderBy("media_id").collect()
+    assert(dec.columns.toSeq == Seq("media_id", "mime", "payload",
+      "n_bytes", "width", "height", "n_frames", "sample_rate"))
+    assert(rows.map(_.getAs[Long]("n_bytes")).toSeq == Seq(3L, 4L, 5L))
+    val img = rows(0)
+    assert(img.getAs[Int]("width") >= 16 && img.getAs[Int]("n_frames") == 1)
+    assert(rows(1).getAs[Int]("n_frames") >= 1) // video
+    assert(rows(2).getAs[Int]("sample_rate") > 0) // audio
+    // deterministic: same payload → same probe
+    val again = Multimodal.stubDecode(media).orderBy("media_id").collect()
+    def cmp(rs: Array[Row]) = rs.map(_.toSeq.map {
+      case a: Array[Byte] => a.toSeq
+      case x => x
+    }).toSeq
+    assert(cmp(again) == cmp(rows))
+    // resize preserves aspect ratio within bounds
+    val rs = Multimodal.resizePlan(dec.where(col("mime") === "image/png"), 100, 100)
+      .select("width", "height", "out_width", "out_height").collect()(0)
+    assert(rs.getInt(2) <= 100 && rs.getInt(3) <= 100)
+    val fs = Multimodal.frameSamplePlan(dec.where(col("mime") === "video/mp4"), 10)
+      .select(size(col("sampled_frames"))).collect()(0).getInt(0)
+    assert(fs >= 1)
+  }
+}
