@@ -29,9 +29,12 @@ object QueriesExt {
     // character-trigram Jaccard between consecutive doc ids (array-native,
     // no explode — set ops stay inside one projection)
     "q21_ngram_jaccard" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"),
-        array_distinct(TextOps.charNgrams(TextOps.normText(col("text")), 3))
-          .as("g"))
+      // materialize normText in its own projection: inlining it into the
+      // charNgrams lambda would re-run the regex once per gram
+      val d = docs(s, dir)
+        .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+        .select(col("doc_id"),
+          array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
       val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
       val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
       a.join(b, col("id2") === col("id1") + 1)
@@ -44,8 +47,10 @@ object QueriesExt {
     // MinHash + banded LSH near-dup candidates, verified with true Jaccard
     // (rows-only: LSH hashing is not SQL-expressible)
     "q22_minhash_lsh" -> ((s, dir) => {
+      // 8 bands × 4 rows: P(candidate) = 1-(1-J⁴)⁸ — the corpus's real
+      // near-dups (J ≥ 0.3) surface, J≈0.05 vocabulary noise does not
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
-        numHashes = 32, bands = 16, shingleWidth = 2)
+        numHashes = 32, bands = 8, shingleWidth = 2)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id1", "id2")
@@ -79,9 +84,10 @@ object QueriesExt {
     // embedding-cosine near-dup pairs via hyperplane buckets (rows-only)
     "q26_embed_neardup" -> ((s, dir) => {
       // synthetic embeddings top out near cosine 0.5 — 0.25 exercises the
-      // bucket-then-verify path with non-empty output
+      // bucket-then-verify path with non-empty output; 6 planes = 64
+      // buckets keeps the within-bucket pair count ~n²/64
       Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        minCosine = 0.25, planes = 4)
+        minCosine = 0.25, planes = 6)
         .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id1", "id2")
     }),

@@ -33,18 +33,40 @@ object Dedup {
     df.groupBy(TextOps.normText(col(textCol)).as("text_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Deterministic MinHash signature table: (id, sig_0 … sig_{h-1}).
+  /** Distinct word `w`-shingles as rows (id, __sh).
     *
-    * Shingles are word `w`-shingles; each permutation is the classic
-    * `a_i·x + b_i` over the 64-bit shingle hash (odd multipliers, wraparound
-    * arithmetic — deterministic across runs and partitionings).
+    * Built with posexplode + windowed `lead` rather than an array
+    * higher-order function: a lambda that re-references the token array
+    * re-tokenizes the document once PER SHINGLE (no common-subexpression
+    * elimination inside `transform`), which profiling showed dominating the
+    * whole LSH pipeline. Here tokenization happens once per doc and each
+    * shingle is one window row — linear work, partitioned by doc id.
+    * Docs shorter than `w` tokens contribute their whole text as one
+    * shingle (concat_ws skips the null leads).
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__p", "__t")))
+    if (w <= 1) tok.select(col(idCol), col("__t").as("__sh")).distinct()
+    else {
+      val win = Window.partitionBy(idCol).orderBy("__p")
+      val parts = col("__t") +: (1 until w).map(k => lead(col("__t"), k).over(win))
+      val nTok = count(lit(1)).over(Window.partitionBy(idCol))
+      tok.select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
+          (lead(col("__t"), w - 1).over(win).isNotNull ||
+            (col("__p") === 0 && nTok < w)).as("__keep"))
+        .where(col("__keep")).drop("__keep")
+        .distinct()
+    }
+  }
+
+  /** Deterministic MinHash signature table: (id, sig_0 … sig_{h-1}) over
+    * word `w`-shingle hashes.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
-    val shingled = df
-      .select(col(idCol),
-        explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWidth)))
-          .as("__sh"))
+    val shingled = shingleRows(df, idCol, textCol, shingleWidth)
       .withColumn("__h", xxhash64(col("__sh")))
     // permutation i = re-hash with a per-i seed (xxhash64 is ANSI-safe —
     // no overflowing multiply — and deterministic across partitionings)
@@ -65,7 +87,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // signatures are tiny relative to raw text (n × numHashes longs) and
+    // feed three consumers (bands, left sigs, right sigs) — persist so the
+    // shingle explode+groupBy runs once, not three times
     val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+      .persist()
 
     // band hash = hash of the band's signature slice
     val banded = sig.select(col(idCol) +: (0 until bands).map { b =>
@@ -98,16 +124,16 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / numHashes)
       .drop("__s1", "__s2")
 
-    // verify with true shingle Jaccard: |A∩B| via a shingle-level join
-    val sh = df.select(col(idCol).as("__id"),
-      explode(array_distinct(TextOps.wordShingles(col(textCol), shingleWidth)))
-        .as("__sh"))
+    // verify with true shingle Jaccard: |A∩B| via a shingle-level join.
+    // Joining on (id2, shingle) keeps it an equi-join — the intersection is
+    // found by hash lookup, never a per-pair cross product.
+    val sh = shingleRows(df, idCol, textCol, shingleWidth)
+      .withColumnRenamed(idCol, "__id")
+      .persist()
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val inter = withEst.select("id1", "id2")
       .join(sh.withColumnRenamed("__id", "id1"), "id1")
-      .join(sh.withColumnRenamed("__id", "id2")
-        .withColumnRenamed("__sh", "__sh2"), "id2")
-      .where(col("__sh") === col("__sh2"))
+      .join(sh.withColumnRenamed("__id", "id2"), Seq("id2", "__sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("__inter"))
 
     withEst
