@@ -14,12 +14,15 @@ import graft.api.FameSession
   * Determinism across engines: the base series are produced with
   * `DECIMAL(18,2)` sums (exact, order-independent) cast to double, so both
   * Spark and DuckDB start from bit-identical values; derived pointwise ops
-  * are then IEEE-identical, and every double output is rounded to 6 dp to
-  * absorb window/aggregate summation-order noise.
+  * are then IEEE-identical, and every double output is rounded to 8 dp —
+  * FINER than the base data's intrinsic 8-decimal grid, so exact-grid
+  * aggregates never sit on a rounding boundary (a 6-dp round put exact
+  * half-values like 8.95152150 on the boundary, where last-ulp
+  * summation-order noise flips the two engines differently).
   */
 object QueriesCore {
 
-  private def r6(c: Column): Column = round(c, 6)
+  private def r8(c: Column): Column = round(c, 8)
 
   /** Monthly (DATE, REV, CNT) from orders: REV = exact decimal revenue in
     * millions, CNT = order count. The shared base frame of most queries.
@@ -102,8 +105,8 @@ object QueriesCore {
           |base = 100
           |v2 = rev * 2
           |v3 = v2 + cnt - base / 10""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV")).as("rev"),
-        r6(col("V2")).as("v2"), r6(col("V3")).as("v3")).orderBy("date")
+      out.select(col("DATE").as("date"), col("REV").as("rev"),
+        col("V2").as("v2"), col("V3").as("v3")).orderBy("date")
     }),
 
     // #9 conditional (when/otherwise, nested else-if, and/or/not)
@@ -111,8 +114,8 @@ object QueriesCore {
       val out = runScript(
         """flag = if rev gt 5 and not (cnt lt 10) then 1 else if rev lt 4 then 2 else 0
           |routed = if flag eq 1 then rev else cnt""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("FLAG")).as("flag"),
-        r6(col("ROUTED")).as("routed")).orderBy("date")
+      out.select(col("DATE").as("date"), col("FLAG").as("flag"),
+        col("ROUTED").as("routed")).orderBy("date")
     }),
 
     // #5/#6/#7 date-range masking incl. preserve_existing + inline set<...>
@@ -125,8 +128,8 @@ object QueriesCore {
           |w = rev * 2
           |date *
           |set <date 1996-01-01 to 1996-06-01> u = 5""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("V")).as("v"),
-        r6(col("W")).as("w"), r6(col("U")).as("u")).orderBy("date")
+      out.select(col("DATE").as("date"), col("V").as("v"),
+        col("W").as("w"), col("U").as("u")).orderBy("date")
     }),
 
     // #8 point-in-time assignment (fused when-chain)
@@ -135,7 +138,7 @@ object QueriesCore {
         """rev2 = rev
           |rev2[1995-06-01] = 42
           |rev2[1995-07-01] = 43""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV2")).as("rev2")).orderBy("date")
+      out.select(col("DATE").as("date"), col("REV2").as("rev2")).orderBy("date")
     }),
 
     // v[t+k] / v[t-k] lead-lag
@@ -144,8 +147,8 @@ object QueriesCore {
         """x = rev[t+1]
           |y = rev[t-1]
           |z = rev[t+1] - rev[t-2]""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("X")).as("x"),
-        r6(col("Y")).as("y"), r6(col("Z")).as("z")).orderBy("date")
+      out.select(col("DATE").as("date"), col("X").as("x"),
+        col("Y").as("y"), col("Z").as("z")).orderBy("date")
     }),
 
     // pct / diff (incl. k-period and offset pushdown)
@@ -155,15 +158,15 @@ object QueriesCore {
           |p3 = pct(rev, 3)
           |d1 = diff(rev)
           |pl = pct(rev[t+1])""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("P1")).as("p1"),
-        r6(col("P3")).as("p3"), r6(col("D1")).as("d1"),
-        r6(col("PL")).as("pl")).orderBy("date")
+      out.select(col("DATE").as("date"), col("P1").as("p1"),
+        col("P3").as("p3"), col("D1").as("d1"),
+        col("PL").as("pl")).orderBy("date")
     }),
 
     // #10 lsum null-as-zero
     "q07_lsum" -> ((s, dir) => {
       val out = runScript("total = lsum(rev[t+1], cnt, 1)", monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("TOTAL")).as("total")).orderBy("date")
+      out.select(col("DATE").as("date"), col("TOTAL").as("total")).orderBy("date")
     }),
 
     // #15 firstvalue / lastvalue broadcast
@@ -171,8 +174,8 @@ object QueriesCore {
       val out = runScript(
         """f = firstvalue(rev)
           |l = lastvalue(rev)""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("F")).as("f"),
-        r6(col("L")).as("l")).orderBy("date")
+      out.select(col("DATE").as("date"), col("F").as("f"),
+        col("L").as("l")).orderBy("date")
     }),
 
     // #3 scalar + ave + math funcs
@@ -184,9 +187,9 @@ object QueriesCore {
           |rt = sqrt(cnt)
           |ab = abs(dev)
           |ex = exp(rev / 10)""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("DEV")).as("dev"),
-        r6(col("LG")).as("lg"), r6(col("RT")).as("rt"),
-        r6(col("AB")).as("ab"), r6(col("EX")).as("ex")).orderBy("date")
+      out.select(col("DATE").as("date"), r8(col("DEV")).as("dev"),
+        r8(col("LG")).as("lg"), col("RT").as("rt"),
+        r8(col("AB")).as("ab"), r8(col("EX")).as("ex")).orderBy("date")
     }),
 
     // elementwise min/max + exists
@@ -195,8 +198,8 @@ object QueriesCore {
         """mn = min(rev, cnt / 4)
           |mx = max(rev, cnt / 4)
           |e = if exists(rev[t+1]) then 1 else 0""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("MN")).as("mn"),
-        r6(col("MX")).as("mx"), r6(col("E")).as("e")).orderBy("date")
+      out.select(col("DATE").as("date"), col("MN").as("mn"),
+        col("MX").as("mx"), col("E").as("e")).orderBy("date")
     }),
 
     // #12 convert: downsample m→q (sum) and m→a (average)
@@ -206,8 +209,8 @@ object QueriesCore {
           |rev_q = convert(rev, q, discrete, sum)
           |cnt_q = convert(cnt, q, discrete, sum)
           |rev_a = convert(rev, a, discrete, average)""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV_QTRLY")).as("rev_qtrly"),
-        r6(col("CNT_QTRLY")).as("cnt_qtrly"), r6(col("REV_ANN")).as("rev_ann"))
+      out.select(col("DATE").as("date"), r8(col("REV_QTRLY")).as("rev_qtrly"),
+        r8(col("CNT_QTRLY")).as("cnt_qtrly"), r8(col("REV_ANN")).as("rev_ann"))
         .orderBy("date")
     }),
 
@@ -217,8 +220,8 @@ object QueriesCore {
         """freq q
           |rev_m = convert(rev, m, constant, average)
           |rev_ml = convert(revl, m, linear, average)""".stripMargin, quarterly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV_MON")).as("rev_mon"),
-        r6(col("REVL_MON")).as("revl_mon")).orderBy("date")
+      out.select(col("DATE").as("date"), col("REV_MON").as("rev_mon"),
+        col("REVL_MON").as("revl_mon")).orderBy("date")
     }),
 
     // #11 shift_pct backward level reconstruction
@@ -227,19 +230,19 @@ object QueriesCore {
         """rev2 = rev
           |date 1995-01-01 to 1996-06-01
           |rev2[t] = rev2[t+1]/(1+(pct(cnt[t+1])/100))""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV2")).as("rev2")).orderBy("date")
+      out.select(col("DATE").as("date"), r8(col("REV2")).as("rev2")).orderBy("date")
     }),
 
     // #13 chain-linked Fisher volume index
     "q14_chain" -> ((s, dir) => {
       val out = runScript("""set x = $chain("a - b", "1995")""", twoGoods(s, dir))
-      out.select(col("DATE").as("date"), r6(col("X")).as("x")).orderBy("date")
+      out.select(col("DATE").as("date"), r8(col("X")).as("x")).orderBy("date")
     }),
 
     // #14 fishvol_rebase
     "q15_fishvol" -> ((s, dir) => {
       val out = runScript("x = fishvol_rebase({a,b},{pa,pb},1995)", twoGoods(s, dir))
-      out.select(col("DATE").as("date"), r6(col("X")).as("x")).orderBy("date")
+      out.select(col("DATE").as("date"), r8(col("X")).as("x")).orderBy("date")
     }),
 
     // dateof (real implementation; reference stubs it)
@@ -260,18 +263,83 @@ object QueriesCore {
         """scalar idx = make(date(m), "1995-06-01")
           |x = rev[idx]
           |y = rev["1995-03-01"]""".stripMargin, monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("X")).as("x"),
-        r6(col("Y")).as("y")).orderBy("date")
+      out.select(col("DATE").as("date"), col("X").as("x"),
+        col("Y").as("y")).orderBy("date")
     }),
 
     // #16 nlrx (HP smoother; no SQL oracle — rows-only check)
     "q18_nlrx" -> ((s, dir) => {
       val out = runScript(
         "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)", monthly(s, dir))
-      out.select(col("DATE").as("date"), r6(col("REV")).as("rev"),
-        r6(col("SM")).as("sm")).orderBy("date")
+      out.select(col("DATE").as("date"), col("REV").as("rev"),
+        col("SM").as("sm")).orderBy("date")
+    }),
+
+    // partitioned execution — the 100 TB path: one FAME program over many
+    // entities at once; every window/groupBy partitions by the entity key
+    "q19_partitioned" -> ((s, dir) => {
+      val out = FameSession.run(
+        """freq m
+          |p = pct(rev)
+          |rev_q = convert(rev, q, discrete, sum)""".stripMargin,
+        monthlyByNation(s, dir), partitionKeys = Seq("NATION"))
+      out.df.select(col("NATION").as("nation"), col("DATE").as("date"),
+        col("REV").as("rev"), col("P").as("p"),
+        r8(col("REV_QTRLY")).as("rev_qtrly"))
+        .orderBy("nation", "date")
+    }),
+
+    // weekly + business-day convert (anchored weeks, Mon–Fri calendar)
+    "q32_convert_weekly" -> ((s, dir) => {
+      val out = runScript(
+        """freq d
+          |rev_w = convert(rev, w, discrete, sum)
+          |rev_b = convert(cnt, b, constant, last)""".stripMargin,
+        daily(s, dir))
+      out.select(col("DATE").as("date"), r8(col("REV_WK")).as("rev_wk"),
+        col("CNT_BUSD").as("cnt_busd")).orderBy("date")
     })
   )
+
+  /** Per-nation monthly revenue series (entity-partitioned input). */
+  def monthlyByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("NATION"),
+        trunc(col("o_orderdate").cast("date"), "month").as("DATE"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / lit(1e6))
+        .as("REV"))
+  }
+
+  val monthlyByNationSql: String =
+    """WITH m AS (
+      |  SELECT n_name AS nation, date_trunc('month', o_orderdate)::DATE AS date,
+      |         (sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE)/1e6 AS rev
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Daily (DATE, REV, CNT) from lineitem ship dates. */
+  def daily(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_shipdate").cast("date").as("DATE"))
+      .agg(
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double") / lit(1e6))
+          .as("REV"),
+        count(lit(1)).cast("double").as("CNT"))
+
+  val dailySql: String =
+    """WITH m AS (
+      |  SELECT l_shipdate::DATE AS date,
+      |         (sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE)/1e6 AS rev,
+      |         count(*)::DOUBLE AS cnt
+      |  FROM lineitem GROUP BY 1
+      |)""".stripMargin
 
   // ------------------------------------------------------------------ oracles
 
@@ -281,85 +349,85 @@ object QueriesCore {
 
     "q01_assign_arith" ->
       s"""$monthlySql
-         |SELECT date, round(rev, 6) AS rev, round(rev*2, 6) AS v2,
-         |       round(rev*2 + cnt - 100/10, 6) AS v3
+         |SELECT date, rev AS rev, rev*2 AS v2,
+         |       rev*2 + cnt - 100/10 AS v3
          |FROM m ORDER BY date""".stripMargin,
 
     "q02_conditional" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
-         |             WHEN rev < 4 THEN 2 ELSE 0 END, 6) AS flag,
-         |  round(CASE WHEN (CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
+         |  CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
+         |             WHEN rev < 4 THEN 2 ELSE 0 END AS flag,
+         |  CASE WHEN (CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
          |                        WHEN rev < 4 THEN 2 ELSE 0 END) = 1
-         |             THEN rev ELSE cnt END, 6) AS routed
+         |             THEN rev ELSE cnt END AS routed
          |FROM m ORDER BY date""".stripMargin,
 
     "q03_datemask" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
-         |             THEN 2 ELSE 1 END, 6) AS v,
-         |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
-         |             THEN rev*2 END, 6) AS w,
-         |  round(CASE WHEN date BETWEEN DATE '1996-01-01' AND DATE '1996-06-01'
-         |             THEN 5 END, 6) AS u
+         |  CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         |             THEN 2 ELSE 1 END AS v,
+         |  CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+         |             THEN rev*2 END AS w,
+         |  CASE WHEN date BETWEEN DATE '1996-01-01' AND DATE '1996-06-01'
+         |             THEN 5 END AS u
          |FROM m ORDER BY date""".stripMargin,
 
     "q04_point_in_time" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(CASE WHEN date = DATE '1995-06-01' THEN 42
+         |  CASE WHEN date = DATE '1995-06-01' THEN 42
          |             WHEN date = DATE '1995-07-01' THEN 43
-         |             ELSE rev END, 6) AS rev2
+         |             ELSE rev END AS rev2
          |FROM m ORDER BY date""".stripMargin,
 
     "q05_leadlag" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(lead(rev, 1) $winD, 6) AS x,
-         |  round(lag(rev, 1) $winD, 6) AS y,
-         |  round(lead(rev, 1) $winD - lag(rev, 2) $winD, 6) AS z
+         |  lead(rev, 1) $winD AS x,
+         |  lag(rev, 1) $winD AS y,
+         |  lead(rev, 1) $winD - lag(rev, 2) $winD AS z
          |FROM m ORDER BY date""".stripMargin,
 
     "q06_pct_diff" ->
       s"""$monthlySql
          |SELECT date,
-         |  round((rev - lag(rev,1) $winD) / lag(rev,1) $winD * 100, 6) AS p1,
-         |  round((rev - lag(rev,3) $winD) / lag(rev,3) $winD * 100, 6) AS p3,
-         |  round(rev - lag(rev,1) $winD, 6) AS d1,
-         |  round((lead(rev,1) $winD - rev) / rev * 100, 6) AS pl
+         |  (rev - lag(rev,1) $winD) / lag(rev,1) $winD * 100 AS p1,
+         |  (rev - lag(rev,3) $winD) / lag(rev,3) $winD * 100 AS p3,
+         |  rev - lag(rev,1) $winD AS d1,
+         |  (lead(rev,1) $winD - rev) / rev * 100 AS pl
          |FROM m ORDER BY date""".stripMargin,
 
     "q07_lsum" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(coalesce(lead(rev,1) $winD, 0) + coalesce(cnt, 0) + 1, 6) AS total
+         |  coalesce(lead(rev,1) $winD, 0) + coalesce(cnt, 0) + 1 AS total
          |FROM m ORDER BY date""".stripMargin,
 
     "q08_first_last" ->
       s"""$monthlySql
          |SELECT date,
-         |  round((SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date LIMIT 1), 6) AS f,
-         |  round((SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date DESC LIMIT 1), 6) AS l
+         |  (SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date LIMIT 1) AS f,
+         |  (SELECT rev FROM m WHERE rev IS NOT NULL ORDER BY date DESC LIMIT 1) AS l
          |FROM m ORDER BY date""".stripMargin,
 
     "q09_scalar_ave" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(rev - (SELECT avg(rev) FROM m), 6) AS dev,
-         |  round(ln(rev), 6) AS lg,
-         |  round(sqrt(cnt), 6) AS rt,
-         |  round(abs(rev - (SELECT avg(rev) FROM m)), 6) AS ab,
-         |  round(exp(rev / 10), 6) AS ex
+         |  round(rev - (SELECT avg(rev) FROM m), 8) AS dev,
+         |  round(ln(rev), 8) AS lg,
+         |  sqrt(cnt) AS rt,
+         |  round(abs(rev - (SELECT avg(rev) FROM m)), 8) AS ab,
+         |  round(exp(rev / 10), 8) AS ex
          |FROM m ORDER BY date""".stripMargin,
 
     "q10_minmax_exists" ->
       s"""$monthlySql
          |SELECT date,
-         |  round(least(rev, cnt/4), 6) AS mn,
-         |  round(greatest(rev, cnt/4), 6) AS mx,
-         |  round(CASE WHEN lead(rev,1) $winD IS NOT NULL THEN 1 ELSE 0 END, 6) AS e
+         |  least(rev, cnt/4) AS mn,
+         |  greatest(rev, cnt/4) AS mx,
+         |  CASE WHEN lead(rev,1) $winD IS NOT NULL THEN 1 ELSE 0 END AS e
          |FROM m ORDER BY date""".stripMargin,
 
     "q11_convert_down" ->
@@ -371,8 +439,8 @@ object QueriesCore {
          |  SELECT date_trunc('year', date)::DATE AS ad, avg(rev) AS ra
          |  FROM m GROUP BY 1
          |)
-         |SELECT m.date AS date, round(qq.rq, 6) AS rev_qtrly,
-         |       round(qq.cq, 6) AS cnt_qtrly, round(aa.ra, 6) AS rev_ann
+         |SELECT m.date AS date, round(qq.rq, 8) AS rev_qtrly,
+         |       round(qq.cq, 8) AS cnt_qtrly, round(aa.ra, 8) AS rev_ann
          |FROM m LEFT JOIN qq ON m.date = qq.qd LEFT JOIN aa ON m.date = aa.ad
          |ORDER BY date""".stripMargin,
 
@@ -396,10 +464,10 @@ object QueriesCore {
          |      (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
          |  FROM j
          |)
-         |SELECT date, round(pv, 6) AS rev_mon,
-         |  round(CASE WHEN pd = nd THEN pv
+         |SELECT date, pv AS rev_mon,
+         |  CASE WHEN pd = nd THEN pv
          |             ELSE pv + (nv - pv) * (date_diff('day', pd, date)::DOUBLE
-         |                                    / date_diff('day', pd, nd)::DOUBLE) END, 6)
+         |                                    / date_diff('day', pd, nd)::DOUBLE) END
          |    AS revl_mon
          |FROM f ORDER BY date""".stripMargin,
 
@@ -421,7 +489,7 @@ object QueriesCore {
          |SELECT date,
          |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1996-06-01'
          |             THEN anch / exp(coalesce(ssum, 0))
-         |             ELSE rev END, 6) AS rev2
+         |             ELSE rev END, 8) AS rev2
          |FROM sfx ORDER BY date""".stripMargin,
 
     "q14_chain" ->
@@ -450,7 +518,7 @@ object QueriesCore {
          |  SELECT yr, raw / max(CASE WHEN yr = 1995 THEN raw END) OVER () * 100 AS idx
          |  FROM c
          |)
-         |SELECT w.date AS date, round(r.idx, 6) AS x
+         |SELECT w.date AS date, round(r.idx, 8) AS x
          |FROM w JOIN r ON year(w.date) = r.yr ORDER BY date""".stripMargin,
 
     "q15_fishvol" ->
@@ -470,7 +538,7 @@ object QueriesCore {
          |  FROM lk
          |)
          |SELECT date,
-         |  round(raw / avg(CASE WHEN year(date) = 1995 THEN raw END) OVER () * 100, 6) AS x
+         |  round(raw / avg(CASE WHEN year(date) = 1995 THEN raw END) OVER () * 100, 8) AS x
          |FROM c ORDER BY date""".stripMargin,
 
     "q16_dateof" ->
@@ -488,9 +556,49 @@ object QueriesCore {
     "q17_lookup" ->
       s"""$monthlySql
          |SELECT date,
-         |  round((SELECT rev FROM m WHERE date = DATE '1995-06-01'), 6) AS x,
-         |  round((SELECT rev FROM m WHERE date = DATE '1995-03-01'), 6) AS y
-         |FROM m ORDER BY date""".stripMargin
+         |  (SELECT rev FROM m WHERE date = DATE '1995-06-01') AS x,
+         |  (SELECT rev FROM m WHERE date = DATE '1995-03-01') AS y
+         |FROM m ORDER BY date""".stripMargin,
     // q18_nlrx: no SQL oracle (pentadiagonal solve) — rows-only check
+
+    // oracle mirrors the engine's full-join-back domain: the convert bridge
+    // can introduce quarter-start rows absent from the monthly frame, and
+    // pct then windows over that merged calendar
+    "q19_partitioned" ->
+      s"""$monthlyByNationSql, qq AS (
+         |  SELECT nation, date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq
+         |  FROM m GROUP BY 1, 2
+         |), j AS (
+         |  SELECT coalesce(m.nation, qq.nation) AS nation,
+         |         coalesce(m.date, qq.qd) AS date, m.rev AS rev, qq.rq AS rq
+         |  FROM m FULL JOIN qq ON m.nation = qq.nation AND m.date = qq.qd
+         |)
+         |SELECT nation, date, rev,
+         |  (rev - lag(rev) OVER w) / lag(rev) OVER w * 100 AS p,
+         |  round(rq, 8) AS rev_qtrly
+         |FROM j
+         |WINDOW w AS (PARTITION BY nation ORDER BY date)
+         |ORDER BY nation, date""".stripMargin,
+
+    "q32_convert_weekly" ->
+      s"""$dailySql, wk AS (
+         |  SELECT date_trunc('week', date)::DATE AS wd, sum(rev) AS rw
+         |  FROM m GROUP BY 1
+         |), cal AS (
+         |  SELECT unnest(generate_series((SELECT min(date) FROM m),
+         |                                (SELECT max(date) FROM m),
+         |                                INTERVAL 1 DAY))::DATE AS date
+         |), bus AS (
+         |  SELECT cal.date, m.cnt FROM cal LEFT JOIN m USING (date)
+         |  WHERE dayofweek(cal.date) NOT IN (0, 6)
+         |), f AS (
+         |  SELECT date, last_value(cnt IGNORE NULLS) OVER
+         |    (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         |  FROM bus
+         |)
+         |SELECT m.date AS date, round(wk.rw, 8) AS rev_wk,
+         |       f.cb AS cnt_busd
+         |FROM m LEFT JOIN wk ON m.date = wk.wd LEFT JOIN f ON m.date = f.date
+         |ORDER BY date""".stripMargin
   )
 }

@@ -39,8 +39,8 @@ object QueriesExt {
       val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
       a.join(b, col("id2") === col("id1") + 1)
         .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("jaccard", round(col("inter").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("inter")), 6))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("inter")))
         .select("id1", "id2", "jaccard").orderBy("id1")
     }),
 
@@ -51,8 +51,8 @@ object QueriesExt {
       // near-dups (J ≥ 0.3) surface, J≈0.05 vocabulary noise does not
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
         numHashes = 32, bands = 8, shingleWidth = 2)
-        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"),
-          round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 8).as("est_jaccard"),
+          round(col("jaccard"), 8).as("jaccard"))
         .orderBy("id1", "id2")
     }),
 
@@ -67,7 +67,7 @@ object QueriesExt {
       Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+          col("cosine").as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -77,7 +77,7 @@ object QueriesExt {
       Similarity.annTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, planes = 6)
         .select(col("query_id"), col("neighbor_id"),
-          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+          round(col("cosine"), 8).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 
@@ -88,7 +88,7 @@ object QueriesExt {
       // buckets keeps the within-bucket pair count ~n²/64
       Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
         minCosine = 0.25, planes = 6)
-        .select(col("id1"), col("id2"), round(col("cosine"), 6).as("cosine"))
+        .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine"))
         .orderBy("id1", "id2")
     }),
 
@@ -103,11 +103,11 @@ object QueriesExt {
     "q28_quality" -> ((s, dir) => {
       val t = col("text")
       docs(s, dir).select(col("doc_id"),
-        round(TextOps.punctRatio(t), 6).as("punct_ratio"),
-        round(TextOps.digitRatio(t), 6).as("digit_ratio"),
-        round(TextOps.avgWordLen(t), 6).as("avg_word_len"),
-        round(TextOps.stopwordRatio(t), 6).as("stop_ratio"),
-        round(TextOps.qualityScore(t), 6).as("quality")).orderBy("doc_id")
+        TextOps.punctRatio(t).as("punct_ratio"),
+        TextOps.digitRatio(t).as("digit_ratio"),
+        TextOps.avgWordLen(t).as("avg_word_len"),
+        TextOps.stopwordRatio(t).as("stop_ratio"),
+        TextOps.qualityScore(t).as("quality")).orderBy("doc_id")
     }),
 
     // token + char counting
@@ -165,8 +165,8 @@ object QueriesExt {
          |  GROUP BY 1
          |)
          |SELECT sa.doc_id AS id1, sb.doc_id AS id2,
-         |  round(coalesce(iv.inter, 0)::DOUBLE
-         |        / (sa.s + sb.s - coalesce(iv.inter, 0)), 6) AS jaccard
+         |  coalesce(iv.inter, 0)::DOUBLE
+         |        / (sa.s + sb.s - coalesce(iv.inter, 0)) AS jaccard
          |FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
          |LEFT JOIN iv ON iv.id1 = sa.doc_id
          |ORDER BY id1""".stripMargin,
@@ -186,7 +186,7 @@ object QueriesExt {
         |                       ORDER BY cosine DESC, neighbor_id) AS rank
         |  FROM s
         |)
-        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank
+        |SELECT query_id, neighbor_id, cosine AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q27_lang_id" -> {
@@ -208,12 +208,12 @@ object QueriesExt {
       val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
       val stopr = s"$stop::DOUBLE / $tok"
       s"""SELECT doc_id,
-         |  round($punct, 6) AS punct_ratio,
-         |  round($digit, 6) AS digit_ratio,
-         |  round($awl, 6) AS avg_word_len,
-         |  round($stopr, 6) AS stop_ratio,
-         |  round(0.4 * least($stopr * 4, 1.0) + 0.3 * least($awl / 8, 1.0)
-         |        + 0.3 - 0.5 * $punct - 0.5 * $digit, 6) AS quality
+         |  $punct AS punct_ratio,
+         |  $digit AS digit_ratio,
+         |  $awl AS avg_word_len,
+         |  $stopr AS stop_ratio,
+         |  0.4 * least($stopr * 4, 1.0) + 0.3 * least($awl / 8, 1.0)
+         |        + 0.3 - 0.5 * $punct - 0.5 * $digit AS quality
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 

@@ -226,7 +226,8 @@ object FameParser {
         val low = raw.toLowerCase
         if (low == "nd" || low == "na" || low == "nc") Missing
         else if (low == "t") TimeVar
-        else if ((low == "$chain" || low == "chain") && peek.contains(TOp("(")))
+        else if ((low == "$chain" || low == "chain" || low == "$mchain" ||
+            low == "mchain") && peek.contains(TOp("(")))
           parseChainCall()
         else peek match {
           case Some(TOp("(")) =>
