@@ -74,7 +74,8 @@ object FameDate {
   private val weekly   = """(\d{4})\.(\d{1,2})""".r
 
   def parse(raw0: String): Option[LocalDate] = {
-    val raw = raw0.trim.stripPrefix("\"").stripSuffix("\"").trim
+    val raw = raw0.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'").trim
     raw match {
       case iso(y, m, d)    => Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
       case quarter(y, q)   => Some(LocalDate.of(y.toInt, (q.toInt - 1) * 3 + 1, 1))
@@ -129,6 +130,10 @@ object FameExpr {
     case DateLookup(n, _) => Set(n)
     case Bin(_, l, r)     => refs(l) ++ refs(r)
     case Un(_, x)         => refs(x)
+    // make(date(m), "...")'s arguments are frequency tokens and date
+    // literals, never series — treating them as refs would fabricate
+    // dependencies and defeat the dateof-over-literal fast path
+    case Call("make", _)  => Set.empty
     case Call(_, as)      => as.flatMap(refs).toSet
     case Cond(c, t, el)   => refs(c) ++ refs(t) ++ refs(el)
     case ChainCall(terms, _) =>

@@ -168,6 +168,11 @@ object ColumnCompiler {
     */
   private def dateof(args: Seq[FameExpr], o: Int, ctx: Ctx): Column = {
     if (o != 0) throw CompileError("dateof under a time shift is unsupported")
+    // dateof over a series-free expression (e.g. dateof(make(date(b),
+    // "10aug2020"), *, contain, end)) is the expression itself — matches
+    // the reference's DATEOF_GENERIC stub returning its first arg
+    // (`formulas_generator.py:1324-1329`) and the sensible semantics.
+    if (FameExpr.refs(args.head).isEmpty) return at(args.head, 0, ctx)
     val series = at(args.head, 0, ctx)
     val mods = args.tail.collect {
       case Str(s) => s.toUpperCase

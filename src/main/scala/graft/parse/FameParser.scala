@@ -69,6 +69,14 @@ object FameParser {
         if (j < 0) throw ParseError("unterminated string", s)
         out += TStr(s.substring(i + 1, j)); i = j + 1
       }
+      // a single quote STARTING a token is a FAME quoted string ('Q', 'AVG');
+      // inside an identifier it is the local-DB separator (aa'abc) and is
+      // consumed by the identifier rule below
+      else if (c == '\'') {
+        val j = s.indexOf('\'', i + 1)
+        if (j < 0) throw ParseError("unterminated string", s)
+        out += TStr(s.substring(i + 1, j)); i = j + 1
+      }
       else if (c == '[') {
         val j = s.indexOf(']', i + 1)
         if (j < 0) throw ParseError("unterminated [", s)
@@ -398,6 +406,22 @@ object FameParser {
   private def parseRhs(rhs: String, line: String): FameExpr =
     new P(lex(rhs), line).parseExpr()
 
+  /** Convert technique/observed alias tables — mirrors the reference's
+    * `_TECHNIQUE_ALIAS`/`_OBSERVED_ALIAS` (`formulas_generator.py:96-115`);
+    * unknown values pass through lowercased (the reference is equally lax).
+    */
+  private val techniqueAlias = Map(
+    "disc" -> "discrete", "lin" -> "linear", "const" -> "constant")
+  private val observedAlias = Map(
+    "ave" -> "average", "avg" -> "average", "hi" -> "high", "lo" -> "low",
+    "begin" -> "beginning")
+  def normTechnique(s: String): String = {
+    val t = s.trim.toLowerCase; techniqueAlias.getOrElse(t, t)
+  }
+  def normObserved(s: String): String = {
+    val o = s.trim.toLowerCase; observedAlias.getOrElse(o, o)
+  }
+
   private val fishvolRe =
     """(?i)^fishvol_rebase\s*\(\s*\{([^}]*)\}\s*,\s*\{([^}]*)\}\s*,\s*(\d{4})\s*\)$""".r
 
@@ -425,7 +449,7 @@ object FameParser {
           throw ParseError(s"bad convert freq `${names(1)}`", line))
         val startBy = names.drop(5).headOption.map(_.toLowerCase).filter(_ != "off")
         ConvertAssign(target, names.head, freq,
-          technique = names(2).toLowerCase, observed = names(3).toLowerCase,
+          technique = normTechnique(names(2)), observed = normObserved(names(3)),
           startBy = startBy)
       case ChainCall(terms, year) => ChainAssign(target, terms, year)
       case Call("nlrx", args) =>

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.TextOps
+
+/** Structured-Streaming operators for the event/ingest side of the pipeline.
+  *
+  * These run identically over `readStream` sources and batch frames (the
+  * transformations are plan-level); streaming semantics — watermarks, state
+  * stores, output modes — engage when the input is a streaming DataFrame.
+  *
+  * Scale: windowed aggregations shuffle on (window, key) and keep per-window
+  * partial state in the state store; watermarks bound that state. The
+  * sessionizer keys state by user so it distributes with the groupBy
+  * shuffle; its state object is O(1) per live key.
+  */
+object StreamOps {
+
+  /** Sliding-window event counts + value sums per event type, with an
+    * event-time watermark bounding state retention.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value",
+      windowLen: String = "1 hour", slide: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact dedup on normalized-content hash: with a watermark,
+    * the dedup state store is bounded to the watermark horizon — the
+    * streaming analogue of [[graft.ops.Dedup.exact]].
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("content_hash", TextOps.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
+  final case class SessionState(start: Timestamp, last: Timestamp, n: Long,
+      sum: Double)
+  final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: a session closes
+    * when no event arrives within `gapMs` of the previous one (enforced by
+    * event-time timeout against the watermark). Emits one row per closed
+    * session.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(user, s.start, s.last, s.n, s.sum))
+          } else {
+            val events = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            events.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.api.FameSession
+
+/** End-to-end run of a master scenario script consolidating every supported
+  * construct (the analogue of the reference's consolidated scenario corpus,
+  * `fame_script_master.inp`) with hand-computed expectations.
+  */
+class MasterScriptSpec extends SparkSpec {
+
+  private val months =
+    (0 until 24).map(i => f"${2020 + i / 12}%04d-${i % 12 + 1}%02d-01")
+
+  test("master scenario script end-to-end") {
+    val in = frame(months, "A" -> (1 to 24).map(_.toDouble))
+    val sf = FameSession.run(
+      """freq m
+        |v_base = 100
+        |date 2020-01-01 to 2020-12-31
+        |v_2020 = v_base * 2
+        |date 2021-01-01 to *
+        |v_2021 = v_base * 3
+        |date *
+        |v_all = lsum(v_2020, v_2021)
+        |s1 = a[t+1] - a[t-1]
+        |p1 = pct(a)
+        |d1 = diff(a, 2)
+        |c1 = if t ge "2021-01-01" and a gt 2 then a else nd
+        |c2 = if exists(c1) then 1 else 0
+        |scalar mu = ave(a)
+        |dev = a - mu
+        |scalar anchor = make(date(m), "2020-03-01")
+        |lk = a[anchor]
+        |g = a
+        |g[2020-02-01] = 99
+        |g[2020Q2] = 77
+        |set g[01mar2020] = 55
+        |aq = convert(a, 'q', 'disc', 'ave')
+        |dl = dateof(c1, *, CONTAIN, END)
+        |dm = dateof(make(date(m), "2020-06-01"), *, contain, end)
+        |mm = min(a, 12)
+        |mx = max(a, 12)
+        |db1'x = a * 2
+        |grp = {a, g}""".stripMargin, in)
+    val out = sf.df
+
+    def d(i: Int) = Some((i + 1).toDouble)
+    assertSeq(column(out, "V_BASE"), Seq.fill(24)(Some(100.0)))
+    assertSeq(column(out, "V_2020"),
+      (0 until 24).map(i => if (i < 12) Some(200.0) else None))
+    assertSeq(column(out, "V_2021"),
+      (0 until 24).map(i => if (i >= 12) Some(300.0) else None))
+    assertSeq(column(out, "V_ALL"),
+      (0 until 24).map(i => Some(if (i < 12) 200.0 else 300.0)))
+    assertSeq(column(out, "S1"),
+      (0 until 24).map(i => if (i == 0 || i == 23) None else Some(2.0)))
+    assertSeq(column(out, "P1"),
+      (0 until 24).map(i => if (i == 0) None else Some(100.0 / i)))
+    assertSeq(column(out, "D1"),
+      (0 until 24).map(i => if (i < 2) None else Some(2.0)))
+    assertSeq(column(out, "C1"),
+      (0 until 24).map(i => if (i >= 12) d(i) else None))
+    assertSeq(column(out, "C2"),
+      (0 until 24).map(i => Some(if (i >= 12) 1.0 else 0.0)))
+    assertSeq(column(out, "DEV"), (0 until 24).map(i => Some(i + 1 - 12.5)))
+    assertSeq(column(out, "LK"), Seq.fill(24)(Some(3.0)))
+    assertSeq(column(out, "G"), (0 until 24).map {
+      case 1 => Some(99.0); case 2 => Some(55.0); case 3 => Some(77.0)
+      case i => d(i)
+    })
+    // quarterly averages land on quarter-start rows only
+    assertSeq(column(out, "A_QTRLY"), (0 until 24).map { i =>
+      if (i % 3 == 0) Some(i + 2.0) else None
+    })
+    // dateof over the masked series / over a literal
+    val dl = out.orderBy("DATE").select("DL").collect()
+    assert(dl.forall(_.getDate(0).toString == "2021-12-01"))
+    val dm = out.orderBy("DATE").select("DM").collect()
+    assert(dm.forall(_.getDate(0).toString == "2020-06-01"))
+    assertSeq(column(out, "MM"), (1 to 24).map(a => Some(math.min(a, 12).toDouble)))
+    assertSeq(column(out, "MX"), (1 to 24).map(a => Some(math.max(a, 12).toDouble)))
+    // local database projection
+    assert(sf.localDbs.keySet == Set("DB1"))
+    assert(sf.localDbs("DB1").columns.toSeq == Seq("DATE", "X"))
+    assertSeq(column(sf.localDbs("DB1"), "X"), (1 to 24).map(a => Some(a * 2.0)))
+  }
+
+  test("quoted convert args and alias normalization parse") {
+    import graft.ast.FameStmt._
+    import graft.ast.Frequency
+    assert(FameParserHelpers.parse("set v23 = convert(v24, 'Q', 'disc', 'AVG', 'END')") ==
+      ConvertAssign("V23", "V24", Frequency.Quarterly, "discrete", "average", None))
+    assert(FameParserHelpers.parse("b2 = convert(temp, bus, disc, ave)") ==
+      ConvertAssign("B2", "TEMP", Frequency.Business, "discrete", "average", None))
+  }
+}
+
+private object FameParserHelpers {
+  def parse(line: String) = graft.parse.FameParser.parseLine(line)
+}

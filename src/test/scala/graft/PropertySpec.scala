@@ -1,0 +1,160 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ast.{FameDate, FameExpr, FameStmt}
+import graft.parse.FameParser
+import graft.plan.Scheduler
+
+/** Property-based tests for the plan-time machinery (pure Scala — fast).
+  * Uses a deterministic sampler over ScalaCheck generators (the
+  * scalatest-scalacheck bridge artifact is not in the offline cache).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAllN[A](gen: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(0xC0FFEE + i), retries = 100))
+    }
+
+  private val genDate: Gen[LocalDate] = for {
+    y <- Gen.choose(1950, 2050)
+    m <- Gen.choose(1, 12)
+    d <- Gen.choose(1, 28)
+  } yield LocalDate.of(y, m, d)
+
+  test("FameDate: ISO strings round-trip") {
+    forAllN(genDate) { d =>
+      assert(FameDate.parse(d.toString).contains(d))
+    }
+  }
+
+  test("FameDate: ddMMMyyyy round-trips") {
+    val mon = Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec")
+    forAllN(genDate) { d =>
+      val s = f"${d.getDayOfMonth}%02d${mon(d.getMonthValue - 1)}${d.getYear}%04d"
+      assert(FameDate.parse(s).contains(d))
+    }
+  }
+
+  test("FameDate: quarterly/monthly formats map to period starts") {
+    forAllN(Gen.zip(Gen.choose(1900, 2100), Gen.choose(1, 4))) { case (y, q) =>
+      assert(FameDate.parse(s"${y}Q$q").contains(LocalDate.of(y, (q - 1) * 3 + 1, 1)))
+    }
+    forAllN(Gen.zip(Gen.choose(1900, 2100), Gen.choose(1, 12))) { case (y, m) =>
+      assert(FameDate.parse(f"${y}m$m%02d").contains(LocalDate.of(y, m, 1)))
+    }
+  }
+
+  test("parser: arithmetic expressions evaluate with correct precedence") {
+    val env = Map("A" -> 3.0, "B" -> 5.0, "C" -> 7.0, "D" -> 11.0)
+    def eval(e: FameExpr): Double = e match {
+      case FameExpr.Num(v) => v
+      case FameExpr.Ref(n) => env(n)
+      case FameExpr.Bin("+", l, r) => eval(l) + eval(r)
+      case FameExpr.Bin("-", l, r) => eval(l) - eval(r)
+      case FameExpr.Bin("*", l, r) => eval(l) * eval(r)
+      case FameExpr.Bin("/", l, r) => eval(l) / eval(r)
+      case FameExpr.Un("-", x) => -eval(x)
+      case other => fail(s"unexpected $other")
+    }
+    // independent reference evaluator: precedence climbing over the raw
+    // string, so the property genuinely cross-checks the parser
+    def refEval(src: String): Double = {
+      val toks = src.replace("(", " ( ").replace(")", " ) ")
+        .trim.split("\\s+").toList
+      var rest = toks
+      def primary(): Double = rest match {
+        case "(" :: tl => rest = tl; val v = addSub(); rest = rest.tail; v
+        case t :: tl   => rest = tl
+          if (t.head.isDigit) t.toDouble else env(t.toUpperCase)
+        case Nil => fail("empty")
+      }
+      def mul(): Double = {
+        var v = primary()
+        while (rest.headOption.contains("*")) { rest = rest.tail; v *= primary() }
+        v
+      }
+      def addSub(): Double = {
+        var v = mul()
+        var go = true
+        while (go) rest.headOption match {
+          case Some("+") => rest = rest.tail; v += mul()
+          case Some("-") => rest = rest.tail; v -= mul()
+          case _ => go = false
+        }
+        v
+      }
+      addSub()
+    }
+    val genLeaf: Gen[String] = Gen.oneOf(
+      Gen.oneOf("a", "b", "c", "d"), Gen.choose(1, 9).map(_.toString))
+    def genExpr(depth: Int): Gen[String] =
+      if (depth == 0) genLeaf
+      else for {
+        ls <- genExpr(depth - 1)
+        rs <- genExpr(depth - 1)
+        op <- Gen.oneOf("+", "-", "*")
+        paren <- Gen.oneOf(true, false)
+      } yield if (paren) s"($ls $op $rs)" else s"$ls $op $rs"
+    forAllN(genExpr(3)) { src =>
+      FameParser.parseLine(s"x = $src") match {
+        case FameStmt.Assign(_, e, _, _) =>
+          assert(math.abs(eval(e) - refEval(src)) < 1e-9, s"src=$src")
+        case other => fail(s"parsed $other")
+      }
+    }
+  }
+
+  test("scheduler: every reader runs at a later level than its writer") {
+    val gen: Gen[Seq[Set[Int]]] = for {
+      n <- Gen.choose(2, 12)
+      sets <- Gen.sequence[Seq[Set[Int]], Set[Int]](
+        (0 until n).map(i =>
+          if (i == 0) Gen.const(Set.empty[Int])
+          else Gen.someOf(0 until i).map(_.toSet)))
+    } yield sets
+    forAllN(gen, n = 60) { readSets =>
+      val script = readSets.indices.map { i =>
+        val rhs = if (readSets(i).isEmpty) "1"
+          else readSets(i).map(j => s"t$j").mkString(" + ")
+        s"t$i = $rhs"
+      }.mkString("\n")
+      val stmts = FameParser.parseScript(script)
+      val bounds = Scheduler.bind(stmts, Set.empty)
+      val levels = Scheduler.levels(bounds, Set.empty)
+      val levelOf = levels.zipWithIndex.flatMap { case (lvl, li) =>
+        lvl.flatMap(_.target.map(_ -> li))
+      }.toMap
+      readSets.indices.foreach { i =>
+        readSets(i).foreach { j =>
+          assert(levelOf(s"T$j") < levelOf(s"T$i"),
+            s"t$j must be scheduled before t$i")
+        }
+      }
+    }
+  }
+
+  test("scheduler: cycles always error") {
+    forAllN(Gen.choose(2, 6), n = 5) { n =>
+      val script = (0 until n).map(i => s"c$i = c${(i + 1) % n} + 1").mkString("\n")
+      val stmts = FameParser.parseScript(script)
+      intercept[Scheduler.CycleError] {
+        Scheduler.levels(Scheduler.bind(stmts, Set.empty), Set.empty)
+      }
+    }
+  }
+
+  test("name normalization is idempotent and uppercase") {
+    forAllN(Gen.identifier.suchThat(_.nonEmpty)) { s =>
+      val once = FameParser.colName(s)
+      assert(FameParser.colName(once) == once)
+      assert(once == once.toUpperCase)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.Event
+
+/** Structured-Streaming operator tests over MemoryStream sources. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed counts aggregate a stream with watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Timestamp, String, Double)]
+    val df = src.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedCounts(df, windowLen = "1 hour",
+      slide = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("wc").outputMode("complete")
+      .start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:35:00"), "click", 2.0),
+        (ts("2024-01-01 10:45:00"), "view", 5.0),
+        (ts("2024-01-01 11:15:00"), "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .orderBy("window_start", "event_type").collect()
+      val got = rows.map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 10:00:00.0", "view", 1L, 5.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops same-content docs within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val df = src.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.streamingDedup(df, "ts", "text")
+      .writeStream.format("memory").queryName("dd").outputMode("append")
+      .start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "hello  world"),
+        (ts("2024-01-01 10:01:00"), 2L, "hello world"), // dup after norm
+        (ts("2024-01-01 10:02:00"), 3L, "different"))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(3L) && ids.size == 2) // one of {1,2} + 3
+      assert(ids.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the gap") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = StreamOps.sessionize(src.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .start()
+    try {
+      // user 7: two events 5 min apart (one session), then a 30-min gap
+      // event starting a new session; advancing watermark far past closes it
+      src.addData(
+        Event(7L, ts("2024-01-01 10:00:00"), "click", 1.0),
+        Event(7L, ts("2024-01-01 10:05:00"), "click", 2.0))
+      q.processAllAvailable()
+      src.addData(Event(7L, ts("2024-01-01 10:40:00"), "view", 4.0))
+      q.processAllAvailable()
+      src.addData(Event(8L, ts("2024-01-01 16:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").orderBy("start").collect()
+      assert(sessions.length >= 1)
+      val first = sessions.head
+      assert(first.getLong(0) == 7L)
+      assert(first.getTimestamp(1) == ts("2024-01-01 10:00:00"))
+      assert(first.getTimestamp(2) == ts("2024-01-01 10:05:00"))
+      assert(first.getLong(3) == 2L && first.getDouble(4) == 3.0)
+    } finally q.stop()
+  }
+}
