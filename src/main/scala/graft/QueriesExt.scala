@@ -18,6 +18,15 @@ object QueriesExt {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark reads only as a
+    * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
+    * timestamp with integer division — ns epoch values exceed 2^53, so any
+    * double math here would silently lose precision.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on normalized text
@@ -137,6 +146,24 @@ object QueriesExt {
         col("text").cast("binary").as("payload"))
       Multimodal.stubDecode(media)
         .select(col("media_id"), col("mime"), col("n_bytes")).orderBy("media_id")
+    }),
+
+    // hourly tumbling-window event aggregation (batch twin of the
+    // streaming operator)
+    "q33_event_windows" -> ((s, dir) => {
+      graft.ops.EventOps.windowedCounts(events(s, dir))
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 8).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // gap-based sessionization over historical events (30-minute gap)
+    "q34_sessions" -> ((s, dir) => {
+      graft.ops.EventOps.sessionize(events(s, dir))
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("sum_value"), 8).as("sum_value"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -229,6 +256,30 @@ object QueriesExt {
         |       WHEN doc_id % 3 = 1 THEN 'video/mp4'
         |       ELSE 'audio/wav' END AS mime,
         |  octet_length(encode(text))::BIGINT AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q33_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 8) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q34_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_events,
+        |  round(sum(value), 8) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
