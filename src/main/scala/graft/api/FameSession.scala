@@ -95,21 +95,32 @@ object FameSession {
     // ------------------------------------------------------ leveled execution
     val levels = Scheduler.levels(rest, preExisting)
     levels.foreach { level =>
-      level.foreach { b =>
+      // statements inside a level are mutually independent (scheduler
+      // invariant), so all plain assignments fuse into ONE withColumns
+      // batch over the pre-level frame — the reference emits the same
+      // per-level `with_columns` batches (`fame2py_converter.py:439-469`)
+      val (plainAssigns, others) = level.partition {
+        _.stmt.isInstanceOf[Assign]
+      }
+      if (plainAssigns.nonEmpty) {
+        val batch = plainAssigns.map { b =>
+          val Assign(target, expr0, inlineFilter, localDb) = b.stmt: @unchecked
+          val (expr, df2) = materializeInlineChains(expr0, cur, dateCol, partitionKeys)
+          cur = df2
+          val compiled = ColumnCompiler.compile(expr, ctx)
+          val filter = inlineFilter.orElse(b.dateFilter)
+          localDb.foreach { db =>
+            localDbCols += db -> (localDbCols.getOrElse(db, Nil) :+ target)
+          }
+          target -> applyMask(compiled, target, filter, b.preserveExisting,
+            cur, dateCol)
+        }
+        cur = cur.withColumns(scala.collection.immutable.ListMap(batch: _*))
+      }
+      others.foreach { b =>
         b.stmt match {
           case ScalarAssign(name, e) =>
             scalars += name -> evalScalar(e, cur, ctx)
-
-          case Assign(target, expr0, inlineFilter, localDb) =>
-            val (expr, df2) = materializeInlineChains(expr0, cur, dateCol, partitionKeys)
-            cur = df2
-            val compiled = ColumnCompiler.compile(expr, ctx)
-            val filter = inlineFilter.orElse(b.dateFilter)
-            cur = cur.withColumn(target,
-              applyMask(compiled, target, filter, b.preserveExisting, cur, dateCol))
-            localDb.foreach { db =>
-              localDbCols += db -> (localDbCols.getOrElse(db, Nil) :+ target)
-            }
 
           case PointInTime(target, date, e) =>
             val v = ColumnCompiler.compile(e, ctx)

@@ -1,0 +1,23 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch tool: dump formatted physical plans for selected queries. */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.01")
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq("q19_partitioned"))
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"========== $n ==========")
+      graft.SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
