@@ -474,21 +474,19 @@ object QueriesCore {
     "q13_shift_pct" ->
       s"""$monthlySql, b AS (
          |  SELECT date, rev, cnt,
-         |    cnt / lag(cnt, 1) $winD AS f
+         |    CASE WHEN date <= DATE '1996-06-01'
+         |         THEN cnt / lag(cnt, 1) $winD END AS f
          |  FROM m
-         |), l AS (
-         |  SELECT date, rev,
-         |    CASE WHEN date <= DATE '1996-06-01' AND f > 0 THEN ln(f) END AS logf
-         |  FROM b
          |), sfx AS (
          |  SELECT date, rev,
-         |    sum(logf) OVER (ORDER BY date ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ssum,
+         |    product(CASE WHEN f > 0 THEN f END) OVER
+         |      (ORDER BY date ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sprod,
          |    max(CASE WHEN date = DATE '1996-06-01' THEN rev END) OVER () AS anch
-         |  FROM l
+         |  FROM b
          |)
          |SELECT date,
          |  round(CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1996-06-01'
-         |             THEN anch / exp(coalesce(ssum, 0))
+         |             THEN anch / coalesce(sprod, 1.0)
          |             ELSE rev END, 8) AS rev2
          |FROM sfx ORDER BY date""".stripMargin,
 
@@ -511,8 +509,8 @@ object QueriesCore {
          |      AS fisher
          |  FROM l
          |), c AS (
-         |  SELECT yr, exp(sum(CASE WHEN fisher > 0 THEN ln(fisher) END)
-         |    OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS raw
+         |  SELECT yr, product(CASE WHEN fisher > 0 THEN fisher END)
+         |    OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
          |  FROM f
          |), r AS (
          |  SELECT yr, raw / max(CASE WHEN yr = 1995 THEN raw END) OVER () * 100 AS idx
@@ -533,8 +531,8 @@ object QueriesCore {
          |                                  THEN lasp * paas END), 1.0) AS link
          |  FROM l
          |), c AS (
-         |  SELECT date, exp(sum(CASE WHEN link > 0 THEN ln(link) END)
-         |    OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS raw
+         |  SELECT date, product(CASE WHEN link > 0 THEN link END)
+         |    OVER (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
          |  FROM lk
          |)
          |SELECT date,

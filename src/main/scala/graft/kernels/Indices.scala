@@ -32,11 +32,19 @@ object Indices {
     if (keys.isEmpty) Window.orderBy(orderCol)
     else Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
 
-  /** Cumulative product of `c` over an ordered window via exp∘sum∘log.
-    * Valid for positive links (index links are positive for sane data);
-    * non-positive links propagate null. */
-  private def cumprod(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
-    exp(sum(when(c > 0, log(c))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  /** Cumulative product of `c` over an ordered window. With the
+    * [[graft.plans.GraftExtensions]] extension installed this is the exact
+    * native [[graft.plans.ProductAgg]]; otherwise exp∘sum∘log (positive
+    * links only — fine for index links, which are guarded > 0 upstream).
+    */
+  def cumprod(df: DataFrame, c: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    if (Kernels.hasProductAgg(df))
+      call_function("product_agg", when(c > 0, c)).over(frame)
+    else
+      exp(sum(when(c > 0, log(c))).over(frame))
+  }
 
   /** Annually chain-linked Fisher volume index over signed
     * (quantity, price=`P<quantity>`) term pairs.
@@ -74,7 +82,7 @@ object Indices {
 
     val linked = yearly
       .withColumn("__f", fisher)
-      .withColumn("__raw", cumprod(col("__f"), w))
+      .withColumn("__raw", cumprod(yearly, col("__f"), w))
     // re-reference so base year = 100
     val baseW =
       if (keys.isEmpty) Window.partitionBy()
@@ -121,7 +129,7 @@ object Indices {
     // nest inside the running sum's window function
     val withRaw = df
       .withColumn("__fv_link", link)
-      .withColumn("__fv_raw", cumprod(col("__fv_link"), w))
+      .withColumn("__fv_raw", cumprod(df, col("__fv_link"), w))
       .drop("__fv_link")
     val baseW =
       if (keys.isEmpty) Window.partitionBy()

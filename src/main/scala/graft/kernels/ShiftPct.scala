@@ -46,19 +46,27 @@ object ShiftPct {
       .getOrElse(lit(true))
     val inRange = startCond && col(dateCol) <= anchorLit
 
-    // growth factor f_t = 1 + pct(p)_t / 100 = p_t / p_{t-1}
+    // growth factor f_t = 1 + pct(p)_t / 100 = p_t / p_{t-1}; suffix
+    // product via the native ProductAgg when registered, exp∘sum∘log
+    // otherwise (see graft.plans.GraftExtensions)
+    val useProduct = Kernels.hasProductAgg(df)
     pairs.foldLeft(df) { case (acc, (tgt, p)) =>
-      acc
-        .withColumn("__f", col(p) / lag(col(p), 1).over(w))
-        .withColumn("__logf",
-          when(col(dateCol) <= anchorLit && col("__f") > 0, log(col("__f"))))
+      val stepped = acc
+        .withColumn("__f",
+          when(col(dateCol) <= anchorLit, col(p) / lag(col(p), 1).over(w)))
         .withColumn("__anchor",
           max(when(col(dateCol) === anchorLit, col(tgt))).over(everything))
+      val suffixProduct =
+        if (useProduct)
+          coalesce(call_function("product_agg",
+            when(col("__f") > 0, col("__f"))).over(suffix), lit(1.0))
+        else
+          exp(coalesce(sum(when(col("__f") > 0, log(col("__f"))))
+            .over(suffix), lit(0.0)))
+      stepped
         .withColumn(tgt,
-          when(inRange,
-            col("__anchor") / exp(coalesce(sum(col("__logf")).over(suffix), lit(0.0))))
-          .otherwise(col(tgt)))
-        .drop("__f", "__logf", "__anchor")
+          when(inRange, col("__anchor") / suffixProduct).otherwise(col(tgt)))
+        .drop("__f", "__anchor")
     }
   }
 }

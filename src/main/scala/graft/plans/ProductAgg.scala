@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst product aggregate — the one genuinely custom aggregate
+  * the reference surface needs (SURVEY §2.6): cumulative products of chain
+  * links / growth factors. The built-in alternative `exp(sum(ln(x)))`
+  * loses precision, requires positivity guards, and cannot represent
+  * negative factors; a declarative product is exact and stays inside
+  * codegen (all buffer updates are plain expressions, usable in both
+  * groupBy aggregation and window frames).
+  *
+  * Null semantics match SQL aggregates (and DuckDB's `product()`): null
+  * inputs are skipped, empty input yields null.
+  */
+case class ProductAgg(child: Expression)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  // input coercion happens at registration (the builder wraps the child in
+  // Cast(_, DoubleType)); AbstractDataType/ExpectsInputTypes are
+  // private[sql] and unavailable to external expressions
+  override def prettyName: String = "product_agg"
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  private lazy val product = AttributeReference("product", DoubleType)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(product)
+
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal.create(null, DoubleType))
+
+  // null-skip in one expression: product*child when both set, else
+  // whichever is set, else null
+  override lazy val updateExpressions: Seq[Expression] =
+    Seq(Coalesce(Seq(Multiply(product, child), child, product)))
+
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Coalesce(Seq(Multiply(product.left, product.right),
+      product.left, product.right)))
+
+  override lazy val evaluateExpression: Expression = product
+
+  override protected def withNewChildInternal(newChild: Expression): ProductAgg =
+    copy(child = newChild)
+}
+
+/** Session extension registering the graft native functions; install with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  * Kernels probe for `product_agg` and fall back to `exp(sum(ln))` in
+  * sessions without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("product_agg"),
+      new ExpressionInfo(classOf[ProductAgg].getName, "product_agg"),
+      (children: Seq[Expression]) =>
+        ProductAgg(Cast(children.head, DoubleType))))
+  }
+}
