@@ -90,6 +90,17 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN: hash-seeded Lloyd centroids, nprobe nearest lists
+    // (rows-only: learned centroids not SQL-expressible)
+    "q35_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5, nlist = 16, iters = 2, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 8).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // embedding-cosine near-dup pairs via hyperplane buckets (rows-only)
     "q26_embed_neardup" -> ((s, dir) => {
       // synthetic embeddings top out near cosine 0.5 — 0.25 exercises the

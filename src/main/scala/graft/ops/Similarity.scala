@@ -64,6 +64,71 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF-style ANN top-k: centroids learned with deterministic hash-seeded
+    * Lloyd iterations (no RNG state), corpus assigned to its nearest
+    * centroid, each query probing the `nprobe` nearest centroid lists.
+    *
+    * Centroids are driver-sized by construction (nlist × dim doubles — the
+    * same boundary every IVF index has); everything else is distributed:
+    * assignment is a per-row argmin over broadcast centroid literals,
+    * candidate generation is an equi-join on the centroid id.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+
+    // squared L2 distance to a centroid literal
+    def dist2(centroid: Array[Double]): Column =
+      aggregate(zip_with(v, lit(centroid), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // deterministic init: bucket by id hash, then Lloyd refinements
+    var assigned = corpus.select(col(idCol), v.as("__v"),
+      pmod(xxhash64(col(idCol)), lit(nlist.toLong)).cast("int").as("__c"))
+    var centroids: Seq[Array[Double]] = Nil
+    (0 until iters).foreach { _ =>
+      val cents = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d").agg(avg(col("__x")).as("__m"))
+        .groupBy("__c").agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+          .as("__ms"))
+        .select(col("__c"), transform(col("__ms"), s => s.getField("__m")).as("__cent"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      val dim = cents.values.headOption.map(_.length).getOrElse(0)
+      centroids = (0 until nlist).map(i =>
+        cents.getOrElse(i, Array.fill(dim)(0.0)))
+      val minDist = centroids.map(dist2).reduce((a, b) => least(a, b))
+      val assign = centroids.zipWithIndex.foldRight(lit(0)) {
+        case ((c, i), els) => when(dist2(c) === minDist, lit(i)).otherwise(els)
+      }
+      assigned = corpus.select(col(idCol), v.as("__v"), assign.as("__c"))
+    }
+
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      col("__v").as("__cv"), col("__c").as("bucket"))
+    // query probes: indices of the nprobe nearest centroids
+    val probeArr = slice(
+      transform(
+        array_sort(array(centroids.zipWithIndex.map { case (cent, i) =>
+          struct(dist2(cent).as("d"), lit(i).as("i"))
+        }: _*)),
+        s => s.getField("i")),
+      1, nprobe)
+    val q = queries.select(col(idCol).as("query_id"), v.as("__qv"),
+      explode(probeArr).as("bucket"))
+    val scored = q.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed ANN top-k with single-bit multi-probe: each query probes
     * its own bucket plus the `planes` buckets at hamming distance 1, then
     * ranks exact cosine within the candidate set.

@@ -151,6 +151,17 @@ class EngineSpec extends SparkSpec {
     assert(sf.localDbs("AA").columns.toSeq == Seq("DATE", "ABC"))
   }
 
+  test("inline $chain materializes inside a larger expression") {
+    // 2 years, constant prices PA=2: chain index = 100 in both years
+    // (quantity growth with flat prices → Fisher uses price weights; with
+    // a single good and constant price, L = P = Q-ratio) — so the index
+    // doubles in year 2: link = 20/10 = 2 → idx 2020=100, 2021=200
+    val in = frame(Seq("2020-06-01", "2021-06-01"),
+      "A" -> Seq(10, 20), "PA" -> Seq(2, 2))
+    val out = FameSession.run("""y = 3 + $chain("a", "2020")""", in).df
+    assertSeq(column(out, "Y"), Seq(Some(103.0), Some(203.0)))
+  }
+
   test("T compiles to the date column") {
     val in = frame(Seq("2020-01-01", "2021-01-01"), "V" -> Seq(1, 2))
     val out = FameSession.run(

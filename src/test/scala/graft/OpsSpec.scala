@@ -94,6 +94,32 @@ class OpsSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.head.getLong(1) == exact.head.getLong(1))
   }
 
+  test("ivf top-k recalls the exact top neighbor on clustered vectors") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until 40).map { i =>
+      val base = (i % 4) match {
+        case 0 => Array(10.0, 0.0, 0.0)
+        case 1 => Array(0.0, 10.0, 0.0)
+        case 2 => Array(0.0, 0.0, 10.0)
+        case _ => Array(-10.0, -10.0, 0.0)
+      }
+      Row(i.toLong, base.zipWithIndex.map { case (x, d) =>
+        (x + 0.05 * i + 0.01 * d).toFloat }.toSeq)
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val qs = df.where(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(qs, df, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = Similarity.ivfTopK(qs, df, "vec_id", "embedding", 1,
+      nlist = 4, iters = 2, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // with 4 clear clusters and nprobe=2, recall@1 should be total
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
   test("text ops: tokens, ratios, langid, fingerprints") {
     val df = docFrame(
       (1L, "The cat and the dog, in the house!"),
