@@ -54,6 +54,7 @@ object QueriesCore {
       .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / lit(1e6))
         .as("REV"))
       .withColumn("REVL", col("REV"))
+      .withColumn("REVC", col("REV"))
 
   val quarterlySql: String =
     """WITH q AS (
@@ -219,9 +220,11 @@ object QueriesCore {
       val out = runScript(
         """freq q
           |rev_m = convert(rev, m, constant, average)
-          |rev_ml = convert(revl, m, linear, average)""".stripMargin, quarterly(s, dir))
+          |rev_ml = convert(revl, m, linear, average)
+          |rev_mc = convert(revc, m, cubic, average)""".stripMargin, quarterly(s, dir))
       out.select(col("DATE").as("date"), col("REV_MON").as("rev_mon"),
-        col("REVL_MON").as("revl_mon")).orderBy("date")
+        col("REVL_MON").as("revl_mon"), col("REVC_MON").as("revc_mon"))
+        .orderBy("date")
     }),
 
     // #11 shift_pct backward level reconstruction
@@ -464,12 +467,43 @@ object QueriesCore {
          |      (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
          |  FROM j
          |)
+         |, q2 AS (
+         |  SELECT date, rev,
+         |    coalesce(
+         |      (lead(rev) OVER w - lag(rev) OVER w)
+         |        / date_diff('day', lag(date) OVER w, lead(date) OVER w)::DOUBLE,
+         |      (lead(rev) OVER w - rev)
+         |        / date_diff('day', date, lead(date) OVER w)::DOUBLE,
+         |      (rev - lag(rev) OVER w)
+         |        / date_diff('day', lag(date) OVER w, date)::DOUBLE) AS m
+         |  FROM q WINDOW w AS (ORDER BY date)
+         |), jc AS (
+         |  SELECT cal.date AS date, q2.m AS m
+         |  FROM cal LEFT JOIN q2 USING (date)
+         |), fm AS (
+         |  SELECT date,
+         |    last_value(m IGNORE NULLS) OVER
+         |      (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0,
+         |    first_value(m IGNORE NULLS) OVER
+         |      (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m1
+         |  FROM jc
+         |), tt AS (
+         |  SELECT f.date AS date, pv, pd, nv, nd, m0, m1,
+         |    date_diff('day', pd, f.date)::DOUBLE
+         |      / date_diff('day', pd, nd)::DOUBLE AS t,
+         |    date_diff('day', pd, nd)::DOUBLE AS h
+         |  FROM f JOIN fm ON f.date = fm.date
+         |)
          |SELECT date, pv AS rev_mon,
          |  CASE WHEN pd = nd THEN pv
-         |             ELSE pv + (nv - pv) * (date_diff('day', pd, date)::DOUBLE
-         |                                    / date_diff('day', pd, nd)::DOUBLE) END
-         |    AS revl_mon
-         |FROM f ORDER BY date""".stripMargin,
+         |       ELSE pv + (nv - pv) * t END AS revl_mon,
+         |  CASE WHEN pd = nd THEN pv ELSE coalesce(
+         |    (2.0 * ((t*t)*t) - 3.0 * (t*t) + 1.0) * pv
+         |      + (((t*t)*t) - 2.0 * (t*t) + t) * h * m0
+         |      + (-2.0 * ((t*t)*t) + 3.0 * (t*t)) * nv
+         |      + (((t*t)*t) - (t*t)) * h * m1,
+         |    pv + (nv - pv) * t) END AS revc_mon
+         |FROM tt ORDER BY date""".stripMargin,
 
     "q13_shift_pct" ->
       s"""$monthlySql, b AS (

@@ -144,7 +144,7 @@ object Convert {
         cols.foldLeft(joined) { (acc, c) =>
           acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
         }
-      case "linear" | "cubic" =>
+      case "linear" =>
         cols.foldLeft(joined) { (acc, c) =>
           val obsDate = when(col(c).isNotNull, col(dateCol))
           val pv = last(col(c), ignoreNulls = true).over(back)
@@ -157,6 +157,53 @@ object Convert {
             .otherwise(pv + (nv - pv) * frac)
           acc.withColumn(c, interp)
         }
+      case "cubic" =>
+        // Catmull-Rom-style cubic Hermite between bracketing observations:
+        // per-observation slopes are the centered secants (one-sided at the
+        // edges), computed over the column's OBSERVATION rows only (a lag
+        // over the calendar-joined frame would see the injected null rows)
+        // — local and distributed, no global spline solve.
+        val srcW =
+          if (keys.isEmpty) Window.orderBy(dateCol)
+          else Window.partitionBy(keys.map(col): _*).orderBy(dateCol)
+        val joinedS = cols.foldLeft(joined) { (acc, c) =>
+          val obs = src
+            .select((keys.map(col) :+ col(dateCol) :+ col(c)): _*)
+            .where(col(c).isNotNull)
+          val pvv = lag(col(c), 1).over(srcW)
+          val pdd = lag(col(dateCol), 1).over(srcW)
+          val nvv = lead(col(c), 1).over(srcW)
+          val ndd = lead(col(dateCol), 1).over(srcW)
+          val centered = (nvv - pvv) / datediff(ndd, pdd).cast("double")
+          val fwdSlope = (nvv - col(c)) / datediff(ndd, col(dateCol)).cast("double")
+          val bwdSlope = (col(c) - pvv) / datediff(col(dateCol), pdd).cast("double")
+          val slopes = obs
+            .select((keys.map(col) :+ col(dateCol) :+
+              coalesce(centered, fwdSlope, bwdSlope).as(s"__m_$c")): _*)
+          acc.join(slopes, keys :+ dateCol, "left")
+        }
+        cols.foldLeft(joinedS) { (acc, c) =>
+          val obsDate = when(col(c).isNotNull, col(dateCol))
+          val pv = last(col(c), ignoreNulls = true).over(back)
+          val pd = max(obsDate).over(back)
+          val m0 = last(col(s"__m_$c"), ignoreNulls = true).over(back)
+          val nv = first(col(c), ignoreNulls = true).over(fwd)
+          val nd = min(obsDate).over(fwd)
+          val m1 = first(col(s"__m_$c"), ignoreNulls = true).over(fwd)
+          val h = datediff(nd, pd).cast("double")
+          val t = datediff(col(dateCol), pd).cast("double") / h
+          val t2 = t * t
+          val t3 = t2 * t
+          val hermite =
+            (lit(2.0) * t3 - lit(3.0) * t2 + lit(1.0)) * pv +
+              (t3 - lit(2.0) * t2 + t) * h * m0 +
+              (lit(-2.0) * t3 + lit(3.0) * t2) * nv +
+              (t3 - t2) * h * m1
+          // fall back to linear when a slope is unavailable (single obs)
+          val linear = pv + (nv - pv) * t
+          acc.withColumn(c,
+            when(pd === nd, pv).otherwise(coalesce(hermite, linear)))
+        }.drop(cols.map(c => s"__m_$c"): _*)
       case _ =>
         // unrecognized technique (the reference is equally lax): step fill
         cols.foldLeft(joined) { (acc, c) =>
