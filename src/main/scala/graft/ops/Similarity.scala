@@ -83,10 +83,19 @@ object Similarity {
       aggregate(zip_with(v, lit(centroid), (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, x) => acc + x)
 
-    // deterministic init: bucket by id hash, then Lloyd refinements
+    // deterministic init: bucket by id hash, then Lloyd refinements; each
+    // iteration's assignment is persisted (id+vec+bucket, tiny) so the next
+    // centroid aggregation doesn't lazily re-execute the whole prior chain
     var assigned = corpus.select(col(idCol), v.as("__v"),
       pmod(xxhash64(col(idCol)), lit(nlist.toLong)).cast("int").as("__c"))
+      .persist()
     var centroids: Seq[Array[Double]] = Nil
+    // argmin over ONE materialized distance array (evaluating dist2 twice
+    // per centroid via a when-chain doubles the higher-order-function cost)
+    def assignExpr(cents: Seq[Array[Double]]): Column = {
+      val dists = array(cents.map(dist2): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
     (0 until iters).foreach { _ =>
       val cents = assigned
         .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
@@ -99,11 +108,11 @@ object Similarity {
       val dim = cents.values.headOption.map(_.length).getOrElse(0)
       centroids = (0 until nlist).map(i =>
         cents.getOrElse(i, Array.fill(dim)(0.0)))
-      val minDist = centroids.map(dist2).reduce((a, b) => least(a, b))
-      val assign = centroids.zipWithIndex.foldRight(lit(0)) {
-        case ((c, i), els) => when(dist2(c) === minDist, lit(i)).otherwise(els)
-      }
-      assigned = corpus.select(col(idCol), v.as("__v"), assign.as("__c"))
+      val prev = assigned
+      assigned = corpus
+        .select(col(idCol), v.as("__v"), assignExpr(centroids).as("__c"))
+        .persist()
+      prev.unpersist()
     }
 
     val c = assigned.select(col(idCol).as("neighbor_id"),
