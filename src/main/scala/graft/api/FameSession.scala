@@ -39,6 +39,16 @@ final case class SeriesFrame(
   */
 object FameSession {
 
+  /** Run a FAME script loaded from a `.inp` file (the reference's CLI input
+    * format, `fame2py_converter.py:785-796`): same line/comment syntax.
+    */
+  def runFile(path: String, input: DataFrame, dateCol: String = "DATE",
+      partitionKeys: Seq[String] = Nil,
+      nlrx: Nlrx = Nlrx.HpSmoother): SeriesFrame =
+    run(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
+      input, dateCol, partitionKeys, nlrx)
+
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother): SeriesFrame = {

@@ -65,9 +65,13 @@ object Dedup {
     * word `w`-shingle hashes.
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
-    val shingled = shingleRows(df, idCol, textCol, shingleWidth)
-      .withColumn("__h", xxhash64(col("__sh")))
+      numHashes: Int = 32, shingleWidth: Int = 3): DataFrame =
+    signaturesFromShingles(shingleRows(df, idCol, textCol, shingleWidth),
+      idCol, numHashes)
+
+  private def signaturesFromShingles(shingles: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val shingled = shingles.withColumn("__h", xxhash64(col("__sh")))
     // permutation i = re-hash with a per-i seed (xxhash64 is ANSI-safe —
     // no overflowing multiply — and deterministic across partitionings)
     val aggs = (0 until numHashes).map { i =>
@@ -87,11 +91,11 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // signatures are tiny relative to raw text (n × numHashes longs) and
-    // feed three consumers (bands, left sigs, right sigs) — persist so the
-    // shingle explode+groupBy runs once, not three times
-    val sig = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
-      .persist()
+    // ONE shingle table feeds both the signatures and the verification
+    // join; both it and the (tiny, n × numHashes longs) signature table
+    // are persisted because each has multiple consumers downstream
+    val shingles = shingleRows(df, idCol, textCol, shingleWidth).persist()
+    val sig = signaturesFromShingles(shingles, idCol, numHashes).persist()
 
     // band hash = hash of the band's signature slice
     val banded = sig.select(col(idCol) +: (0 until bands).map { b =>
@@ -127,9 +131,7 @@ object Dedup {
     // verify with true shingle Jaccard: |A∩B| via a shingle-level join.
     // Joining on (id2, shingle) keeps it an equi-join — the intersection is
     // found by hash lookup, never a per-pair cross product.
-    val sh = shingleRows(df, idCol, textCol, shingleWidth)
-      .withColumnRenamed(idCol, "__id")
-      .persist()
+    val sh = shingles.withColumnRenamed(idCol, "__id")
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val inter = withEst.select("id1", "id2")
       .join(sh.withColumnRenamed("__id", "id1"), "id1")

@@ -302,12 +302,14 @@ object FameParser {
   // ------------------------------------------------------ statement parser
 
   /** Split a script into logical lines: `;` and newlines both separate
-    * statements; `--`/`!`/`#` start comments (FAME uses `--`).
+    * statements; `--` starts a trailing comment, and lines beginning with
+    * `#` or `!` are comment lines (the reference's `.inp` corpus uses `#`).
     */
   def splitLines(script: String): Seq[String] =
     script.split("[\n;]")
       .map(_.replaceAll("--.*$", "").trim)
-      .filter(_.nonEmpty).toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
+      .toSeq
 
   def parseScript(script: String): Seq[FameStmt] =
     splitLines(script).map(parseLine)

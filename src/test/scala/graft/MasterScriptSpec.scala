@@ -85,6 +85,37 @@ class MasterScriptSpec extends SparkSpec {
     assertSeq(column(sf.localDbs("DB1"), "X"), (1 to 24).map(a => Some(a * 2.0)))
   }
 
+  test("runFile executes a .inp script with # comments") {
+    val f = java.nio.file.Files.createTempFile("graft", ".inp")
+    java.nio.file.Files.writeString(f,
+      """# scenario file
+        |freq m
+        |z = x + y  -- trailing comment
+        |! another comment style
+        |w = z * 2""".stripMargin)
+    val in = frame(Seq("2020-01-01"), "X" -> Seq(10), "Y" -> Seq(20))
+    val out = FameSession.runFile(f.toString, in).df
+    assertSeq(column(out, "Z"), Seq(Some(30.0)))
+    assertSeq(column(out, "W"), Seq(Some(60.0)))
+  }
+
+  test("convert round-trip: up(constant) then down(last) is identity") {
+    import graft.ast.Frequency
+    import graft.kernels.Convert
+    import org.apache.spark.sql.functions.col
+    val in = frame(
+      Seq("2020-01-01", "2020-04-01", "2020-07-01", "2020-10-01"),
+      "V" -> Seq(10, 20, 30, 40))
+    val up = Convert.up(in, "DATE", Seq("V"),
+      Frequency.Quarterly, Frequency.Monthly, "constant")
+    assert(up.count() == 12) // full quarters of monthly rows
+    val down = Convert.down(up, "DATE", Seq("V"), Frequency.Quarterly, "last")
+    val got = down.orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
+    assert(got == Seq("2020-01-01" -> 10.0, "2020-04-01" -> 20.0,
+      "2020-07-01" -> 30.0, "2020-10-01" -> 40.0))
+  }
+
   test("quoted convert args and alias normalization parse") {
     import graft.ast.FameStmt._
     import graft.ast.Frequency
