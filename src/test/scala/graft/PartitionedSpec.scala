@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.api.FameSession
+
+/** Partition-key (multi-entity) execution: one FAME program over many
+  * entities at once — every kernel must be per-entity independent (the
+  * cluster-scale path of SCALING.md §1).
+  */
+class PartitionedSpec extends SparkSpec {
+
+  /** Two entities with deliberately different series. */
+  private def entityFrame(series: (String, Seq[Any], Seq[Any])*): DataFrame = {
+    val months = Seq("2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01")
+    val fields = StructField("ENT", StringType) +:
+      StructField("DATE", DateType) +:
+      series.map { case (n, _, _) => StructField(n, DoubleType) }.toSeq
+    val rows =
+      months.indices.map { i =>
+        Row.fromSeq("A" +: d(months(i)) +: series.map(s => toD(s._2(i))))
+      } ++ months.indices.map { i =>
+        Row.fromSeq("B" +: d(months(i)) +: series.map(s => toD(s._3(i))))
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), StructType(fields.toArray))
+  }
+  private def toD(x: Any): Any = x match {
+    case null => null
+    case i: Int => i.toDouble
+    case v => v
+  }
+
+  private def byEntity(df: DataFrame, ent: String, colName: String): Seq[Option[Double]] =
+    df.where(df("ENT") === ent).orderBy("DATE").select(colName).collect()
+      .toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+
+  test("windows, scalars and masks are per-entity") {
+    val in = entityFrame(("V", Seq(10, 20, 30, 40), Seq(100, 100, 100, 100)))
+    val out = FameSession.run(
+      """freq m
+        |p = pct(v)
+        |f = firstvalue(v)
+        |l = lastvalue(v)
+        |date 2020-02-01 to 2020-03-01
+        |m = v * 2""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out, "A", "P"),
+      Seq(None, Some(100.0), Some(50.0), Some(100.0 / 3)))
+    assertSeq(byEntity(out, "B", "P"), Seq(None, Some(0.0), Some(0.0), Some(0.0)))
+    assertSeq(byEntity(out, "A", "F"), Seq.fill(4)(Some(10.0)))
+    assertSeq(byEntity(out, "B", "F"), Seq.fill(4)(Some(100.0)))
+    assertSeq(byEntity(out, "A", "L"), Seq.fill(4)(Some(40.0)))
+    assertSeq(byEntity(out, "A", "M"),
+      Seq(None, Some(40.0), Some(60.0), None))
+  }
+
+  test("convert down groups per entity") {
+    val in = entityFrame(("V", Seq(1, 2, 3, 4), Seq(10, 20, 30, 40)))
+    val out = FameSession.run(
+      """freq m
+        |vq = convert(v, q, discrete, sum)""".stripMargin,
+      in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out, "A", "V_QTRLY"),
+      Seq(Some(6.0), None, None, Some(4.0)))
+    assertSeq(byEntity(out, "B", "V_QTRLY"),
+      Seq(Some(60.0), None, None, Some(40.0)))
+  }
+
+  test("chain index links per entity") {
+    // entity A: quantity doubles yearly at flat price → idx 100, 200
+    // entity B: flat quantity → idx 100, 100
+    val months = Seq("2020-06-01", "2021-06-01")
+    val rows = Seq(
+      Row("A", d(months(0)), 10.0, 2.0), Row("A", d(months(1)), 20.0, 2.0),
+      Row("B", d(months(0)), 5.0, 3.0), Row("B", d(months(1)), 5.0, 3.0))
+    val in = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("ENT", StringType), StructField("DATE", DateType),
+        StructField("A", DoubleType), StructField("PA", DoubleType))))
+    val out = FameSession.run("""set x = $chain("a", "2020")""",
+      in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out, "A", "X"), Seq(Some(100.0), Some(200.0)))
+    assertSeq(byEntity(out, "B", "X"), Seq(Some(100.0), Some(100.0)))
+  }
+
+  test("backward shift-pct anchors per entity") {
+    // cnt-style driver series P grows 10%/period for A, flat for B;
+    // rev2 anchored at the 2020-04-01 value and reconstructed backwards
+    val in = entityFrame(
+      ("REV", Seq(0, 0, 0, 1000), Seq(0, 0, 0, 500)),
+      ("P", Seq(100, 110, 121, 133.1), Seq(7, 7, 7, 7)))
+    val out = FameSession.run(
+      """rev2 = rev
+        |date 2020-01-01 to 2020-04-01
+        |rev2[t] = rev2[t+1]/(1+(pct(p[t+1])/100))""".stripMargin,
+      in, partitionKeys = Seq("ENT")).df
+    // A: level telescopes as anchor * p_t / p_anchor
+    val a = byEntity(out, "A", "REV2")
+    assert(math.abs(a(3).get - 1000.0) < 1e-6)
+    assert(math.abs(a(2).get - 1000.0 * 121 / 133.1) < 1e-6)
+    assert(math.abs(a(0).get - 1000.0 * 100 / 133.1) < 1e-6)
+    val b = byEntity(out, "B", "REV2")
+    assert(b.forall(v => math.abs(v.get - 500.0) < 1e-9)) // flat P → flat level
+  }
+}
