@@ -160,7 +160,8 @@ object FameSession {
                 case x => throw new IllegalArgumentException(s"bad nlrx lambda $x")
               }
             }
-            cur = nlrx(cur, dateCol, target, lam, args.map(a => refMap.getOrElse(a, a)))
+            cur = nlrx.grouped(cur, dateCol, target, lam,
+              args.map(a => refMap.getOrElse(a, a)), partitionKeys)
 
           case ShiftPctAssign(target, pctSeries, _) =>
             // anchor range from the active date mask (fixing the reference's

@@ -86,6 +86,22 @@ class PartitionedSpec extends SparkSpec {
     assertSeq(byEntity(out, "B", "X"), Seq(Some(100.0), Some(100.0)))
   }
 
+  test("nlrx solves per entity without a driver collect") {
+    // lambda=0 → the HP system reduces to I·x = y: smoothed == input,
+    // so any cross-entity leakage would show immediately
+    val in = entityFrame(("Y", Seq(10, 20, 30, 40), Seq(5, 5, 5, 5)))
+    val out = FameSession.run(
+      "sm = nlrx(0, y, y, y, y, y, y, y)", in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out, "A", "SM"),
+      Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)))
+    assertSeq(byEntity(out, "B", "SM"), Seq.fill(4)(Some(5.0)))
+    // positive lambda smooths toward the trend per entity
+    val out2 = FameSession.run(
+      "sm = nlrx(1600, y, y, y, y, y, y, y)", in, partitionKeys = Seq("ENT")).df
+    val smB = byEntity(out2, "B", "SM")
+    assert(smB.forall(v => math.abs(v.get - 5.0) < 1e-6)) // flat stays flat
+  }
+
   test("backward shift-pct anchors per entity") {
     // cnt-style driver series P grows 10%/period for A, flat for B;
     // rev2 anchored at the 2020-04-01 value and reconstructed backwards
