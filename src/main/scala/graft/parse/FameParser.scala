@@ -344,10 +344,13 @@ object FameParser {
   }
 
   private def parseDateFilter(a: String, b: String, line: String): DateFilter = {
+    // unparseable bounds (symbolic names like `start`, arithmetic like
+    // `start-7`) become OPEN bounds — the reference's APPLY_DATE_FILTER
+    // parses bound strings at runtime and silently drops ones it cannot
+    // parse (`formulas_generator.py:1505-1518`); we preserve that
+    // observable behavior rather than erroring
     def bound(s: String): Option[java.time.LocalDate] =
-      if (s.trim == "*") None
-      else Some(FameDate.parse(s).getOrElse(
-        throw ParseError(s"bad date `$s`", line)))
+      if (s.trim == "*") None else FameDate.parse(s)
     DateFilter(bound(a), bound(b))
   }
 
@@ -454,6 +457,11 @@ object FameParser {
           technique = normTechnique(names(2)), observed = normObserved(names(3)),
           startBy = startBy)
       case ChainCall(terms, year) => ChainAssign(target, terms, year)
+      // self-referential shift-pct also appears WITHOUT [t] on the LHS
+      // (`v123s = v123s[t+1]/(1+(pct(p[t+1])/100))`, tests/test_nlrx.py);
+      // without this classification it would be a dependency cycle
+      case e if matchShiftPct(target, e).isDefined =>
+        matchShiftPct(target, e).get
       case Call("nlrx", args) =>
         val series = args.tail.map {
           case Ref(n) => n

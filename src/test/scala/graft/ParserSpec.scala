@@ -92,6 +92,16 @@ class ParserSpec extends AnyFunSuite {
   test("shift-pct backward pattern (SURVEY §2.6)") {
     assert(parseLine("v1014s[t] = v1014s[t+1]/(1+(pct(v123s[t+1])/100))") ==
       ShiftPctAssign("V1014S", "V123S", 1))
+    // the same self-referential pattern without [t] on the LHS
+    // (tests/test_nlrx.py style) must classify too, not cycle
+    assert(parseLine("v123s = v123s[t+1]/(1+(pct(v1014s[t+1])/100))") ==
+      ShiftPctAssign("V123S", "V1014S", 1))
+  }
+
+  test("symbolic date bounds become open bounds (reference parity)") {
+    assert(parseLine("date start to end") == SetDate(DateFilter(None, None)))
+    val s = parseLine("set <date start-7 to end> b1 = 0")
+    assert(s == Assign("B1", Num(0), Some(DateFilter(None, None))))
   }
 
   test("convert") {
