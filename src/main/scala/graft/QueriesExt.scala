@@ -175,6 +175,24 @@ object QueriesExt {
           col("session_end"), col("n_events"),
           round(col("sum_value"), 8).as("sum_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // end-to-end training-data prep: exact dedup -> quality + language
+    // filter -> per-source corpus statistics (the composed pipeline the
+    // individual operators exist for)
+    "q36_prep_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = d.join(survivors, "doc_id")
+        .where(TextOps.qualityScore(col("text")) > 0.5 &&
+          TextOps.langId(col("text")) === "en")
+      kept.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("source")
     })
   )
 
@@ -273,6 +291,34 @@ object QueriesExt {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 8) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q36_prep_pipeline" -> {
+      val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
+      val stop = langCountSql(TextOps.EnStopwords)
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
+      val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
+      val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
+      val quality = s"0.4 * least(($stop::DOUBLE / $tok) * 4, 1.0) " +
+        s"+ 0.3 * least($awl / 8, 1.0) + 0.3 - 0.5 * $punct - 0.5 * $digit"
+      val lang = s"""CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
+                    |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+                    |     WHEN $es >= $fr AND $es >= $de THEN 'es'
+                    |     WHEN $fr >= $de THEN 'fr'
+                    |     ELSE 'de' END""".stripMargin
+      s"""WITH surv AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
+         |  GROUP BY tn
+         |), kept AS (
+         |  SELECT d.* FROM documents d JOIN surv USING (doc_id)
+         |  WHERE ($quality) > 0.5 AND ($lang) = 'en'
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  sum($tok)::BIGINT AS n_tokens,
+         |  sum(length(text))::BIGINT AS n_chars
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q34_sessions" ->
       """WITH g AS (
