@@ -230,7 +230,12 @@ object FameSession {
   def evalScalar(e: FameExpr, df: DataFrame, ctx: Ctx): Any =
     staticFold(e, ctx.scalars).getOrElse {
       val c = ColumnCompiler.compile(e, ctx)
-      val r = df.select(c.as("__s")).limit(1).collect()
+      // broadcast-style scalar RHS (ave, firstvalue, …) is constant across
+      // rows; for a non-constant RHS the reference's `.item()` would error —
+      // we deterministically take the earliest row's value instead of an
+      // arbitrary partition's (documented divergence)
+      val r = df.select(c.as("__s"), col(ctx.dateCol))
+        .orderBy(ctx.dateCol).limit(1).collect()
       if (r.isEmpty || r(0).isNullAt(0)) null
       else r(0).get(0) match {
         case d: java.sql.Date => d.toLocalDate
