@@ -152,8 +152,14 @@ object FameSession {
               case Num(v) => v
               case Ref(n) => scalars.get(n) match {
                 case Some(d: Double) => d
-                case _ => throw new IllegalArgumentException(
-                  s"nlrx lambda `$n` is not a numeric scalar")
+                // `lambda20 = 20` is a bare series assign in the reference
+                // corpus, not a `scalar` statement — read its (constant)
+                // value from the column
+                case _ => evalScalar(FameExpr.Ref(n), cur, ctx) match {
+                  case d: Double => d
+                  case x => throw new IllegalArgumentException(
+                    s"nlrx lambda `$n` is not numeric (got $x)")
+                }
               }
               case other => evalScalar(other, cur, ctx) match {
                 case d: Double => d

@@ -151,6 +151,16 @@ class EngineSpec extends SparkSpec {
     assert(sf.localDbs("AA").columns.toSeq == Seq("DATE", "ABC"))
   }
 
+  test("nlrx accepts a bare series assign as lambda (lambda20 = 20 style)") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "Y" -> Seq(4, 5, 6))
+    val out = FameSession.run(
+      """lambda20 = 0
+        |sm = nlrx(lambda20, y, y, y, y, y, y, y)""".stripMargin, in).df
+    // lambda 0 → identity smoother
+    assertSeq(column(out, "SM"), Seq(Some(4.0), Some(5.0), Some(6.0)))
+  }
+
   test("inline $chain materializes inside a larger expression") {
     // 2 years, constant prices PA=2: chain index = 100 in both years
     // (quantity growth with flat prices → Fisher uses price weights; with
