@@ -77,13 +77,20 @@ object FameSession {
     val converts = bounds.collect { case b @ Bound(_, c: ConvertAssign, _, _, _) => (b, c) }
     val rest = bounds.filterNot(_.stmt.isInstanceOf[ConvertAssign])
 
+    // every conversion group is computed from the PRE-bridge frame (the
+    // reference's bridge phase likewise reads original columns only,
+    // `fame2py_converter.py:282-301`): deriving later groups from the
+    // progressively-joined `cur` nests each group's plan inside all prior
+    // joins — plan size grows multiplicatively and profiling showed dozens
+    // of redundant sort-merge joins for a 3-convert script
+    val bridgeBase = cur.withColumn(dateCol, to_date(col(dateCol)))
     converts.groupBy { case (b, c) =>
       (c.freq, c.technique, c.observed, c.startBy, b.freq) }
       .toSeq.sortBy(_._2.head._1.order)
       .foreach { case ((tgtFreq, technique, observed, _, srcFreqOpt), group) =>
         val srcFreq = srcFreqOpt.orElse(sessionFreq).getOrElse(Frequency.Monthly)
         val srcCols = group.map(_._2.source).distinct
-        val projected = cur.select(
+        val projected = bridgeBase.select(
           (partitionKeys.map(col) :+ col(dateCol)) ++ srcCols.map(col): _*)
         val converted0 =
           if (Convert.isDown(srcFreq, tgtFreq))
