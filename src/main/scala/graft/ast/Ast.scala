@@ -18,9 +18,16 @@ object Frequency {
   case object Quarterly extends Frequency("_QTRLY")
   case object Annual    extends Frequency("_ANN")
 
+  // weekday aliases incl. the reference's single/double-letter forms
+  // (`formulas_generator.py:85-93`)
   private val weekdays = Map(
-    "mon" -> 1, "tue" -> 2, "wed" -> 3, "thu" -> 4, "fri" -> 5,
-    "sat" -> 6, "sun" -> 7)
+    "m" -> 1, "mon" -> 1, "monday" -> 1,
+    "tu" -> 2, "tue" -> 2, "tues" -> 2, "tuesday" -> 2,
+    "w" -> 3, "wed" -> 3, "wednesday" -> 3,
+    "th" -> 4, "thu" -> 4, "thur" -> 4, "thurs" -> 4, "thursday" -> 4,
+    "f" -> 5, "fri" -> 5, "friday" -> 5,
+    "sa" -> 6, "sat" -> 6, "saturday" -> 6,
+    "su" -> 7, "sun" -> 7, "sunday" -> 7)
 
   /** Parse a FAME frequency token incl. aliases
     * (`fame2pygen/formulas_generator.py:68-93`): d/daily, b/bus/business,
@@ -33,7 +40,7 @@ object Frequency {
       case "d" | "daily" | "1d"              => Some(Daily)
       case "b" | "bus" | "business" | "busd" => Some(Business)
       case "w" | "weekly" | "1w"             => Some(Weekly(None))
-      case wk(day)                           => Some(Weekly(weekdays.get(day.take(3))))
+      case wk(day)                           => Some(Weekly(weekdays.get(day)))
       case "m" | "monthly" | "mon" | "1mo"   => Some(Monthly)
       case "q" | "quarterly" | "qtrly" | "1q"=> Some(Quarterly)
       case "a" | "y" | "annual" | "yearly" | "ann" | "1y" => Some(Annual)

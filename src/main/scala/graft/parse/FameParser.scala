@@ -447,6 +447,8 @@ object FameParser {
           case Ref(n) => n
           case Num(v) => v.toLong.toString
           case Str(s) => s
+          // anchored weekly `w(wed)` parses as a call in arg position
+          case Call(f, Seq(Ref(d))) => s"$f($d)"
           case other  => throw ParseError(s"bad convert arg $other", line)
         }
         if (names.size < 4) throw ParseError("convert needs 4+ args", line)

@@ -116,6 +116,17 @@ class MasterScriptSpec extends SparkSpec {
       "2020-07-01" -> 30.0, "2020-10-01" -> 40.0))
   }
 
+  test("the reference's full consolidated scenario corpus parses") {
+    // parse-coverage over the reference's own master .inp (144 lines of
+    // every construct its tests exercise); skipped when the reference
+    // tree isn't mounted
+    val p = java.nio.file.Paths.get("/root/reference/fame_script_master.inp")
+    assume(java.nio.file.Files.exists(p))
+    val script = java.nio.file.Files.readString(p)
+    val stmts = graft.parse.FameParser.parseScript(script)
+    assert(stmts.size > 100, s"only ${stmts.size} statements parsed")
+  }
+
   test("quoted convert args and alias normalization parse") {
     import graft.ast.FameStmt._
     import graft.ast.Frequency
