@@ -130,10 +130,11 @@ object QueriesExt {
         TextOps.qualityScore(t).as("quality")).orderBy("doc_id")
     }),
 
-    // token + char counting
+    // token + char counting: whitespace tokens and BPE-ish pre-tokens
     "q29_tokens" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_actual")).orderBy("doc_id")
     }),
 
@@ -276,6 +277,9 @@ object QueriesExt {
     "q29_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text,
+        |     '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+        |    AS n_bpe_tokens,
         |  length(text)::BIGINT AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -26,6 +26,20 @@ object TextOps {
     when(length(trim(c)) === 0, lit(0))
       .otherwise(size(split(trim(c), "\\s+")))
 
+  /** GPT-2-style pre-tokenizer pattern (simplified): contractions, letter
+    * runs, digit runs, punctuation runs, whitespace runs — the standard
+    * BPE pre-split. Alternation is leftmost-first in both Java regex and
+    * RE2, so counts reproduce across engines.
+    */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: matches of [[BpePattern]] (leading spaces are
+    * absorbed into tokens as in GPT pre-tokenization; whitespace runs that
+    * match nothing are split boundaries, not tokens).
+    */
+  def bpeTokenCount(c: Column): Column = countMatches(c, BpePattern)
+
   /** Array of whitespace tokens of the normalized text. */
   def tokens(c: Column): Column =
     filter(split(normText(c), " "), t => length(t) > 0)
