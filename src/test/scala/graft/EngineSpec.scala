@@ -172,6 +172,21 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "Y"), Seq(Some(103.0), Some(203.0)))
   }
 
+  test("empty and comment-only scripts are identity") {
+    val in = frame(Seq("2020-01-01"), "X" -> Seq(1))
+    assert(FameSession.run("", in).df.columns.toSeq == Seq("DATE", "X"))
+    assert(FameSession.run("# nothing\n-- also nothing", in)
+      .df.collect().length == 1)
+  }
+
+  test("unknown function fails with a clear error") {
+    val in = frame(Seq("2020-01-01"), "X" -> Seq(1))
+    val e = intercept[graft.compile.ColumnCompiler.CompileError] {
+      FameSession.run("y = frobnicate(x)", in).df.collect()
+    }
+    assert(e.getMessage.contains("frobnicate"))
+  }
+
   test("T compiles to the date column") {
     val in = frame(Seq("2020-01-01", "2021-01-01"), "V" -> Seq(1, 2))
     val out = FameSession.run(
