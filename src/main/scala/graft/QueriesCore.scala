@@ -359,8 +359,8 @@ object QueriesCore {
     "q02_conditional" ->
       s"""$monthlySql
          |SELECT date,
-         |  CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
-         |             WHEN rev < 4 THEN 2 ELSE 0 END AS flag,
+         |  CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1.0
+         |             WHEN rev < 4 THEN 2.0 ELSE 0.0 END AS flag,
          |  CASE WHEN (CASE WHEN rev > 5 AND NOT (cnt < 10) THEN 1
          |                        WHEN rev < 4 THEN 2 ELSE 0 END) = 1
          |             THEN rev ELSE cnt END AS routed
@@ -370,11 +370,11 @@ object QueriesCore {
       s"""$monthlySql
          |SELECT date,
          |  CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
-         |             THEN 2 ELSE 1 END AS v,
+         |             THEN 2.0 ELSE 1.0 END AS v,
          |  CASE WHEN date BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
          |             THEN rev*2 END AS w,
          |  CASE WHEN date BETWEEN DATE '1996-01-01' AND DATE '1996-06-01'
-         |             THEN 5 END AS u
+         |             THEN 5.0 END AS u
          |FROM m ORDER BY date""".stripMargin,
 
     "q04_point_in_time" ->
@@ -430,7 +430,7 @@ object QueriesCore {
          |SELECT date,
          |  least(rev, cnt/4) AS mn,
          |  greatest(rev, cnt/4) AS mx,
-         |  CASE WHEN lead(rev,1) $winD IS NOT NULL THEN 1 ELSE 0 END AS e
+         |  CASE WHEN lead(rev,1) $winD IS NOT NULL THEN 1.0 ELSE 0.0 END AS e
          |FROM m ORDER BY date""".stripMargin,
 
     "q11_convert_down" ->

@@ -338,8 +338,9 @@ object QueriesExt {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g
         |)
-        |SELECT user_id, session_id, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_events,
+        |SELECT user_id, session_id,
+        |  make_timestamp(epoch_us(min(ts))) AS session_start,
+        |  make_timestamp(epoch_us(max(ts))) AS session_end, count(*) AS n_events,
         |  round(sum(value), 8) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
