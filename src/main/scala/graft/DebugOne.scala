@@ -1,0 +1,21 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Throwaway: dump one named query's result parquet for oracle diffing. */
+object DebugOne {
+  def main(args: Array[String]): Unit = {
+    val Array(name, sfDir, outDir) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/$name")
+    spark.stop()
+  }
+}

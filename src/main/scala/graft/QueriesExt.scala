@@ -169,12 +169,18 @@ object QueriesExt {
         .orderBy("window_start", "event_type")
     }),
 
-    // gap-based sessionization over historical events (30-minute gap)
+    // gap-based sessionization over historical events (30-minute gap).
+    // value is summed in DECIMAL so the per-session total is independent of
+    // partition/scan order (engine-dependent FP addition order is the
+    // classic hash-diff trap; same trick as the FAME-core monthly sums);
+    // the oracle casts its HUGEINT session_id back to BIGINT to match.
     "q34_sessions" -> ((s, dir) => {
-      graft.ops.EventOps.sessionize(events(s, dir))
+      val ev = events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,8)"))
+      graft.ops.EventOps.sessionize(ev)
         .select(col("user_id"), col("session_id"), col("session_start"),
           col("session_end"), col("n_events"),
-          round(col("sum_value"), 8).as("sum_value"))
+          col("sum_value").cast("double").as("sum_value"))
         .orderBy("user_id", "session_id")
     }),
 
@@ -338,10 +344,10 @@ object QueriesExt {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g
         |)
-        |SELECT user_id, session_id,
+        |SELECT user_id, session_id::BIGINT AS session_id,
         |  make_timestamp(epoch_us(min(ts))) AS session_start,
         |  make_timestamp(epoch_us(max(ts))) AS session_end, count(*) AS n_events,
-        |  round(sum(value), 8) AS sum_value
+        |  sum(value::DECIMAL(18,8))::DOUBLE AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
