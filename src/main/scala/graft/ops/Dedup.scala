@@ -195,8 +195,9 @@ object Dedup {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, planes: Int = 12): DataFrame = {
+    val coefs = Similarity.planeCoefs(planes, Similarity.vecDim(df, vecCol))
     val b = df.select(col(idCol), col(vecCol),
-      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+      Similarity.lshBucket(col(vecCol), coefs).as("bucket"))
     val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
     val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"))
     l.join(r, "bucket")

@@ -27,25 +27,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * xxhash64 of the pair mapped into [-1, 1]. No RNG state, so the same
-    * bucketing reproduces on any cluster/partitioning.
+  /** Deterministic pseudo-random hyperplane coefficients (planes × dim),
+    * computed ONCE on the driver: splitmix64 of (plane, dim) mapped into
+    * [-1, 1]. No RNG state, so the same bucketing reproduces on any
+    * cluster/partitioning — and, embedded as array literals, the per-row
+    * cost is one codegen'd zip_with per plane instead of planes × dim
+    * hash evaluations per row (the latter multiplied every scan and was
+    * the round-2 bench regression on the LSH queries).
     */
-  private def planeCoef(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(2001L)) - 1000L).cast("double") / 1000.0
+  def planeCoefs(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      var z = (p.toLong << 32) + d + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
 
-  /** Signed-hyperplane LSH bucket id from `planes` sign bits. */
-  def lshBucket(vec: Column, planes: Int): Column = {
+  /** Signed-hyperplane LSH bucket id: bit p = sign of ⟨vec, coefs(p)⟩.
+    * `coefs` comes from [[planeCoefs]] — plane count is `coefs.length`.
+    */
+  def lshBucket(vec: Column, coefs: Array[Array[Double]]): Column = {
     val v = vec.cast("array<double>")
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, transform(sequence(lit(0), size(v) - 1), d => planeCoef(p, d)),
-          (x, c) => x * c),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    val bits = coefs.zipWithIndex.map { case (cs, p) =>
+      when(dot(v, lit(cs)) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Vector dimensionality from the first row — one tiny driver action,
+    * the same boundary every index build has (cf. IVF centroids).
+    */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
 
   /** Exact cosine top-k. `queries`/`corpus`: (idCol, vecCol) frames; result
     * (query_id, neighbor_id, cosine, rank) excluding self-matches, ties
@@ -144,10 +158,11 @@ object Similarity {
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val coefs = planeCoefs(planes, vecDim(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+      lshBucket(col(vecCol), coefs).as("bucket"))
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), planes).as("__b0"))
+      lshBucket(col(vecCol), coefs).as("__b0"))
     // probe set: own bucket + one-bit flips
     val probes = qb.select(col("query_id"), col("__qv"), explode(array(
       col("__b0") +: (0 until planes).map(p =>
