@@ -93,7 +93,9 @@ object Dedup {
     val rows = numHashes / bands
     // ONE shingle table feeds both the signatures and the verification
     // join; both it and the (tiny, n × numHashes longs) signature table
-    // are persisted because each has multiple consumers downstream
+    // are persisted because each has multiple consumers downstream. Both
+    // are released before returning — the result is materialized eagerly
+    // below, so the caches never outlive this call.
     val shingles = shingleRows(df, idCol, textCol, shingleWidth).persist()
     val sig = signaturesFromShingles(shingles, idCol, numHashes).persist()
 
@@ -138,7 +140,7 @@ object Dedup {
       .join(sh.withColumnRenamed("__id", "id2"), Seq("id2", "__sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("__inter"))
 
-    withEst
+    val out = withEst
       .join(inter, Seq("id1", "id2"), "left")
       .join(sizes.withColumnRenamed("__id", "id1")
         .withColumnRenamed("__sz", "__sz1"), "id1")
@@ -148,6 +150,14 @@ object Dedup {
         coalesce(col("__inter"), lit(0L)).cast("double") /
           (col("__sz1") + col("__sz2") - coalesce(col("__inter"), lit(0L))))
       .select("id1", "id2", "est_jaccard", "jaccard")
+      // eager: the verified-pair set is tiny (near-dups only); computing it
+      // now, while shingles/sig are cached, lets us unpersist both before
+      // returning instead of leaking executor memory for the session's
+      // lifetime. localCheckpoint blocks are context-cleaned on GC.
+      .localCheckpoint(true)
+    shingles.unpersist()
+    sig.unpersist()
+    out
   }
 
   /** 64-bit SimHash per document over word tokens: bit i of the hash is the

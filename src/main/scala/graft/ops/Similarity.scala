@@ -90,6 +90,7 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
+    require(iters >= 1, "ivfTopK needs at least one Lloyd iteration")
     val v = col(vecCol).cast("array<double>")
 
     // squared L2 distance to a centroid literal
@@ -110,7 +111,7 @@ object Similarity {
       val dists = array(cents.map(dist2): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { it =>
       val cents = assigned
         .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__c", "__d").agg(avg(col("__x")).as("__m"))
@@ -125,7 +126,10 @@ object Similarity {
       val prev = assigned
       assigned = corpus
         .select(col(idCol), v.as("__v"), assignExpr(centroids).as("__c"))
-        .persist()
+      // only persist assignments that feed another Lloyd collect; the last
+      // one is consumed exactly once by the probe join, so caching it would
+      // just leak executor memory after this call returns
+      if (it < iters - 1) assigned = assigned.persist()
       prev.unpersist()
     }
 

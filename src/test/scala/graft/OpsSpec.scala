@@ -43,6 +43,18 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("minHashLshPairs releases its intermediate caches") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = docFrame((1L, base), (2L, base + " tokX"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minHashLshPairs(df, "doc_id", "text",
+      numHashes = 16, bands = 8, shingleWidth = 2).count()
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the (tiny, GC-managed) checkpointed result may survive — the
+    // shingle and signature caches must be gone
+    assert(fresh.size <= 1, s"leaked cached RDDs: $fresh")
+  }
+
   test("simhash: identical docs equal, near docs close, far docs far") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val b = (1 to 28).map(i => s"w$i").mkString(" ") + " x1 x2"
@@ -118,6 +130,21 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // with 4 clear clusters and nprobe=2, recall@1 should be total
     assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
+  test("ivfTopK leaves no cached RDDs behind") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until 12).map(i =>
+      Row(i.toLong, Seq((i % 3).toFloat, 1f, (i % 2).toFloat)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Similarity.ivfTopK(df.where(col("vec_id") < 2), df, "vec_id",
+      "embedding", 2, nlist = 2, iters = 2, nprobe = 2).count()
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(fresh.isEmpty, s"leaked cached RDDs: $fresh")
   }
 
   test("text ops: tokens, ratios, langid, fingerprints") {
