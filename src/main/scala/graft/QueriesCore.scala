@@ -292,6 +292,24 @@ object QueriesCore {
         .orderBy("nation", "date")
     }),
 
+    // convert as_freq override + start_by weekly anchors: the session
+    // frequency is deliberately WRONG (annual) and as_freq=q must override
+    // it — without the override the q→m upsample calendar would extend to
+    // year-end and the row set would differ. REVL/REVC are Friday-anchored
+    // weekly downsamples via the two equivalent spellings (w(fri) target
+    // vs start_by=fri 6th arg).
+    "q37_convert_asfreq" -> ((s, dir) => {
+      val out = runScript(
+        """freq a
+          |revm = convert(rev, m, constant, average, q, off)
+          |revw = convert(revl, w(fri), discrete, sum)
+          |revw2 = convert(revc, w, discrete, sum, *, fri)""".stripMargin,
+        quarterly(s, dir))
+      out.select(col("DATE").as("date"), r8(col("REV_MON")).as("revm"),
+        r8(col("REVL_WK")).as("revw"), r8(col("REVC_WK")).as("revw2"))
+        .orderBy("date")
+    }),
+
     // weekly + business-day convert (anchored weeks, Mon–Fri calendar)
     "q32_convert_weekly" -> ((s, dir) => {
       val out = runScript(
@@ -631,6 +649,47 @@ object QueriesCore {
          |SELECT m.date AS date, round(wk.rw, 8) AS rev_wk,
          |       f.cb AS cnt_busd
          |FROM m LEFT JOIN wk ON m.date = wk.wd LEFT JOIN f ON m.date = f.date
+         |ORDER BY date""".stripMargin,
+
+    // as_freq=q bounds the month calendar at quarter end (not year end);
+    // q→w(fri) is an UPSAMPLE onto a Friday grid (first Friday ≥ min date,
+    // step 7 days): quarterly observations sit BETWEEN grid points, so the
+    // step fill runs over grid ∪ observation dates and keeps grid rows
+    "q37_convert_asfreq" ->
+      s"""$quarterlySql, cal AS (
+         |  SELECT unnest(generate_series(
+         |    (SELECT min(date) FROM q),
+         |    (SELECT (date_trunc('quarter', max(date)) + INTERVAL 3 MONTH - INTERVAL 1 DAY)::DATE FROM q),
+         |    INTERVAL 1 MONTH))::DATE AS date
+         |), f AS (
+         |  SELECT cal.date AS date,
+         |    last_value(q.rev IGNORE NULLS) OVER
+         |      (ORDER BY cal.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revm
+         |  FROM cal LEFT JOIN q USING (date)
+         |), wcal AS (
+         |  -- the weekly converts pass no as_freq, so they inherit the
+         |  -- session frequency (annual): grid extends to YEAR end of max
+         |  SELECT unnest(generate_series(
+         |    (SELECT (date_trunc('week', min(date) + INTERVAL 2 DAY) + INTERVAL 4 DAY)::DATE FROM q),
+         |    (SELECT (date_trunc('year', max(date)) + INTERVAL 1 YEAR - INTERVAL 1 DAY)::DATE FROM q),
+         |    INTERVAL 7 DAY))::DATE AS date
+         |), wf AS (
+         |  SELECT date, incal,
+         |    last_value(rev IGNORE NULLS) OVER
+         |      (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revw
+         |  FROM (
+         |    SELECT coalesce(wcal.date, q.date) AS date,
+         |           wcal.date IS NOT NULL AS incal, q.rev AS rev
+         |    FROM wcal FULL JOIN q ON wcal.date = q.date
+         |  )
+         |), wk AS (
+         |  SELECT date, revw FROM wf WHERE incal
+         |), dates AS (
+         |  SELECT date FROM cal UNION SELECT date FROM wk UNION SELECT date FROM q
+         |)
+         |SELECT d.date AS date, round(f.revm, 8) AS revm,
+         |  round(wk.revw, 8) AS revw, round(wk.revw, 8) AS revw2
+         |FROM dates d LEFT JOIN f USING (date) LEFT JOIN wk USING (date)
          |ORDER BY date""".stripMargin
   )
 }

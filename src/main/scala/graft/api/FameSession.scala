@@ -49,9 +49,15 @@ object FameSession {
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
       input, dateCol, partitionKeys, nlrx)
 
+  /** @param dateofStub reference-compat: `dateof` two-suffix variants
+    *                    compile to the reference's literal stubs
+    *                    (`formulas_generator.py:1331-1338`) instead of the
+    *                    real window implementation. Default off = real impl.
+    */
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
-      nlrx: Nlrx = Nlrx.HpSmoother): SeriesFrame = {
+      nlrx: Nlrx = Nlrx.HpSmoother,
+      dateofStub: Boolean = false): SeriesFrame = {
 
     // uppercase-normalize input columns (reference normalizes all names,
     // `formulas_generator.py:248-257`)
@@ -71,7 +77,8 @@ object FameSession {
         val r = cur.where(col(dateCol) === lit(java.sql.Date.valueOf(date)))
           .select(col(series)).limit(1).collect()
         if (r.isEmpty || r(0).isNullAt(0)) null else r(0).get(0)
-      })
+      },
+      dateofStub = dateofStub)
 
     // ------------------------------------------------- convert bridge phase
     val converts = bounds.collect { case b @ Bound(_, c: ConvertAssign, _, _, _) => (b, c) }
@@ -84,8 +91,12 @@ object FameSession {
     // joins — plan size grows multiplicatively and profiling showed dozens
     // of redundant sort-merge joins for a 3-convert script
     val bridgeBase = cur.withColumn(dateCol, to_date(col(dateCol)))
+    // group key mirrors the reference's (freq, technique, observed,
+    // start_by) batching (`fame2py_converter.py:291-299`) plus the
+    // effective source frequency: the statement's as_freq override when
+    // given, else the session frequency at that statement
     converts.groupBy { case (b, c) =>
-      (c.freq, c.technique, c.observed, c.startBy, b.freq) }
+      (c.freq, c.technique, c.observed, c.startBy, c.asFreq.orElse(b.freq)) }
       .toSeq.sortBy(_._2.head._1.order)
       .foreach { case ((tgtFreq, technique, observed, _, srcFreqOpt), group) =>
         val srcFreq = srcFreqOpt.orElse(sessionFreq).getOrElse(Frequency.Monthly)
@@ -133,6 +144,11 @@ object FameSession {
             cur, dateCol)
         }
         cur = cur.withColumns(scala.collection.immutable.ListMap(batch: _*))
+        // a re-assignment of a convert target supersedes the bridge
+        // redirect: later readers must resolve to the fresh column, not
+        // the stale converted one (the RHS above still saw the redirect,
+        // matching the reference's statement-order semantics)
+        refMap --= batch.map(_._1)
       }
       others.foreach { b =>
         b.stmt match {
@@ -193,6 +209,15 @@ object FameSession {
 
           case ListAlias(_, _) => // planner-side metadata only (SURVEY §2.1 #17)
           case _ => ()
+        }
+        // same redirect invalidation for kernel-written targets
+        b.stmt match {
+          case PointInTime(t, _, _)      => refMap -= t
+          case ChainAssign(t, _, _)      => refMap -= t
+          case FishvolAssign(t, _, _, _) => refMap -= t
+          case NlrxAssign(t, _, _)       => refMap -= t
+          case ShiftPctAssign(t, _, _)   => refMap -= t
+          case _                         => ()
         }
       }
     }

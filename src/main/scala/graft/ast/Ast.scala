@@ -19,8 +19,9 @@ object Frequency {
   case object Annual    extends Frequency("_ANN")
 
   // weekday aliases incl. the reference's single/double-letter forms
-  // (`formulas_generator.py:85-93`)
-  private val weekdays = Map(
+  // (`formulas_generator.py:85-93`); exposed so `start_by` day arguments
+  // (`formulas_generator.py:213-217`) resolve with the same table
+  val weekdays = Map(
     "m" -> 1, "mon" -> 1, "monday" -> 1,
     "tu" -> 2, "tue" -> 2, "tues" -> 2, "tuesday" -> 2,
     "w" -> 3, "wed" -> 3, "wednesday" -> 3,
@@ -179,9 +180,15 @@ object FameStmt {
       extends FameStmt
   /** `v27 = {a, b, c}` */
   final case class ListAlias(name: String, members: Seq[String]) extends FameStmt
-  /** `x = convert(src, freq, technique, observed[, asFreq[, startBy]])` */
+  /** `x = convert(src, freq, technique, observed[, asFreq[, startBy]])` —
+    * `asFreq` (5th arg, `*` = unset) overrides the session frequency as the
+    * SOURCE frequency; `startBy` (6th arg, `off` = unset, or implied by a
+    * `w(wed)`-style target) anchors the weekly calendar
+    * (`fame2pygen/formulas_generator.py:184-187,207-217`).
+    */
   final case class ConvertAssign(target: String, source: String, freq: Frequency,
-      technique: String, observed: String, startBy: Option[String]) extends FameStmt
+      technique: String, observed: String, asFreq: Option[Frequency],
+      startBy: Option[String]) extends FameStmt
   /** `set x = $chain("a - b + c", "2020")` at statement level */
   final case class ChainAssign(target: String, terms: Seq[(Int, String)],
       baseYear: Int) extends FameStmt

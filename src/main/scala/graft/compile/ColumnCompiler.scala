@@ -35,12 +35,17 @@ object ColumnCompiler {
     *                `v["2020-01-01"]` / `v[scalar]` (the reference collects
     *                the same way, `fame2py_converter.py:497-503`).
     */
+  /** @param dateofStub reference-compat mode for `dateof` suffix variants:
+    *                    emit the reference's literal stubs instead of the
+    *                    real window implementation (SURVEY §7 compat flag).
+    */
   final case class Ctx(
       dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       scalars: Map[String, Any] = Map.empty,
       refMap: Map[String, String] = Map.empty,
-      lookup: (String, LocalDate) => Any = (_, _) => null) {
+      lookup: (String, LocalDate) => Any = (_, _) => null,
+      dateofStub: Boolean = false) {
 
     def win: WindowSpec =
       if (partitionKeys.isEmpty) Window.orderBy(dateCol)
@@ -178,6 +183,15 @@ object ColumnCompiler {
       case Str(s) => s.toUpperCase
       case Ref(s) => s.toUpperCase
     }.toSet
+    // compat flag: reproduce the reference's literal stubs for the
+    // two-suffix variants (`formulas_generator.py:1331-1338`): BEFORE+ENDING
+    // and CONTAIN+END are date(9999,12,31); other suffix pairs are null
+    if (ctx.dateofStub && (mods - "*").size >= 2) {
+      return if ((mods.contains("BEFORE") && mods.contains("ENDING")) ||
+                 (mods.contains("CONTAIN") && mods.contains("END")))
+        lit(java.sql.Date.valueOf(LocalDate.of(9999, 12, 31)))
+      else lit(null).cast(org.apache.spark.sql.types.DateType)
+    }
     val obsDate = when(series.isNotNull, col(ctx.dateCol))
     val wantFirst = mods.exists(m => m.startsWith("BEGIN") || m == "START" || m == "STARTING")
     val before = mods.contains("BEFORE")

@@ -118,10 +118,18 @@ object Convert {
     // one calendar per (partition key) group, built distributed
     val bounds = df.groupBy(keys.map(col): _*)
       .agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+    // a weekly target grid lands on the anchor weekday (`w(wed)` /
+    // `start_by` — SURVEY §2.5): first grid day = first anchor day ≥ lo
+    val seqStart: Column = target match {
+      case wk: Frequency.Weekly =>
+        val ps = periodStart(col("__lo"), wk)
+        when(ps < to_date(col("__lo")), date_add(ps, 7)).otherwise(ps)
+      case _ => to_date(col("__lo"))
+    }
     val calendar = bounds
       .withColumn("__hi", periodEnd(col("__hi"), sourceFreq))
       .select((keys.map(col) :+
-        explode(sequence(to_date(col("__lo")), col("__hi"), stepInterval(target)))
+        explode(sequence(seqStart, col("__hi"), stepInterval(target)))
           .as(dateCol)): _*)
     val calendarF = target match {
       case Frequency.Business =>
@@ -131,7 +139,13 @@ object Convert {
 
     val src = df.select((keys.map(col) :+ to_date(col(dateCol)).as(dateCol)) ++
       cols.map(col): _*)
-    val joined = calendarF.join(src, keys :+ dateCol, "left")
+    // FULL join so source observations that fall between grid points (e.g.
+    // quarter starts under a Friday-anchored weekly grid) still feed the
+    // fill/interpolation windows; only grid rows survive into the result
+    val joined0 = calendarF.withColumn("__cal", lit(true))
+      .join(src, keys :+ dateCol, "full")
+    def onGrid(d: DataFrame): DataFrame = d.where(col("__cal")).drop("__cal")
+    val joined = joined0
 
     val w =
       if (keys.isEmpty) Window.orderBy(dateCol)
@@ -139,7 +153,7 @@ object Convert {
     val back = w.rowsBetween(Window.unboundedPreceding, 0)
     val fwd  = w.rowsBetween(0, Window.unboundedFollowing)
 
-    technique match {
+    val filled = technique match {
       case "constant" | "discrete" =>
         cols.foldLeft(joined) { (acc, c) =>
           acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
@@ -210,6 +224,7 @@ object Convert {
           acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
         }
     }
+    onGrid(filled)
   }
 
   /** Whether src→target is a downsample (coarser target). */

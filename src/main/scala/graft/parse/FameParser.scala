@@ -452,12 +452,26 @@ object FameParser {
           case other  => throw ParseError(s"bad convert arg $other", line)
         }
         if (names.size < 4) throw ParseError("convert needs 4+ args", line)
-        val freq = Frequency.parse(names(1)).getOrElse(
+        val freq0 = Frequency.parse(names(1)).getOrElse(
           throw ParseError(s"bad convert freq `${names(1)}`", line))
+        // as_freq (5th arg): source-frequency override; `*` = use session
+        // frequency (`formulas_generator.py:207-210`). The reference passes
+        // the raw string to its closed kernel unvalidated (the corpus has
+        // 'END' here) — honor it only when it IS a frequency token.
+        val asFreq = names.drop(4).headOption.map(_.trim.toLowerCase)
+          .filter(s => s.nonEmpty && s != "*")
+          .flatMap(Frequency.parse)
+        // start_by (6th arg): `off` = none (`formulas_generator.py:213-217`)
         val startBy = names.drop(5).headOption.map(_.toLowerCase).filter(_ != "off")
+        // a start_by weekday anchors an un-anchored weekly target — same
+        // effect as `w(wed)`-style frequency syntax (`:184-187`)
+        val freq = (freq0, startBy.flatMap(Frequency.weekdays.get)) match {
+          case (Frequency.Weekly(None), Some(d)) => Frequency.Weekly(Some(d))
+          case _ => freq0
+        }
         ConvertAssign(target, names.head, freq,
           technique = normTechnique(names(2)), observed = normObserved(names(3)),
-          startBy = startBy)
+          asFreq = asFreq, startBy = startBy)
       case ChainCall(terms, year) => ChainAssign(target, terms, year)
       // self-referential shift-pct also appears WITHOUT [t] on the LHS
       // (`v123s = v123s[t+1]/(1+(pct(p[t+1])/100))`, tests/test_nlrx.py);

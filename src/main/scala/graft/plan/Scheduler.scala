@@ -22,7 +22,7 @@ final case class Bound(
     case Assign(t, _, _, _)         => Some(t)
     case ScalarAssign(t, _)         => Some(t)
     case PointInTime(t, _, _)       => Some(t)
-    case ConvertAssign(t, _, _, _, _, _) => Some(t)
+    case ConvertAssign(t, _, _, _, _, _, _) => Some(t)
     case ChainAssign(t, _, _)       => Some(t)
     case FishvolAssign(t, _, _, _)  => Some(t)
     case NlrxAssign(t, _, _)        => Some(t)
@@ -37,7 +37,7 @@ final case class Bound(
     case Assign(_, e, _, _)        => FameExpr.refs(e)
     case ScalarAssign(_, e)        => FameExpr.refs(e)
     case PointInTime(_, _, e)      => FameExpr.refs(e)
-    case ConvertAssign(_, src, _, _, _, _) => Set(src)
+    case ConvertAssign(_, src, _, _, _, _, _) => Set(src)
     case ChainAssign(_, terms, _)  =>
       terms.flatMap { case (_, q) => Seq(q, "P" + q) }.toSet
     case FishvolAssign(_, vs, ps, _) => (vs ++ ps).toSet

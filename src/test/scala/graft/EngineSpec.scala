@@ -113,6 +113,37 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "X"), Seq(Some(1.0), Some(3.0)))
   }
 
+  test("dateofStub compat flag reproduces the reference's literal stubs") {
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "A" -> Seq(1, 2))
+    val out = FameSession.run(
+      """d1 = dateof(a, *, contain, end)
+        |d2 = dateof(a, *, before, ending)
+        |d3 = dateof(a, *, before, end)""".stripMargin, in,
+      dateofStub = true).df.orderBy("DATE").collect()
+    // CONTAIN+END and BEFORE+ENDING -> date(9999,12,31); other pairs null
+    // (`formulas_generator.py:1331-1338`)
+    assert(out.forall(_.getDate(out.head.fieldIndex("D1")).toString == "9999-12-31"))
+    assert(out.forall(_.getDate(out.head.fieldIndex("D2")).toString == "9999-12-31"))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("D3"))))
+    // default (flag off) keeps the real implementation
+    val real = FameSession.run("d1 = dateof(a, *, contain, end)", in)
+      .df.orderBy("DATE").collect()
+    assert(real.forall(_.getDate(real.head.fieldIndex("D1")).toString == "2020-02-01"))
+  }
+
+  test("re-assigning a convert target supersedes the bridge redirect") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(1, 2, 3))
+    val out = FameSession.run(
+      """freq m
+        |xq = convert(v, q, discrete, sum)
+        |xq = 7
+        |z = xq + 1""".stripMargin, in).df
+    // without redirect invalidation, Z would read the stale V_QTRLY column
+    assertSeq(column(out, "XQ"), Seq.fill(3)(Some(7.0)))
+    assertSeq(column(out, "Z"), Seq.fill(3)(Some(8.0)))
+  }
+
   test("scalar + ave + dependency ordering") {
     val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
     val out = FameSession.run(

@@ -131,9 +131,9 @@ class MasterScriptSpec extends SparkSpec {
     import graft.ast.FameStmt._
     import graft.ast.Frequency
     assert(FameParserHelpers.parse("set v23 = convert(v24, 'Q', 'disc', 'AVG', 'END')") ==
-      ConvertAssign("V23", "V24", Frequency.Quarterly, "discrete", "average", None))
+      ConvertAssign("V23", "V24", Frequency.Quarterly, "discrete", "average", None, None))
     assert(FameParserHelpers.parse("b2 = convert(temp, bus, disc, ave)") ==
-      ConvertAssign("B2", "TEMP", Frequency.Business, "discrete", "average", None))
+      ConvertAssign("B2", "TEMP", Frequency.Business, "discrete", "average", None, None))
   }
 }
 

@@ -106,9 +106,26 @@ class ParserSpec extends AnyFunSuite {
 
   test("convert") {
     assert(parseLine("x = convert(v_monthly, q, discrete, average)") ==
-      ConvertAssign("X", "V_MONTHLY", Frequency.Quarterly, "discrete", "average", None))
+      ConvertAssign("X", "V_MONTHLY", Frequency.Quarterly, "discrete", "average", None, None))
     assert(parseLine("vd = convert(vm, b, linear, end)") ==
-      ConvertAssign("VD", "VM", Frequency.Business, "linear", "end", None))
+      ConvertAssign("VD", "VM", Frequency.Business, "linear", "end", None, None))
+  }
+
+  test("convert as_freq/start_by (test_convert_grouping.py:95-116)") {
+    // `*` as_freq and `off` start_by mean unset
+    assert(parseLine("a2 = convert(a, b, disc, ave, *, off)") ==
+      ConvertAssign("A2", "A", Frequency.Business, "discrete", "average", None, None))
+    // explicit as_freq overrides the session source frequency
+    assert(parseLine("x = convert(v, m, const, ave, q, off)") ==
+      ConvertAssign("X", "V", Frequency.Monthly, "constant", "average",
+        Some(Frequency.Quarterly), None))
+    // start_by weekday anchors an un-anchored weekly target, same as w(fri)
+    assert(parseLine("x = convert(v, w, disc, sum, *, fri)") ==
+      ConvertAssign("X", "V", Frequency.Weekly(Some(5)), "discrete", "sum",
+        None, Some("fri")))
+    assert(parseLine("cc = convert(c, w(w), disc, ave)") ==
+      ConvertAssign("CC", "C", Frequency.Weekly(Some(3)), "discrete", "average",
+        None, None))
   }
 
   test("chain statement and inline") {

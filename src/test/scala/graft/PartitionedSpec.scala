@@ -102,6 +102,26 @@ class PartitionedSpec extends SparkSpec {
     assert(smB.forall(v => math.abs(v.get - 5.0) < 1e-6)) // flat stays flat
   }
 
+  test("nlrx smooths an entity whose partition key is null") {
+    // null keys must round-trip the solve/join-back key encoding: the old
+    // two-encoding scheme silently nulled the whole entity's output
+    val months = Seq("2020-01-01", "2020-02-01", "2020-03-01", "2020-04-01")
+    val rows = months.indices.map(i => Row(null, d(months(i)), (i + 1) * 10.0)) ++
+      months.indices.map(i => Row("B", d(months(i)), 5.0))
+    val in = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("ENT", StringType),
+        StructField("DATE", DateType), StructField("Y", DoubleType))))
+    val out = FameSession.run(
+      "sm = nlrx(0, y, y, y, y, y, y, y)", in, partitionKeys = Seq("ENT")).df
+    val nullEnt = out.where(out("ENT").isNull).orderBy("DATE")
+      .select("SM").collect().toSeq
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assertSeq(nullEnt, Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0)))
+    assertSeq(byEntity(out, "B", "SM"), Seq.fill(4)(Some(5.0)))
+  }
+
   test("backward shift-pct anchors per entity") {
     // cnt-style driver series P grows 10%/period for A, flat for B;
     // rev2 anchored at the 2020-04-01 value and reconstructed backwards
