@@ -57,7 +57,10 @@ object QueriesExt {
     // (rows-only: LSH hashing is not SQL-expressible)
     "q22_minhash_lsh" -> ((s, dir) => {
       // 8 bands × 4 rows: P(candidate) = 1-(1-J⁴)⁸ — the corpus's real
-      // near-dups (J ≥ 0.3) surface, J≈0.05 vocabulary noise does not
+      // near-dups (J ≥ 0.3) surface, J≈0.05 vocabulary noise does not.
+      // minEstJaccard stays at its 0.0 default: banding already bounds
+      // every candidate's est at ≥ 4/32, and this query reports ALL
+      // verified candidates, so any effective floor would change output
       Dedup.minHashLshPairs(docs(s, dir), "doc_id", "text",
         numHashes = 32, bands = 8, shingleWidth = 2)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 8).as("est_jaccard"),

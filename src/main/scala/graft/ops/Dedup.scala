@@ -83,52 +83,73 @@ object Dedup {
   /** Near-duplicate candidate pairs via banded LSH over MinHash signatures,
     * verified with true word-shingle Jaccard.
     *
+    * Candidate generation is ONE aggregation: bucket members are collected
+    * per (band, bucket) — skew-capped by `maxBucketSize` first — and the
+    * id<id pairs plus their signature-agreement estimate are expanded
+    * in-row with array higher-order functions. Carrying the (numHashes
+    * longs) signature through that single bucket shuffle costs
+    * `bands × 8·numHashes` bytes per doc and replaces BOTH sides of the
+    * signature-lookup join a classic formulation needs (two full shuffles
+    * of the signature table) — fewer stages here, strictly less shuffled
+    * data at corpus scale.
+    *
+    * @param minEstJaccard drop candidates whose signature-agreement
+    *        estimate is below this floor before the (expensive) exact
+    *        shingle-intersection verify join. Note banding guarantees every
+    *        candidate agrees on ≥ one full band, i.e. est ≥
+    *        `(numHashes/bands)/numHashes` — a floor at or below that is a
+    *        no-op; a useful floor sits between that bound and the caller's
+    *        true near-dup threshold.
     * @return (id1, id2, est_jaccard, jaccard) with id1 < id2, one row per
     *         verified candidate pair; filter on `jaccard` downstream.
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, minEstJaccard: Double = 0.0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // ONE shingle table feeds both the signatures and the verification
-    // join; both it and the (tiny, n × numHashes longs) signature table
-    // are persisted because each has multiple consumers downstream. Both
-    // are released before returning — the result is materialized eagerly
-    // below, so the caches never outlive this call.
+    // join; it is persisted and released before returning — the result is
+    // materialized eagerly below, so the cache never outlives this call.
+    // (The signature table now has exactly one consumer, so unlike
+    // round 2/3 it is NOT cached.)
     val shingles = shingleRows(df, idCol, textCol, shingleWidth).persist()
-    val sig = signaturesFromShingles(shingles, idCol, numHashes).persist()
+    val sig = signaturesFromShingles(shingles, idCol, numHashes)
 
-    // band hash = hash of the band's signature slice
-    val banded = sig.select(col(idCol) +: (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
-        .as(s"band_$b")
-    }: _*)
-    val buckets = banded.select(col(idCol), posexplode(
-      array((0 until bands).map(b => col(s"band_$b")): _*)).as(Seq("band", "bucket")))
+    // per-doc signature array + per-band slice hashes, one projection
+    val bandArr = sig.select(col(idCol),
+      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__sig"),
+      array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+      }: _*).as("__bands"))
+    val buckets = bandArr.select(col(idCol), col("__sig"),
+      posexplode(col("__bands")).as(Seq("band", "bucket")))
 
-    // drop pathological buckets (boilerplate) before the self-join
+    // drop pathological buckets (boilerplate) and pair-less singletons; the
+    // groupBy below reuses this window's (band, bucket) partitioning
     val sized = buckets.withColumn("__n",
       count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .where(col("__n") <= maxBucketSize).drop("__n")
+      .where(col("__n") <= maxBucketSize && col("__n") >= 2).drop("__n")
 
-    val l = sized.select(col("band"), col("bucket"), col(idCol).as("id1"))
-    val r = sized.select(col("band"), col("bucket"), col(idCol).as("id2"))
-    val cand = l.join(r, Seq("band", "bucket"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-
-    // estimated Jaccard = fraction of matching signature components
-    val sigL = sig.select(col(idCol).as("id1"),
-      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__s1"))
-    val sigR = sig.select(col(idCol).as("id2"),
-      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__s2"))
-    val withEst = cand.join(sigL, "id1").join(sigR, "id2")
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("__s1"), col("__s2"), (a, b) =>
-          when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-      .drop("__s1", "__s2")
+    // bucket arrays are ≤ maxBucketSize members by construction (bounded
+    // memory per group); in-row expansion of the sorted array yields each
+    // id1 < id2 pair with est = fraction of matching signature components
+    val grouped = sized.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"),
+        col("__sig").as("s")))).as("ids"))
+    val withEst = grouped.select(explode(flatten(
+      transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))), b =>
+          struct(a.getField("id").as("id1"), b.getField("id").as("id2"),
+            (aggregate(zip_with(a.getField("s"), b.getField("s"), (x, y) =>
+              when(x === y, 1).otherwise(0)),
+              lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+              .as("est_jaccard")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.est_jaccard").as("est_jaccard"))
+      // a pair can meet in several bands; est is identical in each
+      .groupBy("id1", "id2").agg(first(col("est_jaccard")).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
 
     // verify with true shingle Jaccard: |A∩B| via a shingle-level join.
     // Joining on (id2, shingle) keeps it an equi-join — the intersection is
@@ -156,7 +177,6 @@ object Dedup {
       // lifetime. localCheckpoint blocks are context-cleaned on GC.
       .localCheckpoint(true)
     shingles.unpersist()
-    sig.unpersist()
     out
   }
 
