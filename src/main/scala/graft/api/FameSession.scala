@@ -11,7 +11,7 @@ import graft.ast.FameExpr._
 import graft.ast.FameStmt._
 import graft.compile.ColumnCompiler
 import graft.compile.ColumnCompiler.Ctx
-import graft.kernels.{Convert, Indices, Nlrx, ShiftPct}
+import graft.kernels.{BusinessCalendar, Convert, Indices, Nlrx, ShiftPct}
 import graft.parse.FameParser
 import graft.plan.{Bound, Scheduler}
 
@@ -44,24 +44,31 @@ object FameSession {
     */
   def runFile(path: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
-      nlrx: Nlrx = Nlrx.HpSmoother): SeriesFrame =
+      nlrx: Nlrx = Nlrx.HpSmoother,
+      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly): SeriesFrame =
     run(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8),
-      input, dateCol, partitionKeys, nlrx)
+      input, dateCol, partitionKeys, nlrx, businessCal = businessCal)
 
   /** @param dateofStub reference-compat: `dateof` two-suffix variants
     *                    compile to the reference's literal stubs
     *                    (`formulas_generator.py:1331-1338`) instead of the
     *                    real window implementation. Default off = real impl.
+    * @param businessCal business-day calendar for b-frequency converts
+    *                    (SURVEY §2.5); default Mon–Fri matches the
+    *                    reference's `is_business_day`.
     */
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother,
-      dateofStub: Boolean = false): SeriesFrame = {
+      dateofStub: Boolean = false,
+      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly): SeriesFrame = {
 
     // uppercase-normalize input columns (reference normalizes all names,
-    // `formulas_generator.py:248-257`)
-    val df0 = input.columns.foldLeft(input)((d, c) => d.withColumnRenamed(c, c.toUpperCase))
+    // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a
+    // foldLeft(withColumnRenamed) builds one nested Project per column and
+    // analysis cost grows quadratically on wide (hundreds-of-series) frames
+    val df0 = input.select(input.columns.map(c => col(c).as(c.toUpperCase)): _*)
     val stmts = FameParser.parseScript(script)
     val preExisting = df0.columns.toSet
     val bounds = Scheduler.bind(stmts, preExisting)
@@ -107,7 +114,8 @@ object FameSession {
           if (Convert.isDown(srcFreq, tgtFreq))
             Convert.down(projected, dateCol, srcCols, tgtFreq, observed, partitionKeys)
           else
-            Convert.up(projected, dateCol, srcCols, srcFreq, tgtFreq, technique, partitionKeys)
+            Convert.up(projected, dateCol, srcCols, srcFreq, tgtFreq, technique,
+              partitionKeys, businessCal)
         // rename to the suffix contract: A → A_QTRLY etc. (SURVEY §2.5)
         val converted = srcCols.foldLeft(converted0)(
           (d, c) => d.withColumnRenamed(c, c + tgtFreq.suffix))

@@ -24,8 +24,10 @@ import graft.ast.Frequency
   *    fill (`last(ignoreNulls)` running window); linear = interpolation
   *    between bracketing non-null observations using date fractions; cubic
   *    falls back to linear (documented divergence).
-  *  - Business frequency = daily filtered to Mon–Fri
-  *    (`fame2py_converter.py:401-402` uses `is_business_day`).
+  *  - Business frequency = daily filtered through a pluggable
+  *    [[BusinessCalendar]] (default Mon–Fri, matching the reference's
+  *    `is_business_day`, `fame2py_converter.py:401-402`; supply
+  *    [[BusinessCalendar.WithHolidays]] for exchange/national holidays).
   *
   * Scale: group-by keys are (partitionKeys, truncated date) so the shuffle
   * spreads across entities; the upsample windows are per partition key. With
@@ -112,7 +114,8 @@ object Convert {
     */
   def up(df: DataFrame, dateCol: String, cols: Seq[String],
       sourceFreq: Frequency, target: Frequency, technique: String,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly): DataFrame = {
     val spark = df.sparkSession
 
     // one calendar per (partition key) group, built distributed
@@ -133,7 +136,7 @@ object Convert {
           .as(dateCol)): _*)
     val calendarF = target match {
       case Frequency.Business =>
-        calendar.where(!dayofweek(col(dateCol)).isin(1, 7)) // drop Sun/Sat
+        calendar.where(businessCal.isBusinessDay(col(dateCol)))
       case _ => calendar
     }
 
@@ -174,28 +177,33 @@ object Convert {
       case "cubic" =>
         // Catmull-Rom-style cubic Hermite between bracketing observations:
         // per-observation slopes are the centered secants (one-sided at the
-        // edges), computed over the column's OBSERVATION rows only (a lag
-        // over the calendar-joined frame would see the injected null rows)
-        // — local and distributed, no global spline solve.
+        // edges) — local and distributed, no global spline solve. ALL
+        // columns' slopes are computed in one windowed pass over the
+        // observation frame and joined back ONCE per convert group (a
+        // per-column join would add k-1 redundant shuffles for a k-column
+        // group). Prev/next-non-null windows over the shared frame are
+        // exactly the old per-column lag/lead over that column's non-null
+        // rows, without needing a per-column filter.
         val srcW =
           if (keys.isEmpty) Window.orderBy(dateCol)
           else Window.partitionBy(keys.map(col): _*).orderBy(dateCol)
-        val joinedS = cols.foldLeft(joined) { (acc, c) =>
-          val obs = src
-            .select((keys.map(col) :+ col(dateCol) :+ col(c)): _*)
-            .where(col(c).isNotNull)
-          val pvv = lag(col(c), 1).over(srcW)
-          val pdd = lag(col(dateCol), 1).over(srcW)
-          val nvv = lead(col(c), 1).over(srcW)
-          val ndd = lead(col(dateCol), 1).over(srcW)
+        val prevW = srcW.rowsBetween(Window.unboundedPreceding, -1)
+        val nextW = srcW.rowsBetween(1, Window.unboundedFollowing)
+        val slopeCols = cols.map { c =>
+          val obsDate = when(col(c).isNotNull, col(dateCol))
+          val pvv = last(col(c), ignoreNulls = true).over(prevW)
+          val pdd = max(obsDate).over(prevW)
+          val nvv = first(col(c), ignoreNulls = true).over(nextW)
+          val ndd = min(obsDate).over(nextW)
           val centered = (nvv - pvv) / datediff(ndd, pdd).cast("double")
           val fwdSlope = (nvv - col(c)) / datediff(ndd, col(dateCol)).cast("double")
           val bwdSlope = (col(c) - pvv) / datediff(col(dateCol), pdd).cast("double")
-          val slopes = obs
-            .select((keys.map(col) :+ col(dateCol) :+
-              coalesce(centered, fwdSlope, bwdSlope).as(s"__m_$c")): _*)
-          acc.join(slopes, keys :+ dateCol, "left")
+          when(col(c).isNotNull,
+            coalesce(centered, fwdSlope, bwdSlope)).as(s"__m_$c")
         }
+        val slopes = src.select(
+          (keys.map(col) :+ col(dateCol)) ++ slopeCols: _*)
+        val joinedS = joined.join(slopes, keys :+ dateCol, "left")
         cols.foldLeft(joinedS) { (acc, c) =>
           val obsDate = when(col(c).isNotNull, col(dateCol))
           val pv = last(col(c), ignoreNulls = true).over(back)

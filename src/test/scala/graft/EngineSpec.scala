@@ -224,4 +224,78 @@ class EngineSpec extends SparkSpec {
       """x = if t ge "2021-01-01" then v else nd""".stripMargin, in).df
     assertSeq(column(out, "X"), Seq(None, Some(2.0)))
   }
+
+  test("pluggable business calendar drops holidays from b-freq converts") {
+    import java.time.LocalDate
+    import graft.ast.Frequency
+    import graft.kernels.{BusinessCalendar, Convert}
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
+    val holidays = Set(LocalDate.of(2020, 1, 1), LocalDate.of(2020, 1, 20))
+
+    def dates(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("DATE").collect().map(_.getDate(0).toString).toSeq
+
+    val default = Convert.up(in, "DATE", Seq("V"),
+      Frequency.Monthly, Frequency.Business, "constant")
+    val withHol = Convert.up(in, "DATE", Seq("V"),
+      Frequency.Monthly, Frequency.Business, "constant",
+      businessCal = BusinessCalendar.WithHolidays(holidays))
+    val dd = dates(default)
+    val dh = dates(withHol)
+    // default = reference semantics: every weekday, including holidays
+    assert(dd.contains("2020-01-01") && dd.contains("2020-01-20"))
+    assert(dd.forall(s => {
+      val dow = java.sql.Date.valueOf(s).toLocalDate.getDayOfWeek.getValue
+      dow >= 1 && dow <= 5
+    }))
+    // custom calendar: exactly the two holidays removed, rest identical
+    assert(dh == dd.filterNot(Set("2020-01-01", "2020-01-20")))
+
+    // threaded end-to-end through FameSession.run (the convert target is a
+    // redirect to the suffixed V_BUSD column, SURVEY §2.5)
+    val out = FameSession.run("freq m\nvb = convert(v, b, constant, average)",
+      in, businessCal = BusinessCalendar.WithHolidays(holidays)).df
+    val vbDates = out.where(org.apache.spark.sql.functions.col("V_BUSD").isNotNull)
+      .orderBy("DATE").collect().map(_.getDate(0).toString).toSeq
+    assert(vbDates == dh)
+  }
+
+  test("wide input frames normalize with a single projection") {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val n = 200
+    val in = spark.range(1).select(
+      lit(java.sql.Date.valueOf("2020-01-01")).as("DATE") +:
+        (1 to n).map(i => lit(i.toDouble).as(s"c$i")): _*)
+    val out = FameSession.run("z = c1 + c2", in).df
+    assertSeq(column(out, "Z"), Seq(Some(3.0)))
+    // a rename chain would leave one nested Project per input column
+    val projects = out.queryExecution.analyzed.collect { case p: Project => p }
+    assert(projects.size <= 5,
+      s"wide-frame normalization built ${projects.size} Project nodes")
+  }
+
+  test("multi-column cubic upsample plans exactly one slope join") {
+    import graft.ast.Frequency
+    import graft.kernels.Convert
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val in = frame(Seq("2020-01-01", "2020-04-01", "2020-07-01"),
+      "A" -> Seq(1, 4, 9), "B" -> Seq(2, 3, 5))
+    val up = Convert.up(in, "DATE", Seq("A", "B"),
+      Frequency.Quarterly, Frequency.Monthly, "cubic")
+    val rows = up.orderBy("DATE").collect()
+    // calendar covers the final source quarter fully: 2020-01 .. 2020-09,
+    // with nulls past the last observation
+    assert(rows.length == 9)
+    // observation rows pass through exactly
+    def a(i: Int) = rows(i).getDouble(rows(i).fieldIndex("A"))
+    assert(a(0) == 1.0 && a(3) == 4.0 && a(6) == 9.0)
+    // interpolated rows stay within the bracketing hull for this convex data
+    assert(a(1) > 1.0 && a(2) < 4.0 && a(4) > 4.0 && a(5) < 9.0)
+    assert(rows(7).isNullAt(rows(7).fieldIndex("A")) &&
+      rows(8).isNullAt(rows(8).fieldIndex("A")))
+    // calendar join + ONE fused slope join — not one join per column
+    val joins = up.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size == 2, s"expected 2 joins (calendar + slopes), got ${joins.size}")
+  }
 }
