@@ -22,6 +22,13 @@ import graft.api.FameSession
   */
 object QueriesCore {
 
+  // NOTE for oracle authors: FAME numeric literals always compile to
+  // DOUBLE (the parser emits Num(Double), ColumnCompiler lowers it as
+  // lit(Double)), so oracle SQL must write value-position literals as
+  // floating point (`1.0`, not `1`) or DuckDB infers INTEGER columns and
+  // the driver's schema compare fails. This intentionally diverges from
+  // the Polars reference, which preserves integer literals — FAME series
+  // are numeric doubles throughout (SURVEY §1.2).
   private def r8(c: Column): Column = round(c, 8)
 
   /** Monthly (DATE, REV, CNT) from orders: REV = exact decimal revenue in
@@ -290,6 +297,31 @@ object QueriesCore {
         col("REV").as("rev"), col("P").as("p"),
         r8(col("REV_QTRLY")).as("rev_qtrly"))
         .orderBy("nation", "date")
+    }),
+
+    // the q19 script over the nation frame replicated 100x (~2500
+    // entities): the 100-TB scale proof that partitioned execution stays
+    // per-entity parallel — PartitionedSpec asserts the plan has no
+    // keyless windows. Output is a per-entity digest so the result stays
+    // small at any replication factor; sums go through DECIMAL so the
+    // digest is independent of partition order.
+    "q38_partitioned_scale" -> ((s, dir) => {
+      val reps = s.range(100).select(col("id").cast("string").as("REP"))
+      val wide = monthlyByNation(s, dir).crossJoin(reps)
+        .select(concat_ws("#", col("NATION"), col("REP")).as("NATION"),
+          col("DATE"), col("REV"))
+      val out = FameSession.run(
+        """freq m
+          |p = pct(rev)
+          |rev_q = convert(rev, q, discrete, sum)""".stripMargin,
+        wide, partitionKeys = Seq("NATION"))
+      out.df.groupBy(col("NATION").as("nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("P"), 8).cast(DecimalType(28, 8)))
+            .cast("double").as("sum_p"),
+          sum(round(col("REV_QTRLY"), 8).cast(DecimalType(28, 8)))
+            .cast("double").as("sum_rev_q"))
+        .orderBy("nation")
     }),
 
     // convert as_freq override + start_by weekly anchors: the session
@@ -629,6 +661,32 @@ object QueriesCore {
          |FROM j
          |WINDOW w AS (PARTITION BY nation ORDER BY date)
          |ORDER BY nation, date""".stripMargin,
+
+    // replicas are identical per nation, so the oracle computes each
+    // nation's digest once (exactly the q19 shape) and cross-joins the
+    // replica ids
+    "q38_partitioned_scale" ->
+      s"""$monthlyByNationSql, qq AS (
+         |  SELECT nation, date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq
+         |  FROM m GROUP BY 1, 2
+         |), j AS (
+         |  SELECT coalesce(m.nation, qq.nation) AS nation,
+         |         coalesce(m.date, qq.qd) AS date, m.rev AS rev, qq.rq AS rq
+         |  FROM m FULL JOIN qq ON m.nation = qq.nation AND m.date = qq.qd
+         |), pp AS (
+         |  SELECT nation,
+         |    (rev - lag(rev) OVER w) / lag(rev) OVER w * 100 AS p, rq
+         |  FROM j
+         |  WINDOW w AS (PARTITION BY nation ORDER BY date)
+         |), dgt AS (
+         |  SELECT nation, count(*) AS n_rows,
+         |    sum(CAST(round(p, 8) AS DECIMAL(28,8)))::DOUBLE AS sum_p,
+         |    sum(CAST(round(rq, 8) AS DECIMAL(28,8)))::DOUBLE AS sum_rev_q
+         |  FROM pp GROUP BY nation
+         |)
+         |SELECT dgt.nation || '#' || r.range AS nation, n_rows, sum_p, sum_rev_q
+         |FROM dgt CROSS JOIN range(100) r
+         |ORDER BY nation""".stripMargin,
 
     "q32_convert_weekly" ->
       s"""$dailySql, wk AS (

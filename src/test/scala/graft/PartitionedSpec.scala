@@ -141,4 +141,21 @@ class PartitionedSpec extends SparkSpec {
     val b = byEntity(out, "B", "REV2")
     assert(b.forall(v => math.abs(v.get - 500.0) < 1e-9)) // flat P → flat level
   }
+
+  test("partitioned scripts plan no keyless (single-partition) windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    // the q38_partitioned_scale script shape: every window in the plan
+    // must partition by the entity key, or one task would absorb the
+    // whole dataset at cluster scale
+    val in = entityFrame(("REV", Seq(1, 2, 3, 4), Seq(5, 6, 7, 8)))
+    val out = FameSession.run(
+      """freq m
+        |p = pct(rev)
+        |rev_q = convert(rev, q, discrete, sum)""".stripMargin,
+      in, partitionKeys = Seq("ENT")).df
+    val wins = out.queryExecution.optimizedPlan.collect { case w: Window => w }
+    assert(wins.nonEmpty, "expected windowed operators in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"found ${wins.count(_.partitionSpec.isEmpty)} keyless Window node(s)")
+  }
 }
