@@ -171,11 +171,16 @@ object Similarity {
     val probes = qb.select(col("query_id"), col("__qv"), explode(array(
       col("__b0") +: (0 until planes).map(p =>
         col("__b0").bitwiseXOR(shiftleft(lit(1L), p))): _*)).as("bucket"))
+    // a (query, neighbor) pair can meet in several probe buckets; dedup
+    // groups on the two ids only — cosine is identical per pair, so it
+    // rides along as first() instead of widening the shuffle key the way
+    // a distinct over (ids, double) would
     val scored = probes.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
-      .distinct()
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("cosine")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

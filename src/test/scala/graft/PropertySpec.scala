@@ -157,4 +157,84 @@ class PropertySpec extends AnyFunSuite {
       assert(once == once.toUpperCase)
     }
   }
+
+  // ---- nlrx HP smoother: no SQL oracle exists (q18 is rows-only), so the
+  // kernel is machine-checked against its defining equation instead
+
+  private val genSeries = for {
+    n <- Gen.choose(3, 60)
+    ys <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+  } yield ys.toArray
+
+  /** (DᵀD x)_i for the second-difference matrix D. */
+  private def dtd(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val d = Array.tabulate(math.max(n - 2, 0))(r => x(r) - 2 * x(r + 1) + x(r + 2))
+    Array.tabulate(n) { i =>
+      var s = 0.0
+      if (i < n - 2) s += d(i)
+      if (i - 1 >= 0 && i - 1 < n - 2) s += -2 * d(i - 1)
+      if (i - 2 >= 0 && i - 2 < n - 2) s += d(i - 2)
+      s
+    }
+  }
+
+  test("nlrx HP solve satisfies its defining equation (I + λDᵀD)x = y") {
+    import graft.kernels.Nlrx
+    val gen = Gen.zip(genSeries, Gen.oneOf(0.5, 10.0, 1600.0, 1e5))
+    forAllN(gen, n = 60) { case (y, lam) =>
+      val x = Nlrx.HpSmoother.solve(y, lam)
+      val ax = dtd(x)
+      val resid = y.indices.map(i => math.abs(x(i) + lam * ax(i) - y(i))).max
+      // relative residual: the matrix norm grows with λ, so scale the
+      // machine-precision budget by it
+      assert(resid < 1e-8 * (1.0 + lam),
+        s"residual $resid at λ=$lam, n=${y.length}")
+    }
+  }
+
+  test("nlrx HP solve: λ→0 is the identity") {
+    import graft.kernels.Nlrx
+    forAllN(genSeries, n = 40) { y =>
+      val x = Nlrx.HpSmoother.solve(y, 0.0)
+      assert(y.indices.forall(i => math.abs(x(i) - y(i)) < 1e-12))
+    }
+  }
+
+  test("nlrx HP solve: curvature decreases in λ and vanishes as λ→∞") {
+    import graft.kernels.Nlrx
+    def curvature(x: Array[Double]): Double =
+      (0 until x.length - 2).map { r =>
+        val d = x(r) - 2 * x(r + 1) + x(r + 2); d * d
+      }.sum
+    forAllN(genSeries, n = 40) { y =>
+      val c0 = curvature(y)
+      val cs = Seq(1.0, 100.0, 10000.0).map(l =>
+        curvature(Nlrx.HpSmoother.solve(y, l)))
+      // smoothing never adds curvature, and more λ never smooths less
+      assert(cs.head <= c0 + 1e-9)
+      assert(cs.sliding(2).forall { case Seq(a, b) => b <= a + 1e-9 })
+      val cInf = curvature(Nlrx.HpSmoother.solve(y, 1e12))
+      assert(cInf <= c0 * 1e-6 + 1e-12, s"λ=1e12 curvature $cInf vs $c0")
+    }
+  }
+
+  test("nlrx HP solve: null (NaN) positions are preserved, rest finite") {
+    import graft.kernels.Nlrx
+    val gen = for {
+      y <- genSeries
+      mask <- Gen.listOfN(y.length, Gen.prob(0.2))
+    } yield (y, mask)
+    forAllN(gen, n = 40) { case (y0, mask) =>
+      val y = y0.clone()
+      mask.zipWithIndex.foreach { case (m, i) => if (m) y(i) = Double.NaN }
+      val x = Nlrx.HpSmoother.solve(y, 100.0)
+      if (!y.forall(_.isNaN)) {
+        y.indices.foreach { i =>
+          if (y(i).isNaN) assert(x(i).isNaN)
+          else assert(!x(i).isNaN && !x(i).isInfinite)
+        }
+      }
+    }
+  }
 }
