@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -27,6 +27,25 @@ object QueriesExt {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+  /** (id1, id2, jaccard): character-trigram Jaccard between consecutive
+    * doc ids — q21's body, shared with q39's edge construction.
+    * normText is materialized in its own projection: inlining it into the
+    * charNgrams lambda would re-run the regex once per gram.
+    */
+  private def consecTriJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
+    val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
+    val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
+    a.join(b, col("id2") === col("id1") + 1)
+      .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("inter")))
+      .select("id1", "id2", "jaccard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on normalized text
@@ -37,21 +56,8 @@ object QueriesExt {
 
     // character-trigram Jaccard between consecutive doc ids (array-native,
     // no explode — set ops stay inside one projection)
-    "q21_ngram_jaccard" -> ((s, dir) => {
-      // materialize normText in its own projection: inlining it into the
-      // charNgrams lambda would re-run the regex once per gram
-      val d = docs(s, dir)
-        .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
-      val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
-      val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
-      a.join(b, col("id2") === col("id1") + 1)
-        .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("inter")))
-        .select("id1", "id2", "jaccard").orderBy("id1")
-    }),
+    "q21_ngram_jaccard" -> ((s, dir) =>
+      consecTriJaccard(s, dir).orderBy("id1")),
 
     // MinHash + banded LSH near-dup candidates, verified with true Jaccard
     // (rows-only: LSH hashing is not SQL-expressible)
@@ -185,6 +191,47 @@ object QueriesExt {
           col("session_end"), col("n_events"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // near-dup CLUSTERING: the consecutive-pair trigram graph (edges =
+    // jaccard >= 0.5) resolved to connected components — pair detection
+    // turned into dedup groups with a canonical min-id survivor. The
+    // DuckDB oracle recomputes the components with a recursive CTE.
+    "q39_dedup_groups" -> ((s, dir) => {
+      val edges = consecTriJaccard(s, dir).where(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(edges, "id1", "id2", docs(s, dir), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing (C4/web-corpus-style redaction). The raw synthetic
+    // corpus has no PII, so deterministic addresses/URLs/phones are
+    // APPENDED by doc_id here (mirrored exactly in the oracle) and the
+    // query reports the scrubbed text plus per-kind match counts.
+    "q40_pii_scrub" -> ((s, dir) => {
+      val withPii = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" see https://example.org/item/"), col("doc_id"),
+            lit(" page"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309 ok"))
+          .otherwise(lit(""))).as("text"))
+      withPii.select(col("doc_id"),
+        TextOps.emailCount(col("text")).cast("long").as("n_emails"),
+        TextOps.urlCount(col("text")).cast("long").as("n_urls"),
+        TextOps.phoneCount(col("text")).cast("long").as("n_phones"),
+        TextOps.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test assignment: md5-hash split, stable
+    // under repartitioning/retries and reproducible from any engine —
+    // the oracle recomputes the same md5 arithmetic
+    "q41_hash_split" -> ((s, dir) => {
+      Sampling.splitByHash(docs(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
     }),
 
     // end-to-end training-data prep: exact dedup -> quality + language
@@ -332,6 +379,72 @@ object QueriesExt {
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    // recursive-CTE transitive closure: tractable because near-dup
+    // components are small; the engine side uses log-round label
+    // propagation instead
+    "q39_dedup_groups" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, $normSql AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
+         |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
+         |  WHERE length(t) >= 3
+         |), sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY 1),
+         |iv AS (
+         |  SELECT a.doc_id AS id1, count(*) AS inter
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
+         |  GROUP BY 1
+         |), jac AS (
+         |  SELECT sa.doc_id AS id1, sb.doc_id AS id2,
+         |    coalesce(iv.inter, 0)::DOUBLE
+         |          / (sa.s + sb.s - coalesce(iv.inter, 0)) AS j
+         |  FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+         |  LEFT JOIN iv ON iv.id1 = sa.doc_id
+         |), e AS (SELECT id1 AS a, id2 AS b FROM jac WHERE j >= 0.5),
+         |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT s.a AS node, r.label FROM sym s JOIN reach r ON r.node = s.b
+         |)
+         |SELECT node AS doc_id, min(label) AS component
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q40_pii_scrub" -> {
+      import graft.ops.TextOps.{EmailRe, PhoneRe, UrlRe}
+      s"""WITH w AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' contact user' || doc_id || '@example.com now'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |         THEN ' see https://example.org/item/' || doc_id || ' page'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 ok'
+         |         ELSE '' END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(text, '$UrlRe'))::BIGINT AS n_urls,
+         |  len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+
+    "q41_hash_split" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q34_sessions" ->
       """WITH g AS (

@@ -220,6 +220,80 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-dup pair graph — the
+    * step that turns pair detection ([[minHashLshPairs]] /
+    * [[simHashPairs]] / [[embeddingNearDupPairs]]) into actual dedup
+    * groups with one canonical survivor (the minimum id) per cluster.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (a) every node takes the minimum label in its closed neighborhood
+    * (one equi-join + one min-aggregation), then (b) labels compress one
+    * pointer hop (`label := label(label)`, a self-join) — the jumping
+    * step makes convergence logarithmic in component diameter instead of
+    * linear, which matters for the chain-shaped clusters boilerplate
+    * produces. Labels are localCheckpoint'ed every round, so lineage
+    * stays O(1) deep across iterations (the classic iterative-Spark
+    * plan-explosion failure mode) and the per-round convergence count is
+    * also the eager materialization of that checkpoint.
+    *
+    * @param universe frame holding every node id in `idCol`; ids absent
+    *                 from `pairs` come out as their own singleton
+    *                 component.
+    * @return (idCol, component) with component = minimum reachable id.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+      universe: DataFrame, idCol: String, maxRounds: Int = 20): DataFrame = {
+    // materialize the (tiny: near-dup pairs only) edge list ONCE — the
+    // caller's pair frame is usually an expensive similarity pipeline, and
+    // both the symmetrize union and every round would re-execute it
+    val e0 = pairs.select(col(id1).cast("long").as("a"),
+      col(id2).cast("long").as("b"))
+      .localCheckpoint(true)
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    // iterate over edge-endpoint nodes only: in a real corpus near-dups
+    // are a small fraction of the universe, so the per-round frames carry
+    // the subgraph, not every document; untouched ids join back as
+    // singletons at the end
+    var lab = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // labels are monotone non-increasing, so the label sum strictly
+    // decreases on any change: convergence is ONE aggregation on the
+    // freshly checkpointed frame, not a join against the previous round
+    def labSum(d: DataFrame): java.math.BigDecimal = {
+      val r = d.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labSum(lab)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(lab.select(col("node").as("b"), col("label").as("nbl")), "b")
+        .groupBy("a").agg(min("nbl").as("nbr"))
+      val propagated = lab.join(nbrMin, lab("node") === nbrMin("a"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jumping: follow the label's own label — twice per round,
+      // so label trees compress ~3x per iteration and the number of
+      // (fixed-cost) rounds shrinks accordingly
+      def jump(d: DataFrame): DataFrame = d
+        .join(d.select(col("node").as("label"), col("label").as("jmp")),
+          Seq("label"), "left")
+        .select(col("node"), coalesce(col("jmp"), col("label")).as("label"))
+      val next = jump(jump(propagated)).localCheckpoint(true)
+      val s = labSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      lab = next
+      round += 1
+    }
+    universe.select(col(idCol).cast("long").as("node")).distinct()
+      .join(lab, Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("label"), col("node")).as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from hyperplane-LSH
     * buckets, verified with exact cosine ≥ `minCosine`.
     */

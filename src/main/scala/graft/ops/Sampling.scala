@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Everything here keys off [[hashUnit]] — an md5-derived uniform in
+  * [0, 1) of the row's id — instead of Spark's RNG-based `sample`/
+  * `sampleBy`: the assignment is then (a) stable under repartitioning,
+  * retries, and AQE re-plans, (b) reproducible from any other engine
+  * (md5 is universal — the DuckDB oracles recompute it exactly), and
+  * (c) a pure per-row projection/filter, so sampling never shuffles.
+  * That is the property a 100-TB train/val/test split actually needs:
+  * re-running the pipeline, or running it on a different cluster, must
+  * put every document in the same split.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) hash of `key`: the first 8 md5 hex digits as an
+    * unsigned 32-bit integer, scaled by 2⁻³². Exact in double, so
+    * threshold comparisons are bit-reproducible across engines.
+    */
+  def hashUnit(key: Column): Column =
+    conv(substr(md5(key.cast("string")), lit(1), lit(8)), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Assign each row to a named split. `splits` are (name, weight) with
+    * weights summing to ~1; boundaries are the cumulative weights, so
+    * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` sends
+    * hashUnit < 0.8 to train, < 0.9 to val, the rest to test.
+    * Adds a `split` string column; no shuffle.
+    */
+  def splitByHash(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights sum to $total, not 1")
+    val u = hashUnit(col(idCol))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), alt) =>
+      when(u < hi, name).otherwise(alt)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Keep a deterministic `fraction` of rows: pure filter, no shuffle,
+    * stable under re-runs (the scalable replacement for `df.sample`).
+    */
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(hashUnit(col(idCol)) < fraction)
+
+  /** Per-stratum deterministic sampling — `DataFrameStatFunctions.sampleBy`
+    * without the RNG: rows whose `strataCol` value is missing from
+    * `fractions` fall back to `default`.
+    */
+  def sampleByHashStratified(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (alt, (value, f)) =>
+      when(col(strataCol) === value, f).otherwise(alt)
+    }
+    df.where(hashUnit(col(idCol)) < frac)
+  }
+}

@@ -129,6 +129,32 @@ object TextOps {
     when(allZero, lit("und")).otherwise(argmax)
   }
 
+  // ----------------------------------------------------------- PII scrubbing
+
+  /** PII patterns, written in the regex subset common to Java regex and
+    * RE2 (no lookaround, ASCII \b) so DuckDB oracles reproduce the scrub
+    * byte-for-byte.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe: String   = "https?://[^\\s]+"
+  val PhoneRe: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Replace URLs, then emails, then phone numbers with typed placeholder
+    * tokens — the standard C4/web-corpus redaction pass. URL replacement
+    * runs first so an address inside a URL is consumed as part of it.
+    * Pure codegen'd regexp_replace chain; runs at scan speed.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit(UrlRe), lit("<URL>")),
+        lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+
+  def emailCount(c: Column): Column = countMatches(c, EmailRe)
+  def urlCount(c: Column): Column   = countMatches(c, UrlRe)
+  def phoneCount(c: Column): Column = countMatches(c, PhoneRe)
+
   // ----------------------------------------------------------- fingerprints
 
   /** 64-bit content fingerprint of the normalized text (xxhash64). */

@@ -55,6 +55,72 @@ class OpsSpec extends SparkSpec {
     assert(fresh.size <= 1, s"leaked cached RDDs: $fresh")
   }
 
+  test("connected components resolve chains, forks and singletons") {
+    val schema = StructType(Seq(
+      StructField("id1", LongType), StructField("id2", LongType)))
+    // chain 1-2-3, pair 5-6, fork 8-{9,10}, long chain 20..40 (exercises
+    // pointer jumping past the naive round count), singletons 4 and 7
+    val chain = (20L until 40L).map(i => (i, i + 1))
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (8L, 10L)) ++ chain
+    val pairsDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(pairs.map { case (a, b) => Row(a, b) }).asJava), schema)
+    val universe = docFrame(((1L to 10L) ++ (20L to 40L)).map(i => (i, "x")): _*)
+    val cc = Dedup.connectedComponents(pairsDf, "id1", "id2",
+      universe, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L))
+    assert(cc(4L) == 4L && cc(7L) == 7L)
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+    assert(Seq(8L, 9L, 10L).forall(cc(_) == 8L))
+    assert((20L to 40L).forall(cc(_) == 20L))
+  }
+
+  test("pii scrub replaces emails, urls and phones; counts match") {
+    import org.apache.spark.sql.functions.col
+    val df = docFrame(
+      (1L, "mail me at jo.doe+x@test.org or visit https://a.b/c?d=1 soon"),
+      (2L, "call 555-123-4567 twice: 555-123-4567"),
+      (3L, "clean text with no pii at all"))
+    val out = df.select(col("doc_id"),
+      TextOps.scrubPii(col("text")).as("s"),
+      TextOps.emailCount(col("text")).as("ne"),
+      TextOps.urlCount(col("text")).as("nu"),
+      TextOps.phoneCount(col("text")).as("np"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "mail me at <EMAIL> or visit <URL> soon")
+    assert(out(0).getInt(2) == 1 && out(0).getInt(3) == 1 && out(0).getInt(4) == 0)
+    assert(out(1).getString(1) == "call <PHONE> twice: <PHONE>")
+    assert(out(1).getInt(4) == 2)
+    assert(out(2).getString(1) == "clean text with no pii at all")
+  }
+
+  test("hash split: total, determinism, proportions, and sampling subset") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(2000).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = graft.ops.Sampling.splitByHash(df, "doc_id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == 2000)
+    // deterministic: a second run assigns identically
+    val s2 = graft.ops.Sampling.splitByHash(df, "doc_id", splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // proportions within 4 sigma of the md5-uniform expectation
+    assert(math.abs(s1("train") - 1600.0) < 80,  s"train=${s1("train")}")
+    assert(math.abs(s1("val") - 200.0) < 60,     s"val=${s1("val")}")
+    assert(math.abs(s1("test") - 200.0) < 60,    s"test=${s1("test")}")
+    // sampleByHash(f) is the prefix of the same hash order: every sampled
+    // id at 0.1 is also sampled at 0.2
+    val a = graft.ops.Sampling.sampleByHash(df, "doc_id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val b = graft.ops.Sampling.sampleByHash(df, "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(b) && a.nonEmpty && b.size > a.size)
+  }
+
   test("simhash: identical docs equal, near docs close, far docs far") {
     val a = (1 to 30).map(i => s"w$i").mkString(" ")
     val b = (1 to 28).map(i => s"w$i").mkString(" ") + " x1 x2"
