@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two equal-length numeric arrays. */
+  /** Sequential-fold dot product of two equal-length numeric arrays.
+    * Uses the native fused [[graft.plans.DotProduct]] expression when the
+    * session has `GraftExtensions` (one multiply-add loop in codegen, no
+    * intermediate array); falls back to the builtin zip_with/aggregate
+    * spelling otherwise. Both are the same left-to-right fold, so results
+    * are bit-identical either way.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
-      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    if (hasNativeDot)
+      call_function("dot_product", a, b)
+    else
+      aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def hasNativeDot: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("dot_product"))
 
   /** Cosine similarity (null on zero-norm input). */
   def cosine(a: Column, b: Column): Column =

@@ -62,5 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ProductAgg].getName, "product_agg"),
       (children: Seq[Expression]) =>
         ProductAgg(Cast(children.head, DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) =>
+        DotProduct(Cast(children(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
+          Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
   }
 }

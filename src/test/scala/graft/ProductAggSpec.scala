@@ -58,4 +58,49 @@ class ProductAggSpec extends SparkSpec {
     assert(d.agg(call_function("product_agg", col("x")))
       .collect()(0).getDouble(0) == 10.0)
   }
+
+  // ---- native dot_product (plans.DotProduct)
+
+  private def vecDf(rows: Seq[(Seq[java.lang.Double], Seq[java.lang.Double])]) = {
+    val rs = rows.zipWithIndex.map { case ((a, b), i) => Row(i, a, b) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rs).asJava),
+      StructType(Seq(StructField("i", IntegerType),
+        StructField("a", ArrayType(DoubleType)),
+        StructField("b", ArrayType(DoubleType)))))
+  }
+  private def jd(xs: Double*): Seq[java.lang.Double] = xs.map(Double.box)
+
+  test("dot_product matches the zip_with/aggregate spelling bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((jd(Seq.fill(17)(rnd.nextDouble() * 2 - 1): _*),
+      jd(Seq.fill(17)(rnd.nextDouble() * 2 - 1): _*)))
+    val d = vecDf(rows)
+    val out = d.select(
+      call_function("dot_product", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("builtin")).collect()
+    // bit-identical, not approximately equal: same sequential fold order
+    assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("dot_product null semantics: null input, null element, length mismatch") {
+    val d = vecDf(Seq(
+      (jd(1, 2), jd(3, 4)),       // 11.0
+      (null, jd(1, 2)),           // null input
+      (jd(1, 2), jd(1, 2, 3)),    // length mismatch
+      (Seq(Double.box(1.0), null), jd(1, 2)))) // null element
+    val out = d.orderBy("i")
+      .select(call_function("dot_product", col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0) && out(2).isNullAt(0) && out(3).isNullAt(0))
+  }
+
+  test("Similarity.dot routes to the native expression in this session") {
+    val d = vecDf(Seq((jd(1, 0, 2), jd(3, 1, 0.5))))
+    val q = d.select(graft.ops.Similarity.dot(col("a"), col("b")).as("s"))
+    assert(q.queryExecution.analyzed.toString.contains("dot_product"))
+    assert(q.collect()(0).getDouble(0) == 4.0)
+  }
 }
