@@ -32,11 +32,16 @@ object QueriesExt {
     * normText is materialized in its own projection: inlining it into the
     * charNgrams lambda would re-run the regex once per gram.
     */
-  private def consecTriJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
+  private def consecTriJaccard(s: SparkSession, dir: String,
+      materialize: Boolean = false): DataFrame = {
+    val d0 = docs(s, dir)
       .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
       .select(col("doc_id"),
         array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
+    // both join sides derive from d — materializing once halves the trigram
+    // work for consumers that force the whole frame anyway (q39's edge
+    // filter); q21 stays lazy so column pruning keeps working for it
+    val d = if (materialize) d0.localCheckpoint(true) else d0
     val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
     val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
     a.join(b, col("id2") === col("id1") + 1)
@@ -198,7 +203,8 @@ object QueriesExt {
     // turned into dedup groups with a canonical min-id survivor. The
     // DuckDB oracle recomputes the components with a recursive CTE.
     "q39_dedup_groups" -> ((s, dir) => {
-      val edges = consecTriJaccard(s, dir).where(col("jaccard") >= 0.5)
+      val edges = consecTriJaccard(s, dir, materialize = true)
+        .where(col("jaccard") >= 0.5)
       Dedup.connectedComponents(edges, "id1", "id2", docs(s, dir), "doc_id")
         .orderBy("doc_id")
     }),

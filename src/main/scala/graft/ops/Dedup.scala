@@ -236,19 +236,36 @@ object Dedup {
     * plan-explosion failure mode) and the per-round convergence count is
     * also the eager materialization of that checkpoint.
     *
+    * Like Spark's own broadcast-join threshold, the algorithm is chosen
+    * adaptively by size: the edge list is already eagerly materialized, so
+    * a free `count()` decides. At or under `maxBroadcastEdges` the
+    * components are solved with union–find on the driver and the label map
+    * is broadcast back — near-dup edge lists are tiny relative to the
+    * corpus (16 MB of longs per million edges), and the iterative path's
+    * per-round joins are pure scheduling overhead at that size. Above the
+    * threshold (a giant dup cluster at full scale) the distributed
+    * propagation loop below runs instead. Both paths produce the same
+    * (idCol, component=min reachable id) result — OpsSpec asserts equality.
+    *
     * @param universe frame holding every node id in `idCol`; ids absent
     *                 from `pairs` come out as their own singleton
     *                 component.
     * @return (idCol, component) with component = minimum reachable id.
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-      universe: DataFrame, idCol: String, maxRounds: Int = 20): DataFrame = {
+      universe: DataFrame, idCol: String, maxRounds: Int = 20,
+      maxBroadcastEdges: Long = 1L << 20): DataFrame = {
     // materialize the (tiny: near-dup pairs only) edge list ONCE — the
     // caller's pair frame is usually an expensive similarity pipeline, and
     // both the symmetrize union and every round would re-execute it
     val e0 = pairs.select(col(id1).cast("long").as("a"),
       col(id2).cast("long").as("b"))
       .localCheckpoint(true)
+    if (e0.count() <= maxBroadcastEdges)
+      return universe.select(col(idCol).cast("long").as("node")).distinct()
+        .join(broadcast(driverComponents(e0)), Seq("node"), "left")
+        .select(col("node").as(idCol),
+          coalesce(col("label"), col("node")).as("component"))
     val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
     // iterate over edge-endpoint nodes only: in a real corpus near-dups
     // are a small fraction of the universe, so the per-round frames carry
@@ -292,6 +309,32 @@ object Dedup {
       .join(lab, Seq("node"), "left")
       .select(col("node").as(idCol),
         coalesce(col("label"), col("node")).as("component"))
+  }
+
+  /** Driver union–find over a collected edge list: (node, label) for every
+    * edge endpoint, label = component minimum. Union always hangs the
+    * larger root under the smaller, so each tree's root IS its component
+    * min; `find` path-compresses as it walks.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val rows = edges.collect()
+    rows.foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = rows.iterator
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSeq.distinct
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, find(n))).toDF("node", "label")
   }
 
   /** Embedding-cosine near-dup pairs: candidates from hyperplane-LSH

@@ -74,6 +74,12 @@ class OpsSpec extends SparkSpec {
     assert(cc(5L) == 5L && cc(6L) == 5L)
     assert(Seq(8L, 9L, 10L).forall(cc(_) == 8L))
     assert((20L to 40L).forall(cc(_) == 20L))
+    // the distributed propagation loop (forced by a zero broadcast
+    // threshold) must agree with the driver union-find path exactly
+    val dist = Dedup.connectedComponents(pairsDf, "id1", "id2",
+      universe, "doc_id", maxBroadcastEdges = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == cc)
   }
 
   test("pii scrub replaces emails, urls and phones; counts match") {
