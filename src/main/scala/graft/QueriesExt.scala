@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -240,6 +240,57 @@ object QueriesExt {
         .select(col("doc_id"), col("split")).orderBy("doc_id")
     }),
 
+    // as-of join: every click aligned with the same user's latest prior
+    // purchase (backward, ties included). Oracle is DuckDB's native
+    // ASOF LEFT JOIN; both sides pre-truncate ns -> us so the >= compares
+    // at the precision Spark stores.
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "p_ts",
+        Seq("p_ts", "p_value"))
+        .orderBy("event_id")
+    }),
+
+    // Gopher-style repetition signals: most-frequent-token fraction and
+    // duplicate-bigram fraction, per document — pure per-row array math,
+    // no explode/shuffle. Oracle recomputes both with DuckDB list lambdas.
+    "q43_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextOps.topTokenFrac(col("text")), 8).as("top_token_frac"),
+        round(TextOps.dupBigramFrac(col("text")), 8).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary: term frequency + document frequency, top 100.
+    // explode -> groupBy is the scale shape (map-side partial counts; the
+    // df count is exact-distinct, the one aggregation that genuinely
+    // needs the token shuffle).
+    "q44_vocab" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("token"))
+        .limit(100)
+    }),
+
+    // language rebalancing (domain-mixing): deterministically downsample
+    // the dominant language to a target rate, keep the rest — the
+    // md5-hash filter makes the subset reproducible on any engine and
+    // never shuffles.
+    "q45_lang_rebalance" -> ((s, dir) => {
+      Sampling.sampleByHashStratified(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 0.35), default = 1.0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -451,6 +502,65 @@ object QueriesExt {
         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q43_repetition" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    $toks AS toks
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, n_tokens, toks,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])
+         |         ELSE [] END AS bg
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE list_max(list_transform(list_distinct(toks),
+         |           t -> len(list_filter(toks, x -> x = t))))::DOUBLE
+         |         / len(toks) END, 8) AS top_token_frac,
+         |  round(CASE WHEN len(bg) <= 1 THEN 0.0
+         |    ELSE (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+         |    END, 8) AS dup_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "q44_vocab" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents
+         |)
+         |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin
+    },
+
+    "q45_lang_rebalance" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |WHERE u < CASE WHEN lang = 'en' THEN 0.35 ELSE 1.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts, value
+        |  FROM events WHERE event_type = 'click'
+        |), r AS (
+        |  SELECT user_id, make_timestamp(epoch_us(ts)) AS p_ts,
+        |    value AS p_value
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT l.event_id, l.user_id, l.ts, l.value, r.p_ts, r.p_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "q34_sessions" ->
       """WITH g AS (

@@ -50,6 +50,30 @@ object TextOps {
       transform(sequence(lit(1), length(c) - n + 1), i => substr(c, i, lit(n))))
       .otherwise(array())
 
+  /** Fraction of tokens taken by the single most frequent token — the
+    * Gopher-style "repetition" signal catching `spam spam spam…` pages.
+    * Computed per row over the token array (distinct × occurrences scan;
+    * O(d·n) per doc but pure codegen — no explode, no shuffle), so it
+    * runs at scan speed like the other quality signals. 0 for empty text.
+    */
+  def topTokenFrac(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t)))).cast("double") /
+        size(toks))
+  }
+
+  /** Fraction of word bigrams that are repeats of an earlier bigram
+    * (1 − distinct/total) — Gopher's duplicate-n-gram fraction at n=2.
+    * 0 for docs with fewer than two bigrams.
+    */
+  def dupBigramFrac(c: Column): Column = {
+    val bg = wordShingles(c, 2)
+    when(size(bg) <= 1, lit(0.0)).otherwise(
+      (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
+  }
+
   /** Array of word w-shingles: space-joined runs of w consecutive tokens. */
   def wordShingles(c: Column, w: Int): Column = {
     val toks = tokens(c)

@@ -101,6 +101,27 @@ class OpsSpec extends SparkSpec {
     assert(out(2).getString(1) == "clean text with no pii at all")
   }
 
+  test("repetition signals: top-token and dup-bigram fractions") {
+    import org.apache.spark.sql.functions.col
+    val df = docFrame(
+      (1L, "spam spam spam spam"),        // one token everywhere
+      (2L, "a b c d"),                    // no repetition at all
+      (3L, "to be or not to be"),         // 'to be' bigram repeats
+      (4L, "go go go stop"),              // 'go go' bigram repeats
+      (5L, ""),                           // empty -> both 0
+      (6L, "solo"))                       // single token: takes all tokens
+    val out = df.select(col("doc_id"),
+      TextOps.topTokenFrac(col("text")).as("t"),
+      TextOps.dupBigramFrac(col("text")).as("b"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) == (1.0, 2.0 / 3))     // bigrams: 3x 'spam spam' -> 2/3 dup
+    assert(out(2L) == (0.25, 0.0))
+    assert(out(3L) == (2.0 / 6, 0.2))     // 'to be' twice of 5 bigrams
+    assert(out(4L) == (0.75, 1.0 / 3))    // 'go go' twice of 3 bigrams
+    assert(out(5L) == (0.0, 0.0) && out(6L) == (1.0, 0.0))
+  }
+
   test("hash split: total, determinism, proportions, and sampling subset") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(2000).select(col("id").as("doc_id"))
