@@ -291,6 +291,21 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // interval (range) join: every error event matched to the user
+    // session containing it. The binned equi-join plan (RangeJoin) is
+    // oracle-checked against DuckDB's plain BETWEEN join.
+    "q46_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = graft.ops.EventOps.sessionize(ev)
+        .select(col("user_id"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.ops.RangeJoin.intervalJoin(errors, sessions, Seq("user_id"),
+        "ts", "session_start", "session_end", Seq("session_id"))
+        .orderBy("event_id")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -547,6 +562,34 @@ object QueriesExt {
         |)
         |WHERE u < CASE WHEN lang = 'en' THEN 0.35 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q46_interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_id::BIGINT AS session_id,
+        |    make_timestamp(epoch_us(min(ts))) AS session_start,
+        |    make_timestamp(epoch_us(max(ts))) AS session_end
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  make_timestamp(epoch_us(e.ts)) AS ts, sess.session_id
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id
+        | AND make_timestamp(epoch_us(e.ts))
+        |       BETWEEN sess.session_start AND sess.session_end
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
 
     "q42_asof_join" ->
       """WITH l AS (
