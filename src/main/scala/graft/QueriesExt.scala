@@ -306,6 +306,17 @@ object QueriesExt {
         .orderBy("event_id")
     }),
 
+    // benchmark-contamination screening: training docs (md5 split
+    // u < 0.8) sharing any word 5-gram with the held-out set (u >= 0.9).
+    // One equi-join on the gram; oracle recomputes with unnest + join.
+    "q47_contamination" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      graft.ops.Contamination.screen(
+        d.where(col("u") < 0.8), d.where(col("u") >= 0.9),
+        "doc_id", "text", gramWidth = 5)
+        .orderBy("doc_id")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -562,6 +573,28 @@ object QueriesExt {
         |)
         |WHERE u < CASE WHEN lang = 'en' THEN 0.35 ELSE 1.0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "q47_contamination" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+         |      / 4294967296.0 AS u
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, u,
+         |    unnest(list_distinct(CASE WHEN len(toks) >= 5
+         |      THEN list_transform(range(1, len(toks) - 3),
+         |             i -> array_to_string(toks[i:i+4], ' '))
+         |      ELSE [] END)) AS gram
+         |  FROM d
+         |)
+         |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
+         |       count(DISTINCT b.doc_id) AS n_bench_docs
+         |FROM (SELECT * FROM g WHERE u < 0.8) t
+         |JOIN (SELECT * FROM g WHERE u >= 0.9) b ON t.gram = b.gram
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
 
     "q46_interval_join" ->
       """WITH g AS (

@@ -74,6 +74,18 @@ object TextOps {
       (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
   }
 
+  /** Strict word w-shingles: exact w-token windows only — empty for docs
+    * with fewer than w tokens (unlike [[wordShingles]], which falls back
+    * to one whole-doc shingle so short docs still dedup).
+    */
+  def strictWordShingles(c: Column, w: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+      .otherwise(array())
+  }
+
   /** Array of word w-shingles: space-joined runs of w consecutive tokens. */
   def wordShingles(c: Column, w: Int): Column = {
     val toks = tokens(c)

@@ -122,6 +122,32 @@ class OpsSpec extends SparkSpec {
     assert(out(5L) == (0.0, 0.0) && out(6L) == (1.0, 0.0))
   }
 
+  test("contamination screen: overlap counts, short docs, df cap") {
+    val boiler = "all rights reserved by the site"      // 6-token boilerplate
+    val secret = "the quick brown fox jumps high today" // 7 tokens
+    val train = docFrame(
+      (1L, s"intro words $secret and an outro"),  // shares secret's 5-grams
+      (2L, s"$boiler plus unrelated content here"),
+      (3L, "totally different text with nothing shared at all"),
+      (4L, "tiny doc"))                           // < 5 tokens: no grams
+    val bench = docFrame(
+      (100L, s"$secret in benchmark one $boiler"),
+      (101L, s"another item with $boiler inside"),
+      (102L, s"also has $boiler too yes"))
+    val out = graft.ops.Contamination.screen(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 shares the 3 complete 5-grams of the 7-token secret phrase
+    assert(out(1L) == (3L, 1L))
+    // doc 2 shares boilerplate 5-grams (2 of them) seen in 3 bench docs
+    assert(out(2L) == (2L, 3L))
+    assert(!out.contains(3L) && !out.contains(4L))
+    // capping gram df at 1 kills the boilerplate match but keeps doc 1
+    val capped = graft.ops.Contamination.screen(train, bench, "doc_id",
+      "text", maxGramDf = Some(1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(capped == Map(1L -> (3L, 1L)))
+  }
+
   test("hash split: total, determinism, proportions, and sampling subset") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(2000).select(col("id").as("doc_id"))
