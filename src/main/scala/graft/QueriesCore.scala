@@ -324,6 +324,25 @@ object QueriesCore {
         .orderBy("nation")
     }),
 
+    // the q14 chain script over ~2500 replicated entities: proves the
+    // keyed chain path stays entity-parallel with NO forced broadcast of
+    // the |entities|x|years| yearly index (PartitionedSpec asserts the
+    // plan carries no join hint in keyed mode — AQE decides). Replicas
+    // are identical, so the oracle computes the q14 index once and
+    // cross-joins the entity ids; DECIMAL sums keep the digest
+    // partition-order independent.
+    "q52_chain_scale" -> ((s, dir) => {
+      val reps = s.range(2500).select(col("id").cast("string").as("ENT"))
+      val wide = twoGoods(s, dir).crossJoin(reps)
+      val out = FameSession.run("""set x = $chain("a - b", "1995")""", wide,
+        partitionKeys = Seq("ENT"))
+      out.df.groupBy(col("ENT").as("ent"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("X"), 8).cast(DecimalType(28, 8)))
+            .cast("double").as("sum_x"))
+        .orderBy("ent")
+    }),
+
     // convert as_freq override + start_by weekly anchors: the session
     // frequency is deliberately WRONG (annual) and as_freq=q must override
     // it — without the override the q→m upsample calendar would extend to
@@ -602,6 +621,44 @@ object QueriesCore {
          |)
          |SELECT w.date AS date, round(r.idx, 8) AS x
          |FROM w JOIN r ON year(w.date) = r.yr ORDER BY date""".stripMargin,
+
+    // replicas are identical per entity, so one q14 index digest
+    // cross-joined with the entity ids (the q38 oracle pattern)
+    "q52_chain_scale" ->
+      s"""$twoGoodsSql, y AS (
+         |  SELECT year(date) AS yr, avg(pa) AS pa, sum(a) AS qa,
+         |         avg(pb) AS pb, sum(b) AS qb
+         |  FROM w GROUP BY 1
+         |), l AS (
+         |  SELECT yr, pa, qa, pb, qb,
+         |    lag(pa) OVER (ORDER BY yr) AS ppa, lag(qa) OVER (ORDER BY yr) AS pqa,
+         |    lag(pb) OVER (ORDER BY yr) AS ppb, lag(qb) OVER (ORDER BY yr) AS pqb
+         |  FROM y
+         |), f AS (
+         |  SELECT yr,
+         |    coalesce(sqrt(CASE WHEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) > 0
+         |                       THEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) END), 1.0)
+         |      AS fisher
+         |  FROM l
+         |), c AS (
+         |  SELECT yr, product(CASE WHEN fisher > 0 THEN fisher END)
+         |    OVER (ORDER BY yr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+         |  FROM f
+         |), r AS (
+         |  SELECT yr, raw / max(CASE WHEN yr = 1995 THEN raw END) OVER () * 100 AS idx
+         |  FROM c
+         |), perdate AS (
+         |  SELECT w.date, round(r.idx, 8) AS x
+         |  FROM w JOIN r ON year(w.date) = r.yr
+         |), digest AS (
+         |  SELECT count(*) AS n_rows,
+         |         sum(x::DECIMAL(28,8))::DOUBLE AS sum_x
+         |  FROM perdate
+         |)
+         |SELECT i::VARCHAR AS ent, digest.n_rows, digest.sum_x
+         |FROM range(0, 2500) t(i), digest ORDER BY ent""".stripMargin,
 
     "q15_fishvol" ->
       s"""$twoGoodsSql, l AS (

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Dedup, Multimodal, Output, Sampling, Similarity, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -309,12 +309,56 @@ object QueriesExt {
     // benchmark-contamination screening: training docs (md5 split
     // u < 0.8) sharing any word 5-gram with the held-out set (u >= 0.9).
     // One equi-join on the gram; oracle recomputes with unnest + join.
+    // maxGramDf = 10 exercises the guarded (skew-capped) plan — the one a
+    // 100 TB run needs — and the oracle mirrors the cap, so the cap
+    // semantics itself is oracle-checked rather than a no-op.
     "q47_contamination" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
       graft.ops.Contamination.screen(
         d.where(col("u") < 0.8), d.where(col("u") >= 0.9),
-        "doc_id", "text", gramWidth = 5)
+        "doc_id", "text", gramWidth = 5, maxGramDf = Some(10))
         .orderBy("doc_id")
+    }),
+
+    // substring-level exact dedup: maximal duplicated token spans (>= 6
+    // tokens = 2 consecutive shared 5-grams) between any two documents.
+    // The gram self-join + gaps-and-islands plan is oracle-checked
+    // against the same formulation in plain SQL; the df cap (10) is
+    // mirrored in the oracle, so the guarded plan is the proven one.
+    "q51_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text",
+        gramWidth = 5, minGramRun = 2, maxGramDf = Some(10))
+        .select(col("id1"), col("id2"),
+          col("start1").cast("long").as("start1"),
+          col("start2").cast("long").as("start2"),
+          col("n_grams"), col("span_tokens"))
+        .orderBy("id1", "id2", "start1", "start2")
+    }),
+
+    // deterministic sharded corpus write: the q36 survivors written to
+    // hash shards (sorted within shard, bounded records per file), then
+    // RE-READ from disk and digested per shard — row count + an
+    // order-independent md5 content checksum. The oracle recomputes the
+    // same digest from the raw table, so a row lost, duplicated, or
+    // corrupted anywhere in the write/read round-trip breaks the hash.
+    // Stability across reruns/partitionings is asserted in OutputSpec.
+    "q48_shard_write" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val kept = d.join(survivors, "doc_id")
+        .where(TextOps.qualityScore(col("text")) > 0.5 &&
+          TextOps.langId(col("text")) === "en")
+        .select("doc_id", "source", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q48_shards"
+      Output.writeSharded(kept, "doc_id", path, numShards = 8)
+      s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("text")))
+            .as("content_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("shard")
     }),
 
     // end-to-end training-data prep: exact dedup -> quality + language
@@ -340,6 +384,38 @@ object QueriesExt {
 
   private def langCountSql(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(?:${words.mkString("|")})\\b'))"
+
+  /** md5-uniform SQL twin of [[Sampling.hashUnit]] over `expr`. */
+  private def hashUnitSql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)::DOUBLE / 4294967296.0"
+
+  /** WITH-prefix computing the q36 pipeline's surviving docs: exact-dedup
+    * keepers passing the quality + language gates. Shared by the q36
+    * stats, q48 shard-write, and q50 full-pipeline oracles.
+    */
+  private val keptSql: String = {
+    val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
+    val stop = langCountSql(TextOps.EnStopwords)
+    val tok = "len(string_split_regex(trim(text), '\\s+'))"
+    val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
+    val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
+    val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
+    val quality = s"0.4 * least(($stop::DOUBLE / $tok) * 4, 1.0) " +
+      s"+ 0.3 * least($awl / 8, 1.0) + 0.3 - 0.5 * $punct - 0.5 * $digit"
+    val lang = s"""CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
+                  |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+                  |     WHEN $es >= $fr AND $es >= $de THEN 'es'
+                  |     WHEN $fr >= $de THEN 'fr'
+                  |     ELSE 'de' END""".stripMargin
+    s"""WITH surv AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
+       |  GROUP BY tn
+       |), kept AS (
+       |  SELECT d.* FROM documents d JOIN surv USING (doc_id)
+       |  WHERE ($quality) > 0.5 AND ($lang) = 'en'
+       |)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -436,32 +512,53 @@ object QueriesExt {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q36_prep_pipeline" -> {
-      val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
-      val stop = langCountSql(TextOps.EnStopwords)
       val tok = "len(string_split_regex(trim(text), '\\s+'))"
-      val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
-      val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
-      val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
-      val quality = s"0.4 * least(($stop::DOUBLE / $tok) * 4, 1.0) " +
-        s"+ 0.3 * least($awl / 8, 1.0) + 0.3 - 0.5 * $punct - 0.5 * $digit"
-      val lang = s"""CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
-                    |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
-                    |     WHEN $es >= $fr AND $es >= $de THEN 'es'
-                    |     WHEN $fr >= $de THEN 'fr'
-                    |     ELSE 'de' END""".stripMargin
-      s"""WITH surv AS (
-         |  SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
-         |  GROUP BY tn
-         |), kept AS (
-         |  SELECT d.* FROM documents d JOIN surv USING (doc_id)
-         |  WHERE ($quality) > 0.5 AND ($lang) = 'en'
-         |)
+      s"""$keptSql
          |SELECT source, count(*) AS n_docs,
          |  sum($tok)::BIGINT AS n_tokens,
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q51_dup_spans" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+         |  FROM d, unnest(range(1, len(toks) - 3)) AS u(i)
+         |  WHERE len(toks) >= 5
+         |), keep AS (
+         |  SELECT gram FROM g GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) <= 10
+         |), h AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1,
+         |         a.pos - b.pos AS diag
+         |  FROM (g a JOIN keep USING (gram)) JOIN g b
+         |    ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |), isl AS (
+         |  SELECT id1, id2, diag, pos1,
+         |    pos1 - row_number()
+         |      OVER (PARTITION BY id1, id2, diag ORDER BY pos1) AS island
+         |  FROM h
+         |)
+         |SELECT id1, id2, min(pos1) AS start1, min(pos1) - diag AS start2,
+         |  count(*) AS n_grams, count(*) + 4 AS span_tokens
+         |FROM isl GROUP BY id1, id2, diag, island
+         |HAVING count(*) >= 2
+         |ORDER BY id1, id2, start1, start2""".stripMargin
+    },
+
+    "q48_shard_write" ->
+      s"""$keptSql, sh AS (
+         |  SELECT floor(${hashUnitSql("doc_id::VARCHAR")} * 8)::BIGINT AS shard,
+         |    doc_id, source, text
+         |  FROM kept
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+         |      || text), 1, 8))::BIGINT)::BIGINT AS content_sum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     // recursive-CTE transitive closure: tractable because near-dup
     // components are small; the engine side uses log-round label
@@ -588,11 +685,15 @@ object QueriesExt {
          |             i -> array_to_string(toks[i:i+4], ' '))
          |      ELSE [] END)) AS gram
          |  FROM d
+         |), bn AS (SELECT * FROM g WHERE u >= 0.9),
+         |keep AS (
+         |  SELECT gram FROM bn GROUP BY gram
+         |  HAVING count(DISTINCT doc_id) <= 10
          |)
          |SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams,
          |       count(DISTINCT b.doc_id) AS n_bench_docs
          |FROM (SELECT * FROM g WHERE u < 0.8) t
-         |JOIN (SELECT * FROM g WHERE u >= 0.9) b ON t.gram = b.gram
+         |JOIN (bn b JOIN keep USING (gram)) ON t.gram = b.gram
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     },
 

@@ -93,12 +93,22 @@ object Indices {
       .select((keys.map(col) :+ col("__year") :+ col(idxName)): _*)
   }
 
-  /** Join a yearly chain index back onto the row-level frame as `idxName`. */
+  /** Join a yearly chain index back onto the row-level frame as `idxName`.
+    *
+    * The broadcast hint is applied only in keyless (single-series) mode,
+    * where the yearly side is |years| rows. In keyed mode it is
+    * |entities| × |years| — proportional to the corpus — so a forced
+    * broadcast would funnel an arbitrarily large build side through the
+    * driver; the join key (keys, __year) hash-partitions on its own, and
+    * AQE still picks a broadcast at runtime whenever the yearly side
+    * turns out genuinely small.
+    */
   def chain(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
       baseYear: Int, idxName: String, keys: Seq[String] = Nil): DataFrame = {
     val yearly = chainYearly(df, dateCol, terms, baseYear, idxName, keys)
+    val build = if (keys.isEmpty) broadcast(yearly) else yearly
     df.withColumn("__year", year(col(dateCol)))
-      .join(broadcast(yearly), keys :+ "__year", "left")
+      .join(build, keys :+ "__year", "left")
       .drop("__year")
   }
 

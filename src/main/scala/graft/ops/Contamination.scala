@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * GPT-3/PaLM data papers, typically at n = 8..13; the synthetic corpus
   * here is short-doc, so queries use n = 5).
   *
-  * Scale shape: both sides explode to distinct (doc, gram) rows and meet
-  * in ONE equi-join on the gram string, then aggregate per training doc
-  * with map-side partial counts. Cost scales with corpus size × grams per
-  * doc, never |train| × |bench|. The skew risk is boilerplate grams
-  * shared by thousands of benchmark docs; `maxGramDf` drops grams whose
-  * benchmark document frequency exceeds the cap before the join — both a
-  * relevance filter (boilerplate is not contamination) and a hard bound
-  * on the hottest join key.
+  * Scale shape: both sides explode to distinct (doc, gram) rows; the
+  * bench side pre-aggregates to one row per gram, and the sides meet in
+  * ONE equi-join on the gram string, then aggregate per training doc with
+  * map-side partial counts. Cost scales with corpus size × grams per doc,
+  * never |train| × |bench|. The skew risk is boilerplate grams shared by
+  * thousands of benchmark docs; `maxGramDf` drops grams whose benchmark
+  * document frequency exceeds the cap before the join — a relevance
+  * filter (boilerplate is not contamination), a hard bound on the hottest
+  * join key, AND the bound on the per-gram bench-id set the join carries.
+  * Run with a cap at scale; the uncapped path is for small bench sets.
   */
 object Contamination {
 
@@ -36,18 +38,24 @@ object Contamination {
       explode(array_distinct(
         TextOps.strictWordShingles(col(textCol), gramWidth))).as("gram"))
     val t = grams(train, idCol)
-    val b0 = grams(bench, "bench_id")
+    // pre-aggregate the bench side to ONE row per gram carrying the set of
+    // bench docs containing it (bounded by `maxGramDf`, which filters on
+    // the same aggregation for free). The join output is then one row per
+    // (train doc, shared gram) — not per (doc, gram, bench doc) triple —
+    // and the final per-doc aggregation needs no countDistinct at all, so
+    // no Expand doubles the joined rows: n_shared_grams is a plain count
+    // (train grams are distinct per doc) and n_bench_docs is the size of
+    // the distinct union of the per-gram bench sets.
+    val bpg = grams(bench, "bench_id").groupBy("gram")
+      .agg(collect_set(col("bench_id")).as("__bench"))
     val b = maxGramDf match {
-      case None => b0
-      case Some(cap) =>
-        // one extra pre-aggregation on the same key the join shuffles on,
-        // so AQE can reuse the exchange; drops boilerplate grams early
-        b0.join(b0.groupBy("gram").agg(countDistinct("bench_id").as("__df"))
-          .where(col("__df") <= cap).select("gram"), "gram")
+      case None => bpg
+      case Some(cap) => bpg.where(size(col("__bench")) <= cap)
     }
     t.join(b, "gram")
       .groupBy(idCol)
-      .agg(countDistinct("gram").as("n_shared_grams"),
-        countDistinct("bench_id").as("n_bench_docs"))
+      .agg(count(lit(1)).as("n_shared_grams"),
+        size(array_distinct(flatten(collect_list(col("__bench")))))
+          .cast("long").as("n_bench_docs"))
   }
 }

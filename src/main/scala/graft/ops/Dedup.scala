@@ -212,12 +212,16 @@ object Dedup {
       col(idCol).as("id1"), col("simhash").as("__h1"))
     val r = chunked.select(col("chunk"), col("val"),
       col(idCol).as("id2"), col("simhash").as("__h2"))
+    // filter on hamming BEFORE the dedup shuffle (drops most rows), then
+    // dedup on the id pair alone — hamming is a function of (id1, id2), so
+    // carrying it in the distinct key only widened the exchange; first()
+    // rides the same aggregation for free
     l.join(r, Seq("chunk", "val"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
+      .groupBy("id1", "id2").agg(first(col("hamming")).as("hamming"))
   }
 
   /** Connected components over an undirected near-dup pair graph — the
@@ -337,6 +341,60 @@ object Dedup {
     nodes.map(n => (n, find(n))).toDF("node", "label")
   }
 
+  /** Substring-level exact duplication: maximal runs of ≥ `minGramRun`
+    * consecutive shared word `gramWidth`-grams between two documents —
+    * the equi-join formulation of suffix-array substring dedup (à la
+    * "Deduplicating Training Data Makes Language Models Better": a
+    * duplicated token span of length L ≥ gramWidth shows up as a run of
+    * L − gramWidth + 1 consecutive matching grams at a constant position
+    * offset). Complements the document-level near-dup family: MinHash
+    * misses a verbatim paragraph pasted into an otherwise-unique page;
+    * this catches exactly that.
+    *
+    * Scale shape: positional grams self-join on the gram string (the
+    * [[Contamination]] join — key cardinality grows with the corpus,
+    * never |docs|²), then runs are found with one window over
+    * (id1, id2, diagonal) ordered by position — gaps-and-islands, linear
+    * per matched pair. `maxGramDf` drops grams present in more than that
+    * many documents before the join: boilerplate n-grams are both the
+    * skew bomb and, at sane widths, not the duplication being hunted.
+    *
+    * @return (id1, id2, start1, start2, n_grams, span_tokens) with
+    *         id1 < id2, one row per maximal duplicated span;
+    *         span_tokens = n_grams + gramWidth − 1.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      gramWidth: Int = 5, minGramRun: Int = 2,
+      maxGramDf: Option[Int] = None): DataFrame = {
+    val g = df.select(col(idCol),
+      posexplode(TextOps.strictWordShingles(col(textCol), gramWidth))
+        .as(Seq("pos", "gram")))
+    val gf = maxGramDf match {
+      case None => g
+      case Some(cap) =>
+        // pre-aggregation on the join key itself, so the exchange is
+        // shared with the self-join below
+        g.join(g.groupBy("gram").agg(countDistinct(col(idCol)).as("__df"))
+          .where(col("__df") <= cap).select("gram"), "gram")
+    }
+    val l = gf.select(col("gram"), col(idCol).as("id1"), col("pos").as("pos1"))
+    val r = gf.select(col("gram"), col(idCol).as("id2"), col("pos").as("pos2"))
+    val hits = l.join(r, "gram")
+      .where(col("id1") < col("id2"))
+      .withColumn("diag", col("pos1") - col("pos2"))
+    // gaps-and-islands: consecutive pos1 at a fixed diagonal share
+    // (pos1 − row_number), which identifies the maximal run
+    val w = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    hits
+      .withColumn("island", col("pos1") - row_number().over(w))
+      .groupBy("id1", "id2", "diag", "island")
+      .agg(min(col("pos1")).as("start1"), count(lit(1)).as("n_grams"))
+      .where(col("n_grams") >= minGramRun)
+      .select(col("id1"), col("id2"), col("start1"),
+        (col("start1") - col("diag")).as("start2"), col("n_grams"),
+        (col("n_grams") + (gramWidth - 1)).as("span_tokens"))
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from hyperplane-LSH
     * buckets, verified with exact cosine ≥ `minCosine`.
     */
@@ -347,11 +405,12 @@ object Dedup {
       Similarity.lshBucket(col(vecCol), coefs).as("bucket"))
     val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("__v1"))
     val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("__v2"))
+    // no distinct needed: each doc hashes to exactly one bucket, so a pair
+    // meets at most once — a dedup here would be a pure extra shuffle
     l.join(r, "bucket")
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         Similarity.cosine(col("__v1"), col("__v2")).as("cosine"))
       .where(col("cosine") >= minCosine)
-      .distinct()
   }
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sharded materialization — the write side of a
+  * training-data pipeline. Every upstream operator here ends in a frame;
+  * a real corpus run ends in sharded, stably-ordered parquet/jsonl that a
+  * trainer can stream, resume, and re-produce byte-for-byte.
+  *
+  * Determinism contract (the property a 100 TB corpus build needs):
+  *  - shard membership is a pure function of the row id
+  *    ([[Sampling.hashUnit]]-derived, engine-reproducible md5 arithmetic) —
+  *    re-running the pipeline, on any cluster/partitioning/AQE plan, puts
+  *    every document in the same shard;
+  *  - rows within a shard are written in id order (each shard is produced
+  *    by exactly one task, sorted), so file contents and the
+  *    `maxRecordsPerFile` split boundaries are stable across reruns;
+  *  - file sizes are bounded by `maxRecordsPerFile`, so downstream
+  *    loaders see uniform units regardless of corpus size.
+  *
+  * Scale shape: ONE hash shuffle on the shard id (numShards output
+  * partitions), a per-partition sort, and a parallel columnar write —
+  * no driver materialization, no global sort. `numShards` is the write
+  * parallelism; size it so a shard's rows fit one task comfortably
+  * (shards >> executors for a big corpus).
+  */
+object Output {
+
+  /** Deterministic shard in [0, numShards): floor of the id's md5-uniform
+    * scaled by the shard count. Reproducible from any engine computing the
+    * same md5 arithmetic (the DuckDB oracles do).
+    */
+  def shardId(id: Column, numShards: Int): Column = {
+    require(numShards > 0, "numShards must be positive")
+    floor(Sampling.hashUnit(id) * numShards).cast("int")
+  }
+
+  /** Write `df` to `path` as one directory per shard
+    * (`shard=<k>/part-*.{parquet,json}`), rows sorted by `idCol` within
+    * each shard, at most `maxRecordsPerFile` rows per file.
+    *
+    * The `repartition(numShards, shard)` clusters every row of a shard
+    * into one task (hash partitioning may co-locate two shards in one
+    * task — harmless: `partitionBy` still splits them into their own
+    * directories, and the within-shard sort order is preserved because
+    * the task sorts by (shard, id)).
+    *
+    * @param format "parquet" (default) or "json" (= jsonl, one object per
+    *               line — the interchange format trainers ingest)
+    */
+  def writeSharded(df: DataFrame, idCol: String, path: String,
+      numShards: Int, format: String = "parquet",
+      maxRecordsPerFile: Long = 1L << 20): Unit =
+    df.withColumn("shard", shardId(col(idCol), numShards))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .format(format)
+      .save(path)
+
+  /** Engine-reproducible 32-bit content hash of the given columns (md5 of
+    * the "|"-joined string forms) — the per-row term of a shard digest.
+    * Summing it per shard gives an order-independent content checksum any
+    * SQL engine can recompute.
+    */
+  def rowHash(cols: Column*): Column =
+    conv(substr(md5(concat_ws("|", cols: _*)), lit(1), lit(8)), 16, 10)
+      .cast("long")
+}

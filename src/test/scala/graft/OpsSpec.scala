@@ -148,6 +148,42 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("duplicate spans: merge, boundaries, multiple islands, df cap") {
+    // doc 1/2 share the 6-token run "a b c d e f" (at offset 0 vs 2):
+    // with width 3 that is 4 consecutive grams -> one merged span
+    val df = docFrame(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f q r"),
+      (3L, "a b c z1 z2 z3 z4"))   // shares only the single gram "a b c"
+    val out = Dedup.duplicateSpans(df, "doc_id", "text",
+      gramWidth = 3, minGramRun = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(out == Seq((1L, 2L, 0, 2, 4L, 6L)))
+    // minGramRun = 1 also surfaces the single-gram overlaps with doc 3
+    val loose = Dedup.duplicateSpans(df, "doc_id", "text",
+      gramWidth = 3, minGramRun = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSeq
+    assert(loose.contains((1L, 3L, 3L)) && loose.contains((2L, 3L, 3L)))
+
+    // two islands on the same diagonal stay two separate spans
+    val gap = docFrame(
+      (1L, "p q r s GAP1 t u v w"),
+      (2L, "p q r s GAP2 t u v w"))
+    val spans = Dedup.duplicateSpans(gap, "doc_id", "text",
+      gramWidth = 2, minGramRun = 2)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(5))).toSeq.sorted
+    assert(spans == Seq((0, 0, 4L), (5, 5, 4L)))
+
+    // df cap: a run present in 3 docs disappears at cap 2
+    val boiler = docFrame(
+      (1L, "all rights reserved here"), (2L, "all rights reserved there"),
+      (3L, "all rights reserved everywhere"), (4L, "unique text entirely now"))
+    def n(cap: Option[Int]) = Dedup.duplicateSpans(boiler, "doc_id", "text",
+      gramWidth = 2, minGramRun = 2, maxGramDf = cap).count()
+    assert(n(None) == 3L && n(Some(2)) == 0L)
+  }
+
   test("hash split: total, determinism, proportions, and sampling subset") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(2000).select(col("id").as("doc_id"))

@@ -142,6 +142,32 @@ class PartitionedSpec extends SparkSpec {
     assert(b.forall(v => math.abs(v.get - 500.0) < 1e-9)) // flat P → flat level
   }
 
+  test("keyed chain joins without a forced broadcast; keyless keeps the hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val months = Seq("2020-06-01", "2021-06-01")
+    val rows = Seq(
+      Row("A", d(months(0)), 10.0, 2.0), Row("A", d(months(1)), 20.0, 2.0),
+      Row("B", d(months(0)), 5.0, 3.0), Row("B", d(months(1)), 5.0, 3.0))
+    val in = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("ENT", StringType), StructField("DATE", DateType),
+        StructField("A", DoubleType), StructField("PA", DoubleType))))
+    // keyed: the yearly index is |entities|x|years| — no hint; the join
+    // key (keys, __year) hash-partitions and AQE decides the strategy
+    val keyed = graft.kernels.Indices.chain(in, "DATE", Seq(1 -> "A"),
+      2020, "X", keys = Seq("ENT"))
+    val keyedHints = keyed.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }
+    assert(keyedHints.isEmpty,
+      s"keyed chain must not force a broadcast, found: $keyedHints")
+    // keyless: |years| rows — the broadcast hint is correct and kept
+    val keyless = graft.kernels.Indices.chain(in.drop("ENT"), "DATE",
+      Seq(1 -> "A"), 2020, "X")
+    assert(keyless.queryExecution.analyzed
+      .collect { case h: ResolvedHint => h }.nonEmpty)
+  }
+
   test("partitioned scripts plan no keyless (single-partition) windows") {
     import org.apache.spark.sql.catalyst.plans.logical.Window
     // the q38_partitioned_scale script shape: every window in the plan
