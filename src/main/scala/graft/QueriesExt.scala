@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, Dedup, Multimodal, Output, Sampling, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Output, Sampling, Similarity, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -320,6 +320,28 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // real BPE application: merges learned offline (driver-side, from the
+    // first 200 docs — the same inherent boundary as tokenizer training
+    // anywhere), then applied distributed via broadcast + mapPartitions.
+    // Output is an exact per-doc token-id digest. Rows-only for the
+    // driver (BPE is not SQL-expressible); BpeSpec recomputes the ids
+    // with an independent apply-in-rank-order reference implementation.
+    "q49_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sample = d.where(col("doc_id") < 200).orderBy("doc_id")
+        .select("text").collect().map(_.getString(0)).toSeq
+      val vocab = Bpe.train(sample, numMerges = 200)
+      Bpe.encode(d, "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          col("n_pretokens").cast("long").as("n_pretokens"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          aggregate(col("token_ids"), lit(0L), (acc, x) => acc + x)
+            .as("ids_sum"),
+          xxhash64(concat_ws(",", transform(col("token_ids"),
+            x => x.cast("string")))).as("ids_hash"))
+        .orderBy("doc_id")
+    }),
+
     // substring-level exact dedup: maximal duplicated token spans (>= 6
     // tokens = 2 consecutive shared 5-grams) between any two documents.
     // The gram self-join + gaps-and-islands plan is oracle-checked
@@ -361,6 +383,42 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // the FULL training-data pipeline, end to end: exact dedup ->
+    // near-dup clustering (q39's connected components, canonical min-id
+    // survivor) -> quality + language gates -> deterministic source
+    // rebalancing -> train/val/test split -> sharded corpus write ->
+    // re-read + digest. Every per-row decision draws an independently
+    // SALTED md5 uniform (mix/split/shard) — one shared hash would
+    // correlate the stages (a 0.5-downsampled source could never reach
+    // val/test). The oracle recomputes the whole chain, salts included.
+    "q50_full_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exact(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val edges = consecTriJaccard(s, dir, materialize = true)
+        .where(col("jaccard") >= 0.5)
+      val canon = Dedup.connectedComponents(edges, "id1", "id2", d, "doc_id")
+        .where(col("doc_id") === col("component")).select("doc_id")
+      val kept = d.join(survivors, "doc_id").join(canon, "doc_id")
+        .where(TextOps.qualityScore(col("text")) > 0.5 &&
+          TextOps.langId(col("text")) === "en")
+      val bal = Sampling.sampleByHashStratified(kept, "doc_id", "source",
+        Map("src18" -> 0.5, "src7" -> 0.5), default = 1.0, salt = "#mix")
+      val split = Sampling.splitByHash(bal, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "#split")
+        .select("doc_id", "source", "split", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q50_shards"
+      Output.writeSharded(split, "doc_id", path, numShards = 4,
+        salt = "#shard")
+      s.read.parquet(path)
+        .groupBy(col("split"), col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("split"),
+            col("text"))).as("content_sum"))
+        .orderBy("split", "shard")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -389,11 +447,11 @@ object QueriesExt {
   private def hashUnitSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)::DOUBLE / 4294967296.0"
 
-  /** WITH-prefix computing the q36 pipeline's surviving docs: exact-dedup
+  /** CTEs computing the q36 pipeline's surviving docs: exact-dedup
     * keepers passing the quality + language gates. Shared by the q36
     * stats, q48 shard-write, and q50 full-pipeline oracles.
     */
-  private val keptSql: String = {
+  private val keptCtes: String = {
     val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
     val stop = langCountSql(TextOps.EnStopwords)
     val tok = "len(string_split_regex(trim(text), '\\s+'))"
@@ -407,7 +465,7 @@ object QueriesExt {
                   |     WHEN $es >= $fr AND $es >= $de THEN 'es'
                   |     WHEN $fr >= $de THEN 'fr'
                   |     ELSE 'de' END""".stripMargin
-    s"""WITH surv AS (
+    s"""surv AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
        |  GROUP BY tn
@@ -416,6 +474,42 @@ object QueriesExt {
        |  WHERE ($quality) > 0.5 AND ($lang) = 'en'
        |)""".stripMargin
   }
+
+  private val keptSql: String = s"WITH $keptCtes"
+
+  /** Recursive CTEs resolving the consecutive-pair trigram near-dup graph
+    * (jaccard >= 0.5) to connected components, ending in
+    * `comp(doc_id, component)` — the q39 oracle's body, shared with q50.
+    * Tractable because near-dup components are small; the engine side
+    * uses log-round label propagation instead.
+    */
+  private val ccCtes: String =
+    s"""d AS (SELECT doc_id, $normSql AS t FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
+       |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
+       |  WHERE length(t) >= 3
+       |), sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY 1),
+       |iv AS (
+       |  SELECT a.doc_id AS id1, count(*) AS inter
+       |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
+       |  GROUP BY 1
+       |), jac AS (
+       |  SELECT sa.doc_id AS id1, sb.doc_id AS id2,
+       |    coalesce(iv.inter, 0)::DOUBLE
+       |          / (sa.s + sb.s - coalesce(iv.inter, 0)) AS j
+       |  FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+       |  LEFT JOIN iv ON iv.id1 = sa.doc_id
+       |), e AS (SELECT id1 AS a, id2 AS b FROM jac WHERE j >= 0.5),
+       |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS label FROM documents
+       |  UNION
+       |  SELECT s.a AS node, r.label FROM sym s JOIN reach r ON r.node = s.b
+       |), comp AS (
+       |  SELECT node AS doc_id, min(label) AS component
+       |  FROM reach GROUP BY node
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -560,35 +654,35 @@ object QueriesExt {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
-    // recursive-CTE transitive closure: tractable because near-dup
-    // components are small; the engine side uses log-round label
-    // propagation instead
     "q39_dedup_groups" ->
-      s"""WITH RECURSIVE d AS (SELECT doc_id, $normSql AS t FROM documents),
-         |g AS (
-         |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
-         |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
-         |  WHERE length(t) >= 3
-         |), sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY 1),
-         |iv AS (
-         |  SELECT a.doc_id AS id1, count(*) AS inter
-         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
-         |  GROUP BY 1
-         |), jac AS (
-         |  SELECT sa.doc_id AS id1, sb.doc_id AS id2,
-         |    coalesce(iv.inter, 0)::DOUBLE
-         |          / (sa.s + sb.s - coalesce(iv.inter, 0)) AS j
-         |  FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
-         |  LEFT JOIN iv ON iv.id1 = sa.doc_id
-         |), e AS (SELECT id1 AS a, id2 AS b FROM jac WHERE j >= 0.5),
-         |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS label FROM documents
-         |  UNION
-         |  SELECT s.a AS node, r.label FROM sym s JOIN reach r ON r.node = s.b
+      s"""WITH RECURSIVE $ccCtes
+         |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+
+    "q50_full_pipeline" ->
+      s"""WITH RECURSIVE $keptCtes, $ccCtes,
+         |canon AS (SELECT doc_id FROM comp WHERE doc_id = component),
+         |kb AS (
+         |  SELECT k.doc_id, k.source, k.text,
+         |    ${hashUnitSql("k.doc_id::VARCHAR || '#mix'")} AS um,
+         |    ${hashUnitSql("k.doc_id::VARCHAR || '#split'")} AS us,
+         |    ${hashUnitSql("k.doc_id::VARCHAR || '#shard'")} AS uh
+         |  FROM kept k JOIN canon USING (doc_id)
+         |), fin AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN us < 0.8 THEN 'train' WHEN us < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    floor(uh * 4)::BIGINT AS shard
+         |  FROM kb
+         |  WHERE um < CASE WHEN source IN ('src18', 'src7') THEN 0.5
+         |             ELSE 1.0 END
          |)
-         |SELECT node AS doc_id, min(label) AS component
-         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+         |SELECT split, shard, count(*) AS n_docs,
+         |  sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT
+         |    AS n_tokens,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+         |      || split || '|' || text), 1, 8))::BIGINT)::BIGINT
+         |    AS content_sum
+         |FROM fin GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q40_pii_scrub" -> {
       import graft.ops.TextOps.{EmailRe, PhoneRe, UrlRe}

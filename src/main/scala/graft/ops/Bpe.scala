@@ -1,0 +1,167 @@
+package graft.ops
+
+import java.util.regex.Pattern
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Real byte-pair-encoding application over the GPT-2-style pre-token
+  * split ([[TextOps.BpePattern]]): a learned merges table applied to every
+  * document, producing actual token ids — the statistic a training
+  * pipeline needs for length/packing decisions, where
+  * [[TextOps.bpeTokenCount]] only counts pre-tokens.
+  *
+  * Split of labor, as in production tokenizer pipelines:
+  *  - [[train]] is the OFFLINE step: learn merges from a (driver-side)
+  *    corpus sample. Tokenizer training is inherently sequential over
+  *    merge rounds and is never re-run per-query at scale — the sample
+  *    collect is the same boundary as IVF's driver-sized centroids.
+  *  - [[encode]] is the DISTRIBUTED step: the merges table rides a
+  *    broadcast variable, each partition applies it with a per-partition
+  *    memo cache (pre-tokens repeat heavily, so most lookups are hits),
+  *    and no shuffle happens at all — encoding is a pure per-row map,
+  *    scan speed at any corpus size.
+  */
+object Bpe {
+
+  /** A learned BPE vocabulary.
+    *
+    * @param merges ordered merge rules (earlier = higher priority)
+    * @param ids    token string → id; base characters first (sorted),
+    *               then one id per merge in merge order
+    */
+  final case class Vocab(merges: Vector[(String, String)], ids: Map[String, Int]) {
+    @transient lazy val ranks: Map[(String, String), Int] =
+      merges.iterator.zipWithIndex.toMap
+    def size: Int = ids.size
+  }
+
+  private val pretokenRe: Pattern = Pattern.compile(TextOps.BpePattern)
+
+  /** Pre-tokens of `text` under the GPT-2-style pattern — the exact same
+    * matches [[TextOps.bpeTokenCount]] counts (both are Java regex).
+    */
+  def pretokens(text: String): Vector[String] = {
+    val m = pretokenRe.matcher(text)
+    val out = Vector.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Learn `numMerges` BPE merges from `texts` (offline/driver step).
+    * Deterministic: the most frequent adjacent symbol pair wins each
+    * round, ties broken by lexicographic order of the pair.
+    */
+  def train(texts: Seq[String], numMerges: Int): Vocab = {
+    // word-frequency model over pre-tokens: BPE statistics are per
+    // distinct pre-token, weighted by its frequency
+    val wordFreq = mutable.HashMap.empty[Vector[String], Long]
+    texts.foreach { t =>
+      pretokens(t).foreach { w =>
+        val sym = w.map(_.toString).toVector
+        wordFreq.update(sym, wordFreq.getOrElse(sym, 0L) + 1L)
+      }
+    }
+    val baseChars = wordFreq.keysIterator.flatten.toSeq.distinct.sorted
+    val merges = Vector.newBuilder[(String, String)]
+    var words = wordFreq
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      val pairFreq = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (sym, f) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val p = (sym(i), sym(i + 1))
+          pairFreq.update(p, pairFreq.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairFreq.isEmpty) exhausted = true
+      else {
+        val best = pairFreq.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        merges += best
+        val next = mutable.HashMap.empty[Vector[String], Long]
+        words.foreach { case (sym, f) =>
+          val merged = mergePair(sym, best)
+          next.update(merged, next.getOrElse(merged, 0L) + f)
+        }
+        words = next
+        made += 1
+      }
+    }
+    val ms = merges.result()
+    val ids = (baseChars ++ ms.map { case (a, b) => a + b })
+      .zipWithIndex.toMap
+    Vocab(ms, ids)
+  }
+
+  private def mergePair(sym: Vector[String],
+      pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i < sym.length - 1 && sym(i) == pair._1 && sym(i + 1) == pair._2) {
+        out += sym(i) + sym(i + 1); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Encode one pre-token to token ids: split to characters, then apply
+    * the lowest-rank merge repeatedly until none applies (the standard
+    * greedy-by-rank BPE application). Symbols absent from the vocabulary
+    * (a character never seen in training) encode as -1.
+    */
+  def encodePretoken(word: String, vocab: Vocab): Array[Int] = {
+    var sym = word.map(_.toString).toVector
+    var done = sym.length < 2
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var i = 0
+      while (i < sym.length - 1) {
+        val r = vocab.ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (sym(i), sym(i + 1)) }
+        i += 1
+      }
+      if (bestPair == null) done = true
+      else {
+        sym = mergePair(sym, bestPair)
+        if (sym.length < 2) done = true
+      }
+    }
+    sym.iterator.map(s => vocab.ids.getOrElse(s, -1)).toArray
+  }
+
+  /** Distributed BPE application: (id, token_ids, n_pretokens) per doc.
+    *
+    * The vocab is broadcast once; each partition keeps a pre-token →
+    * ids memo (Zipf's law makes the hit rate high), so per-row cost is
+    * regex pre-split + hash lookups. No shuffle — the plan is a pure
+    * mapPartitions over the scan, exactly the [[Multimodal.stubDecode]]
+    * batch shape.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: Vocab): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(vocab)
+    val in: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    in.mapPartitions { it =>
+      val v = bc.value
+      val cache = mutable.HashMap.empty[String, Array[Int]]
+      it.map { case (id, text) =>
+        val pts = pretokens(if (text == null) "" else text)
+        val ids = Array.newBuilder[Int]
+        pts.foreach { w =>
+          ids ++= cache.getOrElseUpdate(w, encodePretoken(w, v))
+        }
+        (id, ids.result(), pts.length)
+      }
+    }.toDF(idCol, "token_ids", "n_pretokens")
+  }
+}

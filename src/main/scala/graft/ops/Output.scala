@@ -31,9 +31,9 @@ object Output {
     * scaled by the shard count. Reproducible from any engine computing the
     * same md5 arithmetic (the DuckDB oracles do).
     */
-  def shardId(id: Column, numShards: Int): Column = {
+  def shardId(id: Column, numShards: Int, salt: String = ""): Column = {
     require(numShards > 0, "numShards must be positive")
-    floor(Sampling.hashUnit(id) * numShards).cast("int")
+    floor(Sampling.hashUnit(id, salt) * numShards).cast("int")
   }
 
   /** Write `df` to `path` as one directory per shard
@@ -51,8 +51,8 @@ object Output {
     */
   def writeSharded(df: DataFrame, idCol: String, path: String,
       numShards: Int, format: String = "parquet",
-      maxRecordsPerFile: Long = 1L << 20): Unit =
-    df.withColumn("shard", shardId(col(idCol), numShards))
+      maxRecordsPerFile: Long = 1L << 20, salt: String = ""): Unit =
+    df.withColumn("shard", shardId(col(idCol), numShards, salt))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite")

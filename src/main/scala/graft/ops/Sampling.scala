@@ -25,6 +25,17 @@ object Sampling {
     conv(substr(md5(key.cast("string")), lit(1), lit(8)), 16, 10)
       .cast("long").cast("double") / 4294967296.0
 
+  /** [[hashUnit]] with a salt appended to the key's string form. Every
+    * INDEPENDENT per-row decision in a pipeline (subsample, split,
+    * shard …) must draw from a differently-salted uniform: reusing one
+    * hash correlates the decisions — e.g. rows subsampled at rate 0.5
+    * (u < 0.5) could then never land in a split assigned from the top of
+    * the same u. The empty salt is the identity (md5 input unchanged).
+    */
+  def hashUnit(key: Column, salt: String): Column =
+    if (salt.isEmpty) hashUnit(key)
+    else hashUnit(concat(key.cast("string"), lit(salt)))
+
   /** Assign each row to a named split. `splits` are (name, weight) with
     * weights summing to ~1; boundaries are the cumulative weights, so
     * e.g. `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)` sends
@@ -32,11 +43,11 @@ object Sampling {
     * Adds a `split` string column; no shuffle.
     */
   def splitByHash(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)]): DataFrame = {
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9, s"split weights sum to $total, not 1")
-    val u = hashUnit(col(idCol))
+    val u = hashUnit(col(idCol), salt)
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail
     val assign = splits.init.zip(bounds.init).foldRight(
       lit(splits.last._1): Column) { case (((name, _), hi), alt) =>
@@ -48,18 +59,20 @@ object Sampling {
   /** Keep a deterministic `fraction` of rows: pure filter, no shuffle,
     * stable under re-runs (the scalable replacement for `df.sample`).
     */
-  def sampleByHash(df: DataFrame, idCol: String, fraction: Double): DataFrame =
-    df.where(hashUnit(col(idCol)) < fraction)
+  def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
+      salt: String = ""): DataFrame =
+    df.where(hashUnit(col(idCol), salt) < fraction)
 
   /** Per-stratum deterministic sampling — `DataFrameStatFunctions.sampleBy`
     * without the RNG: rows whose `strataCol` value is missing from
     * `fractions` fall back to `default`.
     */
   def sampleByHashStratified(df: DataFrame, idCol: String, strataCol: String,
-      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+      fractions: Map[String, Double], default: Double = 0.0,
+      salt: String = ""): DataFrame = {
     val frac = fractions.foldLeft(lit(default)) { case (alt, (value, f)) =>
       when(col(strataCol) === value, f).otherwise(alt)
     }
-    df.where(hashUnit(col(idCol)) < frac)
+    df.where(hashUnit(col(idCol), salt) < frac)
   }
 }

@@ -46,6 +46,40 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Stream-static backward as-of join: each streaming row aligned with
+    * the latest static-side row at or before its timestamp, per key —
+    * the serving-side twin of [[graft.ops.AsOfJoin.backward]] (enrich a
+    * live event stream against a point-in-time feature/reference table).
+    *
+    * The static side is pre-aggregated once into a per-key time-sorted
+    * history array; the stream side then needs only a STATELESS equi-join
+    * on the key (stream-static equi-joins run in append mode with no
+    * watermark) plus a per-row array scan picking the last entry ≤ ts.
+    * No state store, no stream shuffle beyond the join — state cannot
+    * grow with the stream. The per-key static history must be
+    * serving-sized (it is a feature table, not an unbounded log), which
+    * is exactly the regime this join exists for; ties (`r.ts == l.ts`)
+    * match, mirroring the batch operator and DuckDB ASOF.
+    */
+  def asOfJoinStreamStatic(stream: DataFrame, static: DataFrame,
+      on: Seq[String], leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.intersect(stream.columns.toSeq).isEmpty,
+      "rightPayload collides with stream columns")
+    // __rts leads the struct so array_sort orders each history by time
+    val hist = static.groupBy(on.map(col): _*)
+      .agg(array_sort(collect_list(struct(
+        (col(rightTs).as("__rts") +: rightPayload.map(col)): _*)))
+        .as("__hist"))
+    val matches = filter(col("__hist"),
+      x => x.getField("__rts") <= col(leftTs))
+    // guarded element_at: ANSI-safe on empty/null histories
+    val m = when(size(matches) > 0, element_at(matches, size(matches)))
+    stream.join(hist, on, "left")
+      .select(stream.columns.map(col).toSeq ++
+        rightPayload.map(p => m.getField(p).as(p)): _*)
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long,

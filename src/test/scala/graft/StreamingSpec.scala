@@ -87,4 +87,47 @@ class StreamingSpec extends SparkSpec {
       assert(first.getLong(3) == 2L && first.getDouble(4) == 3.0)
     } finally q.stop()
   }
+
+  test("stream-static as-of join mirrors the batch backward semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val static = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 11.0),
+      (2L, ts("2024-01-01 10:30:00"), 20.0))
+      .toDF("user_id", "p_ts", "p_value")
+    val src = MemoryStream[(Long, Timestamp)]
+    val stream = src.toDF().toDF("user_id", "ts")
+    val q = StreamOps.asOfJoinStreamStatic(stream, static, Seq("user_id"),
+      "ts", "p_ts", Seq("p_ts", "p_value"))
+      .writeStream.format("memory").queryName("asof").outputMode("append")
+      .start()
+    try {
+      val probes = Seq(
+        (1L, ts("2024-01-01 10:30:00")), // between -> earlier row (10.0)
+        (1L, ts("2024-01-01 11:00:00")), // tie -> matches (11.0)
+        (2L, ts("2024-01-01 10:00:00")), // before any right row -> nulls
+        (3L, ts("2024-01-01 12:00:00"))) // unknown key -> nulls
+      src.addData(probes: _*)
+      q.processAllAvailable()
+      val got = spark.table("asof").orderBy("user_id", "ts").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      assert(got == Seq(
+        (1L, Some(ts("2024-01-01 10:00:00")), Some(10.0)),
+        (1L, Some(ts("2024-01-01 11:00:00")), Some(11.0)),
+        (2L, None, None),
+        (3L, None, None)))
+      // the streaming result agrees row-for-row with the batch operator
+      val batch = graft.ops.AsOfJoin.backward(
+        probes.toDF("user_id", "ts"), static, Seq("user_id"),
+        "ts", "p_ts", Seq("p_ts", "p_value"))
+        .orderBy("user_id", "ts").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getTimestamp(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
