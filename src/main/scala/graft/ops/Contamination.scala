@@ -34,9 +34,13 @@ object Contamination {
   def screen(train: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, gramWidth: Int = 5,
       maxGramDf: Option[Int] = None): DataFrame = {
-    def grams(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-      explode(array_distinct(
-        TextOps.strictWordShingles(col(textCol), gramWidth))).as("gram"))
+    // distinct (doc, gram) rows via the tokenize-once/lead construction
+    // (an array-transform shingle lambda would re-tokenize per gram —
+    // the Dedup.shingleRows rationale)
+    def grams(df: DataFrame, as: String) = Dedup
+      .shingleRows(df.select(col(idCol).as(as), col(textCol)), as, textCol,
+        gramWidth, strict = true)
+      .withColumnRenamed("__sh", "gram")
     val t = grams(train, idCol)
     // pre-aggregate the bench side to ONE row per gram carrying the set of
     // bench docs containing it (bounded by `maxGramDf`, which filters on

@@ -41,11 +41,13 @@ object Dedup {
     * elimination inside `transform`), which profiling showed dominating the
     * whole LSH pipeline. Here tokenization happens once per doc and each
     * shingle is one window row — linear work, partitioned by doc id.
-    * Docs shorter than `w` tokens contribute their whole text as one
-    * shingle (concat_ws skips the null leads).
+    * By default docs shorter than `w` tokens contribute their whole text
+    * as one shingle (concat_ws skips the null leads) so short docs still
+    * dedup; `strict = true` drops them instead (exact `w`-windows only —
+    * the contamination/span semantics).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
+      w: Int, strict: Boolean = false): DataFrame = {
     val tok = df.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("__p", "__t")))
     if (w <= 1) tok.select(col(idCol), col("__t").as("__sh")).distinct()
@@ -53,11 +55,33 @@ object Dedup {
       val win = Window.partitionBy(idCol).orderBy("__p")
       val parts = col("__t") +: (1 until w).map(k => lead(col("__t"), k).over(win))
       val nTok = count(lit(1)).over(Window.partitionBy(idCol))
+      val keep =
+        if (strict) lead(col("__t"), w - 1).over(win).isNotNull
+        else lead(col("__t"), w - 1).over(win).isNotNull ||
+          (col("__p") === 0 && nTok < w)
       tok.select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
-          (lead(col("__t"), w - 1).over(win).isNotNull ||
-            (col("__p") === 0 && nTok < w)).as("__keep"))
+          keep.as("__keep"))
         .where(col("__keep")).drop("__keep")
         .distinct()
+    }
+  }
+
+  /** Positional word `w`-grams as rows (id, pos, gram), strict windows
+    * only — the positional sibling of [[shingleRows]], same
+    * tokenize-once/lead construction (and the same reason: an array
+    * `transform` would re-tokenize per gram).
+    */
+  def posGramRows(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t")))
+    if (w <= 1) tok.select(col(idCol), col("pos"), col("__t").as("gram"))
+    else {
+      val win = Window.partitionBy(idCol).orderBy("pos")
+      val parts = col("__t") +: (1 until w).map(k => lead(col("__t"), k).over(win))
+      tok.select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("gram"),
+          lead(col("__t"), w - 1).over(win).isNotNull.as("__keep"))
+        .where(col("__keep")).drop("__keep")
     }
   }
 
@@ -366,24 +390,34 @@ object Dedup {
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       gramWidth: Int = 5, minGramRun: Int = 2,
       maxGramDf: Option[Int] = None): DataFrame = {
-    val g = df.select(col(idCol),
-      posexplode(TextOps.strictWordShingles(col(textCol), gramWidth))
-        .as(Seq("pos", "gram")))
-    val gf = maxGramDf match {
-      case None => g
-      case Some(cap) =>
-        // pre-aggregation on the join key itself, so the exchange is
-        // shared with the self-join below
-        g.join(g.groupBy("gram").agg(countDistinct(col(idCol)).as("__df"))
-          .where(col("__df") <= cap).select("gram"), "gram")
+    // candidate generation is ONE aggregation (the minHashLshPairs
+    // shape): occurrences meet in their gram's group, the df cap filters
+    // in-row on the distinct-doc count, and the id1 < id2 position pairs
+    // expand in-row from the sorted occurrence array — no df-cap
+    // pre-join, no two-sided self-join shuffle, no multi-consumer cache.
+    // Group arrays are bounded by cap × occurrences-per-doc.
+    val g = posGramRows(df, idCol, textCol, gramWidth)
+    val grouped = g.groupBy("gram").agg(
+      array_sort(collect_list(struct(col(idCol).as("id"), col("pos").as("p"))))
+        .as("es"))
+    val capped = maxGramDf match {
+      case None => grouped
+      case Some(cap) => grouped.where(
+        size(array_distinct(transform(col("es"), e => e.getField("id"))))
+          <= cap)
     }
-    val l = gf.select(col("gram"), col(idCol).as("id1"), col("pos").as("pos1"))
-    val r = gf.select(col("gram"), col(idCol).as("id2"), col("pos").as("pos2"))
-    val hits = l.join(r, "gram")
-      .where(col("id1") < col("id2"))
-      .withColumn("diag", col("pos1") - col("pos2"))
+    val hits = capped.select(explode(flatten(
+      transform(col("es"), (a, i) =>
+        transform(filter(slice(col("es"), i + 2, size(col("es"))),
+          b => a.getField("id") < b.getField("id")), b =>
+          struct(a.getField("id").as("id1"), b.getField("id").as("id2"),
+            a.getField("p").as("pos1"),
+            (a.getField("p") - b.getField("p")).as("diag")))))).as("h"))
+      .select(col("h.id1").as("id1"), col("h.id2").as("id2"),
+        col("h.pos1").as("pos1"), col("h.diag").as("diag"))
     // gaps-and-islands: consecutive pos1 at a fixed diagonal share
-    // (pos1 − row_number), which identifies the maximal run
+    // (pos1 − row_number), which identifies the maximal run; the groupBy
+    // reuses the window's (id1, id2, diag) partitioning
     val w = Window.partitionBy("id1", "id2", "diag").orderBy("pos1")
     hits
       .withColumn("island", col("pos1") - row_number().over(w))
