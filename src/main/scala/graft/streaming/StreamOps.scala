@@ -80,6 +80,34 @@ object StreamOps {
         rightPayload.map(p => m.getField(p).as(p)): _*)
   }
 
+  /** Stream-static interval join: each streaming point row matched to
+    * every static interval containing it, per key — the serving twin of
+    * [[graft.ops.RangeJoin.intervalJoin]] (tag live events with the
+    * reference window/session/campaign they fall in).
+    *
+    * Same stateless construction as [[asOfJoinStreamStatic]]: the static
+    * intervals pack into one per-key array, the stream side is an
+    * append-mode equi-join plus an in-row filter+explode — inner
+    * semantics (unmatched points drop, one output row per containing
+    * interval), matching the batch operator. No state store; the per-key
+    * static interval set must be serving-sized.
+    */
+  def intervalJoinStreamStatic(stream: DataFrame, static: DataFrame,
+      on: Seq[String], ptCol: String, startCol: String, endCol: String,
+      intervalPayload: Seq[String]): DataFrame = {
+    require(intervalPayload.intersect(stream.columns.toSeq).isEmpty,
+      "intervalPayload collides with stream columns")
+    val packed = static.groupBy(on.map(col): _*)
+      .agg(collect_list(struct((col(startCol).as("__s") +:
+        col(endCol).as("__e") +: intervalPayload.map(col)): _*)).as("__iv"))
+    stream.join(packed, on, "left")
+      .withColumn("__m", explode(filter(col("__iv"),
+        x => x.getField("__s") <= col(ptCol) &&
+          x.getField("__e") >= col(ptCol))))
+      .select(stream.columns.map(col).toSeq ++
+        intervalPayload.map(p => col("__m").getField(p).as(p)): _*)
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long,

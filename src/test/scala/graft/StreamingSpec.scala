@@ -130,4 +130,40 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("stream-static interval join mirrors the batch inner semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val sessions = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 100L),
+      (1L, ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00"), 101L), // overlaps
+      (2L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 200L))
+      .toDF("user_id", "s", "e", "session_id")
+    val src = MemoryStream[(Long, Long, Timestamp)]
+    val stream = src.toDF().toDF("event_id", "user_id", "ts")
+    val q = StreamOps.intervalJoinStreamStatic(stream, sessions,
+      Seq("user_id"), "ts", "s", "e", Seq("session_id"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append")
+      .start()
+    try {
+      val probes = Seq(
+        (1L, 1L, ts("2024-01-01 10:45:00")), // inside BOTH -> 2 rows
+        (2L, 1L, ts("2024-01-01 11:30:00")), // inside 101 only
+        (3L, 2L, ts("2024-01-01 09:30:00")), // boundary inclusive -> 200
+        (4L, 2L, ts("2024-01-01 10:00:00")), // outside -> dropped
+        (5L, 9L, ts("2024-01-01 10:00:00"))) // unknown key -> dropped
+      src.addData(probes: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj").orderBy("event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(got == Seq((1L, 100L), (1L, 101L), (2L, 101L), (3L, 200L)))
+      // agrees with the batch operator on the same data
+      val batch = graft.ops.RangeJoin.intervalJoin(
+        probes.toDF("event_id", "user_id", "ts"), sessions, Seq("user_id"),
+        "ts", "s", "e", Seq("session_id"))
+        .orderBy("event_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
