@@ -372,7 +372,10 @@ object QueriesExt {
         .where(TextOps.qualityScore(col("text")) > 0.5 &&
           TextOps.langId(col("text")) === "en")
         .select("doc_id", "source", "text")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q48_shards"
+      // per-application path: concurrent runs on one machine must not
+      // overwrite each other's shards mid-digest
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q48_" +
+        s.sparkContext.applicationId
       Output.writeSharded(kept, "doc_id", path, numShards = 8)
       s.read.parquet(path)
         .groupBy(col("shard").cast("long").as("shard"))
@@ -407,7 +410,8 @@ object QueriesExt {
       val split = Sampling.splitByHash(bal, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "#split")
         .select("doc_id", "source", "split", "text")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q50_shards"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q50_" +
+        s.sparkContext.applicationId
       Output.writeSharded(split, "doc_id", path, numShards = 4,
         salt = "#shard")
       s.read.parquet(path)

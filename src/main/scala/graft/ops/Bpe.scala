@@ -149,16 +149,29 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(vocab)
-    val in: Dataset[(Long, String)] =
-      df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    // Option id: a null id (or a non-numeric id that casts to null) must
+    // round-trip as null, not NPE in the primitive-Long deserializer
+    val in: Dataset[(Option[Long], String)] =
+      df.select(col(idCol).cast("long"), col(textCol))
+        .as[(Option[Long], String)]
     in.mapPartitions { it =>
       val v = bc.value
+      // bounded memo: Zipf's head dominates lookups, so a capped map keeps
+      // the hit rate while bounding executor memory on adversarial
+      // high-cardinality partitions (random strings, base64 blobs)
       val cache = mutable.HashMap.empty[String, Array[Int]]
+      val maxCacheEntries = 1 << 17
       it.map { case (id, text) =>
         val pts = pretokens(if (text == null) "" else text)
         val ids = Array.newBuilder[Int]
         pts.foreach { w =>
-          ids ++= cache.getOrElseUpdate(w, encodePretoken(w, v))
+          cache.get(w) match {
+            case Some(e) => ids ++= e
+            case None =>
+              val e = encodePretoken(w, v)
+              if (cache.size < maxCacheEntries) cache.update(w, e)
+              ids ++= e
+          }
         }
         (id, ids.result(), pts.length)
       }

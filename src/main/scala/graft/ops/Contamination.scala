@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination screening: find training documents sharing
@@ -43,18 +44,26 @@ object Contamination {
       .withColumnRenamed("__sh", "gram")
     val t = grams(train, idCol)
     // pre-aggregate the bench side to ONE row per gram carrying the set of
-    // bench docs containing it (bounded by `maxGramDf`, which filters on
-    // the same aggregation for free). The join output is then one row per
+    // bench docs containing it. The join output is then one row per
     // (train doc, shared gram) — not per (doc, gram, bench doc) triple —
     // and the final per-doc aggregation needs no countDistinct at all, so
     // no Expand doubles the joined rows: n_shared_grams is a plain count
     // (train grams are distinct per doc) and n_bench_docs is the size of
     // the distinct union of the per-gram bench sets.
-    val bpg = grams(bench, "bench_id").groupBy("gram")
-      .agg(collect_set(col("bench_id")).as("__bench"))
+    // With a cap, the df filter runs as a WINDOW count BEFORE the
+    // collect_set (gram rows are distinct per doc, so the row count IS
+    // the df; window buffers spill, aggregation buffers don't), so no
+    // per-gram set is ever built past the cap — the hottest gram costs
+    // O(cap), not O(|bench|).
+    val bg = grams(bench, "bench_id")
     val b = maxGramDf match {
-      case None => bpg
-      case Some(cap) => bpg.where(size(col("__bench")) <= cap)
+      case None =>
+        bg.groupBy("gram").agg(collect_set(col("bench_id")).as("__bench"))
+      case Some(cap) =>
+        bg.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("gram")))
+          .where(col("__df") <= cap).drop("__df")
+          .groupBy("gram").agg(collect_set(col("bench_id")).as("__bench"))
     }
     t.join(b, "gram")
       .groupBy(idCol)

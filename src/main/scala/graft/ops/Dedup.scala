@@ -47,40 +47,33 @@ object Dedup {
     * the contamination/span semantics).
     */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      w: Int, strict: Boolean = false): DataFrame = {
-    val tok = df.select(col(idCol),
-      posexplode(TextOps.tokens(col(textCol))).as(Seq("__p", "__t")))
-    if (w <= 1) tok.select(col(idCol), col("__t").as("__sh")).distinct()
-    else {
-      val win = Window.partitionBy(idCol).orderBy("__p")
-      val parts = col("__t") +: (1 until w).map(k => lead(col("__t"), k).over(win))
-      val nTok = count(lit(1)).over(Window.partitionBy(idCol))
-      val keep =
-        if (strict) lead(col("__t"), w - 1).over(win).isNotNull
-        else lead(col("__t"), w - 1).over(win).isNotNull ||
-          (col("__p") === 0 && nTok < w)
-      tok.select(col(idCol), concat_ws(" ", parts: _*).as("__sh"),
-          keep.as("__keep"))
-        .where(col("__keep")).drop("__keep")
-        .distinct()
-    }
-  }
+      w: Int, strict: Boolean = false): DataFrame =
+    posGramRows(df, idCol, textCol, w, wholeDocFallback = !strict)
+      .select(col(idCol), col("gram").as("__sh")).distinct()
 
-  /** Positional word `w`-grams as rows (id, pos, gram), strict windows
-    * only — the positional sibling of [[shingleRows]], same
-    * tokenize-once/lead construction (and the same reason: an array
-    * `transform` would re-tokenize per gram).
+  /** Positional word `w`-grams as rows (id, pos, gram) — the one
+    * tokenize-once/lead construction behind [[shingleRows]] and
+    * [[duplicateSpans]] (an array `transform` lambda would re-tokenize
+    * the document once per gram; this is linear, partitioned by doc).
+    * With `wholeDocFallback`, a doc shorter than `w` tokens contributes
+    * its whole text as one gram at pos 0 (concat_ws skips the null
+    * leads) instead of nothing.
     */
   def posGramRows(df: DataFrame, idCol: String, textCol: String,
-      w: Int): DataFrame = {
+      w: Int, wholeDocFallback: Boolean = false): DataFrame = {
     val tok = df.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t")))
     if (w <= 1) tok.select(col(idCol), col("pos"), col("__t").as("gram"))
     else {
       val win = Window.partitionBy(idCol).orderBy("pos")
       val parts = col("__t") +: (1 until w).map(k => lead(col("__t"), k).over(win))
+      val complete = lead(col("__t"), w - 1).over(win).isNotNull
+      val keep =
+        if (!wholeDocFallback) complete
+        else complete || (col("pos") === 0 &&
+          count(lit(1)).over(Window.partitionBy(idCol)) < w)
       tok.select(col(idCol), col("pos"), concat_ws(" ", parts: _*).as("gram"),
-          lead(col("__t"), w - 1).over(win).isNotNull.as("__keep"))
+          keep.as("__keep"))
         .where(col("__keep")).drop("__keep")
     }
   }
@@ -375,13 +368,18 @@ object Dedup {
     * misses a verbatim paragraph pasted into an otherwise-unique page;
     * this catches exactly that.
     *
-    * Scale shape: positional grams self-join on the gram string (the
-    * [[Contamination]] join — key cardinality grows with the corpus,
+    * Scale shape: positional grams meet in one groupBy on the gram string
+    * (the [[Contamination]] key — cardinality grows with the corpus,
     * never |docs|²), then runs are found with one window over
     * (id1, id2, diagonal) ordered by position — gaps-and-islands, linear
-    * per matched pair. `maxGramDf` drops grams present in more than that
-    * many documents before the join: boilerplate n-grams are both the
-    * skew bomb and, at sane widths, not the duplication being hunted.
+    * per matched pair. Two hot-key guards: `maxGramOccurrences` drops
+    * grams with more total occurrences than that BEFORE anything
+    * aggregates (a spillable window count — it bounds both the
+    * collect buffer and the in-row pair expansion, which is quadratic in
+    * a gram's occurrence count), and `maxGramDf` drops grams present in
+    * more than that many distinct documents (boilerplate n-grams are
+    * both the skew bomb and, at sane widths, not the duplication being
+    * hunted).
     *
     * @return (id1, id2, start1, start2, n_grams, span_tokens) with
     *         id1 < id2, one row per maximal duplicated span;
@@ -389,14 +387,21 @@ object Dedup {
     */
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       gramWidth: Int = 5, minGramRun: Int = 2,
-      maxGramDf: Option[Int] = None): DataFrame = {
+      maxGramDf: Option[Int] = None,
+      maxGramOccurrences: Int = 1000): DataFrame = {
     // candidate generation is ONE aggregation (the minHashLshPairs
     // shape): occurrences meet in their gram's group, the df cap filters
     // in-row on the distinct-doc count, and the id1 < id2 position pairs
     // expand in-row from the sorted occurrence array — no df-cap
     // pre-join, no two-sided self-join shuffle, no multi-consumer cache.
-    // Group arrays are bounded by cap × occurrences-per-doc.
+    // The occurrence cap runs in a WINDOW on the same key first (window
+    // buffers spill; aggregation buffers don't), so no group's array
+    // exceeds maxGramOccurrences entries no matter how pathological the
+    // corpus — same spirit as minHashLshPairs' maxBucketSize.
     val g = posGramRows(df, idCol, textCol, gramWidth)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("gram")))
+      .where(col("__n") <= maxGramOccurrences && col("__n") >= 2)
+      .drop("__n")
     val grouped = g.groupBy("gram").agg(
       array_sort(collect_list(struct(col(idCol).as("id"), col("pos").as("p"))))
         .as("es"))

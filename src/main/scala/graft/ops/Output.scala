@@ -51,7 +51,10 @@ object Output {
     */
   def writeSharded(df: DataFrame, idCol: String, path: String,
       numShards: Int, format: String = "parquet",
-      maxRecordsPerFile: Long = 1L << 20, salt: String = ""): Unit =
+      maxRecordsPerFile: Long = 1L << 20, salt: String = ""): Unit = {
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it; writeSharded owns " +
+        "that name for the derived partition key")
     df.withColumn("shard", shardId(col(idCol), numShards, salt))
       .repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
@@ -60,6 +63,7 @@ object Output {
       .partitionBy("shard")
       .format(format)
       .save(path)
+  }
 
   /** Engine-reproducible 32-bit content hash of the given columns (md5 of
     * the "|"-joined string forms) — the per-row term of a shard digest.
@@ -67,6 +71,5 @@ object Output {
     * SQL engine can recompute.
     */
   def rowHash(cols: Column*): Column =
-    conv(substr(md5(concat_ws("|", cols: _*)), lit(1), lit(8)), 16, 10)
-      .cast("long")
+    Sampling.md5Prefix32(concat_ws("|", cols: _*))
 }

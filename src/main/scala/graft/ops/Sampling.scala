@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform [0, 1) hash of `key`: the first 8 md5 hex digits as an
-    * unsigned 32-bit integer, scaled by 2⁻³². Exact in double, so
-    * threshold comparisons are bit-reproducible across engines.
+  /** First 8 md5 hex digits of `c`'s string form as an unsigned 32-bit
+    * value in a long — THE engine-reproducible hash primitive every
+    * deterministic decision here and in [[Output]] derives from (oracles
+    * must mirror this exact arithmetic; keep it in one place).
+    */
+  def md5Prefix32(c: Column): Column =
+    conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+
+  /** Uniform [0, 1) hash of `key`: [[md5Prefix32]] scaled by 2⁻³².
+    * Exact in double, so threshold comparisons are bit-reproducible
+    * across engines.
     */
   def hashUnit(key: Column): Column =
-    conv(substr(md5(key.cast("string")), lit(1), lit(8)), 16, 10)
-      .cast("long").cast("double") / 4294967296.0
+    md5Prefix32(key).cast("double") / 4294967296.0
 
   /** [[hashUnit]] with a salt appended to the key's string form. Every
     * INDEPENDENT per-row decision in a pipeline (subsample, split,

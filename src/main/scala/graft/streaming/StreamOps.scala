@@ -100,7 +100,9 @@ object StreamOps {
     val packed = static.groupBy(on.map(col): _*)
       .agg(collect_list(struct((col(startCol).as("__s") +:
         col(endCol).as("__e") +: intervalPayload.map(col)): _*)).as("__iv"))
-    stream.join(packed, on, "left")
+    // inner join: the explode drops no-match rows anyway, so producing
+    // them would be dead work
+    stream.join(packed, on)
       .withColumn("__m", explode(filter(col("__iv"),
         x => x.getField("__s") <= col(ptCol) &&
           x.getField("__e") >= col(ptCol))))
