@@ -27,21 +27,20 @@ object QueriesExt {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** (id1, id2, jaccard): character-trigram Jaccard between consecutive
-    * doc ids — q21's body, shared with q39's edge construction.
-    * normText is materialized in its own projection: inlining it into the
-    * charNgrams lambda would re-run the regex once per gram.
+  /** Per-doc distinct character-trigram sets. normText is materialized in
+    * its own projection: inlining it into the charNgrams lambda would
+    * re-run the regex once per gram.
     */
-  private def consecTriJaccard(s: SparkSession, dir: String,
-      materialize: Boolean = false): DataFrame = {
-    val d0 = docs(s, dir)
+  private def triFrame(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
       .select(col("doc_id"),
         array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
-    // both join sides derive from d — materializing once halves the trigram
-    // work for consumers that force the whole frame anyway (q39's edge
-    // filter); q21 stays lazy so column pruning keeps working for it
-    val d = if (materialize) d0.localCheckpoint(true) else d0
+
+  /** (id1, id2, jaccard) between consecutive doc ids over a trigram
+    * frame `d` — q21's body, shared with the q39/q50 edge builder.
+    */
+  private def triJaccardOf(d: DataFrame): DataFrame = {
     val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
     val b = d.select(col("doc_id").as("id2"), col("g").as("g2"))
     a.join(b, col("id2") === col("id1") + 1)
@@ -49,6 +48,24 @@ object QueriesExt {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("g1")) + size(col("g2")) - col("inter")))
       .select("id1", "id2", "jaccard")
+  }
+
+  private def consecTriJaccard(s: SparkSession, dir: String): DataFrame =
+    triJaccardOf(triFrame(s, dir))
+
+  /** Near-dup edges (jaccard ≥ minJ) between consecutive doc ids. The
+    * trigram frame feeds both join sides, so it is persisted — NOT
+    * checkpointed: caching columnar batches is far cheaper than writing
+    * the big array frame to block storage — and only the tiny edge list
+    * materializes eagerly; the cache is released before returning.
+    */
+  private def consecTriEdges(s: SparkSession, dir: String,
+      minJ: Double): DataFrame = {
+    val d = triFrame(s, dir).persist()
+    val edges = triJaccardOf(d).where(col("jaccard") >= minJ)
+      .select("id1", "id2").localCheckpoint(true)
+    d.unpersist()
+    edges
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -203,8 +220,7 @@ object QueriesExt {
     // turned into dedup groups with a canonical min-id survivor. The
     // DuckDB oracle recomputes the components with a recursive CTE.
     "q39_dedup_groups" -> ((s, dir) => {
-      val edges = consecTriJaccard(s, dir, materialize = true)
-        .where(col("jaccard") >= 0.5)
+      val edges = consecTriEdges(s, dir, minJ = 0.5)
       Dedup.connectedComponents(edges, "id1", "id2", docs(s, dir), "doc_id")
         .orderBy("doc_id")
     }),
@@ -398,8 +414,7 @@ object QueriesExt {
       val d = docs(s, dir)
       val survivors = Dedup.exact(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val edges = consecTriJaccard(s, dir, materialize = true)
-        .where(col("jaccard") >= 0.5)
+      val edges = consecTriEdges(s, dir, minJ = 0.5)
       val canon = Dedup.connectedComponents(edges, "id1", "id2", d, "doc_id")
         .where(col("doc_id") === col("component")).select("doc_id")
       val kept = d.join(survivors, "doc_id").join(canon, "doc_id")

@@ -182,6 +182,14 @@ class OpsSpec extends SparkSpec {
     def n(cap: Option[Int]) = Dedup.duplicateSpans(boiler, "doc_id", "text",
       gramWidth = 2, minGramRun = 2, maxGramDf = cap).count()
     assert(n(None) == 3L && n(Some(2)) == 0L)
+
+    // occurrence cap: the same boilerplate run (6 total occurrences of
+    // each gram across 3 docs) survives at the default cap, disappears
+    // when the cap goes below its occurrence count — the pre-aggregation
+    // hot-key guard is live semantics, not dead config
+    def occ(cap: Int) = Dedup.duplicateSpans(boiler, "doc_id", "text",
+      gramWidth = 2, minGramRun = 2, maxGramOccurrences = cap).count()
+    assert(occ(1000) == 3L && occ(2) == 0L)
   }
 
   test("hash split: total, determinism, proportions, and sampling subset") {
