@@ -336,6 +336,40 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // sequence packing: every doc's (shard, pack, offset) in the packed
+    // training layout — exclusive running token sum per hash shard,
+    // sliced at seqLen. One window per shard; oracle recomputes the
+    // same md5 shard + window cumsum.
+    "q53_seq_pack" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.Packing.packSequences(t, "doc_id", "n_tokens",
+        seqLen = 512, numShards = 8)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"),
+          col("n_tokens"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    }),
+
+    // text canonicalization: control-char strip + native codegen Unicode
+    // NFC (plans.NfcNormalize via GraftExtensions). The raw corpus is
+    // ASCII-clean, so decomposed accents and control bytes are APPENDED
+    // deterministically by doc_id (mirrored in the oracle) and the query
+    // reports the cleaned text plus before/after lengths — DuckDB's
+    // nfc_normalize implements the same UAX #15 algorithm, making the
+    // comparison cell-exact.
+    "q54_text_clean" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" cafe\u0301 nai\u0308ve"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\u0008marker\u007f"))
+          .otherwise(lit(""))).as("text"))
+      dirty.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        TextOps.cleanText(col("text")).as("cleaned"))
+        .withColumn("n_chars_clean", length(col("cleaned")).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // real BPE application: merges learned offline (driver-side, from the
     // first 200 docs — the same inherent boundary as tokenizer training
     // anywhere), then applied distributed via broadcast + mapPartitions.
@@ -631,6 +665,42 @@ object QueriesExt {
          |  sum($tok)::BIGINT AS n_tokens,
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q53_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    floor(${hashUnitSql("doc_id::VARCHAR")} * 8)::BIGINT AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS strt
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, n_tokens,
+         |  floor(strt / 512)::BIGINT AS pack_id,
+         |  (strt % 512)::BIGINT AS pack_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q54_text_clean" -> {
+      val clean = "nfc_normalize(regexp_replace(text, " +
+        s"'${graft.ops.TextOps.ControlCharRe}', '', 'g'))"
+      s"""WITH w AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN chr(8) || 'marker' || chr(127)
+         |         ELSE '' END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+         |  $clean AS cleaned,
+         |  length($clean)::BIGINT AS n_chars_clean
+         |FROM w ORDER BY doc_id""".stripMargin
     },
 
     "q51_dup_spans" -> {

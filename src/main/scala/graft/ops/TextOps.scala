@@ -191,6 +191,25 @@ object TextOps {
   def urlCount(c: Column): Column   = countMatches(c, UrlRe)
   def phoneCount(c: Column): Column = countMatches(c, PhoneRe)
 
+  // ----------------------------------------------------------- cleanup
+
+  /** ASCII control characters (minus \t \n \r) plus DEL — the bytes a
+    * web-corpus cleanup strips. Written with \x escapes valid in both
+    * Java regex and RE2, so oracles reproduce the strip exactly.
+    */
+  val ControlCharRe: String = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+  /** Web-corpus text canonicalization: strip control characters, then
+    * Unicode-NFC-normalize (composed/decomposed accents become
+    * identical — required before any hash-based dedup/fingerprint sees
+    * the text). The NFC step is the native [[graft.plans.NfcNormalize]]
+    * expression and needs [[graft.plans.GraftExtensions]] installed;
+    * everything stays inside whole-stage codegen.
+    */
+  def cleanText(c: Column): Column =
+    call_function("nfc_normalize",
+      regexp_replace(c, lit(ControlCharRe), lit("")))
+
   // ----------------------------------------------------------- fingerprints
 
   /** 64-bit content fingerprint of the normalized text (xxhash64). */

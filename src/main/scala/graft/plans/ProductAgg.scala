@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         DotProduct(Cast(children(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
           Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)))
   }
 }

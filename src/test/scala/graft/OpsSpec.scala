@@ -192,6 +192,43 @@ class OpsSpec extends SparkSpec {
     assert(occ(1000) == 3L && occ(2) == 0L)
   }
 
+  test("sequence packing: exclusive cumsum, boundaries, shard independence") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // single shard so the layout is fully predictable: docs of 300 tokens
+    // pack at seqLen=512 as starts 0,300,600,900 -> packs 0,0,1,1 with
+    // offsets 0,300,88,388 (doc 1 straddles the 512 boundary: it STARTS
+    // in pack 0; the split is the trainer's concern, not the layout's)
+    val df = (0L to 3L).map(i => (i, 300L)).toDF("doc_id", "n_tokens")
+    val out = graft.ops.Packing.packSequences(df, "doc_id", "n_tokens",
+      seqLen = 512, numShards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((0L, 0L), (0L, 300L), (1L, 88L), (1L, 388L)))
+    // multiple shards: each shard's packing is independent and dense
+    val big = spark.range(200).select(col("id").as("doc_id"),
+      (col("id") % 7 * 10 + 5).as("n_tokens"))
+    val packed = graft.ops.Packing.packSequences(big, "doc_id", "n_tokens",
+      seqLen = 100, numShards = 4)
+    packed.groupBy("shard").count().collect().foreach { r =>
+      assert(r.getLong(1) > 0)
+    }
+    // within each shard the first doc starts at pack 0 offset 0, and
+    // offsets are always < seqLen
+    val firsts = packed.orderBy("doc_id").collect()
+      .groupBy(_.getInt(2)).values.map(_.minBy(_.getLong(0)))
+    firsts.foreach(r => assert(r.getLong(3) == 0L && r.getLong(4) == 0L))
+    packed.collect().foreach(r => assert(r.getLong(4) < 100))
+    // deterministic under repartitioning
+    val again = graft.ops.Packing.packSequences(big.repartition(13),
+      "doc_id", "n_tokens", seqLen = 100, numShards = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3),
+        r.getLong(4))).toSeq
+    val base = packed.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(again == base)
+  }
+
   test("hash split: total, determinism, proportions, and sampling subset") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(2000).select(col("id").as("doc_id"))

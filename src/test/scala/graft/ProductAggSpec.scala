@@ -103,4 +103,28 @@ class ProductAggSpec extends SparkSpec {
     assert(q.queryExecution.analyzed.toString.contains("dot_product"))
     assert(q.collect()(0).getDouble(0) == 4.0)
   }
+
+  test("nfc_normalize composes decomposed accents; cleanText strips controls") {
+    import spark.implicits._
+    val composed = "caf\u00e9"            // é as one codepoint
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val df = Seq(
+      (1L, decomposed), (2L, composed), (3L, null.asInstanceOf[String]),
+      (4L, "abc\tkeep\nme"))
+      .toDF("id", "s")
+    val out = df.orderBy("id").select(
+      call_function("nfc_normalize", col("s")).as("nfc"),
+      graft.ops.TextOps.cleanText(col("s")).as("clean")).collect()
+    assert(out(0).getString(0) == composed)       // NFC composes
+    assert(out(0).getString(0).length == 4)
+    assert(out(1).getString(0) == composed)       // already-NFC unchanged
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1)) // null in, null out
+    assert(out(3).getString(1) == "abc\tkeep\nme") // controls out, \t\n kept
+    // decomposed and composed spellings hash identically after cleanup
+    val fp = df.where(col("id") <= 2).select(
+      graft.ops.TextOps.contentHash(
+        graft.ops.TextOps.cleanText(col("s"))).as("h"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+  }
 }
