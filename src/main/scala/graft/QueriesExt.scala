@@ -336,6 +336,23 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // incremental dedup: the "new crawl" half of the corpus (md5 split
+    // u >= 0.5) anti-joined against the standing half on normalized
+    // content — the daily-ingest primitive. Also drops within-batch
+    // duplicates via the q20 survivor set, composing both exact-dedup
+    // modes.
+    "q55_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val existing = d.where(col("u") < 0.5)
+      val fresh = d.where(col("u") >= 0.5)
+      val surv = Dedup.exact(fresh, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      Dedup.exactAgainst(fresh.join(surv, "doc_id"), existing,
+        "doc_id", "text")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // sequence packing: every doc's (shard, pack, offset) in the packed
     // training layout — exclusive running token sum per hash shard,
     // sliced at seqLen. One window per shard; oracle recomputes the
@@ -666,6 +683,21 @@ object QueriesExt {
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "q55_incremental_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $normSql AS tn,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), fresh AS (SELECT * FROM d WHERE u >= 0.5),
+         |existing AS (SELECT * FROM d WHERE u < 0.5),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY tn
+         |)
+         |SELECT f.doc_id, f.source
+         |FROM fresh f JOIN surv USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.tn = f.tn)
+         |ORDER BY f.doc_id""".stripMargin,
 
     "q53_seq_pack" ->
       s"""WITH t AS (

@@ -33,6 +33,24 @@ object Dedup {
     df.groupBy(TextOps.normText(col(textCol)).as("text_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: rows of `df` whose normalized text does NOT
+    * already appear in `reference` — the daily-ingest primitive (dedup a
+    * new crawl against the standing corpus without touching the corpus).
+    * One left-anti equi-join on the normalized content; both sides
+    * shuffle on the content key, reference rows are pre-deduped so the
+    * build side carries one row per distinct text. At true corpus scale
+    * swap the key for `TextOps.contentHash` to shuffle 8-byte hashes
+    * instead of full texts (64-bit collisions: ~n²/2⁶⁵).
+    */
+  def exactAgainst(df: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val refKeys = reference
+      .select(TextOps.normText(col(textCol)).as("__tn")).distinct()
+    df.withColumn("__tn", TextOps.normText(col(textCol)))
+      .join(refKeys, Seq("__tn"), "left_anti")
+      .drop("__tn")
+  }
+
   /** Distinct word `w`-shingles as rows (id, __sh).
     *
     * Built with posexplode + windowed `lead` rather than an array

@@ -148,6 +148,21 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("incremental dedup drops docs whose content exists in the reference") {
+    val ref = docFrame((1L, "Hello  World"), (2L, "old news item"))
+    val fresh = docFrame(
+      (10L, "hello world"),      // normalizes to a reference text -> drop
+      (11L, "genuinely new doc"),
+      (12L, "OLD   NEWS item")) // also matches after normalization
+    val out = Dedup.exactAgainst(fresh, ref, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(11L))
+    // empty reference keeps everything; identical reference drops all
+    assert(Dedup.exactAgainst(fresh, fresh.limit(0), "doc_id", "text")
+      .count() == 3L)
+    assert(Dedup.exactAgainst(fresh, fresh, "doc_id", "text").count() == 0L)
+  }
+
   test("duplicate spans: merge, boundaries, multiple islands, df cap") {
     // doc 1/2 share the 6-token run "a b c d e f" (at offset 0 vs 2):
     // with width 3 that is 4 consecutive grams -> one merged span
@@ -190,6 +205,61 @@ class OpsSpec extends SparkSpec {
     def occ(cap: Int) = Dedup.duplicateSpans(boiler, "doc_id", "text",
       gramWidth = 2, minGramRun = 2, maxGramOccurrences = cap).count()
     assert(occ(1000) == 3L && occ(2) == 0L)
+  }
+
+  test("duplicate spans match a naive quadratic reference on random corpora") {
+    // tiny alphabet forces heavy gram collisions; the naive reference
+    // enumerates doc pairs and merges diagonal runs directly in Scala
+    def naiveSpans(ds: Map[Long, IndexedSeq[String]], w: Int, minRun: Int)
+        : Set[(Long, Long, Int, Int, Long, Long)] = {
+      val grams = ds.map { case (id, toks) =>
+        id -> toks.sliding(w).zipWithIndex
+          .collect { case (g, i) if g.length == w => (i, g.mkString(" ")) }
+          .toSeq
+      }
+      val out = scala.collection.mutable.Set
+        .empty[(Long, Long, Int, Int, Long, Long)]
+      for ((id1, g1) <- grams; (id2, g2) <- grams if id1 < id2) {
+        val byGram = g2.groupBy(_._2)
+        val hits = for {
+          (p1, g) <- g1
+          (p2, _) <- byGram.getOrElse(g, Nil)
+        } yield (p1, p2)
+        hits.groupBy { case (p1, p2) => p1 - p2 }.foreach { case (diag, ps) =>
+          val sorted = ps.map(_._1).distinct.sorted
+          var runStart = 0
+          for (i <- sorted.indices) {
+            val endOfRun = i == sorted.length - 1 ||
+              sorted(i + 1) != sorted(i) + 1
+            if (endOfRun) {
+              val len = i - runStart + 1
+              if (len >= minRun) {
+                val s1 = sorted(runStart)
+                out += ((id1, id2, s1, s1 - diag, len.toLong,
+                  (len + w - 1).toLong))
+              }
+              runStart = i + 1
+            }
+          }
+        }
+      }
+      out.toSet
+    }
+    val vocab = Vector("a", "b", "c")
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { _ =>
+      val ds = (1L to 6L).map { id =>
+        id -> IndexedSeq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(3)))
+      }.toMap
+      val df = docFrame(ds.toSeq.sortBy(_._1)
+        .map { case (id, t) => (id, t.mkString(" ")) }: _*)
+      val got = Dedup.duplicateSpans(df, "doc_id", "text",
+        gramWidth = 2, minGramRun = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getLong(4), r.getLong(5))).toSet
+      val want = naiveSpans(ds, w = 2, minRun = 2)
+      assert(got == want, s"\ncorpus=$ds\ngot=$got\nwant=$want")
+    }
   }
 
   test("sequence packing: exclusive cumsum, boundaries, shard independence") {
