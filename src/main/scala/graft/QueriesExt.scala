@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Output, Sampling, Similarity, TextOps}
 
@@ -336,6 +337,25 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // corpus monitoring: per-source doc counts, token-length quantiles
+    // (exact percentile; at 100 TB swap for approx_percentile — same
+    // plan shape, bounded sketch memory) and mean quality. The average
+    // goes through a DECIMAL sum so it is partition-order independent on
+    // both engines.
+    "q56_corpus_stats" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("source"),
+        TextOps.tokenCount(col("text")).cast("double").as("nt"),
+        TextOps.qualityScore(col("text")).as("q"))
+      t.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(nt, 0.5)"), 8).as("p50_tokens"),
+        round(expr("percentile(nt, 0.9)"), 8).as("p90_tokens"),
+        round(expr("percentile(nt, 0.99)"), 8).as("p99_tokens"),
+        round(sum(col("q").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 8).as("avg_quality"))
+        .orderBy("source")
+    }),
+
     // incremental dedup: the "new crawl" half of the corpus (md5 split
     // u >= 0.5) anti-joined against the standing half on normalized
     // content — the daily-ingest primitive. Also drops within-batch
@@ -521,20 +541,29 @@ object QueriesExt {
     * keepers passing the quality + language gates. Shared by the q36
     * stats, q48 shard-write, and q50 full-pipeline oracles.
     */
-  private val keptCtes: String = {
-    val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
+  /** DuckDB twins of TextOps.qualityScore / langId over `text`. */
+  private val qualitySql: String = {
     val stop = langCountSql(TextOps.EnStopwords)
     val tok = "len(string_split_regex(trim(text), '\\s+'))"
     val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
     val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
     val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
-    val quality = s"0.4 * least(($stop::DOUBLE / $tok) * 4, 1.0) " +
+    s"0.4 * least(($stop::DOUBLE / $tok) * 4, 1.0) " +
       s"+ 0.3 * least($awl / 8, 1.0) + 0.3 - 0.5 * $punct - 0.5 * $digit"
-    val lang = s"""CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
-                  |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
-                  |     WHEN $es >= $fr AND $es >= $de THEN 'es'
-                  |     WHEN $fr >= $de THEN 'fr'
-                  |     ELSE 'de' END""".stripMargin
+  }
+
+  private val langIdSql: String = {
+    val Seq(en, es, fr, de) = TextOps.LangProfiles.map(p => langCountSql(p._2))
+    s"""CASE WHEN $en = 0 AND $es = 0 AND $fr = 0 AND $de = 0 THEN 'und'
+       |     WHEN $en >= $es AND $en >= $fr AND $en >= $de THEN 'en'
+       |     WHEN $es >= $fr AND $es >= $de THEN 'es'
+       |     WHEN $fr >= $de THEN 'fr'
+       |     ELSE 'de' END""".stripMargin
+  }
+
+  private val keptCtes: String = {
+    val quality = qualitySql
+    val lang = langIdSql
     s"""surv AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
@@ -682,6 +711,21 @@ object QueriesExt {
          |  sum($tok)::BIGINT AS n_tokens,
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q56_corpus_stats" -> {
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""WITH t AS (
+         |  SELECT source, $tok::DOUBLE AS nt, ($qualitySql) AS q
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  round(quantile_cont(nt, 0.5), 8) AS p50_tokens,
+         |  round(quantile_cont(nt, 0.9), 8) AS p90_tokens,
+         |  round(quantile_cont(nt, 0.99), 8) AS p99_tokens,
+         |  round(sum(CAST(q AS DECIMAL(28,12)))::DOUBLE / count(*), 8)
+         |    AS avg_quality
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q55_incremental_dedup" ->
