@@ -299,6 +299,18 @@ class OpsSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("pipeline queries with internal caches release them (q39/q50)") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("q39_dedup_groups", "q50_full_pipeline").foreach { q =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      SparkEntry.queries(q)(spark, dir).count()
+      val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+      // only tiny GC-managed localCheckpoint blocks (edge list / CC
+      // labels) may survive — the trigram frame cache must be released
+      assert(fresh.size <= 3, s"$q leaked cached RDDs: $fresh")
+    }
+  }
+
   test("hash split: total, determinism, proportions, and sampling subset") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(2000).select(col("id").as("doc_id"))
