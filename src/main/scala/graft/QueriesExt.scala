@@ -337,6 +337,20 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // LM-perplexity quality gate (CCNet-style): bigram stats trained on
+    // the md5-half reference corpus, the other half scored by mean
+    // -log2 P(w2|w1) with add-1 smoothing. Per-bigram logs are rounded
+    // to 8dp and DECIMAL-summed, so the oracle reproduces the score
+    // cell-exact from the same arithmetic.
+    "q57_lm_perplexity" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val model = graft.ops.LmScore.trainBigram(
+        d.where(col("u") < 0.5), "doc_id", "text")
+      graft.ops.LmScore.scoreDocs(d.where(col("u") >= 0.5),
+        "doc_id", "text", model)
+        .orderBy("doc_id")
+    }),
+
     // corpus monitoring: per-source doc counts, token-length quantiles
     // (exact percentile; at 100 TB swap for approx_percentile — same
     // plan shape, bounded sketch memory) and mean quality. The average
@@ -711,6 +725,42 @@ object QueriesExt {
          |  sum($tok)::BIGINT AS n_tokens,
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q57_lm_perplexity" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), ref AS (SELECT * FROM d WHERE u < 0.5),
+         |cand AS (SELECT * FROM d WHERE u >= 0.5),
+         |rbg AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM ref, unnest(range(1, len(toks))) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), c12 AS (SELECT w1, w2, count(*) AS c FROM rbg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, sum(c)::BIGINT AS c1 FROM c12 GROUP BY 1),
+         |v AS (
+         |  SELECT count(DISTINCT tok) AS v
+         |  FROM (SELECT unnest(toks) AS tok FROM ref)
+         |), cbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM cand, unnest(range(1, len(toks))) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), sc AS (
+         |  SELECT cb.doc_id,
+         |    round(log2((coalesce(c12.c, 0) + 1.0)
+         |      / (coalesce(c1.c1, 0) + 1.0 * v.v)), 4) AS lp
+         |  FROM cbg cb
+         |  LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1)
+         |  CROSS JOIN v
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  -(sum(CAST(lp AS DECIMAL(28,4)))::DOUBLE) / count(*)
+         |    AS bits_per_token
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q56_corpus_stats" -> {

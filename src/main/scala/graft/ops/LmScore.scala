@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * gate: train bigram statistics on a trusted reference corpus, score
+  * every candidate document by its mean negative log₂ probability per
+  * token (bits/token ≈ log-perplexity). Documents unlike the reference —
+  * gibberish, boilerplate, the wrong language — score high and get
+  * filtered or bucketed.
+  *
+  * Model: add-k smoothed bigrams, P(w₂|w₁) = (c(w₁,w₂)+k) / (c(w₁)+k·V).
+  * One formula covers seen and unseen pairs (counts coalesce to 0), so
+  * scoring is two LEFT equi-joins against the count tables — no backoff
+  * special-casing, no driver-side model object beyond the vocabulary
+  * size scalar.
+  *
+  * Scale shape: training is two groupBys over reference bigram rows
+  * (map-side partials; model size is bounded by the observed bigram
+  * vocabulary, not the corpus). Scoring joins candidate bigrams on
+  * (w₁,w₂) then (w₁) — key cardinality grows with vocabulary, AQE
+  * broadcasts the model when it is small. Per-bigram log₂ values are
+  * quantized to 4 dp BEFORE the DECIMAL sum: libm log₂ differs across
+  * engines in the last ulp, and a coarse per-term grid makes a rounding
+  * flip (ulp landing exactly on a half-grid boundary) practically
+  * impossible — after which the sums are bit-identical, division by the
+  * count is correctly rounded, and the per-doc score is partition-order
+  * independent and engine-reproducible (the q57 oracle recomputes the
+  * identical arithmetic).
+  */
+object LmScore {
+
+  /** (id, w1, w2): consecutive-token pairs of each doc, built with the
+    * tokenize-once/lead construction ([[Dedup.posGramRows]] rationale).
+    */
+  private def bigramRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w1")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    tok.withColumn("w2", lead(col("w1"), 1).over(win))
+      .where(col("w2").isNotNull)
+      .select(col(idCol), col("w1"), col("w2"))
+  }
+
+  /** Trained bigram statistics: pair counts, context counts, vocabulary
+    * size (the one driver-side scalar — the IVF-centroid class of
+    * boundary), and the smoothing constant.
+    */
+  final case class BigramModel(pairCounts: DataFrame, contextCounts: DataFrame,
+      vocabSize: Long, k: Double)
+
+  def trainBigram(reference: DataFrame, idCol: String, textCol: String,
+      k: Double = 1.0): BigramModel = {
+    val bg = bigramRows(reference, idCol, textCol)
+    val pairs = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+    val ctx = pairs.groupBy("w1").agg(sum(col("__c12")).as("__c1"))
+    val v = reference
+      .select(explode(TextOps.tokens(col(textCol))).as("__t"))
+      .agg(countDistinct(col("__t"))).head().getLong(0)
+    BigramModel(pairs, ctx, v, k)
+  }
+
+  /** (idCol, n_bigrams, bits_per_token) for every candidate doc with at
+    * least one bigram (docs under two tokens have no defined score and
+    * are omitted). Lower = more reference-like.
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+      m: BigramModel): DataFrame = {
+    val v = m.vocabSize.toDouble
+    val lp = round(log2(
+      (coalesce(col("__c12"), lit(0L)).cast("double") + m.k) /
+        (coalesce(col("__c1"), lit(0L)).cast("double") + m.k * v)), 4)
+    bigramRows(docs, idCol, textCol)
+      .join(m.pairCounts, Seq("w1", "w2"), "left")
+      .join(m.contextCounts, Seq("w1"), "left")
+      .withColumn("__lp", lp)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-(sum(col("__lp").cast(DecimalType(28, 4))).cast("double")) /
+          count(lit(1))).as("bits_per_token"))
+  }
+}

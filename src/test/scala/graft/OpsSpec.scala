@@ -148,6 +148,26 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("lm perplexity: reference-like text scores lower; math is exact") {
+    import graft.ops.LmScore
+    val ref = docFrame(
+      (1L, "the cat sat on the mat"), (2L, "the dog sat on the rug"))
+    val model = LmScore.trainBigram(ref, "doc_id", "text")
+    assert(model.vocabSize == 7) // the cat sat on mat dog rug
+    val cand = docFrame(
+      (10L, "the cat sat on the mat"), // every bigram seen
+      (11L, "zz qq pp mm"),            // nothing seen
+      (12L, "x"))                      // <2 tokens: no score row
+    val out = LmScore.scoreDocs(cand, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(12L))
+    assert(out(10L)._1 == 5L && out(11L)._1 == 3L)
+    assert(out(10L)._2 < out(11L)._2)
+    // fully-unseen text: every bigram is the 1/V floor -> log2(V) at the
+    // operator's 4dp per-term quantization (log2(7) = 2.80735... -> 2.8074)
+    assert(math.abs(out(11L)._2 - 2.8074) < 1e-12)
+  }
+
   test("incremental dedup drops docs whose content exists in the reference") {
     val ref = docFrame((1L, "Hello  World"), (2L, "old news item"))
     val fresh = docFrame(
