@@ -148,6 +148,33 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("plan shapes: no Expand in contamination, three shuffles in spans") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def shuffles(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      p.collect { case e: ShuffleExchangeExec => e }
+    }
+    val train = docFrame((1L, "a b c d e f"), (2L, "g h i j k l"))
+    val bench = docFrame((9L, "a b c d e z"))
+    // the round-5 rework removed the twin-countDistinct Expand: the
+    // whole screen plan must stay Expand-free (capped or not)
+    Seq(None, Some(5)).foreach { cap =>
+      val plan = graft.ops.Contamination
+        .screen(train, bench, "doc_id", "text", gramWidth = 3, maxGramDf = cap)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"Expand reappeared (cap=$cap)")
+    }
+    // spans: doc-window + gram-group + pair-window — exactly 3 exchanges
+    val spans = Dedup.duplicateSpans(docFrame((1L, "a b c d"), (2L, "a b c e")),
+      "doc_id", "text", gramWidth = 2, minGramRun = 1, maxGramDf = Some(5))
+    assert(shuffles(spans).length == 3,
+      s"span plan shuffle count changed: ${shuffles(spans).length}")
+  }
+
   test("lm perplexity: reference-like text scores lower; math is exact") {
     import graft.ops.LmScore
     val ref = docFrame(
