@@ -337,6 +337,20 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // tf-idf lexical top-k: sparse cosine via ONE inverted-index token
+    // join (the term-space complement of the dense-embedding ANN family).
+    // All weights/dots/norms run in DECIMAL with a 6dp-quantized idf, so
+    // the DuckDB oracle reproduces every cosine bit-for-bit.
+    "q58_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TfIdf.topK(d.where(col("doc_id") < 5), d,
+        "doc_id", "text", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 8).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LM-perplexity quality gate (CCNet-style): bigram stats trained on
     // the md5-half reference corpus, the other half scored by mean
     // -log2 P(w2|w1) with add-1 smoothing. Per-bigram logs are rounded
@@ -725,6 +739,41 @@ object QueriesExt {
          |  sum($tok)::BIGINT AS n_tokens,
          |  sum(length(text))::BIGINT AS n_chars
          |FROM kept GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q58_tfidf_topk" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+         |), dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |v AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    CAST(tf.tf * CAST(round(ln((n.n + 1)::DOUBLE / (dft.df + 1))
+         |      + 1, 6) AS DECIMAL(18,6)) AS DECIMAL(12,6)) AS w
+         |  FROM tf JOIN dft USING (token) CROSS JOIN n
+         |), norms AS (
+         |  SELECT doc_id, sqrt((sum(w * w))::DOUBLE) AS nn FROM v GROUP BY 1
+         |), dots AS (
+         |  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         |    (sum(q.w * c.w))::DOUBLE AS dot
+         |  FROM (SELECT * FROM v WHERE doc_id < 5) q
+         |  JOIN v c USING (token)
+         |  WHERE q.doc_id <> c.doc_id
+         |  GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    dot / (nq.nn * nc.nn) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot / (nq.nn * nc.nn) DESC, neighbor_id) AS rank
+         |  FROM dots
+         |  JOIN norms nq ON nq.doc_id = query_id
+         |  JOIN norms nc ON nc.doc_id = neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, round(cosine, 8) AS cosine, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
 
     "q57_lm_perplexity" -> {

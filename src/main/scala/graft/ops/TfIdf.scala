@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sparse lexical similarity: tf-idf document vectors and inverted-index
+  * cosine top-k — the term-space complement of the dense-embedding ANN
+  * family ([[Similarity]]). Classic uses in a data pipeline: lexical
+  * near-dup candidates, query-based corpus search, source triage.
+  *
+  * Scale shape: a document's sparse vector IS a long-format table
+  * (id, token, weight), so similarity needs no vector type and no UDF —
+  * candidates meet in ONE equi-join on the token (the inverted index),
+  * partial products aggregate per pair, and a per-query window ranks.
+  * The join's hot keys are stopword-like tokens; `maxDf` drops tokens in
+  * more than that many documents (their idf weight is ~0 anyway), which
+  * is both the relevance filter and the skew bound.
+  *
+  * Determinism: idf = ln((N+1)/(df+1)) + 1 is quantized to 6 dp (libm ln
+  * differs across engines in the last ulp) and every weight/product/sum
+  * runs in DECIMAL, so dot products and norms are exact and the final
+  * cosine — computed with correctly-rounded double ops on identical
+  * inputs — is bit-reproducible (the q58 oracle recomputes it).
+  */
+object TfIdf {
+
+  /** (idCol, token, w): smoothed-idf tf-idf rows, exact DECIMAL weights.
+    * `nDocs` is the corpus size for the idf (pass `df.count()` or the
+    * known corpus size — a scalar, the model-stat class of boundary).
+    */
+  def vectors(df: DataFrame, idCol: String, textCol: String, nDocs: Long,
+      maxDf: Option[Long] = None): DataFrame = {
+    val tf = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val kept = maxDf match {
+      case None => dft
+      case Some(cap) => dft.where(col("__df") <= cap)
+    }
+    val idf = round(log((lit(nDocs.toDouble) + 1) /
+      (col("__df").cast("double") + 1)) + 1, 6).cast(DecimalType(18, 6))
+    // w is declared DECIMAL(12,6): the true scale is 6 and tf·idf stays
+    // far below 10⁶, so the cast is exact — and the NARROW declared type
+    // is what keeps w·w at (25,12), inside the 38-digit limit, where
+    // both Spark and any SQL engine compute it exactly; a wide w would
+    // overflow the product's precision and each engine would round it
+    // differently (observed as 1e-8 cosine flips)
+    tf.join(kept, "token")
+      .select(col(idCol), col("token"),
+        (col("__tf").cast(DecimalType(18, 0)) * idf)
+          .cast(DecimalType(12, 6)).as("w"))
+  }
+
+  /** Cosine top-k neighbors for every query doc, over the shared corpus
+    * vocabulary: (query_id, neighbor_id, cosine, rank), rank 1..k,
+    * ties broken by neighbor id. Query docs never match themselves.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Option[Long] = None): DataFrame = {
+    val n = corpus.count()
+    val cv = vectors(corpus, idCol, textCol, n, maxDf)
+    val qIds = queries.select(col(idCol)).distinct()
+    val qv = cv.join(qIds, idCol)
+      .select(col(idCol).as("query_id"), col("token"), col("w").as("__qw"))
+    val norms = cv.groupBy(idCol)
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("__n"))
+    val dots = qv.join(cv.select(col(idCol).as("neighbor_id"), col("token"),
+        col("w")), "token")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("__qw") * col("w")).cast("double").as("__dot"))
+    val win = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    dots
+      .join(norms.withColumnRenamed(idCol, "query_id")
+        .withColumnRenamed("__n", "__nq"), "query_id")
+      .join(norms.withColumnRenamed(idCol, "neighbor_id")
+        .withColumnRenamed("__n", "__nc"), "neighbor_id")
+      .withColumn("cosine", col("__dot") / (col("__nq") * col("__nc")))
+      .withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

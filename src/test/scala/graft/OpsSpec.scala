@@ -148,6 +148,27 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("tfidf top-k: self-excluded, lexical overlap ranks first, df cap") {
+    import graft.ops.TfIdf
+    val corpus = docFrame(
+      (0L, "spark shuffles data across executors"),
+      (1L, "spark shuffles data between executors"), // near-copy of 0
+      (2L, "ducks swim on quiet ponds"),
+      (3L, "quiet ponds hold swimming ducks"),
+      (4L, "completely unrelated legal boilerplate"))
+    val out = TfIdf.topK(corpus.where(col("doc_id") < 2), corpus,
+      "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // nearest neighbor of each near-copy is the other one; never itself
+    assert(out((0L, 1)) == 1L && out((1L, 1)) == 0L)
+    // df cap drops the ubiquitous token but keeps the vectors usable
+    val n = corpus.count()
+    val uncapped = TfIdf.vectors(corpus, "doc_id", "text", n)
+    val capped = TfIdf.vectors(corpus, "doc_id", "text", n, maxDf = Some(1))
+    assert(capped.count() < uncapped.count())
+    assert(capped.where(col("token") === "spark").count() == 0) // df=2 > 1
+  }
+
   test("plan shapes: no Expand in contamination, three shuffles in spans") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
