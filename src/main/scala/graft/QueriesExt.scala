@@ -353,9 +353,9 @@ object QueriesExt {
 
     // LM-perplexity quality gate (CCNet-style): bigram stats trained on
     // the md5-half reference corpus, the other half scored by mean
-    // -log2 P(w2|w1) with add-1 smoothing. Per-bigram logs are rounded
-    // to 8dp and DECIMAL-summed, so the oracle reproduces the score
-    // cell-exact from the same arithmetic.
+    // -log2 P(w2|w1) with add-1 smoothing. Per-bigram logs quantize to
+    // 4dp and DECIMAL-sum, so the oracle reproduces the score cell-exact
+    // from the same arithmetic.
     "q57_lm_perplexity" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
       val model = graft.ops.LmScore.trainBigram(
@@ -565,10 +565,6 @@ object QueriesExt {
   private def hashUnitSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)::DOUBLE / 4294967296.0"
 
-  /** CTEs computing the q36 pipeline's surviving docs: exact-dedup
-    * keepers passing the quality + language gates. Shared by the q36
-    * stats, q48 shard-write, and q50 full-pipeline oracles.
-    */
   /** DuckDB twins of TextOps.qualityScore / langId over `text`. */
   private val qualitySql: String = {
     val stop = langCountSql(TextOps.EnStopwords)
@@ -589,18 +585,19 @@ object QueriesExt {
        |     ELSE 'de' END""".stripMargin
   }
 
-  private val keptCtes: String = {
-    val quality = qualitySql
-    val lang = langIdSql
+  /** CTEs computing the q36 pipeline's surviving docs: exact-dedup
+    * keepers passing the quality + language gates. Shared by the q36
+    * stats, q48 shard-write, and q50 full-pipeline oracles.
+    */
+  private val keptCtes: String =
     s"""surv AS (
        |  SELECT min(doc_id) AS doc_id
        |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
        |  GROUP BY tn
        |), kept AS (
        |  SELECT d.* FROM documents d JOIN surv USING (doc_id)
-       |  WHERE ($quality) > 0.5 AND ($lang) = 'en'
+       |  WHERE ($qualitySql) > 0.5 AND ($langIdSql) = 'en'
        |)""".stripMargin
-  }
 
   private val keptSql: String = s"WITH $keptCtes"
 

@@ -61,6 +61,8 @@ object LmScore {
     val v = reference
       .select(explode(TextOps.tokens(col(textCol))).as("__t"))
       .agg(countDistinct(col("__t"))).head().getLong(0)
+    require(v > 0, "reference corpus has no tokens — cannot train an LM " +
+      "(and V = 0 would make every smoothed probability divide by zero)")
     BigramModel(pairs, ctx, v, k)
   }
 

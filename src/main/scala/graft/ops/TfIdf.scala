@@ -57,11 +57,18 @@ object TfIdf {
   /** Cosine top-k neighbors for every query doc, over the shared corpus
     * vocabulary: (query_id, neighbor_id, cosine, rank), rank 1..k,
     * ties broken by neighbor id. Query docs never match themselves.
+    *
+    * Pass `nDocs` when the corpus size is already known, otherwise one
+    * count() job derives it. The vector table feeds three consumers
+    * (query side, norms, inverted index), so it is persisted and
+    * released after the (tiny) top-k result materializes — the
+    * minHashLshPairs cache lifecycle.
     */
   def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, k: Int, maxDf: Option[Long] = None): DataFrame = {
-    val n = corpus.count()
-    val cv = vectors(corpus, idCol, textCol, n, maxDf)
+      textCol: String, k: Int, maxDf: Option[Long] = None,
+      nDocs: Option[Long] = None): DataFrame = {
+    val n = nDocs.getOrElse(corpus.count())
+    val cv = vectors(corpus, idCol, textCol, n, maxDf).persist()
     val qIds = queries.select(col(idCol)).distinct()
     val qv = cv.join(qIds, idCol)
       .select(col(idCol).as("query_id"), col("token"), col("w").as("__qw"))
@@ -74,7 +81,7 @@ object TfIdf {
       .agg(sum(col("__qw") * col("w")).cast("double").as("__dot"))
     val win = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    dots
+    val out = dots
       .join(norms.withColumnRenamed(idCol, "query_id")
         .withColumnRenamed("__n", "__nq"), "query_id")
       .join(norms.withColumnRenamed(idCol, "neighbor_id")
@@ -83,5 +90,8 @@ object TfIdf {
       .withColumn("rank", row_number().over(win))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+      .localCheckpoint(true)
+    cv.unpersist()
+    out
   }
 }

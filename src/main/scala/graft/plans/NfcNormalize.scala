@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
+  // the GraftExtensions builder casts its argument to string, so the
+  // child is always StringType by construction (the DotProduct pattern —
+  // AbstractDataType/ImplicitCastInputTypes are private[sql])
   override def prettyName: String = "nfc_normalize"
   override def dataType: DataType = StringType
 

@@ -71,6 +71,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[Expression]) => NfcNormalize(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"nfc_normalize expects 1 argument, got ${children.length}")
+        NfcNormalize(Cast(children.head,
+          org.apache.spark.sql.types.StringType))
+      }))
   }
 }
