@@ -98,6 +98,24 @@ class BpeSpec extends SparkSpec {
     assert(a.keySet == b.keySet && a.forall { case (k, ids) => ids == b(k) })
   }
 
+  test("random corpora: operator and rank-order reference always agree") {
+    val rnd = new scala.util.Random(1234)
+    val alphabet = "abcde '.,!?0123456789  "
+    def randText() = (0 until (5 + rnd.nextInt(60)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 4).foreach { _ =>
+      val texts = Seq.fill(12)(randText())
+      val v = Bpe.train(texts.take(6), numMerges = 25)
+      val df = docFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      val got = Bpe.encode(df, "doc_id", "text", v)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong).sameElements(refEncode(t, v)),
+          s"text '$t' merges=${v.merges}")
+      }
+    }
+  }
+
   test("n_pretokens column matches driver pretokenization") {
     val v = Bpe.train(corpus, numMerges = 10)
     val df = docFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })

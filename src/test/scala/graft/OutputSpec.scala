@@ -68,6 +68,18 @@ class OutputSpec extends SparkSpec {
     }
   }
 
+  test("orc format round-trips with the same shard layout") {
+    val dir = Files.createTempDirectory("graft_out").toString + "/o"
+    Output.writeSharded(corpus(60), "doc_id", dir, numShards = 3,
+      format = "orc")
+    val back = spark.read.orc(dir)
+    assert(back.count() === 60)
+    val mismatched = back
+      .where(col("shard").cast("int") =!= Output.shardId(col("doc_id"), 3))
+      .count()
+    assert(mismatched === 0)
+  }
+
   test("jsonl format round-trips") {
     val dir = Files.createTempDirectory("graft_out").toString + "/j"
     val df = corpus(50)
