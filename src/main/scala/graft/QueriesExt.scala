@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{AsOfJoin, Bpe, Dedup, Multimodal, Output, Sampling, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Dsir, MixPlan, Multimodal, Output, Sampling, Similarity, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -535,6 +535,75 @@ object QueriesExt {
           sum(Output.rowHash(col("doc_id"), col("source"), col("split"),
             col("text"))).as("content_sum"))
         .orderBy("split", "shard")
+    }),
+
+    // DSIR importance weights: every doc scored by how target-like (here:
+    // lang='en') its hashed unigram+bigram profile is — md5 buckets,
+    // 4dp-quantized per-bucket log2 ratios, DECIMAL per-doc sums, so the
+    // published data-selection score is cell-exact against the oracle.
+    "q59_dsir_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dsir.importanceWeights(d, d.where(col("lang") === "en"),
+        "doc_id", "text", buckets = 4096)
+        .orderBy("doc_id")
+    }),
+
+    // token-budget domain mixing: plan per-source sampling rates for a
+    // uniform mixture over a 20k-token budget, execute them with salted
+    // hash sampling, and report plan + actuals per source. The oracle
+    // replays planning AND execution end-to-end.
+    "q60_mix_plan" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nt = TextOps.tokenCount(col("text"))
+      val planDf = MixPlan.plan(d, "source", nt, budget = 20000)
+      val kept = MixPlan.execute(d, "doc_id", "source", planDf,
+        salt = "#mix60")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept_docs"),
+          sum(nt.cast("long")).as("kept_tokens"))
+      planDf.join(kept, Seq("source"), "left")
+        .select(col("source"), col("avail_tokens"),
+          round(col("target_tokens"), 8).as("target_tokens"),
+          round(col("rate"), 8).as("rate"),
+          coalesce(col("n_kept_docs"), lit(0L)).as("n_kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // SemDeDup: k-means clusters over the embedding space, exact cosine
+    // only within clusters, components resolved to a canonical min-id
+    // survivor (rows-only: learned clusters aren't SQL-expressible;
+    // OpsSpec pins pair exactness and determinism).
+    "q61_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(embs(s, dir), "vec_id", "embedding",
+        minCosine = 0.35, nlist = 16, iters = 2)
+        .orderBy("vec_id")
+    }),
+
+    // deterministic global-shuffle write: the whole corpus re-ordered by
+    // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
+    // floor(u·8), u-sorted within), re-read, and digested per shard with
+    // an ORDER-SENSITIVE checksum (rank × id-hash) — the oracle replays
+    // the same permutation from the raw table, so a row out of place
+    // anywhere in the shuffle/write/read chain breaks the sum.
+    "q62_shuffle_write" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q62_" +
+        s.sparkContext.applicationId
+      Output.writeShuffled(d, "doc_id", path, numShards = 8, salt = "#ord")
+      val rd = s.read.schema("doc_id LONG, source STRING, text STRING")
+        .json(path)
+      val u = Sampling.hashUnit(col("doc_id"), "#ord")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(u, col("doc_id"))
+      rd.withColumn("rank", row_number().over(w))
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("text")))
+            .as("content_sum"),
+          sum(col("rank") * Sampling.md5Prefix32(col("doc_id")))
+            .as("order_sum"))
+        .orderBy("shard")
     }),
 
     // end-to-end training-data prep: exact dedup -> quality + language
@@ -1079,6 +1148,85 @@ object QueriesExt {
         |       BETWEEN sess.session_start AND sess.session_end
         |WHERE e.event_type = 'error'
         |ORDER BY e.event_id""".stripMargin,
+
+    "q59_dsir_weights" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, lang,
+         |    unnest(toks || list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |  FROM d
+         |), b AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+         |  FROM f
+         |), tc AS (SELECT b, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS nr FROM b GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT sum(nt) FROM tc) AS ntot,
+         |         (SELECT sum(nr) FROM rc) AS rtot
+         |), ratio AS (
+         |  SELECT gs.b,
+         |    CAST(round(log2((coalesce(nt, 0) + 1)::DOUBLE
+         |      / (ntot + 4096)::DOUBLE), 4) AS DECIMAL(18,4))
+         |    - CAST(round(log2((coalesce(nr, 0) + 1)::DOUBLE
+         |      / (rtot + 4096)::DOUBLE), 4) AS DECIMAL(18,4)) AS lr
+         |  FROM (SELECT unnest(range(0, 4096)) AS b) gs
+         |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
+         |), dc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2)
+         |SELECT doc_id, sum(c)::BIGINT AS n_feats,
+         |  (sum(CAST(c AS DECIMAL(10,0)) * lr))::DOUBLE AS log_weight
+         |FROM dc JOIN ratio USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q60_mix_plan" -> {
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""WITH t AS (
+         |  SELECT source, doc_id, $tok::BIGINT AS nt,
+         |    ${hashUnitSql("doc_id::VARCHAR || '#mix60'")} AS u
+         |  FROM documents
+         |), avail AS (
+         |  SELECT source, sum(nt)::BIGINT AS avail_tokens FROM t GROUP BY 1
+         |), n AS (SELECT count(*) AS n FROM avail),
+         |plan AS (
+         |  SELECT source, avail_tokens,
+         |    (1.0 / n) * 20000.0 AS target_tokens,
+         |    least(1.0, ((1.0 / n) * 20000.0) / avail_tokens::DOUBLE) AS rate
+         |  FROM avail CROSS JOIN n
+         |), kept AS (
+         |  SELECT t.source, count(*) AS n_kept_docs,
+         |    sum(t.nt)::BIGINT AS kept_tokens
+         |  FROM t JOIN plan USING (source)
+         |  WHERE t.u < plan.rate GROUP BY 1
+         |)
+         |SELECT p.source, p.avail_tokens,
+         |  round(p.target_tokens, 8) AS target_tokens,
+         |  round(p.rate, 8) AS rate,
+         |  coalesce(k.n_kept_docs, 0)::BIGINT AS n_kept_docs,
+         |  coalesce(k.kept_tokens, 0)::BIGINT AS kept_tokens
+         |FROM plan p LEFT JOIN kept k USING (source)
+         |ORDER BY p.source""".stripMargin
+    },
+
+    "q62_shuffle_write" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    ${hashUnitSql("doc_id::VARCHAR || '#ord'")} AS u
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, source, text, u, floor(u * 8)::BIGINT AS shard,
+         |    row_number() OVER (PARTITION BY floor(u * 8)
+         |                       ORDER BY u, doc_id) AS rank
+         |  FROM t
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+         |      || text), 1, 8))::BIGINT)::BIGINT AS content_sum,
+         |  sum(rank * ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)
+         |    ::BIGINT AS order_sum
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
 
     "q42_asof_join" ->
       """WITH l AS (

@@ -470,4 +470,48 @@ object Dedup {
         Similarity.cosine(col("__v1"), col("__v2")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space with k-means, then compare pairs only WITHIN each cluster —
+    * semantic near-duplicates land in the same cluster, so the all-pairs
+    * cosine never happens; cost is Σ|cluster|² instead of n².
+    *
+    * Returns verified pairs (id1 < id2, cosine ≥ minCosine). Like every
+    * clustered/LSH candidate generator here, recall is bounded by the
+    * partitioning (a pair split across clusters is missed) — that is the
+    * method, not a defect; more clusters trades recall for speed.
+    *
+    * Scale shape: [[Similarity.kmeansAssign]] (bounded driver centroids,
+    * distributed argmin), then ONE equi-join on the cluster id. The
+    * assignment frame feeds both join sides, so it is persisted and
+    * released after the (tiny) pair list materializes — the q22/q39
+    * cache-lifetime discipline.
+    */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val (assigned, _) = Similarity.kmeansAssign(df, idCol, vecCol, nlist, iters)
+    val a = assigned.persist()
+    val l = a.select(col("__c"), col(idCol).as("id1"), col("__v").as("__v1"))
+    val r = a.select(col("__c"), col(idCol).as("id2"), col("__v").as("__v2"))
+    val pairs = l.join(r, Seq("__c"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("__v1"), col("__v2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .localCheckpoint(true)
+    a.unpersist()
+    pairs
+  }
+
+  /** SemDeDup resolved to survivors: [[semanticDedupPairs]] edges fed to
+    * [[connectedComponents]] — every embedding labeled with its semantic
+    * dup group (component = min reachable id; keep `id == component`).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nlist: Int = 16, iters: Int = 2): DataFrame =
+    connectedComponents(
+      semanticDedupPairs(df, idCol, vecCol, minCosine, nlist, iters)
+        .select("id1", "id2"),
+      "id1", "id2", df, idCol)
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture planning — turn "I want a corpus of B tokens with
+  * mixture weights w over sources" into executable per-source sampling
+  * rates, and execute them deterministically.
+  *
+  * The plan is the static single-pass allocation every corpus build
+  * starts from (DoReMi-style learned weights plug in as the `weights`
+  * map): source s with T_s available tokens and target share w_s gets
+  * rate_s = min(1, w_s·B / T_s). Sources without enough tokens to fill
+  * their share surface a `deficit_tokens` column instead of silently
+  * under-delivering — reallocating a deficit is a policy decision the
+  * caller makes by adjusting weights and re-planning (the plan frame is
+  * #sources rows, so iterating is free).
+  *
+  * Scale shape: planning is ONE groupBy over the corpus onto #sources
+  * keys (map-side partials) plus arithmetic on that bounded frame;
+  * execution is a broadcast join of the rate table and a salted
+  * [[Sampling.hashUnit]] filter — per-row projection, no shuffle, and
+  * the kept set is reproducible on any engine/partitioning (the q60
+  * oracle replays plan AND execution end-to-end).
+  */
+object MixPlan {
+
+  /** Per-source sampling plan over `df`.
+    *
+    * @param tokenCol per-row token count expression
+    * @param weights  target mixture share per source value; sources
+    *                 absent from the map get an equal split of the
+    *                 remaining weight mass when the map is empty
+    *                 (`Map.empty` = uniform mixture), otherwise 0.
+    * @return (srcCol, avail_tokens, target_tokens, rate, deficit_tokens)
+    */
+  def plan(df: DataFrame, srcCol: String, tokenCol: Column, budget: Long,
+      weights: Map[String, Double] = Map.empty): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val avail = df.groupBy(col(srcCol))
+      .agg(sum(tokenCol.cast("long")).as("avail_tokens"))
+    // uniform mixture needs #sources; a 1-row count frame cross-joined in
+    // keeps the plan fully declarative (no driver action, no keyless window)
+    val withW =
+      if (weights.isEmpty)
+        avail.crossJoin(broadcast(avail.select(count(lit(1)).as("__n"))))
+          .withColumn("__w", lit(1.0) / col("__n")).drop("__n")
+      else {
+        val w = weights.foldLeft(lit(0.0)) { case (alt, (value, share)) =>
+          when(col(srcCol) === value, share).otherwise(alt)
+        }
+        avail.withColumn("__w", w)
+      }
+    withW
+      .withColumn("target_tokens", col("__w") * budget.toDouble)
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens") / col("avail_tokens").cast("double")))
+      .withColumn("deficit_tokens", greatest(lit(0.0),
+        col("target_tokens") - col("avail_tokens").cast("double")))
+      .select(col(srcCol), col("avail_tokens"), col("target_tokens"),
+        col("rate"), col("deficit_tokens"))
+  }
+
+  /** Execute a plan: keep each row iff its salted hash-uniform clears the
+    * source's rate. Broadcast join on the bounded rate table + per-row
+    * filter — no shuffle of the corpus.
+    */
+  def execute(df: DataFrame, idCol: String, srcCol: String,
+      planDf: DataFrame, salt: String = ""): DataFrame =
+    df.join(broadcast(planDf.select(col(srcCol), col("rate"))), srcCol)
+      .where(Sampling.hashUnit(col(idCol), salt) < col("rate"))
+      .drop("rate")
+}

@@ -72,4 +72,38 @@ object Output {
     */
   def rowHash(cols: Column*): Column =
     Sampling.md5Prefix32(concat_ws("|", cols: _*))
+
+  /** Deterministic GLOBAL training-order shuffle, written as shards: the
+    * permutation is "order by the salted md5-uniform u" — a full
+    * reshuffle of the corpus that any engine reproduces exactly. Shard k
+    * holds the u-range [k/N, (k+1)/N) (hash-RANGE sharding: `floor(u·N)`
+    * is both the shard id and the range bound), and rows within a shard
+    * are written in (u, id) order, so concatenating shard 0..N−1 streams
+    * the whole permutation WITHOUT any global sort: one hash shuffle +
+    * per-task sort, same cost envelope as [[writeSharded]]. This is the
+    * "shuffle the corpus once, globally, reproducibly" step a trainer
+    * needs before sequential epoch reads; resharding to a different N
+    * preserves the global order (u doesn't change), so the layout is
+    * re-shardable without re-shuffling.
+    *
+    * Default format is jsonl — the interchange layout trainers ingest.
+    */
+  def writeShuffled(df: DataFrame, idCol: String, path: String,
+      numShards: Int, format: String = "json",
+      maxRecordsPerFile: Long = 1L << 20, salt: String = ""): Unit = {
+    require(numShards > 0, "numShards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("__u"),
+      "input already has a 'shard'/'__u' column — rename it; writeShuffled " +
+        "owns those names for the derived order/partition keys")
+    df.withColumn("__u", Sampling.hashUnit(col(idCol), salt))
+      .withColumn("shard", floor(col("__u") * numShards).cast("int"))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__u"), col(idCol))
+      .drop("__u")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .format(format)
+      .save(path)
+  }
 }

@@ -91,29 +91,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style ANN top-k: centroids learned with deterministic hash-seeded
-    * Lloyd iterations (no RNG state), corpus assigned to its nearest
-    * centroid, each query probing the `nprobe` nearest centroid lists.
+  /** Squared L2 distance from `v` to a centroid literal. */
+  private def dist2To(v: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(v, lit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministic hash-seeded Lloyd k-means over an embedding column:
+    * init buckets by id hash (no RNG state — same clustering on any
+    * cluster/partitioning/rerun), then `iters` refinements. Returns the
+    * final assignment frame (idCol, `__v` array<double>, cluster `__c`)
+    * and the learned centroids.
     *
-    * Centroids are driver-sized by construction (nlist × dim doubles — the
-    * same boundary every IVF index has); everything else is distributed:
-    * assignment is a per-row argmin over broadcast centroid literals,
-    * candidate generation is an equi-join on the centroid id.
+    * Centroids are driver-sized by construction (nlist × dim doubles —
+    * the boundary every IVF/k-means index has); everything else is
+    * distributed: assignment is a per-row argmin over broadcast centroid
+    * literals, the centroid update is a (cluster, dim) groupBy.
+    * Shared by [[ivfTopK]] (probe lists) and
+    * [[Dedup.semanticDedupPairs]] (SemDeDup clusters).
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
-      nprobe: Int = 2): DataFrame = {
-    require(iters >= 1, "ivfTopK needs at least one Lloyd iteration")
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): (DataFrame, Seq[Array[Double]]) = {
+    require(iters >= 1, "k-means needs at least one Lloyd iteration")
     val v = col(vecCol).cast("array<double>")
-
-    // squared L2 distance to a centroid literal
-    def dist2(centroid: Array[Double]): Column =
-      aggregate(zip_with(v, lit(centroid), (x, c) => (x - c) * (x - c)),
-        lit(0.0), (acc, x) => acc + x)
-
-    // deterministic init: bucket by id hash, then Lloyd refinements; each
-    // iteration's assignment is persisted (id+vec+bucket, tiny) so the next
-    // centroid aggregation doesn't lazily re-execute the whole prior chain
+    // each iteration's assignment is persisted (id+vec+bucket, tiny) so the
+    // next centroid aggregation doesn't lazily re-execute the prior chain
     var assigned = corpus.select(col(idCol), v.as("__v"),
       pmod(xxhash64(col(idCol)), lit(nlist.toLong)).cast("int").as("__c"))
       .persist()
@@ -121,7 +122,7 @@ object Similarity {
     // argmin over ONE materialized distance array (evaluating dist2 twice
     // per centroid via a when-chain doubles the higher-order-function cost)
     def assignExpr(cents: Seq[Array[Double]]): Column = {
-      val dists = array(cents.map(dist2): _*)
+      val dists = array(cents.map(dist2To(col("__v"), _)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     (0 until iters).foreach { it =>
@@ -137,14 +138,28 @@ object Similarity {
       centroids = (0 until nlist).map(i =>
         cents.getOrElse(i, Array.fill(dim)(0.0)))
       val prev = assigned
-      assigned = corpus
-        .select(col(idCol), v.as("__v"), assignExpr(centroids).as("__c"))
+      assigned = corpus.select(col(idCol), v.as("__v"),
+        assignExpr(centroids).as("__c"))
       // only persist assignments that feed another Lloyd collect; the last
-      // one is consumed exactly once by the probe join, so caching it would
-      // just leak executor memory after this call returns
+      // one is consumed by the caller, whose consumption pattern decides
+      // its own caching
       if (it < iters - 1) assigned = assigned.persist()
       prev.unpersist()
     }
+    (assigned, centroids)
+  }
+
+  /** IVF-style ANN top-k: [[kmeansAssign]] centroids, corpus assigned to
+    * its nearest centroid, each query probing the `nprobe` nearest
+    * centroid lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
+      nprobe: Int = 2): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    def dist2(centroid: Array[Double]): Column = dist2To(v, centroid)
+    val (assigned, centroids) =
+      kmeansAssign(corpus, idCol, vecCol, nlist, iters)
 
     val c = assigned.select(col(idCol).as("neighbor_id"),
       col("__v").as("__cv"), col("__c").as("bucket"))

@@ -92,4 +92,54 @@ class OutputSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(got(7L) === "doc body number 7")
   }
+
+  // independent md5 reference for the shuffle-order assertions
+  private def refU(id: Long, salt: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$id$salt".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      .toDouble / 4294967296.0
+  }
+
+  test("shuffled write: total, hash-range sharded, files in u order") {
+    val dir = Files.createTempDirectory("graft_out").toString + "/s"
+    Output.writeShuffled(corpus(200), "doc_id", dir, numShards = 4,
+      salt = "#t")
+    val back = spark.read.schema("doc_id LONG, text STRING").json(dir)
+    assert(back.count() === 200)
+    // every row landed in the shard its u-range dictates
+    val rows = back.select("shard", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    rows.foreach { case (s, id) =>
+      assert(s === math.floor(refU(id, "#t") * 4).toInt, s"doc $id") }
+    // PHYSICAL line order inside each written file is ascending u —
+    // read the raw jsonl bytes, not through Spark, so the assertion is
+    // about bytes a trainer would stream
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    val idRe = """"doc_id":(\d+)""".r
+    files.foreach { f =>
+      val us = scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(f.toPath)).asScala
+        .map(l => refU(idRe.findFirstMatchIn(l).get.group(1).toLong, "#t"))
+      assert(us == us.sorted, s"${f.getName} not in shuffle order")
+    }
+  }
+
+  test("shuffled global order is invariant to the shard count") {
+    val base = Files.createTempDirectory("graft_out").toString
+    val df = corpus(150)
+    Output.writeShuffled(df, "doc_id", s"$base/n4", numShards = 4, salt = "#t")
+    Output.writeShuffled(df, "doc_id", s"$base/n8", numShards = 8, salt = "#t")
+    def globalOrder(path: String): Seq[Long] =
+      spark.read.schema("doc_id LONG, text STRING").json(path)
+        .select("shard", "doc_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (s, id) => (s, refU(id, "#t"), id) }
+        .map(_._2).toSeq
+    // concatenating shards 0..N-1 in u order = the same permutation for
+    // any N (resharding never re-shuffles)
+    assert(globalOrder(s"$base/n4") == globalOrder(s"$base/n8"))
+  }
 }

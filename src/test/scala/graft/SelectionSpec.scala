@@ -1,0 +1,201 @@
+package graft
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Dsir, MixPlan, Similarity}
+
+/** Data-selection operators: DSIR importance weights, token-budget mix
+  * planning, and SemDeDup semantic deduplication — each pinned to an
+  * independent reference computation on hand-built fixtures.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private def docFrame(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, t) => Row(i, t) }).asJava), schema)
+  }
+
+  // ---- independent md5/bucket reference (mirrors Sampling.md5Prefix32) --
+  private def md5Prefix32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  private def refTokens(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      .filter(_.nonEmpty).toSeq
+
+  private def refFeats(text: String): Seq[String] = {
+    val t = refTokens(text)
+    t ++ (if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq
+          else Seq.empty)
+  }
+
+  /** Round-half-up to 4 dp the way Spark's round() does (via the
+    * Double.toString decimal form).
+    */
+  private def r4(x: Double): JBigDecimal =
+    JBigDecimal.valueOf(x).setScale(4, RoundingMode.HALF_UP)
+
+  test("DSIR weights match an independent reference computation") {
+    val buckets = 64
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the the the quick quick dog",
+      3L -> "zebra xylophone quartz vortex glyph",
+      4L -> "quick brown dog runs fast",
+      5L -> "vortex glyph zebra nightfall quartz hum")
+    val targetIds = Set(1L, 2L, 4L) // "english-like" target
+    val df = docFrame(corpus: _*)
+    val got = Dsir.importanceWeights(df,
+      df.where(col("doc_id").isin(targetIds.toSeq: _*)),
+      "doc_id", "text", buckets)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // reference: bucket counts, add-1 smoothing, 4dp-quantized log2 diff
+    val bucketOf = (g: String) => md5Prefix32(g) % buckets
+    val tFeats = corpus.filter(c => targetIds(c._1))
+      .flatMap(c => refFeats(c._2)).map(bucketOf)
+    val rFeats = corpus.flatMap(c => refFeats(c._2)).map(bucketOf)
+    val tc = tFeats.groupBy(identity).view.mapValues(_.size).toMap
+    val rc = rFeats.groupBy(identity).view.mapValues(_.size).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def lr(b: Long): JBigDecimal =
+      r4(log2((tc.getOrElse(b, 0) + 1).toDouble / (tFeats.size + buckets)))
+        .subtract(
+          r4(log2((rc.getOrElse(b, 0) + 1).toDouble / (rFeats.size + buckets))))
+    val expected = corpus.map { case (id, text) =>
+      val bs = refFeats(text).map(bucketOf)
+      val w = bs.groupBy(identity).map { case (b, os) =>
+        lr(b).multiply(new JBigDecimal(os.size))
+      }.reduce(_.add(_))
+      (id, bs.size.toLong, w.doubleValue)
+    }
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+  }
+
+  test("DSIR ranks target-like docs above off-target docs") {
+    val target = (1 to 20).map(i =>
+      (100L + i) -> "alpha beta gamma delta epsilon zeta")
+    val scored = docFrame(
+      (Seq(1L -> "alpha beta gamma delta",
+           2L -> "qqq www eee rrr ttt") ++ target): _*)
+    val w = Dsir.importanceWeights(scored,
+      scored.where(col("doc_id") >= 100), "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L),
+      s"target-like doc should outscore off-target: $w")
+  }
+
+  test("mix plan computes uniform-share rates, deficits, and execution") {
+    val df = docFrame(
+      (1L, "a " * 50), (2L, "b " * 30),     // src big: 80 tokens
+      (3L, "c " * 5), (4L, "d " * 5))       // src small: 10 tokens
+      .withColumn("source",
+        when(col("doc_id") <= 2, "big").otherwise("small"))
+    val nt = graft.ops.TextOps.tokenCount(col("text"))
+    val plan = MixPlan.plan(df, "source", nt, budget = 40)
+      .orderBy("source").collect()
+    // uniform share: 20 tokens per source
+    val big = plan(0); val small = plan(1)
+    assert(big.getString(0) == "big" && big.getLong(1) == 80L)
+    assert(big.getDouble(2) == 20.0 && big.getDouble(3) == 0.25)
+    assert(big.getDouble(4) == 0.0)
+    assert(small.getLong(1) == 10L && small.getDouble(3) == 1.0)
+    assert(small.getDouble(4) == 10.0) // can't fill its share
+    // execution keeps exactly the rows whose salted uniform clears the rate
+    val planDf = MixPlan.plan(df, "source", nt, budget = 40)
+    val kept = MixPlan.execute(df, "doc_id", "source", planDf, salt = "#t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = Seq(1L -> "big", 2L -> "big", 3L -> "small", 4L -> "small")
+      .filter { case (id, src) =>
+        val rate = if (src == "big") 0.25 else 1.0
+        (md5Prefix32(s"$id#t").toDouble / 4294967296.0) < rate
+      }.map(_._1).toSet
+    assert(kept == expected)
+  }
+
+  test("mix plan with explicit weights zeroes unlisted sources") {
+    val df = docFrame((1L, "a b c"), (2L, "d e f"))
+      .withColumn("source", when(col("doc_id") === 1, "keep").otherwise("drop"))
+    val plan = MixPlan.plan(df, "source", graft.ops.TextOps.tokenCount(col("text")),
+      budget = 100, weights = Map("keep" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(plan("keep") == 1.0 && plan("drop") == 0.0)
+  }
+
+  private def vecFrame(rows: (Long, Seq[Double])*): DataFrame = {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, v) => Row(i, v) }).asJava), schema)
+  }
+
+  test("semantic dedup finds identical vectors and resolves survivors") {
+    // three exact-duplicate groups + isolated vectors; identical vectors
+    // always share a cluster (deterministic assignment), so recall on
+    // exact dups is total regardless of the k-means split
+    val dup1 = Seq(1.0, 0.0, 0.0, 0.0)
+    val dup2 = Seq(0.0, 1.0, 0.0, 0.0)
+    val rows = Seq(
+      1L -> dup1, 2L -> dup1, 3L -> dup1,
+      10L -> dup2, 11L -> dup2,
+      20L -> Seq(0.0, 0.0, 1.0, 0.0),
+      21L -> Seq(0.0, 0.0, 0.0, 1.0))
+    val df = vecFrame(rows: _*)
+    val comp = Dedup.semanticDedup(df, "vec_id", "embedding",
+      minCosine = 0.99, nlist = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("semantic dedup pairs equal brute-force pairs within each cluster") {
+    // deterministic pseudo-random vectors (no RNG state in tests either)
+    def vec(i: Long): Seq[Double] =
+      (0 until 6).map(d => Similarity.planeCoefs(8, 6)((i % 8).toInt)(d) +
+        0.01 * i * (d + 1))
+    val rows = (0L until 30L).map(i => i -> vec(i))
+    val df = vecFrame(rows: _*)
+    val minCos = 0.8
+    val got = Dedup.semanticDedupPairs(df, "vec_id", "embedding",
+      minCos, nlist = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val (assigned, _) = Similarity.kmeansAssign(df, "vec_id", "embedding",
+      nlist = 4, iters = 2)
+    val clusters = assigned.collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vm = rows.toMap
+    val expected = (for {
+      i <- 0L until 30L; j <- (i + 1) until 30L
+      if clusters(i) == clusters(j) && cos(vm(i), vm(j)) >= minCos
+    } yield (i, j)).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("semantic dedup is deterministic across runs") {
+    def vec(i: Long): Seq[Double] =
+      (0 until 5).map(d => math.sin(i * 1.7 + d) + 0.1 * d)
+    val df = vecFrame((0L until 20L).map(i => i -> vec(i)): _*)
+    def run() = Dedup.semanticDedup(df, "vec_id", "embedding",
+      minCosine = 0.9, nlist = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+}
