@@ -46,6 +46,27 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_hash")
 
+  /** Stream-static exact dedup: drop streaming documents whose normalized
+    * content already exists in a standing corpus — the serving twin of
+    * [[graft.ops.Dedup.exactAgainst]] (daily-crawl ingest against
+    * yesterday's corpus, as a continuous stream).
+    *
+    * A stream-static LEFT ANTI equi-join on the content hash: stateless,
+    * append-mode, no watermark needed — the static side is the only
+    * lookup and the stream never accumulates state. Compose with
+    * [[streamingDedup]] upstream to also drop within-stream repeats
+    * (watermark-bounded), mirroring how q55 composes the two batch modes.
+    */
+  def dedupAgainstStatic(stream: DataFrame, static: DataFrame,
+      textCol: String): DataFrame = {
+    val ref = static
+      .select(TextOps.contentHash(col(textCol)).as("__ref_hash")).distinct()
+    stream
+      .withColumn("__h", TextOps.contentHash(col(textCol)))
+      .join(ref, col("__h") === col("__ref_hash"), "left_anti")
+      .drop("__h")
+  }
+
   /** Stream-static backward as-of join: each streaming row aligned with
     * the latest static-side row at or before its timestamp, per key —
     * the serving-side twin of [[graft.ops.AsOfJoin.backward]] (enrich a

@@ -60,6 +60,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops docs already in the standing corpus") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val standing = Seq((100L, "existing  doc one"), (101L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val df = src.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupAgainstStatic(df, standing, "text")
+      .writeStream.format("memory").queryName("das").outputMode("append")
+      .start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "existing doc one"), // dup of 100
+        (ts("2024-01-01 10:01:00"), 2L, "Existing DOC two"), // dup after norm
+        (ts("2024-01-01 10:02:00"), 3L, "genuinely fresh content"))
+      q.processAllAvailable()
+      val rows = spark.table("das").collect()
+      assert(rows.map(_.getLong(1)).toSet == Set(3L))
+      // stream columns pass through unchanged (no helper columns leak)
+      assert(spark.table("das").columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
