@@ -542,8 +542,7 @@ object QueriesExt {
     // 4dp-quantized per-bucket log2 ratios, DECIMAL per-doc sums, so the
     // published data-selection score is cell-exact against the oracle.
     "q59_dsir_weights" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dsir.importanceWeights(d, d.where(col("lang") === "en"),
+      Dsir.importanceWeights(docs(s, dir), col("lang") === "en",
         "doc_id", "text", buckets = 4096)
         .orderBy("doc_id")
     }),

@@ -40,21 +40,25 @@ object Dsir {
 
   /** (id, bucket) — one row per unigram + strict word bigram occurrence.
     * Multiplicity is meaningful (bag-of-words counts), so no distinct.
+    * The token array is materialized in its own projection so the
+    * normalize-regex runs once per document, not once per derived array
+    * (the triFrame lesson).
     */
   private def featRows(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
-    df.select(col(idCol),
-        explode(concat(TextOps.tokens(col(textCol)),
-          TextOps.strictWordShingles(col(textCol), 2))).as("__gram"))
-      .select(col(idCol), gramBucket(col("__gram"), buckets).as("__b"))
-
-  /** Per-bucket occurrence counts over a whole corpus: `buckets`-row
-    * frame (__b, n). Missing buckets are absent (coalesced to 0 later).
-    */
-  private def bucketCounts(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame =
-    featRows(df, idCol, textCol, buckets)
-      .groupBy("__b").agg(count(lit(1)).as("n"))
+      buckets: Int, keep: Seq[String] = Seq.empty): DataFrame = {
+    val toks = col("__toks")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val keepCols = keep.map(col)
+    df.select(col(idCol) +: TextOps.tokens(col(textCol)).as("__toks") +:
+        keepCols: _*)
+      .select(col(idCol) +: explode(concat(toks, bigrams)).as("__gram") +:
+        keepCols: _*)
+      .select(col(idCol) +: gramBucket(col("__gram"), buckets).as("__b") +:
+        keepCols: _*)
+  }
 
   /** Score `raw`'s documents against `target`'s feature distribution.
     *
@@ -64,27 +68,87 @@ object Dsir {
     * order-independent). Documents with no features get no row (a doc
     * with zero grams has weight 0 by definition and nothing to score).
     *
+    * Execution shape: the exploded gram stream of BOTH corpora runs
+    * EXACTLY ONCE — a flagged union, persisted and reused for (a) the
+    * two bucket distributions (one aggregation onto ≤ `buckets` keys,
+    * collected — driver-bounded like IVF centroids, and the totals have
+    * to become plan literals anyway) and (b) the scoring join against
+    * the broadcast ratio table. The per-doc result is eagerly
+    * checkpointed so the feature cache can be released before returning
+    * (the q22 cache-lifetime discipline); it is one narrow row per
+    * document — two orders smaller than the token stream it replaces.
+    *
     * @param buckets hash-feature dimensionality (DSIR uses 10⁴; anything
     *                ≥ a few thousand keeps collisions immaterial). The
-    *                ratio table materialized on the driver is `buckets`
-    *                rows — bounded and broadcast, never corpus-sized.
+    *                ratio table is `buckets` rows — bounded and
+    *                broadcast, never corpus-sized.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    val spark = raw.sparkSession
+    val flagged = featRows(raw, idCol, textCol, buckets)
+        .withColumn("__t", lit(false))
+      .unionByName(featRows(target, idCol, textCol, buckets)
+        .withColumn("__t", lit(true)))
+    weightsFromFlagged(flagged, idCol, buckets, targetWithinRaw = false)
+  }
 
-    val tc = bucketCounts(target, idCol, textCol, buckets)
-    val rc = bucketCounts(raw, idCol, textCol, buckets)
-    // two corpus-total scalars — the one inherent driver boundary
-    val nT = tc.agg(sum(col("n"))).head().getLong(0)
-    val nR = rc.agg(sum(col("n"))).head().getLong(0)
+  /** [[importanceWeights]] for an IN-CORPUS target: `isTarget` marks the
+    * target rows of `raw` itself (e.g. `col("lang") === "en"`), so the
+    * corpus is scanned and exploded ONCE — target features count into
+    * both distributions, exactly as if the subset had been passed as the
+    * second frame. Prefer this whenever the target is a predicate over
+    * the raw corpus; the two-frame overload exists for a genuinely
+    * separate reference corpus (Wikipedia vs crawl).
+    */
+  def importanceWeights(raw: DataFrame, isTarget: Column, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val flagged = featRows(
+      raw.withColumn("__t", isTarget), idCol, textCol, buckets,
+      keep = Seq("__t"))
+    weightsFromFlagged(flagged, idCol, buckets, targetWithinRaw = true)
+  }
+
+  /** Shared core over flagged feature rows (idCol, __b, __t).
+    * `targetWithinRaw` decides whether __t rows are raw too (flag
+    * overload) or a separate stream (two-frame overload).
+    *
+    * The exploded feature stream is persisted RAW — a per-(doc, bucket)
+    * pre-aggregation was measured to collapse almost nothing (grams
+    * rarely repeat within a doc), so it was a full extra shuffle for no
+    * volume reduction. Both consumers aggregate with map-side partials:
+    * the bucket distributions collapse onto ≤ `buckets` keys, and the
+    * scoring pass sums one broadcast-joined `lr` term per occurrence
+    * (identical in exact DECIMAL to the count·lr formulation).
+    */
+  private def weightsFromFlagged(flagged: DataFrame, idCol: String,
+      buckets: Int, targetWithinRaw: Boolean): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val spark = flagged.sparkSession
+    val rows = flagged.persist()
+
+    // bucket distributions: ≤ buckets rows out of the partial aggregation
+    val rawSide = if (targetWithinRaw) lit(true) else !col("__t")
+    val bc = rows.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(rawSide, 1L).otherwise(0L)).as("nr"))
+      .collect()
+    val nT = bc.map(_.getLong(1)).sum
+    val nR = bc.map(_.getLong(2)).sum
+    val bcDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bc.toSeq).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nt",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nr",
+          org.apache.spark.sql.types.LongType))))
 
     // full bucket domain so unseen buckets still get the smoothed default
     // ratio; `buckets` rows, broadcast into the scoring join
     val ratio = spark.range(buckets).select(col("id").as("__b"))
-      .join(tc.withColumnRenamed("n", "nt"), Seq("__b"), "left")
-      .join(rc.withColumnRenamed("n", "nr"), Seq("__b"), "left")
+      .join(bcDf, Seq("__b"), "left")
       .select(col("__b"),
         // each log₂ is quantized to 4dp SEPARATELY before the difference —
         // the LmScore trick: a coarse per-term grid absorbs cross-engine
@@ -95,13 +159,14 @@ object Dsir {
             lit((nR + buckets).toDouble)), 4).cast(DecimalType(18, 4)))
           .as("__lr"))
 
-    featRows(raw, idCol, textCol, buckets)
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val weights = rows.where(if (targetWithinRaw) lit(true) else !col("__t"))
       .join(broadcast(ratio), "__b")
       .groupBy(col(idCol))
-      .agg(sum(col("__c")).as("n_feats"),
-        sum(col("__c").cast(DecimalType(10, 0)) * col("__lr"))
-          .cast("double").as("log_weight"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("__lr")).cast("double").as("log_weight"))
+      .localCheckpoint(true)
+    rows.unpersist()
+    weights
   }
 
   /** Deterministic top-fraction selection on the weights: keep the

@@ -84,6 +84,20 @@ class SelectionSpec extends SparkSpec {
       s"got ${got.toSeq}\nexpected $expected")
   }
 
+  test("DSIR flag overload equals the two-frame overload on a subset target") {
+    val corpus = Seq(
+      1L -> "the quick brown fox", 2L -> "zebra quartz glyph",
+      3L -> "quick dog runs", 4L -> "vortex hum nightfall")
+    val df = docFrame(corpus: _*)
+    val twoFrame = Dsir.importanceWeights(df,
+      df.where(col("doc_id") % 2 === 1), "doc_id", "text", buckets = 128)
+      .orderBy("doc_id").collect().toSeq
+    val flagged = Dsir.importanceWeights(df, col("doc_id") % 2 === 1,
+      "doc_id", "text", buckets = 128)
+      .orderBy("doc_id").collect().toSeq
+    assert(flagged == twoFrame)
+  }
+
   test("DSIR ranks target-like docs above off-target docs") {
     val target = (1 to 20).map(i =>
       (100L + i) -> "alpha beta gamma delta epsilon zeta")
