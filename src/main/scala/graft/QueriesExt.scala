@@ -605,6 +605,24 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // line-level boilerplate removal (C4/RefinedWeb pass): lines shared
+    // by more than maxLineDf docs are dropped, prose survives in order.
+    // The raw corpus is single-line prose, so footers/banners are
+    // APPENDED deterministically by doc_id (mirrored in the oracle): a
+    // universal copyright line (df = all docs), a newsletter banner
+    // (df ≈ n/4) — both dropped — and a unique promo line (df = 1), kept.
+    "q63_boilerplate" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        lit("\ncopyright footer all rights reserved"),
+        when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\nunique promo code "), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+      Dedup.stripBoilerplateLines(dirty, "doc_id", "text", maxLineDf = 50)
+        .orderBy("doc_id")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -1147,6 +1165,38 @@ object QueriesExt {
         |       BETWEEN sess.session_start AND sess.session_end
         |WHERE e.event_type = 'error'
         |ORDER BY e.event_id""".stripMargin,
+
+    "q63_boilerplate" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text || chr(10) || 'copyright footer all rights reserved'
+         |    || CASE WHEN doc_id % 4 = 0
+         |            THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |            THEN chr(10) || 'unique promo code ' || doc_id
+         |            ELSE '' END AS text
+         |  FROM documents
+         |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         |l AS (
+         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
+         |), ne AS (SELECT * FROM l WHERE line <> ''),
+         |offending AS (
+         |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ne)
+         |  GROUP BY line HAVING count(*) > 50
+         |), kept AS (
+         |  SELECT doc_id, pos, line FROM ne
+         |  WHERE line NOT IN (SELECT line FROM offending)
+         |), ks AS (
+         |  SELECT doc_id, count(*) AS n_lines_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+         |  FROM kept GROUP BY doc_id
+         |), rs AS (SELECT doc_id, count(*) AS n_lines_raw FROM ne GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(rs.n_lines_raw, 0)::BIGINT AS n_lines_raw,
+         |  coalesce(ks.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+         |  coalesce(ks.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q59_dsir_weights" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"

@@ -514,4 +514,54 @@ object Dedup {
       semanticDedupPairs(df, idCol, vecCol, minCosine, nlist, iters)
         .select("id1", "id2"),
       "id1", "id2", df, idCol)
+
+  /** Line-level boilerplate removal (the C4/RefinedWeb/CCNet pass):
+    * drop every line whose document frequency exceeds `maxLineDf` —
+    * navigation, cookie banners, footers repeat across pages; real prose
+    * doesn't. Lines are `\n`-split, trimmed, blanks discarded; surviving
+    * lines re-join in original order.
+    *
+    * Returns one row per input document: (idCol, n_lines_raw,
+    * n_lines_kept, cleaned) — `cleaned` is the empty string when every
+    * line was boilerplate.
+    *
+    * Scale shape: df counting is distinct (doc, line) → groupBy(line)
+    * with map-side partials, so a line appearing in every document costs
+    * one count, never a collected group. The removal is a LEFT ANTI join
+    * against the OFFENDING line set only — by construction at most
+    * |corpus lines| / maxLineDf rows, so it broadcasts (AQE) and the hot
+    * boilerplate keys are dropped map-side instead of shuffling to one
+    * partition (the classic skew trap this operator invites: the hottest
+    * key is always boilerplate).
+    */
+  def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxLineDf: Int): DataFrame = {
+    require(maxLineDf >= 1, "maxLineDf must be at least 1")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), col("__pos"), trim(col("__raw")).as("__line"))
+      .where(col("__line") =!= "")
+    val offending = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxLineDf)
+      .select("__line")
+    val kept = lines.join(offending, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_kept"),
+        array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .as("__ord"))
+      .select(col(idCol), col("n_lines_kept"),
+        concat_ws("\n",
+          transform(col("__ord"), s => s.getField("__line")).as("__ls"))
+          .as("cleaned"))
+    val raw = lines.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines_raw"))
+    df.select(col(idCol))
+      .join(raw, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines_raw"), lit(0L)).as("n_lines_raw"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
 }

@@ -176,4 +176,59 @@ object Dsir {
     */
   def select(weights: DataFrame, minLogWeight: Double): DataFrame =
     weights.where(col("log_weight") >= minLogWeight)
+
+  /** A fitted DSIR model: the 4dp log₂-ratio per bucket (scaled to an
+    * integer number of 1e-4 grid steps, so literal-map arithmetic stays
+    * exact in longs) — `buckets` entries, broadcast-as-literal sized.
+    */
+  final case class Model(buckets: Int, lr4dp: Map[Long, Long])
+
+  /** Fit the bucket log-ratio model without scoring anything — the
+    * training half of [[importanceWeights]], for when the scoring side
+    * is a different frame or a STREAM. Same single-pass shape.
+    */
+  def fit(raw: DataFrame, isTarget: Column, idCol: String, textCol: String,
+      buckets: Int = 4096): Model = {
+    require(buckets > 0, "buckets must be positive")
+    val rows = featRows(raw.withColumn("__t", isTarget), idCol, textCol,
+      buckets, keep = Seq("__t"))
+    val bc = rows.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr")).collect()
+    val nT = bc.map(_.getLong(1)).sum
+    val nR = bc.map(_.getLong(2)).sum
+    def r4steps(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val cnt = bc.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lr = (0L until buckets).map { b =>
+      val (nt, nr) = cnt.getOrElse(b, (0L, 0L))
+      b -> (r4steps(log2((nt + 1).toDouble / (nT + buckets))) -
+            r4steps(log2((nr + 1).toDouble / (nR + buckets))))
+    }.toMap
+    Model(buckets, lr)
+  }
+
+  /** Per-row scoring COLUMN against a fitted model: the whole
+    * unigram+bigram → bucket → Σ log-ratio pipeline as one in-row
+    * expression over a literal lookup map — no explode, no shuffle, no
+    * state. This is the serving-side form: usable in a Structured
+    * Streaming `select` (stateless, append mode) and as a scan-speed
+    * batch gate. Returns the log₂ weight as a double (each addend is an
+    * exact 1e-4 grid step summed in longs, so the result is
+    * bit-identical to [[importanceWeights]]'s DECIMAL sum).
+    */
+  def scoreExpr(text: Column, m: Model): Column = {
+    val lrMap = typedLit(m.lr4dp)
+    val toks = TextOps.tokens(text)
+    val grams = concat(toks,
+      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>")))
+    val steps = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(lrMap, gramBucket(g, m.buckets)))
+    when(size(grams) > 0, steps.cast("double") / 1e4)
+  }
 }

@@ -98,6 +98,23 @@ class SelectionSpec extends SparkSpec {
     assert(flagged == twoFrame)
   }
 
+  test("DSIR scoreExpr reproduces importanceWeights bit-for-bit") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps", 2L -> "zebra quartz glyph hum",
+      3L -> "quick dog runs far", 4L -> "vortex hum nightfall dusk",
+      5L -> "the dog and the fox")
+    val df = docFrame(corpus: _*)
+    val isTarget = col("doc_id") <= 2
+    val viaFrames = Dsir.importanceWeights(df, isTarget,
+      "doc_id", "text", buckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val m = Dsir.fit(df, isTarget, "doc_id", "text", buckets = 128)
+    val viaExpr = df.select(col("doc_id"),
+      Dsir.scoreExpr(col("text"), m).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaExpr == viaFrames)
+  }
+
   test("DSIR ranks target-like docs above off-target docs") {
     val target = (1 to 20).map(i =>
       (100L + i) -> "alpha beta gamma delta epsilon zeta")
@@ -201,6 +218,23 @@ class SelectionSpec extends SparkSpec {
       if clusters(i) == clusters(j) && cos(vm(i), vm(j)) >= minCos
     } yield (i, j)).toSet
     assert(got == expected, s"got $got\nexpected $expected")
+  }
+
+  test("boilerplate lines drop; prose survives in order; empty docs stay") {
+    val footer = "all rights reserved"
+    val df = docFrame(
+      (1L, s"real prose one\n$footer\nmore prose"),
+      (2L, s"other text\n  $footer  "), // trims to the same footer
+      (3L, s"$footer"),                 // all-boilerplate doc
+      (4L, "standalone document"))
+    val out = Dedup.stripBoilerplateLines(df, "doc_id", "text", maxLineDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "real prose one\nmore prose"),
+      (2L, 2L, 1L, "other text"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 1L, "standalone document")))
   }
 
   test("semantic dedup is deterministic across runs") {

@@ -83,6 +83,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless DSIR scoring runs in a streaming select") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val standing = Seq((1L, "alpha beta gamma", true),
+      (2L, "delta epsilon zeta", true), (3L, "qqq www eee", false))
+      .toDF("doc_id", "text", "tgt")
+    val m = graft.ops.Dsir.fit(standing, col("tgt"), "doc_id", "text",
+      buckets = 64)
+    val src = MemoryStream[(Long, String)]
+    val df = src.toDF().toDF("doc_id", "text")
+    val q = df.select(col("doc_id"),
+        graft.ops.Dsir.scoreExpr(col("text"), m).as("log_weight"))
+      .writeStream.format("memory").queryName("dsir").outputMode("append")
+      .start()
+    try {
+      src.addData((10L, "alpha beta gamma"), (11L, "qqq www eee"))
+      q.processAllAvailable()
+      val got = spark.table("dsir").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // batch-side reference: identical expression over a static frame
+      val ref = Seq((10L, "alpha beta gamma"), (11L, "qqq www eee"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), graft.ops.Dsir.scoreExpr(col("text"), m))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == ref)
+      assert(got(10L) > got(11L)) // target-like text scores higher
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
