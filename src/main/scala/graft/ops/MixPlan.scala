@@ -59,6 +59,10 @@ object MixPlan {
         col("target_tokens") - col("avail_tokens").cast("double")))
       .select(col(srcCol), col("avail_tokens"), col("target_tokens"),
         col("rate"), col("deficit_tokens"))
+      // a plan table is consumed repeatedly (inspect, execute, report) —
+      // eagerly materialize its #sources rows so each consumer doesn't
+      // re-aggregate the whole corpus
+      .localCheckpoint(true)
   }
 
   /** Execute a plan: keep each row iff its salted hash-uniform clears the
