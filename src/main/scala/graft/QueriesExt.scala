@@ -623,6 +623,37 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // the SELECTION pipeline, end to end: boilerplate-line removal (q63's
+    // synthesized footers) -> DSIR importance gate against the in-corpus
+    // English target (log-weight >= -11, between the en mean ~-9 and the
+    // off-target means ~-14) -> uniform token-budget mix over sources ->
+    // per-source stats. Composes this round's operators; the oracle
+    // replays the whole chain in SQL.
+    "q64_selection_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dirty = d.select(col("doc_id"), concat(col("text"),
+        lit("\ncopyright footer all rights reserved"),
+        when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("\nunique promo code "), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+      val cleaned = Dedup.stripBoilerplateLines(dirty, "doc_id", "text",
+        maxLineDf = 50)
+        .select(col("doc_id"), col("cleaned").as("text"))
+        .join(d.select("doc_id", "source", "lang"), "doc_id")
+      val w = Dsir.importanceWeights(cleaned, col("lang") === "en",
+        "doc_id", "text", buckets = 4096)
+      val selected = cleaned
+        .join(Dsir.select(w, minLogWeight = -11.0).select("doc_id"), "doc_id")
+      val nt = TextOps.tokenCount(col("text"))
+      val planDf = MixPlan.plan(selected, "source", nt, budget = 10000)
+      MixPlan.execute(selected, "doc_id", "source", planDf, salt = "#m64")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(nt.cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // end-to-end training-data prep: exact dedup -> quality + language
     // filter -> per-source corpus statistics (the composed pipeline the
     // individual operators exist for)
@@ -1197,6 +1228,83 @@ object QueriesExt {
          |  coalesce(ks.cleaned, '') AS cleaned
          |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q64_selection_pipeline" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text || chr(10) || 'copyright footer all rights reserved'
+         |    || CASE WHEN doc_id % 4 = 0
+         |            THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |            THEN chr(10) || 'unique promo code ' || doc_id
+         |            ELSE '' END AS text
+         |  FROM documents
+         |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         |l AS (
+         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
+         |), ne AS (SELECT * FROM l WHERE line <> ''),
+         |offending AS (
+         |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM ne)
+         |  GROUP BY line HAVING count(*) > 50
+         |), keptl AS (
+         |  SELECT doc_id, pos, line FROM ne
+         |  WHERE line NOT IN (SELECT line FROM offending)
+         |), ks AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned
+         |  FROM keptl GROUP BY doc_id
+         |), cl AS (
+         |  SELECT d.doc_id, d.source, d.lang, coalesce(ks.cleaned, '') AS text
+         |  FROM documents d LEFT JOIN ks USING (doc_id)
+         |), dd AS (
+         |  SELECT doc_id, source, lang,
+         |    list_filter(string_split(trim(regexp_replace(lower(text),
+         |      '\\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+         |  FROM cl
+         |), f AS (
+         |  SELECT doc_id, lang,
+         |    unnest(toks || list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+         |  FROM dd
+         |), b AS (
+         |  SELECT doc_id, lang,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+         |  FROM f
+         |), tc AS (SELECT b, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+         |rc AS (SELECT b, count(*) AS nr FROM b GROUP BY 1),
+         |tot AS (
+         |  SELECT (SELECT sum(nt) FROM tc) AS ntot,
+         |         (SELECT sum(nr) FROM rc) AS rtot
+         |), ratio AS (
+         |  SELECT gs.b,
+         |    CAST(round(log2((coalesce(nt, 0) + 1)::DOUBLE
+         |      / (ntot + 4096)::DOUBLE), 4) AS DECIMAL(18,4))
+         |    - CAST(round(log2((coalesce(nr, 0) + 1)::DOUBLE
+         |      / (rtot + 4096)::DOUBLE), 4) AS DECIMAL(18,4)) AS lr
+         |  FROM (SELECT unnest(range(0, 4096)) AS b) gs
+         |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
+         |), dc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2),
+         |wts AS (
+         |  SELECT doc_id,
+         |    (sum(CAST(c AS DECIMAL(10,0)) * lr))::DOUBLE AS log_weight
+         |  FROM dc JOIN ratio USING (b) GROUP BY doc_id
+         |), sel AS (
+         |  SELECT cl.doc_id, cl.source,
+         |    len(string_split_regex(trim(cl.text), '\\s+'))::BIGINT AS nt,
+         |    ${hashUnitSql("cl.doc_id::VARCHAR || '#m64'")} AS u
+         |  FROM cl JOIN wts USING (doc_id)
+         |  WHERE wts.log_weight >= -11.0
+         |), avail AS (
+         |  SELECT source, sum(nt)::BIGINT AS avail_tokens FROM sel GROUP BY 1
+         |), n AS (SELECT count(*) AS n FROM avail),
+         |plan AS (
+         |  SELECT source,
+         |    least(1.0, ((1.0 / n) * 10000.0) / avail_tokens::DOUBLE) AS rate
+         |  FROM avail CROSS JOIN n
+         |)
+         |SELECT s.source, count(*) AS n_docs, sum(s.nt)::BIGINT AS n_tokens
+         |FROM sel s JOIN plan USING (source)
+         |WHERE s.u < plan.rate
+         |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
     "q59_dsir_weights" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
