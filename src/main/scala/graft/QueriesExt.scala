@@ -623,6 +623,34 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // paragraph-level corpus dedup (CCNet pass): repeated paragraphs keep
+    // only the canonical first occurrence (min doc, pos). A shared
+    // disclaimer is APPENDED to every third doc (mirrored in the oracle);
+    // doc 0 keeps it, every other carrier loses it, unique appendices
+    // survive.
+    "q65_para_dedup" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nshared disclaimer paragraph for legal reasons"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          concat(lit("\nunique appendix "), col("doc_id")))
+          .otherwise(lit(""))).as("text"))
+      Dedup.dedupParagraphs(dirty, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // corpus snapshot diff: overlapping old (u < 0.6) and new (u >= 0.3)
+    // halves, with every fifth doc's text edited in the new snapshot —
+    // added / removed / changed / unchanged per id, one full-outer join.
+    "q66_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val old = d.where(col("u") < 0.6).select(col("doc_id"), col("text"))
+      val nu = d.where(col("u") >= 0.3).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(old, nu, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // the SELECTION pipeline, end to end: boilerplate-line removal (q63's
     // synthesized footers) -> DSIR importance gate against the in-corpus
     // English target (log-weight >= -11, between the en mean ~-9 and the
@@ -1228,6 +1256,59 @@ object QueriesExt {
          |  coalesce(ks.cleaned, '') AS cleaned
          |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q65_para_dedup" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN chr(10) || 'shared disclaimer paragraph for legal reasons'
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 10 = 0
+         |         THEN chr(10) || 'unique appendix ' || doc_id
+         |         ELSE '' END AS text
+         |  FROM documents
+         |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         |l AS (
+         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
+         |), ne AS (SELECT * FROM l WHERE line <> ''),
+         |rk AS (
+         |  SELECT doc_id, pos, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |  FROM ne
+         |), kept AS (SELECT doc_id, pos, line FROM rk WHERE rn = 1),
+         |ks AS (
+         |  SELECT doc_id, count(*) AS n_paras_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+         |  FROM kept GROUP BY doc_id
+         |), rs AS (SELECT doc_id, count(*) AS n_paras_raw FROM ne GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(rs.n_paras_raw, 0)::BIGINT AS n_paras_raw,
+         |  coalesce(ks.n_paras_kept, 0)::BIGINT AS n_paras_kept,
+         |  coalesce(ks.cleaned, '') AS cleaned
+         |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q66_corpus_diff" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, $normSql AS tn FROM d WHERE u < 0.6
+         |), n AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(lower(
+         |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
+         |      '\\s+', ' ', 'g')) AS tn
+         |  FROM d WHERE u >= 0.3
+         |)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.tn = n.tn THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q64_selection_pipeline" ->
       s"""WITH w AS (

@@ -534,6 +534,87 @@ object Dedup {
     * partition (the classic skew trap this operator invites: the hottest
     * key is always boilerplate).
     */
+  /** Corpus-level paragraph dedup (the CCNet pass): every repeated
+    * occurrence of a (trimmed) paragraph is dropped EXCEPT the canonical
+    * first — minimum (doc id, position) across the corpus — so shared
+    * quotes/licenses/disclaimers survive exactly once. Blank paragraphs
+    * are discarded; survivors re-join in original order.
+    *
+    * Returns one row per input document: (idCol, n_paras_raw,
+    * n_paras_kept, cleaned).
+    *
+    * Scale shape: the canonical-occurrence table is computed with a
+    * partial-safe min(struct(doc,pos)) aggregation and RESTRICTED to
+    * paragraphs occurring more than once — unique paragraphs (the
+    * overwhelming majority) survive via a left-join miss, so the join's
+    * build side holds only duplicated paragraphs and broadcasts; a
+    * paragraph repeated across the whole corpus is one aggregation key
+    * (map-side partials) and one broadcast row, never a collected group.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__raw")))
+      .select(col(idCol), col("__pos"), trim(col("__raw")).as("__para"))
+      .where(col("__para") =!= "")
+    val dup = paras.groupBy("__para")
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol).as("__kid"), col("__pos").as("__kpos")))
+          .as("__keep"))
+      .where(col("__n") > 1)
+      .select("__para", "__keep")
+    val kept = paras.join(dup, Seq("__para"), "left")
+      .where(col("__keep").isNull ||
+        (col("__keep.__kid") === col(idCol) &&
+         col("__keep.__kpos") === col("__pos")))
+      .select(col(idCol), col("__pos"), col("__para").as("__line"))
+    rebuildLines(df, idCol, paras.withColumnRenamed("__para", "__line"),
+      kept, "n_paras_raw", "n_paras_kept")
+  }
+
+  /** Reassemble per-document text from kept (id, __pos, __line) rows,
+    * reporting raw/kept counts for every document in `df` (all-dropped
+    * docs come out with the empty string). Shared by the line/paragraph
+    * dedup passes.
+    */
+  private def rebuildLines(df: DataFrame, idCol: String, allRows: DataFrame,
+      keptRows: DataFrame, rawName: String, keptName: String): DataFrame = {
+    val kept = keptRows
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as(keptName),
+        array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .as("__ord"))
+      .select(col(idCol), col(keptName),
+        concat_ws("\n",
+          transform(col("__ord"), s => s.getField("__line"))).as("cleaned"))
+    val raw = allRows.groupBy(col(idCol)).agg(count(lit(1)).as(rawName))
+    df.select(col(idCol))
+      .join(raw, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(rawName), lit(0L)).as(rawName),
+        coalesce(col(keptName), lit(0L)).as(keptName),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** Snapshot diff between two corpus versions on normalized content:
+    * (idCol, status) for every id in either frame — `added` (new only),
+    * `removed` (old only), `changed` (both, different content),
+    * `unchanged`. One full-outer equi-join on the id; content compares
+    * by 64-bit normalized hash, never by shipping text twice.
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(d: DataFrame, h: String) = d.select(col(idCol),
+      xxhash64(TextOps.normText(col(textCol))).as(h))
+    hashed(oldDf, "__ho").join(hashed(newDf, "__hn"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxLineDf: Int): DataFrame = {
     require(maxLineDf >= 1, "maxLineDf must be at least 1")
@@ -546,22 +627,6 @@ object Dedup {
       .where(col("__df") > maxLineDf)
       .select("__line")
     val kept = lines.join(offending, Seq("__line"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines_kept"),
-        array_sort(collect_list(struct(col("__pos"), col("__line"))))
-          .as("__ord"))
-      .select(col(idCol), col("n_lines_kept"),
-        concat_ws("\n",
-          transform(col("__ord"), s => s.getField("__line")).as("__ls"))
-          .as("cleaned"))
-    val raw = lines.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_lines_raw"))
-    df.select(col(idCol))
-      .join(raw, Seq(idCol), "left")
-      .join(kept, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_lines_raw"), lit(0L)).as("n_lines_raw"),
-        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    rebuildLines(df, idCol, lines, kept, "n_lines_raw", "n_lines_kept")
   }
 }

@@ -237,6 +237,39 @@ class SelectionSpec extends SparkSpec {
       (4L, 1L, 1L, "standalone document")))
   }
 
+  test("paragraph dedup keeps only the canonical first occurrence") {
+    val shared = "shared disclaimer text"
+    val df = docFrame(
+      (1L, s"own prose a\n$shared"),
+      (2L, s"$shared\nown prose b"),   // loses the shared para (doc 1 first)
+      (3L, s"  $shared  "),            // trims equal; all-dup doc -> empty
+      (4L, "untouched"))
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, s"own prose a\n$shared"),
+      (2L, 2L, 1L, "own prose b"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 1L, "untouched")))
+  }
+
+  test("paragraph dedup canonical = min (doc, pos) within one doc too") {
+    val df = docFrame((1L, "rep\nother\nrep\nrep"))
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text").collect()
+    assert(out.head.getString(3) == "rep\nother")
+  }
+
+  test("corpus diff labels added, removed, changed, unchanged") {
+    val old = docFrame((1L, "same text"), (2L, "old version"), (3L, "gone"))
+    val nu = docFrame((1L, "Same  TEXT"), // equal after normalization
+      (2L, "new version"), (4L, "brand new"))
+    val got = Dedup.corpusDiff(old, nu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("semantic dedup is deterministic across runs") {
     def vec(i: Long): Seq[Double] =
       (0 until 5).map(d => math.sin(i * 1.7 + d) + 0.1 * d)
