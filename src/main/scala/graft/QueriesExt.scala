@@ -666,10 +666,14 @@ object QueriesExt {
         when(col("doc_id") % 7 === 0,
           concat(lit("\nunique promo code "), col("doc_id")))
           .otherwise(lit(""))).as("text"))
+      // the cleaned corpus feeds DSIR, the selection join, and both mix
+      // stages — materialize it once between pipeline stages (what a real
+      // corpus build does) instead of re-running the line pass per consumer
       val cleaned = Dedup.stripBoilerplateLines(dirty, "doc_id", "text",
         maxLineDf = 50)
         .select(col("doc_id"), col("cleaned").as("text"))
         .join(d.select("doc_id", "source", "lang"), "doc_id")
+        .localCheckpoint(true)
       val w = Dsir.importanceWeights(cleaned, col("lang") === "en",
         "doc_id", "text", buckets = 4096)
       val selected = cleaned

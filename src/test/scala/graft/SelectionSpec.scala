@@ -260,6 +260,21 @@ class SelectionSpec extends SparkSpec {
     assert(out.head.getString(3) == "rep\nother")
   }
 
+  test("paragraph dedup is idempotent and identity on unique-line docs") {
+    val df = docFrame(
+      (1L, "alpha one\nbeta two"), (2L, "gamma three"),
+      (3L, "shared tail\ndelta"), (4L, "shared tail\nepsilon"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupParagraphs(d, "doc_id", "text")
+        .select(col("doc_id"), col("cleaned").as("text"))
+    val once = run(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twice = run(run(df)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == twice) // a dedup'd corpus has nothing left to dedup
+    // docs whose lines are corpus-unique pass through byte-identical
+    assert(once(1L) == "alpha one\nbeta two" && once(2L) == "gamma three")
+  }
+
   test("corpus diff labels added, removed, changed, unchanged") {
     val old = docFrame((1L, "same text"), (2L, "old version"), (3L, "gone"))
     val nu = docFrame((1L, "Same  TEXT"), // equal after normalization
