@@ -69,6 +69,19 @@ object QueriesExt {
     edges
   }
 
+  /** q63/q64 shared fixture: deterministic boilerplate appended to the
+    * raw corpus — a universal footer, a %4 banner, a %7 unique promo
+    * line. [[dirtyCte]] is its SQL twin; edit both together.
+    */
+  private def withBoilerplate(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), concat(col("text"),
+      lit("\ncopyright footer all rights reserved"),
+      when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("\nunique promo code "), col("doc_id")))
+        .otherwise(lit(""))).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup: hash-groupBy on normalized text
@@ -582,9 +595,11 @@ object QueriesExt {
     // deterministic global-shuffle write: the whole corpus re-ordered by
     // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
     // floor(u·8), u-sorted within), re-read, and digested per shard with
-    // an ORDER-SENSITIVE checksum (rank × id-hash) — the oracle replays
-    // the same permutation from the raw table, so a row out of place
-    // anywhere in the shuffle/write/read chain breaks the sum.
+    // an ORDER-SENSITIVE checksum (rank × id-hash). The rank is
+    // RECOMPUTED from u at digest time, so the oracle proves shard
+    // membership, content, and that both engines agree on the
+    // permutation — the PHYSICAL jsonl line order is asserted separately
+    // by OutputSpec's byte-level read of the written files.
     "q62_shuffle_write" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "source", "text")
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_q62_" +
@@ -612,14 +627,8 @@ object QueriesExt {
     // universal copyright line (df = all docs), a newsletter banner
     // (df ≈ n/4) — both dropped — and a unique promo line (df = 1), kept.
     "q63_boilerplate" -> ((s, dir) => {
-      val dirty = docs(s, dir).select(col("doc_id"), concat(col("text"),
-        lit("\ncopyright footer all rights reserved"),
-        when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit("\nunique promo code "), col("doc_id")))
-          .otherwise(lit(""))).as("text"))
-      Dedup.stripBoilerplateLines(dirty, "doc_id", "text", maxLineDf = 50)
+      Dedup.stripBoilerplateLines(withBoilerplate(docs(s, dir)),
+        "doc_id", "text", maxLineDf = 50)
         .orderBy("doc_id")
     }),
 
@@ -659,13 +668,7 @@ object QueriesExt {
     // replays the whole chain in SQL.
     "q64_selection_pipeline" -> ((s, dir) => {
       val d = docs(s, dir)
-      val dirty = d.select(col("doc_id"), concat(col("text"),
-        lit("\ncopyright footer all rights reserved"),
-        when(col("doc_id") % 4 === 0, lit("\nsubscribe to our newsletter"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 7 === 0,
-          concat(lit("\nunique promo code "), col("doc_id")))
-          .otherwise(lit(""))).as("text"))
+      val dirty = withBoilerplate(d)
       // the cleaned corpus feeds DSIR, the selection join, and both mix
       // stages — materialize it once between pipeline stages (what a real
       // corpus build does) instead of re-running the line pass per consumer
@@ -783,6 +786,23 @@ object QueriesExt {
        |  SELECT node AS doc_id, min(label) AS component
        |  FROM reach GROUP BY node
        |)""".stripMargin
+
+  /** SQL twin of [[withBoilerplate]] as a CTE body named `w`. Spelled
+    * with concat() and no line-leading `||` — this string is
+    * interpolated into oracles that call .stripMargin, which would eat
+    * the first bar of a line-leading concat operator.
+    */
+  private val dirtyCte: String =
+    """w AS (
+      |  SELECT doc_id, concat(text,
+      |    chr(10), 'copyright footer all rights reserved',
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN chr(10) || 'subscribe to our newsletter' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN chr(10) || 'unique promo code ' || doc_id
+      |         ELSE '' END) AS text
+      |  FROM documents
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1230,15 +1250,7 @@ object QueriesExt {
         |ORDER BY e.event_id""".stripMargin,
 
     "q63_boilerplate" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, text || chr(10) || 'copyright footer all rights reserved'
-         |    || CASE WHEN doc_id % 4 = 0
-         |            THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 0
-         |            THEN chr(10) || 'unique promo code ' || doc_id
-         |            ELSE '' END AS text
-         |  FROM documents
-         |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+      s"""WITH $dirtyCte, l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          |l AS (
          |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
          |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
@@ -1315,15 +1327,7 @@ object QueriesExt {
          |ORDER BY doc_id""".stripMargin,
 
     "q64_selection_pipeline" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, text || chr(10) || 'copyright footer all rights reserved'
-         |    || CASE WHEN doc_id % 4 = 0
-         |            THEN chr(10) || 'subscribe to our newsletter' ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 0
-         |            THEN chr(10) || 'unique promo code ' || doc_id
-         |            ELSE '' END AS text
-         |  FROM documents
-         |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+      s"""WITH $dirtyCte, l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          |l AS (
          |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
          |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)

@@ -515,25 +515,6 @@ object Dedup {
         .select("id1", "id2"),
       "id1", "id2", df, idCol)
 
-  /** Line-level boilerplate removal (the C4/RefinedWeb/CCNet pass):
-    * drop every line whose document frequency exceeds `maxLineDf` —
-    * navigation, cookie banners, footers repeat across pages; real prose
-    * doesn't. Lines are `\n`-split, trimmed, blanks discarded; surviving
-    * lines re-join in original order.
-    *
-    * Returns one row per input document: (idCol, n_lines_raw,
-    * n_lines_kept, cleaned) — `cleaned` is the empty string when every
-    * line was boilerplate.
-    *
-    * Scale shape: df counting is distinct (doc, line) → groupBy(line)
-    * with map-side partials, so a line appearing in every document costs
-    * one count, never a collected group. The removal is a LEFT ANTI join
-    * against the OFFENDING line set only — by construction at most
-    * |corpus lines| / maxLineDf rows, so it broadcasts (AQE) and the hot
-    * boilerplate keys are dropped map-side instead of shuffling to one
-    * partition (the classic skew trap this operator invites: the hottest
-    * key is always boilerplate).
-    */
   /** Corpus-level paragraph dedup (the CCNet pass): every repeated
     * occurrence of a (trimmed) paragraph is dropped EXCEPT the canonical
     * first — minimum (doc id, position) across the corpus — so shared
@@ -563,34 +544,37 @@ object Dedup {
           .as("__keep"))
       .where(col("__n") > 1)
       .select("__para", "__keep")
-    val kept = paras.join(dup, Seq("__para"), "left")
-      .where(col("__keep").isNull ||
-        (col("__keep.__kid") === col(idCol) &&
-         col("__keep.__kpos") === col("__pos")))
-      .select(col(idCol), col("__pos"), col("__para").as("__line"))
-    rebuildLines(df, idCol, paras.withColumnRenamed("__para", "__line"),
-      kept, "n_paras_raw", "n_paras_kept")
+    val flagged = paras.join(dup, Seq("__para"), "left")
+      .select(col(idCol), col("__pos"), col("__para").as("__line"),
+        (col("__keep").isNotNull &&
+          !(col("__keep.__kid") === col(idCol) &&
+            col("__keep.__kpos") === col("__pos"))).as("__bad"))
+    rebuildLines(df, idCol, flagged, "n_paras_raw", "n_paras_kept")
   }
 
-  /** Reassemble per-document text from kept (id, __pos, __line) rows,
-    * reporting raw/kept counts for every document in `df` (all-dropped
-    * docs come out with the empty string). Shared by the line/paragraph
+  /** Reassemble per-document text from flagged (id, __pos, __line,
+    * __bad) rows in ONE aggregation pass — raw count, kept count, and
+    * the ordered surviving text come out of the same groupBy
+    * (collect_list skips the nulls the `when` leaves for dropped rows),
+    * so the exploded line stream is consumed once here, not three
+    * times. Documents absent from the stream (all-blank) come out with
+    * zero counts and the empty string. Shared by the line/paragraph
     * dedup passes.
     */
-  private def rebuildLines(df: DataFrame, idCol: String, allRows: DataFrame,
-      keptRows: DataFrame, rawName: String, keptName: String): DataFrame = {
-    val kept = keptRows
+  private def rebuildLines(df: DataFrame, idCol: String, flagged: DataFrame,
+      rawName: String, keptName: String): DataFrame = {
+    val good = !col("__bad")
+    val agg = flagged
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as(keptName),
-        array_sort(collect_list(struct(col("__pos"), col("__line"))))
-          .as("__ord"))
-      .select(col(idCol), col(keptName),
+      .agg(count(lit(1)).as(rawName),
+        sum(when(good, 1L).otherwise(0L)).as(keptName),
+        array_sort(collect_list(when(good,
+          struct(col("__pos"), col("__line"))))).as("__ord"))
+      .select(col(idCol), col(rawName), col(keptName),
         concat_ws("\n",
           transform(col("__ord"), s => s.getField("__line"))).as("cleaned"))
-    val raw = allRows.groupBy(col(idCol)).agg(count(lit(1)).as(rawName))
     df.select(col(idCol))
-      .join(raw, Seq(idCol), "left")
-      .join(kept, Seq(idCol), "left")
+      .join(agg, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col(rawName), lit(0L)).as(rawName),
         coalesce(col(keptName), lit(0L)).as(keptName),
@@ -615,6 +599,25 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** Line-level boilerplate removal (the C4/RefinedWeb/CCNet pass):
+    * drop every line whose document frequency exceeds `maxLineDf` —
+    * navigation, cookie banners, footers repeat across pages; real prose
+    * doesn't. Lines are `\n`-split, trimmed, blanks discarded; surviving
+    * lines re-join in original order.
+    *
+    * Returns one row per input document: (idCol, n_lines_raw,
+    * n_lines_kept, cleaned) — `cleaned` is the empty string when every
+    * line was boilerplate.
+    *
+    * Scale shape: df counting is distinct (doc, line) → groupBy(line)
+    * with map-side partials, so a line appearing in every document costs
+    * one count, never a collected group. The removal joins against the
+    * OFFENDING line set only — by construction at most |corpus lines| /
+    * maxLineDf rows, so it broadcasts (AQE) and the hot boilerplate keys
+    * are flagged map-side instead of shuffling to one partition (the
+    * classic skew trap this operator invites: the hottest key is always
+    * boilerplate).
+    */
   def stripBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
       maxLineDf: Int): DataFrame = {
     require(maxLineDf >= 1, "maxLineDf must be at least 1")
@@ -625,8 +628,10 @@ object Dedup {
     val offending = lines.select(col(idCol), col("__line")).distinct()
       .groupBy("__line").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxLineDf)
-      .select("__line")
-    val kept = lines.join(offending, Seq("__line"), "left_anti")
-    rebuildLines(df, idCol, lines, kept, "n_lines_raw", "n_lines_kept")
+      .select(col("__line"), lit(true).as("__hot"))
+    val flagged = lines.join(offending, Seq("__line"), "left")
+      .select(col(idCol), col("__pos"), col("__line"),
+        coalesce(col("__hot"), lit(false)).as("__bad"))
+    rebuildLines(df, idCol, flagged, "n_lines_raw", "n_lines_kept")
   }
 }

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /** Data Selection via Importance Resampling (DSIR) — score every raw
   * document by how target-like its hashed n-gram profile is, per the
@@ -26,9 +26,9 @@ import org.apache.spark.sql.types.DecimalType
   * both corpus distributions are groupBys onto ≤ `buckets` keys
   * (map-side partial counts collapse the token stream to a bounded-size
   * aggregate); the ratio table is `buckets` rows and is BROADCAST to the
-  * scoring join, so scoring itself is one exploded groupBy per document.
-  * Nothing driver-side except the two corpus-size scalars (the same
-  * `.item()` boundary as every scalar aggregate).
+  * scoring join, so scoring itself is one aggregation per document.
+  * Nothing driver-side except the bounded bucket table (the
+  * IVF-centroid class of boundary).
   */
 object Dsir {
 
@@ -38,6 +38,16 @@ object Dsir {
   def gramBucket(gram: Column, buckets: Int): Column =
     pmod(Sampling.md5Prefix32(gram), lit(buckets.toLong))
 
+  /** Unigrams + strict word bigrams of a token array — THE featurizer.
+    * Single-sourced because training ([[featRows]]) and serving
+    * ([[scoreExpr]]) must tokenize identically or scoring parity breaks.
+    */
+  private def gramsOf(toks: Column): Column =
+    concat(toks,
+      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+        .otherwise(array().cast("array<string>")))
+
   /** (id, bucket) — one row per unigram + strict word bigram occurrence.
     * Multiplicity is meaningful (bag-of-words counts), so no distinct.
     * The token array is materialized in its own projection so the
@@ -46,18 +56,40 @@ object Dsir {
     */
   private def featRows(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, keep: Seq[String] = Seq.empty): DataFrame = {
-    val toks = col("__toks")
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-      .otherwise(array().cast("array<string>"))
     val keepCols = keep.map(col)
     df.select(col(idCol) +: TextOps.tokens(col(textCol)).as("__toks") +:
         keepCols: _*)
-      .select(col(idCol) +: explode(concat(toks, bigrams)).as("__gram") +:
+      .select(col(idCol) +: explode(gramsOf(col("__toks"))).as("__gram") +:
         keepCols: _*)
       .select(col(idCol) +: gramBucket(col("__gram"), buckets).as("__b") +:
         keepCols: _*)
+  }
+
+  /** The smoothed 4dp-quantized log₂-ratio table as a Spark frame over
+    * the FULL bucket domain (unseen buckets get the smoothed default) —
+    * `buckets` rows from collected counts. Single-sourced: both the
+    * frame-scoring join and the fitted [[Model]] derive from THIS
+    * expression, so the quantization arithmetic exists in exactly one
+    * engine (no driver-side libm re-implementation to drift by an ulp).
+    */
+  private def ratioFrame(spark: SparkSession, bc: Array[Row], nT: Long,
+      nR: Long, buckets: Int): DataFrame = {
+    val bcDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(bc.toSeq).asJava),
+      StructType(Seq(StructField("__b", LongType),
+        StructField("nt", LongType), StructField("nr", LongType))))
+    spark.range(buckets).select(col("id").as("__b"))
+      .join(bcDf, Seq("__b"), "left")
+      .select(col("__b"),
+        // each log₂ is quantized to 4dp SEPARATELY before the difference —
+        // the LmScore trick: a coarse per-term grid absorbs cross-engine
+        // libm ulp differences, after which all arithmetic is exact
+        (round(log2((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+            lit((nT + buckets).toDouble)), 4).cast(DecimalType(18, 4)) -
+         round(log2((coalesce(col("nr"), lit(0L)) + 1).cast("double") /
+            lit((nR + buckets).toDouble)), 4).cast(DecimalType(18, 4)))
+          .as("__lr"))
   }
 
   /** Score `raw`'s documents against `target`'s feature distribution.
@@ -108,9 +140,21 @@ object Dsir {
     weightsFromFlagged(flagged, idCol, buckets, targetWithinRaw = true)
   }
 
-  /** Shared core over flagged feature rows (idCol, __b, __t).
+  /** Flagged feature rows → per-bucket (nt, nr) counts + totals.
     * `targetWithinRaw` decides whether __t rows are raw too (flag
     * overload) or a separate stream (two-frame overload).
+    */
+  private def bucketCounts(rows: DataFrame,
+      targetWithinRaw: Boolean): (Array[Row], Long, Long) = {
+    val rawSide = if (targetWithinRaw) lit(true) else !col("__t")
+    val bc = rows.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
+      sum(when(rawSide, 1L).otherwise(0L)).as("nr"))
+      .collect()
+    (bc, bc.map(_.getLong(1)).sum, bc.map(_.getLong(2)).sum)
+  }
+
+  /** Shared scoring core over flagged feature rows (idCol, __b, __t).
     *
     * The exploded feature stream is persisted RAW — a per-(doc, bucket)
     * pre-aggregation was measured to collapse almost nothing (grams
@@ -125,40 +169,8 @@ object Dsir {
     require(buckets > 0, "buckets must be positive")
     val spark = flagged.sparkSession
     val rows = flagged.persist()
-
-    // bucket distributions: ≤ buckets rows out of the partial aggregation
-    val rawSide = if (targetWithinRaw) lit(true) else !col("__t")
-    val bc = rows.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
-      sum(when(rawSide, 1L).otherwise(0L)).as("nr"))
-      .collect()
-    val nT = bc.map(_.getLong(1)).sum
-    val nR = bc.map(_.getLong(2)).sum
-    val bcDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(bc.toSeq).asJava),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__b",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("nt",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("nr",
-          org.apache.spark.sql.types.LongType))))
-
-    // full bucket domain so unseen buckets still get the smoothed default
-    // ratio; `buckets` rows, broadcast into the scoring join
-    val ratio = spark.range(buckets).select(col("id").as("__b"))
-      .join(bcDf, Seq("__b"), "left")
-      .select(col("__b"),
-        // each log₂ is quantized to 4dp SEPARATELY before the difference —
-        // the LmScore trick: a coarse per-term grid absorbs cross-engine
-        // libm ulp differences, after which all arithmetic is exact
-        (round(log2((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
-            lit((nT + buckets).toDouble)), 4).cast(DecimalType(18, 4)) -
-         round(log2((coalesce(col("nr"), lit(0L)) + 1).cast("double") /
-            lit((nR + buckets).toDouble)), 4).cast(DecimalType(18, 4)))
-          .as("__lr"))
-
+    val (bc, nT, nR) = bucketCounts(rows, targetWithinRaw)
+    val ratio = ratioFrame(spark, bc, nT, nR, buckets)
     val weights = rows.where(if (targetWithinRaw) lit(true) else !col("__t"))
       .join(broadcast(ratio), "__b")
       .groupBy(col(idCol))
@@ -185,29 +197,23 @@ object Dsir {
 
   /** Fit the bucket log-ratio model without scoring anything — the
     * training half of [[importanceWeights]], for when the scoring side
-    * is a different frame or a STREAM. Same single-pass shape.
+    * is a different frame or a STREAM. The ratios are computed by the
+    * SAME Spark expression the frame pipeline uses ([[ratioFrame]],
+    * collected — `buckets` rows), then stored as exact 1e-4 grid steps;
+    * no arithmetic is re-implemented driver-side, so fit/score parity
+    * cannot drift by a libm ulp.
     */
   def fit(raw: DataFrame, isTarget: Column, idCol: String, textCol: String,
       buckets: Int = 4096): Model = {
     require(buckets > 0, "buckets must be positive")
     val rows = featRows(raw.withColumn("__t", isTarget), idCol, textCol,
       buckets, keep = Seq("__t"))
-    val bc = rows.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("nt"),
-      count(lit(1)).as("nr")).collect()
-    val nT = bc.map(_.getLong(1)).sum
-    val nR = bc.map(_.getLong(2)).sum
-    def r4steps(x: Double): Long =
-      java.math.BigDecimal.valueOf(x)
-        .setScale(4, java.math.RoundingMode.HALF_UP)
-        .movePointRight(4).longValueExact()
-    def log2(x: Double): Double = math.log(x) / math.log(2.0)
-    val cnt = bc.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val lr = (0L until buckets).map { b =>
-      val (nt, nr) = cnt.getOrElse(b, (0L, 0L))
-      b -> (r4steps(log2((nt + 1).toDouble / (nT + buckets))) -
-            r4steps(log2((nr + 1).toDouble / (nR + buckets))))
-    }.toMap
+    val (bc, nT, nR) = bucketCounts(rows, targetWithinRaw = true)
+    val lr = ratioFrame(raw.sparkSession, bc, nT, nR, buckets)
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getDecimal(1).movePointRight(4).longValueExact())
+      .toMap
     Model(buckets, lr)
   }
 
@@ -222,11 +228,7 @@ object Dsir {
     */
   def scoreExpr(text: Column, m: Model): Column = {
     val lrMap = typedLit(m.lr4dp)
-    val toks = TextOps.tokens(text)
-    val grams = concat(toks,
-      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>")))
+    val grams = gramsOf(TextOps.tokens(text))
     val steps = aggregate(grams, lit(0L),
       (acc, g) => acc + element_at(lrMap, gramBucket(g, m.buckets)))
     when(size(grams) > 0, steps.cast("double") / 1e4)

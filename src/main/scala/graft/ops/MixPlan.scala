@@ -70,8 +70,12 @@ object MixPlan {
     * filter — no shuffle of the corpus.
     */
   def execute(df: DataFrame, idCol: String, srcCol: String,
-      planDf: DataFrame, salt: String = ""): DataFrame =
+      planDf: DataFrame, salt: String = ""): DataFrame = {
+    require(!df.columns.contains("rate"),
+      "input already has a 'rate' column — rename it; execute joins the " +
+        "plan's rate in under that name")
     df.join(broadcast(planDf.select(col(srcCol), col("rate"))), srcCol)
       .where(Sampling.hashUnit(col(idCol), salt) < col("rate"))
       .drop("rate")
+  }
 }
