@@ -632,6 +632,19 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // Okapi BM25 top-k retrieval through the q58 inverted-index shape;
+    // binary-exact saturation constants (k1=1.5, b=0.75), 6dp-quantized
+    // idf and per-term scores, DECIMAL sums — cell-exact oracle.
+    "q67_bm25" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.TfIdf.bm25TopK(d.where(col("doc_id") < 5), d,
+        "doc_id", "text", k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 8).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // paragraph-level corpus dedup (CCNet pass): repeated paragraphs keep
     // only the canonical first occurrence (min doc, pos). A shared
     // disclaimer is APPENDED to every third doc (mirrored in the oracle);
@@ -1272,6 +1285,47 @@ object QueriesExt {
          |  coalesce(ks.cleaned, '') AS cleaned
          |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q67_bm25" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+         |), dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n,
+         |         (SELECT sum(dl)::DOUBLE FROM dl) AS sumdl
+         |), dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (
+         |  SELECT token,
+         |    CAST(round(ln((n::DOUBLE - df::DOUBLE + 0.5)
+         |      / (df::DOUBLE + 0.5) + 1), 6) AS DECIMAL(18,6)) AS idf
+         |  FROM dft CROSS JOIN stats
+         |), q AS (
+         |  SELECT doc_id AS query_id, token, tf AS qtf
+         |  FROM tf WHERE doc_id < 5
+         |), sc AS (
+         |  SELECT q.query_id, p.doc_id AS neighbor_id,
+         |    CAST(round((q.qtf::DOUBLE * idf.idf::DOUBLE) *
+         |      ((p.tf::DOUBLE * 2.5) / (p.tf::DOUBLE + 1.5 *
+         |        (0.25 + 0.75 * (dl.dl::DOUBLE / (stats.sumdl / stats.n))))),
+         |      6) AS DECIMAL(18,6)) AS term
+         |  FROM q JOIN tf p USING (token) JOIN idf USING (token)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats
+         |  WHERE q.query_id <> p.doc_id
+         |), agg AS (
+         |  SELECT query_id, neighbor_id, (sum(term))::DOUBLE AS score
+         |  FROM sc GROUP BY 1, 2
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM agg
+         |)
+         |SELECT query_id, neighbor_id, round(score, 8) AS score, rank
+         |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q65_para_dedup" ->
       s"""WITH w AS (

@@ -165,6 +165,59 @@ class SelectionSpec extends SparkSpec {
     assert(plan("keep") == 1.0 && plan("drop") == 0.0)
   }
 
+  test("BM25 matches an independent reference computation") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick dog barks",
+      3L -> "brown foxes and quick dogs run",
+      4L -> "zebra quartz glyph vortex",
+      5L -> "the fox and the dog and the fox")
+    val df = docFrame(corpus: _*)
+    val got = graft.ops.TfIdf.bm25TopK(df.where(col("doc_id") <= 2), df,
+      "doc_id", "text", k = 3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+      .toMap
+
+    // reference: plain-Scala BM25 with the same quantization contract
+    val k1 = 1.5; val b = 0.75
+    val toks = corpus.map { case (id, t) => id -> refTokens(t) }.toMap
+    val n = corpus.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfc = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    def r6(x: Double): java.math.BigDecimal =
+      JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+    def idf(t: String): Double =
+      r6(math.log((n.toDouble - dfc(t) + 0.5) / (dfc(t) + 0.5) + 1))
+        .doubleValue
+    def tfOf(id: Long) = toks(id).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expected = (for {
+      q <- Seq(1L, 2L); d <- corpus.map(_._1) if d != q
+      qt = tfOf(q); dt = tfOf(d)
+      shared = qt.keySet intersect dt.keySet if shared.nonEmpty
+    } yield {
+      val dl = toks(d).size
+      val score = shared.toSeq.map { t =>
+        val sat = (dt(t).toDouble * (k1 + 1.0)) /
+          (dt(t).toDouble + k1 * ((1.0 - b) + b * (dl.toDouble / avgdl)))
+        r6((qt(t).toDouble * idf(t)) * sat)
+      }.reduce(_.add(_)).doubleValue
+      (q, d) -> score
+    }).toMap
+    // engine top-3 per query must equal the reference's top-3 by
+    // (score desc, id asc), scores bit-equal
+    Seq(1L, 2L).foreach { q =>
+      val ref = expected.collect { case ((`q`, d), s) => (d, s) }.toSeq
+        .sortBy { case (d, s) => (-s, d) }.take(3)
+      ref.zipWithIndex.foreach { case ((d, s), i) =>
+        assert(got((q, d)) == ((s, i + 1)),
+          s"query $q neighbor $d: got ${got.get((q, d))}, want ($s, ${i + 1})")
+      }
+    }
+  }
+
   private def vecFrame(rows: (Long, Seq[Double])*): DataFrame = {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(DoubleType))))
