@@ -632,6 +632,29 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // sliding-window token chunking (RAG/embedding prep): 64-token
+    // windows advancing by 48 (16 overlap), tail-clamped; pure per-row
+    // explode, oracle recomputes the same integer window arithmetic.
+    "q68_chunking" -> ((s, dir) => {
+      TextOps.chunkDocs(docs(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // FineWeb-style per-source quality cut: each source keeps its 5
+    // best-quality docs (ties by id) — deterministic window selection.
+    "q69_topk_per_source" -> ((s, dir) => {
+      Sampling.topKPerGroup(docs(s, dir), "source",
+        TextOps.qualityScore(col("text")), "doc_id", k = 5)
+        // quality stays RAW: it is pointwise-IEEE identical across
+        // engines (q28), while an 8dp round can split on exact dyadic
+        // midpoints (observed: 0.635546875 rounding differently)
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          col("group_rank").cast("long").as("group_rank"))
+        .orderBy("source", "group_rank")
+    }),
+
     // Okapi BM25 top-k retrieval through the q58 inverted-index shape;
     // binary-exact saturation constants (k1=1.5, b=0.75), 6dp-quantized
     // idf and per-term scores, DECIMAL sums — cell-exact oracle.
@@ -1285,6 +1308,36 @@ object QueriesExt {
          |  coalesce(ks.cleaned, '') AS cleaned
          |FROM documents d LEFT JOIN rs USING (doc_id) LEFT JOIN ks USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q68_chunking" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |k AS (
+         |  SELECT doc_id, toks, len(toks) AS n,
+         |    (greatest(0, len(toks) - 64) + 47) // 48 AS kmax
+         |  FROM d WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, (s.i // 48)::BIGINT AS chunk_id,
+         |  s.i::BIGINT AS start_token,
+         |  least(64, n - s.i)::BIGINT AS n_chunk_tokens,
+         |  array_to_string(toks[s.i + 1 : s.i + 64], ' ') AS chunk_text
+         |FROM k, unnest(generate_series(0, kmax * 48, 48)) AS s(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "q69_topk_per_source" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ($qualitySql) AS quality
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS group_rank
+         |  FROM q
+         |)
+         |SELECT doc_id, source, quality, group_rank
+         |FROM r WHERE group_rank <= 5
+         |ORDER BY source, group_rank""".stripMargin,
 
     "q67_bm25" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"

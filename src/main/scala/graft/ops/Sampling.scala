@@ -70,6 +70,22 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.where(hashUnit(col(idCol), salt) < fraction)
 
+  /** Deterministic top-k rows per group by a score (FineWeb-style
+    * per-domain quality cut: keep each source's k best documents). Ties
+    * break by ascending id, so the kept set is reproducible on any
+    * engine/partitioning. One shuffle on the group key; k bounds every
+    * group's survivors, so a giant domain can't flood the output.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(scoreCol.desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .withColumnRenamed("__rk", "group_rank")
+  }
+
   /** Per-stratum deterministic sampling — `DataFrameStatFunctions.sampleBy`
     * without the RNG: rows whose `strataCol` value is missing from
     * `fractions` fall back to `default`.

@@ -44,6 +44,43 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(normText(c), " "), t => length(t) > 0)
 
+  /** Sliding-window token chunks — the RAG/embedding prep step: each
+    * document splits into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens − overlapTokens`, the last window clamped to the tail
+    * so no token is dropped. Returns one row per chunk: (idCol,
+    * chunk_id, start_token, n_chunk_tokens, chunk_text); empty documents
+    * produce no chunks.
+    *
+    * Pure per-row explode (tokenize once, integer window arithmetic) —
+    * no shuffle; chunk identity is (doc, chunk_id), deterministic on any
+    * partitioning.
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, overlapTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = col("__toks")
+    val n = size(toks)
+    // last window index: ceil((n - chunk) / stride) in exact int math
+    // (floor-of-division via floor+cast — Spark's `/` on ints is double)
+    val kMax = floor((greatest(lit(0), n - chunkTokens) + (stride - 1))
+      .cast("double") / stride).cast("int")
+    val starts = sequence(lit(0), kMax * stride, lit(stride))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(toks) > 0)
+      .select(col(idCol), toks,
+        posexplode(starts).as(Seq("chunk_id", "start_token")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_token").cast("long").as("start_token"),
+        least(lit(chunkTokens), size(toks) - col("start_token"))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(toks, col("start_token") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Array of character n-grams (positions 1..len-n+1) of the raw column. */
   def charNgrams(c: Column, n: Int): Column =
     when(length(c) >= n,

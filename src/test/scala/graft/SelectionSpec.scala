@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Dedup, Dsir, MixPlan, Similarity}
+import graft.ops.{Dedup, Dsir, MixPlan, Sampling, Similarity}
 
 /** Data-selection operators: DSIR importance weights, token-budget mix
   * planning, and SemDeDup semantic deduplication — each pinned to an
@@ -163,6 +163,34 @@ class SelectionSpec extends SparkSpec {
       budget = 100, weights = Map("keep" -> 1.0))
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(plan("keep") == 1.0 && plan("drop") == 0.0)
+  }
+
+  test("chunking covers every token with the declared stride and overlap") {
+    // 10 tokens, chunk 4, overlap 1 -> stride 3, last start = ceil(6/3)*3=6
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = docFrame((1L, text), (2L, "a b"), (3L, "   "))
+    val out = graft.ops.TextOps.chunkDocs(df, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 6L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 0L, 2L, "a b")))   // short doc = one clamped chunk; blank none
+  }
+
+  test("top-k per group keeps k best with deterministic ties") {
+    val df = docFrame((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
+      .withColumn("source", when(col("doc_id") <= 3, "a").otherwise("b"))
+      .withColumn("score",
+        when(col("doc_id") === 2, 9.0).otherwise(lit(5.0)))
+    val out = Sampling.topKPerGroup(df, "source", col("score"), "doc_id", 2)
+      .select("doc_id", "group_rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // group a: doc 2 (9.0) first, then tie 5.0 broken by id -> doc 1
+    assert(out == Map(2L -> 1, 1L -> 2, 4L -> 1))
   }
 
   test("BM25 matches an independent reference computation") {
