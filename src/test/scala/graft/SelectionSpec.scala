@@ -181,6 +181,39 @@ class SelectionSpec extends SparkSpec {
       (2L, 0L, 0L, 2L, "a b")))   // short doc = one clamped chunk; blank none
   }
 
+  test("chunking invariants hold across random lengths and params") {
+    val rnd = new scala.util.Random(7)
+    for ((chunk, ov) <- Seq((4, 1), (7, 3), (5, 0))) {
+      val stride = chunk - ov
+      val fixture = (0 until 40).map { i =>
+        val n = rnd.nextInt(25)
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }
+      val out = graft.ops.TextOps.chunkDocs(docFrame(fixture: _*),
+        "doc_id", "text", chunk, ov)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      fixture.foreach { case (id, text) =>
+        val n = text.split(" ").count(_.nonEmpty)
+        val cs = out.getOrElse(id, Array.empty).sortBy(_._2)
+        if (n == 0) assert(cs.isEmpty, s"doc $id")
+        else {
+          assert(cs.head._3 == 0 && cs.map(_._2).toSeq ==
+            cs.indices.map(_.toLong), s"doc $id ids/starts")
+          cs.sliding(2).foreach {
+            case Array(a, b) => assert(b._3 - a._3 == stride)
+            case _ => ()
+          }
+          assert(cs.last._3 + chunk >= n, s"doc $id tail uncovered")
+          assert(cs.last._3 < n, s"doc $id empty tail chunk")
+          cs.foreach { c =>
+            assert(c._4 == math.min(chunk.toLong, n - c._3), s"doc $id len") }
+        }
+      }
+    }
+  }
+
   test("top-k per group keeps k best with deterministic ties") {
     val df = docFrame((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"))
       .withColumn("source", when(col("doc_id") <= 3, "a").otherwise("b"))
