@@ -112,6 +112,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mix-plan execution applies unchanged to a stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // plan fitted on the standing corpus; execution is a stream-static
+    // broadcast join + stateless hash filter, so the SAME operator runs
+    // on a live ingest stream with no state store
+    val standing = Seq((1L, "big", 80L), (2L, "small", 10L))
+      .toDF("doc_id", "source", "nt")
+    val plan = graft.ops.MixPlan.plan(standing, "source", col("nt"),
+      budget = 40) // big -> rate 0.25, small -> rate 1.0
+    val src = MemoryStream[(Long, String)]
+    val df = src.toDF().toDF("doc_id", "source")
+    val q = graft.ops.MixPlan.execute(df, "doc_id", "source", plan,
+        salt = "#sm")
+      .writeStream.format("memory").queryName("mix").outputMode("append")
+      .start()
+    try {
+      val batch = (10L to 29L).map(i =>
+        (i, if (i % 2 == 0) "big" else "small"))
+      src.addData(batch: _*)
+      q.processAllAvailable()
+      val kept = spark.table("mix").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // reference: identical salted-hash decision computed directly
+      val expected = batch.filter { case (id, s) =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id#sm".getBytes("UTF-8"))
+        val u = java.lang.Long.parseLong(
+          d.take(4).map(b => f"$b%02x").mkString, 16).toDouble / 4294967296.0
+        u < (if (s == "big") 0.25 else 1.0)
+      }.map(_._1).toSet
+      assert(kept == expected)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
