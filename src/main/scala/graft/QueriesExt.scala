@@ -655,6 +655,18 @@ object QueriesExt {
         .orderBy("source", "group_rank")
     }),
 
+    // exactly-k uniform eval sample per language: the deterministic
+    // reservoir — rank by a salted md5-uniform within each lang, keep 8.
+    // Unlike rate-based sampling the per-group size is EXACT, and the
+    // kept set is a pure function of (doc_id, salt) — any engine agrees.
+    "q70_group_sample" -> ((s, dir) => {
+      Sampling.sampleExactPerGroup(docs(s, dir), "lang", "doc_id",
+        k = 8, salt = "#smp70")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
     // Okapi BM25 top-k retrieval through the q58 inverted-index shape;
     // binary-exact saturation constants (k1=1.5, b=0.75), 6dp-quantized
     // idf and per-term scores, DECIMAL sums — cell-exact oracle.
@@ -1338,6 +1350,22 @@ object QueriesExt {
          |SELECT doc_id, source, quality, group_rank
          |FROM r WHERE group_rank <= 5
          |ORDER BY source, group_rank""".stripMargin,
+
+    "q70_group_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, source,
+        |    (('0x' || substr(md5(doc_id::VARCHAR || '#smp70'), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+        |      AS sample_rank
+        |  FROM u
+        |)
+        |SELECT doc_id, lang, source, sample_rank
+        |FROM r WHERE sample_rank <= 8
+        |ORDER BY lang, sample_rank""".stripMargin,
 
     "q67_bm25" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"

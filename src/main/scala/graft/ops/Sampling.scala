@@ -86,6 +86,27 @@ object Sampling {
       .withColumnRenamed("__rk", "group_rank")
   }
 
+  /** Exactly-k uniform sample per group: rank rows inside each group by
+    * their salted [[hashUnit]] (ties by ascending id — impossible for
+    * distinct ids, but keeps the ordering total) and keep the first k.
+    * The reservoir-sampling use case, made deterministic: unlike
+    * `rand()`-ordered sampling the kept set is a pure function of
+    * (id, salt), so re-runs, retried tasks, and other engines agree
+    * row-for-row. Unlike [[sampleByHash]] the group sizes are EXACT —
+    * min(k, |group|) — which is what "give me 10k eval docs per
+    * language" actually needs. One shuffle on the group key; adds
+    * `sample_rank` (1-based rank within the group's kept set).
+    */
+  def sampleExactPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(hashUnit(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Per-stratum deterministic sampling — `DataFrameStatFunctions.sampleBy`
     * without the RNG: rows whose `strataCol` value is missing from
     * `fractions` fall back to `default`.

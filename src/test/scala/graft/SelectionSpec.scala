@@ -226,6 +226,34 @@ class SelectionSpec extends SparkSpec {
     assert(out == Map(2L -> 1, 1L -> 2, 4L -> 1))
   }
 
+  test("exact per-group sample matches the md5 reference and is exact-k") {
+    val ids = (1L to 40L)
+    val df = docFrame(ids.map(i => (i, "t")): _*)
+      .withColumn("grp", when(col("doc_id") % 3 === 0, "a")
+        .when(col("doc_id") % 3 === 1, "b").otherwise("c"))
+    val k = 4
+    val salt = "#s"
+    val got = Sampling.sampleExactPerGroup(df, "grp", "doc_id", k, salt)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+
+    // independent reference: sort each group by the salted md5 uniform
+    val byGrp = ids.groupBy(i =>
+      if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    val want = byGrp.flatMap { case (g, members) =>
+      members.sortBy(i => (md5Prefix32(i.toString + salt), i))
+        .take(k).zipWithIndex.map { case (i, r) => (g, i, r + 1) }
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.groupBy(_._1).forall(_._2.length == k))
+    // determinism under repartitioning: same kept set on 1 partition
+    val again = Sampling
+      .sampleExactPerGroup(df.repartition(1), "grp", "doc_id", k, salt)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == want)
+  }
+
   test("BM25 matches an independent reference computation") {
     val corpus = Seq(
       1L -> "the quick brown fox jumps over the lazy dog",
