@@ -350,6 +350,18 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // surgical decontamination (q47's split, scrub instead of drop):
+    // contaminated 5-gram windows are DELETED from the training text and
+    // the survivors rejoin in order; the oracle rebuilds every cleaned
+    // string with an ordered string_agg over the anti-joined positions.
+    "q71_decontam_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      graft.ops.Contamination.scrubSpans(
+        d.where(col("u") < 0.8), d.where(col("u") >= 0.9),
+        "doc_id", "text", gramWidth = 5, maxGramDf = Some(10))
+        .orderBy("doc_id")
+    }),
+
     // tf-idf lexical top-k: sparse cosine via ONE inverted-index token
     // join (the term-space complement of the dense-embedding ANN family).
     // All weights/dots/norms run in DECIMAL with a 6dp-quantized idf, so
@@ -1267,6 +1279,49 @@ object QueriesExt {
          |FROM (SELECT * FROM g WHERE u < 0.8) t
          |JOIN (bn b JOIN keep USING (gram)) ON t.gram = b.gram
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    },
+
+    "q71_decontam_scrub" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+         |      / 4294967296.0 AS u
+         |  FROM documents
+         |), train AS (SELECT doc_id, toks FROM d WHERE u < 0.8),
+         |bench AS (SELECT doc_id, toks FROM d WHERE u >= 0.9),
+         |bg AS (
+         |  SELECT gram FROM (
+         |    SELECT DISTINCT doc_id,
+         |      unnest(list_transform(range(1, len(toks) - 3),
+         |        i -> array_to_string(toks[i:i+4], ' '))) AS gram
+         |    FROM bench WHERE len(toks) >= 5
+         |  ) GROUP BY gram HAVING count(*) <= 10
+         |), tg AS (
+         |  SELECT doc_id, s.i - 1 AS pos,
+         |    array_to_string(toks[s.i:s.i+4], ' ') AS gram
+         |  FROM train, unnest(range(1, len(toks) - 3)) AS s(i)
+         |  WHERE len(toks) >= 5
+         |), starts AS (SELECT doc_id, pos FROM tg JOIN bg USING (gram)),
+         |covered AS (
+         |  SELECT DISTINCT doc_id, s.i AS pos
+         |  FROM starts, unnest(generate_series(pos, pos + 4)) AS s(i)
+         |), tok AS (
+         |  SELECT doc_id, s.i - 1 AS pos, toks[s.i] AS t
+         |  FROM train, unnest(range(1, len(toks) + 1)) AS s(i)
+         |), kept AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(t, ' ' ORDER BY pos) AS cleaned
+         |  FROM (SELECT * FROM tok ANTI JOIN covered USING (doc_id, pos))
+         |  GROUP BY doc_id
+         |), tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+         |SELECT train.doc_id,
+         |  coalesce(tot.n_tokens, 0) AS n_tokens,
+         |  coalesce(tot.n_tokens, 0) - coalesce(kept.n_kept, 0) AS n_removed,
+         |  coalesce(kept.cleaned, '') AS cleaned
+         |FROM train LEFT JOIN tot USING (doc_id)
+         |LEFT JOIN kept USING (doc_id)
+         |ORDER BY train.doc_id""".stripMargin
     },
 
     "q46_interval_join" ->

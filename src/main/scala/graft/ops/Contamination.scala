@@ -71,4 +71,70 @@ object Contamination {
         size(array_distinct(flatten(collect_list(col("__bench")))))
           .cast("long").as("n_bench_docs"))
   }
+
+  /** Surgical decontamination: instead of dropping a contaminated
+    * document ([[screen]] + filter), REMOVE the contaminated token runs
+    * and keep the rest — the span-level scrub (as in the Llama/FLAN
+    * decontamination writeups, where dropping whole docs over one
+    * overlapping sentence wastes data).
+    *
+    * A training token is contaminated iff it lies inside any `gramWidth`
+    * token window that also appears in the benchmark set; all covered
+    * tokens are deleted and the survivors rejoin in order (one space,
+    * normalized text — the scrub operates on [[TextOps.tokens]], the
+    * same normalization every gram operator here uses).
+    *
+    * Returns one row per training doc, scrubbed or not:
+    * (idCol, n_tokens, n_removed, cleaned).
+    *
+    * Scale shape: the bench side reduces to ONE row per distinct gram
+    * (optionally df-capped like [[screen]] — boilerplate grams are not
+    * contamination and would otherwise flag every doc); training grams
+    * meet it in one equi-join on the gram string; covered positions
+    * explode only from MATCHED starts (contamination is rare, so this
+    * side is tiny); the rebuild is one anti-join plus one per-doc
+    * aggregation. Everything keys on (doc, pos) or the gram — cost is
+    * linear in corpus tokens, never |train| × |bench|.
+    */
+  def scrubSpans(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, gramWidth: Int = 5,
+      maxGramDf: Option[Int] = None): DataFrame = {
+    require(gramWidth >= 1, "gramWidth must be positive")
+    // distinct bench grams, df-capped (shingleRows is already distinct
+    // per (doc, gram), so the group count IS the document frequency)
+    val bg = Dedup.shingleRows(
+        bench.select(col(idCol).as("__bid"), col(textCol)),
+        "__bid", textCol, gramWidth, strict = true)
+      .groupBy(col("__sh").as("gram"))
+      .agg(count(lit(1)).as("__df"))
+    val benchGrams = maxGramDf.fold(bg)(cap => bg.where(col("__df") <= cap))
+      .select("gram")
+    // training gram start positions that hit a bench gram
+    val starts = Dedup.posGramRows(train, idCol, textCol, gramWidth)
+      .join(benchGrams, "gram")
+      .select(col(idCol), col("pos"))
+    // positions covered by any matched window
+    val covered = starts
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(gramWidth - 1)))
+          .as("pos"))
+      .distinct()
+    val tok = train.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t")))
+    val kept = tok.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("__t")))),
+            s => s.getField("__t")), " ").as("__cleaned"))
+    val totals = tok.groupBy(idCol).agg(count(lit(1)).as("__n_tokens"))
+    train.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("__n_tokens"), lit(0L)) -
+          coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__cleaned"), lit("")).as("cleaned"))
+  }
 }

@@ -148,6 +148,28 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("decontamination scrub removes covered runs, keeps the rest") {
+    val secret = "the quick brown fox jumps high today" // 7 tokens
+    val train = docFrame(
+      (1L, s"intro words $secret and an outro"),  // 12 tokens, 7 covered
+      (2L, "totally different text with nothing shared at all"),
+      (3L, "tiny doc"),                           // < 5 tokens: untouched
+      (4L, secret))                               // fully contaminated
+    val bench = docFrame((100L, s"$secret in benchmark one"))
+    val out = graft.ops.Contamination
+      .scrubSpans(train, bench, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // doc 1: the secret's 3 complete 5-gram windows cover exactly the 7
+    // secret tokens (positions 2..8); intro/outro survive in order
+    assert(out(1L) == (12L, 7L, "intro words and an outro"))
+    assert(out(2L) ==
+      (8L, 0L, "totally different text with nothing shared at all"))
+    assert(out(3L) == (2L, 0L, "tiny doc"))
+    assert(out(4L) == (7L, 7L, ""))
+  }
+
   test("tfidf top-k: self-excluded, lexical overlap ranks first, df cap") {
     import graft.ops.TfIdf
     val corpus = docFrame(
