@@ -125,6 +125,18 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
+    // int8-quantized ANN: 4×-smaller codes at rest, integer-exact
+    // scoring (per-vector scales cancel in cosine) — the oracle
+    // recomputes the quantization and the integer dots cell-for-cell.
+    "q72_ann_quantized" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.quantizedTopK(e.where(col("vec_id") < 10), e,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("cosine").as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN with multi-probe (scale path; rows-only)
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
@@ -898,6 +910,34 @@ object QueriesExt {
         |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
         |      AS cosine
         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cosine DESC, neighbor_id) AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, cosine AS cosine, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q72_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), codes AS (
+        |  SELECT vec_id,
+        |    (CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |          ELSE list_transform(v, x -> round(x / scale)) END
+        |    )::DOUBLE[] AS c
+        |  FROM qz
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |    list_dot_product(q.c, n.c)
+        |      / (sqrt(list_dot_product(q.c, q.c))
+        |         * sqrt(list_dot_product(n.c, n.c))) AS cosine
+        |  FROM codes q JOIN codes n ON q.vec_id <> n.vec_id
         |  WHERE q.vec_id < 10
         |), r AS (
         |  SELECT query_id, neighbor_id, cosine,

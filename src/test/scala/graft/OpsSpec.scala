@@ -458,6 +458,30 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("int8 quantization: exact codes, half-up rounding, ranking intact") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val rows = Seq(
+      Row(0L, v(1, 0, 0)), Row(1L, v(0.9, 0.1, 0)), Row(2L, v(0, 1, 0)),
+      Row(3L, v(0.5, -1.0, 0.25)), Row(4L, v(0, 0, 0)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val qz = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getSeq[Int](2)))
+      .toMap
+    // scale = max|x|/127; 0.5/(1/127) = 63.5 rounds HALF-UP to 64
+    assert(qz(3L)._2 == Seq(64, -127, 32))
+    assert(math.abs(qz(3L)._1 - 1.0 / 127) < 1e-12)
+    // zero vector: scale 0, all-zero codes (not NaN)
+    assert(qz(4L) == (0.0, Seq(0, 0, 0)))
+    // quantized ranking matches exact brute force on separated vectors
+    val top = Similarity.quantizedTopK(df.where(col("vec_id") === 0),
+      df.where(col("vec_id") < 4), "vec_id", "embedding", 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+  }
+
   test("ann top-k recalls the exact top neighbor on clustered vectors") {
     // two tight clusters: LSH buckets must separate them
     val schema = StructType(Seq(StructField("vec_id", LongType),
