@@ -362,6 +362,23 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // distributed BPE training (rows-only: merge learning is iterative,
+    // not SQL-expressible; BpeSpec pins it merge-for-merge to the driver
+    // reference): the pair-count/merge loop runs as cluster aggregations
+    // — the word-frequency model never has to fit on the driver — over
+    // an md5-sampled slice, emitting the ordered rule table.
+    "q73_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val sample = Sampling.sampleByHash(docs(s, dir), "doc_id",
+        fraction = 0.05, salt = "#bpe73")
+      val v = graft.ops.Bpe.trainDistributed(sample, "text", numMerges = 10)
+      v.merges.zipWithIndex
+        .map { case ((a, b), r) =>
+          (r.toLong, a, b, v.ids(a + b).toLong) }
+        .toDF("merge_rank", "lhs", "rhs", "token_id")
+        .orderBy("merge_rank")
+    }),
+
     // surgical decontamination (q47's split, scrub instead of drop):
     // contaminated 5-gram windows are DELETED from the training text and
     // the survivors rejoin in order; the oracle rebuilds every cleaned

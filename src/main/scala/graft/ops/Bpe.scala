@@ -98,6 +98,71 @@ object Bpe {
     Vocab(ms, ids)
   }
 
+  /** Distributed BPE training: identical merges to [[train]] (same
+    * most-frequent-pair / lexicographic-tie rule), but the word-frequency
+    * model lives in the cluster instead of driver memory. [[train]]'s
+    * `wordFreq` map is DISTINCT-PRETOKEN-sized — unbounded on a web
+    * corpus — while here it is a Dataset, each round is one exact
+    * aggregation (adjacent-pair counts, map-side partials) plus one
+    * argmin-of-struct (total order: count desc, pair lexicographic — no
+    * partitioning dependence), and the merge applies as a distributed
+    * map. Per-round localCheckpoint keeps lineage O(1) like
+    * [[Dedup.connectedComponents]]'s propagation loop.
+    *
+    * Merge rounds are inherently sequential (each depends on the counts
+    * AFTER the previous merge) — numMerges driver round-trips is the
+    * algorithm, not a bottleneck: each round moves only pair-count
+    * aggregates, never the corpus.
+    */
+  def trainDistributed(df: DataFrame, textCol: String,
+      numMerges: Int): Vocab = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // distinct pre-token frequency model, computed once: one explode +
+    // one exact groupBy (Zipf head dominates, so this is far smaller
+    // than the corpus — but unlike train()'s HashMap it never has to fit
+    // on the driver)
+    var words: Dataset[(Seq[String], Long)] = df
+      .select(col(textCol).cast("string").as[String])
+      .flatMap(t => pretokens(if (t == null) "" else t))
+      .groupByKey(identity).count()
+      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .localCheckpoint(true)
+    val baseChars = words.flatMap(_._1).distinct().collect().sorted.toSeq
+    val merges = Vector.newBuilder[(String, String)]
+    var made = 0
+    var exhausted = false
+    while (made < numMerges && !exhausted) {
+      // adjacent-pair counts; winner = min of (-count, a, b), the same
+      // total order train() minimizes, evaluated as ONE aggregation
+      val best = words.flatMap { case (sym, f) =>
+        if (sym.length < 2) Iterator.empty
+        else sym.iterator.zip(sym.iterator.drop(1)).map { case (a, b) =>
+          (a, b, f)
+        }
+      }.toDF("a", "b", "f")
+        .groupBy("a", "b").agg(sum("f").as("cnt"))
+        .agg(min(struct(negate(col("cnt")), col("a"), col("b"))).as("w"))
+        .head().getStruct(0)
+      if (best == null) exhausted = true
+      else {
+        val pair = (best.getString(1), best.getString(2))
+        merges += pair
+        val prev = words
+        words = prev.map { case (sym, f) =>
+          (mergePair(sym.toVector, pair): Seq[String], f)
+        }.localCheckpoint(true)
+        prev.unpersist()
+        made += 1
+      }
+    }
+    words.unpersist()
+    val ms = merges.result()
+    val ids = (baseChars ++ ms.map { case (a, b) => a + b })
+      .zipWithIndex.toMap
+    Vocab(ms, ids)
+  }
+
   private def mergePair(sym: Vector[String],
       pair: (String, String)): Vector[String] = {
     val out = Vector.newBuilder[String]

@@ -116,6 +116,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("distributed training learns the same vocab as driver training") {
+    val df = docFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val want = Bpe.train(corpus, numMerges = 30)
+    val got = Bpe.trainDistributed(df.repartition(5), "text", 30)
+    assert(got.merges == want.merges)
+    assert(got.ids == want.ids)
+    // exhaustion: asking for more merges than exist stops identically
+    val rnd = new scala.util.Random(77)
+    val texts = Seq.fill(8)((0 until (3 + rnd.nextInt(20)))
+      .map(_ => "abc ab"(rnd.nextInt(6))).mkString)
+    val w2 = Bpe.train(texts, numMerges = 500)
+    val g2 = Bpe.trainDistributed(
+      docFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }),
+      "text", 500)
+    assert(g2.merges == w2.merges && g2.ids == w2.ids)
+  }
+
   test("n_pretokens column matches driver pretokenization") {
     val v = Bpe.train(corpus, numMerges = 10)
     val df = docFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })
