@@ -749,6 +749,17 @@ object QueriesExt {
       Dedup.corpusDiff(old, nu, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // corpus drift: JS divergence (bits) between the en and non-en token
+    // distributions over 4096 md5 buckets — 12dp-quantized per-bucket
+    // contributions, DECIMAL sum, so the oracle reproduces the scalar
+    // cell-exact.
+    "q74_corpus_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Divergence.jsDivergence(
+        d.where(col("lang") === "en"), d.where(col("lang") =!= "en"),
+        "text", buckets = 4096)
+    }),
+
     // the SELECTION pipeline, end to end: boilerplate-line removal (q63's
     // synthesized footers) -> DSIR importance gate against the in-corpus
     // English target (log-weight >= -11, between the en mean ~-9 and the
@@ -1572,6 +1583,36 @@ object QueriesExt {
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q74_corpus_divergence" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH fa AS (
+         |  SELECT unnest($toks) AS g FROM documents WHERE lang = 'en'
+         |), fb AS (
+         |  SELECT unnest($toks) AS g FROM documents WHERE lang <> 'en'
+         |), ca AS (
+         |  SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b,
+         |    count(*) AS ca FROM fa GROUP BY 1
+         |), cb AS (
+         |  SELECT ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS b,
+         |    count(*) AS cb FROM fb GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM fa) AS na,
+         |         (SELECT count(*) FROM fb) AS nb
+         |), c AS (
+         |  SELECT (coalesce(ca, 0) + 1)::DOUBLE / (na + 4096) AS p,
+         |         (coalesce(cb, 0) + 1)::DOUBLE / (nb + 4096) AS q,
+         |         na, nb
+         |  FROM range(4096) AS r(b)
+         |  LEFT JOIN ca ON ca.b = r.b LEFT JOIN cb ON cb.b = r.b
+         |  CROSS JOIN tot
+         |)
+         |SELECT max(na) AS n_tokens_a, max(nb) AS n_tokens_b,
+         |  (sum(round((p * log2(p / ((p + q) / 2.0))
+         |            + q * log2(q / ((p + q) / 2.0))) / 2.0,
+         |       12)::DECIMAL(28,12)))::DOUBLE AS js_bits
+         |FROM c""".stripMargin
+    },
 
     "q64_selection_pipeline" ->
       s"""WITH $dirtyCte, l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),

@@ -226,6 +226,37 @@ class SelectionSpec extends SparkSpec {
     assert(out == Map(2L -> 1, 1L -> 2, 4L -> 1))
   }
 
+  test("JS divergence: zero on identical corpora, matches reference") {
+    val a = docFrame((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+    val b = docFrame((3L, "epsilon zeta zeta"), (4L, "eta theta"))
+    val B = 64
+    val same = graft.ops.Divergence.jsDivergence(a, a, "text", B)
+      .head()
+    assert(same.getLong(0) == 6L && same.getLong(1) == 6L)
+    assert(same.getDouble(2) == 0.0)
+
+    // independent reference on the same quantized arithmetic
+    def counts(texts: Seq[String]): (Map[Long, Long], Long) = {
+      val toks = texts.flatMap(_.split(" "))
+      (toks.groupBy(t => md5Prefix32(t) % B).view
+        .mapValues(_.size.toLong).toMap, toks.size.toLong)
+    }
+    val (caM, na) = counts(Seq("alpha beta gamma", "beta beta delta"))
+    val (cbM, nb) = counts(Seq("epsilon zeta zeta", "eta theta"))
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val want = (0L until B).map { k =>
+      val p = (caM.getOrElse(k, 0L) + 1).toDouble / (na + B)
+      val q = (cbM.getOrElse(k, 0L) + 1).toDouble / (nb + B)
+      val m = (p + q) / 2.0
+      BigDecimal((p * log2(p / m) + q * log2(q / m)) / 2.0)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val got = graft.ops.Divergence.jsDivergence(a, b, "text", B).head()
+    assert(got.getLong(0) == 6L && got.getLong(1) == 5L)
+    assert(got.getDouble(2) == want, s"got=${got.getDouble(2)} want=$want")
+    assert(got.getDouble(2) > 0.0 && got.getDouble(2) <= 1.0)
+  }
+
   test("exact per-group sample matches the md5 reference and is exact-k") {
     val ids = (1L to 40L)
     val df = docFrame(ids.map(i => (i, "t")): _*)
