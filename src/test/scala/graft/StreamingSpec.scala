@@ -83,6 +83,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking applies unchanged to a stream (stateless explode)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rows = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.ops.TextOps
+      .chunkDocs(src.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens = 4, overlapTokens = 1)
+      .writeStream.format("memory").queryName("chunks").outputMode("append")
+      .start()
+    try {
+      src.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      val ref = graft.ops.TextOps
+        .chunkDocs(rows.toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(4))).toSet
+      assert(got == ref && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateless DSIR scoring runs in a streaming select") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
