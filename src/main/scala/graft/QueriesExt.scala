@@ -749,6 +749,15 @@ object QueriesExt {
       Dedup.corpusDiff(old, nu, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // per-source length profile: exact type-1 percentiles of the token
+    // count from a bounded (source, length) histogram — integer
+    // arithmetic end to end, cell-exact oracle.
+    "q75_length_profile" -> ((s, dir) => {
+      TextOps.lengthProfile(docs(s, dir), "source", "text",
+        ps = Seq(0.5, 0.9, 0.99))
+        .orderBy("source")
+    }),
+
     // corpus drift: JS divergence (bits) between the en and non-en token
     // distributions over 4096 md5 buckets — 12dp-quantized per-bucket
     // contributions, DECIMAL sum, so the oracle reproduces the scalar
@@ -1583,6 +1592,28 @@ object QueriesExt {
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    "q75_length_profile" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      ::BIGINT AS l
+        |  FROM documents
+        |), h AS (
+        |  SELECT source, l, count(*) AS c FROM t GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, l, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY l) AS cm,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM h
+        |)
+        |SELECT source, sum(c)::BIGINT AS n_docs,
+        |  sum(l * c)::BIGINT AS n_tokens,
+        |  min(CASE WHEN cm >= ceil(0.5 * n) THEN l END) AS p50,
+        |  min(CASE WHEN cm >= ceil(0.9 * n) THEN l END) AS p90,
+        |  min(CASE WHEN cm >= ceil(0.99 * n) THEN l END) AS p99
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
 
     "q74_corpus_divergence" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"

@@ -258,4 +258,46 @@ object TextOps {
     */
   def minShingleFingerprint(c: Column, k: Int = 8): Column =
     array_min(transform(charNgrams(normText(c), k), g => xxhash64(g)))
+
+  // ------------------------------------------------------- length profile
+
+  /** Per-group document-length profile: doc/token totals plus EXACT
+    * inverse-CDF percentiles of the whitespace token count (type-1 /
+    * `quantile_disc` semantics: the smallest length whose cumulative
+    * count reaches ⌈p·n⌉) — the corpus observability panel (did this
+    * source's length distribution shift between crawls?).
+    *
+    * Exact percentiles normally need a per-group sort of all rows;
+    * here the values are token COUNTS, so the corpus first collapses to
+    * a bounded (group, length) histogram with map-side partials — one
+    * shuffle — and the percentile reads off a running sum over that
+    * small histogram. Distributed-exact at any corpus size (the
+    * histogram is bounded by the distinct lengths, not the row count),
+    * and integer arithmetic end to end, so any engine reproduces it.
+    *
+    * Output: (groupCol, n_docs, n_tokens, p&lt;...&gt; per requested
+    * percentile — e.g. p50, p90, p99).
+    */
+  def lengthProfile(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      textCol: String, ps: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      "percentiles must be in (0, 1]")
+    val h = df
+      .select(col(groupCol), tokenCount(col(textCol)).cast("long").as("__len"))
+      .groupBy(groupCol, "__len").agg(count(lit(1)).as("__c"))
+    val grp = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val cum = h
+      .withColumn("__cum", sum("__c").over(grp.orderBy("__len")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__n", sum("__c").over(grp))
+    val pCols = ps.map { p =>
+      min(when(col("__cum") >= ceil(lit(p) * col("__n")), col("__len")))
+        .as(s"p${math.round(p * 100)}")
+    }
+    val aggs = Seq(sum("__c").as("n_docs"),
+      sum(col("__len") * col("__c")).as("n_tokens")) ++ pCols
+    cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -148,6 +148,24 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("length profile: exact type-1 percentiles from the histogram") {
+    def doc(id: Long, k: Int) = (id, Seq.fill(k)("w").mkString(" "))
+    // group a: lengths 1..10; group b: [2, 2, 2, 7]
+    val rows = (1 to 10).map(i => doc(i.toLong, i)) ++
+      Seq(doc(21L, 2), doc(22L, 2), doc(23L, 2), doc(24L, 7))
+    val df = docFrame(rows: _*)
+      .withColumn("grp", when(col("doc_id") <= 10, "a").otherwise("b"))
+    val out = graft.ops.TextOps.lengthProfile(df, "grp", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    // a: n=10, sum=55; p50 = smallest len with cum >= 5, p90 -> 9,
+    // p99 -> ceil(9.9)=10 -> 10
+    assert(out("a") == (10L, 55L, 5L, 9L, 10L))
+    // b: n=4, sum=13; p50 -> ceil(2)=2 -> len 2, p90 -> ceil(3.6)=4 -> 7
+    assert(out("b") == (4L, 13L, 2L, 7L, 7L))
+  }
+
   test("decontamination scrub removes covered runs, keeps the rest") {
     val secret = "the quick brown fox jumps high today" // 7 tokens
     val train = docFrame(
