@@ -749,6 +749,19 @@ object QueriesExt {
       Dedup.corpusDiff(old, nu, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // incremental near-dup (rows-only: LSH hashing isn't SQL-expressible;
+    // OpsSpec pins pair exactness and cross-side-only expansion): the
+    // md5-upper half is "tonight's batch", screened against the lower
+    // half as the standing corpus; survivors pass.
+    "q76_neardup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      Dedup.nearDupAgainst(
+        d.where(col("u") >= 0.5).select("doc_id", "text"),
+        d.where(col("u") < 0.5).select("doc_id", "text"),
+        "doc_id", "text", minJaccard = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // per-source length profile: exact type-1 percentiles of the token
     // count from a bounded (source, length) histogram — integer
     // arithmetic end to end, cell-exact oracle.

@@ -215,6 +215,102 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup: MinHash-LSH pairs BETWEEN a new batch and a
+    * standing reference corpus — the nightly-crawl complement of
+    * [[exactAgainst]] (and of [[minHashLshPairs]], which finds pairs
+    * WITHIN one corpus). Same banding/verification machinery, but the
+    * in-bucket expansion crosses only new × reference members, so
+    * within-reference pairs — the overwhelming majority when the
+    * standing corpus dwarfs the batch — are never generated, expanded,
+    * or verified. Docs ride the pipeline under a (side, id) struct key,
+    * so the two frames' id spaces may overlap freely.
+    *
+    * At production scale the reference's signatures/buckets would be a
+    * materialized index updated per batch; the operator recomputes them
+    * so it stays self-contained — the join shape is identical either
+    * way.
+    *
+    * @return (new_id, ref_id, est_jaccard, jaccard), one row per
+    *         verified candidate pair; filter on `jaccard` downstream.
+    */
+  def minHashLshAgainstPairs(df: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32, bands: Int = 8,
+      shingleWidth: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val tagged = df.select(col(idCol), col(textCol)).withColumn("__new", lit(true))
+      .unionByName(reference.select(col(idCol), col(textCol))
+        .withColumn("__new", lit(false)))
+      .select(struct(col("__new"), col(idCol).as("__id")).as("__k"),
+        col(textCol))
+    val shingles = shingleRows(tagged, "__k", textCol, shingleWidth).persist()
+    val sig = signaturesFromShingles(shingles, "__k", numHashes)
+    val bandArr = sig.select(col("__k"),
+      array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__sig"),
+      array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
+      }: _*).as("__bands"))
+    val buckets = bandArr.select(col("__k"), col("__sig"),
+      posexplode(col("__bands")).as(Seq("band", "bucket")))
+    val sized = buckets.withColumn("__n",
+      count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .where(col("__n") <= maxBucketSize && col("__n") >= 2).drop("__n")
+    val grouped = sized.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(struct(col("__k").as("k"),
+        col("__sig").as("s")))).as("ids"))
+    // cross ONLY new × reference members — the incremental asymmetry
+    val news = filter(col("ids"), m => m.getField("k").getField("__new"))
+    val refs = filter(col("ids"), m => !m.getField("k").getField("__new"))
+    val withEst = grouped.select(explode(flatten(
+      transform(news, a => transform(refs, b =>
+        struct(a.getField("k").getField("__id").as("new_id"),
+          b.getField("k").getField("__id").as("ref_id"),
+          (aggregate(zip_with(a.getField("s"), b.getField("s"), (x, y) =>
+            when(x === y, 1).otherwise(0)),
+            lit(0), (acc, x) => acc + x).cast("double") / numHashes)
+            .as("est_jaccard")))))).as("p"))
+      .select(col("p.new_id").as("new_id"), col("p.ref_id").as("ref_id"),
+        col("p.est_jaccard").as("est_jaccard"))
+      .groupBy("new_id", "ref_id").agg(first(col("est_jaccard")).as("est_jaccard"))
+    val newSh = shingles.where(col("__k").getField("__new"))
+      .select(col("__k").getField("__id").as("new_id"), col("__sh"))
+    val refSh = shingles.where(!col("__k").getField("__new"))
+      .select(col("__k").getField("__id").as("ref_id"), col("__sh"))
+    val inter = withEst.select("new_id", "ref_id")
+      .join(newSh, "new_id")
+      .join(refSh, Seq("ref_id", "__sh"))
+      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("__inter"))
+    val nSz = newSh.groupBy("new_id").agg(count(lit(1)).as("__sz1"))
+    val rSz = refSh.groupBy("ref_id").agg(count(lit(1)).as("__sz2"))
+    val out = withEst
+      .join(inter, Seq("new_id", "ref_id"), "left")
+      .join(nSz, "new_id").join(rSz, "ref_id")
+      .withColumn("jaccard",
+        coalesce(col("__inter"), lit(0L)).cast("double") /
+          (col("__sz1") + col("__sz2") - coalesce(col("__inter"), lit(0L))))
+      .select("new_id", "ref_id", "est_jaccard", "jaccard")
+      .localCheckpoint(true)
+    shingles.unpersist()
+    out
+  }
+
+  /** Rows of `df` that are NOT near-duplicates (true Jaccard ≥
+    * `minJaccard`) of any `reference` document — [[exactAgainst]]'s
+    * near-dup sibling: the filter a pipeline runs on each new crawl
+    * batch against the standing corpus. Within-batch near-dups are a
+    * separate [[minHashLshPairs]] pass by design.
+    */
+  def nearDupAgainst(df: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, minJaccard: Double, numHashes: Int = 32,
+      bands: Int = 8, shingleWidth: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val hit = minHashLshAgainstPairs(df, reference, idCol, textCol,
+      numHashes, bands, shingleWidth, maxBucketSize)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("new_id").as(idCol)).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash per document over word tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 by bit i of xxhash64(token)).
     */

@@ -148,6 +148,38 @@ class OpsSpec extends SparkSpec {
     assert(capped == Map(1L -> (3L, 1L)))
   }
 
+  test("incremental near-dup: pairs cross sides only, survivors filter") {
+    val refDocs = docFrame(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated reference text about databases and streams"))
+    val newDocs = docFrame(
+      (10L, "the quick brown fox jumps over the lazy cat today"),
+      (11L, "novel content alpha beta gamma delta epsilon zeta"),
+      (12L, "novel content alpha beta gamma delta epsilon eta"),
+      (13L, "completely unrelated reference text about databases and streams"))
+    val pairs = Dedup
+      .minHashLshAgainstPairs(newDocs, refDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    // exact dup across sides verifies at jaccard 1; near-dup found;
+    // the within-batch near-dup pair (11, 12) is NOT this operator's job
+    assert(pairs((13L, 2L)) == 1.0)
+    assert(pairs.contains((10L, 1L)) && pairs((10L, 1L)) > 0.5)
+    assert(!pairs.keySet.exists { case (n, _) => n == 11L || n == 12L })
+    val surv = Dedup.nearDupAgainst(newDocs, refDocs, "doc_id", "text",
+      minJaccard = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv == Set(11L, 12L))
+    // cross-side results agree pairwise with the within-corpus operator
+    // run on the union (id spaces disjoint here, so the comparison is
+    // well-defined)
+    val base = Dedup
+      .minHashLshPairs(refDocs.unionByName(newDocs), "doc_id", "text")
+      .where(col("id1") <= 2L && col("id2") >= 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) -> r.getDouble(3))
+      .toMap
+    assert(base == pairs)
+  }
+
   test("length profile: exact type-1 percentiles from the histogram") {
     def doc(id: Long, k: Int) = (id, Seq.fill(k)("w").mkString(" "))
     // group a: lengths 1..10; group b: [2, 2, 2, 7]
