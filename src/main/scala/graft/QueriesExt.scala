@@ -601,6 +601,19 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // DSIR Gumbel-top-k resampling (the paper's SAMPLE step): q59's
+    // weights perturbed with deterministic salted Gumbel noise, top 50
+    // kept — sampling ∝ exp(log_weight) without replacement, yet a pure
+    // function of (id, salt) that the oracle replays end to end.
+    "q77_dsir_resample" -> ((s, dir) => {
+      val w = Dsir.importanceWeights(docs(s, dir), col("lang") === "en",
+        "doc_id", "text", buckets = 4096)
+      Dsir.gumbelResample(w, "doc_id", k = 50, salt = "#g77")
+        .select(col("doc_id"), col("log_weight"),
+          round(col("score"), 8).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // token-budget domain mixing: plan per-source sampling rates for a
     // uniform mixture over a 20k-token budget, execute them with salted
     // hash sampling, and report plan + actuals per source. The oracle
@@ -834,6 +847,42 @@ object QueriesExt {
 
   private def langCountSql(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(?:${words.mkString("|")})\\b'))"
+
+  /** SQL twin of q59's [[graft.ops.Dsir.importanceWeights]] pipeline
+    * (en target, 4096 buckets) — (doc_id, n_feats, log_weight), no final
+    * ORDER BY so it nests as a subquery (q77 resamples over it).
+    */
+  private val dsirWeightsSql: String = {
+    val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+    s"""WITH d AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang,
+       |    unnest(toks || list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
+       |  FROM d
+       |), b AS (
+       |  SELECT doc_id, lang,
+       |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
+       |  FROM f
+       |), tc AS (SELECT b, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
+       |rc AS (SELECT b, count(*) AS nr FROM b GROUP BY 1),
+       |tot AS (
+       |  SELECT (SELECT sum(nt) FROM tc) AS ntot,
+       |         (SELECT sum(nr) FROM rc) AS rtot
+       |), ratio AS (
+       |  SELECT gs.b,
+       |    CAST(round(log2((coalesce(nt, 0) + 1)::DOUBLE
+       |      / (ntot + 4096)::DOUBLE), 4) AS DECIMAL(18,4))
+       |    - CAST(round(log2((coalesce(nr, 0) + 1)::DOUBLE
+       |      / (rtot + 4096)::DOUBLE), 4) AS DECIMAL(18,4)) AS lr
+       |  FROM (SELECT unnest(range(0, 4096)) AS b) gs
+       |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
+       |), dc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2)
+       |SELECT doc_id, sum(c)::BIGINT AS n_feats,
+       |  (sum(CAST(c AS DECIMAL(10,0)) * lr))::DOUBLE AS log_weight
+       |FROM dc JOIN ratio USING (b)
+       |GROUP BY doc_id""".stripMargin
+  }
 
   /** md5-uniform SQL twin of [[Sampling.hashUnit]] over `expr`. */
   private def hashUnitSql(expr: String): String =
@@ -1727,37 +1776,22 @@ object QueriesExt {
          |WHERE s.u < plan.rate
          |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
-    "q59_dsir_weights" -> {
-      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
-      s"""WITH d AS (SELECT doc_id, lang, $toks AS toks FROM documents),
-         |f AS (
-         |  SELECT doc_id, lang,
-         |    unnest(toks || list_transform(range(1, len(toks)),
-         |      i -> toks[i] || ' ' || toks[i + 1])) AS gram
-         |  FROM d
-         |), b AS (
-         |  SELECT doc_id, lang,
-         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT % 4096 AS b
-         |  FROM f
-         |), tc AS (SELECT b, count(*) AS nt FROM b WHERE lang = 'en' GROUP BY 1),
-         |rc AS (SELECT b, count(*) AS nr FROM b GROUP BY 1),
-         |tot AS (
-         |  SELECT (SELECT sum(nt) FROM tc) AS ntot,
-         |         (SELECT sum(nr) FROM rc) AS rtot
-         |), ratio AS (
-         |  SELECT gs.b,
-         |    CAST(round(log2((coalesce(nt, 0) + 1)::DOUBLE
-         |      / (ntot + 4096)::DOUBLE), 4) AS DECIMAL(18,4))
-         |    - CAST(round(log2((coalesce(nr, 0) + 1)::DOUBLE
-         |      / (rtot + 4096)::DOUBLE), 4) AS DECIMAL(18,4)) AS lr
-         |  FROM (SELECT unnest(range(0, 4096)) AS b) gs
-         |  LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tot
-         |), dc AS (SELECT doc_id, b, count(*) AS c FROM b GROUP BY 1, 2)
-         |SELECT doc_id, sum(c)::BIGINT AS n_feats,
-         |  (sum(CAST(c AS DECIMAL(10,0)) * lr))::DOUBLE AS log_weight
-         |FROM dc JOIN ratio USING (b)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q59_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
+
+    "q77_dsir_resample" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, log_weight,
+         |    log_weight + round(-ln(-ln(
+         |      (('0x' || substr(md5(doc_id::VARCHAR || '#g77'), 1, 8))
+         |        ::BIGINT)::DOUBLE / 4294967296.0)), 6) AS score
+         |  FROM ($dsirWeightsSql) w
+         |), r AS (
+         |  SELECT doc_id, log_weight, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+         |  FROM g
+         |)
+         |SELECT doc_id, log_weight, round(score, 8) AS score
+         |FROM r WHERE rk <= 50 ORDER BY score DESC, doc_id""".stripMargin,
 
     "q60_mix_plan" -> {
       val tok = "len(string_split_regex(trim(text), '\\s+'))"

@@ -189,6 +189,30 @@ object Dsir {
   def select(weights: DataFrame, minLogWeight: Double): DataFrame =
     weights.where(col("log_weight") >= minLogWeight)
 
+  /** Gumbel-top-k resampling over the importance weights — the SAMPLE
+    * step of the DSIR paper (sampling without replacement with
+    * probability ∝ exp(log_weight), via the Gumbel-max trick: perturb
+    * each score with Gumbel(0,1) noise and take the k largest).
+    *
+    * The noise is g = −ln(−ln u) of the salted md5 uniform, so the
+    * "random" draw is a pure function of (id, salt): re-runs, retries,
+    * and other engines pick the identical sample — Spark's `rand()`
+    * would re-draw per task attempt. g is quantized to a 6dp grid (the
+    * LmScore trick) so a libm ln ulp can't flip a near-tie across
+    * engines; remaining ties break by id. Adds `score` (log_weight +
+    * g); `orderBy(...).limit(k)` plans as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge, never a global sort.
+    */
+  def gumbelResample(weights: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = Sampling.hashUnit(col(idCol), salt)
+    val g = round(-log(-log(u)), 6)
+    weights.withColumn("score", col("log_weight") + g)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** A fitted DSIR model: the 4dp log₂-ratio per bucket (scaled to an
     * integer number of 1e-4 grid steps, so literal-map arithmetic stays
     * exact in longs) — `buckets` entries, broadcast-as-literal sized.

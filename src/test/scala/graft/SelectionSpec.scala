@@ -226,6 +226,30 @@ class SelectionSpec extends SparkSpec {
     assert(out == Map(2L -> 1, 1L -> 2, 4L -> 1))
   }
 
+  test("gumbel resampling keeps top-k by perturbed weight, reproducibly") {
+    import org.apache.spark.sql.types.DoubleType
+    val rows = (1L to 30L).map(i => Row(i, -(i % 7).toDouble))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("log_weight", DoubleType))))
+    val salt = "#g"
+    val got = Dsir.gumbelResample(df.repartition(4), "doc_id", 10, salt)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // independent reference: same salted-uniform Gumbel arithmetic
+    def score(i: Long): Double = {
+      val u = md5Prefix32(i.toString + salt).toDouble / 4294967296.0
+      val g = BigDecimal(-math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      -(i % 7).toDouble + g
+    }
+    val want = (1L to 30L).map(i => i -> score(i))
+      .sortBy { case (i, s) => (-s, i) }.take(10).toMap
+    assert(got == want)
+    assert(got.size == 10)
+  }
+
   test("JS divergence: zero on identical corpora, matches reference") {
     val a = docFrame((1L, "alpha beta gamma"), (2L, "beta beta delta"))
     val b = docFrame((3L, "epsilon zeta zeta"), (4L, "eta theta"))
