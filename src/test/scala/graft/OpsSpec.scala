@@ -266,6 +266,20 @@ class OpsSpec extends SparkSpec {
       "doc_id", "text", gramWidth = 2, minGramRun = 1, maxGramDf = Some(5))
     assert(shuffles(spans).length == 3,
       s"span plan shuffle count changed: ${shuffles(spans).length}")
+    // gumbel resample: top-k must plan as TakeOrderedAndProject
+    // (per-partition top-k + k-row merge), never a global Sort+Limit
+    val res = graft.ops.Dsir.gumbelResample(
+      docFrame((1L, "x"), (2L, "y")).withColumn("log_weight", lit(0.0)),
+      "doc_id", 1)
+    val resPlan = res.queryExecution.executedPlan.toString
+    assert(resPlan.contains("TakeOrderedAndProject"), resPlan)
+    // exact per-group sampling: the rank filter must push down as
+    // WindowGroupLimit so no group ever fully materializes in the window
+    val smp = graft.ops.Sampling.sampleExactPerGroup(
+      docFrame((1L, "x"), (2L, "y")).withColumn("g", lit("a")),
+      "g", "doc_id", 1)
+    assert(smp.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
   }
 
   test("lm perplexity: reference-like text scores lower; math is exact") {
