@@ -53,6 +53,12 @@ class OpsSpec extends SparkSpec {
     // only the (tiny, GC-managed) checkpointed result may survive — the
     // shingle and signature caches must be gone
     assert(fresh.size <= 1, s"leaked cached RDDs: $fresh")
+    // same discipline for the incremental variant
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minHashLshAgainstPairs(df, docFrame((9L, base)), "doc_id", "text",
+      numHashes = 16, bands = 8, shingleWidth = 2).count()
+    val fresh2 = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    assert(fresh2.size <= 1, s"leaked cached RDDs: $fresh2")
   }
 
   test("connected components resolve chains, forks and singletons") {
