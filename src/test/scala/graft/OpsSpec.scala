@@ -186,6 +186,39 @@ class OpsSpec extends SparkSpec {
     assert(base == pairs)
   }
 
+  test("random corpora: scrubSpans equals a naive reference") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def randDoc() = Seq.fill(3 + rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val w = 3
+    (1 to 3).foreach { _ =>
+      val train = (1L to 10L).map(i => (i, randDoc()))
+      val bench = (101L to 104L).map(i => (i, randDoc()))
+      // naive reference: mark every token covered by a window matching
+      // any bench gram, rebuild from the survivors
+      val benchGrams = bench.flatMap(_._2.split(" ").sliding(w)
+        .filter(_.length == w).map(_.mkString(" "))).toSet
+      val want = train.map { case (id, t) =>
+        val toks = t.split(" ")
+        val covered = toks.indices.filter { p =>
+          (math.max(0, p - w + 1) to math.min(p, toks.length - w)).exists {
+            st => benchGrams.contains(toks.slice(st, st + w).mkString(" "))
+          }
+        }.toSet
+        val kept = toks.indices.filterNot(covered).map(toks)
+        (id, (toks.length.toLong, covered.size.toLong, kept.mkString(" ")))
+      }.toMap
+      val got = graft.ops.Contamination.scrubSpans(
+        docFrame(train: _*), docFrame(bench: _*), "doc_id", "text",
+        gramWidth = w)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+      assert(got == want)
+    }
+  }
+
   test("length profile: exact type-1 percentiles from the histogram") {
     def doc(id: Long, k: Int) = (id, Seq.fill(k)("w").mkString(" "))
     // group a: lengths 1..10; group b: [2, 2, 2, 7]
