@@ -294,6 +294,53 @@ object Dedup {
     out
   }
 
+  /** LSH index rows computed ENTIRELY in-row — no shuffle, no
+    * aggregation: the shingle set materializes as one array column, each
+    * MinHash signature component is an `array_min` over it (identical
+    * arithmetic to [[minHashSignatures]]' grouped min — same xxhash64
+    * seeding — so the two constructions index identically), and band
+    * buckets hash signature slices as in [[minHashLshPairs]].
+    *
+    * Returns (idCol, `__shs` shingle array, `__buckets` per-band bucket
+    * array, `band`, `bucket`) — one row per (doc, band). Because nothing
+    * shuffles, this is the construction that works on a STREAMING frame
+    * (stateless select + explode), where the groupBy signature path
+    * would need an aggregation state store; it is also the right shape
+    * for building a static LSH index once and joining batches against
+    * it. Docs with no tokens contribute nothing (mirroring the grouped
+    * path); short docs index their whole text as one shingle.
+    *
+    * The shingle array stays a materialized column between projections —
+    * Catalyst's CollapseProject keeps non-cheap expressions referenced
+    * many times un-inlined, so the `numHashes` array_min lambdas scan
+    * the SAME array rather than re-deriving it (the triFrame lesson,
+    * plan-asserted in OpsSpec).
+    */
+  def lshIndexRows(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val toksed = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val grams = when(size(col("__toks")) >= shingleWidth,
+        transform(sequence(lit(0), size(col("__toks")) - shingleWidth),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(shingleWidth)))))
+      .otherwise(array(concat_ws(" ", col("__toks"))))
+    val shs = toksed.select(col(idCol), array_distinct(grams).as("__shs"))
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__shs"), s => xxhash64(lit(i), xxhash64(s))))
+        .as(s"__sig_$i"))
+    val withSig = shs.select(col(idCol) +: col("__shs") +: sigCols: _*)
+    val buckets = array((0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"__sig_$i")): _*)
+    }: _*)
+    withSig
+      .select(col(idCol), col("__shs"), buckets.as("__buckets"))
+      .select(col(idCol), col("__shs"), col("__buckets"),
+        posexplode(col("__buckets")).as(Seq("band", "bucket")))
+  }
+
   /** Rows of `df` that are NOT near-duplicates (true Jaccard ≥
     * `minJaccard`) of any `reference` document — [[exactAgainst]]'s
     * near-dup sibling: the filter a pipeline runs on each new crawl

@@ -73,6 +73,57 @@ object StreamOps {
       .drop("__h")
   }
 
+  /** Stream-static NEAR-DUP screen: LSH matches between streaming
+    * documents and a standing corpus — the near-dup analogue of
+    * [[dedupAgainstStatic]] and the streaming twin of
+    * [[graft.ops.Dedup.minHashLshAgainstPairs]].
+    *
+    * Entirely STATELESS: both sides index with
+    * [[graft.ops.Dedup.lshIndexRows]] (signatures as in-row array_min —
+    * no aggregation state store), candidates meet in a stream-static
+    * equi-join on (band, bucket), and true Jaccard verifies in-row from
+    * the carried shingle arrays. A pair sharing several bands would
+    * emit once per band; instead each match emits exactly once — on its
+    * SMALLEST shared band, computed in-row from the two carried bucket
+    * arrays — so no dropDuplicates state is ever needed. Same hash
+    * arithmetic as the batch operator, so stream matches equal batch
+    * matches (spec-pinned).
+    *
+    * The static index is persisted (a stream-static join re-executes
+    * the static subtree every micro-batch otherwise); it lives as long
+    * as the query, the intended lifetime for a serving join's reference
+    * side.
+    *
+    * @return (new_id, ref_id, jaccard) matches; route downstream to
+    *         quarantine/drop. Emits once per pair per arrival — a
+    *         re-sent document re-matches (pair with [[streamingDedup]]
+    *         upstream to suppress within-stream repeats).
+    */
+  def nearDupAgainstStatic(stream: DataFrame, static: DataFrame,
+      idCol: String, textCol: String, minJaccard: Double,
+      numHashes: Int = 16, bands: Int = 4,
+      shingleWidth: Int = 3): DataFrame = {
+    val refIdx = graft.ops.Dedup
+      .lshIndexRows(static, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col(idCol).as("ref_id"), col("__shs").as("__ref_shs"),
+        col("__buckets").as("__ref_buckets"), col("band"), col("bucket"))
+      .persist()
+    val newIdx = graft.ops.Dedup
+      .lshIndexRows(stream, idCol, textCol, numHashes, bands, shingleWidth)
+      .select(col(idCol).as("new_id"), col("__shs").as("__new_shs"),
+        col("__buckets").as("__new_buckets"), col("band"), col("bucket"))
+    val shared = filter(sequence(lit(0), lit(bands - 1)), i =>
+      element_at(col("__new_buckets"), i + 1) ===
+        element_at(col("__ref_buckets"), i + 1))
+    val inter = size(array_intersect(col("__new_shs"), col("__ref_shs")))
+    newIdx.join(refIdx, Seq("band", "bucket"))
+      .where(col("band") === array_min(shared))
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("__new_shs")) + size(col("__ref_shs")) - inter))
+      .where(col("jaccard") >= minJaccard)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Stream-static backward as-of join: each streaming row aligned with
     * the latest static-side row at or before its timestamp, per key —
     * the serving-side twin of [[graft.ops.AsOfJoin.backward]] (enrich a

@@ -319,6 +319,13 @@ class OpsSpec extends SparkSpec {
       "g", "doc_id", 1)
     assert(smp.queryExecution.executedPlan.toString
       .contains("WindowGroupLimit"))
+    // in-row LSH index: tokenization must run ONCE per row — if
+    // CollapseProject ever inlined the shingle array into the 16
+    // array_min lambdas, the normalize regex would fan out with them
+    val idx = Dedup.lshIndexRows(docFrame((1L, "a b c d")), "doc_id", "text")
+    val nRegex = "regexp_replace".r
+      .findAllIn(idx.queryExecution.executedPlan.toString).length
+    assert(nRegex == 1, s"tokenization fanned out: $nRegex regex nodes")
   }
 
   test("lm perplexity: reference-like text scores lower; math is exact") {

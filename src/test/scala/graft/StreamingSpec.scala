@@ -83,6 +83,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static near-dup screen matches the batch operator") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val static = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated reference text about databases and streams"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today again"),
+      (11L, "novel content alpha beta gamma delta epsilon zeta"),
+      (13L, "completely unrelated reference text about databases and streams"))
+    val src = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamOps.nearDupAgainstStatic(
+      src.toDF().toDF("doc_id", "text"), static, "doc_id", "text",
+      minJaccard = 0.4, numHashes = 16, bands = 8)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      src.addData(arrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.ops.Dedup.minHashLshAgainstPairs(
+        arrivals.toDF("doc_id", "text"), static, "doc_id", "text",
+        numHashes = 16, bands = 8)
+        .where(col("jaccard") >= 0.4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      assert(got == batch, s"stream=$got batch=$batch")
+      assert(got((13L, 2L)) == 1.0)
+      assert(got.contains((10L, 1L)))
+      // exactly one emission per pair even though the exact dup shares
+      // every band (smallest-shared-band filter, no dedup state)
+      assert(spark.table("neardup").count() == got.size)
+    } finally q.stop()
+  }
+
   test("chunking applies unchanged to a stream (stateless explode)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
