@@ -321,10 +321,17 @@ class OpsSpec extends SparkSpec {
       .contains("WindowGroupLimit"))
     // in-row LSH index: tokenization must run ONCE per row — if
     // CollapseProject ever inlined the shingle array into the 16
-    // array_min lambdas, the normalize regex would fan out with them
-    val idx = Dedup.lshIndexRows(docFrame((1L, "a b c d")), "doc_id", "text")
-    val nRegex = "regexp_replace".r
-      .findAllIn(idx.queryExecution.executedPlan.toString).length
+    // array_min lambdas, the normalize regex would fan out with them.
+    // Counted as expression NODES on the optimized plan (the plan string
+    // truncates and would undercount); the repartition barrier keeps the
+    // optimizer from constant-folding the local fixture away entirely.
+    val idx = Dedup.lshIndexRows(docFrame((1L, "a b c d")).repartition(1),
+      "doc_id", "text")
+    val nRegex = idx.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case r: org.apache.spark.sql.catalyst.expressions.RegExpReplace => r
+      }.size).sum
+    }.sum
     assert(nRegex == 1, s"tokenization fanned out: $nRegex regex nodes")
   }
 
