@@ -28,15 +28,22 @@ object QueriesExt {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
-  /** Per-doc distinct character-trigram sets. normText is materialized in
-    * its own projection: inlining it into the charNgrams lambda would
-    * re-run the regex once per gram.
+  /** Per-doc distinct character-trigram sets, xxhash64'd to longs: the
+    * intersect/union arithmetic downstream runs on 8-byte integers
+    * instead of 3-char strings (cheaper per-element hashing in the
+    * per-pair intersections, ~4x less data through the join), and
+    * |hashed set| == |string set| absent 64-bit collisions (~10⁻¹² at
+    * these set sizes), so every jaccard is unchanged — the q21 oracle
+    * stays cell-exact. normText is materialized in its own projection:
+    * inlining it into the charNgrams lambda would re-run the regex once
+    * per gram.
     */
   private def triFrame(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
       .select(col("doc_id"),
-        array_distinct(TextOps.charNgrams(col("t"), 3)).as("g"))
+        array_distinct(transform(TextOps.charNgrams(col("t"), 3),
+          g => xxhash64(g))).as("g"))
 
   /** (id1, id2, jaccard) between consecutive doc ids over a trigram
     * frame `d` — q21's body, shared with the q39/q50 edge builder.
