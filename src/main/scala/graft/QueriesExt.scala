@@ -608,6 +608,24 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // GPT-3-style learned quality filter (rows-only: gradient-descent
+    // training is iterative with libm sigmoids, not SQL-expressible;
+    // SelectionSpec pins separation, determinism, and serve parity):
+    // logistic regression over the DSIR feature space, trained with
+    // cluster aggregations on an en-vs-rest label, served as the
+    // stateless scoreExpr over every document.
+    "q78_quality_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = graft.ops.QualityClassifier.train(
+        Sampling.sampleByHash(d, "doc_id", fraction = 0.2, salt = "#qc78"),
+        col("lang") === "en", "doc_id", "text",
+        buckets = 1024, epochs = 6, lrRate = 4.0)
+      d.select(col("doc_id"),
+          round(graft.ops.QualityClassifier.scoreExpr(col("text"), m), 6)
+            .as("p_quality"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's SAMPLE step): q59's
     // weights perturbed with deterministic salted Gumbel noise, top 50
     // kept — sampling ∝ exp(log_weight) without replacement, yet a pure

@@ -42,7 +42,7 @@ object Dsir {
     * Single-sourced because training ([[featRows]]) and serving
     * ([[scoreExpr]]) must tokenize identically or scoring parity breaks.
     */
-  private def gramsOf(toks: Column): Column =
+  private[ops] def gramsOf(toks: Column): Column =
     concat(toks,
       when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
@@ -54,7 +54,7 @@ object Dsir {
     * normalize-regex runs once per document, not once per derived array
     * (the triFrame lesson).
     */
-  private def featRows(df: DataFrame, idCol: String, textCol: String,
+  private[ops] def featRows(df: DataFrame, idCol: String, textCol: String,
       buckets: Int, keep: Seq[String] = Seq.empty): DataFrame = {
     val keepCols = keep.map(col)
     df.select(col(idCol) +: TextOps.tokens(col(textCol)).as("__toks") +:

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** GPT-3-style quality classifier: logistic regression over hashed
+  * unigram+bigram features (the published web-corpus quality-filter
+  * recipe — a linear classifier on hashed n-grams separating a trusted
+  * corpus from raw crawl), trained WITH Spark aggregations and served as
+  * a stateless per-row column.
+  *
+  * Uses [[Dsir]]'s featurizer verbatim (same tokenization, same md5
+  * bucket arithmetic), so classifier and importance-weight scores see
+  * literally the same feature space.
+  *
+  * Determinism contract (same discipline as Dsir/LmScore): weights live
+  * on a 1e-6 integer grid, per-document margins are exact long sums of
+  * grid steps with ONE final double division, and gradient contributions
+  * quantize to a 12dp grid before a DECIMAL sum — so the fitted model
+  * and every score are independent of partitioning and re-runs. (The
+  * sigmoid itself is libm-double, computed identically per row.)
+  *
+  * Scale shape: the feature explode runs ONCE and persists; each epoch
+  * is one per-doc aggregation (margins — long sums of a broadcast
+  * literal-map lookup) plus one per-bucket aggregation (gradients onto
+  * ≤ `buckets` keys, map-side partials) and a ≤ `buckets`-row collect —
+  * the IVF-centroid class of driver boundary. Epochs are sequential by
+  * definition; each moves only bucket aggregates, never the corpus.
+  */
+object QualityClassifier {
+
+  /** Fitted model: bias and per-bucket weights as exact 1e-6 grid steps
+    * (every bucket present — `buckets` entries, broadcast-literal sized).
+    */
+  final case class LrModel(buckets: Int, bias6dp: Long, w6dp: Map[Long, Long])
+
+  /** margin = bias + (Σ_occurrences w(bucket)) / n_feats, from exact
+    * long step-sums — the ONE spelling of the score arithmetic, shared
+    * by training and [[scoreExpr]] so parity cannot drift.
+    */
+  private def marginOf(bias6dp: Long, stepSum: Column, n: Column): Column =
+    lit(bias6dp).cast("double") / 1e6 +
+      (stepSum.cast("double") / n.cast("double")) / 1e6
+
+  private def sigmoid(x: Column): Column = lit(1.0) / (lit(1.0) + exp(-x))
+
+  /** Train by full-batch gradient descent: `epochs` passes at rate
+    * `lrRate` with L2 strength `l2`. `labelCol` marks the positive
+    * (high-quality) class; docs with no features are skipped (nothing to
+    * learn from, consistent with [[Dsir.importanceWeights]]).
+    */
+  def train(df: DataFrame, labelCol: Column, idCol: String, textCol: String,
+      buckets: Int = 1024, epochs: Int = 10, lrRate: Double = 1.0,
+      l2: Double = 0.0): LrModel = {
+    require(epochs >= 1 && buckets > 0, "need epochs >= 1, buckets > 0")
+    // one feature row per gram occurrence, label carried; persisted for
+    // the whole training loop and released before returning
+    val feats = Dsir.featRows(
+        df.withColumn("__y", labelCol.cast("boolean").cast("double")),
+        idCol, textCol, buckets, keep = Seq("__y"))
+      .persist()
+    val perDoc = feats.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"), first(col("__y")).as("__y"))
+    var bias = 0L
+    var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
+    val nDocs = math.max(1L, perDoc.count()) // constant across epochs
+    def grid6(x: Double): Long =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .underlying.movePointRight(6).longValueExact()
+    (0 until epochs).foreach { _ =>
+      val wMap = typedLit(w)
+      // per-doc margin: exact long sum of grid steps, one division
+      val margins = feats
+        .groupBy(col(idCol))
+        .agg(sum(element_at(wMap, col("__b"))).as("__steps"))
+        .join(perDoc, idCol)
+        .select(col(idCol),
+          (sigmoid(marginOf(bias, col("__steps"), col("__n"))) - col("__y"))
+            .as("__r"),
+          col("__n"))
+      // per-bucket gradient: 12dp-quantized contributions, DECIMAL sum.
+      // The bias gradient is Σ_docs r = Σ_feats (r/n) up to the grid —
+      // i.e. the SUM of the bucket gradients — so one aggregation feeds
+      // both updates (summed in bucket order for determinism).
+      val grads = feats.join(margins, idCol)
+        .groupBy(col("__b"))
+        .agg(sum(round(col("__r") / col("__n"), 12)
+          .cast(DecimalType(28, 12))).as("__g"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      val biasGrad = grads.toSeq.sortBy(_._1).map(_._2).sum
+      w = w.map { case (b, stepsOld) =>
+        val old = stepsOld.toDouble / 1e6
+        b -> grid6(old - lrRate * (grads.getOrElse(b, 0.0) / nDocs + l2 * old))
+      }
+      bias = grid6(bias.toDouble / 1e6 - lrRate * biasGrad / nDocs)
+    }
+    feats.unpersist()
+    LrModel(buckets, bias, w)
+  }
+
+  /** Per-row quality probability against a fitted model — the serving
+    * form: the whole gram → bucket → weight-sum → sigmoid pipeline as
+    * one in-row expression over a literal lookup map. No explode, no
+    * shuffle, no state: usable in a streaming select and as a
+    * scan-speed batch gate. Null for docs with no features (mirroring
+    * training, which skips them).
+    */
+  def scoreExpr(text: Column, m: LrModel): Column = {
+    val wMap = typedLit(m.w6dp)
+    val grams = Dsir.gramsOf(TextOps.tokens(text))
+    val steps = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(wMap, Dsir.gramBucket(g, m.buckets)))
+    when(size(grams) > 0,
+      sigmoid(marginOf(m.bias6dp, steps, size(grams))))
+  }
+}

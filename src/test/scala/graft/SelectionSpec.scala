@@ -226,6 +226,40 @@ class SelectionSpec extends SparkSpec {
     assert(out == Map(2L -> 1, 1L -> 2, 4L -> 1))
   }
 
+  test("quality classifier separates classes; training is deterministic") {
+    val good = Seq("well written prose with structure and meaning",
+      "another thoughtful paragraph with real sentences",
+      "clear informative text explaining a concept properly")
+    val bad = Seq("buy cheap buy cheap buy cheap click here",
+      "zzz spam spam keywords keywords keywords click click",
+      "lorem garbage garbage click buy cheap zzz")
+    val rows = (good ++ bad).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docFrame(rows: _*)
+      .withColumn("y", col("doc_id") < good.size)
+    val m = graft.ops.QualityClassifier.train(df, col("y"), "doc_id",
+      "text", buckets = 256, epochs = 80, lrRate = 10.0)
+    val p = df.select(col("doc_id"),
+        graft.ops.QualityClassifier.scoreExpr(col("text"), m).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    good.indices.foreach(i => assert(p(i.toLong) > 0.7, s"good $i: ${p(i.toLong)}"))
+    bad.indices.foreach(i => assert(p((good.size + i).toLong) < 0.3,
+      s"bad $i: ${p((good.size + i).toLong)}"))
+    // determinism: a different partitioning fits the identical model
+    val m2 = graft.ops.QualityClassifier.train(df.repartition(7), col("y"),
+      "doc_id", "text", buckets = 256, epochs = 80, lrRate = 10.0)
+    assert(m2 == m)
+    // serving parity: scores don't depend on partitioning either
+    val p2 = df.repartition(5)
+      .select(col("doc_id"),
+        graft.ops.QualityClassifier.scoreExpr(col("text"), m).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p2 == p)
+    // empty text scores null, as in training
+    val pn = docFrame((99L, "")).select(
+      graft.ops.QualityClassifier.scoreExpr(col("text"), m)).head()
+    assert(pn.isNullAt(0))
+  }
+
   test("gumbel resampling keeps top-k by perturbed weight, reproducibly") {
     import org.apache.spark.sql.types.DoubleType
     val rows = (1L to 30L).map(i => Row(i, -(i % 7).toDouble))
