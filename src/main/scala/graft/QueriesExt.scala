@@ -132,6 +132,19 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
+    // JL random projection 64→8 dims: deterministic splitmix matrix, so
+    // the oracle embeds the SAME coefficients as SQL literals and
+    // reproduces every component cell-exact.
+    "q79_random_projection" -> ((s, dir) => {
+      Similarity.randomProject(embs(s, dir), "vec_id", "embedding",
+        outDim = 8)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim_idx", "value")))
+        .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
+          round(col("value"), 8).as("value"))
+        .orderBy("vec_id", "dim_idx")
+    }),
+
     // int8-quantized ANN: 4×-smaller codes at rest, integer-exact
     // scoring (per-vector scales cancel in cosine) — the oracle
     // recomputes the quantization and the integer dots cell-for-cell.
@@ -1043,6 +1056,24 @@ object QueriesExt {
         |)
         |SELECT query_id, neighbor_id, cosine AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q79_random_projection" -> {
+      // the projection matrix is deterministic (splitmix of (row, dim)),
+      // so the oracle carries the exact same doubles as SQL literals
+      val coefs = Similarity.planeCoefs(8, 64)
+      val scale = (1.0 / math.sqrt(8.0)).toString
+      val rows = coefs.zipWithIndex.map { case (row, j) =>
+        s"SELECT $j AS dim_idx, " +
+          row.map(_.toString).mkString("[", ", ", "]") + "::DOUBLE[] AS r"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |$rows
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id, dim_idx::BIGINT AS dim_idx,
+         |  round(list_dot_product(v, r) * $scale, 8) AS value
+         |FROM e CROSS JOIN m
+         |ORDER BY vec_id, dim_idx""".stripMargin
+    },
 
     "q72_ann_quantized" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -91,6 +91,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = ⟨x, R_j⟩ / √outDim with R from [[planeCoefs]] — deterministic
+    * splitmix coefficients, no RNG state, so the same projection
+    * reproduces on any cluster/partitioning/engine (the matrix embeds
+    * as array literals, one codegen'd zip_with per output dim). The
+    * dimensionality lever for the embedding pipeline: 64→8 dims is 8×
+    * less data through every downstream join/scan; compose with
+    * [[quantizeInt8]] for the full compression story, and with the
+    * ANN family (bucket on the originals, score on the projections, or
+    * vice versa). Pure per-row projection — no shuffle.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val dim = vecDim(df, vecCol)
+    val coefs = planeCoefs(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol),
+      array(coefs.toSeq.map(row => dot(v, lit(row)) * scale): _*)
+        .as("projected"))
+  }
+
   /** Symmetric per-vector int8 quantization: scale = max|x| / 127, codes
     * = round(x / scale) ∈ [-127, 127]. 4× smaller than float32 at rest
     * (the storage/IO lever for a 100-TB embedding corpus) and EXACT to

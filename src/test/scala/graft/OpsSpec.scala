@@ -575,6 +575,27 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("random projection: one-hot rows read the matrix back exactly") {
+    val dim = 16; val outDim = 4
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = (0 until dim).map(i =>
+      Row(i.toLong, Seq.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val got = Similarity.randomProject(df, "vec_id", "embedding", outDim)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // projecting e_i yields column i of the matrix times 1/sqrt(outDim),
+    // EXACTLY (the fold adds only zeros around the one term)
+    val coefs = Similarity.planeCoefs(outDim, dim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    (0 until dim).foreach { i =>
+      val want = (0 until outDim).map(j => coefs(j)(i) * scale)
+      assert(got(i.toLong) == want, s"one-hot $i")
+    }
+  }
+
   test("int8 quantization: exact codes, half-up rounding, ranking intact") {
     val schema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
