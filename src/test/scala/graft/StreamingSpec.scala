@@ -144,6 +144,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality-classifier gate runs in a streaming select") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val labeled = Seq((1L, "clear structured prose with meaning", true),
+      (2L, "buy cheap click click spam spam", false),
+      (3L, "another well formed informative sentence", true),
+      (4L, "zzz keywords keywords buy cheap", false))
+      .toDF("doc_id", "text", "y")
+    val m = graft.ops.QualityClassifier.train(labeled, col("y"),
+      "doc_id", "text", buckets = 128, epochs = 40, lrRate = 10.0)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.ops.QualityClassifier.scoreExpr(col("text"), m).as("p"))
+      .writeStream.format("memory").queryName("qcgate").outputMode("append")
+      .start()
+    try {
+      src.addData((10L, "clear structured prose with meaning"),
+        (11L, "buy cheap click click spam spam"))
+      q.processAllAvailable()
+      val got = spark.table("qcgate").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // identical expression over a static frame — exact parity
+      val ref = Seq((10L, "clear structured prose with meaning"),
+        (11L, "buy cheap click click spam spam")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ops.QualityClassifier.scoreExpr(col("text"), m))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == ref)
+      assert(got(10L) > got(11L))
+    } finally q.stop()
+  }
+
   test("stateless DSIR scoring runs in a streaming select") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
