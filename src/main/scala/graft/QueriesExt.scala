@@ -382,6 +382,33 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // schema-enforced jsonl ingest with corrupt-record quarantine: the
+    // corpus round-trips through a jsonl drop with two garbage lines
+    // injected; good rows digest cell-exact against the source table,
+    // bad lines are counted — nothing silently dropped, nothing aborts.
+    "q80_jsonl_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import s.implicits._
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q80_" +
+        s.sparkContext.applicationId
+      Seq("this is not json", "{\"doc_id\": oops").toDS()
+        .write.mode("overwrite").text(path)
+      d.write.mode("append").json(path)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType)))
+      // checkpoint: Spark requires the corrupt column be materialized
+      // before it can be filtered on (and it makes the split one scan)
+      val rd = graft.ops.Input.readJsonl(s, path, schema)
+        .localCheckpoint(true)
+      val (good, bad) = graft.ops.Input.quarantine(rd)
+      good.agg(count(lit(1)).as("n_good"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("text")))
+            .as("content_sum"))
+        .crossJoin(bad.agg(count(lit(1)).as("n_corrupt")))
+        .select(col("n_good"), col("n_corrupt"), col("content_sum"))
+    }),
+
     // distributed BPE training (rows-only: merge learning is iterative,
     // not SQL-expressible; BpeSpec pins it merge-for-merge to the driver
     // reference): the pair-count/merge loop runs as cluster aggregations
@@ -1600,6 +1627,12 @@ object QueriesExt {
          |SELECT doc_id, source, quality, group_rank
          |FROM r WHERE group_rank <= 5
          |ORDER BY source, group_rank""".stripMargin,
+
+    "q80_jsonl_ingest" ->
+      """SELECT count(*)::BIGINT AS n_good, 2::BIGINT AS n_corrupt,
+        |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+        |      || text), 1, 8))::BIGINT)::BIGINT AS content_sum
+        |FROM documents""".stripMargin,
 
     "q70_group_sample" ->
       """WITH u AS (

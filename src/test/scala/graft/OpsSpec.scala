@@ -575,6 +575,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("jsonl/csv ingest quarantines malformed lines, keeps the rest") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_input").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("t", StringType)))
+    Seq("""{"id": 1, "t": "hello"}""", "garbage line",
+      """{"id": 2, "t": "world", "extra": true}""").toDS().coalesce(1)
+      .write.mode("overwrite").text(tmp + "/j")
+    val rj = graft.ops.Input.readJsonl(spark, tmp + "/j", schema)
+      .localCheckpoint(true)
+    val (goodJ, badJ) = graft.ops.Input.quarantine(rj)
+    // extra fields ignored; malformed line quarantined verbatim
+    assert(goodJ.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "hello"), (2L, "world")))
+    assert(badJ.collect().map(_.getString(0)).toSeq == Seq("garbage line"))
+
+    Seq("id,t", "1,hello", "not,a,valid,row,with,extra", "2,world")
+      .toDS().coalesce(1).write.mode("overwrite").text(tmp + "/c")
+    val rc = graft.ops.Input.readCsv(spark, tmp + "/c", schema)
+      .localCheckpoint(true)
+    val (goodC, badC) = graft.ops.Input.quarantine(rc)
+    assert(goodC.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "hello"), (2L, "world")))
+    assert(badC.count() == 1L)
+  }
+
   test("random projection: one-hot rows read the matrix back exactly") {
     val dim = 16; val outDim = 4
     val schema = StructType(Seq(StructField("vec_id", LongType),
