@@ -382,6 +382,18 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // deflate compression ratio (rows-only: zlib output differs across
+    // engines so no SQL oracle; OpsSpec pins separation + partitioning
+    // determinism) — the classic repetitiveness signal complementing
+    // the q28/q43 heuristics.
+    "q81_compression_ratio" -> ((s, dir) => {
+      TextOps.withCompressionRatio(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("compression_ratio"), 6).as("compression_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // schema-enforced jsonl ingest with corrupt-record quarantine: the
     // corpus round-trips through a jsonl drop with two garbage lines
     // injected; good rows digest cell-exact against the source table,

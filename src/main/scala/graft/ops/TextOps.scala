@@ -259,6 +259,46 @@ object TextOps {
   def minShingleFingerprint(c: Column, k: Int = 8): Column =
     array_min(transform(charNgrams(normText(c), k), g => xxhash64(g)))
 
+  // --------------------------------------------------- compression ratio
+
+  /** Per-document deflate compression ratio (compressed bytes / UTF-8
+    * bytes): the classic repetitiveness proxy the heuristic signals
+    * ([[qualityScore]], repetition fractions) approximate — machine
+    * text, keyword stuffing, and boilerplate compress far below prose.
+    * Adds `compression_ratio` (null for empty text).
+    *
+    * This is the one operator here that genuinely needs per-row JVM
+    * library code (java.util.zip), so it uses the [[Multimodal]]
+    * mapPartitions shape: one Deflater per PARTITION (allocation and
+    * dictionary reset per row, not per object), zero shuffle, linear in
+    * corpus bytes. Deterministic for a fixed deflate level; there is no
+    * cross-engine oracle (zlib versions differ), so correctness pins
+    * live in the spec.
+    */
+  def withCompressionRatio(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, level: Int = 6): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Option[Long], String)]
+    in.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(level)
+      val buf = new Array[Byte](1 << 16)
+      it.map { case (id, text) =>
+        val raw = (if (text == null) "" else text).getBytes("UTF-8")
+        val ratio = if (raw.isEmpty) None else {
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          Some(n.toDouble / raw.length)
+        }
+        (id, ratio)
+      }
+    }.toDF(idCol, "compression_ratio")
+  }
+
   // ------------------------------------------------------- length profile
 
   /** Per-group document-length profile: doc/token totals plus EXACT

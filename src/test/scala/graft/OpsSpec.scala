@@ -575,6 +575,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("compression ratio separates repetitive from diverse text") {
+    val rep = "buy cheap " * 100
+    val div = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val df = docFrame((1L, rep), (2L, div), (3L, ""))
+    val got = graft.ops.TextOps
+      .withCompressionRatio(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < 0.1, s"repetitive: ${got(1L)}")
+    assert(got(2L).get > got(1L).get * 3, s"diverse: ${got(2L)}")
+    assert(got(3L).isEmpty)
+    // deterministic across partitionings
+    val again = graft.ops.TextOps
+      .withCompressionRatio(df.repartition(3), "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(again == got)
+  }
+
   test("jsonl/csv ingest quarantines malformed lines, keeps the rest") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_input").toString
