@@ -382,6 +382,31 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // REAL magic-byte MIME sniffing over binary payloads (the multimodal
+    // family's non-stubbed half): payloads carry genuine container
+    // signatures assigned by doc_id; the oracle re-derives the ground
+    // truth from the same assignment, so detection is verified
+    // end-to-end on actual bytes.
+    "q82_media_sniff" -> ((s, dir) => {
+      val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      val jpg = Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte)
+      val wav = "RIFF".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 0) ++
+        "WAVE".getBytes("UTF-8")
+      val mp4 = Array[Byte](0, 0, 0, 0x18) ++ "ftypmp42".getBytes("UTF-8")
+      val magic = when(col("doc_id") % 5 === 0, lit(png))
+        .when(col("doc_id") % 5 === 1, lit(jpg))
+        .when(col("doc_id") % 5 === 2, lit(wav))
+        .when(col("doc_id") % 5 === 3, lit(mp4))
+        .otherwise(lit("#".getBytes("UTF-8"))) // no signature
+      docs(s, dir)
+        .select(col("doc_id").as("media_id"),
+          concat(magic, col("text").cast("binary")).as("payload"))
+        .select(col("media_id"),
+          Multimodal.sniffMime(col("payload")).as("detected"))
+        .orderBy("media_id")
+    }),
+
     // deflate compression ratio (rows-only: zlib output differs across
     // engines so no SQL oracle; OpsSpec pins separation + partitioning
     // determinism) — the classic repetitiveness signal complementing
@@ -1639,6 +1664,13 @@ object QueriesExt {
          |SELECT doc_id, source, quality, group_rank
          |FROM r WHERE group_rank <= 5
          |ORDER BY source, group_rank""".stripMargin,
+
+    "q82_media_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+        |       WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'video/mp4'
+        |       ELSE 'application/octet-stream' END AS detected
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q80_jsonl_ingest" ->
       """SELECT count(*)::BIGINT AS n_good, 2::BIGINT AS n_corrupt,

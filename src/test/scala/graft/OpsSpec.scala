@@ -575,6 +575,32 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("magic-byte sniffing detects every signature and the fallback") {
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "image/png" -> (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte) ++ "body".getBytes),
+      "image/jpeg" -> (Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte) ++
+        "body".getBytes),
+      "image/gif" -> "GIF89a-body".getBytes,
+      "audio/wav" -> ("RIFF".getBytes ++ Array[Byte](1, 2, 3, 4) ++
+        "WAVEbody".getBytes),
+      "video/mp4" -> (Array[Byte](0, 0, 0, 0x18) ++ "ftypmp42".getBytes),
+      "application/pdf" -> "%PDF-1.7 body".getBytes,
+      "application/octet-stream" -> "plain text".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = cases.zipWithIndex.map { case ((_, b), i) => Row(i.toLong, b) }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val got = df.select(col("id"),
+        graft.ops.Multimodal.sniffMime(col("payload")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((want, _), i) =>
+      assert(got(i.toLong) == want, s"case $i")
+    }
+  }
+
   test("compression ratio separates repetitive from diverse text") {
     val rep = "buy cheap " * 100
     val div = (1 to 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
