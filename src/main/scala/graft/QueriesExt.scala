@@ -897,6 +897,50 @@ object QueriesExt {
         "text", buckets = 4096)
     }),
 
+    // the EVAL-SET recipe, end to end: exactly-5-per-language sample from
+    // the held-out md5-half, then decontaminated against the train half
+    // (drop any sampled doc sharing a 5-gram) — the standard "build me a
+    // clean eval set" chain, composed from q70's sampler and q47's
+    // screen; the oracle replays the whole chain.
+    "q83_eval_set" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val train = d.where(col("u") < 0.5).select("doc_id", "text")
+      val pool = d.where(col("u") >= 0.5)
+        .select("doc_id", "lang", "source", "text")
+      val sampled = Sampling.sampleExactPerGroup(pool, "lang", "doc_id",
+        k = 5, salt = "#ev83")
+      val contaminated = graft.ops.Contamination.screen(
+        sampled, train, "doc_id", "text", gramWidth = 5)
+        .select("doc_id")
+      sampled.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    }),
+
+    // DELTA processing: q66's snapshot pair, but only the added/changed
+    // docs of the new snapshot flow through the quality/lang gate into
+    // per-source stats — the incremental nightly run (never reprocess
+    // the unchanged corpus). Oracle replays diff + gate + stats.
+    "q84_delta_prep" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val old = d.where(col("u") < 0.6).select(col("doc_id"), col("text"))
+      val nu = d.where(col("u") >= 0.3).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      val delta = Dedup.corpusDiff(old, nu, "doc_id", "text")
+        .where(col("status").isin("added", "changed"))
+        .select("doc_id")
+      val gated = nu.join(delta, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .where(TextOps.qualityScore(col("text")) > 0.5 &&
+          TextOps.langId(col("text")) === "en")
+      gated.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // the SELECTION pipeline, end to end: boilerplate-line removal (q63's
     // synthesized footers) -> DSIR importance gate against the in-corpus
     // English target (log-weight >= -11, between the en mean ~-9 and the
@@ -1809,6 +1853,60 @@ object QueriesExt {
         |  min(CASE WHEN cm >= ceil(0.9 * n) THEN l END) AS p90,
         |  min(CASE WHEN cm >= ceil(0.99 * n) THEN l END) AS p99
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+
+    "q83_eval_set" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, source, $toks AS toks,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u,
+         |    ${hashUnitSql("doc_id::VARCHAR || '#ev83'")} AS us
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, lang, source, toks,
+         |    row_number() OVER (PARTITION BY lang ORDER BY us, doc_id)
+         |      AS sample_rank
+         |  FROM d WHERE u >= 0.5
+         |), smp AS (SELECT * FROM r WHERE sample_rank <= 5),
+         |sg AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(toks[s.i:s.i+4], ' ') AS gram
+         |  FROM smp, unnest(range(1, len(toks) - 3)) AS s(i)
+         |  WHERE len(toks) >= 5
+         |), tg AS (
+         |  SELECT DISTINCT array_to_string(toks[s.i:s.i+4], ' ') AS gram
+         |  FROM (SELECT toks FROM d WHERE u < 0.5) t,
+         |    unnest(range(1, len(toks) - 3)) AS s(i)
+         |  WHERE len(toks) >= 5
+         |), bad AS (SELECT DISTINCT doc_id FROM sg JOIN tg USING (gram))
+         |SELECT doc_id, lang, source, sample_rank
+         |FROM smp ANTI JOIN bad USING (doc_id)
+         |ORDER BY lang, sample_rank""".stripMargin
+    },
+
+    "q84_delta_prep" -> {
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), o AS (
+         |  SELECT doc_id, $normSql AS tn FROM d WHERE u < 0.6
+         |), n AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM d WHERE u >= 0.3
+         |), nn AS (SELECT doc_id, source, text, $normSql AS tn FROM n),
+         |delta AS (
+         |  SELECT nn.doc_id FROM nn LEFT JOIN o ON nn.doc_id = o.doc_id
+         |  WHERE o.doc_id IS NULL OR o.tn <> nn.tn
+         |), gated AS (
+         |  SELECT nn.source, nn.text FROM nn JOIN delta USING (doc_id)
+         |  WHERE ($qualitySql) > 0.5 AND ($langIdSql) = 'en'
+         |)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum($tok)::BIGINT AS n_tokens
+         |FROM gated GROUP BY source ORDER BY source""".stripMargin
+    },
 
     "q74_corpus_divergence" -> {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
