@@ -508,7 +508,8 @@ class OpsSpec extends SparkSpec {
 
   test("pipeline queries with internal caches release them (q39/q50)") {
     val dir = "/root/testdata/sf0.001"
-    Seq("q39_dedup_groups", "q50_full_pipeline").foreach { q =>
+    Seq("q39_dedup_groups", "q50_full_pipeline", "q76_neardup_incremental",
+      "q83_eval_set").foreach { q =>
       val before = spark.sparkContext.getPersistentRDDs.keySet
       SparkEntry.queries(q)(spark, dir).count()
       val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
