@@ -382,6 +382,26 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // URL extraction + registrable-domain stats (the FineWeb/C4
+    // per-domain pass): deterministic URLs — mixed case, userinfo,
+    // ports — are appended by doc_id (mirrored in the oracle), domains
+    // parse with one RE2-safe regex, and the per-domain frequency table
+    // is what a domain-cap policy consumes.
+    "q85_url_domains" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Site"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            lit(" and http://u@Mirror.example.org:8080/x"))
+            .otherwise(lit(""))).as("text"))
+      TextOps.domainRows(d, "doc_id", "text")
+        .groupBy("domain")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("domain")
+    }),
+
     // REAL magic-byte MIME sniffing over binary payloads (the multimodal
     // family's non-stubbed half): payloads carry genuine container
     // signatures assigned by doc_id; the oracle re-derives the ground
@@ -1708,6 +1728,29 @@ object QueriesExt {
          |SELECT doc_id, source, quality, group_rank
          |FROM r WHERE group_rank <= 5
          |ORDER BY source, group_rank""".stripMargin,
+
+    "q85_url_domains" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' see https://Site' || (doc_id % 7)::VARCHAR ||
+        |    '.Example.com/p/' || doc_id::VARCHAR ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' and http://u@Mirror.example.org:8080/x'
+        |         ELSE '' END AS t2
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(t2, 'https?://[^\s]+')) AS url
+        |  FROM t
+        |), dm AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '^https?://(?:[^/@\s]*@)?([^/:\s?#]+)', 1)) AS domain
+        |  FROM u
+        |)
+        |SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_urls
+        |FROM dm WHERE domain <> '' GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q82_media_sniff" ->
       """SELECT doc_id AS media_id,

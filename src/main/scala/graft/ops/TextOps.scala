@@ -228,6 +228,31 @@ object TextOps {
   def urlCount(c: Column): Column   = countMatches(c, UrlRe)
   def phoneCount(c: Column): Column = countMatches(c, PhoneRe)
 
+  /** All URLs in the text as an array ([[UrlRe]] matches). */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit(UrlRe), lit(0))
+
+  /** Registrable host of a URL, lowercased: the authority with any
+    * userinfo/port stripped (`https://A.b.C:8080/x` → `a.b.c`). One
+    * capture-group regexp in the Java-regex/RE2 common subset, so any
+    * engine reproduces the parse; empty string for non-URLs.
+    */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url,
+      "^https?://(?:[^/@\\s]*@)?([^/:\\s?#]+)", 1))
+
+  /** Per-document domain rows (idCol, domain) — one row per URL
+    * occurrence — feeding per-domain frequency caps and source-mix
+    * stats (the FineWeb/C4 per-domain pass: a single spam domain must
+    * not dominate the corpus). One explode, then whatever aggregation
+    * the policy needs; no other shuffle.
+    */
+  def domainRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(extractUrls(col(textCol))).as("__u"))
+      .select(col(idCol), urlDomain(col("__u")).as("domain"))
+      .where(col("domain") =!= "")
+
   // ----------------------------------------------------------- cleanup
 
   /** ASCII control characters (minus \t \n \r) plus DEL — the bytes a

@@ -576,6 +576,19 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top(0).getDouble(2) - 0.9 / math.sqrt(0.82)) < 1e-9)
   }
 
+  test("url domain extraction handles case, userinfo, ports, queries") {
+    val df = docFrame((1L,
+      "a https://Site.Example.COM/x?q=1 b http://u:p@host.org:81/y " +
+        "c https://bare.net d no url here"))
+    val got = graft.ops.TextOps.domainRows(df, "doc_id", "text")
+      .collect().map(r => r.getString(1)).sorted.toSeq
+    assert(got == Seq("bare.net", "host.org", "site.example.com"))
+    // a doc with no URLs contributes no rows
+    assert(graft.ops.TextOps
+      .domainRows(docFrame((2L, "plain text")), "doc_id", "text")
+      .count() == 0L)
+  }
+
   test("magic-byte sniffing detects every signature and the fallback") {
     val cases: Seq[(String, Array[Byte])] = Seq(
       "image/png" -> (Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
