@@ -506,6 +506,53 @@ class SelectionSpec extends SparkSpec {
     assert(once(1L) == "alpha one\nbeta two" && once(2L) == "gamma three")
   }
 
+  test("random corpora: paragraph dedup equals a naive reference") {
+    val rnd = new scala.util.Random(9090)
+    val paraPool = Vector("aa bb", "cc", "dd ee ff", "gg", "hh ii", "", "  ")
+    (1 to 3).foreach { _ =>
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(5))(
+          paraPool(rnd.nextInt(paraPool.length))).mkString("\n")
+      }
+      // naive reference: canonical = min (doc, pos) occurrence of each
+      // trimmed non-blank paragraph; only DUPLICATED paragraphs lose
+      // their non-canonical occurrences; order within doc preserved
+      val canon = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      corpus.foreach { case (id, t) =>
+        t.split("\n", -1).map(_.trim).zipWithIndex
+          .filter(_._1.nonEmpty).foreach { case (p, pos) =>
+            canon.get(p) match {
+              case None => canon(p) = (id, pos)
+              case Some((cd, cp)) if cd > id || (cd == id && cp > pos) =>
+                canon(p) = (id, pos)
+              case _ => ()
+            }
+          }
+      }
+      val dupSet = {
+        val counts = scala.collection.mutable.Map.empty[String, Int]
+        corpus.foreach { case (_, t) =>
+          t.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+            .foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+        }
+        counts.filter(_._2 > 1).keySet
+      }
+      val expect = corpus.map { case (id, t) =>
+        val paras = t.split("\n", -1).map(_.trim).zipWithIndex
+          .filter(_._1.nonEmpty)
+        val kept = paras.filter { case (p, pos) =>
+          !dupSet.contains(p) || canon(p) == ((id, pos))
+        }.map(_._1)
+        (id, (paras.length.toLong, kept.length.toLong, kept.mkString("\n")))
+      }.toMap
+      val got = Dedup.dedupParagraphs(docFrame(corpus: _*), "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got == expect, s"corpus=$corpus")
+    }
+  }
+
   test("corpus diff labels added, removed, changed, unchanged") {
     val old = docFrame((1L, "same text"), (2L, "old version"), (3L, "gone"))
     val nu = docFrame((1L, "Same  TEXT"), // equal after normalization
