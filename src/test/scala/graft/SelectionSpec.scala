@@ -506,6 +506,37 @@ class SelectionSpec extends SparkSpec {
     assert(once(1L) == "alpha one\nbeta two" && once(2L) == "gamma three")
   }
 
+  test("random corpora: boilerplate strip equals a naive reference") {
+    val rnd = new scala.util.Random(7171)
+    val linePool = Vector("footer x", "menu", "prose aa", "prose bb",
+      "prose cc", "", "   ")
+    (1 to 3).foreach { _ =>
+      val corpus = (1L to 10L).map { id =>
+        id -> Seq.fill(1 + rnd.nextInt(5))(
+          linePool(rnd.nextInt(linePool.length))).mkString("\n")
+      }
+      val cap = 3
+      // naive: line df = #docs containing the trimmed non-blank line;
+      // lines with df > cap drop everywhere, the rest keep doc order
+      val df = scala.collection.mutable.Map.empty[String, Int]
+      corpus.foreach { case (_, t) =>
+        t.split("\n", -1).map(_.trim).filter(_.nonEmpty).distinct
+          .foreach(l => df(l) = df.getOrElse(l, 0) + 1)
+      }
+      val expect = corpus.map { case (id, t) =>
+        val lines = t.split("\n", -1).map(_.trim).filter(_.nonEmpty)
+        val kept = lines.filter(l => df(l) <= cap)
+        (id, (lines.length.toLong, kept.length.toLong, kept.mkString("\n")))
+      }.toMap
+      val got = Dedup.stripBoilerplateLines(docFrame(corpus: _*),
+        "doc_id", "text", maxLineDf = cap)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(got == expect, s"corpus=$corpus")
+    }
+  }
+
   test("random corpora: paragraph dedup equals a naive reference") {
     val rnd = new scala.util.Random(9090)
     val paraPool = Vector("aa bb", "cc", "dd ee ff", "gg", "hh ii", "", "  ")
