@@ -21,9 +21,22 @@ object Sampling {
     * value in a long — THE engine-reproducible hash primitive every
     * deterministic decision here and in [[Output]] derives from (oracles
     * must mirror this exact arithmetic; keep it in one place).
+    *
+    * Uses the fused native [[graft.plans.Md5Prefix32]] expression when
+    * the session has `GraftExtensions` (one digest + 4-byte read; no
+    * per-row hex string) and falls back to the builtin md5/substr/conv
+    * chain otherwise. Both produce the identical value (spec-pinned),
+    * so oracles and recorded splits never depend on which path ran.
     */
   def md5Prefix32(c: Column): Column =
-    conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+    if (hasNativeMd5Prefix)
+      call_function("md5_prefix32", c.cast("string"))
+    else
+      conv(substr(md5(c.cast("string")), lit(1), lit(8)), 16, 10).cast("long")
+
+  private def hasNativeMd5Prefix: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("md5_prefix32"))
 
   /** Uniform [0, 1) hash of `key`: [[md5Prefix32]] scaled by 2⁻³².
     * Exact in double, so threshold comparisons are bit-reproducible

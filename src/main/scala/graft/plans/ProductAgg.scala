@@ -77,5 +77,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NfcNormalize(Cast(children.head,
           org.apache.spark.sql.types.StringType))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix32"),
+      new ExpressionInfo(classOf[Md5Prefix32].getName, "md5_prefix32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_prefix32 expects 1 argument, got ${children.length}")
+        Md5Prefix32(Cast(children.head,
+          org.apache.spark.sql.types.StringType))
+      }))
   }
 }
