@@ -6,18 +6,26 @@ import org.apache.spark.sql.SparkSession
   * Queries run sorted by name; timing includes the full action
   * (plan + execute + count).
   *
-  * Each query runs `runs` times (default 2) and reports the per-query MIN:
-  * the first execution of a plan shape pays JIT + janino codegen
-  * compilation (measured at 2-3x steady state for the LSH queries) and a
-  * shared machine adds load spikes — the min is the reproducible
-  * engine-speed figure. Round-3 driver runs on a loaded box mis-flagged
-  * two 8-10x phantom regressions that a quiet re-run dissolved.
+  * Protocol: each query runs `runs` times (default 3); the FIRST run is an
+  * untimed per-query warmup and the reported figure is the MIN of the
+  * remaining runs. The first execution of a plan shape pays JIT + janino
+  * codegen compilation — measured at 2-5x steady state for the big composed
+  * pipelines (q64: 12.6 s cold vs 2.7-3.3 s steady; q34: 5.7 s vs 0.6-0.8 s)
+  * — and a single global warmup query does not warm per-query codegen, so
+  * min-of-2 without a per-query warmup let cold-codegen masquerade as
+  * regression in rounds 3 and 6. A shared machine also adds load spikes;
+  * the post-warmup min is the reproducible engine-speed figure.
+  *
+  * The output additionally reports `baseline_subset_sec`: the total over
+  * q01-q36, the 36-query set whose quiet-box total (~27 s at sf0.1) is
+  * recorded in BASELINE.md — so the 2x performance gate is directly
+  * readable from BENCH_r{N}.json without cross-round reconstruction.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,7 +36,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM (classloading, codegen, parquet reader) with one small
-    // untimed query so per-query timings measure steady-state execution
+    // untimed query; per-query codegen is warmed by each query's own
+    // untimed first run below
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // dev-loop filter: comma-separated name substrings; unset (the
     // driver's mode) = run everything
@@ -42,12 +51,19 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // first run = untimed warmup (codegen/JIT); min of the rest is the figure
+      val timed = if (times.length > 1) times.drop(1) else times
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    // q01..q36 = the subset recorded in BASELINE.md (quiet-box ~27 s at sf0.1)
+    val baselineSubset = results.filter { case (n, _) =>
+      n.matches("^q(0[1-9]|[12][0-9]|3[0-6])_.*")
+    }
+    val bsTotal = baselineSubset.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":$bsTotal,"baseline_subset_n":${baselineSubset.size}}""")
     spark.stop()
   }
 }

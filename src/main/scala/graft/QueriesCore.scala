@@ -210,12 +210,12 @@ object QueriesCore {
         col("MX").as("mx"), col("E").as("e")).orderBy("date")
     }),
 
-    // #12 convert: downsample m→q (sum) and m→a (average)
+    // #12 convert: downsample m→q (sum + annualized rate) and m→a (average)
     "q11_convert_down" -> ((s, dir) => {
       val out = runScript(
         """freq m
           |rev_q = convert(rev, q, discrete, sum)
-          |cnt_q = convert(cnt, q, discrete, sum)
+          |cnt_q = convert(cnt, q, discrete, annualized)
           |rev_a = convert(rev, a, discrete, average)""".stripMargin, monthly(s, dir))
       out.select(col("DATE").as("date"), r8(col("REV_QTRLY")).as("rev_qtrly"),
         r8(col("CNT_QTRLY")).as("cnt_qtrly"), r8(col("REV_ANN")).as("rev_ann"))
@@ -505,7 +505,7 @@ object QueriesCore {
     "q11_convert_down" ->
       s"""$monthlySql, qq AS (
          |  SELECT date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq,
-         |         sum(cnt) AS cq
+         |         sum(cnt) * 4 AS cq
          |  FROM m GROUP BY 1
          |), aa AS (
          |  SELECT date_trunc('year', date)::DATE AS ad, avg(rev) AS ra

@@ -215,11 +215,12 @@ object QueriesExt {
         length(col("text")).cast("long").as("n_chars_actual")).orderBy("doc_id")
     }),
 
-    // document fingerprints: whole-content hash + min-shingle winnowing
-    // (rows-only: xxhash64 not in DuckDB)
+    // document fingerprints: whole-content md5 fingerprint + min-shingle
+    // winnowing, both md5-prefix arithmetic so the oracle replays them
+    // cell-exact (was xxhash64 / rows-only through round 6)
     "q30_fingerprint" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        TextOps.contentHash(col("text")).as("content_hash"),
+        TextOps.contentFingerprint(col("text")).as("content_fp"),
         TextOps.minShingleFingerprint(col("text"), 8).as("min_shingle_fp"))
         .orderBy("doc_id")
     }),
@@ -980,8 +981,12 @@ object QueriesExt {
         .localCheckpoint(true)
       val w = Dsir.importanceWeights(cleaned, col("lang") === "en",
         "doc_id", "text", buckets = 4096)
+      // `selected` feeds both MixPlan.plan and MixPlan.execute — without a
+      // materialization barrier the DSIR scoring join re-executes per
+      // consumer (the pipeline's heaviest stage, paid twice)
       val selected = cleaned
         .join(Dsir.select(w, minLogWeight = -11.0).select("doc_id"), "doc_id")
+        .localCheckpoint(true)
       val nt = TextOps.tokenCount(col("text"))
       val planDf = MixPlan.plan(selected, "source", nt, budget = 10000)
       MixPlan.execute(selected, "doc_id", "source", planDf, salt = "#m64")
@@ -1267,6 +1272,19 @@ object QueriesExt {
         |    AS n_bpe_tokens,
         |  length(text)::BIGINT AS n_chars_actual
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the md5-prefix fingerprint arithmetic: whole-doc hash over
+    // the normalized text, min over the 8-gram shingle hashes (empty /
+    // too-short text -> NULL on both engines)
+    "q30_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         |  ('0x' || substr(md5(norm), 1, 8))::BIGINT AS content_fp,
+         |  list_min(list_transform(
+         |    generate_series(1, greatest(len(norm) - 7, 0)),
+         |    i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 8))::BIGINT))
+         |    AS min_shingle_fp
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     "q31_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -55,14 +55,36 @@ object Convert {
     case other => to_date(date_trunc(truncUnit(other), dateCol))
   }
 
-  /** The `observed` statistic for downsampling
-    * (`fame2pygen/formulas_generator.py:104-115`). `annualized`/`formula`
-    * take the period average (documented choice — the reference delegates
-    * these to its closed external kernel).
+  /** Observations of frequency `f` in one year — the ANNUALIZED restatement
+    * factor. Business = 261 (52 Mon–Fri weeks + 1 weekday), the convention
+    * FAME's business calendar uses for annual-rate restatement.
     */
-  def observedAgg(c: Column, dateCol: Column, observed: String): Column =
+  def periodsPerYear(f: Frequency): Double = f match {
+    case Frequency.Annual    => 1.0
+    case Frequency.Quarterly => 4.0
+    case Frequency.Monthly   => 12.0
+    case Frequency.Weekly(_) => 52.0
+    case Frequency.Daily     => 365.0
+    case Frequency.Business  => 261.0
+  }
+
+  /** The `observed` statistic for downsampling
+    * (`fame2pygen/formulas_generator.py:104-115`).
+    *
+    * `annualized` follows the published FAME meaning (User's Guide,
+    * OBSERVED attribute): like SUMMED but restated at an annual rate —
+    * the period total × periods-per-year of the TARGET frequency
+    * (`targetPpy`; e.g. monthly→quarterly: quarter total × 4). The
+    * reference passes `annualized` unchecked to its closed kernel, so
+    * this implements the standard semantics rather than an alias.
+    * `formula` (also closed in the reference) takes the period average
+    * (documented choice).
+    */
+  def observedAgg(c: Column, dateCol: Column, observed: String,
+      targetPpy: Double = 1.0): Column =
     observed match {
-      case "average" | "averaged" | "annualized" | "formula" => avg(c)
+      case "average" | "averaged" | "formula" => avg(c)
+      case "annualized"             => sum(c) * lit(targetPpy)
       case "sum" | "summed"         => sum(c)
       case "first" | "beginning"    => min_by(c, when(c.isNotNull, dateCol))
       case "last" | "end" | "ending"=> max_by(c, when(c.isNotNull, dateCol))
@@ -81,9 +103,10 @@ object Convert {
       keys: Seq[String] = Nil): DataFrame = {
     val grouped = df.groupBy(
       (keys.map(col) :+ periodStart(col(dateCol), target).as(dateCol)): _*)
+    val ppy = periodsPerYear(target)
     grouped.agg(
-      observedAgg(col(cols.head), col(dateCol), observed).as(cols.head),
-      cols.tail.map(c => observedAgg(col(c), col(dateCol), observed).as(c)): _*)
+      observedAgg(col(cols.head), col(dateCol), observed, ppy).as(cols.head),
+      cols.tail.map(c => observedAgg(col(c), col(dateCol), observed, ppy).as(c)): _*)
   }
 
   /** Fine-calendar step for a target frequency. */

@@ -274,15 +274,33 @@ object TextOps {
 
   // ----------------------------------------------------------- fingerprints
 
-  /** 64-bit content fingerprint of the normalized text (xxhash64). */
+  /** 64-bit content hash of the normalized text (xxhash64) — the INTERNAL
+    * equality key for dedup/streaming screens, where 64 bits keeps the
+    * birthday-collision rate negligible at corpus scale. Engine-specific;
+    * for the cross-engine-reproducible fingerprint use
+    * [[contentFingerprint]].
+    */
   def contentHash(c: Column): Column = xxhash64(normText(c))
 
-  /** Winnowing-style document fingerprint: the minimum 64-bit hash over the
-    * k-gram shingles of the normalized text (rolling-hash family; one value
-    * per doc, stable under local edits elsewhere in the doc).
+  /** Cross-engine-reproducible content fingerprint: md5-prefix of the
+    * normalized text ([[Sampling.md5Prefix32]] — native fused expression
+    * under GraftExtensions, plain md5/substr/conv arithmetic any engine
+    * can replay). Use when the fingerprint value itself is the contract
+    * (manifests, snapshots, oracles), [[contentHash]] when only equality
+    * inside one engine matters.
+    */
+  def contentFingerprint(c: Column): Column =
+    Sampling.md5Prefix32(normText(c))
+
+  /** Winnowing-style document fingerprint: the minimum hash over the
+    * k-gram shingles of the normalized text (one value per doc, stable
+    * under local edits elsewhere in the doc). Hashes each shingle with
+    * [[Sampling.md5Prefix32]] so the value is engine-independent —
+    * fingerprint files written today must verify on any engine tomorrow.
     */
   def minShingleFingerprint(c: Column, k: Int = 8): Column =
-    array_min(transform(charNgrams(normText(c), k), g => xxhash64(g)))
+    array_min(transform(charNgrams(normText(c), k),
+      g => Sampling.md5Prefix32(g)))
 
   // --------------------------------------------------- compression ratio
 

@@ -144,6 +144,26 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "Z"), Seq.fill(3)(Some(8.0)))
   }
 
+  test("convert observed=annualized restates the period total at an annual rate") {
+    // monthly flows 1..6 over two quarters: Q1 total 6, Q2 total 15;
+    // annualized (x periods-per-year of the quarterly target = 4) -> 24, 60
+    // (two source columns: same-source same-target converts share the
+    // <SRC>_QTRLY suffix name — the reference's naming contract)
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01",
+      "2020-04-01", "2020-05-01", "2020-06-01"),
+      "V" -> Seq(1, 2, 3, 4, 5, 6), "W" -> Seq(1, 2, 3, 4, 5, 6))
+    val out = FameSession.run(
+      """freq m
+        |va = convert(v, q, discrete, annualized)
+        |ws = convert(w, q, discrete, sum)""".stripMargin, in).df
+    // converted values land on the period-start rows (join-back contract)
+    assertSeq(column(out, "V_QTRLY"),
+      Seq(Some(24.0), None, None, Some(60.0), None, None))
+    // annualized == summed x 4 on the same data
+    assertSeq(column(out, "W_QTRLY"),
+      Seq(Some(6.0), None, None, Some(15.0), None, None))
+  }
+
   test("scalar + ave + dependency ordering") {
     val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
     val out = FameSession.run(
