@@ -324,6 +324,23 @@ object QueriesCore {
         .orderBy("nation")
     }),
 
+    // #16 nlrx at entity scale: one independent HP solve per nation,
+    // distributed via the mapGroups path (Nlrx.groupedSolve) — no driver
+    // collect. Rows-only like q18 (the solve is not SQL-expressible);
+    // PartitionedSpec pins the grouped path value-equal to independent
+    // per-entity keyless solves, and the digest is partition-order-free
+    // (round → DECIMAL sum).
+    "q86_nlrx_partitioned" -> ((s, dir) => {
+      val out = FameSession.run(
+        "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)",
+        monthlyByNation(s, dir), partitionKeys = Seq("NATION"))
+      out.df.groupBy(col("NATION").as("nation"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("SM"), 6).cast(DecimalType(28, 6)))
+            .cast("double").as("sum_sm"))
+        .orderBy("nation")
+    }),
+
     // the q14 chain script over ~2500 replicated entities: proves the
     // keyed chain path stays entity-parallel with NO forced broadcast of
     // the |entities|x|years| yearly index (PartitionedSpec asserts the

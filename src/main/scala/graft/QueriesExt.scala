@@ -117,7 +117,8 @@ object QueriesExt {
         .orderBy("id1", "id2")
     }),
 
-    // 64-bit SimHash per document (rows-only)
+    // 32-bit md5-arithmetic SimHash per document — integer bit math end
+    // to end, so the oracle replays the value cell-exact
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
@@ -157,7 +158,8 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN with multi-probe (scale path; rows-only)
+    // LSH-bucketed ANN with multi-probe (scale path); the deterministic
+    // plane literals let the oracle replay the whole pipeline cell-exact
     "q25_ann_lsh" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.annTopK(e.where(col("vec_id") < 10), e,
@@ -1146,6 +1148,70 @@ object QueriesExt {
       |  FROM documents
       |)""".stripMargin
 
+  /** DuckDB expression for [[graft.ops.Similarity.lshBucket]] over
+    * `vExpr` (a DOUBLE[] column): the splitmix plane coefficients are
+    * deterministic, so — like the q79 JL matrix — they embed as SQL
+    * literals, and `list_dot_product` folds bit-identically to the
+    * engine's dot (q24 proves the fp parity), so every sign bit and
+    * hence the bucket id reproduces exactly.
+    */
+  private def lshBucketSql(vExpr: String, planes: Int, dim: Int): String =
+    graft.ops.Similarity.planeCoefs(planes, dim).zipWithIndex.map {
+      case (row, p) =>
+        s"(CASE WHEN list_dot_product($vExpr, ${row.mkString("[", ", ", "]")}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n + ", ")")
+
+  /** DuckDB CTE chain replaying the MinHash-LSH machinery of
+    * [[graft.ops.Dedup.minHashLshPairs]] over a CTE `dset(doc_id, t)`
+    * (t = normalized text). The engine's arithmetic is deliberately
+    * engine-free — md5-prefix base hash, affine integer permutations
+    * (params embedded here as literals via
+    * [[graft.ops.Dedup.minHashParams]]), string band buckets — so every
+    * signature, bucket, candidate pair and Jaccard reproduces exactly.
+    * Emits CTEs: `hh` (doc_id, gram — the distinct shingle set, with the
+    * whole-doc fallback for short docs), `sz` (shingle-set sizes), `sig`
+    * (doc_id, i, s), `ok` (doc_id, band, bucket after the 2..max cap).
+    */
+  private def minHashCtes(width: Int, numHashes: Int, bands: Int,
+      maxBucketSize: Int): String = {
+    val rows = numHashes / bands
+    val params = (0 until numHashes).map { i =>
+      val (a, b) = graft.ops.Dedup.minHashParams(i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(t, ' '), x -> len(x) > 0) AS tk
+       |  FROM dset
+       |), g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $width
+       |         THEN list_transform(generate_series(1, len(tk) - ${width - 1}),
+       |                i -> array_to_string(list_slice(tk, i, i + ${width - 1}), ' '))
+       |         ELSE [array_to_string(tk, ' ')] END AS grams
+       |  FROM toks WHERE len(tk) >= 1
+       |), hh AS (
+       |  SELECT DISTINCT doc_id, gram
+       |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+       |), sz AS (SELECT doc_id, count(*) AS ssz FROM hh GROUP BY doc_id),
+       |hv AS (
+       |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h FROM hh
+       |), prm(i, a, b) AS (VALUES $params),
+       |sig AS (
+       |  SELECT doc_id, i, min((h * a + b) % ${graft.ops.Dedup.MinHashPrime}) AS s
+       |  FROM hv CROSS JOIN prm GROUP BY doc_id, i
+       |), bnd AS (
+       |  SELECT doc_id, i // $rows AS band,
+       |    string_agg(s::VARCHAR, '|' ORDER BY i) AS bucket
+       |  FROM sig GROUP BY doc_id, i // $rows
+       |), ok AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |      count(*) OVER (PARTITION BY band, bucket) AS n
+       |    FROM bnd)
+       |  WHERE n BETWEEN 2 AND $maxBucketSize
+       |)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q20_dedup_exact" ->
@@ -1172,6 +1238,99 @@ object QueriesExt {
          |LEFT JOIN iv ON iv.id1 = sa.doc_id
          |ORDER BY id1""".stripMargin,
 
+    // replays the full MinHash-LSH pipeline: every candidate pair from
+    // the banded string buckets, signature-agreement estimate, and true
+    // shingle Jaccard — all integer/md5 arithmetic, cell-exact
+    "q22_minhash_lsh" -> {
+      val ctes = minHashCtes(width = 2, numHashes = 32, bands = 8,
+        maxBucketSize = 1000)
+      s"""WITH dset AS (SELECT doc_id, $normSql AS t FROM documents),
+         |$ctes,
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM ok l JOIN ok r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT c.id1, c.id2,
+         |    sum(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END)::DOUBLE / 32 AS e
+         |  FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.id1
+         |  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+         |  GROUP BY c.id1, c.id2
+         |), iv AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN hh a ON a.doc_id = c.id1
+         |  JOIN hh b ON b.doc_id = c.id2 AND b.gram = a.gram
+         |  GROUP BY c.id1, c.id2
+         |)
+         |SELECT e.id1, e.id2, round(e.e, 8) AS est_jaccard,
+         |  round(coalesce(iv.inter, 0)::DOUBLE
+         |    / (sa.ssz + sb.ssz - coalesce(iv.inter, 0)), 8) AS jaccard
+         |FROM est e
+         |LEFT JOIN iv ON iv.id1 = e.id1 AND iv.id2 = e.id2
+         |JOIN sz sa ON sa.doc_id = e.id1
+         |JOIN sz sb ON sb.doc_id = e.id2
+         |ORDER BY e.id1, e.id2""".stripMargin
+    },
+
+    // replays the incremental (new x reference) LSH screen end to end:
+    // shared bucket space over both md5-split halves, candidates crossing
+    // sides only, true-Jaccard >= 0.5 hits anti-joined from the new batch
+    "q76_neardup_incremental" -> {
+      val ctes = minHashCtes(width = 3, numHashes = 32, bands = 8,
+        maxBucketSize = 1000)
+      s"""WITH d AS (
+         |  SELECT doc_id, $normSql AS t,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), dset AS (SELECT doc_id, t FROM d),
+         |$ctes,
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM ok l
+         |  JOIN d dl ON dl.doc_id = l.doc_id AND dl.u >= 0.5
+         |  JOIN ok r ON l.band = r.band AND l.bucket = r.bucket
+         |  JOIN d dr ON dr.doc_id = r.doc_id AND dr.u < 0.5
+         |), iv AS (
+         |  SELECT c.new_id, c.ref_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN hh a ON a.doc_id = c.new_id
+         |  JOIN hh b ON b.doc_id = c.ref_id AND b.gram = a.gram
+         |  GROUP BY c.new_id, c.ref_id
+         |), hits AS (
+         |  SELECT DISTINCT c.new_id
+         |  FROM cand c
+         |  LEFT JOIN iv ON iv.new_id = c.new_id AND iv.ref_id = c.ref_id
+         |  JOIN sz sa ON sa.doc_id = c.new_id
+         |  JOIN sz sb ON sb.doc_id = c.ref_id
+         |  WHERE coalesce(iv.inter, 0)::DOUBLE
+         |    / (sa.ssz + sb.ssz - coalesce(iv.inter, 0)) >= 0.5
+         |)
+         |SELECT doc_id FROM d
+         |WHERE u >= 0.5 AND doc_id NOT IN (SELECT new_id FROM hits)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // replays the 32-bit simhash: md5-prefix per token occurrence, ±1 per
+    // bit, bit set when the sum is strictly positive — integer-exact
+    "q23_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split($normSql, ' '), x -> len(x) > 0)) AS t
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+         |), bits AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, generate_series(0, 31) AS g(b)
+         |  GROUP BY doc_id, b
+         |)
+         |SELECT doc_id,
+         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q24_ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (
@@ -1189,6 +1348,55 @@ object QueriesExt {
         |)
         |SELECT query_id, neighbor_id, cosine AS cosine, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // replays the full LSH-ANN pipeline: literal-plane bucket ids, the
+    // own-bucket + one-bit-flip probe set, exact cosine, rank
+    "q25_ann_lsh" -> {
+      val bucket = lshBucketSql("v", planes = 6, dim = 64)
+      val flips = (0 until 6).map(p => s"xor(bucket, ${1L << p})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+         |p AS (
+         |  SELECT vec_id AS query_id, v AS qv,
+         |    unnest([bucket, $flips]) AS bucket
+         |  FROM b WHERE vec_id < 10
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    min(list_dot_product(qv, c.v)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))))
+         |      AS cosine
+         |  FROM p JOIN b c USING (bucket)
+         |  WHERE query_id <> c.vec_id
+         |  GROUP BY query_id, c.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, round(cosine, 8) AS cosine, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+
+    // replays bucket-then-verify near-dup: same literal-plane buckets,
+    // pairs meet once (one bucket per vector), exact-cosine threshold
+    // applied BEFORE the display rounding (mirrors the Spark plan)
+    "q26_embed_neardup" -> {
+      val bucket = lshBucketSql("v", planes = 6, dim = 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+         |SELECT l.vec_id AS id1, r.vec_id AS id2,
+         |  round(list_dot_product(l.v, r.v)
+         |    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 8)
+         |    AS cosine
+         |FROM b l JOIN b r USING (bucket)
+         |WHERE l.vec_id < r.vec_id
+         |  AND list_dot_product(l.v, r.v)
+         |    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+         |    >= 0.25
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "q79_random_projection" -> {
       // the projection matrix is deterministic (splitmix of (row, dim)),

@@ -50,9 +50,46 @@ object Bpe {
     out.result()
   }
 
+  /** Base symbols of a pre-token: one string per Unicode CODE POINT, not
+    * per UTF-16 char — per-Char splitting would cut a supplementary-plane
+    * character (emoji, rare CJK) into two lone surrogates, which are not
+    * valid UTF-8 and get mangled when the distributed trainer's symbols
+    * round-trip through Spark's UTF8String.
+    */
+  private def codePoints(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      val n = Character.charCount(cp)
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** UTF-8 byte order (== code-point order) — the order Spark's binary
+    * UTF8String comparison gives [[trainDistributed]]'s min(struct(...));
+    * the driver trainer must tie-break in the SAME order or merges
+    * diverge on non-BMP corpora (UTF-16 code-unit order sorts surrogate
+    * pairs BELOW U+E000..U+FFFF chars; UTF-8 sorts them above). Agrees
+    * with plain lexicographic order on ASCII.
+    */
+  private val utf8Order: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var r = 0
+    while (i < n && r == 0) { r = (a(i) & 0xFF) - (b(i) & 0xFF); i += 1 }
+    if (r != 0) r else a.length - b.length
+  }
+
   /** Learn `numMerges` BPE merges from `texts` (offline/driver step).
     * Deterministic: the most frequent adjacent symbol pair wins each
-    * round, ties broken by lexicographic order of the pair.
+    * round, ties broken by UTF-8 byte order of the pair (the order the
+    * distributed trainer's struct-min evaluates; plain lexicographic on
+    * ASCII).
     */
   def train(texts: Seq[String], numMerges: Int): Vocab = {
     // word-frequency model over pre-tokens: BPE statistics are per
@@ -60,7 +97,7 @@ object Bpe {
     val wordFreq = mutable.HashMap.empty[Vector[String], Long]
     texts.foreach { t =>
       pretokens(t).foreach { w =>
-        val sym = w.map(_.toString).toVector
+        val sym = codePoints(w)
         wordFreq.update(sym, wordFreq.getOrElse(sym, 0L) + 1L)
       }
     }
@@ -81,7 +118,8 @@ object Bpe {
       }
       if (pairFreq.isEmpty) exhausted = true
       else {
-        val best = pairFreq.toSeq.minBy { case ((a, b), f) => (-f, a, b) }._1
+        val best = pairFreq.toSeq.minBy { case ((a, b), f) => (-f, a, b) }(
+          Ordering.Tuple3(Ordering.Long, utf8Order, utf8Order))._1
         merges += best
         val next = mutable.HashMap.empty[Vector[String], Long]
         words.foreach { case (sym, f) =>
@@ -126,7 +164,7 @@ object Bpe {
       .select(col(textCol).cast("string").as[String])
       .flatMap(t => pretokens(if (t == null) "" else t))
       .groupByKey(identity).count()
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .map { case (w, f) => (codePoints(w): Seq[String], f) }
       .localCheckpoint(true)
     val baseChars = words.flatMap(_._1).distinct().collect().sorted.toSeq
     val merges = Vector.newBuilder[(String, String)]
@@ -181,7 +219,7 @@ object Bpe {
     * (a character never seen in training) encode as -1.
     */
   def encodePretoken(word: String, vocab: Vocab): Array[Int] = {
-    var sym = word.map(_.toString).toVector
+    var sym = codePoints(word)
     var done = sym.length < 2
     while (!done) {
       var bestRank = Int.MaxValue

@@ -104,16 +104,59 @@ object Dedup {
     signaturesFromShingles(shingleRows(df, idCol, textCol, shingleWidth),
       idCol, numHashes)
 
+  /** Modulus for the affine MinHash permutations: the smallest prime
+    * above 2³² (md5_prefix32 base hashes are < 2³²), so h → (a·h+b) mod P
+    * is a universal-hash family over the full base range.
+    */
+  val MinHashPrime: Long = 4294967311L
+
+  /** Affine permutation parameters (aᵢ ∈ [1, 2³⁰), bᵢ ∈ [0, 2³⁰)) for
+    * MinHash component i — splitmix64-derived: deterministic with no RNG
+    * state, and small enough that aᵢ·h + bᵢ < 2⁶² for any 32-bit h (no
+    * overflow under ANSI arithmetic on any engine — the q22/q76 oracles
+    * replay the identical integers in SQL).
+    */
+  def minHashParams(i: Int): (Long, Long) = {
+    def mix(x: Long): Long = {
+      var z = x + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val a = ((mix(2L * i) & 0x3FFFFFFFL) % ((1L << 30) - 1)) + 1
+    val b = mix(2L * i + 1) & 0x3FFFFFFFL
+    (a, b)
+  }
+
+  /** MinHash permutation i of a 32-bit base hash: integer affine map mod
+    * [[MinHashPrime]] — pure arithmetic, bit-identical on any engine
+    * (the reason the LSH family is oracle-replayable; an engine hash like
+    * xxhash64 here would make every signature engine-private).
+    */
+  def minHashPermuted(i: Int, h: Column): Column = {
+    val (a, b) = minHashParams(i)
+    (h * lit(a) + lit(b)) % lit(MinHashPrime)
+  }
+
   private def signaturesFromShingles(shingles: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
-    val shingled = shingles.withColumn("__h", xxhash64(col("__sh")))
-    // permutation i = re-hash with a per-i seed (xxhash64 is ANSI-safe —
-    // no overflowing multiply — and deterministic across partitionings)
+    val shingled = shingles.withColumn("__h",
+      graft.ops.Sampling.md5Prefix32(col("__sh")))
+    // the base hash is computed ONCE per shingle; each permutation is two
+    // integer ops on it (cheaper than numHashes re-hashes, and replayable)
     val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"sig_$i")
+      min(minHashPermuted(i, col("__h"))).as(s"sig_$i")
     }
     shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Band bucket key: the band's signature slice joined as a string.
+    * Grouping on the slice VALUES (vs hashing the slice) costs a few
+    * extra shuffle bytes per doc but is collision-free and — like the
+    * signatures — reproduces on any engine.
+    */
+  private def bandBucket(sigCol: Int => Column, b: Int, rows: Int): Column =
+    concat_ws("|", (b * rows until (b + 1) * rows).map(sigCol): _*)
 
   /** Near-duplicate candidate pairs via banded LSH over MinHash signatures,
     * verified with true word-shingle Jaccard.
@@ -154,9 +197,8 @@ object Dedup {
     // per-doc signature array + per-band slice hashes, one projection
     val bandArr = sig.select(col(idCol),
       array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__sig"),
-      array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
-      }: _*).as("__bands"))
+      array((0 until bands).map(b =>
+        bandBucket(i => col(s"sig_$i"), b, rows)): _*).as("__bands"))
     val buckets = bandArr.select(col(idCol), col("__sig"),
       posexplode(col("__bands")).as(Seq("band", "bucket")))
 
@@ -247,9 +289,8 @@ object Dedup {
     val sig = signaturesFromShingles(shingles, "__k", numHashes)
     val bandArr = sig.select(col("__k"),
       array((0 until numHashes).map(i => col(s"sig_$i")): _*).as("__sig"),
-      array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"sig_$i")): _*)
-      }: _*).as("__bands"))
+      array((0 until bands).map(b =>
+        bandBucket(i => col(s"sig_$i"), b, rows)): _*).as("__bands"))
     val buckets = bandArr.select(col("__k"), col("__sig"),
       posexplode(col("__bands")).as(Seq("band", "bucket")))
     val sized = buckets.withColumn("__n",
@@ -297,9 +338,10 @@ object Dedup {
   /** LSH index rows computed ENTIRELY in-row — no shuffle, no
     * aggregation: the shingle set materializes as one array column, each
     * MinHash signature component is an `array_min` over it (identical
-    * arithmetic to [[minHashSignatures]]' grouped min — same xxhash64
-    * seeding — so the two constructions index identically), and band
-    * buckets hash signature slices as in [[minHashLshPairs]].
+    * arithmetic to [[minHashSignatures]]' grouped min — same md5 base
+    * hash and affine permutations — so the two constructions index
+    * identically), and band buckets join signature slices as in
+    * [[minHashLshPairs]].
     *
     * Returns (idCol, `__shs` shingle array, `__buckets` per-band bucket
     * array, `band`, `bucket`) — one row per (doc, band). Because nothing
@@ -329,12 +371,12 @@ object Dedup {
       .otherwise(array(concat_ws(" ", col("__toks"))))
     val shs = toksed.select(col(idCol), array_distinct(grams).as("__shs"))
     val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("__shs"), s => xxhash64(lit(i), xxhash64(s))))
+      array_min(transform(col("__shs"),
+        s => minHashPermuted(i, graft.ops.Sampling.md5Prefix32(s))))
         .as(s"__sig_$i"))
     val withSig = shs.select(col(idCol) +: col("__shs") +: sigCols: _*)
-    val buckets = array((0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"__sig_$i")): _*)
-    }: _*)
+    val buckets = array((0 until bands).map(b =>
+      bandBucket(i => col(s"__sig_$i"), b, rows)): _*)
     withSig
       .select(col(idCol), col("__shs"), buckets.as("__buckets"))
       .select(col(idCol), col("__shs"), col("__buckets"),
@@ -358,25 +400,28 @@ object Dedup {
     df.join(hit, Seq(idCol), "left_anti")
   }
 
-  /** 64-bit SimHash per document over word tokens: bit i of the hash is the
-    * sign of Σ_tokens (±1 by bit i of xxhash64(token)).
+  /** 32-bit SimHash per document over word tokens: bit i of the hash is the
+    * sign of Σ_tokens (±1 by bit i of md5_prefix32(token)). md5-prefix
+    * arithmetic (vs an engine hash) makes the value itself reproducible on
+    * any engine — integer bit math end to end, so the q23 oracle replays
+    * it cell-exact; 32 bits is ample for hamming-≤3 near-dup blocking.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("__h", graft.ops.Sampling.md5Prefix32(col("__t")))
+    val bitSums = (0 until 32).map { i =>
       sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"__b$i")
     }
     val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { i =>
+    val hash = (0 until 32).map { i =>
       when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     summed.select(col(idCol), hash.as("simhash"))
   }
 
-  /** Near-dup pairs with hamming(simhash) ≤ `maxHamming`, blocked on 16-bit
+  /** Near-dup pairs with hamming(simhash) ≤ `maxHamming`, blocked on 8-bit
     * chunks (4 chunks ⇒ exact for maxHamming ≤ 3, high-recall above).
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -384,7 +429,7 @@ object Dedup {
     val sh = simHash(df, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"), posexplode(array(
       (0 until 4).map(c =>
-        shiftright(col("simhash"), 16 * c).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col("simhash"), 8 * c).bitwiseAND(0xFFL)): _*))
       .as(Seq("chunk", "val")))
     val l = chunked.select(col("chunk"), col("val"),
       col(idCol).as("id1"), col("simhash").as("__h1"))

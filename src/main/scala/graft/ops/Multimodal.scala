@@ -53,7 +53,13 @@ object Multimodal {
       .when(hx.startsWith("47494638"), "image/gif")
       .when(hx.startsWith("52494646") &&
         substring(hx, 17, 8) === "57415645", "audio/wav")
-      .when(substring(hx, 9, 8) === "66747970", "video/mp4")
+      // `ftyp` at offset 4 is anchored behind a plausible leading box
+      // length (bytes 0-3 = big-endian size of the ftyp box; real ones
+      // are tens of bytes, so the top two bytes are always 00 — while a
+      // TEXT payload containing "ftyp" at chars 4-7 has no NULs at all
+      // and can no longer sniff as video)
+      .when(hx.startsWith("0000") && substring(hx, 9, 8) === "66747970",
+        "video/mp4")
       .when(hx.startsWith("25504446"), "application/pdf")
       .otherwise("application/octet-stream")
   }

@@ -133,6 +133,35 @@ class BpeSpec extends SparkSpec {
     assert(g2.merges == w2.merges && g2.ids == w2.ids)
   }
 
+  test("non-BMP corpora: driver and distributed training still agree") {
+    // supplementary-plane characters (emoji) exercise the two historical
+    // divergence points: per-Char splitting would cut them into lone
+    // surrogates (mangled through UTF8String), and the driver tie-break
+    // must use UTF-8 byte order, not UTF-16 code-unit order — U+FF5E
+    // sorts ABOVE an emoji in UTF-16 but BELOW it in UTF-8
+    val texts = Seq(
+      "😀😀 a😀 ab ab",
+      "～～ a～ 😀😀",
+      "ab a😀 ～～ 😀😀")
+    val want = Bpe.train(texts, numMerges = 12)
+    // every learned symbol is a valid code-point sequence — no lone
+    // surrogates anywhere in the vocab
+    want.ids.keysIterator.foreach { s =>
+      assert(s.codePoints().toArray.forall(Character.isValidCodePoint),
+        s"invalid symbol $s")
+      assert(!s.exists(c => Character.isSurrogate(c) &&
+        s.indexOf(c) == s.length - 1 && Character.isHighSurrogate(c)),
+        s"lone surrogate in $s")
+    }
+    val df = docFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    val got = Bpe.trainDistributed(df.repartition(3), "text", 12)
+    assert(got.merges == want.merges)
+    assert(got.ids == want.ids)
+    // and the encoder round-trips emoji text through the learned vocab
+    val ids = Bpe.encodePretoken("a😀", want)
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+  }
+
   test("n_pretokens column matches driver pretokenization") {
     val v = Bpe.train(corpus, numMerges = 10)
     val df = docFrame(corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) })

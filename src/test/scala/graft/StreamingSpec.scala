@@ -241,6 +241,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("selection pipeline end-to-end on a stream: score, gate, mix") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // the q64 serving shape composed as ONE stream: DSIR importance
+    // score -> threshold gate -> mix-plan rate filter. Models and rates
+    // are fitted batch-side on the standing corpus (exactly how a
+    // nightly-fit/live-serve selection deploys); everything that touches
+    // the stream is a stateless select/filter — no state store.
+    val standing = Seq(
+      (1L, "alpha beta gamma delta", "web", true),
+      (2L, "alpha gamma delta beta", "web", true),
+      (3L, "qqq www eee rrr", "web", false),
+      (4L, "zzz xxx ccc vvv", "books", false),
+      (5L, "beta alpha delta gamma", "books", true))
+      .toDF("doc_id", "text", "source", "tgt")
+    val m = graft.ops.Dsir.fit(standing, col("tgt"), "doc_id", "text",
+      buckets = 64)
+    val plan = graft.ops.MixPlan.plan(standing, "source", lit(10L),
+      budget = 10) // tight budget -> sub-1 keep rates, the mix must drop
+    val incoming = (10L to 29L).map { i =>
+      val txt = if (i % 2 == 0) "alpha beta gamma delta" else "qqq www eee rrr"
+      (i, txt, if (i % 3 == 0) "web" else "books")
+    }
+    // the gate threshold is a fit-time constant like the model itself:
+    // midpoint of the two score levels, computed batch-side
+    val scores = incoming.toDF("doc_id", "text", "source")
+      .select(graft.ops.Dsir.scoreExpr(col("text"), m))
+      .collect().map(_.getDouble(0))
+    val thresh = (scores.min + scores.max) / 2
+    def compose(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.MixPlan.execute(
+        df.withColumn("log_weight", graft.ops.Dsir.scoreExpr(col("text"), m))
+          .where(col("log_weight") >= thresh),
+        "doc_id", "source", plan, salt = "#sel")
+    val src = MemoryStream[(Long, String, String)]
+    val q = compose(src.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("sel").outputMode("append")
+      .start()
+    try {
+      src.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sel").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      // row parity with the identical batch composition
+      val batch = compose(incoming.toDF("doc_id", "text", "source"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      // both stages did real work: the gate passed only target-like docs
+      // (even ids), the mix filter dropped some of those
+      val targetLike = incoming.collect { case (i, _, _) if i % 2 == 0 => i }.toSet
+      assert(streamed.nonEmpty && streamed.subsetOf(targetLike))
+      assert(streamed.size < targetLike.size,
+        s"mix filter kept everything: $streamed")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
