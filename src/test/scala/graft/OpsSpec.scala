@@ -363,6 +363,83 @@ class OpsSpec extends SparkSpec {
     assert(nRegex == 1, s"tokenization fanned out: $nRegex regex nodes")
   }
 
+  test("random corpora: md5+affine minhash matches a naive reference") {
+    // independent Scala re-derivation of the full signature arithmetic
+    // (md5-prefix base hash, affine permutation, min over the shingle
+    // set with the whole-doc fallback) — pins BOTH constructions, the
+    // grouped aggregation and the in-row streaming index, against it
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    def randDoc() = Seq.fill(1 + rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.length))).mkString("  ") // odd spacing
+    def md5p32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    def naiveSigs(text: String, w: Int, numHashes: Int): Seq[Long] = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+      val grams = if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      (0 until numHashes).map { i =>
+        val (a, b) = Dedup.minHashParams(i)
+        grams.map(g => (md5p32(g) * a + b) % Dedup.MinHashPrime).min
+      }
+    }
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 12L).map(i => (i, randDoc()))
+      val df = docFrame(docs: _*)
+      val got = Dedup.minHashSignatures(df, "doc_id", "text",
+        numHashes = 16, shingleWidth = 3).collect()
+        .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+      docs.foreach { case (id, t) =>
+        assert(got(id) == naiveSigs(t, 3, 16), s"grouped sigs, doc $id")
+      }
+      // the in-row (streaming) index derives the same band buckets
+      val inRow = Dedup.lshIndexRows(df, "doc_id", "text",
+        numHashes = 16, bands = 4, shingleWidth = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> r.getString(4)).toMap
+      docs.foreach { case (id, t) =>
+        val sigs = naiveSigs(t, 3, 16)
+        (0 until 4).foreach { b =>
+          val want = (b * 4 until b * 4 + 4).map(sigs).mkString("|")
+          assert(inRow((id, b)) == want, s"in-row bucket, doc $id band $b")
+        }
+      }
+    }
+  }
+
+  test("random corpora: 32-bit simhash matches a naive reference") {
+    val rnd = new scala.util.Random(7117)
+    val vocab = Vector("red", "blue", "green", "ochre", "teal")
+    def randDoc() = Seq.fill(1 + rnd.nextInt(15))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    def md5p32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    def naive(text: String): Long = {
+      val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").filter(_.nonEmpty) // per OCCURRENCE, not distinct
+      (0 until 32).map { i =>
+        val s = toks.map(t => if (((md5p32(t) >> i) & 1L) == 1L) 1 else -1).sum
+        if (s > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    (1 to 3).foreach { _ =>
+      val docs = (1L to 15L).map(i => (i, randDoc()))
+      val got = Dedup.simHash(docFrame(docs: _*), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.foreach { case (id, t) =>
+        assert(got(id) == naive(t), s"doc $id")
+      }
+    }
+  }
+
   test("lm perplexity: reference-like text scores lower; math is exact") {
     import graft.ops.LmScore
     val ref = docFrame(
