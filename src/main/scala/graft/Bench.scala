@@ -55,7 +55,11 @@ object Bench {
       val timed = if (times.length > 1) times.drop(1) else times
       name -> timed.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision: full-precision doubles made round 6's stored line
+    // long enough that the driver's record truncated mid-object — the
+    // timings are only meaningful to ~10 ms on this box anyway
+    def r3(x: Double): String = "%.3f".formatLocal(java.util.Locale.US, x)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // q01..q36 = the subset recorded in BASELINE.md (quiet-box ~27 s at sf0.1)
@@ -63,7 +67,7 @@ object Bench {
       n.matches("^q(0[1-9]|[12][0-9]|3[0-6])_.*")
     }
     val bsTotal = baselineSubset.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":$bsTotal,"baseline_subset_n":${baselineSubset.size}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}""")
     spark.stop()
   }
 }
