@@ -91,9 +91,11 @@ object QueriesExt {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // exact dedup: hash-groupBy on normalized text
+    // exact dedup on the 128-bit fingerprint key (the corpus-scale
+    // shuffle shape); the oracle groups by the TEXT, so the hash-match
+    // also proves the fingerprint produced identical groups
     "q20_dedup_exact" -> ((s, dir) => {
-      Dedup.exact(docs(s, dir), "doc_id", "text")
+      Dedup.exact(docs(s, dir), "doc_id", "text", byFingerprint = true)
         .select(col("keep_id"), col("dup_count")).orderBy("keep_id")
     }),
 
@@ -554,10 +556,10 @@ object QueriesExt {
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
       val existing = d.where(col("u") < 0.5)
       val fresh = d.where(col("u") >= 0.5)
-      val surv = Dedup.exact(fresh, "doc_id", "text")
+      val surv = Dedup.exact(fresh, "doc_id", "text", byFingerprint = true)
         .select(col("keep_id").as("doc_id"))
       Dedup.exactAgainst(fresh.join(surv, "doc_id"), existing,
-        "doc_id", "text")
+        "doc_id", "text", byFingerprint = true)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),

@@ -25,28 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Content key for exact dedup: the normalized text itself, or — the
+    * corpus-scale path — its full 128-bit md5 as a 32-char hex string.
+    * The fingerprint key cuts the exchange payload from the whole
+    * document to 32 bytes/row (at 100 TB that is the difference between
+    * shuffling the corpus and shuffling ~32 bytes × n). Collision risk
+    * is n²/2¹²⁹ (~10⁻²⁰ at 10¹⁰ docs), and md5 — not an engine hash —
+    * keeps recorded dedup decisions replayable on any engine (the q20
+    * oracle still groups by the text and must see identical groups).
+    */
+  private def contentKey(textCol: String, byFingerprint: Boolean): Column =
+    if (byFingerprint) md5(TextOps.normText(col(textCol)).cast("binary"))
+    else TextOps.normText(col(textCol))
+
   /** Exact dedup: one row per distinct normalized text with the surviving
     * (minimum) id and the duplicate-group size. Single hash shuffle;
-    * map-side partial aggregation applies.
+    * map-side partial aggregation applies. `byFingerprint` shuffles the
+    * 128-bit [[contentKey]] instead of the full text — the 100 TB path;
+    * both produce identical groups (OpsSpec pins equality).
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextOps.normText(col(textCol)).as("text_norm"))
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      byFingerprint: Boolean = false): DataFrame =
+    df.groupBy(contentKey(textCol, byFingerprint).as("text_norm"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** Incremental exact dedup: rows of `df` whose normalized text does NOT
     * already appear in `reference` — the daily-ingest primitive (dedup a
     * new crawl against the standing corpus without touching the corpus).
-    * One left-anti equi-join on the normalized content; both sides
-    * shuffle on the content key, reference rows are pre-deduped so the
-    * build side carries one row per distinct text. At true corpus scale
-    * swap the key for `TextOps.contentHash` to shuffle 8-byte hashes
-    * instead of full texts (64-bit collisions: ~n²/2⁶⁵).
+    * One left-anti equi-join on the content key; both sides shuffle on
+    * it, reference rows are pre-deduped so the build side carries one
+    * row per distinct key. `byFingerprint` joins on the 128-bit
+    * [[contentKey]] instead of the full text (the 100 TB path).
     */
   def exactAgainst(df: DataFrame, reference: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, byFingerprint: Boolean = false): DataFrame = {
     val refKeys = reference
-      .select(TextOps.normText(col(textCol)).as("__tn")).distinct()
-    df.withColumn("__tn", TextOps.normText(col(textCol)))
+      .select(contentKey(textCol, byFingerprint).as("__tn")).distinct()
+    df.withColumn("__tn", contentKey(textCol, byFingerprint))
       .join(refKeys, Seq("__tn"), "left_anti")
       .drop("__tn")
   }

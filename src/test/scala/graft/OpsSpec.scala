@@ -26,6 +26,20 @@ class OpsSpec extends SparkSpec {
       .orderBy("keep_id").collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 2L), (3L, 1L))) // normalization merges 1 and 2
+    // the fingerprint-key shuffle (the 100 TB path: 32-byte md5 through
+    // the exchange instead of the full text) produces identical groups
+    val fp = Dedup.exact(df, "doc_id", "text", byFingerprint = true)
+      .orderBy("keep_id").collect()
+    assert(fp.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      out.map(r => (r.getLong(1), r.getLong(2))).toSeq)
+    // and the incremental form agrees across both key choices
+    val ref = docFrame((9L, "hello   world"), (10L, "standing corpus"))
+    val a = Dedup.exactAgainst(df, ref, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.exactAgainst(df, ref, "doc_id", "text",
+      byFingerprint = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a == Set(3L)) // 1 and 2 match the reference text
   }
 
   test("minhash LSH finds a near-duplicate pair and estimates jaccard") {
