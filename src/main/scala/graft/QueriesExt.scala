@@ -773,6 +773,30 @@ object QueriesExt {
         .orderBy("vec_id")
     }),
 
+    // bucketed-table co-located join: docs and a derived score table are
+    // written hash-bucketed + sorted on doc_id, then re-joined through
+    // the catalog — the join plans with zero exchanges (OutputSpec
+    // asserts the plan; this query proves the layout round-trips values
+    // through a real write). Oracle replays the join + rollup directly.
+    "q87_bucketed_join" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scores = d.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q87_" +
+        s.sparkContext.applicationId
+      Output.writeBucketedTable(d.select("doc_id", "source"),
+        "graft_q87_docs", "doc_id", 4, Some(s"$base/docs"))
+      Output.writeBucketedTable(scores, "graft_q87_scores",
+        "doc_id", 4, Some(s"$base/scores"))
+      s.table("graft_q87_docs").join(s.table("graft_q87_scores"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q") > 0.5, 1L).otherwise(0L)).as("n_quality"),
+          sum(col("nt")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // deterministic global-shuffle write: the whole corpus re-ordered by
     // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
     // floor(u·8), u-sorted within), re-read, and digested per shard with
@@ -1398,6 +1422,17 @@ object QueriesExt {
          |    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
          |    >= 0.25
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // the bucketed-layout round-trip carries the same rows the direct
+    // join would, so the oracle replays the join + rollup on the source
+    "q87_bucketed_join" -> {
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(CASE WHEN ($qualitySql) > 0.5 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_quality,
+         |  sum($tok)::BIGINT AS n_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q79_random_projection" -> {

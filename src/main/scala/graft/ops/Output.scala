@@ -73,6 +73,28 @@ object Output {
   def rowHash(cols: Column*): Column =
     Sampling.md5Prefix32(concat_ws("|", cols: _*))
 
+  /** Bucketed-table write: the co-located-join primitive. The table is
+    * hash-bucketed AND sorted by `keyCol` at write time, so any two
+    * tables bucketed the same way (same key, same bucket count)
+    * sort-merge-join with NO exchange and NO sort on either side — the
+    * shuffle is paid ONCE at write, then every downstream join of the
+    * fact/dim/embedding tables that a corpus pipeline re-joins per run
+    * reads co-located buckets. This is the table-layout complement of
+    * [[writeSharded]] (which optimizes streaming reads, not joins);
+    * OutputSpec asserts the exchange-free join plan.
+    *
+    * Registered through the session catalog (`saveAsTable` — bucket
+    * metadata lives there; a plain `save(path)` cannot record it). Pass
+    * `path` to keep the data external to the warehouse directory.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, keyCol: String,
+      numBuckets: Int, path: Option[String] = None): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Deterministic GLOBAL training-order shuffle, written as shards: the
     * permutation is "order by the salted md5-uniform u" — a full
     * reshuffle of the corpus that any engine reproduces exactly. Shard k

@@ -101,6 +101,42 @@ class OutputSpec extends SparkSpec {
       .toDouble / 4294967296.0
   }
 
+  test("bucketed tables: co-located join plans with zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val base = Files.createTempDirectory("graft_bkt").toString
+    val docsT = corpus(300)
+    val meta = spark.range(300).select(col("id").as("doc_id"),
+      (col("id") % 7).as("quality_bin"))
+    Output.writeBucketedTable(docsT, "bkt_docs", "doc_id", 4,
+      Some(s"$base/docs"))
+    Output.writeBucketedTable(meta, "bkt_meta", "doc_id", 4,
+      Some(s"$base/meta"))
+    try {
+      // disable broadcast so the join would OTHERWISE shuffle both sides
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table("bkt_docs")
+          .join(spark.table("bkt_meta"), "doc_id")
+        val plan = joined.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.initialPlan
+          case p => p
+        }
+        val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty,
+          s"bucketed join still shuffles: ${exchanges.size} exchanges")
+        // correctness: all rows join, values intact
+        val n = joined.where(col("quality_bin") === col("doc_id") % 7).count()
+        assert(n == 300)
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_meta")
+    }
+  }
+
   test("shuffled write: total, hash-range sharded, files in u order") {
     val dir = Files.createTempDirectory("graft_out").toString + "/s"
     Output.writeShuffled(corpus(200), "doc_id", dir, numShards = 4,
