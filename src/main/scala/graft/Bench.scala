@@ -68,6 +68,19 @@ object Bench {
     }
     val bsTotal = baselineSubset.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}""")
+    // Second, COMPACT summary line printed LAST: the per-query line above
+    // overflows the driver's stdout capture window (87 queries; rounds 6-7
+    // stored a truncated head and "parsed": null), and a tail-capture keeps
+    // whatever prints last. This line is ~120 bytes and carries everything
+    // the perf gate needs, so the machine-readable record no longer depends
+    // on where truncation lands. The full per-query map is also persisted to
+    // bench_queries.json in the cwd for post-hoc reads.
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_queries.json")
+      java.nio.file.Files.write(p, (qs + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(summary)
     spark.stop()
   }
 }
