@@ -167,18 +167,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Squared L2 distance from `v` to a centroid literal. */
-  private def dist2To(v: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(v, lit(centroid), (x, c) => (x - c) * (x - c)),
-      lit(0.0), (acc, x) => acc + x)
+  /** Fixed-point grid for the k-means family: vector coordinates are
+    * rounded to `round(x · 10⁶)` longs, centroids live on the same grid,
+    * and every distance is an exact integer sum — so the whole Lloyd
+    * loop is order-free (no fp associativity anywhere) and replays
+    * bit-identically on any engine, including the DuckDB oracle.
+    * Magnitude bound: |coord| ≤ G·maxAbs, so a 64-dim squared distance
+    * stays ≤ 64·(2G·maxAbs)² ≈ 10¹⁵ < 2⁵³ for maxAbs ≤ 2 — exact in a
+    * long and even in a double. Centroid sums stay exact up to ~10⁹ rows
+    * per cluster at maxAbs ≤ 1 (2·Σ|x| < 2⁵³).
+    */
+  val KmeansGrid: Long = 1000000L
+
+  /** Vector quantized onto the k-means grid. */
+  def toGrid(v: Column): Column =
+    transform(v.cast("array<double>"),
+      x => round(x * KmeansGrid).cast("long"))
+
+  /** Exact integer squared L2 distance from grid vector `q` to a grid
+    * centroid literal.
+    */
+  private def gridDist2(q: Column, centroid: Array[Long]): Column =
+    aggregate(zip_with(q, lit(centroid), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, x) => acc + x)
 
   /** Deterministic hash-seeded Lloyd k-means over an embedding column:
-    * init buckets by id hash (no RNG state — same clustering on any
-    * cluster/partitioning/rerun), then `iters` refinements. Returns the
-    * final assignment frame (idCol, `__v` array<double>, cluster `__c`)
-    * and the learned centroids.
+    * init buckets by id hash (md5-prefix32 — no RNG state AND
+    * engine-free, so the same clustering reproduces on any
+    * cluster/partitioning/rerun/engine), then `iters` refinements on the
+    * [[KmeansGrid]] integer grid. Returns the final assignment frame
+    * (idCol, `__v` array<double>, cluster `__c`, `__q` grid vector) and
+    * the learned GRID centroids (divide by [[KmeansGrid]] for real
+    * coordinates).
     *
-    * Centroids are driver-sized by construction (nlist × dim doubles —
+    * The centroid update is an exact long sum + round-half-up division
+    * (`floor((2s+n)/(2n))` — both operands exact, one correctly-rounded
+    * IEEE division, so identical on every engine); assignment is an
+    * integer argmin with first-index tie-break. No floating-point value
+    * enters the iteration, which is what lets q35/q61 replay cell-exact
+    * in DuckDB (fp `avg` order was the round-7 blocker).
+    *
+    * Centroids are driver-sized by construction (nlist × dim longs —
     * the boundary every IVF/k-means index has); everything else is
     * distributed: assignment is a per-row argmin over broadcast centroid
     * literals, the centroid update is a (cluster, dim) groupBy.
@@ -186,36 +215,45 @@ object Similarity {
     * [[Dedup.semanticDedupPairs]] (SemDeDup clusters).
     */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): (DataFrame, Seq[Array[Double]]) = {
+      nlist: Int, iters: Int): (DataFrame, Seq[Array[Long]]) = {
     require(iters >= 1, "k-means needs at least one Lloyd iteration")
     val v = col(vecCol).cast("array<double>")
     // each iteration's assignment is persisted (id+vec+bucket, tiny) so the
     // next centroid aggregation doesn't lazily re-execute the prior chain
-    var assigned = corpus.select(col(idCol), v.as("__v"),
-      pmod(xxhash64(col(idCol)), lit(nlist.toLong)).cast("int").as("__c"))
+    val base = corpus.select(col(idCol), v.as("__v"), toGrid(v).as("__q"))
+    var assigned = base.select(col(idCol), col("__v"),
+      pmod(Sampling.md5Prefix32(col(idCol)), lit(nlist.toLong)).cast("int")
+        .as("__c"),
+      col("__q"))
       .persist()
-    var centroids: Seq[Array[Double]] = Nil
+    var centroids: Seq[Array[Long]] = Nil
     // argmin over ONE materialized distance array (evaluating dist2 twice
     // per centroid via a when-chain doubles the higher-order-function cost)
-    def assignExpr(cents: Seq[Array[Double]]): Column = {
-      val dists = array(cents.map(dist2To(col("__v"), _)): _*)
+    def assignExpr(cents: Seq[Array[Long]]): Column = {
+      val dists = array(cents.map(gridDist2(col("__q"), _)): _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     (0 until iters).foreach { it =>
       val cents = assigned
-        .select(col("__c"), posexplode(col("__v")).as(Seq("__d", "__x")))
-        .groupBy("__c", "__d").agg(avg(col("__x")).as("__m"))
+        .select(col("__c"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        // round-half-up of s/n without fp state: 2s+n and 2n are exact
+        // longs, their double quotient is one correctly-rounded division
+        .select(col("__c"), col("__d"),
+          floor((col("__s") * 2 + col("__n")).cast("double") /
+            (col("__n") * 2).cast("double")).cast("long").as("__m"))
         .groupBy("__c").agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
           .as("__ms"))
         .select(col("__c"), transform(col("__ms"), s => s.getField("__m")).as("__cent"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+        .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toMap
       val dim = cents.values.headOption.map(_.length).getOrElse(0)
       centroids = (0 until nlist).map(i =>
-        cents.getOrElse(i, Array.fill(dim)(0.0)))
+        cents.getOrElse(i, Array.fill(dim)(0L)))
       val prev = assigned
-      assigned = corpus.select(col(idCol), v.as("__v"),
-        assignExpr(centroids).as("__c"))
+      assigned = base.select(col(idCol), col("__v"),
+        assignExpr(centroids).as("__c"), col("__q"))
       // only persist assignments that feed another Lloyd collect; the last
       // one is consumed by the caller, whose consumption pattern decides
       // its own caching
@@ -233,22 +271,23 @@ object Similarity {
       vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    def dist2(centroid: Array[Double]): Column = dist2To(v, centroid)
     val (assigned, centroids) =
       kmeansAssign(corpus, idCol, vecCol, nlist, iters)
 
     val c = assigned.select(col(idCol).as("neighbor_id"),
       col("__v").as("__cv"), col("__c").as("bucket"))
-    // query probes: indices of the nprobe nearest centroids
-    val probeArr = slice(
+    // query probes: indices of the nprobe nearest centroids by exact
+    // integer grid distance (ties by index — array_sort on the struct is
+    // lexicographic), same arithmetic the oracle replays
+    def probeArr(qGrid: Column): Column = slice(
       transform(
         array_sort(array(centroids.zipWithIndex.map { case (cent, i) =>
-          struct(dist2(cent).as("d"), lit(i).as("i"))
+          struct(gridDist2(qGrid, cent).as("d"), lit(i).as("i"))
         }: _*)),
         s => s.getField("i")),
       1, nprobe)
     val q = queries.select(col(idCol).as("query_id"), v.as("__qv"),
-      explode(probeArr).as("bucket"))
+      explode(probeArr(toGrid(v))).as("bucket"))
     val scored = q.join(c, "bucket")
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
