@@ -522,7 +522,7 @@ object QueriesCore {
     "q11_convert_down" ->
       s"""$monthlySql, qq AS (
          |  SELECT date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq,
-         |         sum(cnt) * 4 AS cq
+         |         sum(cnt) / 12 * 4 AS cq
          |  FROM m GROUP BY 1
          |), aa AS (
          |  SELECT date_trunc('year', date)::DATE AS ad, avg(rev) AS ra

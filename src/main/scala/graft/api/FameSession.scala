@@ -112,7 +112,8 @@ object FameSession {
           (partitionKeys.map(col) :+ col(dateCol)) ++ srcCols.map(col): _*)
         val converted0 =
           if (Convert.isDown(srcFreq, tgtFreq))
-            Convert.down(projected, dateCol, srcCols, tgtFreq, observed, partitionKeys)
+            Convert.down(projected, dateCol, srcCols, srcFreq, tgtFreq, observed,
+              partitionKeys)
           else
             Convert.up(projected, dateCol, srcCols, srcFreq, tgtFreq, technique,
               partitionKeys, businessCal)

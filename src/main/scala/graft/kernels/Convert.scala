@@ -72,19 +72,26 @@ object Convert {
     * (`fame2pygen/formulas_generator.py:104-115`).
     *
     * `annualized` follows the published FAME meaning (User's Guide,
-    * OBSERVED attribute): like SUMMED but restated at an annual rate —
-    * the period total × periods-per-year of the TARGET frequency
-    * (`targetPpy`; e.g. monthly→quarterly: quarter total × 4). The
-    * reference passes `annualized` unchecked to its closed kernel, so
-    * this implements the standard semantics rather than an alias.
-    * `formula` (also closed in the reference) takes the period average
-    * (documented choice).
+    * OBSERVED attribute): source observations are ALREADY expressed at
+    * an annual rate, so the lower-frequency value de-annualizes each
+    * observation by the SOURCE periods-per-year, sums over the target
+    * period, and re-annualizes by the TARGET periods-per-year —
+    * `sum(c) / srcPpy * targetPpy` (evaluated in exactly that order so
+    * the DuckDB oracle replays it bit-for-bit). For complete periods
+    * this equals the period average (monthly→quarterly: sum/12*4 =
+    * sum/3); for partial head/tail periods it correctly pro-rates
+    * instead. Both ppy arguments are required — a defaulted 1.0 would
+    * silently turn `annualized` into plain `sum`. The reference passes
+    * `annualized` unchecked to its closed kernel, so this implements
+    * the published semantics rather than an alias. `formula` (also
+    * closed in the reference) takes the period average (documented
+    * choice).
     */
   def observedAgg(c: Column, dateCol: Column, observed: String,
-      targetPpy: Double = 1.0): Column =
+      srcPpy: Double, targetPpy: Double): Column =
     observed match {
       case "average" | "averaged" | "formula" => avg(c)
-      case "annualized"             => sum(c) * lit(targetPpy)
+      case "annualized"             => sum(c) / lit(srcPpy) * lit(targetPpy)
       case "sum" | "summed"         => sum(c)
       case "first" | "beginning"    => min_by(c, when(c.isNotNull, dateCol))
       case "last" | "end" | "ending"=> max_by(c, when(c.isNotNull, dateCol))
@@ -95,18 +102,21 @@ object Convert {
       case _                        => avg(c)
     }
 
-  /** Downsample `cols` of `df` to `target` frequency.
+  /** Downsample `cols` of `df` from `src` to `target` frequency.
     * Returns `keys :+ dateCol :+ cols` with DATE = period start.
+    * `src` feeds the annualized de-annualization factor only.
     */
   def down(df: DataFrame, dateCol: String, cols: Seq[String],
-      target: Frequency, observed: String,
+      src: Frequency, target: Frequency, observed: String,
       keys: Seq[String] = Nil): DataFrame = {
     val grouped = df.groupBy(
       (keys.map(col) :+ periodStart(col(dateCol), target).as(dateCol)): _*)
-    val ppy = periodsPerYear(target)
+    val srcPpy = periodsPerYear(src)
+    val tgtPpy = periodsPerYear(target)
     grouped.agg(
-      observedAgg(col(cols.head), col(dateCol), observed, ppy).as(cols.head),
-      cols.tail.map(c => observedAgg(col(c), col(dateCol), observed, ppy).as(c)): _*)
+      observedAgg(col(cols.head), col(dateCol), observed, srcPpy, tgtPpy).as(cols.head),
+      cols.tail.map(c =>
+        observedAgg(col(c), col(dateCol), observed, srcPpy, tgtPpy).as(c)): _*)
   }
 
   /** Fine-calendar step for a target frequency. */

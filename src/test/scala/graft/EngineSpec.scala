@@ -144,9 +144,10 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "Z"), Seq.fill(3)(Some(8.0)))
   }
 
-  test("convert observed=annualized restates the period total at an annual rate") {
-    // monthly flows 1..6 over two quarters: Q1 total 6, Q2 total 15;
-    // annualized (x periods-per-year of the quarterly target = 4) -> 24, 60
+  test("convert observed=annualized de-annualizes, sums, re-annualizes") {
+    // monthly ANNUALIZED rates 1..6 over two quarters: each observation is
+    // an annual rate, so Q1 = (1+2+3)/12*4 = 2, Q2 = 15/12*4 = 5 — the
+    // period average for complete quarters (FAME OBSERVED=ANNUALIZED)
     // (two source columns: same-source same-target converts share the
     // <SRC>_QTRLY suffix name — the reference's naming contract)
     val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01",
@@ -158,8 +159,8 @@ class EngineSpec extends SparkSpec {
         |ws = convert(w, q, discrete, sum)""".stripMargin, in).df
     // converted values land on the period-start rows (join-back contract)
     assertSeq(column(out, "V_QTRLY"),
-      Seq(Some(24.0), None, None, Some(60.0), None, None))
-    // annualized == summed x 4 on the same data
+      Seq(Some(2.0), None, None, Some(5.0), None, None))
+    // summed is the raw period total on the same data
     assertSeq(column(out, "W_QTRLY"),
       Seq(Some(6.0), None, None, Some(15.0), None, None))
   }

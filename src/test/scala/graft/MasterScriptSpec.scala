@@ -109,7 +109,8 @@ class MasterScriptSpec extends SparkSpec {
     val up = Convert.up(in, "DATE", Seq("V"),
       Frequency.Quarterly, Frequency.Monthly, "constant")
     assert(up.count() == 12) // full quarters of monthly rows
-    val down = Convert.down(up, "DATE", Seq("V"), Frequency.Quarterly, "last")
+    val down = Convert.down(up, "DATE", Seq("V"),
+      Frequency.Monthly, Frequency.Quarterly, "last")
     val got = down.orderBy("DATE").collect()
       .map(r => (r.getDate(0).toString, r.getDouble(1))).toSeq
     assert(got == Seq("2020-01-01" -> 10.0, "2020-04-01" -> 20.0,
