@@ -19,6 +19,32 @@ object QueriesExt {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Scratch root for queries that prove a real write (q48/q50/q62/q80/
+    * q87/q88): applicationId-keyed ROOT (concurrent JVMs on one machine
+    * never clash) with FIXED per-query subpaths beneath (overwrite mode
+    * reclaims the space on every rerun inside a JVM — the bench runs each
+    * query 3×), and one shutdown hook deletes this JVM's whole root, so
+    * no run leaves filesystem residue (round-7 verdict #3). Catalog
+    * tables registered by these queries live in the in-memory catalog
+    * and die with the session.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val appId = SparkSession.active.sparkContext.applicationId
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_qscratch_$appId")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p.toFile)))
+    p
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty)
+      .foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def scratch(sub: String): String =
+    scratchRoot.resolve(sub).toString
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark reads only as a
     * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
     * timestamp with integer division — ns epoch values exceed 2^53, so any
@@ -119,8 +145,9 @@ object QueriesExt {
         .orderBy("id1", "id2")
     }),
 
-    // 32-bit md5-arithmetic SimHash per document — integer bit math end
-    // to end, so the oracle replays the value cell-exact
+    // 64-bit md5-arithmetic SimHash per document (two 32-bit words of one
+    // digest) — integer bit math end to end, so the oracle replays both
+    // words cell-exact
     "q23_simhash" -> ((s, dir) => {
       Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
     }),
@@ -452,8 +479,7 @@ object QueriesExt {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       import s.implicits._
       val d = docs(s, dir).select("doc_id", "source", "text")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q80_" +
-        s.sparkContext.applicationId
+      val path = scratch("q80")
       Seq("this is not json", "{\"doc_id\": oops").toDS()
         .write.mode("overwrite").text(path)
       d.write.mode("append").json(path)
@@ -650,10 +676,9 @@ object QueriesExt {
         .where(TextOps.qualityScore(col("text")) > 0.5 &&
           TextOps.langId(col("text")) === "en")
         .select("doc_id", "source", "text")
-      // per-application path: concurrent runs on one machine must not
-      // overwrite each other's shards mid-digest
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q48_" +
-        s.sparkContext.applicationId
+      // scratch root is per-application: concurrent runs on one machine
+      // must not overwrite each other's shards mid-digest
+      val path = scratch("q48")
       Output.writeSharded(kept, "doc_id", path, numShards = 8)
       s.read.parquet(path)
         .groupBy(col("shard").cast("long").as("shard"))
@@ -687,8 +712,7 @@ object QueriesExt {
       val split = Sampling.splitByHash(bal, "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "#split")
         .select("doc_id", "source", "split", "text")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q50_" +
-        s.sparkContext.applicationId
+      val path = scratch("q50")
       Output.writeSharded(split, "doc_id", path, numShards = 4,
         salt = "#shard")
       s.read.parquet(path)
@@ -783,8 +807,7 @@ object QueriesExt {
       val scores = d.select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("q"),
         TextOps.tokenCount(col("text")).cast("long").as("nt"))
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_q87_" +
-        s.sparkContext.applicationId
+      val base = scratch("q87")
       Output.writeBucketedTable(d.select("doc_id", "source"),
         "graft_q87_docs", "doc_id", 4, Some(s"$base/docs"))
       Output.writeBucketedTable(scores, "graft_q87_scores",
@@ -807,8 +830,7 @@ object QueriesExt {
     // by OutputSpec's byte-level read of the written files.
     "q62_shuffle_write" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "source", "text")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_q62_" +
-        s.sparkContext.applicationId
+      val path = scratch("q62")
       Output.writeShuffled(d, "doc_id", path, numShards = 8, salt = "#ord")
       val rd = s.read.schema("doc_id LONG, source STRING, text STRING")
         .json(path)
@@ -1325,7 +1347,8 @@ object QueriesExt {
     // the banded string buckets, signature-agreement estimate, and true
     // shingle Jaccard — all integer/md5 arithmetic, cell-exact
     "q22_minhash_lsh" -> {
-      val ctes = minHashCtes(width = 2, numHashes = 32, bands = 8,
+      val numHashes = 32
+      val ctes = minHashCtes(width = 2, numHashes = numHashes, bands = 8,
         maxBucketSize = 1000)
       s"""WITH dset AS (SELECT doc_id, $normSql AS t FROM documents),
          |$ctes,
@@ -1335,7 +1358,7 @@ object QueriesExt {
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
          |), est AS (
          |  SELECT c.id1, c.id2,
-         |    sum(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END)::DOUBLE / 32 AS e
+         |    sum(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END)::DOUBLE / $numHashes AS e
          |  FROM cand c
          |  JOIN sig s1 ON s1.doc_id = c.id1
          |  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
@@ -1395,23 +1418,27 @@ object QueriesExt {
          |ORDER BY doc_id""".stripMargin
     },
 
-    // replays the 32-bit simhash: md5-prefix per token occurrence, ±1 per
-    // bit, bit set when the sum is strictly positive — integer-exact
+    // replays the 64-bit simhash: md5 words 0-1 per token occurrence
+    // (hex chars 1-8 and 9-16 of ONE digest), ±1 per bit, bit set when
+    // the sum is strictly positive — integer-exact for both words
     "q23_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    unnest(list_filter(string_split($normSql, ' '), x -> len(x) > 0)) AS t
          |  FROM documents
          |), h AS (
-         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hlo,
+         |    ('0x' || substr(md5(t), 9, 8))::BIGINT AS hhi FROM toks
          |), bits AS (
          |  SELECT doc_id, b,
-         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |    sum(CASE WHEN (hlo >> b) & 1 = 1 THEN 1 ELSE -1 END) AS slo,
+         |    sum(CASE WHEN (hhi >> b) & 1 = 1 THEN 1 ELSE -1 END) AS shi
          |  FROM h, generate_series(0, 31) AS g(b)
          |  GROUP BY doc_id, b
          |)
          |SELECT doc_id,
-         |  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+         |  sum(CASE WHEN slo > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash_lo,
+         |  sum(CASE WHEN shi > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash_hi
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // replays the whole IVF index build + search: 2 integer-grid Lloyd

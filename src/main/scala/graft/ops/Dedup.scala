@@ -415,41 +415,74 @@ object Dedup {
     df.join(hit, Seq(idCol), "left_anti")
   }
 
-  /** 32-bit SimHash per document over word tokens: bit i of the hash is the
-    * sign of Σ_tokens (±1 by bit i of md5_prefix32(token)). md5-prefix
-    * arithmetic (vs an engine hash) makes the value itself reproducible on
-    * any engine — integer bit math end to end, so the q23 oracle replays
-    * it cell-exact; 32 bits is ample for hamming-≤3 near-dup blocking.
+  /** SimHash per document over word tokens: bit i of the hash is the
+    * sign of Σ_tokens (±1 by bit i of the token hash). md5 arithmetic
+    * (vs an engine hash) makes the value itself reproducible on any
+    * engine — integer bit math end to end, so the q23 oracle replays it
+    * cell-exact. `bits` is 64 (default — two independent 32-bit words of
+    * ONE md5 digest: bytes 0-3 and 4-7, both `('0x'||substr(md5(t),…))`
+    * replayable) or 32 (legacy/compact). Output is two 32-bit columns
+    * `simhash_lo`/`simhash_hi` rather than one packed 64-bit value: the
+    * high word shifted by 32 would overflow signed BIGINT differently
+    * per engine, and two unsigned-in-long words stay portable.
+    * At 64 bits the value space (1.8×10¹⁹) outlives any corpus; the
+    * 32-bit space saturates around 4×10⁹ docs.
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 64): DataFrame = {
+    require(bits == 32 || bits == 64, s"bits must be 32 or 64, got $bits")
     val tok = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", graft.ops.Sampling.md5Prefix32(col("__t")))
-    val bitSums = (0 until 32).map { i =>
-      sum(when(shiftright(col("__h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"__b$i")
+      .withColumn("__hlo", graft.ops.Sampling.md5Prefix32(col("__t")))
+      .withColumn("__hhi",
+        if (bits == 64) graft.ops.Sampling.md5Second32(col("__t")) else lit(0L))
+    val bitSums = (0 until 32).flatMap { i =>
+      val lo = sum(when(shiftright(col("__hlo"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__lo$i")
+      if (bits == 64)
+        Seq(lo, sum(when(shiftright(col("__hhi"), i).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"__hi$i"))
+      else Seq(lo)
     }
     val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 32).map { i =>
-      when(col(s"__b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    def word(p: String): Column = (0 until 32).map { i =>
+      when(col(s"__$p$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    summed.select(col(idCol), hash.as("simhash"))
+    summed.select(col(idCol), word("lo").as("simhash_lo"),
+      (if (bits == 64) word("hi") else lit(0L)).as("simhash_hi"))
   }
 
-  /** Near-dup pairs with hamming(simhash) ≤ `maxHamming`, blocked on 8-bit
-    * chunks (4 chunks ⇒ exact for maxHamming ≤ 3, high-recall above).
+  /** Near-dup pairs with hamming(simhash) ≤ `maxHamming`, blocked on
+    * `numChunks` equal bit slices — the pigeonhole guarantee is EXACT for
+    * `maxHamming < numChunks` (a pair within the bound must agree on some
+    * whole chunk), high-recall above. Worst-case blocking cardinality is
+    * n²/2^(bits/numChunks) per chunk: the 64-bit default with 4 chunks
+    * blocks on 16-bit slices (n²/2¹⁶ — ~10⁹-doc-safe), vs the old 32-bit
+    * 8-bit-chunk configuration's n²/2⁸. Raise `numChunks` only to support
+    * a larger `maxHamming`; wider chunks always block better.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(df, idCol, textCol)
-    val chunked = sh.select(col(idCol), col("simhash"), posexplode(array(
-      (0 until 4).map(c =>
-        shiftright(col("simhash"), 8 * c).bitwiseAND(0xFFL)): _*))
-      .as(Seq("chunk", "val")))
-    val l = chunked.select(col("chunk"), col("val"),
-      col(idCol).as("id1"), col("simhash").as("__h1"))
-    val r = chunked.select(col("chunk"), col("val"),
-      col(idCol).as("id2"), col("simhash").as("__h2"))
+      maxHamming: Int = 3, bits: Int = 64, numChunks: Int = 4): DataFrame = {
+    require(bits % numChunks == 0, "numChunks must divide bits")
+    require(numChunks > maxHamming,
+      s"pigeonhole exactness needs numChunks > maxHamming " +
+        s"($numChunks <= $maxHamming)")
+    val w = bits / numChunks
+    require(w <= 32 && 32 % w == 0,
+      s"chunk width $w must divide the 32-bit words")
+    val mask = (1L << w) - 1
+    val sh = simHash(df, idCol, textCol, bits)
+    // chunk c reads bits [c·w, (c+1)·w) of the lo‖hi concatenation;
+    // w divides 32 so no chunk straddles the word boundary
+    val chunked = sh.select(col(idCol), col("simhash_lo"), col("simhash_hi"),
+      posexplode(array((0 until numChunks).map { c =>
+        val word = if (c * w < 32) col("simhash_lo") else col("simhash_hi")
+        shiftright(word, (c * w) % 32).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "val")))
+    val l = chunked.select(col("chunk"), col("val"), col(idCol).as("id1"),
+      col("simhash_lo").as("__l1"), col("simhash_hi").as("__h1"))
+    val r = chunked.select(col("chunk"), col("val"), col(idCol).as("id2"),
+      col("simhash_lo").as("__l2"), col("simhash_hi").as("__h2"))
     // filter on hamming BEFORE the dedup shuffle (drops most rows), then
     // dedup on the id pair alone — hamming is a function of (id1, id2), so
     // carrying it in the distinct key only widened the exchange; first()
@@ -457,7 +490,8 @@ object Dedup {
     l.join(r, Seq("chunk", "val"))
       .where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("__h1").bitwiseXOR(col("__h2"))).as("hamming"))
+        (bit_count(col("__l1").bitwiseXOR(col("__l2"))) +
+          bit_count(col("__h1").bitwiseXOR(col("__h2")))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("id1", "id2").agg(first(col("hamming")).as("hamming"))
   }

@@ -38,6 +38,22 @@ object Sampling {
     org.apache.spark.sql.SparkSession.getActiveSession
       .exists(_.catalog.functionExists("md5_prefix32"))
 
+  /** Digest bytes 4-7 of md5(`c`) as an unsigned 32-bit value — the
+    * second word of the SAME digest [[md5Prefix32]] reads the first word
+    * of. Oracle twin: `('0x' || substr(md5(t), 9, 8))::BIGINT`. The
+    * 64-bit SimHash's high half; independent of the first word, and free
+    * on the native path (one digest yields both).
+    */
+  def md5Second32(c: Column): Column =
+    if (hasNativeMd5Second)
+      call_function("md5_second32", c.cast("string"))
+    else
+      conv(substr(md5(c.cast("string")), lit(9), lit(8)), 16, 10).cast("long")
+
+  private def hasNativeMd5Second: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("md5_second32"))
+
   /** Uniform [0, 1) hash of `key`: [[md5Prefix32]] scaled by 2⁻³².
     * Exact in double, so threshold comparisons are bit-reproducible
     * across engines.

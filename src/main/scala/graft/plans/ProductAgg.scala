@@ -86,5 +86,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5Prefix32(Cast(children.head,
           org.apache.spark.sql.types.StringType))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("md5_second32"),
+      new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"md5_second32 expects 1 argument, got ${children.length}")
+        Md5Second32(Cast(children.head,
+          org.apache.spark.sql.types.StringType))
+      }))
   }
 }

@@ -147,11 +147,11 @@ class BpeSpec extends SparkSpec {
     // every learned symbol is a valid code-point sequence — no lone
     // surrogates anywhere in the vocab
     want.ids.keysIterator.foreach { s =>
-      assert(s.codePoints().toArray.forall(Character.isValidCodePoint),
-        s"invalid symbol $s")
-      assert(!s.exists(c => Character.isSurrogate(c) &&
-        s.indexOf(c) == s.length - 1 && Character.isHighSurrogate(c)),
-        s"lone surrogate in $s")
+      // a lone surrogate anywhere (not just trailing) breaks the UTF-8
+      // round-trip: the encoder substitutes '?' and equality fails
+      val rt = new String(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(rt == s, s"lone surrogate in symbol $s")
     }
     val df = docFrame(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
     val got = Bpe.trainDistributed(df.repartition(3), "text", 12)

@@ -86,7 +86,7 @@ class MasterScriptSpec extends SparkSpec {
   }
 
   test("runFile executes a .inp script with # comments") {
-    val f = java.nio.file.Files.createTempFile("graft", ".inp")
+    val f = tmpFile("graft", ".inp")
     java.nio.file.Files.writeString(f,
       """# scenario file
         |freq m

@@ -425,31 +425,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("random corpora: 32-bit simhash matches a naive reference") {
+  test("random corpora: 64-bit simhash matches a naive reference") {
     val rnd = new scala.util.Random(7117)
     val vocab = Vector("red", "blue", "green", "ochre", "teal")
     def randDoc() = Seq.fill(1 + rnd.nextInt(15))(
       vocab(rnd.nextInt(vocab.length))).mkString(" ")
-    def md5p32(s: String): Long = {
+    def md5w32(s: String, w: Int): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8"))
-      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      val o = 4 * w
+      ((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
+        ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)
     }
-    def naive(text: String): Long = {
+    def naive(text: String, w: Int): Long = {
       val toks = text.toLowerCase.replaceAll("\\s+", " ").trim
         .split(" ").filter(_.nonEmpty) // per OCCURRENCE, not distinct
       (0 until 32).map { i =>
-        val s = toks.map(t => if (((md5p32(t) >> i) & 1L) == 1L) 1 else -1).sum
+        val s = toks.map(t =>
+          if (((md5w32(t, w) >> i) & 1L) == 1L) 1 else -1).sum
         if (s > 0) 1L << i else 0L
       }.reduce(_ | _)
     }
     (1 to 3).foreach { _ =>
       val docs = (1L to 15L).map(i => (i, randDoc()))
       val got = Dedup.simHash(docFrame(docs: _*), "doc_id", "text")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       docs.foreach { case (id, t) =>
-        assert(got(id) == naive(t), s"doc $id")
+        assert(got(id) == ((naive(t, 0), naive(t, 1))), s"doc $id")
+      }
+      // 32-bit legacy width: lo word identical, hi word 0
+      val g32 = Dedup.simHash(docFrame(docs: _*), "doc_id", "text", bits = 32)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      docs.foreach { case (id, t) =>
+        assert(g32(id) == ((naive(t, 0), 0L)), s"doc $id at 32 bits")
       }
     }
   }
@@ -670,13 +678,47 @@ class OpsSpec extends SparkSpec {
     val c = (200 to 230).map(i => s"q$i").mkString(" ")
     val df = docFrame((1L, a), (2L, a), (3L, b), (4L, c))
     val h = Dedup.simHash(df, "doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(h(1L) == h(2L))
-    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    def hamming(x: (Long, Long), y: (Long, Long)) =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
     assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)))
     val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash pairs: 16-bit-chunk blocking is pigeonhole-EXACT at 64 bits") {
+    // every hamming<=3 pair a brute-force scan of the 64-bit hashes finds
+    // must come back from the chunk-blocked join (numChunks=4 > maxHamming)
+    val rnd = new scala.util.Random(40813)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    // planted twins: exact duplicates (hamming 0 — guaranteed pairs) and
+    // one-token edits of 60-token docs (a few flipped bits), plus
+    // unrelated docs that must NOT pair up
+    val docs = (0L until 15L).flatMap { k =>
+      val base = Seq.fill(60)(vocab(rnd.nextInt(vocab.length)))
+      val twin = if (k % 3 == 0) base else base :+ s"edit$k"
+      Seq((2 * k + 1, base.mkString(" ")), (2 * k + 2, twin.mkString(" ")))
+    }
+    val df = docFrame(docs: _*)
+    val h = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = (for {
+      i <- h.keys; j <- h.keys if i < j
+      d = java.lang.Long.bitCount(h(i)._1 ^ h(j)._1) +
+        java.lang.Long.bitCount(h(i)._2 ^ h(j)._2)
+      if d <= 3
+    } yield (i, j, d)).toSet
+    assert(want.nonEmpty, "fixture must contain hamming<=3 pairs")
+    val got = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want)
+    // numChunks must exceed maxHamming or exactness is gone — rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 4, numChunks = 4)
+    }
   }
 
   test("cosine and brute-force top-k") {
@@ -758,7 +800,7 @@ class OpsSpec extends SparkSpec {
 
   test("jsonl/csv ingest quarantines malformed lines, keeps the rest") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_input").toString
+    val tmp = tmpDir("graft_input").toString
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("t", StringType)))
     Seq("""{"id": 1, "t": "hello"}""", "garbage line",

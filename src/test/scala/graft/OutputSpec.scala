@@ -29,7 +29,7 @@ class OutputSpec extends SparkSpec {
       }
 
   test("shard assignment is total, deterministic, and re-read matches") {
-    val dir = Files.createTempDirectory("graft_out").toString + "/p"
+    val dir = tmpDir("graft_out").toString + "/p"
     val df = corpus(200)
     Output.writeSharded(df, "doc_id", dir, numShards = 4)
     val back = spark.read.parquet(dir)
@@ -46,7 +46,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("written content is identical across input partitionings") {
-    val base = Files.createTempDirectory("graft_out").toString
+    val base = tmpDir("graft_out").toString
     val df = corpus(300)
     Output.writeSharded(df.repartition(1), "doc_id", s"$base/a", 5)
     Output.writeSharded(df.repartition(11, col("text")), "doc_id", s"$base/b", 5)
@@ -54,7 +54,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("files are bounded by maxRecordsPerFile and sorted within") {
-    val dir = Files.createTempDirectory("graft_out").toString + "/p"
+    val dir = tmpDir("graft_out").toString + "/p"
     Output.writeSharded(corpus(120), "doc_id", dir, numShards = 3,
       maxRecordsPerFile = 10)
     val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
@@ -69,7 +69,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("orc format round-trips with the same shard layout") {
-    val dir = Files.createTempDirectory("graft_out").toString + "/o"
+    val dir = tmpDir("graft_out").toString + "/o"
     Output.writeSharded(corpus(60), "doc_id", dir, numShards = 3,
       format = "orc")
     val back = spark.read.orc(dir)
@@ -81,7 +81,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("jsonl format round-trips") {
-    val dir = Files.createTempDirectory("graft_out").toString + "/j"
+    val dir = tmpDir("graft_out").toString + "/j"
     val df = corpus(50)
     Output.writeSharded(df, "doc_id", dir, numShards = 2, format = "json")
     val back = spark.read.json(dir)
@@ -104,7 +104,7 @@ class OutputSpec extends SparkSpec {
   test("bucketed tables: co-located join plans with zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val base = Files.createTempDirectory("graft_bkt").toString
+    val base = tmpDir("graft_bkt").toString
     val docsT = corpus(300)
     val meta = spark.range(300).select(col("id").as("doc_id"),
       (col("id") % 7).as("quality_bin"))
@@ -138,7 +138,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("shuffled write: total, hash-range sharded, files in u order") {
-    val dir = Files.createTempDirectory("graft_out").toString + "/s"
+    val dir = tmpDir("graft_out").toString + "/s"
     Output.writeShuffled(corpus(200), "doc_id", dir, numShards = 4,
       salt = "#t")
     val back = spark.read.schema("doc_id LONG, text STRING").json(dir)
@@ -164,7 +164,7 @@ class OutputSpec extends SparkSpec {
   }
 
   test("shuffled global order is invariant to the shard count") {
-    val base = Files.createTempDirectory("graft_out").toString
+    val base = tmpDir("graft_out").toString
     val df = corpus(150)
     Output.writeShuffled(df, "doc_id", s"$base/n4", numShards = 4, salt = "#t")
     Output.writeShuffled(df, "doc_id", s"$base/n8", numShards = 8, salt = "#t")

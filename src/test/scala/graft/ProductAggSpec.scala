@@ -148,4 +148,24 @@ class ProductAggSpec extends SparkSpec {
     assert(graft.ops.Sampling.md5Prefix32(col("s")).toString
       .toLowerCase.contains("md5_prefix32"))
   }
+
+  test("md5_second32 is bit-identical to the builtin md5 chain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(556)
+    val strs = Seq("", "a", "héllo wörld", "日本語",
+      "x" * 5000, "123#salt") ++
+      Seq.fill(300)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) :+
+      null.asInstanceOf[String]
+    val out = strs.toDF("s").select(
+        call_function("md5_second32", col("s")).as("native"),
+        conv(substr(md5(col("s")), lit(9), lit(8)), 16, 10).cast("long")
+          .as("builtin"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else assert(r.getLong(0) == r.getLong(1), s"mismatch: $r")
+    }
+    assert(graft.ops.Sampling.md5Second32(col("s")).toString
+      .toLowerCase.contains("md5_second32"))
+  }
 }

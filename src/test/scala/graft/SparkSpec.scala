@@ -23,8 +23,32 @@ object TestSpark {
   }
 }
 
+/** One temp root per test JVM, deleted by a shutdown hook — suites that
+  * write real files (OutputSpec shards, jsonl ingest, FAME input files)
+  * allocate under it so test runs leave no /tmp residue.
+  */
+object TestTmp {
+  lazy val root: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_test")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => del(p.toFile)))
+    p
+  }
+  private def del(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(del)
+    f.delete(): Unit
+  }
+}
+
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Fresh directory under the self-cleaning [[TestTmp]] root. */
+  def tmpDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(TestTmp.root, prefix)
+
+  /** Fresh file under the self-cleaning [[TestTmp]] root. */
+  def tmpFile(prefix: String, suffix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempFile(TestTmp.root, prefix, suffix)
 
   def d(s: String): Date = Date.valueOf(s)
 
