@@ -820,6 +820,64 @@ object QueriesExt {
         .orderBy("source")
     }),
 
+    // the bucketed layout inside a COMPOSED pipeline (q87 proves the
+    // isolated round-trip): exact-dedup survivors and a quality/token
+    // score table are both written hash-bucketed + sorted on doc_id,
+    // then the downstream per-run re-join runs through the catalog
+    // tables — zero exchanges before the final rollup (OutputSpec
+    // asserts the plan in exactly this composed context). Pay the
+    // shuffle once at write; every nightly re-join of survivors ⋈
+    // scores reads co-located buckets. Oracle replays dedup + scores +
+    // gate + rollup on the raw table.
+    "q88_bucketed_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val survivors = Dedup.exact(d, "doc_id", "text", byFingerprint = true)
+        .select(col("keep_id").as("doc_id"), col("dup_count"))
+      val scores = d.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val base = scratch("q88")
+      Output.writeBucketedTable(
+        d.select("doc_id", "source").join(survivors, "doc_id"),
+        "graft_q88_docs", "doc_id", 4, Some(s"$base/docs"))
+      Output.writeBucketedTable(scores, "graft_q88_scores",
+        "doc_id", 4, Some(s"$base/scores"))
+      s.table("graft_q88_docs").join(s.table("graft_q88_scores"), "doc_id")
+        .where(col("q") > 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("dup_count")).as("n_dups"),
+          sum(col("nt")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
+    // INDEX MAINTENANCE — the nightly loop's last step (screen exists as
+    // q76; this is the UPDATE): tonight's batch is screened against the
+    // standing corpus, and the survivors' (band, bucket) rows are
+    // APPENDED to the standing LSH index; the digest is over the UPDATED
+    // index. Same md5+affine hash family end to end, so the oracle
+    // replays screen + append + digest cell-exact. At corpus scale the
+    // standing index is a stored table and the append is a partition
+    // write — nothing here rebuilds the standing side per night except
+    // in this self-contained harness form.
+    "q89_index_update" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val standing = d.where(col("u") < 0.5).select("doc_id", "text")
+      val batch = d.where(col("u") >= 0.5).select("doc_id", "text")
+      val survivors = Dedup.nearDupAgainst(batch, standing, "doc_id", "text",
+        minJaccard = 0.5)
+      def idxOf(part: DataFrame) =
+        Dedup.lshIndexRows(part, "doc_id", "text", numHashes = 32, bands = 8)
+          .select("doc_id", "band", "bucket")
+      idxOf(standing).unionByName(idxOf(survivors))
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("bucket")).as("n_buckets"),
+          sum(Sampling.md5Prefix32(
+            concat_ws("#", col("doc_id"), col("bucket")))).as("content_sum"))
+        .orderBy("band")
+    }),
+
     // deterministic global-shuffle write: the whole corpus re-ordered by
     // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
     // floor(u·8), u-sorted within), re-read, and digested per shard with
@@ -1577,6 +1635,75 @@ object QueriesExt {
          |    AS n_quality,
          |  sum($tok)::BIGINT AS n_tokens
          |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // the bucketed write changes layout, not values: the oracle replays
+    // exact-dedup survivors ⋈ quality/token scores ⋈ source directly
+    "q88_bucketed_pipeline" -> {
+      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      s"""WITH sv AS (
+         |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+         |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
+         |  GROUP BY tn
+         |), sc AS (
+         |  SELECT doc_id, ($qualitySql) AS q, $tok AS nt FROM documents
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  sum(sv.dup_count)::BIGINT AS n_dups,
+         |  sum(sc.nt)::BIGINT AS n_tokens
+         |FROM sv
+         |JOIN documents d ON d.doc_id = sv.doc_id
+         |JOIN sc ON sc.doc_id = sv.doc_id
+         |WHERE sc.q > 0.5
+         |GROUP BY d.source ORDER BY source""".stripMargin
+    },
+
+    // replays q76's screen, then the index APPEND: surviving new docs'
+    // per-band buckets (bnd, the pre-cap band table — one row per
+    // (doc, band)) union the standing corpus's, digested per band
+    "q89_index_update" -> {
+      val ctes = minHashCtes(width = 3, numHashes = 32, bands = 8,
+        maxBucketSize = 1000)
+      s"""WITH d AS (
+         |  SELECT doc_id, $normSql AS t,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), dset AS (SELECT doc_id, t FROM d),
+         |$ctes,
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS new_id, r.doc_id AS ref_id
+         |  FROM ok l
+         |  JOIN d dl ON dl.doc_id = l.doc_id AND dl.u >= 0.5
+         |  JOIN ok r ON l.band = r.band AND l.bucket = r.bucket
+         |  JOIN d dr ON dr.doc_id = r.doc_id AND dr.u < 0.5
+         |), iv AS (
+         |  SELECT c.new_id, c.ref_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN hh a ON a.doc_id = c.new_id
+         |  JOIN hh b ON b.doc_id = c.ref_id AND b.gram = a.gram
+         |  GROUP BY c.new_id, c.ref_id
+         |), hits AS (
+         |  SELECT DISTINCT c.new_id
+         |  FROM cand c
+         |  LEFT JOIN iv ON iv.new_id = c.new_id AND iv.ref_id = c.ref_id
+         |  JOIN sz sa ON sa.doc_id = c.new_id
+         |  JOIN sz sb ON sb.doc_id = c.ref_id
+         |  WHERE coalesce(iv.inter, 0)::DOUBLE
+         |    / (sa.ssz + sb.ssz - coalesce(iv.inter, 0)) >= 0.5
+         |), keep AS (
+         |  SELECT doc_id FROM d WHERE u < 0.5
+         |  UNION ALL
+         |  SELECT doc_id FROM d
+         |  WHERE u >= 0.5 AND doc_id NOT IN (SELECT new_id FROM hits)
+         |), idx AS (
+         |  SELECT b.doc_id, b.band, b.bucket
+         |  FROM bnd b JOIN keep k ON k.doc_id = b.doc_id
+         |)
+         |SELECT band::BIGINT AS band, count(*) AS n_entries,
+         |  count(DISTINCT bucket) AS n_buckets,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '#' || bucket),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM idx GROUP BY band ORDER BY band""".stripMargin
     },
 
     "q79_random_projection" -> {

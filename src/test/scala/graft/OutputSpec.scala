@@ -137,6 +137,36 @@ class OutputSpec extends SparkSpec {
     }
   }
 
+  test("q88: composed pipeline re-join runs through the bucketed layout " +
+      "with no exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // broadcast disabled: the downstream survivors ⋈ scores join would
+    // otherwise broadcast at test scale and the assert would be vacuous
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("q88_bucketed_pipeline")(
+        spark, "/root/testdata/sf0.001")
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val smjs = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty,
+        "expected a sort-merge join through the bucketed tables")
+      val under = smjs.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+      assert(under.isEmpty,
+        s"composed bucketed join still shuffles: ${under.size} exchanges")
+      assert(q.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_q88_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_q88_scores")
+    }
+  }
+
   test("shuffled write: total, hash-range sharded, files in u order") {
     val dir = tmpDir("graft_out").toString + "/s"
     Output.writeShuffled(corpus(200), "doc_id", dir, numShards = 4,
