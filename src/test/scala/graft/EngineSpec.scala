@@ -165,6 +165,23 @@ class EngineSpec extends SparkSpec {
       Seq(Some(6.0), None, None, Some(15.0), None, None))
   }
 
+  test("convert observed=formula is the documented average alias") {
+    // the compat contract (README table): FAME's OBSERVED=FORMULA runs a
+    // user formula the reference never surfaces (closed kernel,
+    // fame2pygen/formulas_generator.py:104-115), so graft permanently
+    // aliases it to the period average — identical output to observed=avg
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01",
+        "2020-04-01", "2020-05-01", "2020-06-01"),
+      "V" -> Seq(1, 2, 3, 4, 5, 6), "W" -> Seq(1, 2, 3, 4, 5, 6))
+    val out = FameSession.run(
+      """vf = convert(v, q, discrete, formula)
+        |wa = convert(w, q, discrete, average)""".stripMargin, in).df
+    assertSeq(column(out, "V_QTRLY"),
+      Seq(Some(2.0), None, None, Some(5.0), None, None))
+    assertSeq(column(out, "W_QTRLY"),
+      Seq(Some(2.0), None, None, Some(5.0), None, None))
+  }
+
   test("scalar + ave + dependency ordering") {
     val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(10, 20))
     val out = FameSession.run(

@@ -1021,6 +1021,91 @@ class OpsSpec extends SparkSpec {
     assert(fp(0).getLong(0) == fp(1).getLong(0))
   }
 
+  test("classifier floors: langId and quality gate score >= 0.9 on a " +
+      "labeled fixture") {
+    // the synthetic corpus's lang column is independent of its text (all
+    // docs are English-ish jargon), so absolute accuracy is pinned on a
+    // PLANTED fixture of genuine sentences — 10 per language, including
+    // low-stopword and cross-language-ambiguous ones ("la" is in both the
+    // es and fr profiles), plus junk that must land on "und"
+    val en = Seq(
+      "the weather is cold and the streets are quiet in that part of town",
+      "it is hard to say what the outcome of the vote will be",
+      "the report shows that inflation is slowing in most of the region",
+      "she walked to the station and waited for the morning train",
+      "the committee agreed that the plan needs more work before approval",
+      "a cup of coffee in the morning is all that he asked for",
+      "the river rises in spring when the snow melts in the mountains",
+      "the teacher explained that the exam covers all of the material",
+      "it rained for days and the fields turned to mud near the farm",
+      "the library is open late during the week of final exams")
+    val es = Seq(
+      "el mercado abre temprano y los vendedores preparan la fruta que venden",
+      "la ciudad tiene una plaza grande donde los vecinos pasean por la tarde",
+      "el gobierno anunció que los precios de la energía bajarán este año",
+      "una tormenta cruzó la costa y los barcos volvieron al puerto",
+      "los estudiantes dicen que la biblioteca cierra demasiado temprano",
+      "el tren sale de la estación y llega a la capital por la noche",
+      "la receta lleva harina huevos y una taza de azúcar",
+      "el museo guarda una colección de arte que atrae a los turistas",
+      "las calles del barrio viejo son estrechas y la gente camina despacio",
+      "el médico dijo que una dieta sana ayuda a los pacientes")
+    val fr = Seq(
+      "le marché ouvre tôt et les vendeurs installent des fruits dans la rue",
+      "la ville est calme le matin et les cafés ouvrent une heure plus tard",
+      "le rapport montre que la croissance est faible dans une partie des régions",
+      "les enfants jouent dans le parc et une fanfare passe dans la rue",
+      "le train part de la gare et arrive dans la soirée",
+      "la bibliothèque est ouverte et les étudiants travaillent dans le calme",
+      "une tempête est passée sur la côte et des bateaux sont restés au port",
+      "le musée présente une collection qui attire des visiteurs dans la ville",
+      "la recette demande de la farine des œufs et une tasse de sucre",
+      "le médecin explique que la marche est bonne dans la plupart des cas")
+    val de = Seq(
+      "der markt öffnet früh und die händler stellen das obst nicht in die sonne",
+      "die stadt ist ruhig und ein bus fährt mit wenigen gästen durch das zentrum",
+      "der bericht zeigt dass die preise mit dem jahr nicht weiter steigen",
+      "die kinder spielen im park und ein zug fährt das tal entlang",
+      "der zug verlässt den bahnhof und ist mit etwas verspätung angekommen",
+      "die bibliothek ist offen und das licht brennt bis in die nacht",
+      "ein sturm zog über die küste und die boote blieben im hafen",
+      "das museum zeigt eine sammlung die mit alten karten beginnt",
+      "das rezept braucht mehl eier und ein glas milch und ist nicht schwer",
+      "der arzt sagt dass bewegung mit dem alter wichtig ist und nicht schadet")
+    val junk = Seq(
+      "8812-44 #tag $$$ 9x 77~~ (((", "0101 0110 1100 0011 1010",
+      "zzz qqq xxx vvv kkk", ">>> ??? !!! ***")
+    val labeled = (en.map(_ -> "en") ++ es.map(_ -> "es") ++
+      fr.map(_ -> "fr") ++ de.map(_ -> "de") ++ junk.map(_ -> "und"))
+      .zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("label", StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(labeled.map { case (i, t, l) => Row(i, t, l) }).asJava),
+      schema)
+    val got = df.select(col("label"),
+      TextOps.langId(col("text")).as("pred")).collect()
+    val acc = got.count(r => r.getString(0) == r.getString(1)).toDouble /
+      got.length
+    assert(acc >= 0.9, s"langId accuracy $acc < 0.9 on the labeled fixture " +
+      s"(misses: ${got.filter(r => r.getString(0) != r.getString(1))
+        .map(_.toSeq).toSeq})")
+    // quality gate: genuine prose above 0.5, junk below — same floor.
+    // en docs are in-distribution for the en-stopword score; junk is
+    // digit/punct noise with no stopwords
+    val gated = docFrame(
+      (en.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        junk.zipWithIndex.map { case (t, i) => (100L + i, t) }): _*)
+      .select(col("doc_id"), (TextOps.qualityScore(col("text")) > 0.5)
+        .as("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val qAcc = (en.indices.count(i => gated(i.toLong)) +
+      junk.indices.count(i => !gated(100L + i))).toDouble /
+      (en.size + junk.size)
+    assert(qAcc >= 0.9, s"quality-gate accuracy $qAcc < 0.9")
+  }
+
   test("multimodal stub decode: schema, determinism, plans") {
     val media = docFrame((0L, "aaa"), (1L, "bbbb"), (2L, "ccccc"))
       .select(col("doc_id").as("media_id"),
