@@ -367,35 +367,85 @@ object Dedup {
     * it. Docs with no tokens contribute nothing (mirroring the grouped
     * path); short docs index their whole text as one shingle.
     *
-    * The shingle array stays a materialized column between projections —
-    * Catalyst's CollapseProject keeps non-cheap expressions referenced
-    * many times un-inlined, so the `numHashes` array_min lambdas scan
-    * the SAME array rather than re-deriving it (the triFrame lesson,
-    * plan-asserted in OpsSpec).
+    * Implemented as ONE `mapPartitions` pass (the per-partition-
+    * imperative exemption: md5 digests + affine integer mins, the same
+    * class of JVM work as the zlib/BPE kernels), so the tokens →
+    * shingles → hashes → signatures → buckets chain runs exactly once
+    * per row by construction. A pure-Column spelling cannot guarantee
+    * that: Catalyst merges projections through the final Generate
+    * regardless of reference count, inlining the shingle construction
+    * into every signature lambda (33 copies in the optimized plan,
+    * ~28 ms/doc interpreted — caught by the round-8 q89 bench), and any
+    * column captured inside a higher-order-function body re-evaluates
+    * per element, so nesting the chain in one expression multiplies the
+    * work instead. Every normalization/hash step here mirrors the
+    * Column path bit-for-bit (UTF8String.toLowerCase, java.util.regex
+    * `\s+`, space-only trim, [[graft.plans.Md5Prefix32.hash]], the
+    * [[minHashParams]] affine mins) — OpsSpec pins both constructions
+    * to an independent naive reference on random corpora.
     */
   def lshIndexRows(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleWidth: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val toksed = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) > 0)
-    val grams = when(size(col("__toks")) >= shingleWidth,
-        transform(sequence(lit(0), size(col("__toks")) - shingleWidth),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(shingleWidth)))))
-      .otherwise(array(concat_ws(" ", col("__toks"))))
-    val shs = toksed.select(col(idCol), array_distinct(grams).as("__shs"))
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("__shs"),
-        s => minHashPermuted(i, graft.ops.Sampling.md5Prefix32(s))))
-        .as(s"__sig_$i"))
-    val withSig = shs.select(col(idCol) +: col("__shs") +: sigCols: _*)
-    val buckets = array((0 until bands).map(b =>
-      bandBucket(i => col(s"__sig_$i"), b, rows)): _*)
-    withSig
-      .select(col(idCol), col("__shs"), buckets.as("__buckets"))
-      .select(col(idCol), col("__shs"), col("__buckets"),
-        posexplode(col("__buckets")).as(Seq("band", "bucket")))
+    val params = (0 until numHashes).map(minHashParams).toArray
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields(0),
+      org.apache.spark.sql.types.StructField("__shs",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("__buckets",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          // normText twin: UTF8String lowercase (locale-free, what the
+          // Lower expression runs), java.regex \s+ collapse, then a
+          // space-only trim (StringTrim trims ' ' alone; String.trim
+          // would also strip non-\s control chars and diverge)
+          val norm0 = org.apache.spark.unsafe.types.UTF8String
+            .fromString(r.getString(1)).toLowerCase.toString
+            .replaceAll("\\s+", " ")
+          var b0 = 0; var e0 = norm0.length
+          while (b0 < e0 && norm0.charAt(b0) == ' ') b0 += 1
+          while (e0 > b0 && norm0.charAt(e0 - 1) == ' ') e0 -= 1
+          val toks = if (e0 == b0) Array.empty[String]
+            else norm0.substring(b0, e0).split(" ")
+          if (toks.isEmpty) Iterator.empty
+          else {
+            val grams = if (toks.length >= shingleWidth)
+              toks.sliding(shingleWidth).map(_.mkString(" ")).toArray
+            else Array(toks.mkString(" "))
+            val shs = grams.distinct // first-occurrence order, as array_distinct
+            val hs = shs.map(s => graft.plans.Md5Prefix32.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+            val sigs = params.map { case (a, b) =>
+              var m = Long.MaxValue; var i = 0
+              while (i < hs.length) {
+                val v = (hs(i) * a + b) % MinHashPrime
+                if (v < m) m = v
+                i += 1
+              }
+              m
+            }
+            val buckets = (0 until bands).map(bd =>
+              sigs.slice(bd * rows, (bd + 1) * rows).mkString("|"))
+            val shsSeq = shs.toSeq
+            (0 until bands).iterator.map(bd =>
+              org.apache.spark.sql.Row(r.get(0), shsSeq, buckets, bd,
+                buckets(bd)))
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 
   /** Rows of `df` that are NOT near-duplicates (true Jaccard ≥

@@ -361,12 +361,12 @@ class OpsSpec extends SparkSpec {
       "g", "doc_id", 1)
     assert(smp.queryExecution.executedPlan.toString
       .contains("WindowGroupLimit"))
-    // in-row LSH index: tokenization must run ONCE per row — if
-    // CollapseProject ever inlined the shingle array into the 16
-    // array_min lambdas, the normalize regex would fan out with them.
-    // Counted as expression NODES on the optimized plan (the plan string
-    // truncates and would undercount); the repartition barrier keeps the
-    // optimizer from constant-folding the local fixture away entirely.
+    // in-row LSH index: tokenization must run ONCE per row. The op is a
+    // single mapPartitions pass (once-per-row by construction — Catalyst
+    // merged the projection chain through the final Generate and fanned
+    // the shingle build into all signature lambdas, 33 copies in round
+    // 8), so the plan must carry NO expression-level tokenization and
+    // exactly one object-map node.
     val idx = Dedup.lshIndexRows(docFrame((1L, "a b c d")).repartition(1),
       "doc_id", "text")
     val nRegex = idx.queryExecution.optimizedPlan.collect { case p =>
@@ -374,7 +374,11 @@ class OpsSpec extends SparkSpec {
         case r: org.apache.spark.sql.catalyst.expressions.RegExpReplace => r
       }.size).sum
     }.sum
-    assert(nRegex == 1, s"tokenization fanned out: $nRegex regex nodes")
+    assert(nRegex == 0, s"tokenization fanned out: $nRegex regex nodes")
+    val nMapParts = idx.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MapPartitions => m
+    }.size
+    assert(nMapParts == 1, s"expected one mapPartitions pass, got $nMapParts")
   }
 
   test("random corpora: md5+affine minhash matches a naive reference") {
