@@ -191,6 +191,41 @@ object Similarity {
     aggregate(zip_with(q, lit(centroid), (x, c) => (x - c) * (x - c)),
       lit(0L), (acc, x) => acc + x)
 
+  /** Nearest-centroid assignment of a `(id, __v, __q)` frame: exact
+    * integer argmin with first-index tie-break, as one mapPartitions
+    * pass over broadcast centroid arrays (the per-partition-imperative
+    * exemption — pure long arithmetic, bit-identical to the
+    * [[gridDist2]]/array_position Column spelling it replaces, which
+    * evaluated nlist interpreted higher-order chains per row and was
+    * the dominant cost of the Lloyd loop at ~1.4 ms/vector).
+    */
+  private def assignOnGrid(base: DataFrame,
+      centroids: Seq[Array[Long]]): DataFrame = {
+    val cents = centroids.toArray
+    val s = base.schema
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      s.fields(0), s.fields(1),
+      org.apache.spark.sql.types.StructField("__c",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      s.fields(2)))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val q = r.getSeq[Long](2)
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c); var d = 0L; var i = 0
+          while (i < cent.length) {
+            val t = q(i) - cent(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), best, r.get(2))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
+  }
+
   /** Deterministic hash-seeded Lloyd k-means over an embedding column:
     * init buckets by id hash (md5-prefix32 — no RNG state AND
     * engine-free, so the same clustering reproduces on any
@@ -227,12 +262,6 @@ object Similarity {
       col("__q"))
       .persist()
     var centroids: Seq[Array[Long]] = Nil
-    // argmin over ONE materialized distance array (evaluating dist2 twice
-    // per centroid via a when-chain doubles the higher-order-function cost)
-    def assignExpr(cents: Seq[Array[Long]]): Column = {
-      val dists = array(cents.map(gridDist2(col("__q"), _)): _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
     (0 until iters).foreach { it =>
       val cents = assigned
         .select(col("__c"), posexplode(col("__q")).as(Seq("__d", "__x")))
@@ -252,8 +281,7 @@ object Similarity {
       centroids = (0 until nlist).map(i =>
         cents.getOrElse(i, Array.fill(dim)(0L)))
       val prev = assigned
-      assigned = base.select(col(idCol), col("__v"),
-        assignExpr(centroids).as("__c"), col("__q"))
+      assigned = assignOnGrid(base, centroids)
       // only persist assignments that feed another Lloyd collect; the last
       // one is consumed by the caller, whose consumption pattern decides
       // its own caching
