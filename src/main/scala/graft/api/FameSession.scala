@@ -68,7 +68,7 @@ object FameSession {
     // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a
     // foldLeft(withColumnRenamed) builds one nested Project per column and
     // analysis cost grows quadratically on wide (hundreds-of-series) frames
-    val df0 = input.select(input.columns.map(c => col(c).as(c.toUpperCase)): _*)
+    val df0 = input.select(input.columns.toIndexedSeq.map(c => col(c).as(c.toUpperCase)): _*)
     val stmts = FameParser.parseScript(script)
     val preExisting = df0.columns.toSet
     val bounds = Scheduler.bind(stmts, preExisting)

@@ -60,18 +60,18 @@ class OpsSpec extends SparkSpec {
   test("minHashLshPairs releases its intermediate caches") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val df = docFrame((1L, base), (2L, base + " tokX"))
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Dedup.minHashLshPairs(df, "doc_id", "text",
       numHashes = 16, bands = 8, shingleWidth = 2).count()
-    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     // only the (tiny, GC-managed) checkpointed result may survive — the
     // shingle and signature caches must be gone
     assert(fresh.size <= 1, s"leaked cached RDDs: $fresh")
     // same discipline for the incremental variant
-    val before2 = spark.sparkContext.getPersistentRDDs.keySet
+    val before2 = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Dedup.minHashLshAgainstPairs(df, docFrame((9L, base)), "doc_id", "text",
       numHashes = 16, bands = 8, shingleWidth = 2).count()
-    val fresh2 = spark.sparkContext.getPersistentRDDs.keySet -- before2
+    val fresh2 = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before2
     assert(fresh2.size <= 1, s"leaked cached RDDs: $fresh2")
   }
 
@@ -641,9 +641,9 @@ class OpsSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.001"
     Seq("q39_dedup_groups", "q50_full_pipeline", "q76_neardup_incremental",
       "q83_eval_set").foreach { q =>
-      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
       SparkEntry.queries(q)(spark, dir).count()
-      val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+      val fresh = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
       // only tiny GC-managed localCheckpoint blocks (edge list / CC
       // labels) may survive — the trigram frame cache must be released
       assert(fresh.size <= 3, s"$q leaked cached RDDs: $fresh")
@@ -998,10 +998,10 @@ class OpsSpec extends SparkSpec {
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(rows).asJava), schema)
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     Similarity.ivfTopK(df.where(col("vec_id") < 2), df, "vec_id",
       "embedding", 2, nlist = 2, iters = 2, nprobe = 2).count()
-    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     assert(fresh.isEmpty, s"leaked cached RDDs: $fresh")
   }
 
