@@ -165,6 +165,18 @@ class EngineSpec extends SparkSpec {
       Seq(Some(6.0), None, None, Some(15.0), None, None))
   }
 
+  test("convert observed=annualized pro-rates a partial period") {
+    // only two months of Q1 present: de-annualize each monthly rate by
+    // 12, sum, re-annualize by 4 -> (1+2)/12*4 = 1 — NOT the complete-
+    // period average (1.5); the partial quarter is pro-rated, which is
+    // the defensible reading of restating a partial total at an annual
+    // rate (the average alias would silently overstate the rate)
+    val in = frame(Seq("2020-01-01", "2020-02-01"), "V" -> Seq(1, 2))
+    val out = FameSession.run(
+      "vq = convert(v, q, discrete, annualized)", in).df
+    assertSeq(column(out, "V_QTRLY"), Seq(Some(1.0), None))
+  }
+
   test("convert observed=formula is the documented average alias") {
     // the compat contract (README table): FAME's OBSERVED=FORMULA runs a
     // user formula the reference never surfaces (closed kernel,
