@@ -91,6 +91,14 @@ object Dedup {
     * With `wholeDocFallback`, a doc shorter than `w` tokens contributes
     * its whole text as one gram at pos 0 (concat_ws skips the null
     * leads) instead of nothing.
+    *
+    * Measured round 8 and kept as the window form deliberately: a
+    * mapPartitions gram emitter (no doc exchange, grams at scan) was
+    * 10–30% SLOWER at sf0.1 AND at 10× — one boxed Row per gram through
+    * the object boundary costs more than the codegen'd window exchange,
+    * at both scales. mapPartitions pays off when it kills interpreted-
+    * HOF re-evaluation ([[lshIndexRows]], 100×), not when it replaces
+    * an already-codegen'd exchange with per-row object churn.
     */
   def posGramRows(df: DataFrame, idCol: String, textCol: String,
       w: Int, wholeDocFallback: Boolean = false): DataFrame = {
@@ -404,20 +412,9 @@ object Dedup {
         org.apache.spark.sql.types.StringType, nullable = false)))
     in.mapPartitions { it =>
       it.flatMap { r =>
-        if (r.isNullAt(1)) Iterator.empty
-        else {
-          // normText twin: UTF8String lowercase (locale-free, what the
-          // Lower expression runs), java.regex \s+ collapse, then a
-          // space-only trim (StringTrim trims ' ' alone; String.trim
-          // would also strip non-\s control chars and diverge)
-          val norm0 = org.apache.spark.unsafe.types.UTF8String
-            .fromString(r.getString(1)).toLowerCase.toString
-            .replaceAll("\\s+", " ")
-          var b0 = 0; var e0 = norm0.length
-          while (b0 < e0 && norm0.charAt(b0) == ' ') b0 += 1
-          while (e0 > b0 && norm0.charAt(e0 - 1) == ' ') e0 -= 1
-          val toks = if (e0 == b0) Array.empty[String]
-            else norm0.substring(b0, e0).split(" ")
+        {
+          val toks = TextOps.tokensJvm(
+            if (r.isNullAt(1)) null else r.getString(1))
           if (toks.isEmpty) Iterator.empty
           else {
             val grams = if (toks.length >= shingleWidth)

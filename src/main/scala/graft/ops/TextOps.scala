@@ -44,6 +44,24 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(normText(c), " "), t => length(t) > 0)
 
+  /** JVM twin of [[tokens]] for the mapPartitions kernels — every step
+    * mirrors the Column path bit-for-bit: UTF8String lowercase (the
+    * Lower expression's locale-free path, NOT String.toLowerCase),
+    * java.regex `\s+` collapse (what RegExpReplace runs), and a
+    * space-only trim (StringTrim trims ' ' alone; String.trim would
+    * also strip non-\s control chars and diverge). Null-safe: null maps
+    * to no tokens, like the Column chain's null propagation + filter.
+    */
+  def tokensJvm(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val norm0 = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString.replaceAll("\\s+", " ")
+    var b = 0; var e = norm0.length
+    while (b < e && norm0.charAt(b) == ' ') b += 1
+    while (e > b && norm0.charAt(e - 1) == ' ') e -= 1
+    if (e == b) Array.empty else norm0.substring(b, e).split(" ")
+  }
+
   /** Sliding-window token chunks — the RAG/embedding prep step: each
     * document splits into windows of `chunkTokens` tokens advancing by
     * `chunkTokens − overlapTokens`, the last window clamped to the tail
