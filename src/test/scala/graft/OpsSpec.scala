@@ -381,6 +381,45 @@ class OpsSpec extends SparkSpec {
     assert(nMapParts == 1, s"expected one mapPartitions pass, got $nMapParts")
   }
 
+  test("tokensJvm is the exact twin of the Column tokenizer on " +
+      "adversarial strings") {
+    // the mapPartitions kernels (lshIndexRows, and any future one) stand
+    // on tokensJvm producing byte-identical tokens to the Column chain —
+    // probe the divergence candidates: control chars below 0x20 that are
+    // not \s (String.trim would strip them, StringTrim must not),
+    // unicode whitespace (NOT \s in java.regex default mode), non-ASCII
+    // case mapping (Turkish İ, ß), surrogate pairs, empties and nulls
+    val rnd = new scala.util.Random(80813)
+    val pieces = Vector("word", "İstanbul", "STRASSE", "ß", "Ωmega",
+      "😀x", "", "ctl", " ", " ", "tab\there",
+      "line\nbreak", "  ", "\r\n", "mIxEd", "ÉCOLE", "ǅungla")
+    val strs = Seq("", " ", " a b", "ab", null,
+      " lead", "İİ  AB", "ß sharp") ++
+      Seq.fill(200)(Seq.fill(1 + rnd.nextInt(8))(
+        pieces(rnd.nextInt(pieces.length))).mkString(
+          if (rnd.nextBoolean()) " " else "\t "))
+    val schema = StructType(Seq(StructField("i", LongType),
+      StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(strs.zipWithIndex.map { case (s, i) =>
+          Row(i.toLong, s) }).asJava), schema)
+    val colSide = df.select(col("i"), TextOps.tokens(col("s")).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+    strs.zipWithIndex.foreach { case (s, i) =>
+      val jvm = TextOps.tokensJvm(s).toList
+      val c = colSide(i.toLong)
+      // Column chain maps null text to null array; tokensJvm to empty —
+      // both mean "no tokens" (every consumer filters/flatMaps)
+      val cNorm = if (c == null) Nil else c
+      assert(cNorm == jvm,
+        s"tokenizer divergence on ${Option(s).map(_.map(ch =>
+          f"\\u${ch.toInt}%04x").mkString).getOrElse("null")}: " +
+          s"column=$cNorm jvm=$jvm")
+    }
+  }
+
   test("random corpora: md5+affine minhash matches a naive reference") {
     // independent Scala re-derivation of the full signature arithmetic
     // (md5-prefix base hash, affine permutation, min over the shingle
