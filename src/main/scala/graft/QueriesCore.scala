@@ -277,7 +277,9 @@ object QueriesCore {
         col("Y").as("y")).orderBy("date")
     }),
 
-    // #16 nlrx (HP smoother; no SQL oracle — rows-only check)
+    // #16 nlrx (HP smoother). Cell-exact: the pentadiagonal solve is all
+    // exactly-rounded IEEE ops in a fixed order, so the oracle replays
+    // Cholesky + both triangular solves bit-for-bit as recursive CTEs.
     "q18_nlrx" -> ((s, dir) => {
       val out = runScript(
         "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)", monthly(s, dir))
@@ -326,10 +328,10 @@ object QueriesCore {
 
     // #16 nlrx at entity scale: one independent HP solve per nation,
     // distributed via the mapGroups path (Nlrx.groupedSolve) — no driver
-    // collect. Rows-only like q18 (the solve is not SQL-expressible);
-    // PartitionedSpec pins the grouped path value-equal to independent
-    // per-entity keyless solves, and the digest is partition-order-free
-    // (round → DECIMAL sum).
+    // collect. Cell-exact like q18: the oracle runs the same recursive-CTE
+    // replay partitioned by nation; PartitionedSpec additionally pins the
+    // grouped path value-equal to independent per-entity keyless solves,
+    // and the digest is partition-order-free (round → DECIMAL sum).
     "q86_nlrx_partitioned" -> ((s, dir) => {
       val out = FameSession.run(
         "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)",
@@ -433,6 +435,73 @@ object QueriesCore {
   // ------------------------------------------------------------------ oracles
 
   private val winD = "OVER (ORDER BY date)"
+
+  /** DuckDB replay of the HP pentadiagonal solve (Nlrx.HpSmoother.solve)
+    * as recursive CTEs over a source CTE `m` of (keys…, date, rev). Every
+    * kernel op is an exactly-rounded IEEE double op (+ − × ÷ sqrt) in a
+    * fixed order, so mirroring that order makes the replay BIT-exact, not
+    * approximately equal: `band` builds the I + λDᵀD bands closed-form
+    * (integer coefficient sums are fp-exact), `chol` runs the banded
+    * Cholesky and the forward solve L z = y as one forward recursion
+    * carrying (l1, l2, l2_prev, z, z_prev), and `back` runs Lᵀ x = z as a
+    * reverse recursion carrying (x, x_next). `x - 0.0 == x` exactly for
+    * every finite double, so the coalesce(…, 0.0) guards for the first
+    * two positions do not perturb the arithmetic. `keys` partitions the
+    * solve per entity (q86); empty solves the one global series (q18).
+    */
+  private def nlrxCtes(lambda: String, keys: Seq[String]): String = {
+    val part = if (keys.isEmpty) "" else s"PARTITION BY ${keys.mkString(", ")} "
+    def q(t: String) = keys.map(k => s"$t.$k, ").mkString
+    val joinBC = keys.map(k => s"b.$k = c.$k AND ").mkString
+    val joinCB = keys.map(k => s"c.$k = b.$k AND ").mkString
+    s"""idx AS MATERIALIZED (
+       |  SELECT ${keys.map(k => s"$k, ").mkString}date, rev,
+       |         row_number() OVER (${part}ORDER BY date) - 1 AS i,
+       |         count(*) OVER (${part.trim}) AS n
+       |  FROM m
+       |), band AS MATERIALIZED (
+       |  SELECT ${keys.map(k => s"$k, ").mkString}i, n, date, rev,
+       |    1.0 + $lambda * ((CASE WHEN i-2 BETWEEN 0 AND n-3 THEN 1.0 ELSE 0.0 END)
+       |                  + (CASE WHEN i-1 BETWEEN 0 AND n-3 THEN 4.0 ELSE 0.0 END)
+       |                  + (CASE WHEN i   BETWEEN 0 AND n-3 THEN 1.0 ELSE 0.0 END)) AS d0,
+       |    CASE WHEN i+1 < n THEN
+       |      $lambda * ((CASE WHEN i-1 BETWEEN 0 AND n-3 THEN -2.0 ELSE 0.0 END)
+       |              + (CASE WHEN i   BETWEEN 0 AND n-3 THEN -2.0 ELSE 0.0 END)) END AS d1,
+       |    CASE WHEN i+2 < n THEN $lambda * 1.0 END AS d2
+       |  FROM idx
+       |), chol AS MATERIALIZED (
+       |  SELECT ${q("b")}b.i, b.n, b.date, b.rev,
+       |         sqrt(b.d0) AS l0,
+       |         b.d1 / sqrt(b.d0) AS l1,
+       |         b.d2 / sqrt(b.d0) AS l2,
+       |         CAST(NULL AS DOUBLE) AS l2_prev,
+       |         b.rev / sqrt(b.d0) AS z,
+       |         CAST(NULL AS DOUBLE) AS z_prev
+       |  FROM band b WHERE b.i = 0
+       |  UNION ALL
+       |  SELECT ${q("b")}b.i, b.n, b.date, b.rev,
+       |         sqrt((b.d0 - c.l1*c.l1) - coalesce(c.l2_prev*c.l2_prev, 0.0)) AS l0,
+       |         CASE WHEN b.i+1 < b.n THEN
+       |           (b.d1 - c.l1*c.l2)
+       |             / sqrt((b.d0 - c.l1*c.l1) - coalesce(c.l2_prev*c.l2_prev, 0.0)) END AS l1,
+       |         CASE WHEN b.i+2 < b.n THEN
+       |           b.d2 / sqrt((b.d0 - c.l1*c.l1) - coalesce(c.l2_prev*c.l2_prev, 0.0)) END AS l2,
+       |         c.l2 AS l2_prev,
+       |         ((b.rev - c.l1*c.z) - coalesce(c.l2_prev*c.z_prev, 0.0))
+       |           / sqrt((b.d0 - c.l1*c.l1) - coalesce(c.l2_prev*c.l2_prev, 0.0)) AS z,
+       |         c.z AS z_prev
+       |  FROM chol c JOIN band b ON ${joinBC}b.i = c.i + 1
+       |), back AS (
+       |  SELECT ${q("c")}c.i, c.date, c.rev, c.z / c.l0 AS x,
+       |         CAST(NULL AS DOUBLE) AS x_next
+       |  FROM chol c WHERE c.i = c.n - 1
+       |  UNION ALL
+       |  SELECT ${q("c")}c.i, c.date, c.rev,
+       |         ((c.z - coalesce(c.l1*b.x, 0.0)) - coalesce(c.l2*b.x_next, 0.0)) / c.l0 AS x,
+       |         b.x AS x_next
+       |  FROM back b JOIN chol c ON ${joinCB}c.i = b.i - 1
+       |)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -715,7 +784,16 @@ object QueriesCore {
          |  (SELECT rev FROM m WHERE date = DATE '1995-06-01') AS x,
          |  (SELECT rev FROM m WHERE date = DATE '1995-03-01') AS y
          |FROM m ORDER BY date""".stripMargin,
-    // q18_nlrx: no SQL oracle (pentadiagonal solve) — rows-only check
+    // the HP solve replayed bit-exact (see nlrxCtes): rows-only no more
+    "q18_nlrx" ->
+      s"""${monthlySql.replaceFirst("WITH m AS", "WITH RECURSIVE m AS MATERIALIZED")}, ${nlrxCtes("1600.0", Nil)}
+         |SELECT date, rev, x AS sm FROM back ORDER BY date""".stripMargin,
+
+    "q86_nlrx_partitioned" ->
+      s"""${monthlyByNationSql.replaceFirst("WITH m AS", "WITH RECURSIVE m AS MATERIALIZED")}, ${nlrxCtes("1600.0", Seq("nation"))}
+         |SELECT nation, count(*)::BIGINT AS n_rows,
+         |       sum(CAST(round(x, 6) AS DECIMAL(28,6)))::DOUBLE AS sum_sm
+         |FROM back GROUP BY nation ORDER BY nation""".stripMargin,
 
     // oracle mirrors the engine's full-join-back domain: the convert bridge
     // can introduce quarter-start rows absent from the monthly frame, and
