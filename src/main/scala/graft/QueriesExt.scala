@@ -734,12 +734,13 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
-    // GPT-3-style learned quality filter (rows-only: gradient-descent
-    // training is iterative with libm sigmoids, not SQL-expressible;
-    // SelectionSpec pins separation, determinism, and serve parity):
-    // logistic regression over the DSIR feature space, trained with
-    // cluster aggregations on an en-vs-rest label, served as the
-    // stateless scoreExpr over every document.
+    // GPT-3-style learned quality filter: logistic regression over the
+    // DSIR feature space, trained with cluster aggregations on an
+    // en-vs-rest label, served as the stateless scoreExpr over every
+    // document. Cell-exact: training is grid-quantized engine-free
+    // arithmetic end to end, so the oracle unrolls all 6 GD epochs as
+    // DuckDB CTEs (lrTrainSql); SelectionSpec additionally pins
+    // separation, determinism, and serve parity.
     "q78_quality_classifier" -> ((s, dir) => {
       val d = docs(s, dir)
       val m = graft.ops.QualityClassifier.train(
@@ -1166,6 +1167,86 @@ object QueriesExt {
   /** md5-uniform SQL twin of [[Sampling.hashUnit]] over `expr`. */
   private def hashUnitSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)::DOUBLE / 4294967296.0"
+
+  /** DuckDB replay of [[graft.ops.QualityClassifier]] train + serve for
+    * q78: the full-batch gradient-descent loop unrolled as one CTE block
+    * per epoch. Replayable because every training quantity is engine-free
+    * arithmetic — feature buckets are md5 integer math, weights live on a
+    * 1e-6 long grid snapped with floor(x*1e6 + 0.5) (exactly-rounded fp
+    * ops), margins are exact long step-sums with one double division,
+    * gradient contributions hit a 12dp grid before an exact DECIMAL sum,
+    * and the bias gradient is the exact decimal sum of bucket gradients.
+    * The sigmoid is the single libm call; its output only meets 12dp/6dp
+    * grids, so a ≤1-ulp exp() difference matters only within ~1e-17 of a
+    * boundary. Epoch CTEs are MATERIALIZED — inlined, DuckDB would
+    * re-derive every earlier epoch once per reference and the chain goes
+    * exponential.
+    */
+  private def lrTrainSql(epochs: Int, buckets: Int, lrRate: String,
+      fraction: String, salt: String): String = {
+    val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+    val gramsOf =
+      """unnest(toks || list_transform(range(1, len(toks)),
+        |            i -> toks[i] || ' ' || toks[i + 1])) AS gram""".stripMargin
+    val pre =
+      s"""WITH samp AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |         $toks AS toks
+         |  FROM documents WHERE ${hashUnitSql(s"doc_id::VARCHAR || '$salt'")} < $fraction
+         |), feats AS MATERIALIZED (
+         |  SELECT doc_id, y, ('0x' || substr(md5(gram), 1, 8))::BIGINT % $buckets AS b
+         |  FROM (SELECT doc_id, y,
+         |          $gramsOf
+         |        FROM samp)
+         |), perdoc AS MATERIALIZED (
+         |  SELECT doc_id, count(*) AS n, any_value(y) AS y FROM feats GROUP BY 1
+         |), nd AS MATERIALIZED (
+         |  SELECT greatest(1, count(*)) AS ndocs FROM perdoc
+         |), w0 AS MATERIALIZED (
+         |  SELECT unnest(range(0, $buckets)) AS b, 0::BIGINT AS s
+         |), bb0 AS MATERIALIZED (SELECT 0::BIGINT AS s)""".stripMargin
+    val epochCtes = (1 to epochs).map { e =>
+      val p = e - 1
+      s""", m$e AS MATERIALIZED (
+         |  SELECT f.doc_id, sum(w.s) AS stepsum
+         |  FROM feats f JOIN w$p w USING (b) GROUP BY 1
+         |), r$e AS MATERIALIZED (
+         |  SELECT p.doc_id,
+         |    (1.0/(1.0 + exp(-(bb.s::DOUBLE / 1e6
+         |      + (m.stepsum::DOUBLE / p.n::DOUBLE) / 1e6))) - p.y) AS r,
+         |    p.n
+         |  FROM m$e m JOIN perdoc p USING (doc_id) CROSS JOIN bb$p bb
+         |), g$e AS MATERIALIZED (
+         |  SELECT f.b, sum(CAST(round(r.r / r.n::DOUBLE, 12) AS DECIMAL(28,12))) AS g
+         |  FROM feats f JOIN r$e r USING (doc_id) GROUP BY 1
+         |), w$e AS MATERIALIZED (
+         |  SELECT w.b,
+         |    CAST(floor((w.s::DOUBLE / 1e6
+         |      - $lrRate * (coalesce(g.g, 0)::DOUBLE / nd.ndocs::DOUBLE
+         |                + 0.0 * (w.s::DOUBLE / 1e6))) * 1e6 + 0.5) AS BIGINT) AS s
+         |  FROM w$p w LEFT JOIN g$e g USING (b) CROSS JOIN nd
+         |), bb$e AS MATERIALIZED (
+         |  SELECT CAST(floor((bb.s::DOUBLE / 1e6
+         |    - ($lrRate * (SELECT sum(g) FROM g$e)::DOUBLE) / nd.ndocs::DOUBLE)
+         |    * 1e6 + 0.5) AS BIGINT) AS s
+         |  FROM bb$p bb CROSS JOIN nd
+         |)""".stripMargin
+    }.mkString
+    val serve =
+      s""", allgrams AS MATERIALIZED (
+         |  SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT % $buckets AS b
+         |  FROM (SELECT doc_id,
+         |          $gramsOf
+         |        FROM (SELECT doc_id, $toks AS toks FROM documents))
+         |), scored AS MATERIALIZED (
+         |  SELECT g.doc_id,
+         |    1.0/(1.0 + exp(-(bb.s::DOUBLE / 1e6
+         |      + (sum(w.s)::DOUBLE / count(*)::DOUBLE) / 1e6))) AS p
+         |  FROM allgrams g JOIN w$epochs w USING (b) CROSS JOIN bb$epochs bb
+         |  GROUP BY g.doc_id, bb.s
+         |)""".stripMargin
+    pre + epochCtes + serve
+  }
 
   /** DuckDB twins of TextOps.qualityScore / langId over `text`. */
   private val qualitySql: String = {
@@ -2585,6 +2666,13 @@ object QueriesExt {
          |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
     "q59_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
+
+    "q78_quality_classifier" ->
+      s"""${lrTrainSql(epochs = 6, buckets = 1024, lrRate = "4.0",
+           fraction = "0.2", salt = "#qc78")}
+         |SELECT d.doc_id, round(s.p, 6) AS p_quality
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q77_dsir_resample" ->
       s"""WITH g AS (

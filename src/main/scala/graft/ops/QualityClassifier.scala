@@ -15,11 +15,17 @@ import org.apache.spark.sql.types.DecimalType
   * literally the same feature space.
   *
   * Determinism contract (same discipline as Dsir/LmScore): weights live
-  * on a 1e-6 integer grid, per-document margins are exact long sums of
-  * grid steps with ONE final double division, and gradient contributions
-  * quantize to a 12dp grid before a DECIMAL sum — so the fitted model
-  * and every score are independent of partitioning and re-runs. (The
-  * sigmoid itself is libm-double, computed identically per row.)
+  * on a 1e-6 integer grid snapped with `floor(x*1e6 + 0.5)` — an
+  * exactly-rounded IEEE op chain any engine reproduces bit-for-bit —
+  * per-document margins are exact long sums of grid steps with ONE final
+  * double division, gradient contributions quantize to a 12dp grid
+  * before a DECIMAL sum, and the bias gradient is the EXACT decimal sum
+  * of the bucket gradients. The fitted model and every score are
+  * therefore independent of partitioning, re-runs, AND engine: the q78
+  * oracle replays the whole training loop as DuckDB CTEs. (The sigmoid
+  * is the one libm step; its output meets the 12dp gradient grid / 6dp
+  * score round, where a ≤1-ulp libm difference only matters within
+  * ~1e-17 of a grid boundary.)
   *
   * Scale shape: the feature explode runs ONCE and persists; each epoch
   * is one per-doc aggregation (margins — long sums of a broadcast
@@ -65,9 +71,11 @@ object QualityClassifier {
     var bias = 0L
     var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
     val nDocs = math.max(1L, perDoc.count()) // constant across epochs
-    def grid6(x: Double): Long =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .underlying.movePointRight(6).longValueExact()
+    // 1e-6 grid snap as pure fp ops (multiply, add, floor — all exactly
+    // rounded), NOT BigDecimal HALF_UP: the same three ops in SQL give
+    // the same long on any IEEE-754 engine, which is what lets the q78
+    // oracle replay training
+    def grid6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     (0 until epochs).foreach { _ =>
       val wMap = typedLit(w)
       // per-doc margin: exact long sum of grid steps, one division
@@ -88,11 +96,17 @@ object QualityClassifier {
         .agg(sum(round(col("__r") / col("__n"), 12)
           .cast(DecimalType(28, 12))).as("__g"))
         .collect()
-        .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
-      val biasGrad = grads.toSeq.sortBy(_._1).map(_._2).sum
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      // bias gradient = Σ bucket gradients as the EXACT decimal sum
+      // (associative, so order-free — a double fold here would pin an
+      // arbitrary summation order no SQL engine reproduces), converted
+      // to double once for the update arithmetic
+      val biasGrad = grads.values
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
       w = w.map { case (b, stepsOld) =>
         val old = stepsOld.toDouble / 1e6
-        b -> grid6(old - lrRate * (grads.getOrElse(b, 0.0) / nDocs + l2 * old))
+        val g = grads.get(b).map(_.doubleValue()).getOrElse(0.0)
+        b -> grid6(old - lrRate * (g / nDocs + l2 * old))
       }
       bias = grid6(bias.toDouble / 1e6 - lrRate * biasGrad / nDocs)
     }
