@@ -497,11 +497,13 @@ object QueriesExt {
         .select(col("n_good"), col("n_corrupt"), col("content_sum"))
     }),
 
-    // distributed BPE training (rows-only: merge learning is iterative,
-    // not SQL-expressible; BpeSpec pins it merge-for-merge to the driver
-    // reference): the pair-count/merge loop runs as cluster aggregations
-    // — the word-frequency model never has to fit on the driver — over
-    // an md5-sampled slice, emitting the ordered rule table.
+    // distributed BPE training: the pair-count/merge loop runs as
+    // cluster aggregations — the word-frequency model never has to fit
+    // on the driver — over an md5-sampled slice, emitting the ordered
+    // rule table. Cell-exact: all 10 merge rounds replay in DuckDB
+    // (bpeTrainSql — exact pair counts, UTF-8 tie-break, recursive-walk
+    // greedy merges); BpeSpec additionally pins it merge-for-merge to
+    // the driver reference.
     "q73_bpe_train" -> ((s, dir) => {
       import s.implicits._
       val sample = Sampling.sampleByHash(docs(s, dir), "doc_id",
@@ -1167,6 +1169,68 @@ object QueriesExt {
   /** md5-uniform SQL twin of [[Sampling.hashUnit]] over `expr`. */
   private def hashUnitSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 8))::BIGINT)::DOUBLE / 4294967296.0"
+
+  /** DuckDB replay of [[graft.ops.Bpe.trainDistributed]] for q73: the
+    * merge-learning loop unrolled as one CTE block per round. Engine-free
+    * because every step is integer/string arithmetic — pre-tokens come
+    * from [[TextOps.BpePattern]] (leftmost-first alternation in both Java
+    * regex and RE2), symbols are code points (RE2 '.'), pair counts are
+    * exact long sums, the winner is min(−count, a, b) under binary UTF-8
+    * comparison (DuckDB's default VARCHAR order == Spark's UTF8String
+    * order == the kernel's utf8Order), and the greedy left-to-right
+    * non-overlapping merge is replayed per word by a recursive
+    * position-walk (depth = word length) carrying the rebuilt symbol
+    * list. token_id needs only |base alphabet| + rank because the vocab
+    * assigns base characters first, then one id per merge in rank order.
+    */
+  private def bpeTrainSql(numMerges: Int, fraction: String,
+      salt: String): String = {
+    val pat = graft.ops.TextOps.BpePattern.replace("'", "''")
+    val pre =
+      s"""WITH RECURSIVE pt AS MATERIALIZED (
+         |  SELECT unnest(regexp_extract_all(text, '$pat')) AS pre
+         |  FROM documents
+         |  WHERE ${hashUnitSql(s"doc_id::VARCHAR || '$salt'")} < $fraction
+         |), w0 AS MATERIALIZED (
+         |  SELECT regexp_extract_all(pre, '.') AS syms, count(*)::BIGINT AS f
+         |  FROM pt GROUP BY pre
+         |), basecnt AS MATERIALIZED (
+         |  SELECT count(DISTINCT s)::BIGINT AS n
+         |  FROM (SELECT unnest(syms) AS s FROM w0)
+         |)""".stripMargin
+    val rounds = (1 to numMerges).map { k =>
+      val p = k - 1
+      s""", p$k AS MATERIALIZED (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(f)::BIGINT AS cnt
+         |  FROM (SELECT syms, f, unnest(range(1, len(syms))) AS i FROM w$p)
+         |  GROUP BY 1, 2
+         |), b$k AS MATERIALIZED (
+         |  SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1
+         |), k$k AS (
+         |  SELECT syms, f, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM w$p
+         |  UNION ALL
+         |  SELECT w.syms, w.f,
+         |    CASE WHEN w.pos < len(w.syms)
+         |          AND w.syms[w.pos] = m.a AND w.syms[w.pos+1] = m.b
+         |         THEN w.pos + 2 ELSE w.pos + 1 END,
+         |    CASE WHEN w.pos < len(w.syms)
+         |          AND w.syms[w.pos] = m.a AND w.syms[w.pos+1] = m.b
+         |         THEN list_append(w.out, m.a || m.b)
+         |         ELSE list_append(w.out, w.syms[w.pos]) END
+         |  FROM k$k w, b$k m WHERE w.pos <= len(w.syms)
+         |), w$k AS MATERIALIZED (
+         |  SELECT syms, sum(f)::BIGINT AS f FROM (
+         |    SELECT out AS syms, f FROM k$k WHERE pos > len(syms)
+         |  ) GROUP BY syms
+         |)""".stripMargin
+    }.mkString
+    val mg = (1 to numMerges)
+      .map(r => s"SELECT ${r - 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""$pre$rounds, mg AS ($mg)
+       |SELECT merge_rank, lhs, rhs, (basecnt.n + merge_rank)::BIGINT AS token_id
+       |FROM mg CROSS JOIN basecnt ORDER BY merge_rank""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.ops.QualityClassifier]] train + serve for
     * q78: the full-batch gradient-descent loop unrolled as one CTE block
@@ -2666,6 +2730,9 @@ object QueriesExt {
          |GROUP BY s.source ORDER BY s.source""".stripMargin,
 
     "q59_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
+
+    "q73_bpe_train" ->
+      bpeTrainSql(numMerges = 10, fraction = "0.05", salt = "#bpe73"),
 
     "q78_quality_classifier" ->
       s"""${lrTrainSql(epochs = 6, buckets = 1024, lrRate = "4.0",
