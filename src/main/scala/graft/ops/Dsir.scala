@@ -41,12 +41,22 @@ object Dsir {
   /** Unigrams + strict word bigrams of a token array — THE featurizer.
     * Single-sourced because training ([[featRows]]) and serving
     * ([[scoreExpr]]) must tokenize identically or scoring parity breaks.
+    *
+    * Bigrams come from `zip_with(toks, slice(toks, 2, …))` rather than a
+    * `transform` whose lambda slices `toks` per index: a column captured
+    * inside a HOF lambda re-evaluates per ELEMENT, so when `toks` is the
+    * full tokenizer chain (the serving path — no materialized token
+    * column to lean on) the old spelling re-ran regex normalization once
+    * per bigram position. zip_with's array arguments evaluate once; the
+    * shorter side pads with null, which concat propagates and the filter
+    * drops — same strings, same order, same counts.
     */
   private[ops] def gramsOf(toks: Column): Column =
     concat(toks,
-      when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
-        .otherwise(array().cast("array<string>")))
+      filter(
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        g => g.isNotNull))
 
   /** (id, bucket) — one row per unigram + strict word bigram occurrence.
     * Multiplicity is meaningful (bag-of-words counts), so no distinct.
@@ -252,9 +262,18 @@ object Dsir {
     */
   def scoreExpr(text: Column, m: Model): Column = {
     val lrMap = typedLit(m.lr4dp)
-    val grams = gramsOf(TextOps.tokens(text))
-    val steps = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(lrMap, gramBucket(g, m.buckets)))
-    when(size(grams) > 0, steps.cast("double") / 1e4)
+    // ONE reference to the gram array: the step sum and the gram count
+    // accumulate together in a struct, and the finish lambda emits the
+    // guarded score. Referencing `grams` once matters because every
+    // reference inlines the whole tokenizer chain into the (interpreted,
+    // HOF-bearing) projection — three references meant three regex
+    // normalizations per row.
+    aggregate(gramsOf(TextOps.tokens(text)),
+      struct(lit(0L).as("s"), lit(0L).as("n")),
+      (acc, g) => struct(
+        (acc.getField("s") + element_at(lrMap, gramBucket(g, m.buckets))).as("s"),
+        (acc.getField("n") + lit(1L)).as("n")),
+      acc => when(acc.getField("n") > 0,
+        acc.getField("s").cast("double") / 1e4))
   }
 }

@@ -123,10 +123,16 @@ object QualityClassifier {
     */
   def scoreExpr(text: Column, m: LrModel): Column = {
     val wMap = typedLit(m.w6dp)
-    val grams = Dsir.gramsOf(TextOps.tokens(text))
-    val steps = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(wMap, Dsir.gramBucket(g, m.buckets)))
-    when(size(grams) > 0,
-      sigmoid(marginOf(m.bias6dp, steps, size(grams))))
+    // one reference to the gram array (step sum + count in a struct
+    // accumulator, score in the finish lambda) — every reference inlines
+    // the full tokenizer chain into this interpreted projection, see
+    // Dsir.scoreExpr
+    aggregate(Dsir.gramsOf(TextOps.tokens(text)),
+      struct(lit(0L).as("s"), lit(0L).as("n")),
+      (acc, g) => struct(
+        (acc.getField("s") + element_at(wMap, Dsir.gramBucket(g, m.buckets))).as("s"),
+        (acc.getField("n") + lit(1L)).as("n")),
+      acc => when(acc.getField("n") > 0,
+        sigmoid(marginOf(m.bias6dp, acc.getField("s"), acc.getField("n")))))
   }
 }
