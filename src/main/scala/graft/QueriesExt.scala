@@ -516,6 +516,28 @@ object QueriesExt {
         .orderBy("merge_rank")
     }),
 
+    // real BPE ENCODE made cell-exact at rule-table scale: the q73 vocab
+    // (10 merges over the md5-sampled slice) applied distributed to the
+    // WHOLE corpus, digested per doc with an engine-free md5 over the
+    // ordered id sequence. The oracle replays training AND encoding
+    // (bpeEncodeSql — per-rule recursive walks over distinct pre-tokens,
+    // the SQL analogue of encode's memo cache). q49 remains the
+    // 200-merge production-scale demo; this pins the encode SEMANTICS
+    // cross-engine where unrolling is sane.
+    "q90_bpe_encode" -> ((s, dir) => {
+      val sample = Sampling.sampleByHash(docs(s, dir), "doc_id",
+        fraction = 0.05, salt = "#bpe73")
+      val v = graft.ops.Bpe.trainDistributed(sample, "text", numMerges = 10)
+      graft.ops.Bpe.encode(docs(s, dir), "doc_id", "text", v)
+        .select(col("doc_id"),
+          size(col("token_ids")).cast("long").as("n_ids"),
+          aggregate(col("token_ids"), lit(0L), (acc, x) => acc + x)
+            .as("ids_sum"),
+          md5(concat_ws(",", transform(col("token_ids"),
+            x => x.cast("string")))).as("ids_md5"))
+        .orderBy("doc_id")
+    }),
+
     // surgical decontamination (q47's split, scrub instead of drop):
     // contaminated 5-gram windows are DELETED from the training text and
     // the survivors rejoin in order; the oracle rebuilds every cleaned
@@ -1184,6 +1206,16 @@ object QueriesExt {
     * assigns base characters first, then one id per merge in rank order.
     */
   private def bpeTrainSql(numMerges: Int, fraction: String,
+      salt: String): String =
+    s"""${bpeTrainCtes(numMerges, fraction, salt)}
+       |SELECT merge_rank, lhs, rhs, (basecnt.n + merge_rank)::BIGINT AS token_id
+       |FROM mg CROSS JOIN basecnt ORDER BY merge_rank""".stripMargin
+
+  /** The CTE chain shared by the q73 train oracle and the q90 encode
+    * oracle: word model (`w0..wN`), per-round winners (`b1..bN`), base
+    * alphabet size (`basecnt`), ordered rule table (`mg`).
+    */
+  private def bpeTrainCtes(numMerges: Int, fraction: String,
       salt: String): String = {
     val pat = graft.ops.TextOps.BpePattern.replace("'", "''")
     val pre =
@@ -1227,9 +1259,79 @@ object QueriesExt {
     val mg = (1 to numMerges)
       .map(r => s"SELECT ${r - 1}::BIGINT AS merge_rank, a AS lhs, b AS rhs FROM b$r")
       .mkString(" UNION ALL ")
-    s"""$pre$rounds, mg AS ($mg)
-       |SELECT merge_rank, lhs, rhs, (basecnt.n + merge_rank)::BIGINT AS token_id
-       |FROM mg CROSS JOIN basecnt ORDER BY merge_rank""".stripMargin
+    s"$pre$rounds, mg AS ($mg)"
+  }
+
+  /** DuckDB replay of [[graft.ops.Bpe.encode]] against the vocab
+    * [[bpeTrainCtes]] learns, for q90. encodePretoken's
+    * lowest-rank-pair-repeatedly loop is equivalent to applying the rules
+    * in rank order, each as ONE greedy left-to-right pass: a single pass
+    * leaves no occurrence of its own pair, and a later rule's product can
+    * only re-create an earlier rule's pair if two different merges
+    * produce the same token string (not the case for this vocab, and the
+    * hash equality verifies it on the actual corpus). Each rule's pass is
+    * the same recursive position-walk as training, run over the DISTINCT
+    * pre-tokens of the whole corpus (the SQL analogue of encode's memo
+    * cache). Vocab ids replay as row_number over the base alphabet in
+    * binary order (== Scala's sort on this ASCII corpus) then
+    * |alphabet| + rank per merge; unknown symbols map to -1.
+    */
+  private def bpeEncodeSql(numMerges: Int, fraction: String,
+      salt: String): String = {
+    val pat = graft.ops.TextOps.BpePattern.replace("'", "''")
+    val ruleWalks = (1 to numMerges).map { r =>
+      val p = r - 1
+      s""", x$r AS (
+         |  SELECT pre, syms, 1 AS pos, CAST([] AS VARCHAR[]) AS out FROM e$p
+         |  UNION ALL
+         |  SELECT w.pre, w.syms,
+         |    CASE WHEN w.pos < len(w.syms)
+         |          AND w.syms[w.pos] = m.a AND w.syms[w.pos+1] = m.b
+         |         THEN w.pos + 2 ELSE w.pos + 1 END,
+         |    CASE WHEN w.pos < len(w.syms)
+         |          AND w.syms[w.pos] = m.a AND w.syms[w.pos+1] = m.b
+         |         THEN list_append(w.out, m.a || m.b)
+         |         ELSE list_append(w.out, w.syms[w.pos]) END
+         |  FROM x$r w, b$r m WHERE w.pos <= len(w.syms)
+         |), e$r AS MATERIALIZED (
+         |  SELECT pre, out AS syms FROM x$r WHERE pos > len(syms)
+         |)""".stripMargin
+    }.mkString
+    s"""${bpeTrainCtes(numMerges, fraction, salt)}, vocab AS MATERIALIZED (
+       |  SELECT s, row_number() OVER (ORDER BY s) - 1 AS id
+       |  FROM (SELECT DISTINCT unnest(syms) AS s FROM w0)
+       |  UNION ALL
+       |  SELECT lhs || rhs AS s, basecnt.n + merge_rank AS id
+       |  FROM mg CROSS JOIN basecnt
+       |), docpre AS MATERIALIZED (
+       |  SELECT doc_id, unnest(pres) AS pre,
+       |         unnest(range(1, len(pres) + 1)) AS j
+       |  FROM (SELECT doc_id, regexp_extract_all(text, '$pat') AS pres
+       |        FROM documents)
+       |), e0 AS MATERIALIZED (
+       |  SELECT pre, regexp_extract_all(pre, '.') AS syms
+       |  FROM (SELECT DISTINCT pre FROM docpre)
+       |)$ruleWalks, encid AS MATERIALIZED (
+       |  SELECT t.pre, t.k, coalesce(v.id, -1) AS id
+       |  FROM (SELECT pre, unnest(syms) AS s,
+       |          unnest(range(1, len(syms) + 1)) AS k FROM e$numMerges) t
+       |  LEFT JOIN vocab v USING (s)
+       |), enc AS MATERIALIZED (
+       |  SELECT pre, count(*)::BIGINT AS n, sum(id)::BIGINT AS sm,
+       |         string_agg(id::VARCHAR, ',' ORDER BY k) AS csv
+       |  FROM encid GROUP BY pre
+       |), perdoc AS MATERIALIZED (
+       |  SELECT d.doc_id, sum(e.n)::BIGINT AS n_ids,
+       |         sum(e.sm)::BIGINT AS ids_sum,
+       |         string_agg(e.csv, ',' ORDER BY d.j) AS csv
+       |  FROM docpre d JOIN enc e USING (pre)
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT d.doc_id, coalesce(p.n_ids, 0)::BIGINT AS n_ids,
+       |       coalesce(p.ids_sum, 0)::BIGINT AS ids_sum,
+       |       md5(coalesce(p.csv, '')) AS ids_md5
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB replay of [[graft.ops.QualityClassifier]] train + serve for
@@ -2733,6 +2835,9 @@ object QueriesExt {
 
     "q73_bpe_train" ->
       bpeTrainSql(numMerges = 10, fraction = "0.05", salt = "#bpe73"),
+
+    "q90_bpe_encode" ->
+      bpeEncodeSql(numMerges = 10, fraction = "0.05", salt = "#bpe73"),
 
     "q78_quality_classifier" ->
       s"""${lrTrainSql(epochs = 6, buckets = 1024, lrRate = "4.0",
