@@ -115,6 +115,28 @@ class SelectionSpec extends SparkSpec {
     assert(viaExpr == viaFrames)
   }
 
+  test("scoreExpr featurization matches the naive reference on edge docs") {
+    // guards the gram construction's boundary arithmetic (zip_with over
+    // the tail slice with a clamped length): 0 tokens, 1 token, exactly
+    // 2, whitespace-only, repeated tokens
+    val corpus = Seq(1L -> "anchor doc with enough tokens to fit a model",
+      2L -> "second anchor document for smoothing")
+    val edges = Seq(3L -> "", 4L -> "   ", 5L -> "solo",
+      6L -> "two tokens", 7L -> "dup dup dup", 8L -> " padded  both\tends ")
+    val df = docFrame((corpus ++ edges): _*)
+    val m = Dsir.fit(df, col("doc_id") <= 1, "doc_id", "text", buckets = 64)
+    val got = df.select(col("doc_id"), Dsir.scoreExpr(col("text"), m).as("w"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    (corpus ++ edges).foreach { case (id, text) =>
+      val feats = refFeats(text)
+      val want =
+        if (feats.isEmpty) None
+        else Some(feats.map(g => m.lr4dp(md5Prefix32(g) % 64)).sum.toDouble / 1e4)
+      assert(got(id) == want, s"doc $id '$text': ${got(id)} vs $want")
+    }
+  }
+
   test("DSIR ranks target-like docs above off-target docs") {
     val target = (1 to 20).map(i =>
       (100L + i) -> "alpha beta gamma delta epsilon zeta")
