@@ -849,16 +849,29 @@ object QueriesCore {
          |                                (SELECT max(date) FROM m),
          |                                INTERVAL 1 DAY))::DATE AS date
          |), bus AS (
-         |  SELECT cal.date, m.cnt FROM cal LEFT JOIN m USING (date)
-         |  WHERE dayofweek(cal.date) NOT IN (0, 6)
+         |  -- fill domain = business grid ∪ EVERY source date: the
+         |  -- engine's upsample full-joins the grid with the source, so
+         |  -- off-grid (weekend) observations feed the carry-forward —
+         |  -- a Monday missing from m takes Sunday's value, not Friday's
+         |  SELECT cal.date, m.cnt,
+         |         dayofweek(cal.date) NOT IN (0, 6) AS isb
+         |  FROM cal LEFT JOIN m USING (date)
+         |  WHERE dayofweek(cal.date) NOT IN (0, 6) OR m.cnt IS NOT NULL
          |), f AS (
-         |  SELECT date, last_value(cnt IGNORE NULLS) OVER
+         |  SELECT date, isb, last_value(cnt IGNORE NULLS) OVER
          |    (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
          |  FROM bus
+         |), dom AS (
+         |  -- the convert bridges extend the frame: the business-day
+         |  -- convert adds every Mon-Fri in the span (and week-anchor
+         |  -- Mondays are weekdays, so the weekly bridge adds nothing
+         |  -- more). Dense daily data (sf0.01) makes this the same set as
+         |  -- m; sparse data (sf0.001) does not.
+         |  SELECT date FROM m UNION SELECT date FROM f WHERE isb
          |)
-         |SELECT m.date AS date, round(wk.rw, 8) AS rev_wk,
-         |       f.cb AS cnt_busd
-         |FROM m LEFT JOIN wk ON m.date = wk.wd LEFT JOIN f ON m.date = f.date
+         |SELECT d.date AS date, round(wk.rw, 8) AS rev_wk,
+         |       CASE WHEN f.isb THEN f.cb END AS cnt_busd
+         |FROM dom d LEFT JOIN wk ON d.date = wk.wd LEFT JOIN f ON d.date = f.date
          |ORDER BY date""".stripMargin,
 
     // as_freq=q bounds the month calendar at quarter end (not year end);
