@@ -1147,10 +1147,11 @@ object QueriesExt {
     })
   )
 
-  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
 
   private def langCountSql(words: Seq[String]): String =
-    s"len(regexp_extract_all(lower(text), '\\b(?:${words.mkString("|")})\\b'))"
+    s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), " +
+      s"t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   /** SQL twin of q59's [[graft.ops.Dsir.importanceWeights]] pipeline
     * (en target, 4096 buckets) — (doc_id, n_feats, log_weight), no final
@@ -1417,7 +1418,7 @@ object QueriesExt {
   /** DuckDB twins of TextOps.qualityScore / langId over `text`. */
   private val qualitySql: String = {
     val stop = langCountSql(TextOps.EnStopwords)
-    val tok = "len(string_split_regex(trim(text), '\\s+'))"
+    val tok = "len(regexp_extract_all(text, '\\S+'))"
     val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
     val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
     val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
@@ -1635,7 +1636,13 @@ object QueriesExt {
          |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
          |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
          |  WHERE length(t) >= 3
-         |), sz AS (SELECT doc_id, count(*) AS s FROM g GROUP BY 1),
+         |), sz AS (
+         |  -- LEFT JOIN from documents so gram-less docs (empty or <3
+         |  -- chars after normalization) keep s=0 and their pairs emit
+         |  -- with jaccard 0, as the engine's array form does
+         |  SELECT d.doc_id, count(g.gr) AS s
+         |  FROM d LEFT JOIN g ON g.doc_id = d.doc_id GROUP BY 1
+         |),
          |iv AS (
          |  SELECT a.doc_id AS id1, count(*) AS inter
          |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
@@ -1643,7 +1650,7 @@ object QueriesExt {
          |)
          |SELECT sa.doc_id AS id1, sb.doc_id AS id2,
          |  coalesce(iv.inter, 0)::DOUBLE
-         |        / (sa.s + sb.s - coalesce(iv.inter, 0)) AS jaccard
+         |        / nullif(sa.s + sb.s - coalesce(iv.inter, 0), 0) AS jaccard
          |FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
          |LEFT JOIN iv ON iv.id1 = sa.doc_id
          |ORDER BY id1""".stripMargin,
@@ -1876,7 +1883,7 @@ object QueriesExt {
     // the bucketed-layout round-trip carries the same rows the direct
     // join would, so the oracle replays the join + rollup on the source
     "q87_bucketed_join" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""SELECT source, count(*) AS n_docs,
          |  sum(CASE WHEN ($qualitySql) > 0.5 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_quality,
@@ -1887,7 +1894,7 @@ object QueriesExt {
     // the bucketed write changes layout, not values: the oracle replays
     // exact-dedup survivors ⋈ quality/token scores ⋈ source directly
     "q88_bucketed_pipeline" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""WITH sv AS (
          |  SELECT min(doc_id) AS doc_id, count(*) AS dup_count
          |  FROM (SELECT doc_id, $normSql AS tn FROM documents)
@@ -2012,7 +2019,7 @@ object QueriesExt {
 
     "q28_quality" -> {
       val stop = langCountSql(TextOps.EnStopwords)
-      val tok = s"len(string_split_regex(trim(text), '\\s+'))"
+      val tok = s"len(regexp_extract_all(text, '\\S+'))"
       val awl = s"length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / $tok"
       val punct = s"len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)"
       val digit = s"len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)"
@@ -2029,7 +2036,7 @@ object QueriesExt {
 
     "q29_tokens" ->
       """SELECT doc_id,
-        |  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+        |  len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
         |  len(regexp_extract_all(text,
         |     '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
         |    AS n_bpe_tokens,
@@ -2063,7 +2070,7 @@ object QueriesExt {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q36_prep_pipeline" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""$keptSql
          |SELECT source, count(*) AS n_docs,
          |  sum($tok)::BIGINT AS n_tokens,
@@ -2143,7 +2150,7 @@ object QueriesExt {
     },
 
     "q56_corpus_stats" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""WITH t AS (
          |  SELECT source, $tok::DOUBLE AS nt, ($qualitySql) AS q
          |  FROM documents
@@ -2175,7 +2182,7 @@ object QueriesExt {
     "q53_seq_pack" ->
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
          |    floor(${hashUnitSql("doc_id::VARCHAR")} * 8)::BIGINT AS shard
          |  FROM documents
          |), c AS (
@@ -2271,7 +2278,7 @@ object QueriesExt {
          |             ELSE 1.0 END
          |)
          |SELECT split, shard, count(*) AS n_docs,
-         |  sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT
+         |  sum(len(regexp_extract_all(text, '\\S+')))::BIGINT
          |    AS n_tokens,
          |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
          |      || split || '|' || text), 1, 8))::BIGINT)::BIGINT
@@ -2318,7 +2325,7 @@ object QueriesExt {
       val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         |    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
          |    $toks AS toks
          |  FROM documents
          |), b AS (
@@ -2459,7 +2466,7 @@ object QueriesExt {
     "q63_boilerplate" ->
       s"""WITH $dirtyCte, l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          |l AS (
-         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  SELECT doc_id, i AS pos, trim(ls[i], ' ') AS line
          |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
          |), ne AS (SELECT * FROM l WHERE line <> ''),
          |offending AS (
@@ -2615,7 +2622,7 @@ object QueriesExt {
          |  FROM documents
          |), l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          |l AS (
-         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  SELECT doc_id, i AS pos, trim(ls[i], ' ') AS line
          |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
          |), ne AS (SELECT * FROM l WHERE line <> ''),
          |rk AS (
@@ -2645,7 +2652,7 @@ object QueriesExt {
          |  SELECT doc_id,
          |    trim(regexp_replace(lower(
          |      CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
-         |      '\\s+', ' ', 'g')) AS tn
+         |      '\\s+', ' ', 'g'), ' ') AS tn
          |  FROM d WHERE u >= 0.3
          |)
          |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -2659,9 +2666,7 @@ object QueriesExt {
     "q75_length_profile" ->
       """WITH t AS (
         |  SELECT source,
-        |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END
-        |      ::BIGINT AS l
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS l
         |  FROM documents
         |), h AS (
         |  SELECT source, l, count(*) AS c FROM t GROUP BY 1, 2
@@ -2708,7 +2713,7 @@ object QueriesExt {
     },
 
     "q84_delta_prep" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""WITH d AS (
          |  SELECT doc_id, source, text,
          |    ${hashUnitSql("doc_id::VARCHAR")} AS u
@@ -2765,7 +2770,7 @@ object QueriesExt {
     "q64_selection_pipeline" ->
       s"""WITH $dirtyCte, l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          |l AS (
-         |  SELECT doc_id, i AS pos, trim(ls[i]) AS line
+         |  SELECT doc_id, i AS pos, trim(ls[i], ' ') AS line
          |  FROM l0, unnest(generate_series(1, len(ls))) AS u(i)
          |), ne AS (SELECT * FROM l WHERE line <> ''),
          |offending AS (
@@ -2783,7 +2788,7 @@ object QueriesExt {
          |), dd AS (
          |  SELECT doc_id, source, lang,
          |    list_filter(string_split(trim(regexp_replace(lower(text),
-         |      '\\s+', ' ', 'g')), ' '), x -> len(x) > 0) AS toks
+         |      '\\s+', ' ', 'g'), ' '), ' '), x -> len(x) > 0) AS toks
          |  FROM cl
          |), f AS (
          |  SELECT doc_id, lang,
@@ -2814,7 +2819,7 @@ object QueriesExt {
          |  FROM dc JOIN ratio USING (b) GROUP BY doc_id
          |), sel AS (
          |  SELECT cl.doc_id, cl.source,
-         |    len(string_split_regex(trim(cl.text), '\\s+'))::BIGINT AS nt,
+         |    len(regexp_extract_all(cl.text, '\\S+'))::BIGINT AS nt,
          |    ${hashUnitSql("cl.doc_id::VARCHAR || '#m64'")} AS u
          |  FROM cl JOIN wts USING (doc_id)
          |  WHERE wts.log_weight >= -11.0
@@ -2862,7 +2867,7 @@ object QueriesExt {
          |FROM r WHERE rk <= 50 ORDER BY score DESC, doc_id""".stripMargin,
 
     "q60_mix_plan" -> {
-      val tok = "len(string_split_regex(trim(text), '\\s+'))"
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
       s"""WITH t AS (
          |  SELECT source, doc_id, $tok::BIGINT AS nt,
          |    ${hashUnitSql("doc_id::VARCHAR || '#mix60'")} AS u

@@ -21,10 +21,15 @@ object TextOps {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), lit("\\s+"), lit(" ")))
 
-  /** Whitespace token count; empty/blank text counts 0. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0))
-      .otherwise(size(split(trim(c), "\\s+")))
+  /** Whitespace token count = number of non-whitespace runs. Robust by
+    * construction on degenerate text (empty, whitespace-only, leading or
+    * trailing tabs/newlines all count 0 extra), unlike split-and-count
+    * which keeps boundary fragments; equal on clean text. One
+    * `regexp_count` — no token array is materialized. DuckDB twin:
+    * `len(regexp_extract_all(text, '\S+'))` (Java and RE2 agree on the
+    * ASCII `\S` class).
+    */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
 
   /** GPT-2-style pre-tokenizer pattern (simplified): contractions, letter
     * runs, digit runs, punctuation runs, whitespace runs — the standard
@@ -175,8 +180,17 @@ object TextOps {
   val EnStopwords: Seq[String] =
     Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
 
+  /** Whole-word stopword hits, counted as lowercase ASCII-letter runs
+    * (`[a-z]+`) equal to a listed word. Deliberately NOT `\b(word)\b`:
+    * Java's `\b` is Unicode-aware (combining marks and accented letters
+    * are word chars) while RE2's is ASCII, so the two engines disagree on
+    * NFD/accented text — e.g. RE2 finds `de` inside NFD "déjà" and Java
+    * does not. Explicit character classes behave identically in both, so
+    * this definition replays exactly in any RE2/PCRE/Java engine.
+    */
   def stopwordCount(c: Column, words: Seq[String] = EnStopwords): Column =
-    countMatches(lower(c), "\\b(?:" + words.mkString("|") + ")\\b")
+    size(filter(regexp_extract_all(lower(c), lit("[a-z]+"), lit(0)),
+      t => t.isin(words: _*)))
 
   def stopwordRatio(c: Column, words: Seq[String] = EnStopwords): Column =
     stopwordCount(c, words).cast("double") /
