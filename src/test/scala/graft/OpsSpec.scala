@@ -1064,6 +1064,31 @@ class OpsSpec extends SparkSpec {
     assert(fp(0).getLong(0) == fp(1).getLong(0))
   }
 
+  test("token/stopword primitives: engine-portable semantics on " +
+      "degenerate and Unicode text") {
+    // tokenCount = number of non-whitespace runs: boundary whitespace of
+    // any kind adds nothing, whitespace-only and empty count 0, non-BMP
+    // code points are ordinary non-whitespace
+    val df = docFrame(
+      (1L, "  a\tb\nc  "), (2L, "\t \n"), (3L, ""), (4L, "😀 hi"))
+    val tc = df.select(col("doc_id"), TextOps.tokenCount(col("text")))
+      .orderBy("doc_id").collect().map(_.getInt(1))
+    assert(tc.toSeq == Seq(3, 0, 0, 2))
+    // stopwordCount counts [a-z]+ runs equal to a listed word — identical
+    // in Java and RE2 (unlike \b on NFD text). A combining mark breaks a
+    // run the same way punctuation does; case-folding still applies.
+    val sw = docFrame(
+      (1L, "the,and;of"),              // punctuation-separated runs: 3 hits
+      (2L, "de\u0301ja\u0300 the"),   // NFD deja-vu: runs de/ja/the -> "the"
+      (3L, "THE And oF"),              // lowercased before matching: 3
+      (4L, "their of-topic and2"))     // "their" never matches; "of-topic"
+                                       // splits to of+topic and the digit
+                                       // ends "and2"'s letter run at "and"
+      .select(col("doc_id"), TextOps.stopwordCount(col("text")))
+      .orderBy("doc_id").collect().map(_.getInt(1))
+    assert(sw.toSeq == Seq(3, 1, 3, 2))
+  }
+
   test("classifier floors: langId and quality gate score >= 0.9 on a " +
       "labeled fixture") {
     // the synthetic corpus's lang column is independent of its text (all
