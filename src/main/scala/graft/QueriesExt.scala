@@ -73,6 +73,11 @@ object QueriesExt {
 
   /** (id1, id2, jaccard) between consecutive doc ids over a trigram
     * frame `d` — q21's body, shared with the q39/q50 edge builder.
+    * The union size is nullif-guarded: two adjacent gram-less docs
+    * (anything under 3 chars after normalization) are a 0/0 that ANSI
+    * mode turns into a job-killing DIVIDE_BY_ZERO; the pair emits a
+    * null jaccard instead, exactly like the oracle's nullif twin, and
+    * downstream `>= minJ` edge filters drop it.
     */
   private def triJaccardOf(d: DataFrame): DataFrame = {
     val a = d.select(col("doc_id").as("id1"), col("g").as("g1"))
@@ -80,7 +85,7 @@ object QueriesExt {
     a.join(b, col("id2") === col("id1") + 1)
       .withColumn("inter", size(array_intersect(col("g1"), col("g2"))))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("g1")) + size(col("g2")) - col("inter")))
+        nullif(size(col("g1")) + size(col("g2")) - col("inter"), lit(0)))
       .select("id1", "id2", "jaccard")
   }
 

@@ -42,8 +42,12 @@ object Bpe {
 
   /** Pre-tokens of `text` under the GPT-2-style pattern — the exact same
     * matches [[TextOps.bpeTokenCount]] counts (both are Java regex).
+    * Null-safe like [[TextOps.tokensJvm]]: null text has no pre-tokens
+    * (Matcher would NPE) — this is the choke point every train/encode
+    * path tokenizes through.
     */
   def pretokens(text: String): Vector[String] = {
+    if (text == null) return Vector.empty
     val m = pretokenRe.matcher(text)
     val out = Vector.newBuilder[String]
     while (m.find()) out += m.group()
