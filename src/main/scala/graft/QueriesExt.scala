@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{AsOfJoin, Bpe, Dedup, Dsir, MixPlan, Multimodal, Output, Sampling, Similarity, TextOps}
+import graft.ops.{AsOfJoin, Bpe, Dedup, Dsir, MixPlan, Multimodal, Output, Sampling, Similarity, Sketches, TextOps}
 
 /** Driver-checkable queries for the training-data-pipeline operators
   * (dedup / similarity / text analysis / multimodal) over the `documents`
@@ -1149,6 +1149,68 @@ object QueriesExt {
           sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
           sum(length(col("text")).cast("long")).as("n_chars"))
         .orderBy("source")
+    }),
+
+    // HyperLogLog distinct-shingle cardinality per language: 256
+    // md5-word registers per group (the whole sketch is one cache line),
+    // merged map-side by groupBy.max, estimate = one exact integer
+    // register sum + one double division — cell-exact on any engine.
+    // The item is the word 3-shingle (3k–9k distinct per lang here; the
+    // token vocab itself is a toy 31), the cardinality a crawl pipeline
+    // actually tracks per slice. exact_distinct rides along as the
+    // quality witness; at corpus scale only the sketch is computable,
+    // and its shuffle is groups×256 rows.
+    "q91_hll_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val grams = Dedup.posGramRows(d, "doc_id", "text", w = 3)
+        .join(d.select("doc_id", "lang"), "doc_id")
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(grams, Seq("lang"), col("gram")), Seq("lang"))
+      val exact = grams.groupBy("lang")
+        .agg(countDistinct(col("gram")).as("exact_distinct"))
+      est.join(exact, "lang")
+        .select(col("lang"), col("regs_hit"), col("reg_sum"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy("lang")
+    }),
+
+    // Count-Min heavy hitters: 4×1024 counters over the 3-shingle
+    // occurrence stream (affine md5 row hashes — the minhash permutation
+    // family), probed for the exact top-50 shingles. est_cnt >=
+    // exact_cnt by construction; the oracle replays every counter cell.
+    // The sketch state is fixed kilobytes however long the stream — the
+    // frequency table you can actually keep per-executor at 10^12
+    // tokens.
+    "q92_cms_heavy_hitters" -> ((s, dir) => {
+      val grams = Dedup.posGramRows(docs(s, dir), "doc_id", "text", w = 3)
+        .select(col("gram"))
+      val counters = Sketches.cmsCounters(grams, col("gram"))
+      val cand = grams.groupBy("gram").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram")).limit(50)
+      Sketches.cmsProbe(counters, cand, "gram")
+        .select(col("gram"), col("exact_cnt"), col("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("gram"))
+    }),
+
+    // Z-order (Morton) layout audit: orders on the (order-day, custkey)
+    // plane, bucketed by the top 8 bits of the interleaved code. Each
+    // bucket's min/max rectangle is tight in BOTH dimensions — the
+    // file-statistics property that lets a 2-D range scan prune most
+    // files, where a single-column sort is tight in one dimension and
+    // spans the full range of the other (SketchSpec measures the actual
+    // file-skip ratio on a written layout).
+    "q93_zorder_layout" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val dayIdx = datediff(col("o_orderdate").cast("date"),
+        lit("1995-01-01").cast("date")).cast("long")
+      val z = Sketches.zValue(col("day_idx"), col("o_custkey") % 65536)
+      o.select(dayIdx.as("day_idx"), col("o_custkey"))
+        .withColumn("zbucket", shiftright(z, 16))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min("day_idx").as("min_day"), max("day_idx").as("max_day"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+        .orderBy("zbucket")
     })
   )
 
@@ -2950,6 +3012,107 @@ object QueriesExt {
         |  make_timestamp(epoch_us(min(ts))) AS session_start,
         |  make_timestamp(epoch_us(max(ts))) AS session_end, count(*) AS n_events,
         |  sum(value::DECIMAL(18,8))::DOUBLE AS sum_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // HLL registers replayed value-for-value: same md5 words, same
+    // bin()-length rho (both engines print binary without leading
+    // zeros), same exact integer register sum; the estimate constant is
+    // interpolated as the shortest round-trip double literal, so the one
+    // division is bit-identical.
+    "q91_hll_distinct" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT lang, $toks AS toks FROM documents
+         |), t AS (
+         |  SELECT lang, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS token FROM d
+         |), h AS (
+         |  SELECT lang,
+         |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS reg,
+         |    ('0x' || substr(md5(token), 9, 8))::BIGINT AS w2
+         |  FROM t
+         |), r AS (
+         |  SELECT lang, reg,
+         |    max(CASE WHEN w2 = 0 THEN 33
+         |             ELSE 33 - length(bin(w2)) END) AS rho
+         |  FROM h GROUP BY lang, reg
+         |), e AS (
+         |  SELECT lang, count(*) AS regs_hit,
+         |    ((256 - count(*)) * 8589934592 +
+         |      sum(1::BIGINT << (33 - rho)))::BIGINT AS reg_sum
+         |  FROM r GROUP BY lang
+         |), x AS (
+         |  SELECT lang, count(DISTINCT token) AS exact_distinct
+         |  FROM t GROUP BY lang
+         |)
+         |SELECT e.lang, regs_hit, reg_sum,
+         |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
+         |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
+    },
+
+    // CMS counters and probes replayed: the affine row-hash parameters
+    // are interpolated from the same splitmix64 derivation the engine
+    // uses, so every (r, c, cnt) cell and every min-over-rows estimate
+    // is the identical integer.
+    "q92_cms_heavy_hitters" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      val P = Dedup.MinHashPrime
+      val params = (0 until 4).map(graft.ops.Dedup.minHashParams)
+      val cells = params.zipWithIndex.map { case ((a, b), r) =>
+        s"SELECT $r AS r, (($a * hv + $b) % $P) % 1024 AS c FROM h"
+      }.mkString("\n  UNION ALL ")
+      val probes = params.zipWithIndex.map { case ((a, b), r) =>
+        s"""SELECT gram, exact_cnt, $r AS r,
+           |    (($a * (('0x' || substr(md5(gram), 1, 8))::BIGINT) + $b)
+           |     % $P) % 1024 AS c FROM cand""".stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""WITH d AS (
+         |  SELECT $toks AS toks FROM documents
+         |), t AS (
+         |  SELECT unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM d
+         |), h AS (
+         |  SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv FROM t
+         |), cells AS (
+         |  $cells
+         |), counters AS (
+         |  SELECT r, c, count(*) AS cnt FROM cells GROUP BY r, c
+         |), cand AS (
+         |  SELECT gram, count(*) AS exact_cnt FROM t GROUP BY gram
+         |  ORDER BY exact_cnt DESC, gram LIMIT 50
+         |), probe AS (
+         |  $probes
+         |)
+         |SELECT p.gram, p.exact_cnt, min(co.cnt) AS est_cnt
+         |FROM probe p JOIN counters co ON p.r = co.r AND p.c = co.c
+         |GROUP BY p.gram, p.exact_cnt
+         |ORDER BY p.exact_cnt DESC, p.gram""".stripMargin
+    },
+
+    // Morton spread replayed with the same magic masks (multiplicative
+    // shifts — no operator-precedence hazards); all arithmetic < 2^32.
+    "q93_zorder_layout" -> {
+      def spread(e: String): String = {
+        val w0 = s"($e & 65535)"
+        val w1 = s"(($w0 | ($w0 * 256)) & 16711935)"
+        val w2 = s"(($w1 | ($w1 * 16)) & 252645135)"
+        val w3 = s"(($w2 | ($w2 * 4)) & 858993459)"
+        s"(($w3 | ($w3 * 2)) & 1431655765)"
+      }
+      val z = s"(${spread("day_idx")} + ${spread("(o_custkey % 65536)")} * 2)"
+      s"""WITH b AS (
+         |  SELECT date_diff('day', DATE '1995-01-01',
+         |    o_orderdate::DATE)::BIGINT AS day_idx, o_custkey
+         |  FROM orders
+         |)
+         |SELECT $z >> 16 AS zbucket, count(*) AS n_orders,
+         |  min(day_idx) AS min_day, max(day_idx) AS max_day,
+         |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

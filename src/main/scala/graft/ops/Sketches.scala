@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketches for corpus-scale statistics: HyperLogLog
+  * cardinality registers, Count-Min frequency counters, and the Z-order
+  * (Morton) curve for 2-D data layout.
+  *
+  * At 100 TB the exact forms of these questions — distinct tokens per
+  * language, per-token frequencies, multi-column range locality — are
+  * themselves big-data problems (a distinct-count over 10¹² tokens is a
+  * full shuffle of the token stream). Sketches bound the state: HLL is
+  * 256 bytes per group, CMS is depth×width counters total, and both are
+  * MERGEABLE — per-partition sketch then `max`/`sum` merge, which is the
+  * map-side-combine shape Spark aggregates into automatically because
+  * both constructions are pure `groupBy.agg(max/sum)` over integer
+  * columns. Nothing here collects to the driver.
+  *
+  * Everything derives from the engine-portable md5 hash family
+  * ([[Sampling.md5Prefix32]] / [[Sampling.md5Second32]] + the
+  * [[Dedup.minHashParams]] affine permutations): register indices, rho
+  * ranks, counter cells and Morton codes are integer arithmetic on those
+  * words, so a DuckDB oracle replays every register and counter
+  * cell-exact — same property that made the LSH family verifiable
+  * (fingerprints re-verify on any engine).
+  */
+object Sketches {
+
+  // ------------------------------------------------------------------
+  // HyperLogLog
+  // ------------------------------------------------------------------
+
+  /** Number of HLL registers (2^[[HllB]]). 256 registers → standard
+    * error 1.04/√m ≈ 6.5% — the classic operating point (Flajolet et
+    * al. 2007, §4) where the whole sketch is one cache line per group.
+    */
+  val HllB: Int = 8
+  val HllM: Int = 1 << HllB
+
+  /** Rank (rho) of a 32-bit hash word: position of the leftmost 1-bit =
+    * leading zeros + 1, so rho ∈ [1, 33] with 33 for the all-zero word.
+    * Spelled `33 - bitLength(w)` where bitLength comes from the length
+    * of the binary string form — `bin()` prints without leading zeros
+    * in both Spark and DuckDB, which makes this the rare rank
+    * construction that is engine-portable without a bit loop.
+    */
+  def hllRho(word: Column): Column =
+    when(word === 0, lit(33)).otherwise(lit(33) - length(bin(word)))
+
+  /** Per-group HLL registers over the values of `item`:
+    * (groupCols…, reg, rho) with reg ∈ [0, 256) from the first md5 word
+    * and rho the rank of the second word (independent words of ONE
+    * digest — no second hash pass). `groupBy.agg(max)` gives map-side
+    * partial maxes, so the shuffle carries at most groups×256 rows no
+    * matter how many items flow in — the sketch IS the shuffle shape.
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], item: Column)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ (Sampling.md5Prefix32(item) % HllM).as("reg")
+        :+ hllRho(Sampling.md5Second32(item)).as("rho"): _*)
+      .groupBy(g :+ col("reg"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge two register tables (same group columns): union + max per
+    * (group, reg) — HLL's defining property. Registers built on any
+    * partition of the data merge to exactly the registers of the whole:
+    * the incremental-corpus shape (nightly batch sketches + standing
+    * sketch → updated sketch, no re-scan of the corpus).
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String])
+      : DataFrame = {
+    val g = groupCols.map(col)
+    a.unionByName(b)
+      .groupBy(g :+ col("reg"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Exact scale constant and estimator arithmetic, shared with the
+    * DuckDB oracle:  E = alpha·m²·2³³ / S  where
+    * S = Σ_j 2^(33-rho_j) over all m registers (absent register ⇒
+    * rho = 0 ⇒ term 2³³). S is an INTEGER ≤ m·2³³ = 2⁴¹ — summed
+    * exactly as a long on any engine, in any order — and the estimate
+    * is one double division of two exactly-representable values, so it
+    * is bit-identical wherever the registers match. No transcendental
+    * bias corrections (the raw estimator is the contract; at m = 256
+    * the small-range regime only matters below ~640 distinct, where an
+    * exact count is trivial anyway).
+    */
+  val HllAlpha: Double = 0.7213 / (1 + 1.079 / HllM)
+  val HllK: Double = HllAlpha * HllM * HllM * 8589934592.0 // alpha·m²·2³³
+
+  /** Collapse a register table to one estimate row per group:
+    * (groupCols…, regs_hit, reg_sum, est_distinct). `reg_sum` is the
+    * exact integer S above — the auditable core of the estimate; two
+    * engines that agree on it agree on `est_distinct` to the bit.
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    regs
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(call_function("shiftleft", lit(1L), lit(33) - col("rho")))
+          .as("hit_sum"))
+      .select(g
+        :+ col("regs_hit")
+        :+ ((lit(HllM.toLong) - col("regs_hit")) * lit(8589934592L)
+             + col("hit_sum")).as("reg_sum"): _*)
+      .withColumn("est_distinct", lit(HllK) / col("reg_sum").cast("double"))
+  }
+
+  // ------------------------------------------------------------------
+  // Count-Min
+  // ------------------------------------------------------------------
+
+  /** Counter table (r, c, cnt) of a Count-Min sketch over the values of
+    * `item`: depth rows × width columns, row hashes
+    * g_r(h) = ((a_r·h + b_r) mod P) mod width over the md5 base word —
+    * the [[Dedup.minHashParams]] universal family, so every cell
+    * replays on any engine. One pass: the per-item explode emits depth
+    * (r, c) pairs and `groupBy.count` partial-aggregates map-side, so
+    * the shuffle carries ≤ depth·width rows per partition regardless of
+    * stream length. Total state depth·width counters (the point: a
+    * frequency table over 10¹² tokens in kilobytes, at the price of
+    * ε = e/width overcount with failure prob e^-depth).
+    */
+  def cmsCounters(df: DataFrame, item: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    val cells = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (Dedup.minHashPermuted(r, col("__h")) % width).as("c"))
+    }
+    df.select(Sampling.md5Prefix32(item).as("__h"))
+      .select(explode(array(cells: _*)).as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each row of `candidates`: estimated
+    * count = min over rows r of counter[r, g_r(h(item))]. The join is
+    * |candidates|·depth against a depth·width table — broadcast-sized
+    * by construction. Estimates never undercount (every true occurrence
+    * incremented every probed cell), so `est_cnt >= true count` is an
+    * invariant, not a tendency.
+    */
+  def cmsProbe(counters: DataFrame, candidates: DataFrame, itemCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val probes = (0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (Dedup.minHashPermuted(r, col("__h")) % width).as("c"))
+    }
+    val cand = candidates
+      .withColumn("__h", Sampling.md5Prefix32(col(itemCol)))
+      .select(col("*"), explode(array(probes: _*)).as("probe"))
+      .select(col("*"), col("probe.r").as("r"), col("probe.c").as("c"))
+    cand.join(broadcast(counters), Seq("r", "c"))
+      .groupBy(candidates.columns.toIndexedSeq.map(col): _*)
+      .agg(min(col("cnt")).as("est_cnt"))
+  }
+
+  // ------------------------------------------------------------------
+  // Z-order (Morton) layout
+  // ------------------------------------------------------------------
+
+  /** Interleave the low 16 bits of `x` and `y` into a 32-bit Morton
+    * code (x in even bit positions, y in odd). Magic-mask bit spreading
+    * — 4 shift/or/and steps per coordinate instead of a 16-step bit
+    * loop; pure integer Column arithmetic, whole-stage-codegen'd, and
+    * the DuckDB oracle replays the identical masks. Sorting a table by
+    * this code clusters 2-D range queries: any (x, y) rectangle touches
+    * a bounded set of Morton ranges, so file-level min/max stats prune
+    * most files for point-in-rectangle scans — the multi-dimensional
+    * layout trick data warehouses bill as Z-ORDER clustering, here as
+    * one expression + `repartitionByRange`.
+    */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x) + spread16(y) * 2
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a
+    * 32-bit word: abcd → 0a0b0c0d. Masks are the standard Morton
+    * constants; arithmetic stays < 2³² so BIGINT semantics are
+    * identical on every engine.
+    */
+  def spread16(c: Column): Column = {
+    val w0 = c.bitwiseAND(lit(0xFFFFL))
+    val w1 = w0.bitwiseOR(shiftleft16(w0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val w2 = w1.bitwiseOR(shiftleft16(w1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val w3 = w2.bitwiseOR(shiftleft16(w2, 2)).bitwiseAND(lit(0x33333333L))
+    w3.bitwiseOR(shiftleft16(w3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Multiplicative left shift: `c · 2^n`. Both engines' `<<` on BIGINT
+    * would also do, but the multiply spelling needs no operator-
+    * precedence care in generated SQL and codegens identically.
+    */
+  private def shiftleft16(c: Column, n: Int): Column =
+    c * lit(1L << n)
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Sketches
+
+/** Sketch-family invariants: HLL rank/merge/accuracy, CMS bounds and
+  * linearity, Morton spreading vs a naive bit loop, and the measured
+  * file-skip win of a Z-order layout over a single-column sort.
+  */
+class SketchSpec extends SparkSpec {
+  import Sketches._
+
+  private def itemFrame(items: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(StructField("item", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(items.map(Row(_))).asJava), schema)
+  }
+
+  test("hllRho equals the numberOfLeadingZeros reference on the Column path") {
+    val words = Seq(0L, 1L, 2L, 3L, 0x80000000L, 0xFFFFFFFFL, 0x00010000L) ++
+      (1 to 40).map(i => (math.abs(scala.util.hashing.MurmurHash3
+        .stringHash(i.toString).toLong)) & 0xFFFFFFFFL)
+    val schema = StructType(Seq(StructField("w", LongType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(words.map(Row(_))).asJava), schema)
+    val got = df.select(col("w"), hllRho(col("w")).cast("int").as("rho"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    words.foreach { w =>
+      val ref =
+        if (w == 0) 33
+        else java.lang.Integer.numberOfLeadingZeros(w.toInt) + 1
+      assert(got(w) == ref, s"rho($w): got ${got(w)}, want $ref")
+    }
+  }
+
+  test("HLL registers merge: halves max-merge to exactly the whole") {
+    val items = (1 to 5000).map(i => s"item$i")
+    val all = itemFrame(items)
+    val (h1, h2) = (itemFrame(items.take(2300) ++ items.take(100)),
+      itemFrame(items.drop(2300)))
+    val whole = hllRegisters(all, Seq.empty, col("item"))
+      .orderBy("reg").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val merged = hllMerge(
+      hllRegisters(h1, Seq.empty, col("item")),
+      hllRegisters(h2, Seq.empty, col("item")), Seq.empty)
+      .orderBy("reg").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(merged.toSeq == whole.toSeq)
+  }
+
+  test("HLL estimate lands within the m=256 error regime on 20k distinct") {
+    val n = 20000
+    val df = itemFrame((1 to n).map(i => s"val#$i") ++
+      (1 to 3000).map(i => s"val#${i % 500 + 1}")) // heavy duplication
+    val est = hllEstimate(hllRegisters(df, Seq.empty, col("item")), Seq.empty)
+      .select("est_distinct").collect().head.getDouble(0)
+    // standard error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    assert(math.abs(est / n - 1.0) < 0.2, s"estimate $est for true $n")
+  }
+
+  test("CMS never undercounts and respects the e/w error bound") {
+    val stream = (1 to 2000).flatMap(i => Seq.fill(1 + i % 7)(s"tok$i")) ++
+      Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2")
+    val df = itemFrame(stream)
+    val counters = cmsCounters(df, col("item"))
+    val exact = df.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    val probed = cmsProbe(counters, exact, "item")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = stream.size
+    probed.foreach { case (tok, ex, est) =>
+      assert(est >= ex, s"$tok: est $est < exact $ex — CMS must overcount")
+      // Markov bound per row: overflow <= e/w * N with prob 1 - e^-4
+      assert(est - ex <= math.ceil(2.72 / 1024 * total) * 4,
+        s"$tok: est $est vs exact $ex exceeds the CMS error envelope")
+    }
+  }
+
+  test("CMS counters are linear: half-stream counters sum to the whole") {
+    val stream = (1 to 3000).map(i => s"w${i % 271}")
+    val (a, b) = stream.splitAt(1700)
+    val whole = cmsCounters(itemFrame(stream), col("item"))
+    val summed = cmsCounters(itemFrame(a), col("item"))
+      .unionByName(cmsCounters(itemFrame(b), col("item")))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+    assert(whole.join(summed, Seq("r", "c"))
+      .where(whole("cnt") =!= summed("cnt")).isEmpty)
+    assert(whole.count() == summed.count())
+  }
+
+  test("zValue matches the naive bit-interleave reference") {
+    def naive(x: Long, y: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pairs = for (x <- Seq(0L, 1L, 2L, 0xFFFFL, 0x1234L, 43210L, 65535L);
+                     y <- Seq(0L, 1L, 0xFFFFL, 0x0F0FL, 54321L)) yield (x, y)
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", LongType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(pairs.map(p => Row(p._1, p._2)).toSeq).asJava), schema)
+    val got = df.select(col("x"), col("y"),
+      zValue(col("x"), col("y")).as("z")).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == naive(r.getLong(0), r.getLong(1)),
+        s"z(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("Z-order layout bounds file touch for BOTH query dims; 1-D sort only one") {
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select(
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).cast("long").as("day_idx"),
+        col("o_custkey"))
+    val z = o.withColumn("z", zValue(col("day_idx"), col("o_custkey") % 65536))
+    val nFiles = 16
+    val zDir = tmpDir("zorder").toString
+    val kDir = tmpDir("keysort").toString
+    z.repartitionByRange(nFiles, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(zDir)
+    // contrast layout: clustered by custkey alone (the 1-D default)
+    z.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(kDir)
+    def touched(dir: String, pred: org.apache.spark.sql.Column): (Long, Long) = {
+      val rd = spark.read.parquet(dir).where(pred)
+      (rd.count(),
+        rd.select(input_file_name().as("f")).distinct().count())
+    }
+    val dateQ = col("day_idx").between(600, 659)        // ~2% of days
+    val custQ = col("o_custkey").between(100, 200)      // ~7% of keys
+    val (dnZ, dfZ) = touched(zDir, dateQ)
+    val (dnK, dfK) = touched(kDir, dateQ)
+    val (cnZ, cfZ) = touched(zDir, custQ)
+    val (cnK, cfK) = touched(kDir, custQ)
+    assert(dnZ == dnK && dnZ > 20 && cnZ == cnK && cnZ > 20)
+    // custkey sort is perfect on its own column …
+    assert(cfK <= 3, s"custkey sort touched $cfK files for the custkey slice")
+    // … but a date slice lives in every custkey-range file
+    assert(dfK >= nFiles - 2, s"custkey sort should scatter dates, got $dfK")
+    // z-order keeps BOTH slice shapes inside a strict subset of files —
+    // each dim's selectivity prunes with exponent ~1/2 instead of 1/0
+    assert(dfZ <= nFiles / 2, s"z layout: date slice touched $dfZ files")
+    assert(cfZ <= nFiles / 2, s"z layout: custkey slice touched $cfZ files")
+    assert(math.max(dfZ, cfZ) < dfK,
+      s"z worst shape ($dfZ/$cfZ) must beat 1-D worst shape ($dfK)")
+  }
+}
