@@ -45,10 +45,20 @@ object Bench {
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+    // A query that throws must NOT be recorded as a fast success: round 8's
+    // silent catch recorded 4 analysis-failing queries as 0.06-0.8 s
+    // entries (times-to-exception). Track failures per query and surface
+    // them in the summary as "failed":[...].
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          if (failed.add(name)) System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+          -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }
       // first run = untimed warmup (codegen/JIT); min of the rest is the figure
@@ -75,10 +85,18 @@ object Bench {
     // the perf gate needs, so the machine-readable record no longer depends
     // on where truncation lands. The full per-query map is also persisted to
     // bench_queries.json in the cwd for post-hoc reads.
-    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}"""
+    val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}"""
+    // Persist the machine-readable record to FIXED filenames so it never
+    // depends on stdout capture (rounds 6-8 all stored "parsed": null
+    // because sbt log decoration / truncation ate the stdout line):
+    // BENCH_SUMMARY.json = the summary object, bench_queries.json = the
+    // full per-query map.
     try {
-      val p = java.nio.file.Paths.get("bench_queries.json")
-      java.nio.file.Files.write(p, (qs + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
+        (qs + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (summary + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(summary)
     spark.stop()

@@ -14,9 +14,9 @@ import graft.ops.{AsOfJoin, Bpe, Dedup, Dsir, MixPlan, Multimodal, Output, Sampl
   */
 object QueriesExt {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Scratch root for queries that prove a real write (q48/q50/q62/q80/
@@ -45,14 +45,26 @@ object QueriesExt {
   private def scratch(sub: String): String =
     scratchRoot.resolve(sub).toString
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark reads only as a
-    * long (`spark.sql.legacy.parquet.nanosAsLong`); convert to a microsecond
-    * timestamp with integer division — ns epoch values exceed 2^53, so any
-    * double math here would silently lose precision.
+  /** events.parquet's `ts` physical type has drifted across testdata
+    * generations — TIMESTAMP(NANOS) (readable only as a long via
+    * `spark.sql.legacy.parquet.nanosAsLong`) and now TIMESTAMP(MICROS)
+    * (which resolves as TIMESTAMP_NTZ since the file is not
+    * adjusted-to-UTC). Branch on the LOADED type instead of assuming one:
+    * a long is a ns epoch → integer-divide to µs (integer, not double —
+    * ns epochs exceed 2^53); NTZ/timestamp pass through with a cast to
+    * session-local TimestampType (identity under the UTC session TZ all
+    * entry points set). Assuming ns-as-long broke all four event queries
+    * in round 8 when the testdata moved to timestamp[us].
     */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Per-doc distinct character-trigram sets, xxhash64'd to longs: the
     * intersect/union arithmetic downstream runs on 8-byte integers

@@ -21,13 +21,21 @@ object Verify {
     // driver's mode) = dump everything
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
+    // Failures must be LOUD: a query that throws produces no parquet dump
+    // and would silently vanish from the round's correctness record (round
+    // 8 lost 4 green-in-r7 queries this way). Collect every failure and
+    // write _verify_errors.json next to the dumps so the driver's compare
+    // can report `err` instead of dropping the row.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(2000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +53,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    // loud but non-fatal: a nonzero exit could make the driver discard the
+    // 80+ good dumps; the errors file + stderr banner carry the failures
+    if (errors.nonEmpty) System.err.println(
+      s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
