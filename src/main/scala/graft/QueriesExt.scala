@@ -1035,15 +1035,24 @@ object QueriesExt {
       Dedup.corpusDiff(old, nu, "doc_id", "text").orderBy("doc_id")
     }),
 
-    // incremental near-dup (rows-only: LSH hashing isn't SQL-expressible;
-    // OpsSpec pins pair exactness and cross-side-only expansion): the
-    // md5-upper half is "tonight's batch", screened against the lower
-    // half as the standing corpus; survivors pass.
+    // incremental near-dup at the REAL nightly cadence: the standing
+    // LSH index is PERSISTED (written once in setup — in production it
+    // exists from last night, and q89 proves the append path) and
+    // tonight's batch is screened against the index SCAN, not a
+    // regenerated standing-side shingle pipeline. Only candidate ref
+    // docs are consulted for verification. Kept set is identical to the
+    // self-contained screen (same shared-bucket-space cap semantics —
+    // the oracle replays that space; OpsSpec pins operator equality).
     "q76_neardup_incremental" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
-      Dedup.nearDupAgainst(
-        d.where(col("u") >= 0.5).select("doc_id", "text"),
-        d.where(col("u") < 0.5).select("doc_id", "text"),
+      val standing = d.where(col("u") < 0.5).select("doc_id", "text")
+      val batch = d.where(col("u") >= 0.5).select("doc_id", "text")
+      val idxPath = scratch("q76_index")
+      Dedup.lshIndexRows(standing, "doc_id", "text",
+        numHashes = 32, bands = 8)
+        .select("doc_id", "band", "bucket")
+        .write.mode("overwrite").parquet(idxPath)
+      Dedup.nearDupAgainstIndex(batch, s.read.parquet(idxPath), standing,
         "doc_id", "text", minJaccard = 0.5)
         .select("doc_id").orderBy("doc_id")
     }),
@@ -1223,6 +1232,45 @@ object QueriesExt {
           min("day_idx").as("min_day"), max("day_idx").as("max_day"),
           min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
         .orderBy("zbucket")
+    }),
+
+    // q55's incremental dedup with the Bloom pre-screen — the 100 TB
+    // shape: a broadcast Bloom over the standing fingerprints keeps
+    // definite-misses MAP-SIDE (no shuffle), and only might_contain
+    // maybes pay the exact anti-join. Bloom filters have no false
+    // negatives, so the kept set is IDENTICAL to the plain anti-join:
+    // the oracle is the SAME NOT EXISTS replay as q55's, which is the
+    // point — the pre-screen must not change the answer. OpsSpec
+    // asserts the anti-join's input is the might_contain-filtered
+    // subset in the physical plan.
+    "q94_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val existing = d.where(col("u") < 0.5)
+      val fresh = d.where(col("u") >= 0.5)
+      val surv = Dedup.exact(fresh, "doc_id", "text", byFingerprint = true)
+        .select(col("keep_id").as("doc_id"))
+      Dedup.exactAgainstBloom(fresh.join(surv, "doc_id"), existing,
+        "doc_id", "text", byFingerprint = true)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // fixed-grid quantile sketch over a CONTINUOUS signal (per-source
+    // quality-score percentiles): 1024 unit-interval bins bound the
+    // state at source×1024 counts however large the corpus — the
+    // mergeable complement to q75's exact distinct-length histogram
+    // (fine for token counts, unbounded for doubles). The score is
+    // pre-quantized to DECIMAL(28,12) (q56's portability trick), so
+    // bin assignment is exact decimal arithmetic and the oracle
+    // replays every bin and the type-1 grid quantiles cell-exact.
+    "q95_quantile_sketch" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("source"),
+        TextOps.qualityScore(col("text")).cast(DecimalType(28, 12)).as("q"))
+      val hist = Sketches.gridHistogram(t, Seq("source"), col("q"),
+        bins = 1024)
+      Sketches.gridQuantiles(hist, Seq("source"), Seq(0.5, 0.9, 0.99),
+        bins = 1024)
+        .orderBy("source")
     })
   )
 
@@ -3125,6 +3173,51 @@ object QueriesExt {
          |  min(day_idx) AS min_day, max(day_idx) AS max_day,
          |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // deliberately IDENTICAL to q55's oracle: the Bloom pre-screen must
+    // not change the kept set (no false negatives), so the check is
+    // that q94's engine result hash-matches the plain NOT EXISTS replay
+    "q94_bloom_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $normSql AS tn,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), fresh AS (SELECT * FROM d WHERE u >= 0.5),
+         |existing AS (SELECT * FROM d WHERE u < 0.5),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY tn
+         |)
+         |SELECT f.doc_id, f.source
+         |FROM fresh f JOIN surv USING (doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.tn = f.tn)
+         |ORDER BY f.doc_id""".stripMargin,
+
+    // replays the 1024-bin grid histogram and type-1 grid quantiles:
+    // bin assignment is exact DECIMAL(28,12) arithmetic, estimates are
+    // bin/1024 (exact binary fractions) — every cell checks
+    "q95_quantile_sketch" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(($qualitySql) AS DECIMAL(28,12)) AS q
+         |  FROM documents
+         |), h AS (
+         |  SELECT source,
+         |    least(greatest(floor(q * 1024), 0), 1023)::BIGINT AS bin,
+         |    count(*) AS cnt
+         |  FROM t GROUP BY 1, 2
+         |), c AS (
+         |  SELECT source, bin, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+         |    sum(cnt) OVER (PARTITION BY source) AS n
+         |  FROM h
+         |)
+         |SELECT source,
+         |  min(CASE WHEN cum >= ceil(n * 0.5) THEN bin END)::DOUBLE / 1024
+         |    AS p50,
+         |  min(CASE WHEN cum >= ceil(n * 0.9) THEN bin END)::DOUBLE / 1024
+         |    AS p90,
+         |  min(CASE WHEN cum >= ceil(n * 0.99) THEN bin END)::DOUBLE / 1024
+         |    AS p99
+         |FROM c GROUP BY source ORDER BY source""".stripMargin
   )
 }

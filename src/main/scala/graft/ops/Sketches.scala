@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mergeable sketches for corpus-scale statistics: HyperLogLog
@@ -197,4 +198,84 @@ object Sketches {
     */
   private def shiftleft16(c: Column, n: Int): Column =
     c * lit(1L << n)
+
+  // ------------------------------------------------------------------
+  // Fixed-grid quantile sketch
+  // ------------------------------------------------------------------
+
+  /** Grid bin of a unit-interval value: `clamp(floor(v·bins), 0, bins-1)`.
+    * [[graft.ops.TextOps.lengthProfile]]'s exact histogram is bounded by
+    * DISTINCT VALUES — fine for integer token counts, unbounded for
+    * continuous signals (quality scores, loss-style doubles, compression
+    * ratios). The grid bounds the state at `bins` buckets per group no
+    * matter the stream, which is the mergeable-sketch property (KLL /
+    * t-digest solve the same problem adaptively; the fixed grid trades
+    * their adaptive resolution for DETERMINISM — every bin is replayable
+    * integer arithmetic, so a DuckDB oracle checks each cell the way
+    * q91 replays HLL registers).
+    *
+    * Engine-portable when `v` is pre-quantized (e.g. cast to
+    * DECIMAL(28,12)): `v·bins` stays decimal for an int literal `bins`,
+    * and `floor` of a decimal is exact on both engines. Values outside
+    * [0,1) clamp into the edge bins. For a general [lo,hi) signal,
+    * pre-scale `(x-lo)/(hi-lo)` upstream.
+    */
+  def gridBin(value: Column, bins: Int): Column =
+    least(greatest(floor(value * bins).cast("long"), lit(0L)),
+      lit((bins - 1).toLong))
+
+  /** Per-group grid histogram: (groupCols…, bin, cnt). The shuffle
+    * carries at most groups×bins rows regardless of input size —
+    * map-side partial counts apply because this is a plain
+    * `groupBy.agg(count)`. This histogram IS the sketch state: merging
+    * two corpora's sketches is elementwise addition ([[gridMerge]]),
+    * pinned equal to sketching the union in SketchSpec.
+    */
+  def gridHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+      bins: Int): DataFrame =
+    df.groupBy((groupCols.map(col) :+ gridBin(value, bins).as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two grid sketches: elementwise count addition per
+    * (group, bin) — the mergeable-state contract (sketch(A) ⊕ sketch(B)
+    * = sketch(A ∪ B), exactly, not approximately, because the state is
+    * integer counts).
+    */
+  def gridMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String])
+      : DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a grid histogram: for each p, the LOWER
+    * EDGE (`bin/bins`, an exact binary fraction for power-of-two bins)
+    * of the smallest bin whose cumulative count reaches `ceil(p·n)` —
+    * the type-1 quantile at grid resolution, so the estimate is within
+    * one bin width of the true quantile (SketchSpec pins the bound with
+    * planted distributions). Column names: p=0.5 → `p50`, 0.999 →
+    * `p99_9`.
+    */
+  def gridQuantiles(hist: DataFrame, groupCols: Seq[String],
+      ps: Seq[Double], bins: Int): DataFrame = {
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__n", sum(col("cnt")).over(wTot))
+    val aggs = ps.map { p =>
+      (min(when(col("__cum") >= ceil(col("__n") * p), col("bin")))
+        .cast("double") / bins).as(pName(p))
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `0.5 → p50`, `0.99 → p99`, `0.999 → p99_9` (round at 1/10 of a
+    * percent so 0.99·100's FP representation never leaks a stray digit).
+    */
+  private def pName(p: Double): String = {
+    val tenths = math.round(p * 1000)
+    val s = if (tenths % 10 == 0) (tenths / 10).toString
+            else s"${tenths / 10}_${tenths % 10}"
+    s"p$s"
+  }
 }

@@ -95,5 +95,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Md5Second32(Cast(children.head,
           org.apache.spark.sql.types.StringType))
       }))
+    // Spark's runtime-filter Bloom expressions (BloomFilterAggregate /
+    // BloomFilterMightContain) are public Catalyst classes the optimizer
+    // uses for injected join filters, but they are NOT in the SQL
+    // FunctionRegistry. Register them so the incremental-dedup Bloom
+    // pre-screen (Dedup.exactAgainstBloom) runs on the codegen'd
+    // built-ins instead of a UDF. Usage mirrors the optimizer's own:
+    // bloom_filter_agg(xxhash64(key), estItems, numBits) -> binary;
+    // might_contain(bloomBinary, xxhash64(key)) -> boolean.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"bloom_filter_agg expects 3 arguments (value, estItems, numBits), got ${children.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"might_contain expects 2 arguments (bloom, value), got ${children.length}")
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }

@@ -1204,4 +1204,124 @@ class OpsSpec extends SparkSpec {
       .select(size(col("sampled_frames"))).collect()(0).getInt(0)
     assert(fs >= 1)
   }
+
+  test("bloom pre-screened incremental dedup equals the plain anti-join") {
+    val rnd = new scala.util.Random(777)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def randDoc() = Seq.fill(4 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    (1 to 3).foreach { _ =>
+      val refRows = (1L to 25L).map(i => (i, randDoc()))
+      val ref = docFrame(refRows: _*)
+      // fresh batch: some verbatim/whitespace-variant copies of standing
+      // docs (must drop), some new docs (must keep)
+      val freshRows = (101L to 130L).map { i =>
+        if (rnd.nextBoolean()) {
+          val t = refRows(rnd.nextInt(refRows.length))._2
+          (i, if (rnd.nextBoolean()) t.replace(" ", "  ") else t)
+        } else (i, randDoc())
+      }
+      val fresh = docFrame(freshRows: _*)
+      val plain = Dedup.exactAgainst(fresh, ref, "doc_id", "text",
+        byFingerprint = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bloom = Dedup.exactAgainstBloom(fresh, ref, "doc_id", "text",
+        byFingerprint = true)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == plain)
+      // a deliberately saturated filter (huge fpp -> everything a maybe)
+      // still agrees: the maybes path alone IS the exact anti-join
+      val saturated = Dedup.exactAgainstBloom(fresh, ref, "doc_id", "text",
+        byFingerprint = true, fpp = 0.99)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(saturated == plain)
+    }
+    // empty reference keeps everything (and must not build a 0-item bloom)
+    val fresh = docFrame((1L, "a doc"), (2L, "b doc"))
+    assert(Dedup.exactAgainstBloom(fresh, fresh.limit(0), "doc_id", "text")
+      .count() == 2L)
+    // plan contract: the anti-join's streamed input is the
+    // might_contain-filtered MAYBE subset, not the whole batch — the
+    // definite-miss branch bypasses the join entirely. Parquet-backed
+    // inputs: local relations would let the optimizer fold the whole
+    // plan away and there would be nothing to assert on.
+    val refP = tmpDir("bloom_ref").toString
+    val freshP = tmpDir("bloom_fresh").toString
+    docFrame((51L, "standing one"), (52L, "standing two"))
+      .write.mode("overwrite").parquet(refP)
+    docFrame((1L, "a doc"), (2L, "standing one"))
+      .write.mode("overwrite").parquet(freshP)
+    val out = Dedup.exactAgainstBloom(spark.read.parquet(freshP),
+      spark.read.parquet(refP), "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(1L))
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val antis = out.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j }
+    assert(antis.nonEmpty, "bloom path lost its anti-join")
+    assert(antis.forall(_.left.collectFirst {
+      case f: Filter if f.condition.exists(
+        _.isInstanceOf[BloomFilterMightContain]) => f
+    }.nonEmpty), "anti-join input is not the might_contain-filtered subset")
+  }
+
+  test("nearDupAgainstIndex equals nearDupAgainst; plan scans the index") {
+    val refDocs = docFrame(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "shared duplicated content exactly the same thing"),
+      (3L, "completely unrelated reference text about databases and streams"))
+    val newDocs = docFrame(
+      (10L, "the quick brown fox jumps over the lazy dog now"),
+      (11L, "novel content alpha beta gamma delta epsilon zeta"),
+      (12L, "shared duplicated content exactly the same thing"))
+    val idxDir = tmpDir("lsh_idx").toString
+    Dedup.lshIndexRows(refDocs, "doc_id", "text", numHashes = 32, bands = 8)
+      .select("doc_id", "band", "bucket")
+      .write.mode("overwrite").parquet(idxDir)
+    val viaIndex = Dedup.nearDupAgainstIndex(newDocs,
+      spark.read.parquet(idxDir), refDocs, "doc_id", "text",
+      minJaccard = 0.5)
+    val got = viaIndex.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Dedup.nearDupAgainst(newDocs, refDocs, "doc_id", "text",
+      minJaccard = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == plain && got == Set(11L))
+    // the returned plan keeps its lineage and reads the PERSISTED index
+    // (the nightly-cadence contract) — no checkpoint hides the scan.
+    // The plan's toString elides file paths, so inspect the relations.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scanned = viaIndex.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }
+    assert(scanned.exists(_.contains("lsh_idx")),
+      s"plan does not scan the persisted index (scans: $scanned)")
+    // random corpora: operator equality against the self-contained path
+    val rnd = new scala.util.Random(4711)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def randDoc() = Seq.fill(5 + rnd.nextInt(10))(
+      vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    (1 to 2).foreach { _ =>
+      val refRows = (1L to 15L).map(i => (i, randDoc()))
+      val newRows = (101L to 115L).map { i =>
+        if (rnd.nextInt(3) == 0) (i, refRows(rnd.nextInt(refRows.length))._2)
+        else (i, randDoc())
+      }
+      val refF = docFrame(refRows: _*); val newF = docFrame(newRows: _*)
+      val d2 = tmpDir("lsh_idx2").toString
+      Dedup.lshIndexRows(refF, "doc_id", "text", numHashes = 32, bands = 8)
+        .select("doc_id", "band", "bucket")
+        .write.mode("overwrite").parquet(d2)
+      val a = Dedup.nearDupAgainstIndex(newF, spark.read.parquet(d2), refF,
+        "doc_id", "text", minJaccard = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Dedup.nearDupAgainst(newF, refF, "doc_id", "text",
+        minJaccard = 0.5)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b)
+    }
+  }
 }

@@ -154,4 +154,59 @@ class SketchSpec extends SparkSpec {
     assert(math.max(dfZ, cfZ) < dfK,
       s"z worst shape ($dfZ/$cfZ) must beat 1-D worst shape ($dfK)")
   }
+
+  private def valFrame(rows: Seq[(String, Double)]): DataFrame = {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (g, v) => Row(g, v) }).asJava), schema)
+  }
+
+  test("grid quantile sketch: merge = union, exactly") {
+    val rnd = new scala.util.Random(31337)
+    val all = (1 to 5000).map(i =>
+      (s"g${i % 3}", rnd.nextDouble())) // U[0,1)
+    val (a, b) = all.splitAt(2200)
+    val bins = 256
+    val whole = gridHistogram(valFrame(all), Seq("g"), col("v"), bins)
+    val merged = gridMerge(gridHistogram(valFrame(a), Seq("g"), col("v"), bins),
+      gridHistogram(valFrame(b), Seq("g"), col("v"), bins), Seq("g"))
+    assert(whole.count() == merged.count())
+    assert(whole.join(merged, Seq("g", "bin"))
+      .where(whole("cnt") =!= merged("cnt")).isEmpty)
+    // state is BOUNDED: never more than groups x bins rows
+    assert(whole.count() <= 3L * bins)
+  }
+
+  test("grid quantiles land within one bin width of planted quantiles") {
+    val bins = 1024
+    // planted uniform grid: values k/10000 for k in 0..9999, one group —
+    // true type-1 quantile of p is value at index ceil(p*n)-1
+    val vals = (0 until 10000).map(k => ("g", k / 10000.0))
+    val hist = gridHistogram(valFrame(vals), Seq("g"), col("v"), bins)
+    val q = gridQuantiles(hist, Seq("g"), Seq(0.5, 0.9, 0.99), bins)
+      .collect()(0)
+    val w = 1.0 / bins
+    Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)).foreach { case (nm, p) =>
+      val est = q.getAs[Double](nm)
+      val truth = (math.ceil(p * 10000).toInt - 1) / 10000.0
+      assert(math.abs(est - truth) <= w, s"$nm: |$est - $truth| > $w")
+    }
+    // skewed two-point distribution: 99 mass at 0.125, 1 at 0.875 —
+    // p50/p90 sit exactly on the low atom's bin edge, p99_5 on the high
+    val atoms = Seq.fill(99)(("g", 0.125)) ++ Seq(("g", 0.875))
+    val h2 = gridHistogram(valFrame(atoms), Seq("g"), col("v"), bins)
+    val q2 = gridQuantiles(h2, Seq("g"), Seq(0.5, 0.9, 0.995), bins)
+      .collect()(0)
+    assert(q2.getAs[Double]("p50") == 0.125)
+    assert(q2.getAs[Double]("p90") == 0.125)
+    assert(q2.getAs[Double]("p99_5") == 0.875)
+    // out-of-range values clamp to the edge bins instead of vanishing
+    val oob = valFrame(Seq(("g", -3.0), ("g", 0.5), ("g", 7.0)))
+    val h3 = gridHistogram(oob, Seq("g"), col("v"), bins)
+    assert(h3.agg(sum("cnt")).collect()(0).getLong(0) == 3L)
+    assert(h3.select(min("bin"), max("bin")).collect()(0).toSeq ==
+      Seq(0L, (bins - 1).toLong))
+  }
 }
