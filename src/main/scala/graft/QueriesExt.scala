@@ -906,12 +906,26 @@ object QueriesExt {
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
       val standing = d.where(col("u") < 0.5).select("doc_id", "text")
       val batch = d.where(col("u") >= 0.5).select("doc_id", "text")
-      val survivors = Dedup.nearDupAgainst(batch, standing, "doc_id", "text",
-        minJaccard = 0.5)
+      // the standing index is PERSISTED (written once in setup — at the
+      // real cadence it exists from last night) and tonight's batch
+      // index rows are STAGED to parquet in ONE signature pass, then
+      // reused by scan for both the screen and the survivor append —
+      // nothing computes any doc's signatures twice, and nothing
+      // recomputes standing-side shingles per night (r9 rework)
+      val idxPath = scratch("q89_index")
+      val batPath = scratch("q89_batch_idx")
       def idxOf(part: DataFrame) =
         Dedup.lshIndexRows(part, "doc_id", "text", numHashes = 32, bands = 8)
           .select("doc_id", "band", "bucket")
-      idxOf(standing).unionByName(idxOf(survivors))
+      idxOf(standing).write.mode("overwrite").parquet(idxPath)
+      idxOf(batch).write.mode("overwrite").parquet(batPath)
+      val index = s.read.parquet(idxPath)
+      val batIdx = s.read.parquet(batPath)
+      val survivors = Dedup.nearDupAgainstIndex(batch, index, standing,
+        "doc_id", "text", minJaccard = 0.5, batchIndex = Some(batIdx))
+      val appended = batIdx
+        .join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+      index.unionByName(appended)
         .groupBy(col("band").cast("long").as("band"))
         .agg(count(lit(1)).as("n_entries"),
           countDistinct(col("bucket")).as("n_buckets"),

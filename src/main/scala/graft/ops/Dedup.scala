@@ -537,11 +537,20 @@ object Dedup {
     *              `lshIndexRows(...).select(idCol, "band", "bucket")`
     * @param reference the standing docs store (`idCol`, `textCol`),
     *                  consulted only for candidate verification
+    * @param batchIndex optional precomputed index rows of `df` (same
+    *                   shape/parameters as `index`). The nightly loop
+    *                   computes tonight's rows ONCE and reuses them for
+    *                   the screen AND the survivor append (q89) — passing
+    *                   them here avoids a second signature pass over the
+    *                   batch. Must be `lshIndexRows(df)` with the same
+    *                   numHashes/bands/shingleWidth, or results are
+    *                   undefined.
     */
   def nearDupAgainstIndex(df: DataFrame, index: DataFrame,
       reference: DataFrame, idCol: String, textCol: String,
       minJaccard: Double, numHashes: Int = 32, bands: Int = 8,
-      shingleWidth: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+      shingleWidth: Int = 3, maxBucketSize: Int = 1000,
+      batchIndex: Option[DataFrame] = None): DataFrame = {
     // deliberately NO persist/localCheckpoint anywhere in this operator:
     // the returned frame keeps its full lazy plan (so the index SCAN is
     // visible in explain/plan audits — the contract of the persisted-
@@ -551,8 +560,8 @@ object Dedup {
     // needed.
     val idx = index.select(col(idCol).as("__ref_id"), col("band"),
       col("bucket"))
-    val bat = lshIndexRows(df, idCol, textCol, numHashes, bands,
-      shingleWidth)
+    val bat = batchIndex.getOrElse(
+      lshIndexRows(df, idCol, textCol, numHashes, bands, shingleWidth))
       .select(col(idCol).as("__new_id"), col("band"), col("bucket"))
     // combined occupancy cap — identical to the shared-bucket-space
     // `count(*) over (band, bucket) <= maxBucketSize` of the
