@@ -73,6 +73,43 @@ object StreamOps {
       .drop("__h")
   }
 
+  /** [[dedupAgainstStatic]] with the Bloom pre-screen — the streaming
+    * twin of [[graft.ops.Dedup.exactAgainstBloom]]. The Bloom binary is
+    * built ONCE at query-build time (driver-side, like the batch
+    * operator's) and rides into every micro-batch as a literal:
+    * definite-misses pass map-side without touching the anti-join, only
+    * `might_contain` maybes pay the stream-static join against the
+    * persisted reference hashes. No false negatives, so the kept rows
+    * are identical to [[dedupAgainstStatic]]'s (StreamingSpec pins
+    * batch parity); the fpp sliver only costs join traffic. State: none
+    * beyond the same persisted ref side — the filter itself is
+    * stateless, which is the point: at serving scale most arriving docs
+    * are misses and never shuffle at all.
+    */
+  def dedupAgainstStaticBloom(stream: DataFrame, static: DataFrame,
+      textCol: String, fpp: Double = 0.01): DataFrame = {
+    val ref = static
+      .select(TextOps.contentHash(col(textCol)).as("__ref_hash")).distinct()
+      .persist()
+    val n = ref.count()
+    if (n == 0) return stream
+    val numBits = math.max(64L,
+      math.ceil(-n.toDouble * math.log(fpp) /
+        (math.log(2) * math.log(2))).toLong)
+    val bloom = ref
+      .agg(expr(s"bloom_filter_agg(xxhash64(__ref_hash), ${n}L, ${numBits}L)"))
+      .head().getAs[Array[Byte]](0)
+    val keyed = stream
+      .withColumn("__h", TextOps.contentHash(col(textCol)))
+      .withColumn("__maybe", coalesce(
+        call_function("might_contain", lit(bloom), xxhash64(col("__h"))),
+        lit(false)))
+    keyed.where(!col("__maybe"))
+      .unionByName(keyed.where(col("__maybe"))
+        .join(ref, col("__h") === col("__ref_hash"), "left_anti"))
+      .drop("__h", "__maybe")
+  }
+
   /** Stream-static NEAR-DUP screen: LSH matches between streaming
     * documents and a standing corpus — the near-dup analogue of
     * [[dedupAgainstStatic]] and the streaming twin of

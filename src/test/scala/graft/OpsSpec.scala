@@ -1322,6 +1322,17 @@ class OpsSpec extends SparkSpec {
         minJaccard = 0.5)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(a == b)
+      // staged batch-index rows (the q89 one-signature-pass path) give
+      // the identical kept set
+      val bp = tmpDir("lsh_bat").toString
+      Dedup.lshIndexRows(newF, "doc_id", "text", numHashes = 32, bands = 8)
+        .select("doc_id", "band", "bucket")
+        .write.mode("overwrite").parquet(bp)
+      val c = Dedup.nearDupAgainstIndex(newF, spark.read.parquet(d2), refF,
+        "doc_id", "text", minJaccard = 0.5,
+        batchIndex = Some(spark.read.parquet(bp)))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(c == b)
     }
   }
 }

@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static BLOOM dedup keeps exactly what the plain screen keeps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val standing = Seq((100L, "existing  doc one"), (101L, "existing doc two"))
+      .toDF("doc_id", "text")
+    val src = MemoryStream[(Timestamp, Long, String)]
+    val df = src.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamOps.dedupAgainstStaticBloom(df, standing, "text")
+      .writeStream.format("memory").queryName("dasb").outputMode("append")
+      .start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "existing doc one"), // dup of 100
+        (ts("2024-01-01 10:01:00"), 2L, "Existing DOC two"), // dup after norm
+        (ts("2024-01-01 10:02:00"), 3L, "genuinely fresh content"))
+      q.processAllAvailable()
+      val rows = spark.table("dasb").collect()
+      assert(rows.map(_.getLong(1)).toSet == Set(3L))
+      assert(spark.table("dasb").columns.toSeq == Seq("ts", "doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("stream-static near-dup screen matches the batch operator") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
