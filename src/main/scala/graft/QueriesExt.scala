@@ -1285,6 +1285,31 @@ object QueriesExt {
       Sketches.gridQuantiles(hist, Seq("source"), Seq(0.5, 0.9, 0.99),
         bins = 1024)
         .orderBy("source")
+    }),
+
+    // FineWeb/C4-style PER-DOMAIN CAP — the policy q85's frequency
+    // table feeds: each doc attributes to its (min) registrable domain,
+    // and every domain keeps at most 40 docs, chosen by deterministic
+    // salted-md5 rank (q70's sampler over the q85 domain rows).
+    // Deterministic URLs are appended exactly as in q85 (mirrored in
+    // the oracle); the mirror domain sorts below the site domains, so
+    // every third doc attributes to it and the cap binds on real
+    // contention. One window per domain, no global sort.
+    "q96_domain_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Site"), (col("doc_id") % 7).cast("string"),
+          lit(".Example.com/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            lit(" and http://u@Mirror.example.org:8080/x"))
+            .otherwise(lit(""))).as("text"))
+      val attributed = TextOps.domainRows(d, "doc_id", "text")
+        .groupBy("doc_id").agg(min(col("domain")).as("domain"))
+      Sampling.sampleExactPerGroup(attributed, "domain", "doc_id",
+        k = 40, salt = "#cap96")
+        .select(col("doc_id"), col("domain"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("domain", "sample_rank")
     })
   )
 
@@ -3232,6 +3257,39 @@ object QueriesExt {
          |    AS p90,
          |  min(CASE WHEN cum >= ceil(n * 0.99) THEN bin END)::DOUBLE / 1024
          |    AS p99
-         |FROM c GROUP BY source ORDER BY source""".stripMargin
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays q85's URL append + domain extraction, min-domain
+    // attribution, the salted md5 rank, and the 40-per-domain cap
+    "q96_domain_cap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || ' see https://Site' || (doc_id % 7)::VARCHAR ||
+         |    '.Example.com/p/' || doc_id::VARCHAR ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' and http://u@Mirror.example.org:8080/x'
+         |         ELSE '' END AS t2
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(t2, 'https?://[^\\s]+')) AS url
+         |  FROM t
+         |), dm AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url,
+         |      '^https?://(?:[^/@\\s]*@)?([^/:\\s?#]+)', 1)) AS domain
+         |  FROM u
+         |), attr AS (
+         |  SELECT doc_id, min(domain) AS domain
+         |  FROM dm WHERE domain <> '' GROUP BY doc_id
+         |), r AS (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY ${hashUnitSql("doc_id::VARCHAR || '#cap96'")}, doc_id)
+         |      AS sample_rank
+         |  FROM attr
+         |)
+         |SELECT doc_id, domain, sample_rank FROM r WHERE sample_rank <= 40
+         |ORDER BY domain, sample_rank""".stripMargin
   )
 }
