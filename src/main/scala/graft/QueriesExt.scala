@@ -369,12 +369,20 @@ object QueriesExt {
 
     // Gopher-style repetition signals: most-frequent-token fraction and
     // duplicate-bigram fraction, per document — pure per-row array math,
-    // no explode/shuffle. Oracle recomputes both with DuckDB list lambdas.
+    // no explode/shuffle. Tokens and bigrams materialize in their OWN
+    // projections (attributes, not expressions), so the metric lambdas
+    // capture row values instead of re-running the tokenizer per
+    // element. Oracle recomputes both with DuckDB list lambdas.
     "q43_repetition" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
-        round(TextOps.topTokenFrac(col("text")), 8).as("top_token_frac"),
-        round(TextOps.dupBigramFrac(col("text")), 8).as("dup_bigram_frac"))
+        TextOps.tokens(col("text")).as("__toks"))
+        .withColumn("__bg", TextOps.bigramsOf(col("__toks")))
+        .select(col("doc_id"), col("n_tokens"),
+          round(TextOps.topTokenFracOf(col("__toks")), 8)
+            .as("top_token_frac"),
+          round(TextOps.dupBigramFracOf(col("__bg")), 8)
+            .as("dup_bigram_frac"))
         .orderBy("doc_id")
     }),
 

@@ -116,23 +116,59 @@ object TextOps {
     * O(d·n) per doc but pure codegen — no explode, no shuffle), so it
     * runs at scan speed like the other quality signals. 0 for empty text.
     */
-  def topTokenFrac(c: Column): Column = {
-    val toks = tokens(c)
+  def topTokenFrac(c: Column): Column = topTokenFracOf(tokens(c))
+
+  /** [[topTokenFrac]] over a pre-materialized token ARRAY column — pass
+    * an attribute (`tokens(text).as("__toks")` in its own projection)
+    * so nothing re-tokenizes: columns captured in a higher-order-
+    * function body re-run per element (Catalyst does CSE in codegen'd
+    * projects but never inside HOF lambdas — the round-8 lshIndexRows
+    * lesson). The computation itself is a max-run scan over the SORTED
+    * array: one sort + one linear aggregate with no captured columns at
+    * all, O(n log n) per row — the naive
+    * `transform(array_distinct(t), x => size(filter(t, …)))` is
+    * O(n·distinct) per row, ~10⁷ ops/doc at web-doc lengths (10⁴
+    * tokens). Same value exactly.
+    */
+  def topTokenFracOf(toks: Column): Column = {
+    val best = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(run, acc.getField("best")).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(toks) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(toks),
-        t => size(filter(toks, x => x === t)))).cast("double") /
-        size(toks))
+      best.cast("double") / size(toks))
   }
 
   /** Fraction of word bigrams that are repeats of an earlier bigram
     * (1 − distinct/total) — Gopher's duplicate-n-gram fraction at n=2.
     * 0 for docs with fewer than two bigrams.
     */
-  def dupBigramFrac(c: Column): Column = {
-    val bg = wordShingles(c, 2)
+  def dupBigramFrac(c: Column): Column = dupBigramFracOf(bigramsOf(tokens(c)))
+
+  /** Strict word bigrams from a pre-materialized token array — pass an
+    * attribute so the lambda's capture re-reads a row value instead of
+    * re-running the tokenizer per element. Empty (not whole-doc) for
+    * docs under 2 tokens, as [[dupBigramFrac]]'s semantics require.
+    */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[dupBigramFrac]] over a pre-materialized bigram ARRAY column
+    * (from [[bigramsOf]] in its own projection): 1 − distinct/total,
+    * single `array_distinct` over the attribute, no recompute.
+    */
+  def dupBigramFracOf(bg: Column): Column =
     when(size(bg) <= 1, lit(0.0)).otherwise(
       (size(bg) - size(array_distinct(bg))).cast("double") / size(bg))
-  }
 
   /** Strict word w-shingles: exact w-token windows only — empty for docs
     * with fewer than w tokens (unlike [[wordShingles]], which falls back
