@@ -1318,6 +1318,32 @@ object QueriesExt {
         .select(col("doc_id"), col("domain"),
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy("domain", "sample_rank")
+    }),
+
+    // REAL end-to-end audio decode — the multimodal family's second
+    // non-stubbed member (q82 sniffs magic bytes; this PARSES a
+    // container): deterministic PCM16 WAVs are synthesized per doc_id,
+    // then Multimodal.decodeWav walks the RIFF chunks and scans the
+    // samples with pure byte arithmetic. Every feature is a closed-form
+    // function of doc_id, so the oracle predicts from doc_id what the
+    // byte-level parse must recover — the round trip proves header
+    // parse, chunk walk, LE16 decode, and the amplitude scan.
+    "q97_wav_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map(r => Row(r.getLong(0),
+            Multimodal.synthWavBytes(r.getLong(0))))
+        }(Encoders.row(mediaSchema)).toDF()
+      Multimodal.decodeWav(media, "media_id", "payload")
+        .select(col("media_id"), col("sample_rate"), col("n_channels"),
+          col("bits_per_sample"), col("n_samples"), col("duration_ms"),
+          col("peak_abs"), col("sum_abs"))
+        .orderBy("media_id")
     })
   )
 
@@ -3298,6 +3324,29 @@ object QueriesExt {
          |  FROM attr
          |)
          |SELECT doc_id, domain, sample_rank FROM r WHERE sample_rank <= 40
-         |ORDER BY domain, sample_rank""".stripMargin
+         |ORDER BY domain, sample_rank""".stripMargin,
+
+    // predicts every decoded WAV feature in closed form from doc_id —
+    // the engine must recover these numbers from the synthesized BYTES
+    "q97_wav_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    (8000 * (1 + doc_id % 3))::INTEGER AS rate
+        |  FROM documents
+        |), s AS (
+        |  SELECT p.doc_id,
+        |    abs((p.doc_id * 31 + g.i * 7) % 2048 - 1024) AS a
+        |  FROM p, generate_series(0, 95) AS g(i)
+        |  WHERE g.i < p.n
+        |), agg AS (
+        |  SELECT doc_id, max(a) AS peak_abs, sum(a) AS sum_abs
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT p.doc_id AS media_id, p.rate AS sample_rate,
+        |  1::INTEGER AS n_channels, 16::INTEGER AS bits_per_sample,
+        |  p.n::BIGINT AS n_samples,
+        |  ((p.n * 1000) // p.rate)::BIGINT AS duration_ms,
+        |  agg.peak_abs::INTEGER AS peak_abs, agg.sum_abs::BIGINT AS sum_abs
+        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin
   )
 }

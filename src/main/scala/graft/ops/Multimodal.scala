@@ -120,4 +120,111 @@ object Multimodal {
       when(col("n_frames") > 0,
         sequence(lit(0), col("n_frames") - 1, lit(stride)))
         .otherwise(array().cast("array<int>")))
+
+  /** Features produced by [[decodeWav]]; all null for unparseable
+    * payloads (the quarantine contract — bad media never kills a batch).
+    */
+  val wavSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("duration_ms", LongType),
+    StructField("peak_abs", IntegerType),
+    StructField("sum_abs", LongType)))
+
+  /** REAL PCM WAV decode — not a stub: RIFF/WAVE container walk + PCM16
+    * sample scan, pure JVM byte arithmetic (PCM needs no codec library,
+    * which makes it the one media format this sandbox can decode for
+    * real, end to end). Parses the fmt chunk (rate/channels/bits),
+    * walks chunks by declared size (word-aligned per RIFF), and scans
+    * the 16-bit little-endian samples once for peak and sum of absolute
+    * amplitude — the integer features a loudness/silence gate consumes.
+    * Same mapPartitions batch shape as [[stubDecode]] (bytes never
+    * shuffle; only the small typed features continue). Malformed
+    * payloads (bad magic, truncated chunks, non-PCM16) yield all-null
+    * features instead of throwing.
+    */
+  def decodeWav(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ wavSchema.fields)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = if (row.isNullAt(payIdx)) null
+          else row.getAs[Array[Byte]](payIdx)
+        Row.fromSeq(row.toSeq ++ parseWav(b))
+      }
+    }(enc)
+  }
+
+  private val NullWav: Seq[Any] = Seq(null, null, null, null, null, null, null)
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  private def parseWav(b: Array[Byte]): Seq[Any] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+      tag(b, 8) != "WAVE") return NullWav
+    var off = 12
+    var rate, channels, bits = -1
+    var fmtPcm = false
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return NullWav
+      if (id == "fmt " && size >= 16) {
+        fmtPcm = le16(b, off + 8) == 1 // PCM
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        bits = le16(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtPcm || bits != 16 || rate <= 0 || channels <= 0 ||
+      dataOff < 0) return NullWav
+    var i = dataOff
+    var peak = 0
+    var sum = 0L
+    while (i + 1 < dataOff + dataLen) {
+      val s = le16(b, i).toShort.toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      sum += a
+      i += 2
+    }
+    val nSamples = dataLen.toLong / 2 / channels
+    Seq[Any](rate, channels, bits, nSamples,
+      nSamples * 1000L / rate, peak, sum)
+  }
+
+  /** Deterministic PCM16 mono WAV bytes for end-to-end decode tests:
+    * `64 + id%32` samples at `8000·(1 + id%3)` Hz with sample i =
+    * `(id·31 + i·7) mod 2048 − 1024` — every decoded feature is a
+    * closed-form function of `id`, so a SQL oracle can predict what the
+    * BYTE-LEVEL parse must recover (the q97 contract).
+    */
+  def synthWavBytes(id: Long): Array[Byte] = {
+    val n = (64 + id % 32).toInt
+    val rate = (8000 * (1 + id % 3)).toInt
+    val dataLen = n * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    var i = 0
+    while (i < n) { w16((((id * 31 + i * 7) % 2048) - 1024).toInt); i += 1 }
+    out.toByteArray
+  }
 }

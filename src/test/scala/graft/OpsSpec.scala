@@ -1205,6 +1205,43 @@ class OpsSpec extends SparkSpec {
     assert(fs >= 1)
   }
 
+  test("wav decode: real byte parse, extra chunks, and quarantine") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val good = Multimodal.synthWavBytes(7L)
+    // same audio with an extra LIST chunk between fmt and data: the
+    // chunk walk must skip unknown chunks by declared size
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val withList = good.take(36) ++ listChunk ++ good.drop(36)
+    val patched = withList.clone()
+    val newRiffLen = withList.length - 8
+    patched(4) = (newRiffLen & 0xFF).toByte
+    patched(5) = ((newRiffLen >> 8) & 0xFF).toByte
+    val rows = Seq(
+      (1L, good), (2L, patched),
+      (3L, "not a wav at all".getBytes("US-ASCII")),
+      (4L, good.take(20)),                     // truncated mid-fmt
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val schema = StructType(Seq(StructField("media_id", LongType, false),
+      StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, p) => Row(i, p) }).asJava), schema)
+    val out = Multimodal.decodeWav(df).orderBy("media_id").collect()
+    // id 7 synth: n = 64 + 7%32 = 71, rate = 8000*(1+7%3) = 16000
+    val g = out(0)
+    assert(g.getInt(2) == 16000 && g.getInt(3) == 1 && g.getInt(4) == 16)
+    assert(g.getLong(5) == 71L && g.getLong(6) == 71L * 1000 / 16000)
+    val expSum = (0 until 71).map(i => math.abs((7 * 31 + i * 7) % 2048 - 1024)).sum
+    assert(g.getLong(8) == expSum)
+    // unknown chunk skipped: identical features
+    assert(out(1).toSeq.drop(2) == g.toSeq.drop(2))
+    // malformed/truncated/null payloads quarantine as all-null features
+    Seq(2, 3, 4).foreach { i =>
+      assert((2 to 8).forall(out(i).isNullAt), s"row $i not quarantined")
+    }
+  }
+
   test("bloom pre-screened incremental dedup equals the plain anti-join") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
