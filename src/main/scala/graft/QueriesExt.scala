@@ -1344,6 +1344,30 @@ object QueriesExt {
           col("bits_per_sample"), col("n_samples"), col("duration_ms"),
           col("peak_abs"), col("sum_abs"))
         .orderBy("media_id")
+    }),
+
+    // REAL end-to-end image decode — q97's image sibling (uncompressed
+    // BMP needs no codec): deterministic 24bpp bottom-up BMPs per
+    // doc_id, parsed back by walking the BITMAPFILE/INFO headers and
+    // scanning the padded BGR rows; per-channel sums are the
+    // black-frame/quality-gate stats. Oracle predicts dimensions and
+    // all three channel sums in closed form from doc_id.
+    "q98_bmp_decode" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map(r => Row(r.getLong(0),
+            Multimodal.synthBmpBytes(r.getLong(0))))
+        }(Encoders.row(mediaSchema)).toDF()
+      Multimodal.decodeBmp(media, "media_id", "payload")
+        .select(col("media_id"), col("width"), col("height"),
+          col("bits_per_pixel"), col("n_pixels"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
     })
   )
 
@@ -3347,6 +3371,30 @@ object QueriesExt {
         |  p.n::BIGINT AS n_samples,
         |  ((p.n * 1000) // p.rate)::BIGINT AS duration_ms,
         |  agg.peak_abs::INTEGER AS peak_abs, agg.sum_abs::BIGINT AS sum_abs
+        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    // predicts every decoded BMP feature in closed form from doc_id —
+    // dimensions and per-channel sums over the (x, y) grid
+    "q98_bmp_decode" ->
+      """WITH p AS (
+        |  SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+        |    (3 + doc_id % 5)::INTEGER AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT p.doc_id,
+        |    (p.doc_id + 2 * gx.x + 5 * gy.y) % 256 AS r,
+        |    (p.doc_id * 3 + gx.x + gy.y) % 256 AS g,
+        |    (p.doc_id * 7 + gx.x * 4 + gy.y * 2) % 256 AS b
+        |  FROM p, generate_series(0, 11) AS gx(x), generate_series(0, 7) AS gy(y)
+        |  WHERE gx.x < p.w AND gy.y < p.h
+        |), agg AS (
+        |  SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
+        |  FROM px GROUP BY 1
+        |)
+        |SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
+        |  24::INTEGER AS bits_per_pixel, (p.w * p.h)::BIGINT AS n_pixels,
+        |  agg.sum_r::BIGINT AS sum_r, agg.sum_g::BIGINT AS sum_g,
+        |  agg.sum_b::BIGINT AS sum_b
         |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin
   )
 }

@@ -205,6 +205,110 @@ object Multimodal {
       nSamples * 1000L / rate, peak, sum)
   }
 
+  /** Features produced by [[decodeBmp]]; all null for unparseable
+    * payloads, as [[decodeWav]].
+    */
+  val bmpSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bits_per_pixel", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL uncompressed-BMP decode — the image sibling of [[decodeWav]]
+    * (uncompressed bitmaps are the one image container that needs no
+    * codec): BITMAPFILEHEADER magic + declared pixel-array offset,
+    * BITMAPINFOHEADER width/height/bpp, then one scan over the 24-bit
+    * BGR rows (4-byte-aligned, bottom-up as positive-height BMPs are)
+    * summing each channel — the stats an image-quality/black-frame gate
+    * consumes. Negative-height (top-down) images scan identically since
+    * channel sums are row-order-independent. Malformed or non-24bpp
+    * payloads yield all-null features.
+    */
+  def decodeBmp(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ bmpSchema.fields)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = if (row.isNullAt(payIdx)) null
+          else row.getAs[Array[Byte]](payIdx)
+        Row.fromSeq(row.toSeq ++ parseBmp(b))
+      }
+    }(enc)
+  }
+
+  private def parseBmp(b: Array[Byte]): Seq[Any] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return NullWav
+    val dataOff = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return NullWav
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return NullWav
+    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+      return NullWav
+    var sr, sg, sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      val ro = dataOff + y * rowBytes
+      while (x < w) {
+        val po = ro + x * 3 // stored B, G, R
+        sb += b(po) & 0xFF
+        sg += b(po + 1) & 0xFF
+        sr += b(po + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Seq[Any](w, h, bpp, w.toLong * h, sr, sg, sb)
+  }
+
+  /** Deterministic 24bpp BMP bytes for end-to-end decode tests:
+    * `(4 + id%8) × (3 + id%5)` pixels with channel values
+    * R = `(id + 2x + 5y) mod 256`, G = `(id·3 + x + y) mod 256`,
+    * B = `(id·7 + x·4 + y·2) mod 256` — closed-form per id, so the q98
+    * oracle predicts every channel sum the byte-level parse must
+    * recover. Bottom-up row order as standard positive-height BMPs.
+    */
+  def synthBmpBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 8).toInt
+    val h = (3 + id % 5).toInt
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataLen = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); w32(54 + dataLen); w32(0); w32(54)
+    w32(40); w32(w); w32(h); w16(1); w16(24); w32(0); w32(dataLen)
+    w32(2835); w32(2835); w32(0); w32(0)
+    // bottom-up: file row 0 is image row y = h-1
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy
+      var x = 0
+      while (x < w) {
+        out.write((((id * 7 + x * 4 + y * 2) % 256) & 0xFF).toInt) // B
+        out.write((((id * 3 + x + y) % 256) & 0xFF).toInt)         // G
+        out.write((((id + 2 * x + 5 * y) % 256) & 0xFF).toInt)     // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { out.write(0); p += 1 }
+      fy += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic PCM16 mono WAV bytes for end-to-end decode tests:
     * `64 + id%32` samples at `8000·(1 + id%3)` Hz with sample i =
     * `(id·31 + i·7) mod 2048 − 1024` — every decoded feature is a

@@ -1242,6 +1242,46 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bmp decode: row padding, top-down images, and quarantine") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    // id 9: w = 4+9%8 = 5 (rowBytes 16, real padding), h = 3+9%5 = 7
+    val good = Multimodal.synthBmpBytes(9L)
+    // top-down variant: negate height, reverse file row order — channel
+    // sums must be identical (order-independent)
+    val w = 5; val h = 7; val rowBytes = 16
+    val topDown = good.clone()
+    val negH = -h
+    topDown(22) = (negH & 0xFF).toByte
+    topDown(23) = ((negH >> 8) & 0xFF).toByte
+    topDown(24) = ((negH >> 16) & 0xFF).toByte
+    topDown(25) = ((negH >> 24) & 0xFF).toByte
+    (0 until h).foreach { fy =>
+      System.arraycopy(good, 54 + (h - 1 - fy) * rowBytes,
+        topDown, 54 + fy * rowBytes, rowBytes)
+    }
+    val rows = Seq(
+      (1L, good), (2L, topDown),
+      (3L, "BMnot really a bitmap".getBytes("US-ASCII")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val schema = StructType(Seq(StructField("media_id", LongType, false),
+      StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, p) => Row(i, p) }).asJava), schema)
+    val out = Multimodal.decodeBmp(df).orderBy("media_id").collect()
+    val g = out(0)
+    assert(g.getInt(2) == w && g.getInt(3) == h && g.getInt(4) == 24)
+    assert(g.getLong(5) == w.toLong * h)
+    val expR = (for (x <- 0 until w; y <- 0 until h)
+      yield (9L + 2 * x + 5 * y) % 256).sum
+    assert(g.getLong(6) == expR)
+    // top-down: same dims and sums except the height sign is absorbed
+    assert(out(1).toSeq.drop(2) == g.toSeq.drop(2))
+    Seq(2, 3).foreach { i =>
+      assert((2 to 8).forall(out(i).isNullAt), s"row $i not quarantined")
+    }
+  }
+
   test("bloom pre-screened incremental dedup equals the plain anti-join") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
