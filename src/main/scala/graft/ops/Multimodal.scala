@@ -7,13 +7,18 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernel is a clearly-marked deterministic fake ([[stubDecode]]);
-  * everything around it — the schema contract, the per-partition batch
-  * iteration (the Scala analogue of `mapInPandas`: one buffer of rows per
-  * partition, amortized setup), partition sizing, and the downstream
-  * typed-feature operators — is real and tested, so swapping a real codec
-  * in is a one-function change.
+  * Three real byte-level kernels — [[sniffMime]] (magic-byte container
+  * detection), [[decodeWav]] (PCM WAV: RIFF chunk walk + sample scan) and
+  * [[decodeBmp]] (uncompressed bitmaps: header walk + padded BGR row
+  * scan) — cover the formats that need no codec library. For compressed
+  * formats (JPEG/MP4/...) the codecs are NOT available in this
+  * environment, so that decode kernel is a clearly-marked deterministic
+  * fake ([[stubDecode]]); everything around it — the schema contract, the
+  * per-partition batch iteration (the Scala analogue of `mapInPandas`:
+  * one buffer of rows per partition, amortized setup), partition sizing,
+  * and the downstream typed-feature operators — is real and tested, so
+  * swapping a real codec in is a one-function change with [[decodeWav]]
+  * as the template.
   *
   * Scale notes: media bytes never pass through a shuffle here (decode is a
   * narrow mapPartitions); only the small typed features continue into
