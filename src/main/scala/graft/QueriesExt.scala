@@ -1368,6 +1368,27 @@ object QueriesExt {
           col("bits_per_pixel"), col("n_pixels"),
           col("sum_r"), col("sum_g"), col("sum_b"))
         .orderBy("media_id")
+    }),
+
+    // ordered funnel view -> click -> purchase: per user, the earliest
+    // strictly-increasing chain, in ONE pass over the event table (the
+    // naive spelling is one self-join per stage). The oracle uses the
+    // independent min-chain JOIN formulation — same semantics, different
+    // computation, which cross-checks the greedy scan.
+    "q99_funnel" -> ((s, dir) => {
+      graft.ops.EventOps.funnel(events(s, dir),
+        Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"), col("stage").cast("long").as("stage"))
+        .orderBy("user_id")
+    }),
+
+    // weekly retention cohorts: users cohort by first-seen week, cells
+    // count active users per (cohort_week, week_offset) — the classic
+    // product-analytics triangle, rolled up from two shuffles
+    "q100_retention" -> ((s, dir) => {
+      graft.ops.EventOps.retentionCohorts(events(s, dir))
+        .orderBy("cohort_week", "week_offset")
     })
   )
 
@@ -3395,6 +3416,46 @@ object QueriesExt {
         |  24::INTEGER AS bits_per_pixel, (p.w * p.h)::BIGINT AS n_pixels,
         |  agg.sum_r::BIGINT AS sum_r, agg.sum_g::BIGINT AS sum_g,
         |  agg.sum_b::BIGINT AS sum_b
-        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin
+        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
+
+    // independent min-chain formulation of the funnel (one JOIN per
+    // stage) — cross-checks the engine's single-pass greedy scan
+    "q99_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT v.user_id, min(e.ts) AS t2
+        |  FROM v JOIN events e ON e.user_id = v.user_id
+        |   AND e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+        |), p AS (
+        |  SELECT c.user_id, min(e.ts) AS t3
+        |  FROM c JOIN events e ON e.user_id = c.user_id
+        |   AND e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+        |)
+        |SELECT u.user_id, v.t1 AS view_ts, c.t2 AS click_ts,
+        |  p.t3 AS purchase_ts,
+        |  (CASE WHEN p.t3 IS NOT NULL THEN 3
+        |        WHEN c.t2 IS NOT NULL THEN 2
+        |        WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
+        |FROM (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('view','click','purchase')) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q100_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        |)
+        |SELECT f.cohort_week,
+        |  (date_diff('day', f.cohort_week, a.wk) // 7)::BIGINT AS week_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

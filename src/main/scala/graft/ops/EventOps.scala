@@ -52,4 +52,85 @@ object EventOps {
         count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
   }
+
+  /** Ordered funnel: per user, the earliest strictly-increasing
+    * timestamp chain through `stages` (stage i+1 must occur AFTER the
+    * chosen stage-i event). Returns one row per user with one nullable
+    * `<stage>_ts` column per stage plus `stage` = number of stages
+    * reached.
+    *
+    * Single-shuffle shape: events group to their user (only ts + a
+    * stage ordinal travel, not whole rows), each user's events sort
+    * in-row, and one linear `aggregate` scan advances the chain — the
+    * greedy earliest-chain scan (first stage-0 hit, then first stage-1
+    * hit after it, …) which provably reaches the same depth as any
+    * min-chain formulation. No self-join per stage (the naive
+    * n-stage spelling is n passes over the event table; this is one),
+    * no state beyond n timestamps per user. Per-user event lists are
+    * user-activity-bounded — the same per-key-bounded contract as
+    * [[sessionize]]'s windows.
+    */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val n = stages.length
+    // ordinal-encode the stage (non-stage events drop before the
+    // shuffle); sort by (ts, ordinal) so same-instant events process in
+    // a deterministic order — strict `>` chaining ignores ties anyway
+    val ord = stages.zipWithIndex.foldLeft(lit(-1)) {
+      case (alt, (s, i)) => when(col(typeCol) === s, i).otherwise(alt)
+    }
+    val sorted = events
+      .withColumn("__ord", ord).where(col("__ord") >= 0)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+        col("__ord").as("ord")))).as("__evs"))
+    // chain state: array of n nullable timestamps; event x fills slot i
+    // when i is the first empty slot, x is stage i, and x.ts is after
+    // slot i-1 (or i == 0)
+    val zero = array((0 until n).map(_ =>
+      lit(null).cast("timestamp")): _*)
+    val chain = aggregate(col("__evs"), zero, (acc, x) =>
+      transform(sequence(lit(0), lit(n - 1)), i => {
+        val cur = element_at(acc, i + 1)
+        // previous stage's slot is array position i; element_at is
+        // 1-based so i is clamped to >= 1 — safe because `i === 0`
+        // makes the whole OR true regardless of the clamped read
+        val prev = element_at(acc, greatest(i, lit(1)))
+        when(cur.isNotNull, cur)
+          .when(x.getField("ord") === i &&
+            (i === 0 || (prev.isNotNull && x.getField("ts") > prev)),
+            x.getField("ts"))
+          .otherwise(lit(null).cast("timestamp"))
+      }))
+    val withChain = sorted.withColumn("__chain", chain)
+    val stageCols = stages.zipWithIndex.map { case (s, i) =>
+      element_at(col("__chain"), i + 1).as(s"${s}_ts")
+    }
+    val reached = aggregate(col("__chain"), lit(0),
+      (acc, t) => when(t.isNotNull, acc + 1).otherwise(acc))
+    withChain.select((col(userCol) +: stageCols :+
+      reached.as("stage")): _*)
+  }
+
+  /** Weekly retention cohorts: users cohort by the Monday-truncated week
+    * of their FIRST event; each (cohort_week, week_offset) cell counts
+    * the cohort's users active in that week. Two shuffles (first-seen
+    * per user; distinct user-weeks), then a broadcast-sized rollup —
+    * the cohort table is weeks², never data-sized.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstSeen = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__wk"))
+      .distinct()
+    active.join(firstSeen, userCol)
+      .groupBy(col("cohort_week"),
+        (datediff(col("__wk"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+  }
 }

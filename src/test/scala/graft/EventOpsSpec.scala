@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+import graft.ops.EventOps
+
+/** Funnel and retention-cohort edge cases the q99/q100 oracles can't
+  * isolate: timestamp ties, out-of-order stage arrivals, stage skipping,
+  * and cohort-offset arithmetic across week boundaries.
+  */
+class EventOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def evFrame(rows: (Long, String, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (u, t, e) => Row(u, ts(t), e) })
+        .asJava), schema)
+  }
+
+  test("funnel: strict ordering, ties, skips, and partial chains") {
+    val df = evFrame(
+      // user 1: clean 3-stage chain
+      (1L, "2024-01-01 10:00:00", "view"),
+      (1L, "2024-01-01 10:05:00", "click"),
+      (1L, "2024-01-01 10:10:00", "purchase"),
+      // user 2: purchase BEFORE click -> chain stops at click
+      (2L, "2024-01-01 09:00:00", "view"),
+      (2L, "2024-01-01 09:10:00", "purchase"),
+      (2L, "2024-01-01 09:20:00", "click"),
+      // user 3: click at the SAME instant as view -> strict > rejects it
+      (3L, "2024-01-01 08:00:00", "view"),
+      (3L, "2024-01-01 08:00:00", "click"),
+      // user 4: starts mid-funnel (no view) -> stage 0
+      (4L, "2024-01-01 07:00:00", "click"),
+      (4L, "2024-01-01 07:30:00", "purchase"),
+      // user 5: earliest chain wins — a later view must not shift it
+      (5L, "2024-01-01 06:00:00", "view"),
+      (5L, "2024-01-01 06:30:00", "click"),
+      (5L, "2024-01-01 06:10:00", "view"))
+    val out = EventOps.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    def stage(r: Row) = r.getInt(4)
+    assert(stage(out(0)) == 3)
+    assert(stage(out(1)) == 2) // view, then click at 09:20; purchase was too early
+    assert(out(1).getTimestamp(2) == ts("2024-01-01 09:20:00"))
+    assert(out(1).isNullAt(3))
+    assert(stage(out(2)) == 1) // tie does not advance
+    assert(stage(out(3)) == 0) // never viewed
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    assert(stage(out(4)) == 2)
+    assert(out(4).getTimestamp(1) == ts("2024-01-01 06:00:00"))
+    assert(out(4).getTimestamp(2) == ts("2024-01-01 06:30:00"))
+  }
+
+  test("funnel: users with no stage events are absent; 1-stage works") {
+    val df = evFrame(
+      (1L, "2024-01-01 10:00:00", "error"),
+      (2L, "2024-01-01 10:00:00", "view"))
+    val out = EventOps.funnel(df, Seq("view", "click", "purchase"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L))
+    val one = EventOps.funnel(df, Seq("view")).collect()
+    assert(one.length == 1 && one(0).getInt(2) == 1)
+  }
+
+  test("retention cohorts: offsets count whole weeks from the cohort Monday") {
+    val df = evFrame(
+      // user 1 first seen Tue week0; active again week0 (Fri) and week2
+      (1L, "2024-01-02 10:00:00", "view"),
+      (1L, "2024-01-05 10:00:00", "view"),
+      (1L, "2024-01-16 10:00:00", "view"),
+      // user 2 first seen week1 only
+      (2L, "2024-01-10 10:00:00", "view"))
+    val out = EventOps.retentionCohorts(df)
+      .orderBy("cohort_week", "week_offset").collect()
+    // 2024-01-01 is a Monday; cohorts truncate there
+    val rows = out.map(r => (r.getTimestamp(0).toString.take(10),
+      r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      ("2024-01-01", 0L, 1L), // user 1 week0 (two events, one cell)
+      ("2024-01-01", 2L, 1L), // user 1 week2
+      ("2024-01-08", 0L, 1L))) // user 2
+  }
+}
