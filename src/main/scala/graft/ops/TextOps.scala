@@ -156,10 +156,11 @@ object TextOps {
     * docs under 2 tokens, as [[dupBigramFrac]]'s semantics require.
     */
   def bigramsOf(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2))))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1),
+            element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
   /** [[dupBigramFrac]] over a pre-materialized bigram ARRAY column

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.TextOps
+
+/** Degenerate-text pins for the attribute-based repetition metrics
+  * (r9's rewrite of topTokenFrac/dupBigramFrac): null text must
+  * propagate null (matching the DuckDB oracle's CASE-on-NULL), empty
+  * and sub-bigram docs must yield 0.0, and the sorted-run max must
+  * equal the naive most-frequent count.
+  */
+class NullTextSpec extends SparkSpec {
+  test("repetition metrics on null/empty/one-token/repetitive text") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = scala.jdk.CollectionConverters.SeqHasAsJava(
+      Seq(Row(1L, null), Row(2L, ""), Row(3L, "one"),
+        Row(4L, "a a b"), Row(5L, "x y x y x"))).asJava
+    val df = spark.createDataFrame(new java.util.ArrayList[Row](rows), schema)
+    val out = df
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__toks"))
+      .withColumn("__bg", TextOps.bigramsOf(col("__toks")))
+      .select(col("doc_id"),
+        TextOps.topTokenFracOf(col("__toks")).as("ttf"),
+        TextOps.dupBigramFracOf(col("__bg")).as("dbf"))
+      .orderBy("doc_id").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // null text -> null
+    assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
+    assert(out(2).getDouble(1) == 1.0 && out(2).getDouble(2) == 0.0)
+    assert(math.abs(out(3).getDouble(1) - 2.0 / 3) < 1e-15)
+    assert(out(3).getDouble(2) == 0.0) // "a a"/"a b" distinct
+    // "x y x y x": top token x = 3/5; bigrams xy yx xy yx -> 2 dups of 4
+    assert(math.abs(out(4).getDouble(1) - 0.6) < 1e-15)
+    assert(out(4).getDouble(2) == 0.5)
+  }
+}
