@@ -1389,6 +1389,39 @@ object QueriesExt {
     "q100_retention" -> ((s, dir) => {
       graft.ops.EventOps.retentionCohorts(events(s, dir))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Gopher-style RULE filter (Rae et al. §A1.1, adapted thresholds):
+    // the per-rule boolean breakdown a corpus-curation run reports, not
+    // just the final gate — token-count bounds, mean-word-length band,
+    // stopword presence, top-token and duplicate-bigram caps. All five
+    // rules are integer/exact-double arithmetic on the engine-portable
+    // primitives, so the oracle replays every boolean and the composed
+    // keep. Per-row only; tokens/bigrams materialize once as attributes
+    // (the q43 plan discipline).
+    "q101_gopher_rules" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("__nt"),
+        length(regexp_replace(col("text"), lit("\\s+"), lit("")))
+          .cast("long").as("__nc"),
+        TextOps.stopwordCount(col("text")).cast("long").as("__sw"),
+        TextOps.tokens(col("text")).as("__toks"))
+        .withColumn("__bg", TextOps.bigramsOf(col("__toks")))
+        .withColumn("__ttf", TextOps.topTokenFracOf(col("__toks")))
+        .withColumn("__dbf", TextOps.dupBigramFracOf(col("__bg")))
+      base.select(col("doc_id"),
+        (col("__nt") >= 20 && col("__nt") <= 100000).as("ok_tokens"),
+        (col("__nt") > 0 &&
+          col("__nc").cast("double") / col("__nt") >= 2.0 &&
+          col("__nc").cast("double") / col("__nt") <= 12.0)
+          .as("ok_word_len"),
+        (col("__sw") >= 1).as("ok_stopwords"),
+        (col("__ttf") <= 0.14).as("ok_top_token"),
+        (col("__dbf") <= 0.065).as("ok_dup_bigram"))
+        .withColumn("keep", col("ok_tokens") && col("ok_word_len") &&
+          col("ok_stopwords") && col("ok_top_token") &&
+          col("ok_dup_bigram"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3456,6 +3489,49 @@ object QueriesExt {
         |  (date_diff('day', f.cohort_week, a.wk) // 7)::BIGINT AS week_offset,
         |  count(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays every rule boolean: token bounds, mean-word-length band,
+    // stopword presence, top-token and dup-bigram caps, and the gate
+    "q101_gopher_rules" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      val stop = langCountSql(TextOps.EnStopwords)
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS nt,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS nc,
+         |    ($stop)::BIGINT AS sw,
+         |    $toks AS toks
+         |  FROM documents
+         |), b AS (
+         |  SELECT doc_id, nt, nc, sw, toks,
+         |    CASE WHEN len(toks) >= 2
+         |         THEN list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])
+         |         ELSE [] END AS bg
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id, nt, nc, sw,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE list_max(list_transform(list_distinct(toks),
+         |             t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
+         |           / len(toks) END AS ttf,
+         |    CASE WHEN len(bg) <= 1 THEN 0.0
+         |      ELSE (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg)
+         |      END AS dbf
+         |  FROM b
+         |)
+         |SELECT doc_id,
+         |  (nt >= 20 AND nt <= 100000) AS ok_tokens,
+         |  (nt > 0 AND nc::DOUBLE / nt >= 2.0 AND nc::DOUBLE / nt <= 12.0)
+         |    AS ok_word_len,
+         |  (sw >= 1) AS ok_stopwords,
+         |  (ttf <= 0.14) AS ok_top_token,
+         |  (dbf <= 0.065) AS ok_dup_bigram,
+         |  ((nt >= 20 AND nt <= 100000)
+         |   AND (nt > 0 AND nc::DOUBLE / nt >= 2.0 AND nc::DOUBLE / nt <= 12.0)
+         |   AND sw >= 1 AND ttf <= 0.14 AND dbf <= 0.065) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    }
   )
 }
