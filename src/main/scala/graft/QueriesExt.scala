@@ -1409,15 +1409,25 @@ object QueriesExt {
         .withColumn("__bg", TextOps.bigramsOf(col("__toks")))
         .withColumn("__ttf", TextOps.topTokenFracOf(col("__toks")))
         .withColumn("__dbf", TextOps.dupBigramFracOf(col("__bg")))
+      // mean word length guarded by when(): a bare nc/nt conjunct
+      // evaluates BOTH sides under Spark's non-short-circuit And and
+      // ANSI mode turns nt = 0 (empty/whitespace docs) into a
+      // job-killing DIVIDE_BY_ZERO — caught by the adversarial-fixture
+      // sweep. DuckDB's nc::DOUBLE/0 is NaN, so `nt > 0 AND NaN >= 2`
+      // is false there; false && null is false here — same booleans.
+      val awl = when(col("__nt") > 0,
+        col("__nc").cast("double") / col("__nt"))
+      // every rule leads with a not-null guard (mirrored in the oracle)
+      // so the booleans are never three-valued: a null document fails
+      // every rule outright instead of rippling SQL NULLs into `keep`
+      val ok = col("__toks").isNotNull
       base.select(col("doc_id"),
-        (col("__nt") >= 20 && col("__nt") <= 100000).as("ok_tokens"),
-        (col("__nt") > 0 &&
-          col("__nc").cast("double") / col("__nt") >= 2.0 &&
-          col("__nc").cast("double") / col("__nt") <= 12.0)
+        (ok && col("__nt") >= 20 && col("__nt") <= 100000).as("ok_tokens"),
+        (ok && col("__nt") > 0 && awl >= 2.0 && awl <= 12.0)
           .as("ok_word_len"),
-        (col("__sw") >= 1).as("ok_stopwords"),
-        (col("__ttf") <= 0.14).as("ok_top_token"),
-        (col("__dbf") <= 0.065).as("ok_dup_bigram"))
+        (ok && col("__sw") >= 1).as("ok_stopwords"),
+        (ok && col("__ttf") <= 0.14).as("ok_top_token"),
+        (ok && col("__dbf") <= 0.065).as("ok_dup_bigram"))
         .withColumn("keep", col("ok_tokens") && col("ok_word_len") &&
           col("ok_stopwords") && col("ok_top_token") &&
           col("ok_dup_bigram"))
@@ -3511,7 +3521,7 @@ object QueriesExt {
          |         ELSE [] END AS bg
          |  FROM t
          |), m AS (
-         |  SELECT doc_id, nt, nc, sw,
+         |  SELECT doc_id, nt, nc, sw, toks IS NOT NULL AS ok,
          |    CASE WHEN len(toks) = 0 THEN 0.0
          |      ELSE list_max(list_transform(list_distinct(toks),
          |             t2 -> len(list_filter(toks, x -> x = t2))))::DOUBLE
@@ -3522,13 +3532,13 @@ object QueriesExt {
          |  FROM b
          |)
          |SELECT doc_id,
-         |  (nt >= 20 AND nt <= 100000) AS ok_tokens,
-         |  (nt > 0 AND nc::DOUBLE / nt >= 2.0 AND nc::DOUBLE / nt <= 12.0)
-         |    AS ok_word_len,
-         |  (sw >= 1) AS ok_stopwords,
-         |  (ttf <= 0.14) AS ok_top_token,
-         |  (dbf <= 0.065) AS ok_dup_bigram,
-         |  ((nt >= 20 AND nt <= 100000)
+         |  (ok AND nt >= 20 AND nt <= 100000) AS ok_tokens,
+         |  (ok AND nt > 0 AND nc::DOUBLE / nt >= 2.0
+         |      AND nc::DOUBLE / nt <= 12.0) AS ok_word_len,
+         |  (ok AND sw >= 1) AS ok_stopwords,
+         |  (ok AND ttf <= 0.14) AS ok_top_token,
+         |  (ok AND dbf <= 0.065) AS ok_dup_bigram,
+         |  (ok AND (nt >= 20 AND nt <= 100000)
          |   AND (nt > 0 AND nc::DOUBLE / nt >= 2.0 AND nc::DOUBLE / nt <= 12.0)
          |   AND sw >= 1 AND ttf <= 0.14 AND dbf <= 0.065) AS keep
          |FROM m ORDER BY doc_id""".stripMargin

@@ -153,14 +153,16 @@ object TextOps {
   /** Strict word bigrams from a pre-materialized token array — pass an
     * attribute so the lambda's capture re-reads a row value instead of
     * re-running the tokenizer per element. Empty (not whole-doc) for
-    * docs under 2 tokens, as [[dupBigramFrac]]'s semantics require.
+    * docs under 2 tokens — INCLUDING a null array: the oracle twin's
+    * `CASE WHEN len(toks) >= 2 … ELSE []` sends NULL through its ELSE,
+    * so the engine collapses null the same way (adversarial-fixture
+    * sweep pinned; text is non-null post-quarantine anyway).
     */
   def bigramsOf(toks: Column): Column =
-    when(toks.isNull, lit(null).cast("array<string>"))
-      .when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2))))
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
   /** [[dupBigramFrac]] over a pre-materialized bigram ARRAY column

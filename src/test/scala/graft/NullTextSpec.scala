@@ -7,9 +7,12 @@ import org.apache.spark.sql.types._
 import graft.ops.TextOps
 
 /** Degenerate-text pins for the attribute-based repetition metrics
-  * (r9's rewrite of topTokenFrac/dupBigramFrac): null text must
-  * propagate null (matching the DuckDB oracle's CASE-on-NULL), empty
-  * and sub-bigram docs must yield 0.0, and the sorted-run max must
+  * (r9's rewrite of topTokenFrac/dupBigramFrac), matching the DuckDB
+  * oracle twins exactly: null text gives a NULL top-token fraction
+  * (the oracle's `CASE len(toks) = 0` is not-true for NULL → NULL
+  * arithmetic) but a 0.0 dup-bigram fraction (the oracle's
+  * `CASE len(toks) >= 2 … ELSE []` sends NULL through its ELSE);
+  * empty and sub-bigram docs yield 0.0, and the sorted-run max must
   * equal the naive most-frequent count.
   */
 class NullTextSpec extends SparkSpec {
@@ -27,7 +30,8 @@ class NullTextSpec extends SparkSpec {
         TextOps.topTokenFracOf(col("__toks")).as("ttf"),
         TextOps.dupBigramFracOf(col("__bg")).as("dbf"))
       .orderBy("doc_id").collect()
-    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // null text -> null
+    assert(out(0).isNullAt(1)) // null text: ttf null...
+    assert(out(0).getDouble(2) == 0.0) // ...but dbf 0.0 (oracle's ELSE [])
     assert(out(1).getDouble(1) == 0.0 && out(1).getDouble(2) == 0.0)
     assert(out(2).getDouble(1) == 1.0 && out(2).getDouble(2) == 0.0)
     assert(math.abs(out(3).getDouble(1) - 2.0 / 3) < 1e-15)
