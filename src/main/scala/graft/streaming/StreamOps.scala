@@ -231,6 +231,55 @@ object StreamOps {
       sum: Double)
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Long, sum_value: Double)
+  /** Funnel chain as epoch-MICROSECOND slots, -1 = stage not reached —
+    * long sentinels instead of nested Option encoders, and microsecond
+    * precision so stream progress compares exactly against the batch
+    * operator's timestamp chain.
+    */
+  final case class FunnelChain(micros: Seq[Long])
+  final case class FunnelProgress(user_id: Long, stage: Int,
+      stage_micros: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.EventOps.funnel]]: per-user stage
+    * chains advance live via `mapGroupsWithState` — state is exactly n
+    * epoch-micros slots per user (O(n), never grows with the stream),
+    * and each micro-batch emits the user's current progress (update
+    * mode; the latest row per user is the live funnel dashboard).
+    *
+    * Within a micro-batch events sort by event time (same greedy
+    * earliest-chain scan as the batch operator); ACROSS micro-batches
+    * the chain is advance-only, so stream progress equals the batch
+    * funnel whenever arrival order respects event time per user
+    * (StreamingSpec pins cross-batch parity). An event older than an
+    * already-filled slot cannot rewrite history — the live-serving
+    * contract; replay the batch operator over the full log for
+    * retrospective corrections.
+    */
+  def funnelStreaming(events: Dataset[Event], stages: Seq[String])
+      : Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val n = stages.length
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelChain, FunnelProgress](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelChain]) =>
+          val cur = state.getOption.map(_.micros.toArray)
+            .getOrElse(Array.fill(n)(-1L))
+          def us(t: Timestamp): Long =
+            t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          it.toSeq.sortBy(e => (us(e.ts), stages.indexOf(e.event_type)))
+            .foreach { e =>
+              val o = stages.indexOf(e.event_type)
+              if (o >= 0 && cur(o) == -1L &&
+                (o == 0 || (cur(o - 1) != -1L && us(e.ts) > cur(o - 1))))
+                cur(o) = us(e.ts)
+            }
+          state.update(FunnelChain(cur.toSeq))
+          FunnelProgress(user, cur.count(_ != -1L), cur.toSeq)
+      }
+  }
 
   /** Gap-based sessionization via `flatMapGroupsWithState`: a session closes
     * when no event arrives within `gapMs` of the previous one (enforced by

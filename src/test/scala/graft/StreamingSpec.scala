@@ -105,6 +105,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user chains across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.Event]
+    val q = StreamOps.funnelStreaming(src.toDS(),
+      Seq("view", "click", "purchase"))
+      .writeStream.format("memory").queryName("fnl").outputMode("update")
+      .start()
+    try {
+      // batch 1: user 1 views+clicks; user 2 clicks only (no view)
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+        StreamOps.Event(1L, ts("2024-01-01 10:05:00"), "click", 0.0),
+        StreamOps.Event(2L, ts("2024-01-01 10:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 purchases (chain completes ACROSS batches);
+      // user 2 views late — can't resurrect the missed click
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:20:00"), "purchase", 0.0),
+        StreamOps.Event(2L, ts("2024-01-01 10:30:00"), "view", 0.0))
+      q.processAllAvailable()
+      val last = spark.table("fnl").collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.last }
+      assert(last(1L).getInt(1) == 3)
+      assert(last(2L).getInt(1) == 1) // view only; click preceded it
+      // cross-batch stream progress equals the batch operator on the log
+      val log = Seq(
+        (1L, "2024-01-01 10:00:00", "view"),
+        (1L, "2024-01-01 10:05:00", "click"),
+        (1L, "2024-01-01 10:20:00", "purchase"),
+        (2L, "2024-01-01 10:00:00", "click"),
+        (2L, "2024-01-01 10:30:00", "view"))
+        .toDF("user_id", "s", "event_type")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      val batch = graft.ops.EventOps.funnel(log,
+        Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+      assert(last.view.mapValues(_.getInt(1)).toMap == batch)
+    } finally q.stop()
+  }
+
   test("stream-static near-dup screen matches the batch operator") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
