@@ -1391,6 +1391,27 @@ object QueriesExt {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // temperature (α = 0.5) source mixing — the XLM-R/mT5 α-sampling
+    // recipe: tempered shares ∝ sqrt(corpus share), realized as
+    // deterministic per-source hash rates and EXECUTED (n_kept counts
+    // the md5-gated survivors). sqrt is the engine-portable exponent
+    // and the share denominator is a DECIMAL sum, so every rate and
+    // kept-count replays cell-exact.
+    "q102_temperature_mix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planDf = MixPlan.temperaturePlan(d, "source",
+        TextOps.tokenCount(col("text")), budget = 10000L)
+      val kept = MixPlan.execute(d, "doc_id", "source", planDf,
+        salt = "#t102")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+      planDf.join(kept, Seq("source"), "left")
+        .select(col("source"), col("avail_tokens"),
+          round(col("tempered_share"), 8).as("tempered_share"),
+          round(col("rate"), 8).as("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    }),
+
     // Gopher-style RULE filter (Rae et al. §A1.1, adapted thresholds):
     // the per-rule boolean breakdown a corpus-curation run reports, not
     // just the final gate — token-count bounds, mean-word-length band,
@@ -3500,6 +3521,37 @@ object QueriesExt {
         |  count(DISTINCT a.user_id) AS n_active
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the α = 0.5 tempered shares (sqrt masses, DECIMAL-summed
+    // denominator), the per-source rates, and the md5-gated kept counts
+    "q102_temperature_mix" ->
+      s"""WITH a AS (
+         |  SELECT source,
+         |    sum(len(regexp_extract_all(text, '\\S+'))::BIGINT)::BIGINT
+         |      AS avail_tokens
+         |  FROM documents GROUP BY 1
+         |), m AS (
+         |  SELECT source, avail_tokens,
+         |    CAST(sqrt(avail_tokens::DOUBLE) AS DECIMAL(28,12)) AS mass
+         |  FROM a
+         |), t AS (SELECT sum(mass) AS tot FROM m),
+         |p AS (
+         |  SELECT m.source, m.avail_tokens,
+         |    m.mass::DOUBLE / t.tot::DOUBLE AS share,
+         |    least(1.0, (m.mass::DOUBLE / t.tot::DOUBLE) * 10000
+         |      / avail_tokens::DOUBLE) AS rate
+         |  FROM m CROSS JOIN t
+         |), k AS (
+         |  SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN p ON p.source = d.source
+         |  WHERE ${hashUnitSql("doc_id::VARCHAR || '#t102'")} < p.rate
+         |  GROUP BY 1
+         |)
+         |SELECT p.source, p.avail_tokens,
+         |  round(p.share, 8) AS tempered_share, round(p.rate, 8) AS rate,
+         |  coalesce(k.n_kept, 0)::BIGINT AS n_kept
+         |FROM p LEFT JOIN k USING (source)
+         |ORDER BY p.source""".stripMargin,
 
     // replays every rule boolean: token bounds, mean-word-length band,
     // stopword presence, top-token and dup-bigram caps, and the gate

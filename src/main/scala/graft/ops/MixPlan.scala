@@ -65,6 +65,37 @@ object MixPlan {
       .localCheckpoint(true)
   }
 
+  /** Temperature-flattened mixture plan (the XLM-R/mT5 α-sampling
+    * recipe): target share_i ∝ p_i^α where p_i is source i's share of
+    * the corpus — α < 1 upweights low-resource sources without the
+    * cliff of a fixed uniform split. Fixed at α = 0.5 because that
+    * exponent is ENGINE-PORTABLE exactly: the tempered mass is
+    * `sqrt` (IEEE-correctly-rounded on every engine, unlike a general
+    * `pow`), and the share denominator sums DECIMAL(28,12)-quantized
+    * masses so aggregation order can't leak a ulp into the rates —
+    * the same portability discipline as the q56 DECIMAL averages.
+    * Output: (srcCol, avail_tokens, tempered_share, target_tokens,
+    * rate) — feed to [[execute]] like a [[plan]] table.
+    */
+  def temperaturePlan(df: DataFrame, srcCol: String, tokenCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val avail = df.groupBy(col(srcCol))
+      .agg(sum(tokenCol.cast("long")).as("avail_tokens"))
+      .withColumn("__mass", sqrt(col("avail_tokens").cast("double"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+    val tot = avail.agg(sum(col("__mass")).as("__tot"))
+    avail.crossJoin(broadcast(tot))
+      .withColumn("tempered_share",
+        col("__mass").cast("double") / col("__tot").cast("double"))
+      .withColumn("target_tokens", col("tempered_share") * budget.toDouble)
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens") / col("avail_tokens").cast("double")))
+      .select(col(srcCol), col("avail_tokens"), col("tempered_share"),
+        col("target_tokens"), col("rate"))
+      .localCheckpoint(true)
+  }
+
   /** Execute a plan: keep each row iff its salted hash-uniform clears the
     * source's rate. Broadcast join on the bounded rate table + per-row
     * filter — no shuffle of the corpus.
