@@ -1453,6 +1453,51 @@ object QueriesExt {
           col("ok_stopwords") && col("ok_top_token") &&
           col("ok_dup_bigram"))
         .orderBy("doc_id")
+    }),
+
+    // KMV source-overlap sketch: per-source k-minimum-values synopses
+    // (k=256 md5 words — the distinct-set SAMPLE HLL's registers are
+    // not) composed pairwise into union / Jaccard / intersection
+    // estimates for all 45 source pairs — the cross-corpus overlap
+    // matrix a crawl-mixing run consults ("how much of src3 is already
+    // in src7?") without ever joining the corpora. Estimator arithmetic
+    // is q91's contract: exact integers (counts, kth hash) plus one
+    // IEEE division/multiply, so the oracle replays every cell.
+    // exact_union / exact_inter ride along as the quality witness —
+    // computable at this SF, a full-shuffle luxury at 100 TB where
+    // only the sketch survives.
+    "q103_kmv_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val grams = Dedup.posGramRows(d, "doc_id", "text", w = 3)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select(col("source"), col("gram"))
+      val sk = Sketches.kmvSketch(grams, Seq("source"), col("gram"),
+        k = 256).localCheckpoint(true)
+      val overlap = Sketches.kmvPairOverlap(sk, "source", k = 256)
+      // exact witness on the string gram sets (same pair/union trick)
+      val g = grams.distinct()
+      val srcs = d.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("src_a"))
+        .crossJoin(srcs.select(col("source").as("src_b")))
+        .where(col("src_a") < col("src_b"))
+      val ga = g.join(broadcast(pairs), col("source") === col("src_a"))
+        .select(col("src_a"), col("src_b"), col("gram"),
+          lit(1).as("in_a"), lit(0).as("in_b"))
+      val gb = g.join(broadcast(pairs), col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("gram"),
+          lit(0).as("in_a"), lit(1).as("in_b"))
+      val exact = ga.unionByName(gb)
+        .groupBy(col("src_a"), col("src_b"), col("gram"))
+        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum((col("in_a") * col("in_b")).cast("long")).as("exact_inter"))
+      overlap.join(exact, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("n_union_k"),
+          col("kth_union"), col("n_inter_k"), col("est_union"),
+          col("est_jaccard"), col("est_inter"), col("exact_union"),
+          col("exact_inter"))
+        .orderBy("src_a", "src_b")
     })
   )
 
@@ -3594,6 +3639,73 @@ object QueriesExt {
          |   AND (nt > 0 AND nc::DOUBLE / nt >= 2.0 AND nc::DOUBLE / nt <= 12.0)
          |   AND sw >= 1 AND ttf <= 0.14 AND dbf <= 0.065) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // replays the per-source 256-minimum md5 words, the pairwise
+    // union/intersect rank arithmetic, the (k−1)·2³²/kth estimators
+    // (one IEEE division + one multiply over exact operands), and the
+    // exact string-gram witnesses
+    "q103_kmv_overlap" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT source, $toks AS toks FROM documents
+         |), t AS (
+         |  SELECT source, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM d
+         |), h AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv
+         |  FROM t
+         |), sk AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv,
+         |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM h) WHERE rn <= 256
+         |), srcs AS (SELECT DISTINCT source FROM d),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM srcs a, srcs b WHERE a.source < b.source
+         |), uni AS (
+         |  SELECT p.src_a, p.src_b, s.hv,
+         |    max(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+         |  GROUP BY 1, 2, 3
+         |), topu AS (
+         |  SELECT * FROM (
+         |    SELECT src_a, src_b, hv, in_a, in_b,
+         |      row_number() OVER (PARTITION BY src_a, src_b ORDER BY hv)
+         |        AS rn
+         |    FROM uni) WHERE rn <= 256
+         |), agg AS (
+         |  SELECT src_a, src_b, count(*)::BIGINT AS n_union_k,
+         |    max(hv) AS kth_union, sum(in_a * in_b)::BIGINT AS n_inter_k
+         |  FROM topu GROUP BY 1, 2
+         |), est AS (
+         |  SELECT *, CASE WHEN n_union_k < 256 THEN n_union_k::DOUBLE
+         |      ELSE 1095216660480.0 / kth_union::DOUBLE END AS est_union,
+         |    n_inter_k::DOUBLE / n_union_k::DOUBLE AS est_jaccard
+         |  FROM agg
+         |), gs AS (
+         |  SELECT DISTINCT source, gram FROM t
+         |), guni AS (
+         |  SELECT p.src_a, p.src_b, g.gram,
+         |    max(CASE WHEN g.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN g.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM pairs p JOIN gs g ON g.source = p.src_a OR g.source = p.src_b
+         |  GROUP BY 1, 2, 3
+         |), ex AS (
+         |  SELECT src_a, src_b, count(*)::BIGINT AS exact_union,
+         |    sum(in_a * in_b)::BIGINT AS exact_inter
+         |  FROM guni GROUP BY 1, 2
+         |)
+         |SELECT e.src_a, e.src_b, n_union_k, kth_union, n_inter_k,
+         |  est_union, est_jaccard, est_jaccard * est_union AS est_inter,
+         |  exact_union, exact_inter
+         |FROM est e JOIN ex USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
     }
   )
 }

@@ -278,4 +278,115 @@ object Sketches {
             else s"${tenths / 10}_${tenths % 10}"
     s"p$s"
   }
+
+  // ------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch + set overlap
+  // ------------------------------------------------------------------
+
+  /** KMV sketch per group: the `k` smallest DISTINCT md5-word hash
+    * values of `item`, with their rank. Where HLL (q91) answers only
+    * "how many distinct", KMV is a uniform SAMPLE of the distinct set,
+    * so two groups' sketches compose into union / intersection /
+    * Jaccard ESTIMATES (Beyer et al., SIGMOD 2007 — the K-Minimum
+    * Values synopsis; the same construction Theta sketches
+    * industrialize). State is k longs per group; merge = union + re-rank
+    * ([[kmvMerge]]), and merging per-partition sketches equals
+    * sketching the union EXACTLY (the k smallest of A∪B all lie in the
+    * k smallest of A ∪ the k smallest of B) — SketchSpec pins it.
+    *
+    * Distributed top-k shape: hashes are made distinct, pre-pruned to
+    * the k smallest per (group, hv mod 64) bucket — a window over
+    * 1/64th of each group's distinct set — then the survivors
+    * (≤ groups×64×k rows, whatever the corpus size) feed the final
+    * per-group rank. No group's full distinct set is ever sorted in one
+    * partition.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], item: Column,
+      k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val hashed = df.select(g :+ Sampling.md5Prefix32(item).as("hv"): _*)
+      .distinct()
+    val wPre = Window.partitionBy(g :+ (col("hv") % 64).as("__b"): _*)
+      .orderBy("hv")
+    val pruned = hashed.withColumn("__rn", row_number().over(wPre))
+      .where(col("__rn") <= k).drop("__rn")
+    val wFin = Window.partitionBy(g: _*).orderBy("hv")
+    pruned.withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+  }
+
+  /** Merge two KMV sketches (same group columns): union the value
+    * sets, drop duplicate values, keep the k smallest per group.
+    * Exactly the sketch of the union — the incremental-corpus shape
+    * (nightly batch sketch + standing sketch → updated sketch).
+    */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy("hv")
+    a.drop("rank").unionByName(b.drop("rank")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Collapse a sketch to one row per group:
+    * (groupCols…, n_k, kth, est_distinct). When the group holds fewer
+    * than k distinct values the sketch IS the distinct set and the
+    * estimate is the exact count; otherwise the unbiased KMV estimator
+    * (k−1)·2³² / U_(k) with U_(k) the k-th smallest hash — numerator
+    * and denominator are both exactly-representable doubles, so the
+    * estimate is one IEEE division, bit-identical wherever the sketch
+    * matches (q91's portability argument).
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String], k: Int)
+      : DataFrame = {
+    val g = groupCols.map(col)
+    sketch.groupBy(g: _*)
+      .agg(count(lit(1)).as("n_k"), max(col("hv")).as("kth"))
+      .withColumn("est_distinct",
+        when(col("n_k") < k, col("n_k").cast("double"))
+          .otherwise(lit((k - 1).toLong * 4294967296.0)
+            / col("kth").cast("double")))
+  }
+
+  /** Pairwise overlap of all groups in one sketch table: for every
+    * group pair a < b, combine the two sketches (union, k smallest),
+    * count how many of those k live in BOTH sketches, and derive
+    * (n_union_k, kth_union, n_inter_k, est_union, est_jaccard,
+    * est_inter). ρ = n_inter_k / n_union_k is the classic KMV Jaccard
+    * estimator and est_inter = ρ·est_union the intersection estimate —
+    * the set algebra HLL registers cannot do. Work is
+    * pairs × k rows (the pair frame is a broadcast of the group list);
+    * the corpus itself is never touched again.
+    */
+  def kmvPairOverlap(sketch: DataFrame, groupCol: String, k: Int)
+      : DataFrame = {
+    val groups = sketch.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("src_a"))
+      .crossJoin(groups.select(col(groupCol).as("src_b")))
+      .where(col("src_a") < col("src_b"))
+    val aSide = sketch.join(broadcast(pairs),
+        col(groupCol) === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val bSide = sketch.join(broadcast(pairs),
+        col(groupCol) === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("hv"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val uni = aSide.unionByName(bSide)
+      .groupBy(col("src_a"), col("src_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy("hv")
+    uni.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_union_k"), max(col("hv")).as("kth_union"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("n_inter_k"))
+      .withColumn("est_union",
+        when(col("n_union_k") < k, col("n_union_k").cast("double"))
+          .otherwise(lit((k - 1).toLong * 4294967296.0)
+            / col("kth_union").cast("double")))
+      .withColumn("est_jaccard",
+        col("n_inter_k").cast("double") / col("n_union_k").cast("double"))
+      .withColumn("est_inter", col("est_jaccard") * col("est_union"))
+  }
 }

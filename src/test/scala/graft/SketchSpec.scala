@@ -209,4 +209,76 @@ class SketchSpec extends SparkSpec {
     assert(h3.select(min("bin"), max("bin")).collect()(0).toSeq ==
       Seq(0L, (bins - 1).toLong))
   }
+
+  private def gFrame(rows: Seq[(String, String)]): DataFrame = {
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("item", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (g, v) => Row(g, v) }).asJava), schema)
+  }
+
+  test("KMV merge of split sketches equals the sketch of the union, exactly") {
+    val k = 64
+    val items = (1 to 4000).map(i => ("g", s"item#$i"))
+    val (a, b) = items.splitAt(1800)
+    // overlap between the halves so dedup-across-sketches is exercised
+    val a2 = a ++ b.take(300)
+    val whole = kmvSketch(gFrame(items), Seq("g"), col("item"), k)
+      .select("g", "hv", "rank").orderBy("rank").collect().toSeq
+    val merged = kmvMerge(
+      kmvSketch(gFrame(a2), Seq("g"), col("item"), k),
+      kmvSketch(gFrame(b), Seq("g"), col("item"), k), Seq("g"), k)
+      .select("g", "hv", "rank").orderBy("rank").collect().toSeq
+    assert(merged == whole)
+    assert(whole.size == k)
+  }
+
+  test("KMV estimate: exact below k, within the k=256 error regime above") {
+    val k = 256
+    // group "small" has 100 distinct — sketch IS the set, estimate exact
+    val small = (1 to 100).map(i => ("small", s"s#$i")) ++
+      (1 to 400).map(i => ("small", s"s#${i % 50 + 1}"))
+    // group "big" has 20000 distinct
+    val big = (1 to 20000).map(i => ("big", s"b#$i"))
+    val est = kmvEstimate(
+      kmvSketch(gFrame(small ++ big), Seq("g"), col("item"), k), Seq("g"), k)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(est("small")._1 == 100L && est("small")._2 == 100.0)
+    // standard error ~ 1/sqrt(k-1) = 6.3%; allow ~3 sigma
+    assert(math.abs(est("big")._2 / 20000.0 - 1.0) < 0.2,
+      s"big estimate ${est("big")._2}")
+  }
+
+  test("KMV pair overlap estimates a planted 50% Jaccard and nails identity") {
+    val k = 256
+    // A and B share 4000 of 6000 each: J = 4000/8000 = 0.5
+    val shared = (1 to 4000).map(i => s"sh#$i")
+    val rows = shared.map(("A", _)) ++ (1 to 2000).map(i => ("A", s"a#$i")) ++
+      shared.map(("B", _)) ++ (1 to 2000).map(i => ("B", s"b#$i")) ++
+      shared.map(("C", _)) // C == shared exactly
+    val sk = kmvSketch(gFrame(rows), Seq("g"), col("item"), k)
+    val ov = kmvPairOverlap(sk, "g", k).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = ov(("A", "B"))
+    assert(math.abs(ab.getAs[Double]("est_jaccard") - 0.5) < 0.15,
+      s"A-B jaccard ${ab.getAs[Double]("est_jaccard")}")
+    assert(math.abs(ab.getAs[Double]("est_union") / 8000.0 - 1.0) < 0.2)
+    assert(math.abs(ab.getAs[Double]("est_inter") / 4000.0 - 1.0) < 0.35)
+    // C ⊂ A with |C| = 4000, |A| = 6000: union = A, inter = C
+    val ac = ov(("A", "C"))
+    assert(math.abs(ac.getAs[Double]("est_union") / 6000.0 - 1.0) < 0.2)
+    ov.values.foreach { r =>
+      assert(r.getAs[Long]("n_inter_k") <= r.getAs[Long]("n_union_k"))
+      assert(r.getAs[Double]("est_inter") <= r.getAs[Double]("est_union") + 1e-9)
+    }
+    // identical sets: the union sketch is each group's sketch — J = 1.0 exact
+    val idRows = (1 to 5000).map(i => s"x#$i")
+    val sk2 = kmvSketch(gFrame(idRows.map(("P", _)) ++ idRows.map(("Q", _))),
+      Seq("g"), col("item"), k)
+    val pq = kmvPairOverlap(sk2, "g", k).collect()(0)
+    assert(pq.getAs[Double]("est_jaccard") == 1.0)
+    assert(pq.getAs[Long]("n_inter_k") == k.toLong)
+  }
 }
