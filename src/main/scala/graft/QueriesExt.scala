@@ -1498,7 +1498,17 @@ object QueriesExt {
           col("est_jaccard"), col("est_inter"), col("exact_union"),
           col("exact_inter"))
         .orderBy("src_a", "src_b")
-    })
+    }),
+
+    // PMI collocations: the top-50 bigram collocations a phrase-mining /
+    // tokenizer-vocab pass extracts. Ranking is by the raw likelihood
+    // ratio c_xy·N²/(B·c_x·c_y) — the monotone image of PMI — scaled by
+    // 10⁶ and floored in exact DECIMAL(38,0)/HUGEINT arithmetic, so the
+    // oracle replays every count and every scaled ratio with no
+    // transcendental in sight.
+    "q104_pmi_collocations" -> ((s, dir) =>
+      graft.ops.TfIdf.collocations(docs(s, dir), "doc_id", "text",
+        minCount = 5L, topK = 50))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
@@ -3706,6 +3716,40 @@ object QueriesExt {
          |  exact_union, exact_inter
          |FROM est e JOIN ex USING (src_a, src_b)
          |ORDER BY src_a, src_b""".stripMargin
+    },
+
+    // replays the unigram/bigram counts and the ⌊c_xy·N²·10⁶ /
+    // (B·c_x·c_y)⌋ scaled likelihood ratio in HUGEINT — integer
+    // division truncation matches Spark's DECIMAL DIV on positives
+    "q104_pmi_collocations" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT $toks AS toks FROM documents
+         |), u AS (
+         |  SELECT unnest(toks) AS tok FROM d
+         |), uc AS (
+         |  SELECT tok, count(*)::BIGINT AS c_tok FROM u GROUP BY 1
+         |), b AS (
+         |  SELECT unnest(CASE WHEN len(toks) >= 2
+         |    THEN list_transform(range(1, len(toks)),
+         |           i -> toks[i] || ' ' || toks[i + 1])
+         |    ELSE [] END) AS gram FROM d
+         |), bc AS (
+         |  SELECT gram, count(*)::BIGINT AS c_xy FROM b GROUP BY 1
+         |  HAVING count(*) >= 5
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM u)::BIGINT AS n_uni,
+         |         (SELECT count(*) FROM b)::BIGINT AS n_bi
+         |)
+         |SELECT bc.gram, bc.c_xy, c1.c_tok AS c_x, c2.c_tok AS c_y,
+         |  ((bc.c_xy::HUGEINT * t.n_uni * t.n_uni * 1000000)
+         |   // (t.n_bi::HUGEINT * c1.c_tok * c2.c_tok))::BIGINT
+         |    AS ratio_x1e6
+         |FROM bc
+         |JOIN uc c1 ON c1.tok = string_split(bc.gram, ' ')[1]
+         |JOIN uc c2 ON c2.tok = string_split(bc.gram, ' ')[2]
+         |CROSS JOIN tot t
+         |ORDER BY ratio_x1e6 DESC, bc.gram LIMIT 50""".stripMargin
     }
   )
 }

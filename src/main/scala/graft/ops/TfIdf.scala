@@ -162,4 +162,55 @@ object TfIdf {
     cv.unpersist()
     out
   }
+
+  /** Top-k bigram COLLOCATIONS by pointwise mutual information — the
+    * corpus-statistics pass that surfaces multiword expressions ("new
+    * york", "machine learning") for tokenizer-vocab and phrase-mining
+    * decisions. PMI = log2(P(xy) / (P(x)·P(y))); since log is monotone,
+    * ranking by the RAW likelihood ratio is ranking by PMI, and the
+    * ratio stays in exact integer arithmetic: `ratio_x1e6 =
+    * ⌊c_xy·N²·10⁶ / (B·c_x·c_y)⌋` over DECIMAL(38,0) products with one
+    * integral divide into a long — no transcendental, so every cell
+    * replays on any engine (DuckDB mirrors it in HUGEINT). `minCount`
+    * is the classic support floor that kills one-off pairings.
+    *
+    * Scale shape: two `groupBy.count`s (map-side combined), two
+    * vocab-keyed equi-joins to attach unigram counts, one broadcast of
+    * the two scalar totals, and a global top-k (TakeOrdered — no full
+    * sort). At web scale the DECIMAL(38) product bounds N³·10⁶ ≤ 10³⁸,
+    * i.e. N ≲ 2·10¹⁰ tokens per scored slice; shard the pass by corpus
+    * slice (and merge top-ks) beyond that.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val uni = df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val uniCnt = uni.groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val bi = Dedup.posGramRows(df, idCol, textCol, w = 2).select(col("gram"))
+    // null-tolerant get(), NOT getItem: the joins below infer
+    // isnotnull(w2) and Catalyst pushes that predicate through the
+    // aggregate (w1/w2 are functions of the grouping key) and BELOW
+    // posGramRows' completeness filter — where the last-token gram of
+    // every doc still has no space and ANSI getItem(1) kills the job.
+    // get() returns null there (dropped rows either way), and DuckDB's
+    // list index is null-on-out-of-bounds, so the twins agree.
+    val biCnt = bi.groupBy("gram").agg(count(lit(1)).as("c_xy"))
+      .where(col("c_xy") >= minCount)
+      .withColumn("w1", get(split(col("gram"), " "), lit(0)))
+      .withColumn("w2", get(split(col("gram"), " "), lit(1)))
+    val totals = uni.agg(count(lit(1)).as("n_uni"))
+      .crossJoin(bi.agg(count(lit(1)).as("n_bi")))
+    biCnt
+      .join(uniCnt.select(col("tok").as("w1"), col("c_tok").as("c_x")), "w1")
+      .join(uniCnt.select(col("tok").as("w2"), col("c_tok").as("c_y")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("__num", col("c_xy").cast(dec) * col("n_uni").cast(dec)
+        * col("n_uni").cast(dec) * lit(1000000L).cast(dec))
+      .withColumn("__den", col("n_bi").cast(dec) * col("c_x").cast(dec)
+        * col("c_y").cast(dec))
+      .withColumn("ratio_x1e6", expr("__num DIV __den"))
+      .select("gram", "c_xy", "c_x", "c_y", "ratio_x1e6")
+      .orderBy(col("ratio_x1e6").desc, col("gram"))
+      .limit(topK)
+  }
 }
