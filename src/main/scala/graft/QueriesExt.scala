@@ -1508,7 +1508,40 @@ object QueriesExt {
     // transcendental in sight.
     "q104_pmi_collocations" -> ((s, dir) =>
       graft.ops.TfIdf.collocations(docs(s, dir), "doc_id", "text",
-        minCount = 5L, topK = 50))
+        minCount = 5L, topK = 50)),
+
+    // Script-mix profile: per-language Unicode-script character
+    // histogram over explicit BMP codepoint ranges — how a crawl
+    // triages non-Latin content and catches mixed-script spam, the
+    // writing-system complement of the stopword language ID (q27).
+    // The synthetic corpus is ASCII, so deterministic multi-script
+    // snippets keyed by doc_id are appended (the q96 URL-append
+    // pattern, mirrored in the oracle) to make every script bucket
+    // real. Counts are exact longs; the one ratio is a single IEEE
+    // division of exact sums.
+    "q105_script_mix" -> ((s, dir) => {
+      val snip = when(col("doc_id") % 5 === 0, lit(" привет мир"))
+        .when(col("doc_id") % 5 === 1, lit(" 你好世界"))
+        .when(col("doc_id") % 5 === 2, lit(" γειά σου κόσμε"))
+        .when(col("doc_id") % 5 === 3, lit(" مرحبا بالعالم"))
+        .otherwise(lit(" 안녕하세요 세계"))
+      val dev = when(col("doc_id") % 7 === 0, lit(" नमस्ते दुनिया"))
+        .otherwise(lit(""))
+      val t = docs(s, dir).select(col("lang"),
+        concat(col("text"), snip, dev).as("text"))
+      val perDoc = t.select(col("lang") +: TextOps.scriptCounts(col("text")): _*)
+      val sums = TextOps.ScriptRanges.map { case (n, _) =>
+        sum(col(s"${n}_chars")).as(s"${n}_chars") }
+      val nonLatin = TextOps.ScriptRanges.map(_._1).filterNot(_ == "latin")
+        .map(n => col(s"${n}_chars"))
+        .reduce(_ + _)
+      val aggs = count(lit(1)).as("n_docs") +: sums
+      perDoc.groupBy("lang")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("nonlatin_frac", nonLatin.cast("double") /
+          nullif(nonLatin + col("latin_chars"), lit(0L)).cast("double"))
+        .orderBy("lang")
+    })
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
@@ -3750,6 +3783,37 @@ object QueriesExt {
          |JOIN uc c2 ON c2.tok = string_split(bc.gram, ' ')[2]
          |CROSS JOIN tot t
          |ORDER BY ratio_x1e6 DESC, bc.gram LIMIT 50""".stripMargin
+    },
+
+    // replays the deterministic multi-script append and counts each
+    // BMP range with RE2 — the \x{…} hex escapes mean the same
+    // codepoints as Java's, which is why the ranges are spelled that
+    // way instead of \p{Script} classes
+    "q105_script_mix" -> {
+      val counts = graft.ops.TextOps.ScriptRanges.map { case (n, p) =>
+        s"sum(len(regexp_extract_all(text, '$p')))::BIGINT AS ${n}_chars"
+      }.mkString(",\n         |    ")
+      val nonLatin = graft.ops.TextOps.ScriptRanges.map(_._1)
+        .filterNot(_ == "latin").map(n => s"${n}_chars").mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT lang, text ||
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN ' привет мир'
+         |      WHEN 1 THEN ' 你好世界'
+         |      WHEN 2 THEN ' γειά σου κόσμε'
+         |      WHEN 3 THEN ' مرحبا بالعالم'
+         |      ELSE ' 안녕하세요 세계' END ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' नमस्ते दुनिया' ELSE '' END
+         |      AS text
+         |  FROM documents
+         |), a AS (
+         |  SELECT lang, count(*)::BIGINT AS n_docs,
+         |    $counts
+         |  FROM t GROUP BY lang
+         |)
+         |SELECT *, ($nonLatin)::DOUBLE /
+         |  nullif($nonLatin + latin_chars, 0)::DOUBLE AS nonlatin_frac
+         |FROM a ORDER BY lang""".stripMargin
     }
   )
 }

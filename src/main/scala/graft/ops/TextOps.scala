@@ -454,4 +454,32 @@ object TextOps {
       sum(col("__len") * col("__c")).as("n_tokens")) ++ pCols
     cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Unicode-script BMP ranges for the script-mix profile — the
+    * writing-system histogram that complements the stopword-list
+    * language ID ([[langId]]): language ID tells you WHICH language the
+    * Latin text is; the script histogram is how a crawl triages
+    * non-Latin content (CJK/Cyrillic/Arabic shares per slice), catches
+    * mixed-script spam, and routes script-specific tokenizers. Each
+    * pattern is one explicit BMP codepoint range — `\\x{…}` hex escapes
+    * mean the same characters in Java regex and RE2, unlike script
+    * property classes (`\\p{IsCyrillic}` vs `\\p{Cyrillic}`), so every
+    * per-character count replays on any engine.
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]")
+
+  /** One `<name>_chars` long count per [[ScriptRanges]] entry — plain
+    * `regexp_count` columns (codegen'd, per-row, no shuffle).
+    */
+  def scriptCounts(text: Column): Seq[Column] =
+    ScriptRanges.map { case (n, p) =>
+      countMatches(text, p).cast("long").as(s"${n}_chars")
+    }
 }
