@@ -322,4 +322,52 @@ object StreamOps {
           }
       }
   }
+
+  final case class KmvState(hvs: Seq[Long])
+  final case class KmvSnapshot(g: String, n_k: Int, kth: Long,
+      est_distinct: Double)
+
+  /** Streaming KMV sketch maintenance — the live twin of
+    * [[graft.ops.Sketches.kmvSketch]]/`kmvMerge`. The HLL registers and
+    * grid histograms need no twin at all (they are plain
+    * `groupBy.agg(max/count)` plans, streaming-legal as-is —
+    * StreamingSpec pins their stream-vs-batch register equality), but
+    * KMV's rank windows are not streaming-supported, so the sketch
+    * lives in `mapGroupsWithState`: state = the k smallest distinct
+    * md5 words seen per group, FOREVER BOUNDED at k longs regardless
+    * of stream length (the sketch IS the state — no watermark needed
+    * because nothing grows). Each micro-batch emits the group's
+    * current snapshot (update mode: latest row per group = the live
+    * distinct-count dashboard), with the same sub-k-exact /
+    * (k−1)·2³²/kth estimator arithmetic as the batch
+    * [[graft.ops.Sketches.kmvEstimate]] — StreamingSpec pins that the
+    * final stream state equals the batch sketch of everything that
+    * flowed.
+    */
+  def kmvStreaming(items: DataFrame, groupCol: String, itemCol: String,
+      k: Int): Dataset[KmvSnapshot] = {
+    import items.sparkSession.implicits._
+    val hashed = items.select(col(groupCol).cast("string").as("g"),
+      graft.ops.Sampling.md5Prefix32(col(itemCol)).as("hv"))
+      .as[(String, Long)]
+    hashed
+      .groupByKey(_._1)
+      .mapGroupsWithState[KmvState, KmvSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[(String, Long)], state: GroupState[KmvState]) =>
+          var set = scala.collection.immutable.SortedSet.empty[Long] ++
+            state.getOption.map(_.hvs).getOrElse(Seq.empty)
+          it.foreach { case (_, hv) =>
+            // insert-then-trim keeps the working set ≤ k+1, never the batch
+            if (set.size < k) set += hv
+            else if (hv < set.max && !set.contains(hv)) set = (set + hv) - set.max
+          }
+          state.update(KmvState(set.toSeq))
+          val kth = if (set.isEmpty) 0L else set.max
+          val est =
+            if (set.size < k) set.size.toDouble
+            else (k - 1).toLong * 4294967296.0 / kth.toDouble
+          KmvSnapshot(g, set.size, kth, est)
+      }
+  }
 }

@@ -466,4 +466,83 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("HLL registers maintain over a stream; final state equals the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, String)]
+    val df = src.toDF().toDF("g", "item")
+    // the batch sketch function IS streaming-legal: groupBy.agg(max)
+    val q = graft.ops.Sketches.hllRegisters(df, Seq("g"), col("item"))
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      val batch1 = (1 to 700).map(i => ("a", s"tok#$i")) ++
+        (1 to 300).map(i => ("b", s"tok#${i * 7}"))
+      val batch2 = (500 to 1200).map(i => ("a", s"tok#$i")) // overlaps batch1
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs").orderBy("g", "reg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      val all = (batch1 ++ batch2).toDF("g", "item")
+      val batch = graft.ops.Sketches.hllRegisters(all, Seq("g"), col("item"))
+        .orderBy("g", "reg").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("grid histogram maintains over a stream; counts equal the batch sketch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(String, Double)]
+    val df = src.toDF().toDF("g", "v")
+    val q = graft.ops.Sketches.gridHistogram(df, Seq("g"), col("v"), 64)
+      .writeStream.format("memory").queryName("gridh")
+      .outputMode("complete").start()
+    try {
+      val b1 = (0 until 500).map(i => ("x", (i % 97) / 97.0))
+      val b2 = (0 until 300).map(i => ("x", (i % 31) / 31.0))
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("gridh").orderBy("g", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val batch = graft.ops.Sketches.gridHistogram(
+        (b1 ++ b2).toDF("g", "v"), Seq("g"), col("v"), 64)
+        .orderBy("g", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("KMV streaming state converges to the batch sketch across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val k = 64
+    val src = MemoryStream[(String, String)]
+    val df = src.toDF().toDF("g", "item")
+    val q = StreamOps.kmvStreaming(df, "g", "item", k)
+      .writeStream.format("memory").queryName("kmvs")
+      .outputMode("update").start()
+    try {
+      val b1 = (1 to 3000).map(i => ("a", s"it#$i"))
+      val b2 = (2000 to 5000).map(i => ("a", s"it#$i")) // overlap + fresh
+      src.addData(b1: _*); q.processAllAvailable()
+      src.addData(b2: _*); q.processAllAvailable()
+      // latest snapshot per group = the live state
+      val snap = spark.table("kmvs").orderBy(col("n_k")).collect().last
+      val batchSk = graft.ops.Sketches.kmvSketch(
+        (b1 ++ b2).toDF("g", "item"), Seq("g"), col("item"), k)
+      val batchEst = graft.ops.Sketches.kmvEstimate(batchSk, Seq("g"), k)
+        .collect()(0)
+      assert(snap.getAs[Int]("n_k").toLong == batchEst.getAs[Long]("n_k"))
+      assert(snap.getAs[Long]("kth") == batchEst.getAs[Long]("kth"))
+      assert(snap.getAs[Double]("est_distinct") ==
+        batchEst.getAs[Double]("est_distinct"))
+      // estimator sanity on the true 5000 distinct
+      assert(math.abs(snap.getAs[Double]("est_distinct") / 5000.0 - 1.0) < 0.4)
+    } finally q.stop()
+  }
 }
