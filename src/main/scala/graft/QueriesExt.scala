@@ -1541,6 +1541,53 @@ object QueriesExt {
         .withColumn("nonlatin_frac", nonLatin.cast("double") /
           nullif(nonLatin + col("latin_chars"), lit(0L)).cast("double"))
         .orderBy("lang")
+    }),
+
+    // KMV nightly novelty — the business question the sketch algebra
+    // exists for: per source, how many NEW distinct shingles does
+    // tonight's batch add to the standing corpus? est_new =
+    // est(merge(standing, batch)) − est(standing); at 100 TB only the
+    // two k-long sketches touch (merge = union + re-rank — q103's
+    // spec-pinned sketch-of-union identity), the corpora never join.
+    // Estimator noise can make est_new of a no-novelty batch slightly
+    // negative — reported as-is (exact_new is the witness). Split is
+    // q55/q94's md5 gate, so the oracle replays both halves.
+    "q106_kmv_novelty" -> ((s, dir) => {
+      val k = 256
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      def gramsOf(df: DataFrame): DataFrame =
+        Dedup.posGramRows(df, "doc_id", "text", w = 3)
+          .join(df.select("doc_id", "source"), "doc_id")
+          .select(col("source"), col("gram"))
+      val gS = gramsOf(d.where(col("u") < 0.5))
+      val gF = gramsOf(d.where(col("u") >= 0.5))
+      val skS = Sketches.kmvSketch(gS, Seq("source"), col("gram"), k)
+        .localCheckpoint(true)
+      val skF = Sketches.kmvSketch(gF, Seq("source"), col("gram"), k)
+        .localCheckpoint(true)
+      val merged = Sketches.kmvMerge(skS, skF, Seq("source"), k)
+      val estS = Sketches.kmvEstimate(skS, Seq("source"), k)
+        .select(col("source"), col("n_k").as("n_standing_k"),
+          col("est_distinct").as("est_standing"))
+      val estU = Sketches.kmvEstimate(merged, Seq("source"), k)
+        .select(col("source"), col("n_k").as("n_union_k"),
+          col("est_distinct").as("est_union"))
+      val exactSt = gS.distinct().groupBy("source")
+        .agg(count(lit(1)).as("exact_standing"))
+      val exactNew = gF.distinct()
+        .join(gS.distinct(), Seq("source", "gram"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("exact_new"))
+      estS.join(estU, "source")
+        .withColumn("est_new", col("est_union") - col("est_standing"))
+        .withColumn("novelty_rate", col("est_new") / col("est_union"))
+        .join(exactSt, Seq("source"), "left")
+        .join(exactNew, Seq("source"), "left")
+        .select(col("source"), col("n_standing_k"), col("n_union_k"),
+          col("est_standing"), col("est_union"), col("est_new"),
+          col("novelty_rate"),
+          coalesce(col("exact_standing"), lit(0L)).as("exact_standing"),
+          coalesce(col("exact_new"), lit(0L)).as("exact_new"))
+        .orderBy("source")
     })
   )
 
@@ -3814,6 +3861,83 @@ object QueriesExt {
          |SELECT *, ($nonLatin)::DOUBLE /
          |  nullif($nonLatin + latin_chars, 0)::DOUBLE AS nonlatin_frac
          |FROM a ORDER BY lang""".stripMargin
+    },
+
+    // replays the md5-gate split, both per-source KMV sketches, the
+    // union re-rank merge, the (k−1)·2³²/kth estimators, the
+    // est_union − est_standing novelty arithmetic, and the exact
+    // NOT EXISTS witnesses
+    "q106_kmv_novelty" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT source, $toks AS toks,
+         |    ${hashUnitSql("doc_id::VARCHAR")} < 0.5 AS standing
+         |  FROM documents
+         |), t AS (
+         |  SELECT source, standing, unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS gram FROM d
+         |), hs AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv
+         |  FROM t WHERE standing
+         |), hf AS (
+         |  SELECT DISTINCT source,
+         |    ('0x' || substr(md5(gram), 1, 8))::BIGINT AS hv
+         |  FROM t WHERE NOT standing
+         |), sks AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv,
+         |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM hs) WHERE rn <= 256
+         |), skf AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv,
+         |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM hf) WHERE rn <= 256
+         |), mg AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv,
+         |      row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM (SELECT DISTINCT source, hv FROM
+         |      (SELECT * FROM sks UNION ALL SELECT * FROM skf)))
+         |  WHERE rn <= 256
+         |), es AS (
+         |  SELECT source, count(*)::BIGINT AS n_standing_k,
+         |    max(hv) AS kth FROM sks GROUP BY 1
+         |), eu AS (
+         |  SELECT source, count(*)::BIGINT AS n_union_k,
+         |    max(hv) AS kth FROM mg GROUP BY 1
+         |), est AS (
+         |  SELECT es.source, n_standing_k, n_union_k,
+         |    CASE WHEN n_standing_k < 256 THEN n_standing_k::DOUBLE
+         |      ELSE 1095216660480.0 / es.kth::DOUBLE END AS est_standing,
+         |    CASE WHEN n_union_k < 256 THEN n_union_k::DOUBLE
+         |      ELSE 1095216660480.0 / eu.kth::DOUBLE END AS est_union
+         |  FROM es JOIN eu ON es.source = eu.source
+         |), gs_ AS (
+         |  SELECT DISTINCT source, gram FROM t WHERE standing
+         |), gf_ AS (
+         |  SELECT DISTINCT source, gram FROM t WHERE NOT standing
+         |), xs AS (
+         |  SELECT source, count(*)::BIGINT AS exact_standing
+         |  FROM gs_ GROUP BY 1
+         |), xn AS (
+         |  SELECT f.source, count(*)::BIGINT AS exact_new FROM gf_ f
+         |  WHERE NOT EXISTS (SELECT 1 FROM gs_ s
+         |    WHERE s.source = f.source AND s.gram = f.gram)
+         |  GROUP BY 1
+         |)
+         |SELECT e.source, n_standing_k, n_union_k, est_standing,
+         |  est_union, est_union - est_standing AS est_new,
+         |  (est_union - est_standing) / est_union AS novelty_rate,
+         |  coalesce(xs.exact_standing, 0)::BIGINT AS exact_standing,
+         |  coalesce(xn.exact_new, 0)::BIGINT AS exact_new
+         |FROM est e
+         |LEFT JOIN xs ON xs.source = e.source
+         |LEFT JOIN xn ON xn.source = e.source
+         |ORDER BY e.source""".stripMargin
     }
   )
 }
