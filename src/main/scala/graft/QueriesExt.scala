@@ -1588,6 +1588,60 @@ object QueriesExt {
           coalesce(col("exact_standing"), lit(0L)).as("exact_standing"),
           coalesce(col("exact_new"), lit(0L)).as("exact_new"))
         .orderBy("source")
+    }),
+
+    // b-bit (b=1) MinHash: 64× signature compression with the
+    // estimator trade measured, not asserted — per consecutive-id pair
+    // the packed-code agreement (one bit_count(xor)), the debiased
+    // 1-bit estimate 2·agree/n − 1, the full-signature estimate, and
+    // exact shingle Jaccard side by side. All integer arithmetic on
+    // the q22 signature family + two exact-operand divisions → every
+    // cell replays.
+    "q107_bbit_minhash" -> ((s, dir) => {
+      val n = 32
+      val d = docs(s, dir)
+      val sigs = Dedup.minHashSignatures(d, "doc_id", "text", n, 3)
+        .localCheckpoint(true)
+      val code = (0 until n).map(i => (col(s"sig_$i") % 2) * lit(1L << i))
+        .reduce(_ + _)
+      val codes = sigs.select(col("doc_id"), code.as("code"))
+      val pairs = codes.select(col("doc_id").as("id1"), col("code").as("code1"))
+        .join(codes.select(col("doc_id").as("id2"), col("code").as("code2")),
+          col("id2") === col("id1") + 1)
+      val sa = sigs.toDF(sigs.columns
+        .map(c => if (c == "doc_id") "id1" else s"${c}_a").toIndexedSeq: _*)
+      val sb = sigs.toDF(sigs.columns
+        .map(c => if (c == "doc_id") "id2" else s"${c}_b").toIndexedSeq: _*)
+      val agreeFull = (0 until n)
+        .map(i => when(col(s"sig_${i}_a") === col(s"sig_${i}_b"), 1)
+          .otherwise(0)).reduce(_ + _)
+      val hh = Dedup.shingleRows(d, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val sz = hh.groupBy("doc_id").agg(count(lit(1)).as("ssz"))
+      val inter = pairs.select("id1", "id2")
+        .join(hh.select(col("doc_id").as("id1"), col("__sh")), "id1")
+        .join(hh.select(col("doc_id").as("id2"), col("__sh")), Seq("id2", "__sh"))
+        .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      pairs
+        .withColumn("agree_1bit",
+          (lit(n) - bit_count(col("code1").bitwiseXOR(col("code2"))))
+            .cast("long"))
+        .withColumn("est_1bit",
+          (col("agree_1bit") * 2).cast("double") / n - 1.0)
+        .join(sa, "id1").join(sb, "id2")
+        .withColumn("agree_full", agreeFull.cast("long"))
+        .withColumn("est_full", col("agree_full").cast("double") / n)
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sz.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("ssz", "sz1"), "id1")
+        .join(sz.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("ssz", "sz2"), "id2")
+        .withColumn("jaccard", coalesce(col("inter"), lit(0L)).cast("double")
+          / (col("sz1") + col("sz2") - coalesce(col("inter"), lit(0L))))
+        .select(col("id1"), col("id2"), col("code1"), col("code2"),
+          col("agree_1bit"), col("est_1bit"), col("agree_full"),
+          col("est_full"), col("jaccard"))
+        .orderBy("id1")
     })
   )
 
@@ -3938,6 +3992,51 @@ object QueriesExt {
          |LEFT JOIN xs ON xs.source = e.source
          |LEFT JOIN xn ON xn.source = e.source
          |ORDER BY e.source""".stripMargin
+    },
+
+    // replays the signature family, the 1-bit pack (sum of low bits
+    // shifted), bit_count(xor) agreement, both estimators, and the
+    // exact shingle Jaccard witness
+    "q107_bbit_minhash" -> {
+      val ctes = minHashCtes(width = 3, numHashes = 32, bands = 8,
+        maxBucketSize = 1000)
+      s"""WITH dset AS (SELECT doc_id, $normSql AS t FROM documents),
+         |$ctes,
+         |code AS (
+         |  SELECT doc_id,
+         |    sum((s % 2) * (1::BIGINT << i))::BIGINT AS code
+         |  FROM sig GROUP BY doc_id
+         |), pr AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    a.code AS code1, b.code AS code2
+         |  FROM code a JOIN code b ON b.doc_id = a.doc_id + 1
+         |), ag AS (
+         |  SELECT p.id1, p.id2,
+         |    sum(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END)::BIGINT
+         |      AS agree_full
+         |  FROM pr p JOIN sig s1 ON s1.doc_id = p.id1
+         |  JOIN sig s2 ON s2.doc_id = p.id2 AND s2.i = s1.i
+         |  GROUP BY 1, 2
+         |), iv AS (
+         |  SELECT p.id1, p.id2, count(*)::BIGINT AS inter
+         |  FROM pr p JOIN hh a ON a.doc_id = p.id1
+         |  JOIN hh b2 ON b2.doc_id = p.id2 AND b2.gram = a.gram
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.id1, p.id2, p.code1, p.code2,
+         |  (32 - bit_count(xor(p.code1, p.code2)))::BIGINT AS agree_1bit,
+         |  ((32 - bit_count(xor(p.code1, p.code2))) * 2)::DOUBLE / 32 - 1.0
+         |    AS est_1bit,
+         |  ag.agree_full,
+         |  ag.agree_full::DOUBLE / 32 AS est_full,
+         |  coalesce(iv.inter, 0)::DOUBLE
+         |    / (sa.ssz + sb.ssz - coalesce(iv.inter, 0)) AS jaccard
+         |FROM pr p
+         |JOIN ag ON ag.id1 = p.id1 AND ag.id2 = p.id2
+         |LEFT JOIN iv ON iv.id1 = p.id1 AND iv.id2 = p.id2
+         |JOIN sz sa ON sa.doc_id = p.id1
+         |JOIN sz sb ON sb.doc_id = p.id2
+         |ORDER BY p.id1""".stripMargin
     }
   )
 }

@@ -178,6 +178,29 @@ object Dedup {
     signaturesFromShingles(shingleRows(df, idCol, textCol, shingleWidth),
       idCol, numHashes)
 
+  /** b-bit MinHash compression at b=1 (Li & König, WWW 2010): keep only
+    * the LOWEST BIT of each signature component, packed into one long —
+    * 4 bytes per doc at 32 hashes where the full signature is 256, the
+    * 64× index-size trick b-bit similarity indexes are built on. For a
+    * pair with Jaccard J a full component collides with prob J; its
+    * retained bit collides with prob J + (1−J)/2, so the debiased
+    * estimator is Ĵ = 2·(agree/n) − 1 and pair agreement is one
+    * `bit_count(xor)` over the packed codes. The price is ~2× estimator
+    * variance at equal n (production b-bit indexes raise n to
+    * compensate); q107 reports the 1-bit and full-signature estimates
+    * side by side against exact Jaccard so the trade is measured, not
+    * asserted. Bit arithmetic on the engine-portable signature family,
+    * so codes replay cell-exact on any engine.
+    */
+  def oneBitMinHashCodes(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleWidth: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, numHashes, shingleWidth)
+    val code = (0 until numHashes)
+      .map(i => (col(s"sig_$i") % 2) * lit(1L << i))
+      .reduce(_ + _)
+    sigs.select(col(idCol), code.as("code"))
+  }
+
   /** Modulus for the affine MinHash permutations: the smallest prime
     * above 2³² (md5_prefix32 base hashes are < 2³²), so h → (a·h+b) mod P
     * is a universal-hash family over the full base range.
