@@ -1642,6 +1642,22 @@ object QueriesExt {
           col("agree_1bit"), col("est_1bit"), col("agree_full"),
           col("est_full"), col("jaccard"))
         .orderBy("id1")
+    }),
+
+    // Interpolated Kneser-Ney bigram perplexity — the KenLM/CCNet-class
+    // quality scorer, upgrading q57's add-k smoothing with continuation
+    // counts ("york" is frequent but almost always follows "new") and
+    // absolute discounting. Same split as q57 (train on the md5 < 0.5
+    // half, score the rest); every probability is exact-integer
+    // arithmetic plus the exactly-representable D = 0.75, log2
+    // quantized to 4 dp, DECIMAL doc sums — cell-exact.
+    "q108_kneser_ney" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val model = graft.ops.LmScore.trainKneserNey(
+        d.where(col("u") < 0.5), "doc_id", "text")
+      graft.ops.LmScore.scoreDocsKneserNey(d.where(col("u") >= 0.5),
+        "doc_id", "text", model)
+        .orderBy("doc_id")
     })
   )
 
@@ -4037,6 +4053,57 @@ object QueriesExt {
          |JOIN sz sa ON sa.doc_id = p.id1
          |JOIN sz sb ON sb.doc_id = p.id2
          |ORDER BY p.id1""".stripMargin
+    },
+
+    // replays interpolated KN end to end: pair/context/continuation
+    // type counts, the max(c−D,0)/c1 + (D·n1fwd/c1)·Pcont interpolation
+    // with add-one-smoothed continuation (n1rev+1)/(T+V), unseen-context
+    // backoff to Pcont, log2 at 4 dp, DECIMAL doc sums
+    "q108_kneser_ney" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT doc_id, $toks AS toks,
+         |    ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |  FROM documents
+         |), ref AS (SELECT * FROM d WHERE u < 0.5),
+         |cand AS (SELECT * FROM d WHERE u >= 0.5),
+         |rbg AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2
+         |  FROM ref, unnest(range(1, len(toks))) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), c12 AS (SELECT w1, w2, count(*)::BIGINT AS c FROM rbg
+         |  GROUP BY 1, 2),
+         |ctx AS (SELECT w1, sum(c)::BIGINT AS c1, count(*)::BIGINT AS n1fwd
+         |  FROM c12 GROUP BY 1),
+         |cont AS (SELECT w2, count(*)::BIGINT AS n1rev FROM c12 GROUP BY 1),
+         |tv AS (
+         |  SELECT (SELECT count(*) FROM c12)::BIGINT AS t,
+         |    (SELECT count(DISTINCT tok)
+         |     FROM (SELECT unnest(toks) AS tok FROM ref))::BIGINT AS v
+         |), cbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM cand, unnest(range(1, len(toks))) AS t(i)
+         |  WHERE len(toks) >= 2
+         |), sc AS (
+         |  SELECT cb.doc_id,
+         |    round(log2(CASE WHEN ctx.c1 IS NOT NULL THEN
+         |      greatest(coalesce(c12.c, 0)::DOUBLE - 0.75, 0.0)
+         |        / ctx.c1::DOUBLE
+         |      + ((0.75 * ctx.n1fwd::DOUBLE) / ctx.c1::DOUBLE)
+         |        * ((coalesce(cont.n1rev, 0) + 1)::DOUBLE
+         |           / (tv.t + tv.v)::DOUBLE)
+         |    ELSE (coalesce(cont.n1rev, 0) + 1)::DOUBLE
+         |         / (tv.t + tv.v)::DOUBLE END), 4) AS lp
+         |  FROM cbg cb
+         |  LEFT JOIN c12 USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN cont USING (w2)
+         |  CROSS JOIN tv
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  -(sum(CAST(lp AS DECIMAL(28,4)))::DOUBLE) / count(*)
+         |    AS bits_per_token
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }
   )
 }

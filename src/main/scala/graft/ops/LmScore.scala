@@ -85,4 +85,71 @@ object LmScore {
         (-(sum(col("__lp").cast(DecimalType(28, 4))).cast("double")) /
           count(lit(1))).as("bits_per_token"))
   }
+
+  /** Interpolated Kneser-Ney bigram statistics (Chen & Goodman 1999) —
+    * the smoothing family behind KenLM, i.e. the CCNet-style quality
+    * scorer a real corpus pipeline runs. Beyond [[BigramModel]]'s raw
+    * counts it needs the TYPE statistics: `__n1fwd` = how many distinct
+    * words follow each context (the discount mass the context
+    * redistributes) and `__n1rev` = how many distinct contexts precede
+    * each word (the CONTINUATION count — "york" is frequent but almost
+    * always follows "new", so its continuation probability is tiny;
+    * that asymmetry is the entire point of KN). `bigramTypes` and
+    * `vocabSize` are the two driver scalars (the model-stat class of
+    * boundary, like [[BigramModel.vocabSize]]).
+    */
+  final case class KnModel(pairCounts: DataFrame, contextStats: DataFrame,
+      contCounts: DataFrame, bigramTypes: Long, vocabSize: Long,
+      discount: Double)
+
+  def trainKneserNey(reference: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): KnModel = {
+    val pairs = bigramRows(reference, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(true) // feeds ctx + cont + the scoring join + count
+    val ctx = pairs.groupBy("w1")
+      .agg(sum(col("__c12")).as("__c1"), count(lit(1)).as("__n1fwd"))
+    val cont = pairs.groupBy("w2").agg(count(lit(1)).as("__n1rev"))
+    val t = pairs.count()
+    val v = reference
+      .select(explode(TextOps.tokens(col(textCol))).as("__t"))
+      .agg(countDistinct(col("__t"))).head().getLong(0)
+    require(t > 0 && v > 0, "reference corpus has no bigrams/tokens - " +
+      "cannot train a Kneser-Ney model")
+    KnModel(pairs, ctx, cont, t, v, discount)
+  }
+
+  /** (idCol, n_bigrams, bits_per_token) under interpolated KN:
+    * P(w2|w1) = max(c12−D, 0)/c1 + (D·n1fwd/c1)·Pcont(w2), with the
+    * continuation distribution add-one smoothed over bigram types —
+    * Pcont = (n1rev+1)/(T+V) — so unseen words keep positive mass, and
+    * an unseen CONTEXT backs off to Pcont alone (interpolation weight
+    * 1). Engine-portable by the q57 contract: every operand is an
+    * exact integer or the exactly-representable D = 0.75, the
+    * operation order is mirrored in the oracle, log2 is quantized to
+    * 4 dp, and the per-doc sum runs in DECIMAL so it is
+    * partition-order independent.
+    */
+  def scoreDocsKneserNey(docs: DataFrame, idCol: String, textCol: String,
+      m: KnModel): DataFrame = {
+    val d = m.discount
+    val tv = (m.bigramTypes + m.vocabSize).toDouble
+    val pcont = (coalesce(col("__n1rev"), lit(0L)) + lit(1L))
+      .cast("double") / lit(tv)
+    val c1d = col("__c1").cast("double")
+    val p = when(col("__c1").isNotNull,
+      greatest(coalesce(col("__c12"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / c1d
+        + ((lit(d) * col("__n1fwd").cast("double")) / c1d) * pcont)
+      .otherwise(pcont)
+    bigramRows(docs, idCol, textCol)
+      .join(m.pairCounts, Seq("w1", "w2"), "left")
+      .join(m.contextStats, Seq("w1"), "left")
+      .join(m.contCounts, Seq("w2"), "left")
+      .withColumn("__lp", round(log2(p), 4))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-(sum(col("__lp").cast(DecimalType(28, 4))).cast("double")) /
+          count(lit(1))).as("bits_per_token"))
+  }
 }
