@@ -1658,6 +1658,24 @@ object QueriesExt {
       graft.ops.LmScore.scoreDocsKneserNey(d.where(col("u") >= 0.5),
         "doc_id", "text", model)
         .orderBy("doc_id")
+    }),
+
+    // Product quantization + ADC (Jégou et al. 2011) — the FAISS
+    // IVF-PQ memory path: 8 subspaces × 16-centroid codebooks (the
+    // q35/q61 integer-grid Lloyd per subspace) compress each 256-byte
+    // embedding to a 4-byte code; queries rank the whole corpus from
+    // an m×ksub lookup table of exact grid distances. true_d2 and
+    // exact-top-k membership ride along so the accuracy cost of 64×
+    // compression is measured, not asserted. Every estimate, rank and
+    // witness is exact long arithmetic → cell-exact oracle.
+    "q109_pq_adc" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.pqTopK(e.where(col("vec_id") < 5), e, "vec_id",
+        "embedding", k = 10)
+        .select(col("query_id"), col("cand_id"),
+          col("rank").cast("long").as("rank"), col("est_d2"),
+          col("true_d2"), col("in_exact_topk"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -4104,6 +4122,118 @@ object QueriesExt {
          |  -(sum(CAST(lp AS DECIMAL(28,4)))::DOUBLE) / count(*)
          |    AS bits_per_token
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // replays PQ end to end: the integer-grid Lloyd per subspace (the
+    // q35 kmeans replay, 8×), code assignment, the ADC partial-distance
+    // sums, est ranking, and the exact-grid witness
+    "q109_pq_adc" -> {
+      val m = 8; val ksub = 16; val sub = 8; val k = 10; val dim = 64
+      val grid = graft.ops.Similarity.KmeansGrid
+      def subCtes(j: Int): String = {
+        val off = j * sub
+        s"""g_$j AS (
+           |  SELECT vec_id,
+           |    list_transform(v[${off + 1}:${off + sub}],
+           |      x -> round(x * $grid)::BIGINT) AS vq,
+           |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % $ksub
+           |      AS c
+           |  FROM e
+           |), m1_$j AS (
+           |  SELECT c, ds.d AS d,
+           |    floor((2 * sum(vq[ds.d]) + count(*))::DOUBLE
+           |          / (2 * count(*)))::BIGINT AS mm
+           |  FROM g_$j, generate_series(1, $sub) AS ds(d)
+           |  GROUP BY c, ds.d
+           |), cent1_$j AS (
+           |  SELECT cl.c, list(coalesce(m1_$j.mm, 0) ORDER BY dd.d) AS cent
+           |  FROM generate_series(0, ${ksub - 1}) AS cl(c)
+           |  CROSS JOIN generate_series(1, $sub) AS dd(d)
+           |  LEFT JOIN m1_$j ON m1_$j.c = cl.c AND m1_$j.d = dd.d
+           |  GROUP BY cl.c
+           |), dd1_$j AS (
+           |  SELECT q.vec_id, ct.c,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))) AS d2
+           |  FROM g_$j q CROSS JOIN cent1_$j ct
+           |), a1_$j AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           |    FROM dd1_$j) WHERE rn = 1
+           |), a1v_$j AS (
+           |  SELECT g.vec_id, g.vq, a.c
+           |  FROM g_$j g JOIN a1_$j a USING (vec_id)
+           |), m2_$j AS (
+           |  SELECT c, ds.d AS d,
+           |    floor((2 * sum(vq[ds.d]) + count(*))::DOUBLE
+           |          / (2 * count(*)))::BIGINT AS mm
+           |  FROM a1v_$j, generate_series(1, $sub) AS ds(d)
+           |  GROUP BY c, ds.d
+           |), cent2_$j AS (
+           |  SELECT cl.c, list(coalesce(m2_$j.mm, 0) ORDER BY dd.d) AS cent
+           |  FROM generate_series(0, ${ksub - 1}) AS cl(c)
+           |  CROSS JOIN generate_series(1, $sub) AS dd(d)
+           |  LEFT JOIN m2_$j ON m2_$j.c = cl.c AND m2_$j.d = dd.d
+           |  GROUP BY cl.c
+           |), dd2_$j AS (
+           |  SELECT q.vec_id, ct.c,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))) AS d2
+           |  FROM g_$j q CROSS JOIN cent2_$j ct
+           |), a2_$j AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           |    FROM dd2_$j) WHERE rn = 1
+           |), pd_$j AS (
+           |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i])))::BIGINT
+           |      AS pd
+           |  FROM g_$j q
+           |  CROSS JOIN a2_$j x
+           |  JOIN cent2_$j ct ON ct.c = x.c
+           |  WHERE q.vec_id < 5
+           |)""".stripMargin
+      }
+      val allSub = (0 until m).map(subCtes).mkString(",\n")
+      val pdUnion = (0 until m).map(j => s"SELECT * FROM pd_$j")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |),
+         |$allSub,
+         |est AS (
+         |  SELECT query_id, cand_id, sum(pd)::BIGINT AS est_d2 FROM (
+         |  $pdUnion
+         |  ) GROUP BY 1, 2
+         |), top AS (
+         |  SELECT query_id, cand_id, est_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY est_d2, cand_id) AS rank
+         |  FROM est WHERE query_id <> cand_id
+         |), gf AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> round(x * $grid)::BIGINT) AS vq
+         |  FROM e
+         |), tr AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (q.vq[i] - x.vq[i]) * (q.vq[i] - x.vq[i])))::BIGINT
+         |      AS true_d2
+         |  FROM gf q JOIN gf x
+         |    ON q.vec_id < 5 AND q.vec_id <> x.vec_id
+         |), trr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY true_d2, cand_id)
+         |    AS true_rank
+         |  FROM tr
+         |)
+         |SELECT t.query_id, t.cand_id, t.rank, t.est_d2, r.true_d2,
+         |  (r.true_rank <= $k) AS in_exact_topk
+         |FROM top t JOIN trr r USING (query_id, cand_id)
+         |WHERE t.rank <= $k ORDER BY t.query_id, t.rank""".stripMargin
     }
   )
 }

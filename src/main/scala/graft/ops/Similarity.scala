@@ -358,4 +358,165 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /** Product-Quantization codebooks + codes (Jegou, Douze, Schmid,
+    * TPAMI 2011) — the memory path of planet-scale ANN (FAISS's
+    * IVF-PQ): the `dim`-vector splits into `m` subvectors, each
+    * subspace learns its own `ksub`-centroid codebook
+    * ([[kmeansAssign]], so the training is the same hash-seeded
+    * integer-grid Lloyd that made q35/q61 oracle-replayable), and a
+    * vector stores only its m sub-codes — packed here into ONE long
+    * (m·log2(ksub) = 32 bits at the 8×16 default): 4 bytes per vector
+    * where the raw embedding is 256. Returns the per-id code columns
+    * (`__c0`…`__c{m-1}` + packed `code`) and the m codebooks (grid
+    * longs, driver-sized by construction like every ANN codebook).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2)
+      : (DataFrame, Seq[Seq[Array[Long]]]) = {
+    val dim = vecDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    // ALL m subspaces train in ONE Lloyd loop keyed by (subspace,
+    // cluster): the exploded (id, j, subvector) frame aggregates every
+    // codebook's centroid update in a single groupBy and collects one
+    // m×ksub×sub result per iteration — `iters` driver round-trips
+    // total, not m×iters sequential barriers (the difference between 2
+    // and 16 synchronization points per training run; at cluster scale
+    // the barriers are the cost, not the arithmetic). Per-(j, c) math
+    // is identical to running kmeansAssign per subspace — same init
+    // hash, same exact-integer centroid rounding, same first-index
+    // argmin — which is what the q109 oracle replays.
+    val base = corpus.select(col(idCol), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          toGrid(slice(v, j * sub + 1, sub)).as("sv"))): _*)).as("s"))
+      .select(col(idCol), col("s.j").as("__j"), col("s.sv").as("__q"))
+    var assigned = base.withColumn("__c",
+      pmod(Sampling.md5Prefix32(col(idCol)), lit(ksub.toLong)).cast("int"))
+      .persist()
+    var books: Seq[Seq[Array[Long]]] = Nil
+    (0 until iters).foreach { it =>
+      val cents = assigned
+        .select(col("__j"), col("__c"),
+          posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy("__j", "__c", "__d")
+        .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+        .select(col("__j"), col("__c"), col("__d"),
+          floor((col("__s") * 2 + col("__n")).cast("double") /
+            (col("__n") * 2).cast("double")).cast("long").as("__m"))
+        .collect()
+      books = (0 until m).map { j =>
+        (0 until ksub).map { c =>
+          val arr = Array.fill(sub)(0L)
+          cents.iterator
+            .filter(r => r.getInt(0) == j && r.getInt(1) == c)
+            .foreach(r => arr(r.getInt(2)) = r.getLong(3))
+          arr
+        }
+      }
+      val prev = assigned
+      assigned = assignSubspaces(base, books)
+      if (it < iters - 1) assigned = assigned.persist()
+      prev.unpersist()
+    }
+    val aggCols = (0 until m).map(j =>
+      max(when(col("__j") === j, col("__c"))).as(s"__c$j"))
+    val codes = assigned.groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val packed = (0 until m)
+      .map(j => col(s"__c$j").cast("long") * lit(math.pow(ksub, j).toLong))
+      .reduce(_ + _)
+    (codes.withColumn("code", packed).localCheckpoint(true), books)
+  }
+
+  /** Nearest-centroid assignment of the exploded (id, __j, __q) frame
+    * against per-subspace codebooks — [[kmeansAssign]]'s argmin
+    * mapPartitions, with the codebook picked by the row's subspace.
+    */
+  private def assignSubspaces(base: DataFrame,
+      books: Seq[Seq[Array[Long]]]): DataFrame = {
+    val cents = books.map(_.toArray).toArray
+    val s = base.schema
+    val outSchema = org.apache.spark.sql.types.StructType(
+      s.fields.toIndexedSeq :+ org.apache.spark.sql.types.StructField("__c",
+        org.apache.spark.sql.types.IntegerType, nullable = false))
+    base.mapPartitions { it =>
+      it.map { r =>
+        val j = r.getInt(1)
+        val q = r.getSeq[Long](2)
+        val book = cents(j)
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val cent = book(c); var d = 0L; var i = 0
+          while (i < cent.length) {
+            val t = q(i) - cent(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), best)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema)).toDF()
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query
+    * builds an m×ksub lookup table of EXACT integer grid distances
+    * from its subvectors to every codebook centroid (driver arithmetic
+    * on the collected query set — the broadcast-by-definition small
+    * side, exactly [[bruteForceTopK]]'s contract), and every corpus
+    * vector's distance estimate is m table lookups summed — no
+    * embedding is ever read at query time, only the 4-byte codes.
+    * Ranking ties break on cand_id. Everything is exact long
+    * arithmetic end to end, so the DuckDB oracle replays every
+    * estimate, rank, and the recall witness cell-for-cell.
+    *
+    * Returns (query_id, cand_id, rank, est_d2, true_d2, in_exact_topk):
+    * true grid distance and exact-top-k membership ride along so PQ's
+    * accuracy loss is measured next to its 64× memory win — at corpus
+    * scale the witness columns are the expensive luxury you drop.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val (codes, books) = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
+    val dim = vecDim(corpus, vecCol)
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val qRows = queries.select(col(idCol), toGrid(v)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val est = qRows.map { case (qid, qv) =>
+      val sums = (0 until m).map { j =>
+        val lut = books(j).map { cent =>
+          var d = 0L; var i = 0
+          while (i < sub) { val t = qv(j * sub + i) - cent(i); d += t * t; i += 1 }
+          d
+        }.toSeq
+        element_at(typedlit(lut), col(s"__c$j") + 1)
+      }.reduce(_ + _)
+      codes.select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
+        sums.as("est_d2"))
+    }.reduce(_ unionByName _)
+    val wEst = Window.partitionBy("query_id")
+      .orderBy(col("est_d2").asc, col("cand_id").asc)
+    val top = est.where(col("query_id") =!= col("cand_id"))
+      .withColumn("rank", row_number().over(wEst))
+      .where(col("rank") <= k)
+    // exact-grid witness: true distances + exact top-k membership
+    val qg = queries.select(col(idCol).as("query_id"), toGrid(v).as("__qg"))
+    val cg = corpus.select(col(idCol).as("cand_id"), toGrid(v).as("__cg"))
+    val wTrue = Window.partitionBy("query_id")
+      .orderBy(col("true_d2").asc, col("cand_id").asc)
+    val dists = qg.join(cg, col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        aggregate(zip_with(col("__qg"), col("__cg"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+          .as("true_d2"))
+      .withColumn("true_rank", row_number().over(wTrue))
+    top.join(dists, Seq("query_id", "cand_id"))
+      .withColumn("in_exact_topk", col("true_rank") <= k)
+      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
+        "in_exact_topk")
+  }
 }

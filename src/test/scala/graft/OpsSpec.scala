@@ -1003,6 +1003,29 @@ class OpsSpec extends SparkSpec {
     assert(rIvf >= 0.9, s"ivf twin recall@1 = $rIvf")
   }
 
+  test("PQ/ADC: packed codes decode and planted twins retrieved at rank 1") {
+    val (qs, corpus) = plantedCorpus()
+    val (codes, books) = Similarity.pqTrain(corpus, "vec_id", "embedding")
+    assert(books.length == 8 && books.forall(_.length == 16))
+    // the packed 32-bit code decodes back to the 8 sub-codes
+    codes.limit(10).collect().foreach { r =>
+      val code = r.getAs[Long]("code")
+      (0 until 8).foreach { j =>
+        assert(((code / math.pow(16, j).toLong) % 16).toInt ==
+          r.getAs[Int](s"__c$j"), s"subcode $j of packed $code")
+      }
+    }
+    // a near-identical twin lands in the same cells of every subspace
+    // codebook, so ADC must put it at rank 1 — the retrieval floor on
+    // 4-byte codes (the raw vectors are never read at query time)
+    val top1 = Similarity.pqTopK(qs, corpus, "vec_id", "embedding", k = 1)
+      .where(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rec = (0L until 20L).count(q =>
+      top1.get(q).contains(q + 100000L)) / 20.0
+    assert(rec >= 0.9, s"pq twin recall@1 = $rec")
+  }
+
   test("semantic dedup quality: precision 1.0, planted twins recovered") {
     val (_, corpus) = plantedCorpus()
     val v = col("embedding").cast("array<double>")
