@@ -1676,6 +1676,24 @@ object QueriesExt {
           col("rank").cast("long").as("rank"), col("est_d2"),
           col("true_d2"), col("in_exact_topk"))
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ with residual encoding — FAISS's default billion-scale
+    // index composed from parts this engine already proves: coarse
+    // inverted lists (q35's kmeans), PQ codebooks on the CENTERED
+    // residuals (tighter than raw vectors at the same ksub), nprobe
+    // list probing, residual-ADC ranking. Witness recall is END TO END
+    // — a true neighbor in an unprobed list counts as a miss. Exact
+    // long arithmetic throughout → the oracle replays the coarse
+    // clustering, all 8 residual codebooks, every estimate and rank.
+    "q110_ivfpq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfPqTopK(e.where(col("vec_id") < 5), e, "vec_id",
+        "embedding", k = 10, nprobe = 2)
+        .select(col("query_id"), col("cand_id"),
+          col("rank").cast("long").as("rank"), col("est_d2"),
+          col("true_d2"), col("in_exact_topk"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -4204,6 +4222,147 @@ object QueriesExt {
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
          |),
          |$allSub,
+         |est AS (
+         |  SELECT query_id, cand_id, sum(pd)::BIGINT AS est_d2 FROM (
+         |  $pdUnion
+         |  ) GROUP BY 1, 2
+         |), top AS (
+         |  SELECT query_id, cand_id, est_d2,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY est_d2, cand_id) AS rank
+         |  FROM est WHERE query_id <> cand_id
+         |), gf AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> round(x * $grid)::BIGINT) AS vq
+         |  FROM e
+         |), tr AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS cand_id,
+         |    list_sum(list_transform(generate_series(1, $dim),
+         |      i -> (q.vq[i] - x.vq[i]) * (q.vq[i] - x.vq[i])))::BIGINT
+         |      AS true_d2
+         |  FROM gf q JOIN gf x
+         |    ON q.vec_id < 5 AND q.vec_id <> x.vec_id
+         |), trr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY true_d2, cand_id)
+         |    AS true_rank
+         |  FROM tr
+         |)
+         |SELECT t.query_id, t.cand_id, t.rank, t.est_d2, r.true_d2,
+         |  (r.true_rank <= $k) AS in_exact_topk
+         |FROM top t JOIN trr r USING (query_id, cand_id)
+         |WHERE t.rank <= $k ORDER BY t.query_id, t.rank""".stripMargin
+    },
+
+    // replays IVF-PQ end to end: the coarse kmeans (q35's replay), the
+    // residual vectors, all 8 residual-codebook trainings (preGrid —
+    // residuals slice without re-quantizing), the nprobe probe lists,
+    // residual-ADC partials, ranking, and the global exact witness
+    "q110_ivfpq" -> {
+      val m = 8; val ksub = 16; val sub = 8; val k = 10; val dim = 64
+      val nprobe = 2
+      val grid = graft.ops.Similarity.KmeansGrid
+      val coarse = kmeansCtes(nlist = 16, dim = dim)
+      def subCtes(j: Int): String = {
+        val off = j * sub
+        s"""gr_$j AS (
+           |  SELECT vec_id, r[${off + 1}:${off + sub}] AS vq,
+           |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % $ksub
+           |      AS c
+           |  FROM rv
+           |), mr1_$j AS (
+           |  SELECT c, ds.d AS d,
+           |    floor((2 * sum(vq[ds.d]) + count(*))::DOUBLE
+           |          / (2 * count(*)))::BIGINT AS mm
+           |  FROM gr_$j, generate_series(1, $sub) AS ds(d)
+           |  GROUP BY c, ds.d
+           |), centr1_$j AS (
+           |  SELECT cl.c, list(coalesce(mr1_$j.mm, 0) ORDER BY dd.d) AS cent
+           |  FROM generate_series(0, ${ksub - 1}) AS cl(c)
+           |  CROSS JOIN generate_series(1, $sub) AS dd(d)
+           |  LEFT JOIN mr1_$j ON mr1_$j.c = cl.c AND mr1_$j.d = dd.d
+           |  GROUP BY cl.c
+           |), ddr1_$j AS (
+           |  SELECT q.vec_id, ct.c,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))) AS d2
+           |  FROM gr_$j q CROSS JOIN centr1_$j ct
+           |), ar1_$j AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           |    FROM ddr1_$j) WHERE rn = 1
+           |), ar1v_$j AS (
+           |  SELECT g.vec_id, g.vq, a.c
+           |  FROM gr_$j g JOIN ar1_$j a USING (vec_id)
+           |), mr2_$j AS (
+           |  SELECT c, ds.d AS d,
+           |    floor((2 * sum(vq[ds.d]) + count(*))::DOUBLE
+           |          / (2 * count(*)))::BIGINT AS mm
+           |  FROM ar1v_$j, generate_series(1, $sub) AS ds(d)
+           |  GROUP BY c, ds.d
+           |), centr2_$j AS (
+           |  SELECT cl.c, list(coalesce(mr2_$j.mm, 0) ORDER BY dd.d) AS cent
+           |  FROM generate_series(0, ${ksub - 1}) AS cl(c)
+           |  CROSS JOIN generate_series(1, $sub) AS dd(d)
+           |  LEFT JOIN mr2_$j ON mr2_$j.c = cl.c AND mr2_$j.d = dd.d
+           |  GROUP BY cl.c
+           |), ddr2_$j AS (
+           |  SELECT q.vec_id, ct.c,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))) AS d2
+           |  FROM gr_$j q CROSS JOIN centr2_$j ct
+           |), ar2_$j AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+           |    FROM ddr2_$j) WHERE rn = 1
+           |), pd_$j AS (
+           |  SELECT rqp.query_id, x.vec_id AS cand_id,
+           |    list_sum(list_transform(generate_series(1, $sub),
+           |      i -> (rqp.rq[$off + i] - ct.cent[i])
+           |         * (rqp.rq[$off + i] - ct.cent[i])))::BIGINT AS pd
+           |  FROM rqp JOIN coded x ON x.list_id = rqp.list_id
+           |  JOIN centr2_$j ct ON ct.c = x.c$j
+           |)""".stripMargin
+      }
+      val allSub = (0 until m).map(subCtes).mkString(",\n")
+      val codedJoins = (0 until m)
+        .map(j => s"JOIN ar2_$j ON ar2_$j.vec_id = rv.vec_id")
+        .mkString("\n  ")
+      val codedCols = (0 until m).map(j => s"ar2_$j.c AS c$j").mkString(", ")
+      val pdUnion = (0 until m).map(j => s"SELECT * FROM pd_$j")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $coarse,
+         |rv AS (
+         |  SELECT g0.vec_id, a2.c AS list_id,
+         |    list_transform(generate_series(1, $dim),
+         |      i -> g0.vq[i] - ct.cent[i]) AS r
+         |  FROM g0 JOIN a2 USING (vec_id) JOIN cent2 ct ON ct.c = a2.c
+         |),
+         |qp AS (
+         |  SELECT query_id, list_id FROM (
+         |    SELECT q.vec_id AS query_id, ct.c AS list_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, $dim),
+         |          i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))),
+         |        ct.c) AS rn
+         |    FROM g0 q CROSS JOIN cent2 ct WHERE q.vec_id < 5)
+         |  WHERE rn <= $nprobe
+         |),
+         |rqp AS (
+         |  SELECT qp.query_id, qp.list_id,
+         |    list_transform(generate_series(1, $dim),
+         |      i -> q.vq[i] - ct.cent[i]) AS rq
+         |  FROM qp JOIN g0 q ON q.vec_id = qp.query_id
+         |  JOIN cent2 ct ON ct.c = qp.list_id
+         |),
+         |$allSub,
+         |coded AS (
+         |  SELECT rv.vec_id, rv.list_id, $codedCols
+         |  FROM rv
+         |  $codedJoins
+         |),
          |est AS (
          |  SELECT query_id, cand_id, sum(pd)::BIGINT AS est_d2 FROM (
          |  $pdUnion

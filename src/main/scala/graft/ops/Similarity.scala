@@ -372,8 +372,8 @@ object Similarity {
     * longs, driver-sized by construction like every ANN codebook).
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16, iters: Int = 2)
-      : (DataFrame, Seq[Seq[Array[Long]]]) = {
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      preGrid: Boolean = false): (DataFrame, Seq[Seq[Array[Long]]]) = {
     val dim = vecDim(corpus, vecCol)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
@@ -388,9 +388,13 @@ object Similarity {
     // is identical to running kmeansAssign per subspace — same init
     // hash, same exact-integer centroid rounding, same first-index
     // argmin — which is what the q109 oracle replays.
+    // preGrid: the vector is ALREADY integer-grid longs (e.g. IVF
+    // residuals) — slice without re-quantizing
+    def sv(j: Int): Column =
+      if (preGrid) slice(col(vecCol), j * sub + 1, sub)
+      else toGrid(slice(v, j * sub + 1, sub))
     val base = corpus.select(col(idCol), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"),
-          toGrid(slice(v, j * sub + 1, sub)).as("sv"))): _*)).as("s"))
+        struct(lit(j).as("j"), sv(j).as("sv"))): _*)).as("s"))
       .select(col(idCol), col("s.j").as("__j"), col("s.sv").as("__q"))
     var assigned = base.withColumn("__c",
       pmod(Sampling.md5Prefix32(col(idCol)), lit(ksub.toLong)).cast("int"))
@@ -503,18 +507,97 @@ object Similarity {
     val top = est.where(col("query_id") =!= col("cand_id"))
       .withColumn("rank", row_number().over(wEst))
       .where(col("rank") <= k)
-    // exact-grid witness: true distances + exact top-k membership
+    top.join(gridWitness(queries, corpus, idCol, vecCol),
+        Seq("query_id", "cand_id"))
+      .withColumn("in_exact_topk", col("true_rank") <= k)
+      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
+        "in_exact_topk")
+  }
+
+  /** Exact-grid witness frame (query_id, cand_id, true_d2, true_rank):
+    * true integer grid distances + the exact global ranking — what the
+    * ADC estimates are measured against. A corpus-scale luxury by
+    * construction (it reads the raw vectors the codes exist to avoid).
+    */
+  private def gridWitness(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
     val qg = queries.select(col(idCol).as("query_id"), toGrid(v).as("__qg"))
     val cg = corpus.select(col(idCol).as("cand_id"), toGrid(v).as("__cg"))
     val wTrue = Window.partitionBy("query_id")
       .orderBy(col("true_d2").asc, col("cand_id").asc)
-    val dists = qg.join(cg, col("query_id") =!= col("cand_id"))
+    qg.join(cg, col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
         aggregate(zip_with(col("__qg"), col("__cg"),
           (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
           .as("true_d2"))
       .withColumn("true_rank", row_number().over(wTrue))
-    top.join(dists, Seq("query_id", "cand_id"))
+  }
+
+  /** IVF-PQ with residual encoding — the composition FAISS ships as its
+    * default billion-scale index: a coarse [[kmeansAssign]] partitions
+    * the corpus into `nlist` inverted lists, each vector PQ-encodes its
+    * RESIDUAL from its list centroid (residuals are tighter than raw
+    * vectors, so the same ksub centroids quantize them with less
+    * error), and a query probes only the `nprobe` nearest lists,
+    * ranking their members by residual-ADC lookups. Memory per vector:
+    * one list id + the 4-byte PQ code; query cost: nprobe/nlist of the
+    * corpus, never the raw embeddings. Residuals are exact long
+    * subtractions on the grid and the sub-quantizers train through
+    * [[pqTrain]]'s preGrid path, so the entire index — coarse lists,
+    * residual codebooks, codes, estimates, ranks — replays cell-exact
+    * in the oracle. Witness columns measure end-to-end recall INCLUDING
+    * probe misses (a neighbor in an unprobed list is simply absent).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nlist: Int = 16, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2, nprobe: Int = 2)
+      : DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val (assigned, coarse) =
+      kmeansAssign(corpus, idCol, vecCol, nlist, coarseIters)
+    val centLit = typedlit(coarse.map(_.toSeq))
+    val resid = assigned.select(col(idCol), col("__c").as("list_id"),
+      zip_with(col("__q"), element_at(centLit, col("__c") + 1),
+        (x, c) => x - c).as("__r"))
+      .localCheckpoint(true)
+    val (codes, books) =
+      pqTrain(resid, idCol, "__r", m, ksub, pqIters, preGrid = true)
+    val coded = codes.join(resid.select(col(idCol), col("list_id")),
+      Seq(idCol)).localCheckpoint(true)
+    val dim = coarse.headOption.map(_.length).getOrElse(0)
+    val sub = dim / m
+    val qRows = queries.select(col(idCol), toGrid(v)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val est = qRows.toSeq.flatMap { case (qid, qv) =>
+      val probes = coarse.zipWithIndex.map { case (cent, i) =>
+        var d = 0L; var x = 0
+        while (x < cent.length) { val t = qv(x) - cent(x); d += t * t; x += 1 }
+        (d, i)
+      }.sorted.take(nprobe)
+      probes.map { case (_, listId) =>
+        val cent = coarse(listId)
+        val rq = Array.tabulate(dim)(i => qv(i) - cent(i))
+        val estCol = (0 until m).map { j =>
+          val lut = books(j).map { bc =>
+            var d = 0L; var i = 0
+            while (i < sub) { val t = rq(j * sub + i) - bc(i); d += t * t; i += 1 }
+            d
+          }.toSeq
+          element_at(typedlit(lut), col(s"__c$j") + 1)
+        }.reduce(_ + _)
+        coded.where(col("list_id") === listId)
+          .select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
+            estCol.as("est_d2"))
+      }
+    }.reduce(_ unionByName _)
+    val wEst = Window.partitionBy("query_id")
+      .orderBy(col("est_d2").asc, col("cand_id").asc)
+    val top = est.where(col("query_id") =!= col("cand_id"))
+      .withColumn("rank", row_number().over(wEst))
+      .where(col("rank") <= k)
+    top.join(gridWitness(queries, corpus, idCol, vecCol),
+        Seq("query_id", "cand_id"))
       .withColumn("in_exact_topk", col("true_rank") <= k)
       .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
         "in_exact_topk")

@@ -1026,6 +1026,21 @@ class OpsSpec extends SparkSpec {
     assert(rec >= 0.9, s"pq twin recall@1 = $rec")
   }
 
+  test("IVF-PQ: residual index retrieves planted twins through probed lists") {
+    val (qs, corpus) = plantedCorpus()
+    // a twin differs by per-dim noise ≤ 0.012, so it shares the query's
+    // coarse list (probed first — it is the query's nearest centroid)
+    // and its residual PQ-encodes into the same cells: rank 1 through
+    // the full coarse→residual-code→ADC path
+    val top1 = Similarity.ivfPqTopK(qs, corpus, "vec_id", "embedding",
+      k = 1, nprobe = 4)
+      .where(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rec = (0L until 20L).count(q =>
+      top1.get(q).contains(q + 100000L)) / 20.0
+    assert(rec >= 0.9, s"ivf-pq twin recall@1 = $rec")
+  }
+
   test("semantic dedup quality: precision 1.0, planted twins recovered") {
     val (_, corpus) = plantedCorpus()
     val v = col("embedding").cast("array<double>")
