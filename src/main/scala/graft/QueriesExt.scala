@@ -1694,6 +1694,36 @@ object QueriesExt {
           col("rank").cast("long").as("rank"), col("est_d2"),
           col("true_d2"), col("in_exact_topk"))
         .orderBy("query_id", "rank")
+    }),
+
+    // URL canonicalization — the dedup key of crawl-frontier dedup:
+    // the same page arrives under thousands of utm/fbclid decorations,
+    // case variants, default ports and trailing slashes; the
+    // canonicalizer collapses them so URL-level exact dedup works.
+    // Deterministic multi-variant decorations appended by doc_id (the
+    // q96 pattern); five raw shapes collapse onto shared canonical
+    // keys, which the n_urls/n_docs counts prove. Every rule is a
+    // replayable regex step with no backreference replacements (Java
+    // spells them $1, RE2 \1) → cell-exact.
+    "q111_url_canonical" -> ((s, dir) => {
+      val deco = when(col("doc_id") % 5 === 0, lit(
+          " see https://www.Example.com:443/Page/?utm_source=mail&utm_medium=x"))
+        .when(col("doc_id") % 5 === 1, lit(" see https://Example.com/Page/"))
+        .when(col("doc_id") % 5 === 2, lit(
+          " see https://example.com/Page?a=1&utm_campaign=z#frag"))
+        .when(col("doc_id") % 5 === 3, lit(
+          " see http://user@Example.com:8080/Page?fbclid=abc&a=1"))
+        .otherwise(lit(" see http://www.example.com:80/Other?gclid=1&b=2"))
+      docs(s, dir)
+        .select(col("doc_id"), concat(col("text"), deco).as("text"))
+        .select(col("doc_id"),
+          explode(TextOps.extractUrls(col("text"))).as("url"))
+        .select(col("doc_id"),
+          TextOps.canonicalUrl(col("url")).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("canonical_url")
     })
   )
 
@@ -4393,6 +4423,50 @@ object QueriesExt {
          |  (r.true_rank <= $k) AS in_exact_topk
          |FROM top t JOIN trr r USING (query_id, cand_id)
          |WHERE t.rank <= $k ORDER BY t.query_id, t.rank""".stripMargin
-    }
+    },
+
+    // replays the decoration append, URL extraction, and every
+    // canonicalization regex step (RE2 'g' flags mirror Spark's
+    // replace-all default)
+    "q111_url_canonical" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 5
+         |      WHEN 0 THEN ' see https://www.Example.com:443/Page/?utm_source=mail&utm_medium=x'
+         |      WHEN 1 THEN ' see https://Example.com/Page/'
+         |      WHEN 2 THEN ' see https://example.com/Page?a=1&utm_campaign=z#frag'
+         |      WHEN 3 THEN ' see http://user@Example.com:8080/Page?fbclid=abc&a=1'
+         |      ELSE ' see http://www.example.com:80/Other?gclid=1&b=2' END
+         |    AS text
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(text, 'https?://[^\\s]+')) AS url
+         |  FROM t
+         |), p AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+         |    regexp_replace(lower(regexp_extract(url,
+         |      '^https?://(?:[^/@\\s]*@)?([^/:\\s?#]+)', 1)),
+         |      '^www\\.', '', 'g') AS host,
+         |    regexp_extract(url,
+         |      '^https?://(?:[^/@\\s]*@)?[^/:\\s?#]+:([0-9]+)', 1) AS port,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_extract(url, '^https?://[^/\\s?#]*([^\\s#]*)', 1),
+         |      '(?:utm_[a-z]+|fbclid|gclid|msclkid)=[^&#\\s]*&?', '', 'g'),
+         |      '[?&]+$$', '', 'g'), '\\?&', '?', 'g'), '/$$', '', 'g')
+         |      AS rest
+         |  FROM u
+         |), c AS (
+         |  SELECT doc_id, scheme || '://' || host ||
+         |    CASE WHEN port <> ''
+         |      AND NOT (scheme = 'http' AND port = '80')
+         |      AND NOT (scheme = 'https' AND port = '443')
+         |      THEN ':' || port ELSE '' END || rest AS canonical_url
+         |  FROM p
+         |)
+         |SELECT canonical_url, count(*)::BIGINT AS n_urls,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

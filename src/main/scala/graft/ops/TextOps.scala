@@ -324,6 +324,43 @@ object TextOps {
       .select(col(idCol), urlDomain(col("__u")).as("domain"))
       .where(col("domain") =!= "")
 
+  /** Tracking parameters a crawl canonicalizer strips before URL-level
+    * dedup (analytics/click-id noise: the same page arrives under
+    * thousands of distinct utm/fbclid decorations). The alternation and
+    * trailing `&?` keep separators consistent after removal; RE2/Java
+    * common subset.
+    */
+  val TrackingParamRe: String =
+    "(?:utm_[a-z]+|fbclid|gclid|msclkid)=[^&#\\s]*&?"
+
+  /** Canonical URL — the dedup key of URL-level crawl dedup. Explicit,
+    * documented rule set (each a replayable regex step, no backreference
+    * replacements — Java spells them `$1`, RE2 `\\1`, so the rebuild
+    * avoids them entirely): lowercase scheme and host; strip userinfo,
+    * `www.`, default ports (80/http, 443/https), fragments, tracking
+    * params ([[TrackingParamRe]]), dangling `?`/`&` left by the strip,
+    * and one trailing slash. `https://user@WWW.Example.com:443/a/?utm_source=x#f`
+    * → `https://example.com/a`. Per-row expression chain — codegen'd,
+    * no shuffle; feed the result to [[graft.ops.Dedup.exact]] for the
+    * crawl-frontier dedup pass.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^(https?)://", 1))
+    val host = regexp_replace(urlDomain(url), lit("^www\\."), lit(""))
+    val port = regexp_extract(url,
+      "^https?://(?:[^/@\\s]*@)?[^/:\\s?#]+:([0-9]+)", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val rest0 = regexp_extract(url, "^https?://[^/\\s?#]*([^\\s#]*)", 1)
+    val rest1 = regexp_replace(rest0, lit(TrackingParamRe), lit(""))
+    val rest2 = regexp_replace(rest1, lit("[?&]+$"), lit(""))
+    val rest3 = regexp_replace(rest2, lit("\\?&"), lit("?"))
+    val rest = regexp_replace(rest3, lit("/$"), lit(""))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")), rest)
+  }
+
   // ----------------------------------------------------------- cleanup
 
   /** ASCII control characters (minus \t \n \r) plus DEL — the bytes a
