@@ -1724,6 +1724,32 @@ object QueriesExt {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy("canonical_url")
+    }),
+
+    // Content-defined chunking (the LBFS/rsync chunker at token level):
+    // boundaries where the trailing 3-token hash ≡ 0 mod 16, so chunk
+    // edges RESYNCHRONIZE after insertions — documents sharing a
+    // passage at different offsets emit identical interior chunks,
+    // which chunk-level exact dedup then catches (the partial-overlap
+    // duplicates document-level dedup misses). A shared paragraph is
+    // appended to every 7th doc to exercise exactly that; the output
+    // is the cross-doc duplicated-chunk table. md5-word cut decisions
+    // → boundaries and chunk hashes replay cell-exact.
+    "q112_cdc_chunks" -> ((s, dir) => {
+      val para = Seq.fill(5)("pack my box with five dozen liquor jugs")
+        .mkString(" ")
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" " + para)))
+          .otherwise(col("text")).as("text"))
+      Dedup.contentDefinedChunks(d, "doc_id", "text", divisor = 16)
+        .select(md5(col("chunk")).as("chunk_hash"), col("doc_id"),
+          col("n_tokens"))
+        .groupBy("chunk_hash")
+        .agg(max(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
     })
   )
 
@@ -4467,6 +4493,41 @@ object QueriesExt {
          |)
          |SELECT canonical_url, count(*)::BIGINT AS n_urls,
          |  count(DISTINCT doc_id)::BIGINT AS n_docs
-         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // replays the shared-paragraph append, the 3-token md5 cut rule,
+    // the cumulative-cut chunk ids, and the cross-doc duplicate table
+    "q112_cdc_chunks" -> {
+      val para = Seq.fill(5)("pack my box with five dozen liquor jugs")
+        .mkString(" ")
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d0 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' $para' ELSE text END AS text
+         |  FROM documents
+         |), d AS (SELECT doc_id, $toks AS toks FROM d0),
+         |tok AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS tk,
+         |    CASE WHEN i >= 3 AND
+         |      ('0x' || substr(md5(toks[i-2] || ' ' || toks[i-1] || ' ' ||
+         |        toks[i]), 1, 8))::BIGINT % 16 = 0
+         |    THEN 1 ELSE 0 END AS cut
+         |  FROM d, unnest(range(1, len(toks) + 1)) AS r(i)
+         |), ch AS (
+         |  SELECT doc_id, pos, tk,
+         |    coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+         |  FROM tok
+         |), cs AS (
+         |  SELECT doc_id, cid, count(*)::BIGINT AS n_tokens,
+         |    string_agg(tk, ' ' ORDER BY pos) AS chunk
+         |  FROM ch GROUP BY 1, 2
+         |)
+         |SELECT md5(chunk) AS chunk_hash, max(n_tokens) AS n_tokens,
+         |  count(*)::BIGINT AS n_occurrences,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs
+         |FROM cs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -178,6 +178,47 @@ object Dedup {
     signaturesFromShingles(shingleRows(df, idCol, textCol, shingleWidth),
       idCol, numHashes)
 
+  /** Content-defined chunking: split each document at positions where
+    * the hash of the trailing `window`-token context ≡ 0 mod `divisor`
+    * — CDC, the storage-dedup chunker (LBFS/rsync lineage) applied at
+    * the token level. Because boundaries depend only on LOCAL content,
+    * chunk edges RESYNCHRONIZE after an insertion or deletion: two
+    * documents sharing a long passage emit identical interior chunks
+    * even when the passage sits at different offsets — exactly what
+    * fixed-size chunking destroys, and the property that makes
+    * chunk-level exact dedup find partially-duplicated documents that
+    * document-level dedup misses. Mean chunk length ≈ `divisor`
+    * tokens.
+    *
+    * Returns (idCol, chunk_id, n_tokens, chunk). One tokenize pass +
+    * two windows per doc (context hash via lag, chunk id via a
+    * cumulative cut-count) + one groupBy — all partitioned by doc id,
+    * linear at any corpus size. The cut decision is md5-word
+    * arithmetic, so chunk boundaries and chunk hashes replay on any
+    * engine (chunk manifests written at 100 TB re-verify anywhere).
+    */
+  def contentDefinedChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    val win = Window.partitionBy(idCol).orderBy("pos")
+    val tok = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "__t")))
+      .withColumn("__p1", lag(col("__t"), 1).over(win))
+      .withColumn("__p2", lag(col("__t"), 2).over(win))
+    val cut = when(col("__p2").isNotNull &&
+      graft.ops.Sampling.md5Prefix32(
+        concat_ws(" ", col("__p2"), col("__p1"), col("__t"))) % divisor === 0,
+      1).otherwise(0)
+    val chunked = tok.withColumn("__cut", cut)
+      .withColumn("chunk_id", coalesce(
+        sum(col("__cut")).over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    chunked.groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__t")))),
+          s => s.getField("__t"))).as("chunk"))
+  }
+
   /** b-bit MinHash compression at b=1 (Li & König, WWW 2010): keep only
     * the LOWEST BIT of each signature component, packed into one long —
     * 4 bytes per doc at 32 hashes where the full signature is 256, the
