@@ -1750,6 +1750,31 @@ object QueriesExt {
           countDistinct(col("doc_id")).as("n_docs"))
         .where(col("n_docs") >= 2)
         .orderBy("chunk_hash")
+    }),
+
+    // Vocabulary-growth (Heaps'-law) curve — the tokenizer-sizing
+    // diagnostic: cumulative distinct word types vs cumulative token
+    // occurrences as the corpus grows in doc_id order (50-doc
+    // buckets). new_types per bucket is the marginal vocabulary a
+    // batch adds (the exact twin of q106's sketched novelty). Each
+    // type attributes to the bucket of its FIRST occurrence (a min
+    // aggregate), then one cumulative window over the tiny bucket
+    // table — two shuffles, both key-bounded. All integers.
+    "q113_vocab_growth" -> ((s, dir) => {
+      val tok = docs(s, dir).select(expr("doc_id DIV 50").as("bucket"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      val occ = tok.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+      val firsts = tok.groupBy("tok").agg(min(col("bucket")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      occ.join(firsts, Seq("bucket"), "left")
+        .select(col("bucket"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
+        .withColumn("vocab_cum", sum(col("new_types")).over(w))
+        .orderBy("bucket")
     })
   )
 
@@ -4528,6 +4553,32 @@ object QueriesExt {
          |  count(DISTINCT doc_id)::BIGINT AS n_docs
          |FROM cs GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY 1""".stripMargin
+    },
+
+    // replays first-occurrence-bucket attribution and the cumulative
+    // growth windows
+    "q113_vocab_growth" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id // 50 AS bucket, unnest($toks) AS tok
+         |  FROM documents
+         |), occ AS (
+         |  SELECT bucket, count(*)::BIGINT AS n_tokens FROM t GROUP BY 1
+         |), fb AS (
+         |  SELECT tok, min(bucket) AS bucket FROM t GROUP BY 1
+         |), nt AS (
+         |  SELECT bucket, count(*)::BIGINT AS new_types FROM fb GROUP BY 1
+         |)
+         |SELECT occ.bucket, occ.n_tokens,
+         |  coalesce(nt.new_types, 0)::BIGINT AS new_types,
+         |  sum(occ.n_tokens) OVER (ORDER BY occ.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS n_tokens_cum,
+         |  sum(coalesce(nt.new_types, 0)) OVER (ORDER BY occ.bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS vocab_cum
+         |FROM occ LEFT JOIN nt USING (bucket)
+         |ORDER BY occ.bucket""".stripMargin
     }
   )
 }
