@@ -1775,6 +1775,25 @@ object QueriesExt {
         .withColumn("n_tokens_cum", sum(col("n_tokens")).over(w))
         .withColumn("vocab_cum", sum(col("new_types")).over(w))
         .orderBy("bucket")
+    }),
+
+    // PageRank over a deterministic doc-derived link graph — the crawl
+    // authority prior (OPIC / harmonic-centrality crawl ordering, URL
+    // quality priors): 97 domain nodes, each doc contributing its
+    // domain's 3 hash-derived out-links. Integer-scaled power iteration
+    // (ranks are longs scaled 10^12, damping 85/100 as exact rational,
+    // truncating DIV everywhere) so all 5 unrolled iterations — dangling
+    // mass, per-edge contributions, teleport — replay cell-exact in SQL.
+    // Per iteration: one key-bounded join + one groupBy; one aggregated
+    // long (dangling mass) to the driver; lineage truncated per round.
+    "q114_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def edge(mul: Long, add: Long) = d.select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * mul + add) % 97).as("dst"))
+      val edges = edge(7, 1).union(edge(13, 5)).union(edge(31, 11))
+      graft.ops.Graphs.pageRank(edges, iters = 5)
+        .orderBy("node")
     })
   )
 
@@ -4579,6 +4598,52 @@ object QueriesExt {
          |    AS vocab_cum
          |FROM occ LEFT JOIN nt USING (bucket)
          |ORDER BY occ.bucket""".stripMargin
+    },
+
+    // replays all 5 integer-scaled power iterations: dangling-mass
+    // scalar, per-edge rank DIV outdeg contributions, teleport +
+    // 85/100 damping — every step truncating integer division on
+    // nonnegative operands, so DuckDB's floor `//` coincides with
+    // Spark's DIV and the ranks match cell-for-cell
+    "q114_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""d$i AS (
+           |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS dang
+           |  FROM $p r LEFT JOIN od ON r.node = od.src
+           |  WHERE od.src IS NULL
+           |), c$i AS (
+           |  SELECT e.dst AS node,
+           |    sum(r.rank // od.outdeg)::BIGINT AS contrib
+           |  FROM e JOIN od USING (src) JOIN $p r ON r.node = e.src
+           |  GROUP BY 1
+           |), r$i AS (
+           |  SELECT n.node,
+           |    ((1000000000000 // cnt.n) * 15 // 100
+           |     + (coalesce(c.contrib, 0) + d.dang // cnt.n) * 85 // 100
+           |    )::BIGINT AS rank
+           |  FROM nodes n LEFT JOIN c$i c USING (node), d$i d, cnt
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id % 97, (doc_id * 31 + 11) % 97 FROM documents
+         |), e AS (
+         |  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+         |), nodes AS (
+         |  SELECT src AS node FROM e UNION SELECT dst FROM e
+         |), cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |r0 AS (
+         |  SELECT node, (1000000000000 // cnt.n)::BIGINT AS rank
+         |  FROM nodes, cnt
+         |),
+         |$iterCtes
+         |SELECT node::BIGINT AS node, rank FROM r5 ORDER BY node""".stripMargin
     }
   )
 }

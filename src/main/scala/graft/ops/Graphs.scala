@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl curation. The headline op is
+  * [[pageRank]]: domain/page authority is a first-class quality signal in
+  * web-corpus pipelines (OPIC/harmonic-centrality crawl ordering at
+  * Common Crawl, URL-level quality priors in CCNet-descended filters), so
+  * a training-data engine needs it next to the Gopher rules and perplexity
+  * gates.
+  *
+  * Everything here is INTEGER-SCALED power iteration: ranks live as longs
+  * scaled by `scale` and every per-iteration step is integer addition /
+  * truncating division. Integer sums are associative-commutative with no
+  * rounding, so a SQL oracle can replay each unrolled iteration cell-exact
+  * — the same discipline as the q35/q61 integer-grid k-means — at the cost
+  * of a bounded truncation error (≤ 1/scale per division, immaterial at
+  * scale = 10¹²).
+  *
+  * Scale design: each iteration is two key-bounded shuffles (join on src,
+  * groupBy dst), all keyed by node id — no per-iteration driver state
+  * except ONE aggregated scalar (the dangling mass, a single long).
+  * Lineage is truncated per iteration with an eager localCheckpoint so
+  * `iters` stacked joins never build a mega-plan (the q39 label-propagation
+  * pattern). Edges and out-degrees are computed once and cached.
+  */
+object Graphs {
+
+  /** PageRank by integer-scaled power iteration.
+    *
+    * @param edges (src: Long, dst: Long) directed edges; duplicates and
+    *              self-loops are removed here.
+    * @param iters fixed iteration count (deterministic replay needs a
+    *              fixed horizon, and 5–10 iterations ranks stably for
+    *              curation use; convergence-threshold stopping would make
+    *              the oracle depend on float comparisons).
+    * @param dampNum/dampDen damping factor as an exact rational (85/100).
+    * @param scale rank fixed-point scale.
+    * @return (node, rank) — rank scaled by `scale`; sums to ~scale (minus
+    *         bounded truncation loss).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    // ONE driver scalar for the whole run: the node count (needed for the
+    // teleport share — a broadcast join of a 1-row frame would hide the
+    // same round trip behind more plan).
+    val n = nodes.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // src-side edge table with out-degree attached, computed once
+    val eo = e.join(outdeg, "src").persist()
+    eo.count(): Unit // materialize before the loop so iterations reuse it
+
+    val init = scale / math.max(n, 1L)
+    val teleport = (scale / math.max(n, 1L)) * (dampDen - dampNum) / dampDen
+    var ranks = nodes.withColumn("rank", lit(init)).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      // mass of nodes with no out-edges, redistributed evenly; a single
+      // aggregated long per iteration (bounded driver traffic)
+      val dangRow = ranks.join(outdeg,
+          ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).head()
+      val dangShare = dangRow.getLong(0) / math.max(n, 1L)
+      val contrib = eo.join(ranks, eo("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank DIV outdeg")).as("contrib"))
+      // integer arithmetic only: Column./ would be DOUBLE division, so the
+      // damping step is spelled with SQL DIV (truncating; operands are
+      // nonnegative, ≤ 85 * scale — no overflow)
+      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(col("node"),
+          expr(s"${teleport}L + (coalesce(contrib, 0L) + ${dangShare}L)" +
+            s" * ${dampNum}L DIV ${dampDen}L").as("rank"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    eo.unpersist(); e.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** Driver-side naive reference for specs: same integer arithmetic on a
+    * small in-memory graph.
+    */
+  private[graft] def pageRankNaive(edges: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = math.max(nodes.size.toLong, 1L)
+    val outdeg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val inEdges = e.groupBy(_._2)
+    val teleport = (scale / n) * (dampDen - dampNum) / dampDen
+    var ranks = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(outdeg.contains).map(ranks).sum
+      val dangShare = dang / n
+      ranks = nodes.map { v =>
+        val c = inEdges.getOrElse(v, Seq.empty)
+          .map { case (s, _) => ranks(s) / outdeg(s) }.sum
+        v -> (teleport + (c + dangShare) * dampNum / dampDen)
+      }.toMap
+    }
+    ranks
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ops.Graphs
+
+/** PageRank invariants: the distributed integer-scaled power iteration
+  * must equal the naive driver-side reference bit-for-bit (same integer
+  * arithmetic), rank mass must be conserved up to truncation loss, and
+  * link structure must order ranks (a star's hub outranks its leaves).
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgeFrame(edges: Seq[(Long, Long)]) = {
+    val schema = StructType(Seq(
+      StructField("src", LongType), StructField("dst", LongType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(edges.map { case (s, d) => Row(s, d) }).asJava),
+      schema)
+  }
+
+  test("distributed pageRank equals the naive integer reference exactly") {
+    // mixed topology: a cycle, a hub, a dangling sink, a duplicate edge
+    // and a self-loop (both must be dropped)
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1),        // cycle
+      (4, 1), (5, 1), (6, 1),        // hub in-links
+      (1, 7),                        // 7 is dangling (no out-edges)
+      (4, 1),                        // duplicate
+      (5, 5))                        // self-loop
+    val got = Graphs.pageRank(edgeFrame(edges), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Graphs.pageRankNaive(edges, iters = 5)
+    assert(got == want, s"got $got\nwant $want")
+  }
+
+  test("rank mass is conserved up to bounded truncation loss") {
+    val edges = (1L to 40L).map(i => (i, i * 17 % 41 + 1))
+    val ranks = Graphs.pageRank(edgeFrame(edges), iters = 5)
+      .collect().map(_.getLong(1))
+    val total = ranks.sum
+    val scale = 1000000000000L
+    // each division truncates < 1 unit per node per iteration; with 41
+    // nodes x 5 iterations x a few divisions the loss stays far below
+    // 0.1% of the mass
+    assert(total <= scale && total > scale - scale / 1000,
+      s"total mass $total")
+  }
+
+  test("a star hub outranks its leaves and ties are structural") {
+    val leaves = (2L to 9L)
+    val edges = leaves.map(l => (l, 1L)) ++ leaves.map(l => (1L, l))
+    val ranks = Graphs.pageRank(edgeFrame(edges), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(1L)
+    leaves.foreach(l => assert(hub > ranks(l), s"hub $hub vs leaf ${ranks(l)}"))
+    // all leaves are structurally identical -> identical integer ranks
+    assert(leaves.map(ranks).toSet.size == 1)
+  }
+}
