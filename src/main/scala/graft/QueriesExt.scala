@@ -1794,6 +1794,38 @@ object QueriesExt {
       val edges = edge(7, 1).union(edge(13, 5)).union(edge(31, 11))
       graft.ops.Graphs.pageRank(edges, iters = 5)
         .orderBy("node")
+    }),
+
+    // Zipf's-law slope — the corpus-health diagnostic (a natural-language
+    // corpus fits ln f = a + b·ln r with b ≈ −1; boilerplate/spam skews
+    // b): OLS over the top-100 (ln rank, ln freq) points. ln values are
+    // rounded to 4 dp and scaled to integers, so every OLS sum is an
+    // exact long and the single final division is the only float op
+    // (rounded 6 dp on both sides). The global top-k runs on the
+    // VOCABULARY table (corpus-size-independent) via TakeOrdered, not a
+    // full sort; the 100-row OLS reduction is one aggregate.
+    "q115_zipf_slope" -> ((s, dir) => {
+      val k = 100
+      val wc = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = wc.orderBy(col("freq").desc, col("tok").asc).limit(k)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("tok").asc)))
+        .select(
+          expr("cast(round(ln(rank) * 10000, 0) as bigint)").as("x4"),
+          expr("cast(round(ln(freq) * 10000, 0) as bigint)").as("y4"))
+      top.agg(
+          count(lit(1)).as("n"), sum(col("x4")).as("sx"),
+          sum(col("y4")).as("sy"),
+          sum(col("x4") * col("x4")).as("sxx"),
+          sum(col("x4") * col("y4")).as("sxy"))
+        .select(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope", round(
+          col("slope_num").cast("double") / col("slope_den"), 6))
     })
   )
 
@@ -4644,6 +4676,37 @@ object QueriesExt {
          |),
          |$iterCtes
          |SELECT node::BIGINT AS node, rank FROM r5 ORDER BY node""".stripMargin
+    },
+
+    // replays the top-100 rank table and the integer-scaled OLS sums;
+    // the rounded-ln grid (4 dp) makes every sum exact and the final
+    // slope one double division rounded 6 dp on both sides
+    "q115_zipf_slope" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH wc AS (
+         |  SELECT tok, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1
+         |), top AS (
+         |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC)
+         |    AS rank
+         |  FROM wc ORDER BY freq DESC, tok ASC LIMIT 100
+         |), g AS (
+         |  SELECT round(ln(rank) * 10000, 0)::BIGINT AS x4,
+         |         round(ln(freq) * 10000, 0)::BIGINT AS y4
+         |  FROM top
+         |), a AS (
+         |  SELECT count(*)::BIGINT AS n, sum(x4)::BIGINT AS sx,
+         |    sum(y4)::BIGINT AS sy, sum(x4 * x4)::BIGINT AS sxx,
+         |    sum(x4 * y4)::BIGINT AS sxy
+         |  FROM g
+         |)
+         |SELECT n, sx, sy, sxx, sxy,
+         |  (n * sxy - sx * sy)::BIGINT AS slope_num,
+         |  (n * sxx - sx * sx)::BIGINT AS slope_den,
+         |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6)
+         |    AS slope
+         |FROM a""".stripMargin
     }
   )
 }
