@@ -1826,6 +1826,20 @@ object QueriesExt {
           (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
         .withColumn("slope", round(
           col("slope_num").cast("double") / col("slope_den"), 6))
+    }),
+
+    // Weighted without-replacement sampling (Efraimidis–Spirakis
+    // exponential race), 20 docs per source with inclusion odds ∝
+    // n_chars — the quality/importance-weighted subcorpus draw (DSIR
+    // resampling's exact-k cousin). md5 uniforms + 12-dp-rounded keys
+    // + id tie-breaks make the kept set a pure function of (id, salt),
+    // identical on any engine/partitioning; one key-bounded shuffle.
+    "q116_weighted_sample" -> ((s, dir) => {
+      Sampling.sampleWeightedPerGroup(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "doc_id", col("n_chars"), k = 20, salt = "#wsamp")
+        .select("source", "doc_id", "n_chars", "sample_key", "sample_rank")
+        .orderBy("source", "sample_rank")
     })
   )
 
@@ -4707,6 +4721,26 @@ object QueriesExt {
          |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6)
          |    AS slope
          |FROM a""".stripMargin
-    }
+    },
+
+    // replays the salted md5 uniform, the −ln(u)/w exponential-race key
+    // (12 dp), and the per-source rank/cut
+    "q116_weighted_sample" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id, n_chars,
+         |    round(-ln((('0x' || substr(md5(doc_id::VARCHAR || '#wsamp'),
+         |        1, 8))::BIGINT + 1)::DOUBLE / 4294967296.0)
+         |      / greatest(n_chars::DOUBLE, 1.0), 12) AS sample_key
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id, n_chars, sample_key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY sample_key, doc_id) AS sample_rank
+         |  FROM k
+         |)
+         |SELECT source, doc_id, n_chars, sample_key,
+         |  sample_rank::INTEGER AS sample_rank
+         |FROM r WHERE sample_rank <= 20
+         |ORDER BY source, sample_rank""".stripMargin
   )
 }

@@ -136,6 +136,34 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Exactly-k WEIGHTED sample per group, without replacement
+    * (Efraimidis–Spirakis A-ES via the exponential race): each row draws
+    * key = −ln(u)/w from its salted md5 uniform u ∈ (0, 1] and the k
+    * smallest keys per group win — inclusion probability proportional to
+    * weight, the importance-weighted cousin of [[sampleExactPerGroup]]
+    * (DSIR-style quality-weighted subcorpus draws). Deterministic and
+    * engine-reproducible: u is exact md5 arithmetic, the key is rounded
+    * to 12 dp so cross-engine libm ln differences (≤1 ulp) vanish, and
+    * ties break by ascending id. Non-positive weights are clamped to 1
+    * (a 0-weight row must not produce ±inf keys that ANSI-mode engines
+    * disagree on). One shuffle on the group key; adds `sample_key` and
+    * `sample_rank`.
+    */
+  def sampleWeightedPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      weight: Column, k: Int, salt: String = ""): DataFrame = {
+    require(k > 0, "k must be positive")
+    // (m + 1) / 2^32 ∈ (0, 1]: never 0, so -ln(u) is finite
+    val u = (md5Prefix32(
+      if (salt.isEmpty) col(idCol) else concat(col(idCol).cast("string"),
+        lit(salt))) + 1).cast("double") / 4294967296.0
+    val key = round(-log(u) / greatest(weight.cast("double"), lit(1.0)), 12)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(key, col(idCol))
+    df.withColumn("sample_key", key)
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Per-stratum deterministic sampling — `DataFrameStatFunctions.sampleBy`
     * without the RNG: rows whose `strataCol` value is missing from
     * `fractions` fall back to `default`.

@@ -625,4 +625,44 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run() == run())
   }
+
+  test("weighted per-group sample matches the -ln(u)/w reference and " +
+      "favors heavy rows") {
+    val ids = (1L to 60L)
+    val salt = "#w"
+    val df = docFrame(ids.map(i => (i, "t")): _*)
+      .withColumn("grp", when(col("doc_id") % 2 === 0, "a").otherwise("b"))
+      // one heavy row per group (weight 1000 vs 1)
+      .withColumn("wt", when(col("doc_id") <= 2, 1000L).otherwise(1L))
+    val k = 5
+    val got = Sampling.sampleWeightedPerGroup(df, "grp", "doc_id",
+        col("wt"), k, salt)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+
+    // independent reference: the same exponential-race keys in plain JVM
+    // arithmetic (md5 word + 1 scaled, -ln, /w, 12 dp half-up)
+    def key(i: Long): BigDecimal = {
+      val u = (md5Prefix32(i.toString + salt) + 1).toDouble / 4294967296.0
+      val w = if (i <= 2) 1000.0 else 1.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val want = ids.groupBy(i => if (i % 2 == 0) "a" else "b")
+      .flatMap { case (g, members) =>
+        members.sortBy(i => (key(i), i))
+          .take(k).zipWithIndex.map { case (i, r) => (g, i, r + 1) }
+      }.toSet
+    assert(got.toSet == want)
+    // a 1000x weight divides the race key by 1000: both heavy rows must
+    // be in their group's kept set (P(miss) < (k/n)^1000, i.e. never)
+    val keptIds = got.map(_._2).toSet
+    assert(keptIds.contains(1L) && keptIds.contains(2L))
+    // determinism under repartitioning
+    val again = Sampling.sampleWeightedPerGroup(df.repartition(1), "grp",
+        "doc_id", col("wt"), k, salt)
+      .select("grp", "doc_id", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == want)
+  }
 }
