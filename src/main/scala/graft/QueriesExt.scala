@@ -1840,6 +1840,39 @@ object QueriesExt {
           "source", "doc_id", col("n_chars"), k = 20, salt = "#wsamp")
         .select("source", "doc_id", "n_chars", "sample_key", "sample_rank")
         .orderBy("source", "sample_rank")
+    }),
+
+    // Perceptual image dedup via aHash over REAL decoded BMP bytes:
+    // ids 3k/3k+1/3k+2 carry the same base image (3k+1 byte-identical,
+    // 3k+2 brightness+8 clamped), the byte-level kernel samples an 8x8
+    // integer-luma grid and thresholds on the mean, and identical
+    // 64-bit hashes group the planted duplicates (n_same) — the image
+    // twin of exact text dedup, robust to the brightness shift wherever
+    // no channel clamps. Bytes never shuffle (narrow mapPartitions);
+    // only the 16-byte hash reaches the dedup window. The oracle
+    // predicts every hash bit from the closed-form pixel family.
+    "q117_image_ahash" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val base = id - id % 3
+            val delta = if (id % 3 == 2) 8 else 0
+            Row(id, Multimodal.synthBmpBytesShifted(base, delta))
+          }
+        }(Encoders.row(mediaSchema)).toDF()
+      val hashed = Multimodal.aHashBmp(media, "media_id", "payload")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hash_hi", "hash_lo")
+      hashed.withColumn("n_same", count(lit(1)).over(w))
+        .select("media_id", "width", "height", "hash_hi", "hash_lo",
+          "n_same")
+        .orderBy("media_id")
     })
   )
 
@@ -4741,6 +4774,47 @@ object QueriesExt {
          |SELECT source, doc_id, n_chars, sample_key,
          |  sample_rank::INTEGER AS sample_rank
          |FROM r WHERE sample_rank <= 20
-         |ORDER BY source, sample_rank""".stripMargin
+         |ORDER BY source, sample_rank""".stripMargin,
+
+    // predicts every aHash bit from the closed-form pixel family the
+    // byte-level kernel must recover: 8x8 nearest-neighbor sample,
+    // integer luma, mean threshold, 32-bit hash halves
+    "q117_image_ahash" ->
+      """WITH fam AS (
+        |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
+        |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS delta
+        |  FROM documents
+        |), dim AS (
+        |  SELECT doc_id, base, delta,
+        |    (4 + base % 8)::INTEGER AS w, (3 + base % 5)::INTEGER AS h
+        |  FROM fam
+        |), lum AS (
+        |  SELECT d.doc_id, d.w, d.h, gj.j * 8 + gi.i AS k,
+        |    (299 * least((d.base + 2 * ((gi.i * d.w) // 8)
+        |                  + 5 * ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
+        |     + 587 * least((d.base * 3 + ((gi.i * d.w) // 8)
+        |                  + ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
+        |     + 114 * least((d.base * 7 + ((gi.i * d.w) // 8) * 4
+        |                  + ((gj.j * d.h) // 8) * 2) % 256 + d.delta, 255)
+        |    ) // 1000 AS gray
+        |  FROM dim d, generate_series(0, 7) AS gi(i),
+        |       generate_series(0, 7) AS gj(j)
+        |), hs AS (
+        |  SELECT doc_id, sum(gray) // 64 AS mean
+        |  FROM lum GROUP BY doc_id
+        |), bits AS (
+        |  SELECT l.doc_id, l.w, l.h,
+        |    sum(CASE WHEN l.gray > h.mean AND l.k >= 32
+        |        THEN (1::BIGINT << (l.k - 32)) ELSE 0 END)::BIGINT
+        |      AS hash_hi,
+        |    sum(CASE WHEN l.gray > h.mean AND l.k < 32
+        |        THEN (1::BIGINT << l.k) ELSE 0 END)::BIGINT AS hash_lo
+        |  FROM lum l JOIN hs h USING (doc_id)
+        |  GROUP BY l.doc_id, l.w, l.h
+        |)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  hash_hi, hash_lo,
+        |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
+        |FROM bits ORDER BY media_id""".stripMargin
   )
 }

@@ -278,6 +278,127 @@ object Multimodal {
     Seq[Any](w, h, bpp, w.toLong * h, sr, sg, sb)
   }
 
+  /** Features produced by [[aHashBmp]]: the 64-bit perceptual average
+    * hash split into two unsigned 32-bit halves (an engine-portable
+    * spelling — building bit 63 of a signed 64-bit value overflows in
+    * SQL replays), all null for unparseable payloads.
+    */
+  val aHashSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("hash_hi", LongType),
+    StructField("hash_lo", LongType)))
+
+  /** Perceptual average-hash (aHash) over REAL decoded BMP pixels — the
+    * image near-duplicate key (the classic pHash-family baseline): the
+    * image is nearest-neighbor sampled to an 8×8 grid in image
+    * coordinates (sx = i·w div 8, sy = j·h div 8), each sample reduced
+    * to integer luma (299·R + 587·G + 114·B) div 1000, and bit j·8+i
+    * set when the sample's luma exceeds the 64-sample integer mean.
+    * Re-encodes, resizes, and global brightness shifts leave the hash
+    * (nearly) unchanged, so identical hashes group perceptual
+    * duplicates — the image twin of exact text dedup, with hamming
+    * distance as the near-dup relaxation. Integer arithmetic end to
+    * end: a SQL oracle predicts every bit from the synthetic pixel
+    * formula while this kernel recovers it from raw bytes. Same
+    * mapPartitions shape as [[decodeBmp]]: bytes never shuffle, only
+    * the 2×8-byte hash continues into the dedup join.
+    */
+  def aHashBmp(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ aHashSchema.fields)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = if (row.isNullAt(payIdx)) null
+          else row.getAs[Array[Byte]](payIdx)
+        Row.fromSeq(row.toSeq ++ aHashPixels(b))
+      }
+    }(enc)
+  }
+
+  private val NullAHash: Seq[Any] = Seq(null, null, null, null)
+
+  private def aHashPixels(b: Array[Byte]): Seq[Any] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M')
+      return NullAHash
+    val dataOff = le32(b, 10)
+    if (le32(b, 14) < 40) return NullAHash
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || le16(b, 28) != 24 || le32(b, 30) != 0)
+      return NullAHash
+    val rowBytes = (w * 3 + 3) & ~3
+    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+      return NullAHash
+    // 8x8 nearest-neighbor luma grid in IMAGE coordinates (y = 0 at the
+    // top); bottom-up files store image row y at file row h-1-y
+    val gray = new Array[Int](64)
+    var sum = 0
+    var j = 0
+    while (j < 8) {
+      val sy = j * h / 8
+      val fileRow = if (hRaw > 0) h - 1 - sy else sy
+      val ro = dataOff + fileRow * rowBytes
+      var i = 0
+      while (i < 8) {
+        val sx = i * w / 8
+        val po = ro + sx * 3 // stored B, G, R
+        val g = (299 * (b(po + 2) & 0xFF) + 587 * (b(po + 1) & 0xFF) +
+          114 * (b(po) & 0xFF)) / 1000
+        gray(j * 8 + i) = g
+        sum += g
+        i += 1
+      }
+      j += 1
+    }
+    val mean = sum / 64
+    var hi = 0L
+    var lo = 0L
+    var k = 0
+    while (k < 64) {
+      if (gray(k) > mean) {
+        if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k
+      }
+      k += 1
+    }
+    Seq[Any](w, h, hi, lo)
+  }
+
+  /** [[synthBmpBytes]] with a clamped brightness shift — the near-dup
+    * test vector: `delta = 0` reproduces [[synthBmpBytes]] exactly.
+    */
+  def synthBmpBytesShifted(id: Long, delta: Int): Array[Byte] = {
+    val w = (4 + id % 8).toInt
+    val h = (3 + id % 5).toInt
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataLen = rowBytes * h
+    val out = new java.io.ByteArrayOutputStream(54 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write('B'); out.write('M'); w32(54 + dataLen); w32(0); w32(54)
+    w32(40); w32(w); w32(h); w16(1); w16(24); w32(0); w32(dataLen)
+    w32(2835); w32(2835); w32(0); w32(0)
+    def clamp(v: Long): Int = math.min(v + delta, 255L).toInt
+    var fy = 0
+    while (fy < h) {
+      val y = h - 1 - fy
+      var x = 0
+      while (x < w) {
+        out.write(clamp((id * 7 + x * 4 + y * 2) % 256)) // B
+        out.write(clamp((id * 3 + x + y) % 256))         // G
+        out.write(clamp((id + 2 * x + 5 * y) % 256))     // R
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowBytes) { out.write(0); p += 1 }
+      fy += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic 24bpp BMP bytes for end-to-end decode tests:
     * `(4 + id%8) × (3 + id%5)` pixels with channel values
     * R = `(id + 2x + 5y) mod 256`, G = `(id·3 + x + y) mod 256`,

@@ -1320,6 +1320,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("aHash: identical bytes hash identically, JVM grid reference " +
+      "matches, quarantine holds") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val rows = Seq(
+      (1L, Multimodal.synthBmpBytesShifted(6L, 0)),
+      (2L, Multimodal.synthBmpBytesShifted(6L, 0)), // byte-identical copy
+      (3L, Multimodal.synthBmpBytesShifted(6L, 8)), // brightness shifted
+      (4L, "BMjunk".getBytes("US-ASCII")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val schema = StructType(Seq(StructField("media_id", LongType, false),
+      StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, p) => Row(i, p) }).asJava), schema)
+    val out = Multimodal.aHashBmp(df)
+      .select("media_id", "width", "height", "hash_hi", "hash_lo")
+      .orderBy("media_id").collect()
+    // independent reference: the 8x8 grid over the closed-form pixels
+    val (w, h) = (4 + 6 % 8, 3 + 6 % 5) // 10 x 4
+    def gridHash(delta: Int): (Long, Long) = {
+      val gray = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (sx, sy) = (i * w / 8, j * h / 8)
+        val r = math.min((6L + 2 * sx + 5 * sy) % 256 + delta, 255L)
+        val g = math.min((6L * 3 + sx + sy) % 256 + delta, 255L)
+        val b = math.min((6L * 7 + sx * 4 + sy * 2) % 256 + delta, 255L)
+        ((299 * r + 587 * g + 114 * b) / 1000).toInt
+      }
+      val mean = gray.sum / 64
+      var hi = 0L; var lo = 0L
+      gray.zipWithIndex.foreach { case (g, k) =>
+        if (g > mean) { if (k >= 32) hi |= 1L << (k - 32) else lo |= 1L << k }
+      }
+      (hi, lo)
+    }
+    assert((out(0).getLong(3), out(0).getLong(4)) == gridHash(0))
+    assert(out(0).getInt(1) == w && out(0).getInt(2) == h)
+    // identical bytes -> identical hash
+    assert(out(1).toSeq.drop(1) == out(0).toSeq.drop(1))
+    // the shifted variant matches ITS closed-form hash (and, with no
+    // clamping on these small channel values, equals the base hash —
+    // the brightness-invariance property)
+    assert((out(2).getLong(3), out(2).getLong(4)) == gridHash(8))
+    // malformed + null payloads quarantine to all-null features
+    Seq(3, 4).foreach { i =>
+      assert((1 to 4).forall(out(i).isNullAt), s"row $i not quarantined")
+    }
+  }
+
   test("bloom pre-screened incremental dedup equals the plain anti-join") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
