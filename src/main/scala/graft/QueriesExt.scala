@@ -1873,6 +1873,31 @@ object QueriesExt {
         .select("media_id", "width", "height", "hash_hi", "hash_lo",
           "n_same")
         .orderBy("media_id")
+    }),
+
+    // Keep-best dedup canonicalization (the FineWeb/CCNet retention
+    // policy): near-dup clusters from the trigram-jaccard edges + label
+    // propagation, then ONE survivor per cluster chosen by quality
+    // (n_chars desc, doc_id asc tie) — not min-id: dedup should keep
+    // the best copy, not an arbitrary one. Composes two proven ops +
+    // one window; everything after the edge build is key-bounded by
+    // component.
+    "q118_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = consecTriEdges(s, dir, minJ = 0.5)
+      val comp = Dedup.connectedComponents(edges, "id1", "id2", d, "doc_id")
+      val joined = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val wComp = org.apache.spark.sql.expressions.Window
+        .partitionBy("component")
+      joined.withColumn("rk", row_number().over(wRank))
+        .withColumn("n_members", count(lit(1)).over(wComp))
+        .where(col("rk") === 1)
+        .select(col("component"), col("doc_id").as("kept_doc"),
+          col("n_chars").as("kept_chars"), col("n_members"))
+        .orderBy("component")
     })
   )
 
@@ -4815,6 +4840,21 @@ object QueriesExt {
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
-        |FROM bits ORDER BY media_id""".stripMargin
+        |FROM bits ORDER BY media_id""".stripMargin,
+
+    // components via the recursive reachability twin, then the same
+    // quality-ranked survivor per cluster
+    "q118_keep_best" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |q AS (
+         |  SELECT c.component, c.doc_id, dd.n_chars,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY dd.n_chars DESC, c.doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY c.component) AS n_members
+         |  FROM comp c JOIN documents dd USING (doc_id)
+         |)
+         |SELECT component, doc_id AS kept_doc, n_chars AS kept_chars,
+         |  n_members::BIGINT AS n_members
+         |FROM q WHERE rk = 1 ORDER BY component""".stripMargin
   )
 }
