@@ -1898,6 +1898,19 @@ object QueriesExt {
         .select(col("component"), col("doc_id").as("kept_doc"),
           col("n_chars").as("kept_chars"), col("n_members"))
         .orderBy("component")
+    }),
+
+    // Data-constrained epoch allocation (Muennighoff 2023's multi-epoch
+    // mixing): 80k-token budget over the sources, each capped at 3
+    // epochs of its unique tokens, overflow water-filled across open
+    // sources in 3 integer rounds; what can't be placed surfaces as
+    // unallocated_tokens. One corpus groupBy; every round is arithmetic
+    // on the #sources-row plan frame. All integers → cell-exact replay.
+    "q119_epoch_plan" -> ((s, dir) => {
+      MixPlan.epochPlan(docs(s, dir), "source",
+          size(TextOps.tokens(col("text"))), budget = 80000L,
+          maxEpochs = 3, rounds = 3)
+        .orderBy("source")
     })
   )
 
@@ -4855,6 +4868,50 @@ object QueriesExt {
          |)
          |SELECT component, doc_id AS kept_doc, n_chars AS kept_chars,
          |  n_members::BIGINT AS n_members
-         |FROM q WHERE rk = 1 ORDER BY component""".stripMargin
+         |FROM q WHERE rk = 1 ORDER BY component""".stripMargin,
+
+    // replays the equal split, the 3-epoch caps, and all 3 integer
+    // water-fill rounds; unallocated = budget − Σalloc as in the engine
+    "q119_epoch_plan" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      val roundCtes = (1 to 3).map { i =>
+        val p = s"p${i - 1}"
+        s"""g$i AS (
+           |  SELECT sum(overflow)::BIGINT AS surplus,
+           |    sum(CASE WHEN alloc < cap THEN 1 ELSE 0 END)::BIGINT
+           |      AS n_open
+           |  FROM $p
+           |), v$i AS (
+           |  SELECT source, avail, cap, alloc, overflow,
+           |    CASE WHEN n_open > 0 AND alloc < cap
+           |         THEN surplus // n_open ELSE 0 END AS give
+           |  FROM $p, g$i
+           |), p$i AS (
+           |  SELECT source, avail, cap,
+           |    (alloc + least(give, cap - alloc))::BIGINT AS alloc,
+           |    (give - least(give, cap - alloc))::BIGINT AS overflow
+           |  FROM v$i
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH a AS (
+         |  SELECT source, sum(len($toks))::BIGINT AS avail
+         |  FROM documents GROUP BY 1
+         |), c AS (SELECT source, avail, avail * 3 AS cap FROM a),
+         |n AS (SELECT count(*)::BIGINT AS n FROM c),
+         |p0 AS (
+         |  SELECT source, avail, cap,
+         |    least(80000 // n.n, cap)::BIGINT AS alloc,
+         |    (80000 // n.n - least(80000 // n.n, cap))::BIGINT
+         |      AS overflow
+         |  FROM c, n
+         |),
+         |$roundCtes,
+         |tot AS (SELECT sum(alloc)::BIGINT AS t FROM p3)
+         |SELECT source, avail AS avail_tokens, cap AS cap_tokens,
+         |  alloc AS alloc_tokens, (80000 - t)::BIGINT
+         |    AS unallocated_tokens,
+         |  (alloc * 1000 // greatest(avail, 1))::BIGINT AS epochs_x1000
+         |FROM p3, tot ORDER BY source""".stripMargin
+    }
   )
 }

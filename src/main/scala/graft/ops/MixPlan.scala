@@ -109,4 +109,70 @@ object MixPlan {
       .where(Sampling.hashUnit(col(idCol), salt) < col("rate"))
       .drop("rate")
   }
+
+  /** Data-constrained epoch allocation (the multi-epoch mixing question
+    * of Muennighoff et al. 2023: when the budget exceeds the unique
+    * corpus, how many EPOCHS does each source run?): start from an equal
+    * split of `budget`, cap every source at `maxEpochs × avail`, and
+    * water-fill — each round moves the summed overflow of newly-capped
+    * sources to the uncapped ones in equal integer shares. `rounds`
+    * fixed redistribution rounds (each round caps ≥1 more source or
+    * moves nothing, so #sources rounds is always enough; leftover after
+    * the horizon surfaces as `unallocated_tokens` rather than silently
+    * vanishing). All integer arithmetic (truncating DIV, exact sums), so
+    * an oracle replays every round cell-exact.
+    *
+    * Scale shape: ONE groupBy of the corpus onto #sources keys; every
+    * round after that is arithmetic on the #sources-row plan frame
+    * (aggregate + broadcast cross join), nothing corpus-sized.
+    *
+    * @return (srcCol, avail_tokens, cap_tokens, alloc_tokens,
+    *          unallocated_tokens, epochs_x1000) — epochs as an exact
+    *          integer in milli-epochs (alloc·1000 div avail).
+    */
+  def epochPlan(df: DataFrame, srcCol: String, tokenCol: Column,
+      budget: Long, maxEpochs: Int, rounds: Int = 3): DataFrame = {
+    require(budget > 0 && maxEpochs > 0 && rounds > 0)
+    val avail = df.groupBy(col(srcCol))
+      .agg(sum(tokenCol.cast("long")).as("avail_tokens"))
+      .withColumn("cap_tokens", col("avail_tokens") * maxEpochs)
+      .localCheckpoint(true)
+    val n = avail.count() // one driver scalar: #sources (bounded)
+    var plan = avail.withColumn("alloc_tokens",
+      least(lit(budget / math.max(n, 1L)), col("cap_tokens")))
+      .withColumn("overflow",
+        lit(budget / math.max(n, 1L)) - col("alloc_tokens"))
+    var r = 0
+    while (r < rounds) {
+      // surplus so far + how many sources still have headroom
+      val agg = plan.agg(
+        sum(col("overflow")).as("surplus"),
+        sum(when(col("alloc_tokens") < col("cap_tokens"), 1L)
+          .otherwise(0L)).as("n_open")).localCheckpoint(true)
+      val next = plan.crossJoin(broadcast(agg))
+        .withColumn("give",
+          when(col("n_open") > 0 &&
+            col("alloc_tokens") < col("cap_tokens"),
+            expr("surplus DIV n_open")).otherwise(lit(0L)))
+        .withColumn("take",
+          least(col("give"), col("cap_tokens") - col("alloc_tokens")))
+        .withColumn("alloc_tokens", col("alloc_tokens") + col("take"))
+        .withColumn("overflow", col("give") - col("take"))
+        .drop("surplus", "n_open", "give", "take")
+      plan = next.localCheckpoint(true)
+      r += 1
+    }
+    // integer shares truncate (surplus DIV n_open), so per-source
+    // overflow under-counts by the round remainders; the honest global
+    // figure is budget − Σalloc, attached to every row from a 1-row
+    // aggregate (both the engine and the oracle compute it this way)
+    val totals = plan.agg(sum(col("alloc_tokens")).as("__tot"))
+    plan.crossJoin(broadcast(totals))
+      .withColumn("unallocated_tokens", lit(budget) - col("__tot"))
+      .withColumn("epochs_x1000",
+        expr("alloc_tokens * 1000L DIV greatest(avail_tokens, 1L)"))
+      .select(col(srcCol), col("avail_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("unallocated_tokens"),
+        col("epochs_x1000"))
+  }
 }

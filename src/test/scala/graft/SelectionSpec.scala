@@ -150,6 +150,34 @@ class SelectionSpec extends SparkSpec {
       s"target-like doc should outscore off-target: $w")
   }
 
+  test("epoch plan water-fills overflow into open sources under caps") {
+    // three sources: tiny (10 tok), mid (40 tok), big (100 tok);
+    // budget 150, maxEpochs 2 -> caps 20/80/200
+    val df = docFrame(
+      (1L, "a " * 10),
+      (2L, "b " * 40),
+      (3L, "c " * 100))
+      .withColumn("source", when(col("doc_id") === 1, "tiny")
+        .when(col("doc_id") === 2, "mid").otherwise("big"))
+    val nt = graft.ops.TextOps.tokenCount(col("text"))
+    val got = MixPlan.epochPlan(df, "source", nt, budget = 150L,
+        maxEpochs = 2, rounds = 3)
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // round 0: equal split 50 each; tiny caps at 20 (overflow 30),
+    // mid keeps 50, big keeps 50
+    // round 1: surplus 30 over 2 open -> +15 each: mid 65, big 65
+    // round 2-3: nothing left
+    assert(got("tiny") == (10L, 20L, 20L, 0L, 2000L), got("tiny"))
+    assert(got("mid") == (40L, 80L, 65L, 0L, 1625L), got("mid"))
+    assert(got("big") == (100L, 200L, 65L, 0L, 650L), got("big"))
+    // conservation: allocations + global unallocated == budget
+    assert(got.values.map(_._3).sum + got("big")._4 == 150L)
+    // caps respected
+    got.values.foreach { case (_, cap, alloc, _, _) => assert(alloc <= cap) }
+  }
+
   test("mix plan computes uniform-share rates, deficits, and execution") {
     val df = docFrame(
       (1L, "a " * 50), (2L, "b " * 30),     // src big: 80 tokens
