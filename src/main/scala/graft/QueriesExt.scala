@@ -1911,6 +1911,38 @@ object QueriesExt {
           size(TextOps.tokens(col("text"))), budget = 80000L,
           maxEpochs = 3, rounds = 3)
         .orderBy("source")
+    }),
+
+    // Audio near-dup via a 32-bit loudness-envelope fingerprint over
+    // REAL decoded PCM bytes (q117's idea on the time axis): ids
+    // 3k/3k+1/3k+2 carry the same base clip (3k+1 byte-identical,
+    // 3k+2 gain ×9/8 floor-scaled), the kernel reduces each of 32
+    // balanced segments to its integer mean |amplitude| and thresholds
+    // on the mean of means — gain-invariant up to integer truncation,
+    // so identical hashes group the planted duplicates. Bytes stay in
+    // a narrow mapPartitions; only the 8-byte hash reaches the window.
+    "q120_audio_envhash" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val base = id - id % 3
+            val (num, den) = if (id % 3 == 2) (9, 8) else (1, 1)
+            Row(id, Multimodal.synthWavBytesScaled(base, num, den))
+          }
+        }(Encoders.row(mediaSchema)).toDF()
+      val hashed = Multimodal.envelopeHashWav(media, "media_id", "payload")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("env_hash")
+      hashed.withColumn("n_same", count(lit(1)).over(w))
+        .select("media_id", "sample_rate", "n_samples", "env_hash",
+          "n_same")
+        .orderBy("media_id")
     })
   )
 
@@ -4912,6 +4944,49 @@ object QueriesExt {
          |    AS unallocated_tokens,
          |  (alloc * 1000 // greatest(avail, 1))::BIGINT AS epochs_x1000
          |FROM p3, tot ORDER BY source""".stripMargin
-    }
+    },
+
+    // predicts every envelope bit from the closed-form sample family
+    // the byte-level kernel must recover: trunc-scaled gain (DuckDB //
+    // truncates toward zero on negatives, like Scala / and Spark DIV),
+    // balanced segment split i*32//n, integer segment means,
+    // mean-of-means threshold
+    "q120_audio_envhash" ->
+      """WITH fam AS (
+        |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
+        |    CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 1 END AS num,
+        |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 1 END AS den
+        |  FROM documents
+        |), dim AS (
+        |  SELECT doc_id, base, num, den,
+        |    (64 + base % 32)::BIGINT AS n,
+        |    (8000 * (1 + base % 3))::INTEGER AS rate
+        |  FROM fam
+        |), smp AS (
+        |  SELECT d.doc_id, d.n, d.rate, gi.i,
+        |    abs(greatest(-32768, least(32767,
+        |      (((d.base * 31 + gi.i * 7) % 2048 - 1024) * d.num) // d.den
+        |    ))) AS a,
+        |    (gi.i * 32) // d.n AS k
+        |  FROM dim d, generate_series(0, 95) AS gi(i)
+        |  WHERE gi.i < d.n
+        |), seg AS (
+        |  SELECT doc_id, any_value(n) AS n, any_value(rate) AS rate, k,
+        |    (sum(a) // count(*))::BIGINT AS seg_mean
+        |  FROM smp GROUP BY doc_id, k
+        |), mm AS (
+        |  SELECT doc_id, (sum(seg_mean) // 32)::BIGINT AS mean
+        |  FROM seg GROUP BY doc_id
+        |), hs AS (
+        |  SELECT s.doc_id, any_value(s.n) AS n, any_value(s.rate) AS rate,
+        |    sum(CASE WHEN s.seg_mean > m.mean
+        |        THEN (1::BIGINT << s.k) ELSE 0 END)::BIGINT AS env_hash
+        |  FROM seg s JOIN mm m USING (doc_id)
+        |  GROUP BY s.doc_id
+        |)
+        |SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
+        |  env_hash,
+        |  count(*) OVER (PARTITION BY env_hash)::BIGINT AS n_same
+        |FROM hs ORDER BY media_id""".stripMargin
   )
 }

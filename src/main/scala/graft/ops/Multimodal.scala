@@ -435,6 +435,125 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Features produced by [[envelopeHashWav]]; null for unparseable
+    * payloads.
+    */
+  val envHashSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("env_hash", LongType)))
+
+  /** 32-bit loudness-envelope fingerprint over REAL decoded PCM16
+    * samples — the audio near-duplicate key (the aHash idea on the time
+    * axis, the first stage of an echoprint/chromaprint-style dedup):
+    * the sample stream splits into 32 balanced segments (sample i →
+    * segment i·32 div n), each segment reduces to its integer mean
+    * absolute amplitude, and bit k is set when segment k's mean exceeds
+    * the integer mean of the 32 segment means. Re-encodes and moderate
+    * gain changes preserve the hash (a positive gain scales every
+    * segment mean together, clipping aside), so identical hashes group
+    * perceptual duplicates. Integer arithmetic end to end — a SQL
+    * oracle predicts every bit from the synthetic sample formula while
+    * this kernel recovers it from raw RIFF bytes. Narrow mapPartitions;
+    * only the 8-byte hash continues.
+    */
+  def envelopeHashWav(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ envHashSchema.fields)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = if (row.isNullAt(payIdx)) null
+          else row.getAs[Array[Byte]](payIdx)
+        Row.fromSeq(row.toSeq ++ envHashSamples(b))
+      }
+    }(enc)
+  }
+
+  private val NullEnvHash: Seq[Any] = Seq(null, null, null)
+
+  private def envHashSamples(b: Array[Byte]): Seq[Any] = {
+    // container walk identical to parseWav's contract
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+      tag(b, 8) != "WAVE") return NullEnvHash
+    var off = 12
+    var rate, channels, bits = -1
+    var fmtPcm = false
+    var dataOff, dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = tag(b, off)
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return NullEnvHash
+      if (id == "fmt " && size >= 16) {
+        fmtPcm = le16(b, off + 8) == 1
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        bits = le16(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    if (!fmtPcm || bits != 16 || rate <= 0 || channels <= 0 ||
+      dataOff < 0) return NullEnvHash
+    val n = dataLen / 2
+    if (n <= 0) return NullEnvHash
+    val segSum = new Array[Long](32)
+    val segCnt = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val s = le16(b, dataOff + i * 2).toShort.toInt
+      val k = (i.toLong * 32 / n).toInt
+      segSum(k) += math.abs(s)
+      segCnt(k) += 1
+      i += 1
+    }
+    var meanSum = 0L
+    val segMean = new Array[Long](32)
+    var k = 0
+    while (k < 32) {
+      segMean(k) = if (segCnt(k) > 0) segSum(k) / segCnt(k) else 0L
+      meanSum += segMean(k)
+      k += 1
+    }
+    val mean = meanSum / 32
+    var hash = 0L
+    k = 0
+    while (k < 32) {
+      if (segMean(k) > mean) hash |= 1L << k
+      k += 1
+    }
+    Seq[Any](rate, n.toLong / channels, hash)
+  }
+
+  /** [[synthWavBytes]] with a clamped rational gain — the audio near-dup
+    * test vector: `num = den` reproduces [[synthWavBytes]] exactly.
+    */
+  def synthWavBytesScaled(id: Long, num: Int, den: Int): Array[Byte] = {
+    val n = (64 + id % 32).toInt
+    val rate = (8000 * (1 + id % 3)).toInt
+    val dataLen = n * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataLen)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    out.write("RIFF".getBytes("US-ASCII")); w32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII")); w32(dataLen)
+    var i = 0
+    while (i < n) {
+      val base = ((id * 31 + i * 7) % 2048) - 1024
+      // TRUNCATING division toward zero — negative samples exist, and
+      // DuckDB's // truncates on negatives exactly like Scala's / and
+      // Spark's DIV (measured: (-346*9)//8 = -389, not floor's -390),
+      // so plain / keeps the two replays identical
+      val v = math.max(-32768L, math.min(32767L, base * num / den))
+      w16(v.toInt)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic PCM16 mono WAV bytes for end-to-end decode tests:
     * `64 + id%32` samples at `8000·(1 + id%3)` Hz with sample i =
     * `(id·31 + i·7) mod 2048 − 1024` — every decoded feature is a

@@ -1368,6 +1368,50 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("envelope hash: byte-identical clips collide, JVM reference " +
+      "matches, quarantine holds") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val rows = Seq(
+      (1L, Multimodal.synthWavBytesScaled(12L, 1, 1)),
+      (2L, Multimodal.synthWavBytesScaled(12L, 1, 1)), // identical copy
+      (3L, Multimodal.synthWavBytesScaled(12L, 9, 8)), // gain x9/8
+      (4L, "RIFFjunk".getBytes("US-ASCII")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val schema = StructType(Seq(StructField("media_id", LongType, false),
+      StructField("payload", BinaryType, true)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, p) => Row(i, p) }).asJava), schema)
+    val out = Multimodal.envelopeHashWav(df)
+      .select("media_id", "sample_rate", "n_samples", "env_hash")
+      .orderBy("media_id").collect()
+    // independent reference over the closed-form samples
+    def refHash(num: Int, den: Int): Long = {
+      val n = (64 + 12 % 32).toInt
+      val samples = (0 until n).map { i =>
+        val base = ((12L * 31 + i * 7) % 2048) - 1024
+        math.max(-32768L, math.min(32767L, base * num / den))
+      }
+      val segSum = new Array[Long](32); val segCnt = new Array[Long](32)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        val k = (i.toLong * 32 / n).toInt
+        segSum(k) += math.abs(s); segCnt(k) += 1
+      }
+      val means = (0 until 32).map(k => segSum(k) / segCnt(k))
+      val mean = means.sum / 32
+      means.zipWithIndex.foldLeft(0L) { case (h, (m, k)) =>
+        if (m > mean) h | (1L << k) else h
+      }
+    }
+    assert(out(0).getInt(1) == 8000 && out(0).getLong(2) == 76L)
+    assert(out(0).getLong(3) == refHash(1, 1))
+    assert(out(1).toSeq == out(0).toSeq.updated(0, 2L))
+    assert(out(2).getLong(3) == refHash(9, 8))
+    Seq(3, 4).foreach { i =>
+      assert((1 to 3).forall(out(i).isNullAt), s"row $i not quarantined")
+    }
+  }
+
   test("bloom pre-screened incremental dedup equals the plain anti-join") {
     val rnd = new scala.util.Random(777)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
