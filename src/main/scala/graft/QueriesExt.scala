@@ -1943,6 +1943,48 @@ object QueriesExt {
         .select("media_id", "sample_rate", "n_samples", "env_hash",
           "n_same")
         .orderBy("media_id")
+    }),
+
+    // Tokenizer fertility by language — the multilingual-tokenizer
+    // health metric (fertility = subword tokens per word; a tokenizer
+    // that explodes one language's words starves it of effective
+    // context): BPE-ish pre-tokens vs whitespace words vs chars,
+    // aggregated per lang. One groupBy onto #langs keys, map-side
+    // partials; the ratios are single divisions of exact longs,
+    // rounded 6 dp on both sides.
+    "q121_fertility" -> ((s, dir) => {
+      docs(s, dir).groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_words"),
+          sum(TextOps.bpeTokenCount(col("text")).cast("long"))
+            .as("n_bpe_tokens"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .withColumn("fertility", round(
+          col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_token", round(
+          col("n_chars").cast("double") / col("n_bpe_tokens"), 6))
+        .orderBy("lang")
+    }),
+
+    // Per-source quality-quantile pruning (the FineWeb-Edu-style
+    // bottom-cut, spelled with integer ranks instead of float
+    // percentiles): within each source, docs rank by quality asc and
+    // the bottom n·20 div 100 are dropped — a RANK cut is reproducible
+    // where a percentile threshold on floats is not. Quality doubles
+    // replay bit-exact (the q28 contract), so the ordering and the cut
+    // agree across engines. One key-bounded shuffle.
+    "q122_quality_prune" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("quality").asc, col("doc_id"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+      base.withColumn("src_rank", row_number().over(wRank))
+        .withColumn("n_src", count(lit(1)).over(wSrc))
+        .where(col("src_rank") > expr("n_src * 20 DIV 100"))
+        .select("source", "doc_id", "quality", "src_rank", "n_src")
+        .orderBy("source", "src_rank")
     })
   )
 
@@ -4987,6 +5029,43 @@ object QueriesExt {
         |SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
         |  env_hash,
         |  count(*) OVER (PARTITION BY env_hash)::BIGINT AS n_same
-        |FROM hs ORDER BY media_id""".stripMargin
+        |FROM hs ORDER BY media_id""".stripMargin,
+
+    // replays the q29 token twins per language and the exact-long
+    // ratio divisions
+    "q121_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n_words,
+        |  sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+        |    )))::BIGINT AS n_bpe_tokens,
+        |  sum(length(text))::BIGINT AS n_chars,
+        |  round(sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+        |    )))::DOUBLE / sum(len(regexp_extract_all(text, '\S+'))), 6)
+        |    AS fertility,
+        |  round(sum(length(text))::DOUBLE /
+        |    sum(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+        |    ))), 6) AS chars_per_token
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the bit-exact quality doubles, the per-source rank, and
+    // the integer bottom-cut
+    "q122_quality_prune" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ($qualitySql) AS quality
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id ASC) AS src_rank,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q
+         |)
+         |SELECT source, doc_id, quality,
+         |  src_rank::INTEGER AS src_rank, n_src::BIGINT AS n_src
+         |FROM r WHERE src_rank > n_src * 20 // 100
+         |ORDER BY source, src_rank""".stripMargin
   )
 }
