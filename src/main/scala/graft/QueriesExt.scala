@@ -1972,12 +1972,18 @@ object QueriesExt {
     // the bottom n·20 div 100 are dropped — a RANK cut is reproducible
     // where a percentile threshold on floats is not. Quality doubles
     // replay bit-exact (the q28 contract), so the ordering and the cut
-    // agree across engines. One key-bounded shuffle.
+    // agree across engines. NULL quality (empty text — both engines'
+    // 0/0 is NULL) ranks FIRST explicitly: "no quality signal" prunes
+    // before "measured bad", and Spark's nulls-first ASC default is
+    // DuckDB's opposite, so the choice is spelled on both sides (the
+    // adversarial-fixture sweep caught the divergence). One key-bounded
+    // shuffle.
     "q122_quality_prune" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("source"),
         TextOps.qualityScore(col("text")).as("quality"))
       val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("quality").asc, col("doc_id"))
+        .partitionBy("source")
+        .orderBy(col("quality").asc_nulls_first, col("doc_id"))
       val wSrc = org.apache.spark.sql.expressions.Window
         .partitionBy("source")
       base.withColumn("src_rank", row_number().over(wRank))
@@ -1985,6 +1991,31 @@ object QueriesExt {
         .where(col("src_rank") > expr("n_src * 20 DIV 100"))
         .select("source", "doc_id", "quality", "src_rank", "n_src")
         .orderBy("source", "src_rank")
+    }),
+
+    // Language-ID confusion matrix — the classifier-eval diagnostic a
+    // multilingual pipeline watches (which labeled langs does the
+    // n-gram detector misroute, and where does 'und' leak?): labeled
+    // lang × predicted lang doc counts. One groupBy onto ≤ |langs|²
+    // keys, map-side partials.
+    "q123_lang_confusion" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // Pairwise source JS-divergence matrix — the distribution-shift
+    // complement of q103's KMV overlap matrix (overlap = shared
+    // CONTENT, JS = how far apart the token DISTRIBUTIONS sit; the
+    // signal temperature/mixing decisions consume). One corpus
+    // aggregation onto sources×1024 bucket keys; the pair join is
+    // bounded by S²·B rows regardless of corpus size. Quantized-grid
+    // DECIMAL arithmetic (the q74 contract) → cell-exact.
+    "q124_source_js_matrix" -> ((s, dir) => {
+      graft.ops.Divergence.jsMatrix(docs(s, dir), "source", "text",
+          buckets = 1024)
+        .orderBy("g1", "g2")
     })
   )
 
@@ -5050,7 +5081,9 @@ object QueriesExt {
         |    ))), 6) AS chars_per_token
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // replays the bit-exact quality doubles, the per-source rank, and
+    // replays the bit-exact quality doubles, the per-source rank with
+    // EXPLICIT NULLS FIRST (DuckDB defaults to nulls last; Spark to
+    // nulls first — the engine pins nulls-first on both sides), and
     // the integer bottom-cut
     "q122_quality_prune" ->
       s"""WITH q AS (
@@ -5059,13 +5092,49 @@ object QueriesExt {
          |), r AS (
          |  SELECT source, doc_id, quality,
          |    row_number() OVER (PARTITION BY source
-         |      ORDER BY quality ASC, doc_id ASC) AS src_rank,
+         |      ORDER BY quality ASC NULLS FIRST, doc_id ASC) AS src_rank,
          |    count(*) OVER (PARTITION BY source) AS n_src
          |  FROM q
          |)
          |SELECT source, doc_id, quality,
          |  src_rank::INTEGER AS src_rank, n_src::BIGINT AS n_src
          |FROM r WHERE src_rank > n_src * 20 // 100
-         |ORDER BY source, src_rank""".stripMargin
+         |ORDER BY source, src_rank""".stripMargin,
+
+    // replays the q27 language detector per (label, prediction) cell
+    "q123_lang_confusion" ->
+      s"""SELECT lang, ($langIdSql) AS pred_lang,
+         |  count(*)::BIGINT AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the dense source×bucket histograms and the q74
+    // quantized-grid JS arithmetic for every source pair
+    "q124_source_js_matrix" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT source, unnest($toks) AS g FROM documents
+         |), c AS (
+         |  SELECT source,
+         |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS b,
+         |    count(*)::BIGINT AS c
+         |  FROM t GROUP BY 1, 2
+         |), n AS (SELECT source, sum(c)::BIGINT AS n FROM c GROUP BY 1),
+         |dense AS (
+         |  SELECT n.source, r.b, n.n, coalesce(c.c, 0)::BIGINT AS c
+         |  FROM range(1024) AS r(b) CROSS JOIN n
+         |  LEFT JOIN c ON c.source = n.source AND c.b = r.b
+         |), pq AS (
+         |  SELECT a.source AS g1, b2.source AS g2, a.n AS n1, b2.n AS n2,
+         |    (a.c + 1)::DOUBLE / (a.n + 1024) AS p,
+         |    (b2.c + 1)::DOUBLE / (b2.n + 1024) AS q
+         |  FROM dense a JOIN dense b2
+         |    ON a.b = b2.b AND a.source < b2.source
+         |)
+         |SELECT g1, g2, max(n1) AS n_tokens_1, max(n2) AS n_tokens_2,
+         |  (sum(round((p * log2(p / ((p + q) / 2.0))
+         |            + q * log2(q / ((p + q) / 2.0))) / 2.0,
+         |       12)::DECIMAL(28,12)))::DOUBLE AS js_bits
+         |FROM pq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 }

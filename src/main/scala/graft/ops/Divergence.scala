@@ -59,4 +59,55 @@ object Divergence {
       .agg(first(col("na")).as("n_tokens_a"), first(col("nb")).as("n_tokens_b"),
         sum(contrib).cast("double").as("js_bits"))
   }
+
+  /** Pairwise JS divergence matrix between every pair of `groupCol`
+    * values — the distribution-shift complement of the KMV overlap
+    * matrix (q103): overlap says how much CONTENT two sources share, JS
+    * says how far apart their token DISTRIBUTIONS sit (the signal a
+    * mixing/temperature decision consumes). Same quantized-grid DECIMAL
+    * arithmetic as [[jsDivergence]].
+    *
+    * Scale shape: ONE corpus aggregation onto (#groups × buckets) keys,
+    * then everything runs on the dense group×bucket frame — the pair
+    * join is bounded by S²·B rows (S groups, B buckets) no matter the
+    * corpus size. `groupCol` must be low-cardinality (sources, langs);
+    * the dense frame is built from a range×totals cross join so empty
+    * buckets smooth correctly on both sides.
+    *
+    * @return (g1, g2, n_tokens_1, n_tokens_2, js_bits) for g1 < g2.
+    */
+  def jsMatrix(df: DataFrame, groupCol: String, textCol: String,
+      buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2, "need at least two buckets")
+    val spark = df.sparkSession
+    val counts = df
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(TextOps.tokens(col(textCol))).as("__t"))
+      .select(col("__g"), Dsir.gramBucket(col("__t"), buckets).as("__b"))
+      .groupBy("__g", "__b").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("__g").agg(sum("c").as("n"))
+    // dense (group, bucket) frame: groups × buckets rows, NOT corpus rows
+    val dense = spark.range(buckets).select(col("id").as("__b"))
+      .crossJoin(broadcast(totals))
+      .join(counts, Seq("__g", "__b"), "left")
+      .select(col("__g"), col("__b"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    val a = dense.select(col("__g").as("g1"), col("__b"),
+      col("n").as("n1"), col("c").as("c1"))
+    val b = dense.select(col("__g").as("g2"), col("__b"),
+      col("n").as("n2"), col("c").as("c2"))
+    val p = (col("c1") + 1).cast("double") /
+      (col("n1") + buckets).cast("double")
+    val q = (col("c2") + 1).cast("double") /
+      (col("n2") + buckets).cast("double")
+    val m = (p + q) / 2.0
+    val contrib = round((p * log2(p / m) + q * log2(q / m)) / 2.0, 12)
+      .cast(DecimalType(28, 12))
+    a.join(b, Seq("__b")).where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(max(col("n1")).as("n_tokens_1"),
+        max(col("n2")).as("n_tokens_2"),
+        sum(contrib).cast("double").as("js_bits"))
+  }
 }

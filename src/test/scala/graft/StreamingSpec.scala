@@ -207,6 +207,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("media fingerprints run stateless on a stream (aHash + envelope)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val ids = (0L to 8L)
+    def bmp(id: Long) = Multimodal.synthBmpBytesShifted(
+      id - id % 3, if (id % 3 == 2) 8 else 0)
+    def wav(id: Long) = Multimodal.synthWavBytesScaled(
+      id - id % 3, if (id % 3 == 2) 9 else 1, if (id % 3 == 2) 8 else 1)
+    val src = MemoryStream[Long]
+    val media = src.toDS().map(id => (id, bmp(id), wav(id)))
+      .toDF("media_id", "bmp_payload", "wav_payload")
+    val hashed = Multimodal.envelopeHashWav(
+      Multimodal.aHashBmp(media, "media_id", "bmp_payload"),
+      "media_id", "wav_payload")
+      .select("media_id", "hash_hi", "hash_lo", "env_hash")
+    val q = hashed.writeStream.format("memory").queryName("mediahash")
+      .outputMode("append").start()
+    try {
+      src.addData(ids: _*)
+      q.processAllAvailable()
+      val got = spark.table("mediahash").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = Multimodal.envelopeHashWav(
+        Multimodal.aHashBmp(
+          ids.map(id => (id, bmp(id), wav(id)))
+            .toDF("media_id", "bmp_payload", "wav_payload"),
+          "media_id", "bmp_payload"),
+        "media_id", "wav_payload")
+        .select("media_id", "hash_hi", "hash_lo", "env_hash")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == batch && got.size == ids.size)
+      // the planted family collides on both modalities
+      val byId = got.map(t => t._1 -> (t._2, t._3, t._4)).toMap
+      assert(byId(0L) == byId(1L))
+    } finally q.stop()
+  }
+
   test("quality-classifier gate runs in a streaming select") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
