@@ -2016,6 +2016,20 @@ object QueriesExt {
       graft.ops.Divergence.jsMatrix(docs(s, dir), "source", "text",
           buckets = 1024)
         .orderBy("g1", "g2")
+    }),
+
+    // Degree/reciprocity profile of the q114 link graph — the crawl-
+    // graph health table read next to PageRank (degree skew flags link
+    // farms, reciprocity separates link exchanges from citations).
+    // Two key-bounded aggregations + one self-join on the deduped edge
+    // list; all integers.
+    "q125_degree_profile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def edge(mul: Long, add: Long) = d.select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * mul + add) % 97).as("dst"))
+      val edges = edge(7, 1).union(edge(13, 5)).union(edge(31, 11))
+      graft.ops.Graphs.degreeProfile(edges).orderBy("node")
     })
   )
 
@@ -5135,6 +5149,38 @@ object QueriesExt {
          |            + q * log2(q / ((p + q) / 2.0))) / 2.0,
          |       12)::DECIMAL(28,12)))::DOUBLE AS js_bits
          |FROM pq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    // replays the deduped edge list, both degree aggregations, and the
+    // reverse-edge reciprocity join
+    "q125_degree_profile" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97, (doc_id * 31 + 11) % 97 FROM documents
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+        |), od AS (
+        |  SELECT src AS node, count(*)::BIGINT AS out_deg FROM e GROUP BY 1
+        |), id_ AS (
+        |  SELECT dst AS node, count(*)::BIGINT AS in_deg FROM e GROUP BY 1
+        |), rc AS (
+        |  SELECT a.src AS node, count(*)::BIGINT AS n_recip
+        |  FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+        |  GROUP BY 1
+        |), nodes AS (
+        |  SELECT node FROM od UNION SELECT node FROM id_
+        |)
+        |SELECT n.node::BIGINT AS node,
+        |  coalesce(od.out_deg, 0)::BIGINT AS out_deg,
+        |  coalesce(id_.in_deg, 0)::BIGINT AS in_deg,
+        |  coalesce(rc.n_recip, 0)::BIGINT AS n_recip
+        |FROM nodes n
+        |LEFT JOIN od USING (node) LEFT JOIN id_ USING (node)
+        |LEFT JOIN rc USING (node)
+        |ORDER BY node""".stripMargin
   )
 }

@@ -89,6 +89,39 @@ object Graphs {
     ranks
   }
 
+  /** Per-node degree/reciprocity profile of a link graph — the crawl-
+    * graph health table read next to PageRank (degree skew flags link
+    * farms; reciprocity separates navigational link exchanges from
+    * editorial citations). Self-loops and duplicate edges drop exactly
+    * as in [[pageRank]]. Two key-bounded aggregations + one self-join
+    * on the deduped edge list; nothing node-quadratic.
+    *
+    * @return (node, out_deg, in_deg, n_recip) — n_recip counts this
+    *         node's out-edges whose reverse edge also exists.
+    */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    // eager checkpoint: the deduped edge list feeds four consumers
+    // (out/in/rev/recip) — without it each re-runs the upstream distinct
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val outD = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val inD = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val recip = e.join(rev, Seq("src", "dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_recip"))
+    outD.join(inD, Seq("node"), "full_outer")
+      .join(recip, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_recip"), lit(0L)).as("n_recip"))
+  }
+
   /** Driver-side naive reference for specs: same integer arithmetic on a
     * small in-memory graph.
     */

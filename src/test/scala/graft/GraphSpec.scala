@@ -49,6 +49,36 @@ class GraphSpec extends SparkSpec {
       s"total mass $total")
   }
 
+  test("random graphs: distributed pageRank equals the naive reference") {
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(150)(
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val got = Graphs.pageRank(edgeFrame(edges), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Graphs.pageRankNaive(edges, iters = 4)
+      assert(got == want, s"seed $seed")
+    }
+  }
+
+  test("degree profile counts out/in/reciprocal edges exactly") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 1),        // reciprocal pair
+      (1, 3), (3, 4), (4, 1),
+      (5, 1),                // 5 has out only
+      (2, 2),                // self-loop: dropped
+      (1, 2))                // duplicate: dropped
+    val got = Graphs.degreeProfile(edgeFrame(edges))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == (2L, 3L, 1L)) // out: 2,3; in: 2,4,5; recip: 1<->2
+    assert(got(2L) == (1L, 1L, 1L))
+    assert(got(3L) == (1L, 1L, 0L))
+    assert(got(4L) == (1L, 1L, 0L))
+    assert(got(5L) == (1L, 0L, 0L))
+  }
+
   test("a star hub outranks its leaves and ties are structural") {
     val leaves = (2L to 9L)
     val edges = leaves.map(l => (l, 1L)) ++ leaves.map(l => (1L, l))
