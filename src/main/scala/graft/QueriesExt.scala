@@ -2030,10 +2030,99 @@ object QueriesExt {
         ((col("doc_id") * mul + add) % 97).as("dst"))
       val edges = edge(7, 1).union(edge(13, 5)).union(edge(31, 11))
       graft.ops.Graphs.degreeProfile(edges).orderBy("node")
+    }),
+
+    // Crawl-frontier prioritization — the composition a crawl scheduler
+    // actually runs: per-domain score = authority (q114 PageRank) ×
+    // mean quality (q28 contract, DECIMAL-grid sums) × lexical novelty
+    // (distinct/total tokens). Every factor is exact or bit-replayable,
+    // the three divisions and two multiplies run in one spelled order
+    // on both engines, zero-divisor products fall to NULL → 0.0
+    // identically. Domains with no crawled docs (rank only) score 0 —
+    // unknown ≠ promising here; a real frontier would seed them
+    // separately.
+    "q126_crawl_priority" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def edge(mul: Long, add: Long) = d.select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * mul + add) % 97).as("dst"))
+      val pr = graft.ops.Graphs.pageRank(
+        edge(7, 1).union(edge(13, 5)).union(edge(31, 11)), iters = 5)
+      val dom = d.withColumn("node", col("doc_id") % 97)
+      val qual = dom.groupBy("node").agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(TextOps.qualityScore(col("text")), 12)
+          .cast(DecimalType(28, 12))).cast("double").as("sum_q"))
+      val grams = dom
+        .select(col("node"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy("node").agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("t")).as("n_distinct"))
+      pr.join(qual, Seq("node"), "left").join(grams, Seq("node"), "left")
+        .select(col("node"), col("rank"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("sum_q"), lit(0.0)).as("sum_q"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+        // when()-guarded: ANSI Spark THROWS on double division by zero
+        // (the q101 lesson — && does not short-circuit but CaseWhen
+        // branches are lazy); DuckDB's x/0 is NULL → its coalesce(…, 0)
+        // lands on the same 0.0 for the guarded rows
+        .withColumn("score", when(col("n_docs") > 0 && col("n_grams") > 0,
+          round(col("rank").cast("double") / lit(1000000000000.0) *
+            (col("sum_q") / col("n_docs").cast("double")) *
+            (col("n_distinct").cast("double") /
+              col("n_grams").cast("double")), 9)).otherwise(lit(0.0)))
+        .orderBy(col("score").desc, col("node"))
     })
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** CTE chain replaying [[graft.ops.Graphs.pageRank]] over the q114
+    * doc-derived 97-domain link graph: e0/e/nodes/cnt/od/r0 then 5
+    * unrolled integer-scaled iterations (d_i dangling mass, c_i
+    * contributions, r_i damped update) ending at `r5 (node, rank)`.
+    * Shared by the q114 and q126 oracles.
+    */
+  private val pageRankCtes: String = {
+    val iterCtes = (1 to 5).map { i =>
+      val p = s"r${i - 1}"
+      s"""d$i AS (
+         |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS dang
+         |  FROM $p r LEFT JOIN od ON r.node = od.src
+         |  WHERE od.src IS NULL
+         |), c$i AS (
+         |  SELECT e.dst AS node,
+         |    sum(r.rank // od.outdeg)::BIGINT AS contrib
+         |  FROM e JOIN od USING (src) JOIN $p r ON r.node = e.src
+         |  GROUP BY 1
+         |), r$i AS (
+         |  SELECT n.node,
+         |    ((1000000000000 // cnt.n) * 15 // 100
+         |     + (coalesce(c.contrib, 0) + d.dang // cnt.n) * 85 // 100
+         |    )::BIGINT AS rank
+         |  FROM nodes n LEFT JOIN c$i c USING (node), d$i d, cnt
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS (
+       |  SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
+       |  UNION ALL
+       |  SELECT doc_id % 97, (doc_id * 31 + 11) % 97 FROM documents
+       |), e AS (
+       |  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
+       |), nodes AS (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e
+       |), cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+       |r0 AS (
+       |  SELECT node, (1000000000000 // cnt.n)::BIGINT AS rank
+       |  FROM nodes, cnt
+       |),
+       |$iterCtes""".stripMargin
+  }
 
   private def langCountSql(words: Seq[String]): String =
     s"len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), " +
@@ -4841,46 +4930,9 @@ object QueriesExt {
     // 85/100 damping — every step truncating integer division on
     // nonnegative operands, so DuckDB's floor `//` coincides with
     // Spark's DIV and the ranks match cell-for-cell
-    "q114_pagerank" -> {
-      val iterCtes = (1 to 5).map { i =>
-        val p = s"r${i - 1}"
-        s"""d$i AS (
-           |  SELECT coalesce(sum(r.rank), 0)::BIGINT AS dang
-           |  FROM $p r LEFT JOIN od ON r.node = od.src
-           |  WHERE od.src IS NULL
-           |), c$i AS (
-           |  SELECT e.dst AS node,
-           |    sum(r.rank // od.outdeg)::BIGINT AS contrib
-           |  FROM e JOIN od USING (src) JOIN $p r ON r.node = e.src
-           |  GROUP BY 1
-           |), r$i AS (
-           |  SELECT n.node,
-           |    ((1000000000000 // cnt.n) * 15 // 100
-           |     + (coalesce(c.contrib, 0) + d.dang // cnt.n) * 85 // 100
-           |    )::BIGINT AS rank
-           |  FROM nodes n LEFT JOIN c$i c USING (node), d$i d, cnt
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e0 AS (
-         |  SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
-         |  UNION ALL
-         |  SELECT doc_id % 97, (doc_id * 31 + 11) % 97 FROM documents
-         |), e AS (
-         |  SELECT DISTINCT src, dst FROM e0 WHERE src <> dst
-         |), nodes AS (
-         |  SELECT src AS node FROM e UNION SELECT dst FROM e
-         |), cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
-         |od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
-         |r0 AS (
-         |  SELECT node, (1000000000000 // cnt.n)::BIGINT AS rank
-         |  FROM nodes, cnt
-         |),
-         |$iterCtes
-         |SELECT node::BIGINT AS node, rank FROM r5 ORDER BY node""".stripMargin
-    },
+    "q114_pagerank" ->
+      s"""WITH $pageRankCtes
+         |SELECT node::BIGINT AS node, rank FROM r5 ORDER BY node""".stripMargin,
 
     // replays the top-100 rank table and the integer-scaled OLS sums;
     // the rounded-ln grid (4 dp) makes every sum exact and the final
@@ -5181,6 +5233,42 @@ object QueriesExt {
         |FROM nodes n
         |LEFT JOIN od USING (node) LEFT JOIN id_ USING (node)
         |LEFT JOIN rc USING (node)
-        |ORDER BY node""".stripMargin
+        |ORDER BY node""".stripMargin,
+
+    // replays the PageRank chain, the DECIMAL-grid quality sums, the
+    // token novelty counts, and the one spelled score-op order;
+    // zero-divisor products fall to NULL → 0.0 on both engines
+    "q126_crawl_priority" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH $pageRankCtes,
+         |dq AS (
+         |  SELECT doc_id % 97 AS node,
+         |    round(($qualitySql), 12)::DECIMAL(28,12) AS q
+         |  FROM documents
+         |), qa AS (
+         |  SELECT node, count(*)::BIGINT AS n_docs,
+         |    sum(q)::DOUBLE AS sum_q
+         |  FROM dq GROUP BY 1
+         |), g AS (
+         |  SELECT doc_id % 97 AS node, unnest($toks) AS t FROM documents
+         |), ga AS (
+         |  SELECT node, count(*)::BIGINT AS n_grams,
+         |    count(DISTINCT t)::BIGINT AS n_distinct
+         |  FROM g GROUP BY 1
+         |), j AS (
+         |  SELECT r5.node, r5.rank,
+         |    coalesce(qa.n_docs, 0)::BIGINT AS n_docs,
+         |    coalesce(qa.sum_q, 0.0)::DOUBLE AS sum_q,
+         |    coalesce(ga.n_grams, 0)::BIGINT AS n_grams,
+         |    coalesce(ga.n_distinct, 0)::BIGINT AS n_distinct
+         |  FROM r5 LEFT JOIN qa USING (node) LEFT JOIN ga USING (node)
+         |)
+         |SELECT node::BIGINT AS node, rank, n_docs, sum_q, n_grams,
+         |  n_distinct,
+         |  coalesce(round(rank::DOUBLE / 1000000000000.0
+         |    * (sum_q / n_docs::DOUBLE)
+         |    * (n_distinct::DOUBLE / n_grams::DOUBLE), 9), 0.0) AS score
+         |FROM j ORDER BY score DESC, node""".stripMargin
+    }
   )
 }
