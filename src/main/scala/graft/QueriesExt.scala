@@ -2073,6 +2073,34 @@ object QueriesExt {
             (col("n_distinct").cast("double") /
               col("n_grams").cast("double")), 9)).otherwise(lit(0.0)))
         .orderBy(col("score").desc, col("node"))
+    }),
+
+    // IVF nprobe recall curve — the tuning table an ANN deployment
+    // reads before picking its speed/recall point: recall@1 vs the
+    // exact-brute witness at nprobe = 1/2/4 over the same 16-list
+    // index. Recall must be monotone in nprobe (more lists probed ⊇
+    // fewer); the exact witness is the labeled small-query-set
+    // baseline, per the q24 contract. recall_x1000 is an exact integer
+    // ratio; the whole table is 3 rows.
+    "q127_nprobe_curve" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val queries = e.where(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(queries, e, "vec_id",
+          "embedding", k = 1)
+        .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      val curves = Seq(1, 2, 4).map { np =>
+        Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 1,
+            nlist = 16, iters = 2, nprobe = np)
+          .select(lit(np.toLong).as("nprobe"), col("query_id"),
+            col("neighbor_id").as("ivf_top1"))
+      }.reduce(_ union _)
+      curves.join(exact, "query_id")
+        .withColumn("hit",
+          (col("ivf_top1") === col("exact_top1")).cast("long"))
+        .groupBy("nprobe")
+        .agg(count(lit(1)).as("n_queries"), sum(col("hit")).as("n_hits"))
+        .withColumn("recall_x1000", expr("n_hits * 1000L DIV n_queries"))
+        .orderBy("nprobe")
     })
   )
 
@@ -5269,6 +5297,68 @@ object QueriesExt {
          |    * (sum_q / n_docs::DOUBLE)
          |    * (n_distinct::DOUBLE / n_grams::DOUBLE), 9), 0.0) AS score
          |FROM j ORDER BY score DESC, node""".stripMargin
+    },
+
+    // replays the q35 k-means/probe chain at each nprobe plus the
+    // exact-brute witness, then the integer recall ratios
+    "q127_nprobe_curve" -> {
+      val ctes = kmeansCtes(nlist = 16, dim = 64)
+      val perNp = Seq(1, 2, 4).map { np =>
+        s"""qp$np AS (
+           |  SELECT vec_id AS query_id, v AS qv, c AS bucket FROM (
+           |    SELECT vec_id, v, c,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c)
+           |        AS rn
+           |    FROM dq) WHERE rn <= $np
+           |), s$np AS (
+           |  SELECT query_id, a2v.vec_id AS neighbor_id,
+           |    list_dot_product(qv, a2v.v)
+           |      / (sqrt(list_dot_product(qv, qv))
+           |         * sqrt(list_dot_product(a2v.v, a2v.v))) AS cosine
+           |  FROM qp$np JOIN a2v ON a2v.c = qp$np.bucket
+           |  WHERE query_id <> a2v.vec_id
+           |), t$np AS (
+           |  SELECT $np::BIGINT AS nprobe, query_id,
+           |    neighbor_id AS ivf_top1 FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY cosine DESC, neighbor_id) AS rk
+           |    FROM s$np) WHERE rk = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ctes,
+         |dq AS (
+         |  SELECT q.vec_id, q.v, ct.c,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> (q.vq[i] - ct.cent[i]) * (q.vq[i] - ct.cent[i]))) AS d2
+         |  FROM g0 q CROSS JOIN cent2 ct
+         |  WHERE q.vec_id < 10
+         |),
+         |$perNp,
+         |ex AS (
+         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |    list_dot_product(q.v, c2.v)
+         |      / (sqrt(list_dot_product(q.v, q.v))
+         |         * sqrt(list_dot_product(c2.v, c2.v))) AS cosine
+         |  FROM e q JOIN e c2 ON c2.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |), ex1 AS (
+         |  SELECT query_id, neighbor_id AS exact_top1 FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, neighbor_id) AS rk
+         |    FROM ex) WHERE rk = 1
+         |), u AS (
+         |  SELECT * FROM t1 UNION ALL SELECT * FROM t2
+         |  UNION ALL SELECT * FROM t4
+         |)
+         |SELECT u.nprobe, count(*)::BIGINT AS n_queries,
+         |  sum(CASE WHEN u.ivf_top1 = ex1.exact_top1 THEN 1 ELSE 0
+         |      END)::BIGINT AS n_hits,
+         |  (sum(CASE WHEN u.ivf_top1 = ex1.exact_top1 THEN 1 ELSE 0 END)
+         |   * 1000 // count(*))::BIGINT AS recall_x1000
+         |FROM u JOIN ex1 USING (query_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }
