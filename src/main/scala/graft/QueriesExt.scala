@@ -2101,6 +2101,44 @@ object QueriesExt {
         .agg(count(lit(1)).as("n_queries"), sum(col("hit")).as("n_hits"))
         .withColumn("recall_x1000", expr("n_hits * 1000L DIV n_queries"))
         .orderBy("nprobe")
+    }),
+
+    // Packing-utilization report over the q53 layout — the padding/
+    // fragmentation accounting a training run budgets against: per
+    // shard, pack count, padding in the final pack, exact utilization,
+    // and how many documents straddle a pack boundary (cross-boundary
+    // attention cost). All integers; one groupBy over the packed frame.
+    "q128_pack_stats" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val packed = graft.ops.Packing.packSequences(t, "doc_id",
+        "n_tokens", seqLen = 512, numShards = 8)
+      packed.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("pack_offset") + col("n_tokens") > 512, 1L)
+            .otherwise(0L)).as("n_boundary_docs"))
+        .withColumn("n_packs", expr("(total_tokens + 511) DIV 512"))
+        .withColumn("pad_tokens",
+          col("n_packs") * 512 - col("total_tokens"))
+        .withColumn("utilization_x1000", when(col("n_packs") > 0,
+          expr("total_tokens * 1000L DIV (n_packs * 512)"))
+          .otherwise(lit(0L)))
+        .orderBy("shard")
+    }),
+
+    // Dedup threshold sweep — the tuning table for the near-dup gate
+    // (how many consecutive-id pairs survive at jaccard ≥ 0.3/0.5/0.7):
+    // the dedup twin of q127's recall curve, monotone by construction.
+    // One aggregate over the q21 jaccard frame; null jaccards (two
+    // gram-less docs) counted separately, never inside a threshold.
+    "q129_dedup_sweep" -> ((s, dir) => {
+      consecTriJaccard(s, dir).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)).as("n_ge_30"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_50"),
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_ge_70"),
+        sum(when(col("jaccard").isNull, 1L).otherwise(0L)).as("n_null"))
     })
   )
 
@@ -5359,6 +5397,72 @@ object QueriesExt {
          |   * 1000 // count(*))::BIGINT AS recall_x1000
          |FROM u JOIN ex1 USING (query_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // replays the q53 packing layout and the integer shard roll-up;
+    // a zero-pack shard's utilization is CASE-guarded to 0 as in the
+    // engine
+    "q128_pack_stats" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens,
+         |    floor(${hashUnitSql("doc_id::VARCHAR")} * 8)::BIGINT AS shard
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS strt
+         |  FROM t
+         |), p AS (
+         |  SELECT doc_id, shard, n_tokens, (strt % 512) AS pack_offset
+         |  FROM c
+         |), a AS (
+         |  SELECT shard, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS total_tokens,
+         |    sum(CASE WHEN pack_offset + n_tokens > 512 THEN 1 ELSE 0
+         |        END)::BIGINT AS n_boundary_docs
+         |  FROM p GROUP BY 1
+         |)
+         |SELECT shard, n_docs, total_tokens, n_boundary_docs,
+         |  ((total_tokens + 511) // 512)::BIGINT AS n_packs,
+         |  (((total_tokens + 511) // 512) * 512 - total_tokens)::BIGINT
+         |    AS pad_tokens,
+         |  (CASE WHEN (total_tokens + 511) // 512 > 0
+         |    THEN total_tokens * 1000 // (((total_tokens + 511) // 512) * 512)
+         |    ELSE 0 END)::BIGINT AS utilization_x1000
+         |FROM a ORDER BY shard""".stripMargin,
+
+    // replays the q21 jaccard frame and the three threshold sums;
+    // null jaccards (union-0 pairs) count only in n_null
+    "q129_dedup_sweep" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
+         |  FROM d, unnest(generate_series(1, length(t) - 2)) AS u(i)
+         |  WHERE length(t) >= 3
+         |), sz AS (
+         |  SELECT d.doc_id, count(g.gr) AS s
+         |  FROM d LEFT JOIN g ON g.doc_id = d.doc_id GROUP BY 1
+         |), iv AS (
+         |  SELECT a.doc_id AS id1, count(*) AS inter
+         |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1 AND b.gr = a.gr
+         |  GROUP BY 1
+         |), jac AS (
+         |  SELECT coalesce(iv.inter, 0)::DOUBLE
+         |    / nullif(sa.s + sb.s - coalesce(iv.inter, 0), 0) AS jaccard
+         |  FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+         |  LEFT JOIN iv ON iv.id1 = sa.doc_id
+         |)
+         |SELECT count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_ge_30,
+         |  sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_ge_50,
+         |  sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_ge_70,
+         |  sum(CASE WHEN jaccard IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_null
+         |FROM jac""".stripMargin
   )
 }
