@@ -2139,6 +2139,40 @@ object QueriesExt {
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_ge_50"),
         sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("n_ge_70"),
         sum(when(col("jaccard").isNull, 1L).otherwise(0L)).as("n_null"))
+    }),
+
+    // Event-rate anomaly screen — the ingest-ops monitor (a scraper
+    // gone hot, a source gone dark): hourly counts per event type,
+    // z-scored against the trailing 24 hourly buckets (warm-up < 12
+    // buckets and zero-variance windows yield null z, never a fake
+    // score). Integer window sums; the variance/z divisions are
+    // when()-guarded (ANSI) and spelled in one order on both engines,
+    // z rounded 6 dp. The hourly table is time-bounded, so the
+    // per-type window is key-bounded and small at any corpus size.
+    "q130_event_anomaly" -> ((s, dir) => {
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("trail_cnt", count(lit(1)).over(tw))
+        .withColumn("s", sum(col("n")).over(tw))
+        .withColumn("q", sum(col("n") * col("n")).over(tw))
+        .withColumn("var", when(col("trail_cnt") >= 12,
+          (col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("trail_cnt").cast("double")) /
+            col("trail_cnt").cast("double")))
+        .withColumn("z", when(col("var") > 0.0,
+          round((col("n").cast("double") -
+            col("s").cast("double") / col("trail_cnt").cast("double")) /
+            sqrt(col("var")), 6)))
+        .withColumn("is_spike", when(col("z") > 3.0, 1L).otherwise(0L))
+        .select("event_type", "hour", "n", "trail_cnt", "z", "is_spike")
+        .orderBy("event_type", "hour")
     })
   )
 
@@ -5463,6 +5497,39 @@ object QueriesExt {
          |    AS n_ge_70,
          |  sum(CASE WHEN jaccard IS NULL THEN 1 ELSE 0 END)::BIGINT
          |    AS n_null
-         |FROM jac""".stripMargin
+         |FROM jac""".stripMargin,
+
+    // replays the hourly buckets, the trailing-24 integer window sums,
+    // and the guarded variance/z arithmetic in the engine's op order
+    "q130_event_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT event_type, hour, n,
+        |    count(*) OVER tw::BIGINT AS trail_cnt,
+        |    sum(n) OVER tw::BIGINT AS s,
+        |    sum(n * n) OVER tw::BIGINT AS q
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), v AS (
+        |  SELECT event_type, hour, n, trail_cnt,
+        |    CASE WHEN trail_cnt >= 12 THEN
+        |      (q::DOUBLE - s::DOUBLE * s::DOUBLE / trail_cnt::DOUBLE)
+        |        / trail_cnt::DOUBLE END AS var,
+        |    s
+        |  FROM w
+        |), z AS (
+        |  SELECT event_type, hour, n, trail_cnt,
+        |    CASE WHEN var > 0.0 THEN
+        |      round((n::DOUBLE - s::DOUBLE / trail_cnt::DOUBLE)
+        |        / sqrt(var), 6) END AS z
+        |  FROM v
+        |)
+        |SELECT event_type, hour, n, trail_cnt, z,
+        |  (CASE WHEN z > 3.0 THEN 1 ELSE 0 END)::BIGINT AS is_spike
+        |FROM z ORDER BY event_type, hour""".stripMargin
   )
 }
