@@ -2173,6 +2173,28 @@ object QueriesExt {
         .withColumn("is_spike", when(col("z") > 3.0, 1L).otherwise(0L))
         .select("event_type", "hour", "n", "trail_cnt", "z", "is_spike")
         .orderBy("event_type", "hour")
+    }),
+
+    // Cross-source duplication matrix — mirror-site detection (which
+    // sources republish each other's content?): distinct normalized
+    // content fingerprints per source, pair-joined on the fingerprint,
+    // counted per source pair. A deterministic 'mirror' source
+    // republishing every 25th doc is planted so the matrix exercises
+    // real overlap (the q111 decoration pattern). The fingerprint join
+    // is keyed on 32-bit md5 words — the q20/q30 shuffle discipline:
+    // fingerprints through the exchange, never text.
+    "q131_mirror_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = TextOps.contentFingerprint(col("text")).as("fp")
+      val base = d.select(fp, col("source"))
+      val mirrored = d.where(col("doc_id") % 25 === 0)
+        .select(fp, lit("mirror").as("source"))
+      val c = base.union(mirrored).distinct()
+      val a = c.select(col("fp"), col("source").as("src1"))
+      val b = c.select(col("fp"), col("source").as("src2"))
+      a.join(b, Seq("fp")).where(col("src1") < col("src2"))
+        .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
+        .orderBy("src1", "src2")
     })
   )
 
@@ -5530,6 +5552,23 @@ object QueriesExt {
         |)
         |SELECT event_type, hour, n, trail_cnt, z,
         |  (CASE WHEN z > 3.0 THEN 1 ELSE 0 END)::BIGINT AS is_spike
-        |FROM z ORDER BY event_type, hour""".stripMargin
+        |FROM z ORDER BY event_type, hour""".stripMargin,
+
+    // replays the md5-word fingerprints, the planted mirror source,
+    // and the distinct-pair counts
+    "q131_mirror_matrix" ->
+      s"""WITH f AS (
+         |  SELECT ('0x' || substr(md5($normSql), 1, 8))::BIGINT AS fp,
+         |    source
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT ('0x' || substr(md5($normSql), 1, 8))::BIGINT AS fp,
+         |    'mirror' AS source
+         |  FROM documents WHERE doc_id % 25 = 0
+         |), c AS (SELECT DISTINCT fp, source FROM f)
+         |SELECT a.source AS src1, b.source AS src2,
+         |  count(*)::BIGINT AS n_shared
+         |FROM c a JOIN c b ON b.fp = a.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
