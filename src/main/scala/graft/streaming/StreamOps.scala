@@ -370,4 +370,67 @@ object StreamOps {
           KmvSnapshot(g, set.size, kth, est)
       }
   }
+
+  final case class HourBucket(event_type: String, hour_micros: Long, n: Long)
+  final case class TrailState(hours: Seq[Long], counts: Seq[Long])
+  /** `has_z = false` means warm-up (< minTrail buckets) or zero
+    * variance — `z` is then a 0.0 sentinel, mirroring the batch
+    * operator's null (long sentinels over nested Options, the
+    * [[FunnelChain]] encoder discipline).
+    */
+  final case class AnomalyScore(event_type: String, hour_micros: Long,
+      n: Long, trail_cnt: Long, z: Double, has_z: Boolean,
+      is_spike: Boolean)
+
+  /** Streaming twin of the q130 event-rate anomaly screen: per event
+    * type the state is a ring of the trailing `window` closed hourly
+    * buckets — FOREVER BOUNDED at 2·window longs per type — and each
+    * arriving bucket scores against exactly the stats the batch
+    * operator's `ROWS BETWEEN window PRECEDING AND 1 PRECEDING` frame
+    * computes (same guarded variance arithmetic, same 6-dp half-up
+    * rounding). Buckets must arrive in hour order per type (the
+    * advance-only live contract, as [[funnelStreaming]]); replay the
+    * batch query for retrospective corrections. Update mode: one score
+    * per bucket per micro-batch.
+    */
+  def anomalyStreaming(buckets: Dataset[HourBucket], window: Int = 24,
+      minTrail: Int = 12): Dataset[AnomalyScore] = {
+    import buckets.sparkSession.implicits._
+    require(window > 0 && minTrail > 0)
+    buckets
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrailState, AnomalyScore](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (et: String, it: Iterator[HourBucket],
+            state: GroupState[TrailState]) =>
+          var hours = state.getOption.map(_.hours.toVector)
+            .getOrElse(Vector.empty[Long])
+          var counts = state.getOption.map(_.counts.toVector)
+            .getOrElse(Vector.empty[Long])
+          val out = it.toSeq.sortBy(_.hour_micros).map { b =>
+            val sel = hours.zip(counts)
+              .filter(_._1 < b.hour_micros).takeRight(window)
+            val tc = sel.length.toLong
+            val s = sel.map(_._2).sum
+            val q = sel.map(p => p._2 * p._2).sum
+            val (zv, has) =
+              if (tc >= minTrail) {
+                val vr = (q.toDouble - s.toDouble * s.toDouble / tc.toDouble) /
+                  tc.toDouble
+                if (vr > 0.0) {
+                  val z = BigDecimal(
+                    (b.n.toDouble - s.toDouble / tc.toDouble) / math.sqrt(vr))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  (z, true)
+                } else (0.0, false)
+              } else (0.0, false)
+            hours = (hours :+ b.hour_micros).takeRight(window)
+            counts = (counts :+ b.n).takeRight(window)
+            AnomalyScore(et, b.hour_micros, b.n, tc, zv, has,
+              has && zv > 3.0)
+          }
+          state.update(TrailState(hours, counts))
+          out.iterator
+      }
+  }
 }

@@ -207,6 +207,69 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly scores on a stream equal the batch trailing-window " +
+      "formula") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamOps.HourBucket
+    def hm(h: Int): Long = h.toLong * 3600L * 1000000L
+    // two types, 40 hours each, deterministic jitter, one planted spike
+    val buckets = (0 until 40).flatMap { h =>
+      Seq(
+        HourBucket("view", hm(h),
+          if (h == 35) 100L else 10L + (h * 7 % 5)),
+        HourBucket("click", hm(h), 3L + (h * 11 % 4)))
+    }
+    val src = MemoryStream[HourBucket]
+    val q = graft.streaming.StreamOps.anomalyStreaming(src.toDS())
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("update").start()
+    try {
+      val (first, second) = buckets.partition(_.hour_micros < hm(20))
+      src.addData(first: _*)
+      q.processAllAvailable()
+      src.addData(second: _*)
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), if (r.getBoolean(5)) Some(r.getDouble(4)) else None,
+            r.getBoolean(6)))
+        .toMap
+      // batch reference: the q130 window formula over the same buckets
+      val tw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("hour_micros")
+        .rowsBetween(-24, -1)
+      val want = buckets.toDF("event_type", "hour_micros", "n")
+        .withColumn("trail_cnt", count(lit(1)).over(tw))
+        .withColumn("s", sum(col("n")).over(tw))
+        .withColumn("q", sum(col("n") * col("n")).over(tw))
+        .withColumn("var", when(col("trail_cnt") >= 12,
+          (col("q").cast("double") -
+            col("s").cast("double") * col("s").cast("double") /
+              col("trail_cnt").cast("double")) /
+            col("trail_cnt").cast("double")))
+        .withColumn("z", when(col("var") > 0.0,
+          round((col("n").cast("double") -
+            col("s").cast("double") / col("trail_cnt").cast("double")) /
+            sqrt(col("var")), 6)))
+        .select("event_type", "hour_micros", "trail_cnt", "z")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toMap
+      assert(got.size == buckets.size)
+      want.foreach { case (k, (tc, z)) =>
+        val (gtc, gz, spike) = got(k)
+        assert(gtc == tc, s"$k trail_cnt")
+        assert(gz == z, s"$k z: got $gz want $z")
+        assert(spike == z.exists(_ > 3.0), s"$k spike")
+      }
+      // the planted hour-35 spike must flag
+      assert(got(("view", hm(35)))._3)
+    } finally q.stop()
+  }
+
   test("media fingerprints run stateless on a stream (aHash + envelope)") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
