@@ -2195,6 +2195,64 @@ object QueriesExt {
       a.join(b, Seq("fp")).where(col("src1") < col("src2"))
         .groupBy("src1", "src2").agg(count(lit(1)).as("n_shared"))
         .orderBy("src1", "src2")
+    }),
+
+    // Language purity per source — conditional entropy H(lang | source)
+    // in bits: 0 = monolingual source, log2(#langs) = uniform mix; the
+    // number a multilingual mixing plan reads next to the q123
+    // confusion matrix. Exact joint counts; each p·log2 p term is
+    // quantized to the 12-dp grid and summed in DECIMAL (the q74
+    // discipline), so the entropy replays cell-exact. One groupBy onto
+    // #(source,lang) keys.
+    "q132_lang_entropy" -> ((s, dir) => {
+      val joint = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("nl"))
+      val tot = joint.groupBy("source").agg(sum(col("nl")).as("ns"),
+        count(lit(1)).as("n_langs"))
+      joint.join(tot, "source")
+        .withColumn("term", round(
+          (col("nl").cast("double") / col("ns").cast("double")) *
+            log2(col("nl").cast("double") / col("ns").cast("double")), 12)
+          .cast(DecimalType(28, 12)))
+        .groupBy("source")
+        .agg(max(col("ns")).as("n_docs"), max(col("n_langs")).as("n_langs"),
+          (-sum(col("term"))).cast("double").as("h_bits"))
+        .orderBy("source")
+    }),
+
+    // Trending-token drift between corpus halves — the vocabulary-drift
+    // monitor between crawl snapshots (which terms surged?): docs split
+    // at the id-RANGE midpoint (one min/max aggregate + broadcast — no
+    // global ranking window, which would single-task a corpus-sized
+    // sort), add-1-smoothed relative token rates, top 20 risers by
+    // exact-operand ratio (9 dp, token tie-break). The id midpoint
+    // stands in for a snapshot boundary; on real data the split key is
+    // the crawl date. Two corpus-keyed aggregations,
+    // vocabulary-bounded everything after.
+    "q133_trending_tokens" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bounds = d.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val tok = d.crossJoin(broadcast(bounds))
+        .withColumn("half",
+          when(col("doc_id") * 2 <= col("lo") + col("hi"), 1L)
+            .otherwise(2L))
+        .select(col("half"), explode(TextOps.tokens(col("text"))).as("t"))
+      val counts = tok.groupBy("t").agg(
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+        .localCheckpoint(true)
+      val totals = counts.agg(sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"), count(lit(1)).as("v"))
+      counts.crossJoin(broadcast(totals))
+        .withColumn("ratio", round(
+          ((col("c2") + 1).cast("double") /
+            (col("n2") + col("v")).cast("double")) /
+            ((col("c1") + 1).cast("double") /
+              (col("n1") + col("v")).cast("double")), 9))
+        .orderBy(col("ratio").desc, col("t"))
+        .limit(20)
+        .select("t", "c1", "c2", "ratio")
     })
   )
 
@@ -5569,6 +5627,48 @@ object QueriesExt {
          |SELECT a.source AS src1, b.source AS src2,
          |  count(*)::BIGINT AS n_shared
          |FROM c a JOIN c b ON b.fp = a.fp AND a.source < b.source
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the joint counts and the 12-dp-grid DECIMAL entropy sum
+    "q132_lang_entropy" ->
+      """WITH j AS (
+        |  SELECT source, lang, count(*)::BIGINT AS nl
+        |  FROM documents GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, sum(nl)::BIGINT AS ns,
+        |    count(*)::BIGINT AS n_langs
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT j.source, max(t.ns) AS n_docs, max(t.n_langs) AS n_langs,
+        |  (-sum(round((j.nl::DOUBLE / t.ns) * log2(j.nl::DOUBLE / t.ns),
+        |     12)::DECIMAL(28,12)))::DOUBLE AS h_bits
+        |FROM j JOIN t USING (source)
+        |GROUP BY j.source ORDER BY j.source""".stripMargin,
+
+    // replays the id-midpoint split, the smoothed per-half rates, and
+    // the exact-operand ratio ranking
+    "q133_trending_tokens" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH b AS (
+         |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+         |), tk AS (
+         |  SELECT CASE WHEN doc_id * 2 <= lo + hi THEN 1 ELSE 2 END
+         |    AS half, unnest($toks) AS t
+         |  FROM documents, b
+         |), c AS (
+         |  SELECT t,
+         |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM tk GROUP BY 1
+         |), tt AS (
+         |  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2,
+         |    count(*)::BIGINT AS v
+         |  FROM c
+         |)
+         |SELECT t, c1, c2,
+         |  round(((c2 + 1)::DOUBLE / (n2 + v))
+         |    / ((c1 + 1)::DOUBLE / (n1 + v)), 9) AS ratio
+         |FROM c, tt ORDER BY ratio DESC, t LIMIT 20""".stripMargin
+    }
   )
 }
