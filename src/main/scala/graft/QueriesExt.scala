@@ -2253,6 +2253,37 @@ object QueriesExt {
         .orderBy(col("ratio").desc, col("t"))
         .limit(20)
         .select("t", "c1", "c2", "ratio")
+    }),
+
+    // Curriculum + anti-clustering training order — easy-to-hard bands
+    // with round-robin source interleaving inside each band (the
+    // pretraining shuffle policy: difficulty progresses, but no long
+    // same-source run ever reaches the optimizer). band = per-SOURCE
+    // quality-rank quartile (integer cut, q122's discipline; quality
+    // desc so band 0 = best); k1 = the doc's sequence number within its
+    // (source, band). The training order is ORDER BY (band, k1, source)
+    // — emitted as sort KEYS, not a global row number: a global rank
+    // window would single-task the corpus, the writer sorts by these
+    // keys instead. All windows are source-keyed.
+    "q134_curriculum_order" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+      val banded = base
+        .withColumn("src_rank", row_number().over(wRank))
+        .withColumn("n_src", count(lit(1)).over(wSrc))
+        .withColumn("band", expr("(src_rank - 1) * 4 DIV n_src"))
+      val wBand = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "band")
+        .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+      banded.withColumn("k1", row_number().over(wBand))
+        .select(col("doc_id"), col("source"), col("band"),
+          col("k1").cast("long").as("k1"))
+        .orderBy("band", "k1", "source", "doc_id")
     })
   )
 
@@ -5669,6 +5700,29 @@ object QueriesExt {
          |  round(((c2 + 1)::DOUBLE / (n2 + v))
          |    / ((c1 + 1)::DOUBLE / (n1 + v)), 9) AS ratio
          |FROM c, tt ORDER BY ratio DESC, t LIMIT 20""".stripMargin
-    }
+    },
+
+    // replays the bit-exact quality ranks, the integer quartile bands,
+    // and the within-(source,band) sequence numbers; NULLS LAST spelled
+    // explicitly on both sides
+    "q134_curriculum_order" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ($qualitySql) AS quality
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC NULLS LAST, doc_id) AS src_rank,
+         |    count(*) OVER (PARTITION BY source) AS n_src
+         |  FROM q
+         |), b AS (
+         |  SELECT doc_id, source, quality,
+         |    ((src_rank - 1) * 4 // n_src)::BIGINT AS band
+         |  FROM r
+         |)
+         |SELECT doc_id, source, band,
+         |  row_number() OVER (PARTITION BY source, band
+         |    ORDER BY quality DESC NULLS LAST, doc_id)::BIGINT AS k1
+         |FROM b ORDER BY band, k1, source, doc_id""".stripMargin
   )
 }
