@@ -2284,6 +2284,20 @@ object QueriesExt {
         .select(col("doc_id"), col("source"), col("band"),
           col("k1").cast("long").as("k1"))
         .orderBy("band", "k1", "source", "doc_id")
+    }),
+
+    // Winnowing fingerprint pairs — MOSS (Schleimer et al. 2003): every
+    // shared substring of length ≥ 8+4−1 = 11 chars is provably caught
+    // while only ~2/(w+1) of the shingle hashes are kept; docs sharing
+    // ≥ 16 selected fingerprints pair up (the synthetic corpus's tiny
+    // vocabulary makes single 11-char matches ubiquitous — the shared-
+    // count threshold is the precision knob, as in MOSS itself).
+    // Doc-keyed windows only; hot fingerprints (boilerplate) dropped
+    // before the pair join builds.
+    "q135_winnowing" -> ((s, dir) => {
+      Dedup.winnowingPairs(docs(s, dir), "doc_id", "text",
+          maxFpDf = 16, minShared = 16)
+        .orderBy("id1", "id2")
     })
   )
 
@@ -5723,6 +5737,35 @@ object QueriesExt {
          |SELECT doc_id, source, band,
          |  row_number() OVER (PARTITION BY source, band
          |    ORDER BY quality DESC NULLS LAST, doc_id)::BIGINT AS k1
-         |FROM b ORDER BY band, k1, source, doc_id""".stripMargin
+         |FROM b ORDER BY band, k1, source, doc_id""".stripMargin,
+
+    // replays the md5-word shingle hashes, the doc-keyed window minima
+    // over full windows only, the df cap, and the pair counts
+    "q135_winnowing" ->
+      s"""WITH d AS (SELECT doc_id, $normSql AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::BIGINT AS hv
+         |  FROM d, unnest(generate_series(1, length(t) - 7)) AS u(i)
+         |  WHERE length(t) >= 8
+         |), w AS (
+         |  SELECT doc_id, pos,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM sh
+         |), fps AS (
+         |  SELECT DISTINCT doc_id, fp FROM w WHERE pos <= n - 4
+         |), hot AS (
+         |  SELECT fp FROM fps GROUP BY fp HAVING count(*) > 16
+         |), cold AS (
+         |  SELECT f.doc_id, f.fp FROM fps f
+         |  LEFT JOIN hot ON hot.fp = f.fp WHERE hot.fp IS NULL
+         |)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  count(*)::BIGINT AS n_shared
+         |FROM cold a JOIN cold b ON b.fp = a.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 16
+         |ORDER BY 1, 2""".stripMargin
   )
 }

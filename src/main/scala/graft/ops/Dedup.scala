@@ -1130,4 +1130,52 @@ object Dedup {
         coalesce(col("__hot"), lit(false)).as("__bad"))
     rebuildLines(df, idCol, flagged, "n_lines_raw", "n_lines_kept")
   }
+
+  /** Winnowing fingerprint pairs — the MOSS algorithm (Schleimer,
+    * Wilkerson & Aiken 2003), the guarantee-carrying substring-dedup
+    * key: each sliding window of `window` consecutive `gram`-char
+    * shingle hashes contributes its MINIMUM (distinct per doc), which
+    * provably fingerprints every shared substring of length ≥
+    * gram + window − 1 while sampling only ~2/(window+1) of the hashes.
+    * Docs sharing ≥ `minShared` fingerprints pair up — the
+    * guarantee-based cousin of q51's positional-gram spans.
+    *
+    * Scale shape: shingle hashing is a per-doc posexplode + one
+    * DOC-KEYED window (never global); the pair join is keyed on the
+    * fingerprint value with hot fingerprints (boilerplate substrings)
+    * dropped by `maxFpDf` BEFORE the join builds — the same
+    * cap-before-the-operator discipline as q51/Contamination.
+    * All md5-word arithmetic → oracle-replayable.
+    *
+    * @return (id1, id2, n_shared) with id1 < id2.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      gram: Int = 8, window: Int = 4, maxFpDf: Long = 32,
+      minShared: Long = 2): DataFrame = {
+    require(gram > 0 && window > 0 && minShared > 0)
+    val shingles = df
+      .select(col(idCol), posexplode(TextOps.charNgrams(
+        TextOps.normText(col(textCol)), gram)).as(Seq("__pos", "__g")))
+      .select(col(idCol), col("__pos"),
+        Sampling.md5Prefix32(col("__g")).as("__hv"))
+    val wWin = Window.partitionBy(col(idCol)).orderBy("__pos")
+      .rowsBetween(Window.currentRow, window - 1)
+    // min of each full window; the trailing <window-sized frames at the
+    // doc's end would re-sample suffix hashes already covered, so they
+    // are excluded by position bound (the oracle replays the bound)
+    val fps = shingles
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(idCol))))
+      .withColumn("__fp", min(col("__hv")).over(wWin))
+      .where(col("__pos") <= col("__n") - window)
+      .select(col(idCol), col("__fp")).distinct()
+    val hot = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxFpDf).select("__fp")
+    val cold = fps.join(hot, Seq("__fp"), "left_anti")
+    val a = cold.select(col("__fp"), col(idCol).as("id1"))
+    val b = cold.select(col("__fp"), col(idCol).as("id2"))
+    a.join(b, Seq("__fp")).where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

@@ -1368,6 +1368,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: a shared >= gram+window-1 substring guarantees a " +
+      "shared fingerprint; disjoint docs never pair") {
+    // docs 1 and 2 share an 18-char passage at different offsets;
+    // docs 3 and 4 are disjoint from everything
+    val shared = "zqxjkwvbnmpfghrldc"
+    val df = docFrame(
+      1L -> s"aaaa bbbb $shared cccc dddd",
+      2L -> s"eeee $shared ffff gggg hhhh iiii",
+      3L -> "1111 2222 3333 4444 5555 6666 7777",
+      4L -> "8888 9999 0000 !!!! @@@@ #### $$$$")
+    val got = Dedup.winnowingPairs(df, "doc_id", "text",
+        gram = 8, window = 4, maxFpDf = 32, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the winnowing guarantee: length >= 8+4-1 = 11 shared substring
+    // MUST surface at least one common selected fingerprint
+    assert(got.contains((1L, 2L)), s"guaranteed pair missing: $got")
+    // disjoint docs never pair
+    Seq(3L, 4L).foreach { d =>
+      assert(!got.exists(p => p._1 == d || p._2 == d), s"false pair on $d")
+    }
+    // determinism under repartitioning
+    val again = Dedup.winnowingPairs(df.repartition(3), "doc_id", "text",
+        gram = 8, window = 4, maxFpDf = 32, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
   test("envelope hash: byte-identical clips collide, JVM reference " +
       "matches, quarantine holds") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
