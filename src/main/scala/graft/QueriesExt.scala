@@ -2298,6 +2298,39 @@ object QueriesExt {
       Dedup.winnowingPairs(docs(s, dir), "doc_id", "text",
           maxFpDf = 16, minShared = 16)
         .orderBy("id1", "id2")
+    }),
+
+    // Semantic class-separation matrix — dataset cartography for the
+    // embedding space (are the labeled classes actually separated, and
+    // which pairs blur?): per-label centroid on the q35 integer grid
+    // (exact long sums, the same round-half-up division), pairwise
+    // exact-integer squared L2 between centroids. One corpus groupBy
+    // onto labels×dims keys; the pair join is bounded by L²·dims.
+    "q136_label_centroids" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("label").cast("long").as("lbl"),
+        Similarity.toGrid(col("embedding")).as("__q"))
+      val cent = e
+        .select(col("lbl"), posexplode(col("__q")).as(Seq("d", "x")))
+        .groupBy("lbl", "d")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(col("lbl"), col("d"),
+          floor((col("s") * 2 + col("n")).cast("double") /
+            (col("n") * 2).cast("double")).cast("long").as("m"))
+      val sizes = e.groupBy("lbl").agg(count(lit(1)).as("n_vecs"))
+      val a = cent.select(col("lbl").as("l1"), col("d"),
+        col("m").as("m1"))
+      val b = cent.select(col("lbl").as("l2"), col("d"),
+        col("m").as("m2"))
+      a.join(b, Seq("d")).where(col("l1") < col("l2"))
+        .groupBy("l1", "l2")
+        .agg(sum((col("m1") - col("m2")) * (col("m1") - col("m2")))
+          .as("d2"))
+        .join(sizes.select(col("lbl").as("l1"), col("n_vecs").as("n1")),
+          "l1")
+        .join(sizes.select(col("lbl").as("l2"), col("n_vecs").as("n2")),
+          "l2")
+        .select("l1", "l2", "n1", "n2", "d2")
+        .orderBy("l1", "l2")
     })
   )
 
@@ -5766,6 +5799,29 @@ object QueriesExt {
          |  count(*)::BIGINT AS n_shared
          |FROM cold a JOIN cold b ON b.fp = a.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 16
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    // replays the integer-grid centroids (the kmeansCtes arithmetic,
+    // keyed by label instead of cluster) and the exact pairwise L2²
+    "q136_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS lbl,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> round(x * 1000000)::BIGINT) AS q
+        |  FROM embeddings
+        |), dx AS (
+        |  SELECT lbl, ds.d, q[ds.d] AS x
+        |  FROM e, generate_series(1, 64) AS ds(d)
+        |), c AS (
+        |  SELECT lbl, d,
+        |    floor((2 * sum(x) + count(*))::DOUBLE
+        |          / (2 * count(*)))::BIGINT AS m
+        |  FROM dx GROUP BY 1, 2
+        |), sz AS (SELECT lbl, count(*)::BIGINT AS n FROM e GROUP BY 1)
+        |SELECT a.lbl AS l1, b.lbl AS l2, max(s1.n) AS n1, max(s2.n) AS n2,
+        |  sum((a.m - b.m) * (a.m - b.m))::BIGINT AS d2
+        |FROM c a JOIN c b ON b.d = a.d AND a.lbl < b.lbl
+        |JOIN sz s1 ON s1.lbl = a.lbl JOIN sz s2 ON s2.lbl = b.lbl
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
