@@ -2331,6 +2331,41 @@ object QueriesExt {
           "l2")
         .select("l1", "l2", "n1", "n2", "d2")
         .orderBy("l1", "l2")
+    }),
+
+    // Embedding separability score — q136 reduced to ONE number (the
+    // Fisher criterion shape): between-class scatter Σ n_l·‖m_l − m‖²
+    // over within-class scatter Σ‖x − m_label‖², both exact integers
+    // on the grid; the ratio is the single float op. High = labels
+    // form tight far-apart clusters; the go/no-go a label-conditioned
+    // sampling plan checks before trusting the labels.
+    "q137_separability" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("label").cast("long").as("lbl"),
+        Similarity.toGrid(col("embedding")).as("__q"))
+      val dims = e.select(col("lbl"),
+        posexplode(col("__q")).as(Seq("d", "x")))
+      def centroid(df: DataFrame, keys: Seq[String]) = df
+        .groupBy(keys.map(col) :+ col("d"): _*)
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .select(keys.map(col) :+ col("d") :+
+          floor((col("s") * 2 + col("n")).cast("double") /
+            (col("n") * 2).cast("double")).cast("long").as("m"): _*)
+      val cLbl = centroid(dims, Seq("lbl"))
+      val cAll = centroid(dims.withColumn("g", lit(1L)), Seq("g"))
+        .select(col("d"), col("m").as("gm"))
+      val sw = dims.join(cLbl, Seq("lbl", "d"))
+        .agg(sum((col("x") - col("m")) * (col("x") - col("m")))
+          .as("sw"))
+      val sizes = e.groupBy("lbl").agg(count(lit(1)).as("nl"))
+      val sb = cLbl.join(cAll, "d").join(sizes, "lbl")
+        .agg(sum(col("nl") * (col("m") - col("gm")) *
+          (col("m") - col("gm"))).as("sb"))
+      val tot = e.agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("lbl")).as("n_labels"))
+      tot.crossJoin(sw).crossJoin(sb)
+        .withColumn("ratio", when(col("sw") > 0,
+          round(col("sb").cast("double") / col("sw").cast("double"), 9))
+          .otherwise(lit(0.0)))
     })
   )
 
@@ -5822,6 +5857,45 @@ object QueriesExt {
         |  sum((a.m - b.m) * (a.m - b.m))::BIGINT AS d2
         |FROM c a JOIN c b ON b.d = a.d AND a.lbl < b.lbl
         |JOIN sz s1 ON s1.lbl = a.lbl JOIN sz s2 ON s2.lbl = b.lbl
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the per-label and global grid centroids, both exact
+    // integer scatters, and the single guarded ratio division
+    "q137_separability" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS lbl,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> round(x * 1000000)::BIGINT) AS q
+        |  FROM embeddings
+        |), dx AS (
+        |  SELECT lbl, ds.d, q[ds.d] AS x
+        |  FROM e, generate_series(1, 64) AS ds(d)
+        |), c AS (
+        |  SELECT lbl, d,
+        |    floor((2 * sum(x) + count(*))::DOUBLE
+        |          / (2 * count(*)))::BIGINT AS m
+        |  FROM dx GROUP BY 1, 2
+        |), gc AS (
+        |  SELECT d,
+        |    floor((2 * sum(x) + count(*))::DOUBLE
+        |          / (2 * count(*)))::BIGINT AS gm
+        |  FROM dx GROUP BY 1
+        |), sw AS (
+        |  SELECT sum((dx.x - c.m) * (dx.x - c.m))::BIGINT AS sw
+        |  FROM dx JOIN c ON c.lbl = dx.lbl AND c.d = dx.d
+        |), sz AS (SELECT lbl, count(*)::BIGINT AS nl FROM e GROUP BY 1),
+        |sb AS (
+        |  SELECT sum(sz.nl * (c.m - gc.gm) * (c.m - gc.gm))::BIGINT AS sb
+        |  FROM c JOIN gc USING (d) JOIN sz USING (lbl)
+        |), tot AS (
+        |  SELECT count(*)::BIGINT AS n_vecs,
+        |    count(DISTINCT lbl)::BIGINT AS n_labels
+        |  FROM e
+        |)
+        |SELECT n_vecs, n_labels, sw.sw, sb.sb,
+        |  CASE WHEN sw.sw > 0
+        |    THEN round(sb.sb::DOUBLE / sw.sw::DOUBLE, 9) ELSE 0.0 END
+        |    AS ratio
+        |FROM tot, sw, sb""".stripMargin
   )
 }
