@@ -2366,6 +2366,57 @@ object QueriesExt {
         .withColumn("ratio", when(col("sw") > 0,
           round(col("sb").cast("double") / col("sw").cast("double"), 9))
           .otherwise(lit(0.0)))
+    }),
+
+    // Embedding norm-outlier screen — the degenerate-vector gate (an
+    // all-zeros or exploded embedding poisons cosine math downstream):
+    // exact integer grid norms ranked per label, the top/bottom 2 of
+    // each label flagged. Integer norms → deterministic ranks;
+    // label-keyed windows only.
+    "q138_norm_outliers" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("lbl"),
+        Similarity.toGrid(col("embedding")).as("__q"))
+      val normed = e.withColumn("norm2",
+        aggregate(col("__q"), lit(0L), (acc, x) => acc + x * x))
+      val wLo = org.apache.spark.sql.expressions.Window
+        .partitionBy("lbl").orderBy(col("norm2").asc, col("vec_id"))
+      val wHi = org.apache.spark.sql.expressions.Window
+        .partitionBy("lbl").orderBy(col("norm2").desc, col("vec_id"))
+      normed.withColumn("rk_lo", row_number().over(wLo))
+        .withColumn("rk_hi", row_number().over(wHi))
+        .where(col("rk_lo") <= 2 || col("rk_hi") <= 2)
+        .select(col("vec_id"), col("lbl"), col("norm2"),
+          when(col("rk_lo") <= 2, "low").otherwise("high").as("tail"))
+        .orderBy("lbl", "norm2", "vec_id")
+    }),
+
+    // Largest-remainder eval-set allocation — "give me EXACTLY 100
+    // eval docs, proportional to source sizes": quotas = floor shares
+    // plus one extra doc for the largest remainders until the total is
+    // exact (the apportionment method that never over- or
+    // under-delivers, unlike independent per-source rounding). Exact
+    // integer arithmetic on the #sources-row plan frame; remainders
+    // rank with source tie-break.
+    "q139_eval_allocation" -> ((s, dir) => {
+      val total = 100L
+      val sizes = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val grand = sizes.agg(sum(col("n_docs")).as("n_total"))
+      val quotas = sizes.crossJoin(broadcast(grand))
+        .withColumn("floor_q",
+          expr(s"n_docs * ${total}L DIV n_total"))
+        .withColumn("rem", col("n_docs") * total % col("n_total"))
+      val wRem = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source"))
+      val short = quotas.agg(
+        (lit(total) - sum(col("floor_q"))).as("missing"))
+      quotas.crossJoin(broadcast(short))
+        .withColumn("rem_rank", row_number().over(wRem))
+        .withColumn("quota", col("floor_q") +
+          when(col("rem_rank") <= col("missing"), 1L).otherwise(0L))
+        .select("source", "n_docs", "floor_q", "rem_rank", "quota")
+        .orderBy("source")
     })
   )
 
@@ -5896,6 +5947,54 @@ object QueriesExt {
         |  CASE WHEN sw.sw > 0
         |    THEN round(sb.sb::DOUBLE / sw.sw::DOUBLE, 9) ELSE 0.0 END
         |    AS ratio
-        |FROM tot, sw, sb""".stripMargin
+        |FROM tot, sw, sb""".stripMargin,
+
+    // replays the exact grid norms and the per-label tail ranks
+    "q138_norm_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label::BIGINT AS lbl,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> round(x * 1000000)::BIGINT) AS q
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, lbl,
+        |    list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2
+        |  FROM e
+        |), r AS (
+        |  SELECT vec_id, lbl, norm2,
+        |    row_number() OVER (PARTITION BY lbl
+        |      ORDER BY norm2 ASC, vec_id) AS rk_lo,
+        |    row_number() OVER (PARTITION BY lbl
+        |      ORDER BY norm2 DESC, vec_id) AS rk_hi
+        |  FROM n
+        |)
+        |SELECT vec_id, lbl, norm2,
+        |  CASE WHEN rk_lo <= 2 THEN 'low' ELSE 'high' END AS tail
+        |FROM r WHERE rk_lo <= 2 OR rk_hi <= 2
+        |ORDER BY lbl, norm2, vec_id""".stripMargin,
+
+    // replays the floor quotas, the remainder ranks, and the exact
+    // top-up
+    "q139_eval_allocation" ->
+      """WITH s AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1
+        |), g AS (SELECT sum(n_docs)::BIGINT AS n_total FROM s),
+        |q AS (
+        |  SELECT source, n_docs,
+        |    (n_docs * 100 // n_total)::BIGINT AS floor_q,
+        |    (n_docs * 100 % n_total)::BIGINT AS rem
+        |  FROM s, g
+        |), sh AS (SELECT (100 - sum(floor_q))::BIGINT AS missing FROM q),
+        |r AS (
+        |  SELECT source, n_docs, floor_q, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rem_rank
+        |  FROM q
+        |)
+        |SELECT source, n_docs, floor_q,
+        |  rem_rank::INTEGER AS rem_rank,
+        |  (floor_q + CASE WHEN rem_rank <= missing THEN 1 ELSE 0
+        |   END)::BIGINT AS quota
+        |FROM r, sh ORDER BY source""".stripMargin
   )
 }
