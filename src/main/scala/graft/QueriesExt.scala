@@ -123,6 +123,36 @@ object QueriesExt {
     * raw corpus — a universal footer, a %4 banner, a %7 unique promo
     * line. [[dirtyCte]] is its SQL twin; edit both together.
     */
+  /** q141 fixture: the raw corpus has no newlines, so the C4 line rules
+    * would be vacuous — deterministic lines are APPENDED by doc_id
+    * (each one exercising a distinct rule: short line, javascript
+    * boilerplate, lorem-ipsum page kill, curly-brace page kill, missing
+    * terminal punctuation, and a clean survivor that lifts even docs
+    * over the ≥3-line doc gate). [[c4Cte]] is the SQL twin; edit both
+    * together.
+    */
+  private def withC4Lines(d: DataFrame): DataFrame =
+    d.where(col("text").isNotNull)
+      .select(col("doc_id"), concat(col("text"), lit("."),
+        lit("\nthis second line survives every filter rule."),
+        when(col("doc_id") % 3 === 0, lit("\ntoo short."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nplease enable javascript and cookies to continue."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur adipiscing."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\nfunction f() { return 1; }"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nno terminal punctuation on this line at all"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          lit("\na third good line keeps even docs alive."))
+          .otherwise(lit(""))).as("text"))
+
   private def withBoilerplate(d: DataFrame): DataFrame =
     d.select(col("doc_id"), concat(col("text"),
       lit("\ncopyright footer all rights reserved"),
@@ -2417,6 +2447,29 @@ object QueriesExt {
           when(col("rem_rank") <= col("missing"), 1L).otherwise(0L))
         .select("source", "n_docs", "floor_q", "rem_rank", "quota")
         .orderBy("source")
+    }),
+
+    // Leakage-free split — the contamination-proof complement of q41:
+    // the split key is the q39 near-dup component, not the doc, so a
+    // duplicate cluster can never straddle train and test (the classic
+    // eval-leakage bug independent per-doc hashing is blind to).
+    // Composes the existing bounded component machinery with one
+    // salted-md5 projection; PartitionedSpec-style atomicity is pinned
+    // in OpsSpec.
+    "q140_leakage_split" -> ((s, dir) => {
+      val edges = consecTriEdges(s, dir, minJ = 0.5)
+      Dedup.leakageFreeSplit(edges, "id1", "id2", docs(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "#lsplit")
+        .orderBy("doc_id")
+    }),
+
+    // C4 line-rule cleaning over the planted multi-line corpus: the
+    // map-only scan that made the C4 dataset out of Common Crawl
+    // (terminal punctuation, ≥5-word lines, javascript boilerplate,
+    // lorem-ipsum / curly-brace page kills, ≥3 surviving lines).
+    "q141_c4_line_filter" -> ((s, dir) => {
+      TextOps.c4LineFilter(withC4Lines(docs(s, dir)), "doc_id", "text")
+        .orderBy("doc_id")
     })
   )
 
@@ -2803,6 +2856,32 @@ object QueriesExt {
        |  SELECT node AS doc_id, min(label) AS component
        |  FROM reach GROUP BY node
        |)""".stripMargin
+
+  /** SQL twin of [[withC4Lines]] as a CTE body named `w` (same
+    * no-line-leading-`||` spelling rule as [[dirtyCte]]).
+    */
+  private val c4Cte: String =
+    """w AS (
+      |  SELECT doc_id, concat(text, '.',
+      |    chr(10), 'this second line survives every filter rule.',
+      |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'too short.'
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+      |      'please enable javascript and cookies to continue.'
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+      |      'lorem ipsum dolor sit amet consectetur adipiscing.'
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 6 = 0 THEN chr(10) ||
+      |      'function f() { return 1; }' ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+      |      'no terminal punctuation on this line at all'
+      |         ELSE '' END,
+      |    CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+      |      'a third good line keeps even docs alive.' ELSE '' END
+      |  ) AS text
+      |  FROM documents WHERE text IS NOT NULL
+      |)""".stripMargin
 
   /** SQL twin of [[withBoilerplate]] as a CTE body named `w`. Spelled
     * with concat() and no line-leading `||` — this string is
@@ -5995,6 +6074,44 @@ object QueriesExt {
         |  rem_rank::INTEGER AS rem_rank,
         |  (floor_q + CASE WHEN rem_rank <= missing THEN 1 ELSE 0
         |   END)::BIGINT AS quota
-        |FROM r, sh ORDER BY source""".stripMargin
+        |FROM r, sh ORDER BY source""".stripMargin,
+
+    // replays the q39 component chain, then draws ONE salted md5
+    // uniform per component — every member inherits the verdict
+    "q140_leakage_split" ->
+      s"""WITH RECURSIVE $ccCtes,
+         |u AS (
+         |  SELECT doc_id, component,
+         |    ${hashUnitSql("component::VARCHAR || '#lsplit'")} AS u
+         |  FROM comp
+         |)
+         |SELECT doc_id, component,
+         |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // replays the planted lines, the three line gates and the three
+    // doc gates over the same split/filter arithmetic
+    "q141_c4_line_filter" ->
+      s"""WITH $c4Cte,
+         |l AS (
+         |  SELECT doc_id, text, string_split(text, chr(10)) AS lines
+         |  FROM w
+         |), k AS (
+         |  SELECT doc_id, text, lines,
+         |    list_filter(lines, x ->
+         |      regexp_matches(x, '[.!?"]\\s*$$')
+         |      AND (CASE WHEN trim(x) = '' THEN 0
+         |           ELSE len(string_split_regex(trim(x), '\\s+'))
+         |           END) >= 5
+         |      AND NOT contains(lower(x), 'javascript')) AS kept
+         |  FROM l
+         |)
+         |SELECT doc_id, len(lines)::BIGINT AS n_lines,
+         |  len(kept)::BIGINT AS n_kept,
+         |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+         |   AND NOT contains(text, '{')) AS keep_doc,
+         |  array_to_string(kept, chr(10)) AS cleaned
+         |FROM k ORDER BY doc_id""".stripMargin
   )
 }

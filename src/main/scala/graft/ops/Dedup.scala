@@ -872,6 +872,35 @@ object Dedup {
     nodes.map(n => (n, find(n))).toDF("node", "label")
   }
 
+  /** Leakage-free train/val/test assignment: near-duplicate documents
+    * must land in the SAME split, or the eval set silently contains
+    * paraphrases of training rows and every benchmark number is
+    * contaminated (the well-documented C4/GPT-2 test-set leakage
+    * failure). Independent per-doc hashing ([[graft.ops.Sampling
+    * .splitByHash]] on doc_id, q41) cannot guarantee this — a 0.8/0.1
+    * split puts a near-dup pair on opposite sides with probability
+    * ~2·0.8·0.1 per pair. Here the split key is the near-dup
+    * CONNECTED COMPONENT id ([[connectedComponents]] min-id label), so
+    * an entire duplicate cluster moves atomically: hash once per
+    * component, every member inherits the verdict.
+    *
+    * Scale shape: the component labeling is the existing bounded
+    * machinery (broadcast union–find under 2²⁰ edges, label
+    * propagation above); the split itself is a stateless salted-md5
+    * projection — no extra shuffle beyond the component join. Salting
+    * keeps the split draw independent of any other hash decision in
+    * the pipeline (see [[graft.ops.Sampling.hashUnit]]).
+    *
+    * Returns (idCol, component, split).
+    */
+  def leakageFreeSplit(pairs: DataFrame, id1: String, id2: String,
+      universe: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String): DataFrame = {
+    val comp = connectedComponents(pairs, id1, id2, universe, idCol)
+    Sampling.splitByHash(comp, "component", splits, salt)
+      .select(col(idCol), col("component"), col("split"))
+  }
+
   /** Substring-level exact duplication: maximal runs of ≥ `minGramRun`
     * consecutive shared word `gramWidth`-grams between two documents —
     * the equi-join formulation of suffix-array substring dedup (à la

@@ -380,6 +380,57 @@ object TextOps {
     call_function("nfc_normalize",
       regexp_replace(c, lit(ControlCharRe), lit("")))
 
+  // ------------------------------------------------------ C4 line rules
+
+  /** Terminal-punctuation line gate (C4 rule 1): the line must end in
+    * `.`, `!`, `?` or a closing quote, trailing whitespace allowed.
+    */
+  private val TerminalPunctRe = "[.!?\"]\\s*$"
+
+  /** Whitespace-token count of a line, 0 for blank — the shared word
+    * meter of the line rules (regexp `\S+` count, the same token
+    * definition as [[tokenCount]]).
+    */
+  private def lineWords(l: Column): Column =
+    when(trim(l) === "", lit(0)).otherwise(size(split(trim(l), "\\s+")))
+
+  /** C4-style line- and document-level cleaning (Raffel et al. 2020,
+    * the `en.noclean` → `en` pass; reference corpus hygiene the
+    * reference engine has no counterpart for). Line rules — a line
+    * survives iff it (a) ends in terminal punctuation, (b) carries at
+    * least `minWordsPerLine` whitespace tokens, and (c) does not
+    * mention "javascript" (the enable-JS boilerplate tell). Document
+    * rules on top: any "lorem ipsum" or a `{` anywhere in the RAW text
+    * kills the page (placeholder and code tells), and fewer than
+    * `minLines` surviving lines kills it too (the ≥3-sentence rule).
+    *
+    * Everything is per-row array/regex arithmetic — `split`, a
+    * `filter` lambda of regex gates, `array_join` — inside whole-stage
+    * codegen with NO shuffle and no UDF: the 100 TB shape is a map-only
+    * scan. Returns (idCol, n_lines, n_kept, keep_doc, cleaned) where
+    * `cleaned` is the surviving lines rejoined with `\n` (empty string
+    * when nothing survives; the doc gate, not the text, decides
+    * downstream fate).
+    */
+  def c4LineFilter(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWordsPerLine: Int = 5,
+      minLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      l.rlike(TerminalPunctRe) &&
+      lineWords(l) >= minWordsPerLine &&
+      !lower(l).contains("javascript"))
+    df.select(col(idCol), lines.as("__lines"), kept.as("__kept"), t)
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__kept")) >= minLines &&
+          !lower(t).contains("lorem ipsum") &&
+          !t.contains("{")).as("keep_doc"),
+        array_join(col("__kept"), "\n").as("cleaned"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** 64-bit content hash of the normalized text (xxhash64) — the INTERNAL

@@ -126,6 +126,71 @@ class OpsSpec extends SparkSpec {
     assert((n until n + 10).forall(i => cc(i) == i), "singletons untouched")
   }
 
+  test("leakage-free split: near-dup components move atomically, singletons hash alone") {
+    val schema = StructType(Seq(
+      StructField("id1", LongType), StructField("id2", LongType)))
+    // chain 1-2-3 and pair 5-6 must each land in ONE split; 4 and 7
+    // draw independently
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L))
+    val pairsDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(pairs.map { case (a, b) => Row(a, b) }).asJava), schema)
+    val universe = docFrame((1L to 7L).map(i => (i, "x")): _*)
+    val out = Dedup.leakageFreeSplit(pairsDf, "id1", "id2", universe,
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), "#s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byComp = out.groupBy(_._2)
+    // atomicity: one split value per component
+    byComp.foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == 1)
+    }
+    // the split is a function of the COMPONENT hash: a singleton whose
+    // id equals a cluster's min label draws the same verdict as the
+    // cluster — pin by recomputing the expected uniform
+    val expected = out.map { case (_, compId, _) =>
+      graft.ops.Sampling.hashUnit(lit(compId), "#s")
+    }
+    val us = universe.sparkSession.range(1)
+      .select(expected: _*).head().toSeq.map(_.asInstanceOf[Double])
+    out.zip(us).foreach { case ((_, _, split), u) =>
+      val want = if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+      assert(split == want)
+    }
+  }
+
+  test("c4 line filter: each line rule and each doc gate fires independently") {
+    val df = docFrame(
+      // 3 good lines → kept doc; short/no-punct/javascript lines drop
+      (1L, "one fine sentence that clearly ends well.\n" +
+        "tiny line.\n" +
+        "a second proper sentence with enough words here.\n" +
+        "this line has no terminal punctuation at all\n" +
+        "please enable javascript and cookies to continue.\n" +
+        "the third fully valid sentence closes the doc!"),
+      // only 2 surviving lines → doc dropped by the ≥3-line gate
+      (2L, "just one good sentence lives in this document.\n" +
+        "and exactly one more survives the line rules?"),
+      // lorem ipsum kills the page even with 3 good lines
+      (3L, "a perfectly good first sentence sits right here.\n" +
+        "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "and a third acceptable sentence finishes it off."),
+      // a curly brace anywhere kills the page
+      (4L, "good sentence number one stands at the top.\n" +
+        "good sentence number two follows right behind.\n" +
+        "good sentence number three mentions code = { }."))
+    val out = TextOps.c4LineFilter(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getString(4)))
+    assert(out(0) == ((1L, 6L, 3L, true,
+      "one fine sentence that clearly ends well.\n" +
+      "a second proper sentence with enough words here.\n" +
+      "the third fully valid sentence closes the doc!")))
+    assert(out(1)._4 == false && out(1)._3 == 2L)
+    assert(out(2)._4 == false && out(2)._3 == 3L) // lines fine, page killed
+    assert(out(3)._4 == false) // the { gate
+  }
+
   test("pii scrub replaces emails, urls and phones; counts match") {
     import org.apache.spark.sql.functions.col
     val df = docFrame(
