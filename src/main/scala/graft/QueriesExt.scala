@@ -2470,6 +2470,16 @@ object QueriesExt {
     "q141_c4_line_filter" -> ((s, dir) => {
       TextOps.c4LineFilter(withC4Lines(docs(s, dir)), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Top principal component by integer power iteration — the
+    // dominant-axis / whitening diagnostic for the embedding space:
+    // exact DECIMAL scatter matrix (map-only outer products, dim²
+    // output), 6 grid-renormalized iterations replayed bit-for-bit by
+    // the oracle's unrolled CTEs.
+    "q142_pca_power" -> ((s, dir) => {
+      Similarity.pcaTopComponent(embs(s, dir), "embedding", iters = 6)
+        .orderBy("d")
     })
   )
 
@@ -2856,6 +2866,53 @@ object QueriesExt {
        |  SELECT node AS doc_id, min(label) AS component
        |  FROM reach GROUP BY node
        |)""".stripMargin
+
+  /** CTE chain replaying [[graft.ops.Similarity.pcaTopComponent]]: the
+    * HUGEINT scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ over the 10⁶ grid,
+    * then `iters` unrolled power iterations (w = S·v, renormalize to
+    * the grid by truncating `//` — DuckDB's toward-zero twin of BigInt
+    * division) and the Rayleigh floor λ = vᵀSv // vᵀv. Ends at
+    * `v{iters} (d, v)` with `num`/`den` for λ.
+    */
+  private def pcaCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      val p = s"v${k - 1}"
+      s"""w$k AS (
+         |  SELECT sm.i AS d, sum(sm.sv * v.v)::HUGEINT AS w
+         |  FROM sm JOIN $p v ON v.d = sm.j GROUP BY 1
+         |), m$k AS (SELECT max(abs(w))::HUGEINT AS m FROM w$k),
+         |v$k AS (
+         |  SELECT d, (CASE WHEN m = 0 THEN 0
+         |             ELSE (w * 1000000) // m END)::HUGEINT AS v
+         |  FROM w$k CROSS JOIN m$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> round(x * 1000000)::BIGINT) AS q
+       |  FROM embeddings
+       |), cnt AS (SELECT count(*)::HUGEINT AS n FROM e),
+       |dx AS (
+       |  SELECT vec_id, ds.d AS d, q[ds.d]::HUGEINT AS x
+       |  FROM e, generate_series(1, 64) AS ds(d)
+       |), s AS (SELECT d, sum(x)::HUGEINT AS sd FROM dx GROUP BY 1),
+       |p AS (
+       |  SELECT a.d AS i, b.d AS j, sum(a.x * b.x)::HUGEINT AS p
+       |  FROM dx a JOIN dx b ON b.vec_id = a.vec_id GROUP BY 1, 2
+       |), sm AS (
+       |  SELECT p.i, p.j, (cnt.n * p.p - sa.sd * sb.sd)::HUGEINT AS sv
+       |  FROM p CROSS JOIN cnt
+       |  JOIN s sa ON sa.d = p.i JOIN s sb ON sb.d = p.j
+       |), v0 AS (
+       |  SELECT d, 1000000::HUGEINT AS v FROM generate_series(1, 64) t(d)
+       |),
+       |$iterCtes,
+       |num AS (
+       |  SELECT sum(va.v * sm.sv * vb.v)::HUGEINT AS num
+       |  FROM sm JOIN v$iters va ON va.d = sm.i
+       |  JOIN v$iters vb ON vb.d = sm.j
+       |), den AS (SELECT sum(v * v)::HUGEINT AS den FROM v$iters)""".stripMargin
+  }
 
   /** SQL twin of [[withC4Lines]] as a CTE body named `w` (same
     * no-line-leading-`||` spelling rule as [[dirtyCte]]).
@@ -6112,6 +6169,15 @@ object QueriesExt {
          |  (len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
          |   AND NOT contains(text, '{')) AS keep_doc,
          |  array_to_string(kept, chr(10)) AS cleaned
-         |FROM k ORDER BY doc_id""".stripMargin
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // replays the exact scatter matrix and the 6 truncating-division
+    // power iterations, then the Rayleigh floor
+    "q142_pca_power" ->
+      s"""WITH ${pcaCtes(6)}
+         |SELECT d::INTEGER AS d, v::BIGINT AS v,
+         |  (CASE WHEN den = 0 THEN 0
+         |   ELSE num // den END)::DECIMAL(38,0) AS lam
+         |FROM v6 CROSS JOIN num CROSS JOIN den ORDER BY d""".stripMargin
   )
 }

@@ -602,4 +602,92 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
         "in_exact_topk")
   }
+
+  /** Top principal component of the embedding corpus by power iteration
+    * — the "is there one dominant axis?" diagnostic that decides
+    * whether embeddings need whitening before cosine retrieval (a
+    * single rogue direction — an encoder artifact, a length signal —
+    * dominates every dot product and flattens ANN recall).
+    *
+    * Exactness: vectors land on the [[KmeansGrid]] integer grid and the
+    * UNNORMALIZED scatter matrix S = n·Σqqᵀ − (Σq)(Σq)ᵀ is assembled in
+    * DECIMAL(38,0) (no mean division, so S is exact; same direction as
+    * the covariance). Iteration: v₀ = 1⃗·G; repeat v ← ⌊(S·v)·G /
+    * max|S·v|⌋ `iters` times (truncating division, the `//` DuckDB
+    * twin); λ̂ = ⌊vᵀSv / vᵀv⌋. Every step is integer arithmetic an
+    * oracle replays bit-for-bit as unrolled CTEs.
+    *
+    * Scale shape: the outer-product expansion is map-only (double
+    * posexplode, dim² rows per vector) into ONE partial-aggregated
+    * groupBy bounded by dim² output rows; the iteration itself runs on
+    * the collected dim×dim matrix — a BOUNDED driver step (64² decimals
+    * here; the k-means-centroid precedent), corpus-size-independent.
+    * Returns (d 1-based, v on the G grid, lam) — empty when the corpus
+    * is empty, mirroring the oracle's empty join chain.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String,
+      iters: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val dec = "decimal(38,0)"
+    val e = df.select(toGrid(col(vecCol)).as("__q"))
+      .where(col("__q").isNotNull)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lam",
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+    val n = e.count()
+    if (n == 0)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val dims = e.select(posexplode(col("__q")).as(Seq("d0", "x")))
+      .select((col("d0") + 1).as("d"), col("x"))
+    val sums = dims.groupBy("d")
+      .agg(sum(col("x").cast(dec)).as("sd"))
+    val prods = e
+      .select(posexplode(col("__q")).as(Seq("i0", "xi")), col("__q"))
+      .select((col("i0") + 1).as("i"), col("xi"),
+        posexplode(col("__q")).as(Seq("j0", "xj")))
+      .select(col("i"), (col("j0") + 1).as("j"),
+        (col("xi").cast(dec) * col("xj").cast(dec)).as("p"))
+      .groupBy("i", "j").agg(sum("p").as("p"))
+    val scat = prods
+      .join(sums.select(col("d").as("i"), col("sd").as("si")), "i")
+      .join(sums.select(col("d").as("j"), col("sd").as("sj")), "j")
+      .select(col("i"), col("j"),
+        (lit(n).cast(dec) * col("p") - col("si") * col("sj")).as("sv"))
+    val entries = scat.collect() // bounded: dim² rows
+    val dim = entries.iterator.map(_.getInt(0)).max
+    val smat = Array.ofDim[BigInt](dim, dim)
+    entries.foreach { r =>
+      smat(r.getInt(0) - 1)(r.getInt(1) - 1) = BigInt(r.getDecimal(2)
+        .toBigInteger)
+    }
+    val grid = BigInt(KmeansGrid)
+    def mul(v: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(i =>
+        (0 until dim).foldLeft(BigInt(0))((a, j) => a + smat(i)(j) * v(j)))
+    var v = Array.fill(dim)(grid)
+    for (_ <- 1 to iters) {
+      val w = mul(v)
+      val m = w.iterator.map(_.abs).max
+      v = if (m == 0) Array.fill(dim)(BigInt(0))
+          else w.map(x => x * grid / m) // BigInt / truncates toward 0 = //
+    }
+    val den = v.foldLeft(BigInt(0))((a, x) => a + x * x)
+    val num = {
+      val sv = mul(v)
+      (0 until dim).foldLeft(BigInt(0))((a, i) => a + v(i) * sv(i))
+    }
+    val lam = if (den == 0) BigInt(0) else num / den
+    val rows = (0 until dim).map { i =>
+      org.apache.spark.sql.Row(i + 1, v(i).toLong,
+        new java.math.BigDecimal(lam.bigInteger))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+  }
 }

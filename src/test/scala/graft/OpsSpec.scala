@@ -191,6 +191,32 @@ class OpsSpec extends SparkSpec {
     assert(out(3)._4 == false) // the { gate
   }
 
+  test("pca power iteration finds the dominant axis with exact grid arithmetic") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // points on the line (t, 0.1t, 0): top PC must align with axis 1,
+    // carry a ~10% axis-2 component, and ignore axis 3 entirely
+    val pts = Seq(-1.0f, -0.5f, 0.5f, 1.0f).zipWithIndex.map {
+      case (t, i) => Row(i.toLong, Seq(t, 0.1f * t, 0.0f))
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(pts).asJava), schema)
+    val out = Similarity.pcaTopComponent(df, "embedding")
+      .orderBy("d").collect()
+    assert(out.length == 3)
+    val v = out.map(_.getLong(1))
+    assert(v(0) == 1000000L, "dominant axis saturates the grid")
+    assert(math.abs(v(1) - 100000L) <= 2, "second axis ~10%")
+    assert(v(2) == 0L, "orthogonal axis is exactly zero")
+    val lam = out.head.getDecimal(2)
+    assert(lam.signum > 0, "top eigenvalue of a non-degenerate cloud is positive")
+    // empty corpus → empty frame (the oracle's empty join chain)
+    val empty = Similarity.pcaTopComponent(
+      df.where(col("vec_id") < 0), "embedding")
+    assert(empty.count() == 0)
+  }
+
   test("pii scrub replaces emails, urls and phones; counts match") {
     import org.apache.spark.sql.functions.col
     val df = docFrame(
