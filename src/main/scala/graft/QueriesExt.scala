@@ -2480,6 +2480,28 @@ object QueriesExt {
     "q142_pca_power" -> ((s, dir) => {
       Similarity.pcaTopComponent(embs(s, dir), "embedding", iters = 6)
         .orderBy("d")
+    }),
+
+    // Silence/clipping screen over REAL decoded PCM — the VAD-style
+    // audio gate on the q97 synthesized corpus: silent-sample counts,
+    // clipped-sample counts, longest and leading silent runs, every
+    // feature a closed-form function of doc_id the oracle replays via
+    // gaps-and-islands.
+    "q143_wav_activity" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map(r => Row(r.getLong(0),
+            Multimodal.synthWavBytes(r.getLong(0))))
+        }(Encoders.row(mediaSchema)).toDF()
+      Multimodal.wavActivity(media, "media_id", "payload")
+        .select(col("media_id"), col("n_samples"), col("n_silent"),
+          col("n_clipped"), col("max_silence_run"), col("lead_silence"))
+        .orderBy("media_id")
     })
   )
 
@@ -6178,6 +6200,43 @@ object QueriesExt {
          |SELECT d::INTEGER AS d, v::BIGINT AS v,
          |  (CASE WHEN den = 0 THEN 0
          |   ELSE num // den END)::DECIMAL(38,0) AS lam
-         |FROM v6 CROSS JOIN num CROSS JOIN den ORDER BY d""".stripMargin
+         |FROM v6 CROSS JOIN num CROSS JOIN den ORDER BY d""".stripMargin,
+
+    // replays the q97 closed-form samples, then silent/clipped counts
+    // and the run lengths by gaps-and-islands
+    "q143_wav_activity" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, 64 + doc_id % 32 AS n FROM documents
+        |), smp AS (
+        |  SELECT media_id, u.i AS i,
+        |    abs(((media_id * 31 + u.i * 7) % 2048) - 1024) AS a
+        |  FROM ids, unnest(generate_series(0, n - 1)) AS u(i)
+        |), fl AS (
+        |  SELECT media_id, i, a < 128 AS silent, a >= 1000 AS clipped
+        |  FROM smp
+        |), isl AS (
+        |  SELECT media_id, i, silent,
+        |    i - row_number() OVER (PARTITION BY media_id, silent
+        |      ORDER BY i) AS grp
+        |  FROM fl
+        |), runs AS (
+        |  SELECT media_id, grp, count(*) AS len
+        |  FROM isl WHERE silent GROUP BY media_id, grp
+        |), agg AS (
+        |  SELECT media_id, count(*)::BIGINT AS n_samples,
+        |    (count(*) FILTER (WHERE silent))::BIGINT AS n_silent,
+        |    (count(*) FILTER (WHERE clipped))::BIGINT AS n_clipped,
+        |    coalesce(min(i) FILTER (WHERE NOT silent),
+        |             count(*))::BIGINT AS lead_silence
+        |  FROM fl GROUP BY 1
+        |), mx AS (
+        |  SELECT media_id, max(len)::BIGINT AS max_silence_run
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT a.media_id, n_samples, n_silent, n_clipped,
+        |  coalesce(mx.max_silence_run, 0)::BIGINT AS max_silence_run,
+        |  lead_silence
+        |FROM agg a LEFT JOIN mx USING (media_id)
+        |ORDER BY media_id""".stripMargin
   )
 }

@@ -174,9 +174,15 @@ object Multimodal {
   private def tag(b: Array[Byte], o: Int): String =
     new String(b, o, 4, "US-ASCII")
 
-  private def parseWav(b: Array[Byte]): Seq[Any] = {
+  /** Shared RIFF/WAVE container walk: (rate, channels, dataOff,
+    * dataLen) for a well-formed PCM16 payload, None for anything the
+    * quarantine contract null-fills (bad magic, truncated chunk,
+    * non-PCM16). The single source of container truth for [[decodeWav]]
+    * and [[wavActivity]].
+    */
+  private def wavPcm16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
-      tag(b, 8) != "WAVE") return NullWav
+      tag(b, 8) != "WAVE") return None
     var off = 12
     var rate, channels, bits = -1
     var fmtPcm = false
@@ -184,7 +190,7 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return NullWav
+      if (size < 0 || off + 8 + size > b.length) return None
       if (id == "fmt " && size >= 16) {
         fmtPcm = le16(b, off + 8) == 1 // PCM
         channels = le16(b, off + 10)
@@ -194,20 +200,82 @@ object Multimodal {
       off += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (!fmtPcm || bits != 16 || rate <= 0 || channels <= 0 ||
-      dataOff < 0) return NullWav
-    var i = dataOff
-    var peak = 0
-    var sum = 0L
-    while (i + 1 < dataOff + dataLen) {
-      val s = le16(b, i).toShort.toInt
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      sum += a
-      i += 2
-    }
-    val nSamples = dataLen.toLong / 2 / channels
-    Seq[Any](rate, channels, bits, nSamples,
-      nSamples * 1000L / rate, peak, sum)
+      dataOff < 0) None
+    else Some((rate, channels, dataOff, dataLen))
+  }
+
+  private def parseWav(b: Array[Byte]): Seq[Any] = wavPcm16(b) match {
+    case None => NullWav
+    case Some((rate, channels, dataOff, dataLen)) =>
+      var i = dataOff
+      var peak = 0
+      var sum = 0L
+      while (i + 1 < dataOff + dataLen) {
+        val s = le16(b, i).toShort.toInt
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        sum += a
+        i += 2
+      }
+      val nSamples = dataLen.toLong / 2 / channels
+      Seq[Any](rate, channels, 16, nSamples,
+        nSamples * 1000L / rate, peak, sum)
+  }
+
+  /** Features produced by [[wavActivity]]; all null for unparseable
+    * payloads, as [[decodeWav]].
+    */
+  val wavActivitySchema: StructType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("n_silent", LongType),
+    StructField("n_clipped", LongType),
+    StructField("max_silence_run", LongType),
+    StructField("lead_silence", LongType)))
+
+  /** Silence/clipping screen over decoded PCM16 — the VAD-style audio
+    * quality gate a speech pipeline runs before transcription: count
+    * samples under the silence threshold and at/over the clipping
+    * threshold, the longest contiguous silent run, and the leading
+    * silent run (interleaved sample granularity). Mostly-silent clips
+    * waste transcription compute; clipped recordings poison acoustic
+    * training. One pass over the bytes in the same mapPartitions batch
+    * shape as [[decodeWav]] — payloads never shuffle, only the five
+    * integer features continue. Malformed payloads null-fill.
+    */
+  def wavActivity(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", silenceBelow: Int = 128,
+      clipAtOrAbove: Int = 1000): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ wavActivitySchema.fields)
+    val payIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val b = if (row.isNullAt(payIdx)) null
+          else row.getAs[Array[Byte]](payIdx)
+        val feats: Seq[Any] = wavPcm16(b) match {
+          case None => Seq(null, null, null, null, null)
+          case Some((_, _, dataOff, dataLen)) =>
+            var i = dataOff
+            var n, silent, clipped, run, maxRun, lead = 0L
+            var leading = true
+            while (i + 1 < dataOff + dataLen) {
+              val a = math.abs(le16(b, i).toShort.toInt)
+              if (a < silenceBelow) {
+                silent += 1; run += 1
+                if (run > maxRun) maxRun = run
+                if (leading) lead += 1
+              } else {
+                run = 0; leading = false
+                if (a >= clipAtOrAbove) clipped += 1
+              }
+              n += 1
+              i += 2
+            }
+            Seq(n, silent, clipped, maxRun, lead)
+        }
+        Row.fromSeq(row.toSeq ++ feats)
+      }
+    }(enc)
   }
 
   /** Features produced by [[decodeBmp]]; all null for unparseable
