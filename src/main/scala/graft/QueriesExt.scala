@@ -2502,6 +2502,41 @@ object QueriesExt {
         .select(col("media_id"), col("n_samples"), col("n_silent"),
           col("n_clipped"), col("max_silence_run"), col("lead_silence"))
         .orderBy("media_id")
+    }),
+
+    // ORC sink+source roundtrip — format coverage for the second
+    // columnar layout Spark ships natively: the corpus is physically
+    // written as ORC, read back, and digested; the md5 row-hash sum
+    // proves the roundtrip is content-lossless (the oracle computes
+    // the same digest straight from the parquet source).
+    "q144_orc_roundtrip" -> ((s, dir) => {
+      val path = scratch("q144")
+      docs(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("text")))
+            .as("content_sum"))
+        .orderBy("source")
+    }),
+
+    // Small-file compaction plan over a REAL sharded write: 16
+    // md5-range shards on disk, per-shard row counts from the re-read,
+    // then the greedy streaming bin-pack every lakehouse OPTIMIZE runs
+    // (group id = rows-before DIV target). File-inventory-sized plan
+    // frame; the oracle replays shard membership and the window cumsum.
+    "q145_compaction_plan" -> ((s, dir) => {
+      val path = scratch("q145")
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      Output.writeSharded(d, "doc_id", path, numShards = 16)
+      val inv = s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"))
+      Output.compactionPlan(inv, "shard", "n_rows", targetRows = 1000L)
+        .orderBy("shard")
     })
   )
 
@@ -6237,6 +6272,36 @@ object QueriesExt {
         |  coalesce(mx.max_silence_run, 0)::BIGINT AS max_silence_run,
         |  lead_silence
         |FROM agg a LEFT JOIN mx USING (media_id)
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // the digest straight from the parquet source: a lossless ORC
+    // roundtrip must reproduce it bit-for-bit
+    "q144_orc_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+         |      || text), 1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays the md5-range shard membership and the greedy window
+    // cumsum cut rule
+    "q145_compaction_plan" ->
+      s"""WITH sh AS (
+         |  SELECT floor(${hashUnitSql("doc_id::VARCHAR")} * 16)::BIGINT
+         |    AS shard
+         |  FROM documents
+         |), inv AS (
+         |  SELECT shard, count(*)::BIGINT AS n_rows FROM sh GROUP BY 1
+         |), c AS (
+         |  SELECT shard, n_rows,
+         |    coalesce(sum(n_rows) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS rows_before
+         |  FROM inv
+         |)
+         |SELECT shard, n_rows, rows_before,
+         |  (rows_before // 1000)::BIGINT AS grp
+         |FROM c ORDER BY shard""".stripMargin
   )
 }

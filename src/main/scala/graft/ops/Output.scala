@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sharded materialization — the write side of a
@@ -127,5 +128,36 @@ object Output {
       .partitionBy("shard")
       .format(format)
       .save(path)
+  }
+
+  /** Small-file compaction plan — the OPTIMIZE/rewrite step every
+    * long-lived lakehouse table needs: after months of incremental
+    * appends a table is thousands of undersized files and every scan
+    * pays per-file open/footer/scheduling overhead. Given a file
+    * inventory (`fileCol`, `nRowsCol`) this assigns each file to a
+    * merge group by the streaming greedy rule Delta/Iceberg compactors
+    * use: walk files in `fileCol` order, cut a new group every time the
+    * running total passes a multiple of `targetRows` — group id =
+    * ⌊rows-before-this-file / target⌋. Groups are contiguous in the
+    * walk order, every group except possibly the last holds ≥ target
+    * once it closes, and the plan is a pure function of the inventory —
+    * any engine replays it with one window cumsum.
+    *
+    * Scale shape: the plan frame is FILE-inventory-sized (thousands of
+    * rows for a 100 TB table), not row-sized; the single unpartitioned
+    * window is bounded by the file count, never the corpus. Returns
+    * (fileCol, nRowsCol, rows_before, grp).
+    */
+  def compactionPlan(inventory: DataFrame, fileCol: String,
+      nRowsCol: String, targetRows: Long): DataFrame = {
+    require(targetRows > 0, "targetRows must be positive")
+    val w = Window.orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    inventory
+      .withColumn("rows_before",
+        coalesce(sum(col(nRowsCol)).over(w), lit(0L)))
+      .withColumn("grp", expr(s"rows_before DIV ${targetRows}L"))
+      .select(col(fileCol), col(nRowsCol).cast("long").as(nRowsCol),
+        col("rows_before"), col("grp"))
   }
 }

@@ -208,4 +208,27 @@ class OutputSpec extends SparkSpec {
     // any N (resharding never re-shuffles)
     assert(globalOrder(s"$base/n4") == globalOrder(s"$base/n8"))
   }
+
+  test("compaction plan: greedy cut rule, contiguous groups, closed groups reach target") {
+    import spark.implicits._
+    val inv = Seq(
+      ("f00", 400L), ("f01", 400L), ("f02", 400L), // 0,400,800 → grp 0,0,0
+      ("f03", 50L),                                // 1200 → grp 1
+      ("f04", 2500L),                              // 1250 → grp 1 (oversized file stays whole)
+      ("f05", 10L), ("f06", 10L))                  // 3750,3760 → grp 3
+      .toDF("file", "n_rows")
+    val plan = Output.compactionPlan(inv, "file", "n_rows", 1000L)
+      .orderBy("file").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.map(_._4).toSeq == Seq(0L, 0L, 0L, 1L, 1L, 3L, 3L))
+    assert(plan.map(_._3).toSeq == Seq(0L, 400L, 800L, 1200L, 1250L, 3750L, 3760L))
+    // groups are contiguous in file order
+    assert(plan.map(_._4).toSeq == plan.map(_._4).toSeq.sorted)
+    // every group that CLOSED (a later group exists) holds >= target rows
+    val byGrp = plan.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    val last = plan.map(_._4).max
+    byGrp.filter(_._1 != last).foreach { case (g, rows) =>
+      assert(rows >= 1000L, s"closed group $g undersized: $rows")
+    }
+  }
 }
