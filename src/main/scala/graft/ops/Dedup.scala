@@ -1169,12 +1169,18 @@ object Dedup {
     * Docs sharing ≥ `minShared` fingerprints pair up — the
     * guarantee-based cousin of q51's positional-gram spans.
     *
-    * Scale shape: shingle hashing is a per-doc posexplode + one
-    * DOC-KEYED window (never global); the pair join is keyed on the
-    * fingerprint value with hot fingerprints (boilerplate substrings)
-    * dropped by `maxFpDf` BEFORE the join builds — the same
-    * cap-before-the-operator discipline as q51/Contamination.
-    * All md5-word arithmetic → oracle-replayable.
+    * Scale shape: the whole per-doc pipeline — shingle hashing,
+    * window-of-`window` minima over FULL windows only, per-doc dedup —
+    * runs as array higher-order functions INSIDE the scan projection
+    * (transform → slice/array_min → array_distinct), so no
+    * character-level rows ever hit an exchange; only the surviving
+    * fingerprints (~2/(window+1) of hashes, distinct per doc) explode.
+    * The earlier doc-keyed-window formulation shuffled every character
+    * position of the corpus and measured 4× slower at sf0.1. The pair
+    * join is keyed on the fingerprint value with hot fingerprints
+    * (boilerplate substrings) dropped by `maxFpDf` BEFORE the join
+    * builds — the same cap-before-the-operator discipline as
+    * q51/Contamination. All md5-word arithmetic → oracle-replayable.
     *
     * @return (id1, id2, n_shared) with id1 < id2.
     */
@@ -1182,22 +1188,29 @@ object Dedup {
       gram: Int = 8, window: Int = 4, maxFpDf: Long = 32,
       minShared: Long = 2): DataFrame = {
     require(gram > 0 && window > 0 && minShared > 0)
-    val shingles = df
-      .select(col(idCol), posexplode(TextOps.charNgrams(
-        TextOps.normText(col(textCol)), gram)).as(Seq("__pos", "__g")))
-      .select(col(idCol), col("__pos"),
-        Sampling.md5Prefix32(col("__g")).as("__hv"))
-    val wWin = Window.partitionBy(col(idCol)).orderBy("__pos")
-      .rowsBetween(Window.currentRow, window - 1)
-    // min of each full window; the trailing <window-sized frames at the
-    // doc's end would re-sample suffix hashes already covered, so they
-    // are excluded by position bound (the oracle replays the bound)
-    val fps = shingles
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy(col(idCol))))
-      .withColumn("__fp", min(col("__hv")).over(wWin))
-      .where(col("__pos") <= col("__n") - window)
-      .select(col(idCol), col("__fp")).distinct()
+    val norm = TextOps.normText(col(textCol))
+    val fpArr =
+      if (org.apache.spark.sql.SparkSession.getActiveSession
+          .exists(_.catalog.functionExists("winnow_fps")))
+        // native one-pass winnow (plans.WinnowFps): O(n) monotonic-deque
+        // window min, grams sliced from the UTF8 byte buffer, codegen'd
+        call_function("winnow_fps", norm, lit(gram), lit(window))
+      else {
+        // portable spelling, bit-identical (spec-pinned): hash array
+        // materialized ONCE per row — inlining it into the per-position
+        // lambda would re-hash the whole doc at every window start
+        // (O(n²) md5 calls — measured: hung); full windows only, the
+        // trailing <window-sized frames would re-sample suffix hashes
+        // already covered
+        val hs = transform(TextOps.charNgrams(norm, gram),
+          g => Sampling.md5Prefix32(g))
+        array_distinct(when(size(hs) >= window,
+          transform(sequence(lit(1), size(hs) - window + 1),
+            i => array_min(slice(hs, i, lit(window)))))
+          .otherwise(array().cast("array<long>")))
+      }
+    val hashed = df.select(col(idCol), fpArr.as("__fps"))
+    val fps = hashed.select(col(idCol), explode(col("__fps")).as("__fp"))
     val hot = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxFpDf).select("__fp")
     val cold = fps.join(hot, Seq("__fp"), "left_anti")

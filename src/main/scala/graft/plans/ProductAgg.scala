@@ -87,6 +87,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"winnow_fps expects 3 arguments, got ${children.length}")
+        WinnowFps(Cast(children(0),
+          org.apache.spark.sql.types.StringType), children(1), children(2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_second32"),
       new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
       (children: Seq[Expression]) => {

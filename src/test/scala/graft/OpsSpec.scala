@@ -1528,6 +1528,44 @@ class OpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("winnow_fps native expression is bit-identical to the portable " +
+      "declarative spelling (incl. multi-byte chars and short docs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps going",
+      "répétition déjà-vu — üñïçødé text with ééé multi-byte runs here",
+      "aaaaaaaaaaaaaaaaaaaaaaaa", // constant text: one distinct fp
+      "short", // < gram chars → empty
+      "exactly11ch", // nGrams=4=window → one full window
+      "")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val gram = 8; val window = 4
+    val norm = TextOps.normText(col("text"))
+    val hs = transform(TextOps.charNgrams(norm, gram),
+      g => graft.ops.Sampling.md5Prefix32(g))
+    val portable = array_distinct(when(size(hs) >= window,
+      transform(sequence(lit(1), size(hs) - window + 1),
+        i => array_min(slice(hs, i, lit(window)))))
+      .otherwise(array().cast("array<long>")))
+    val rows = df.select(col("doc_id"),
+        call_function("winnow_fps", norm, lit(gram), lit(window))
+          .as("native"),
+        portable.as("decl"))
+      .orderBy("doc_id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} != " +
+          s"declarative ${r.getSeq[Long](2)}")
+    }
+    // short doc and empty doc produce empty (not null) fingerprint sets
+    assert(rows(3).getSeq[Long](1).isEmpty && rows(5).getSeq[Long](1).isEmpty)
+    // constant text has exactly one distinct fingerprint
+    assert(rows(2).getSeq[Long](1).length == 1)
+  }
+
   test("envelope hash: byte-identical clips collide, JVM reference " +
       "matches, quarantine holds") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
