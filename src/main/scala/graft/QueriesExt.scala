@@ -2537,6 +2537,24 @@ object QueriesExt {
         .agg(count(lit(1)).as("n_rows"))
       Output.compactionPlan(inv, "shard", "n_rows", targetRows = 1000L)
         .orderBy("shard")
+    }),
+
+    // Hybrid retrieval — the RAG-stack shape: a lexical BM25 arm over
+    // text and a dense exact-cosine arm over the aligned embeddings,
+    // fused by reciprocal-rank fusion (no score calibration across
+    // arms). Each arm is its own proven cell-exact machinery (q67 /
+    // q24); the fusion adds one bounded full-outer join + re-rank.
+    "q146_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val lex = graft.ops.TfIdf.bm25TopK(
+        d.where(col("doc_id") < 5), d, "doc_id", "text", k = 10)
+      val dense = Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+      Similarity.rrfFuse(lex, dense, topK = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("rrf"), 8).as("rrf"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -6302,6 +6320,76 @@ object QueriesExt {
          |)
          |SELECT shard, n_rows, rows_before,
          |  (rows_before // 1000)::BIGINT AS grp
-         |FROM c ORDER BY shard""".stripMargin
+         |FROM c ORDER BY shard""".stripMargin,
+
+    // replays both arms (the q67 BM25 chain at k=10, the q24 exact
+    // cosine chain at k=10) and the one-addition RRF re-rank
+    "q146_hybrid_rrf" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+         |), dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n,
+         |         (SELECT sum(dl)::DOUBLE FROM dl) AS sumdl
+         |), dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (
+         |  SELECT token,
+         |    CAST(round(ln((n::DOUBLE - df::DOUBLE + 0.5)
+         |      / (df::DOUBLE + 0.5) + 1), 6) AS DECIMAL(18,6)) AS idf
+         |  FROM dft CROSS JOIN stats
+         |), q AS (
+         |  SELECT doc_id AS query_id, token, tf AS qtf
+         |  FROM tf WHERE doc_id < 5
+         |), sc AS (
+         |  SELECT q.query_id, p.doc_id AS neighbor_id,
+         |    CAST(round((q.qtf::DOUBLE * idf.idf::DOUBLE) *
+         |      ((p.tf::DOUBLE * 2.5) / (p.tf::DOUBLE + 1.5 *
+         |        (0.25 + 0.75 * (dl.dl::DOUBLE / (stats.sumdl / stats.n))))),
+         |      6) AS DECIMAL(18,6)) AS term
+         |  FROM q JOIN tf p USING (token) JOIN idf USING (token)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats
+         |  WHERE q.query_id <> p.doc_id
+         |), agg AS (
+         |  SELECT query_id, neighbor_id, (sum(term))::DOUBLE AS score
+         |  FROM sc GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM agg QUALIFY rank <= 10
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cs AS (
+         |  SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(qe.v, c.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         |  FROM e qe JOIN e c ON qe.vec_id <> c.vec_id
+         |  WHERE qe.vec_id < 5
+         |), den AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cs QUALIFY rank <= 10
+         |), f AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |    coalesce(l.neighbor_id, d.neighbor_id) AS neighbor_id,
+         |    coalesce(1.0::DOUBLE / (60.0::DOUBLE + l.rank::DOUBLE),
+         |             0.0::DOUBLE)
+         |    + coalesce(1.0::DOUBLE / (60.0::DOUBLE + d.rank::DOUBLE),
+         |               0.0::DOUBLE) AS rrf
+         |  FROM lex l FULL OUTER JOIN den d
+         |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, rrf,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, neighbor_id) AS rank
+         |  FROM f
+         |)
+         |SELECT query_id, neighbor_id, round(rrf, 8) AS rrf, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

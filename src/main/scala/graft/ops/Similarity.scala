@@ -690,4 +690,42 @@ object Similarity {
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * per-query rank lists — the standard hybrid-retrieval combiner
+    * (lexical BM25 arm ⊕ dense cosine arm in every RAG stack): each
+    * candidate scores Σ 1/(kRrf + rank_i) over the arms that ranked it
+    * (absent arm contributes 0), re-ranked per query with id
+    * tie-breaks. Rank-space fusion needs NO score calibration between
+    * arms — the reason RRF beats raw-score interpolation when one arm
+    * is BM25 logs and the other cosine in [-1,1].
+    *
+    * Both inputs carry (query_id, neighbor_id, rank). The fusion frame
+    * is |queries| × (≤ 2·arm-k) rows — bounded by construction, a
+    * full-outer equi-join plus one per-query window; at 100 TB the cost
+    * lives in the arms (already top-k-bounded), never here. The score
+    * is ONE double addition of two exact reciprocals, so any engine
+    * replays it bit-for-bit.
+    *
+    * @return (query_id, neighbor_id, rrf, rank), rank ≤ topK.
+    */
+  def rrfFuse(armA: DataFrame, armB: DataFrame, topK: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(topK > 0 && kRrf >= 0)
+    val a = armA.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__ra"))
+    val b = armB.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("__rb"))
+    val fused = a.join(b, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__ra").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__rb").cast("double")),
+          lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rrf", "rank")
+  }
 }

@@ -1740,4 +1740,29 @@ class OpsSpec extends SparkSpec {
       assert(c == b)
     }
   }
+
+  test("rrfFuse: both-arm candidates outrank single-arm; absent arm " +
+      "contributes 0; score scale of the arms is irrelevant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query 1: candidate 10 ranks 3rd lexically and 3rd densely;
+    // candidate 11 is rank-1 lexically only; 12 rank-1 densely only.
+    // RRF: 10 → 2/63 ≈ 0.0317 beats 11/12 → 1/61 ≈ 0.0164.
+    val armA = Seq((1L, 11L, 1), (1L, 13L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val armB = Seq((1L, 12L, 1), (1L, 14L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.rrfFuse(armA, armB, topK = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.head._1 == 10L, s"both-arm candidate not first: ${got.toSeq}")
+    assert(math.abs(got.head._2 - 2.0 / 63.0) < 1e-15)
+    // single-arm candidates all score exactly their one reciprocal
+    assert(got.tail.forall { case (_, s, _) =>
+      Seq(1.0 / 61.0, 1.0 / 62.0).exists(v => math.abs(s - v) < 1e-15)
+    })
+    // ties (11 vs 12, both 1/61) break by neighbor_id
+    val tied = got.filter(g => math.abs(g._2 - 1.0 / 61.0) < 1e-15)
+    assert(tied.map(_._1).toSeq == tied.map(_._1).toSeq.sorted)
+  }
 }
