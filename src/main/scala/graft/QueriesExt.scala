@@ -2539,6 +2539,61 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Perceptual near-dup pairs over the image corpus: the q117 aHash
+    // family (3k+1 byte-identical, 3k+2 brightness-shifted) run through
+    // the SAME blocked-hamming pair machinery as text SimHash
+    // (hammingPairs64): 4×16-bit pigeonhole chunks, hamming ≤ 3 exact,
+    // pairs meet at n²/2¹⁶ blocking cost — never all-pairs. Catches the
+    // brightness-shifted near-twin exact dedup (q117's n_same) misses
+    // whenever clamping flips a few grid bits.
+    "q148_ahash_neardup" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val mediaSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = true)))
+      val media = docs(s, dir).select(col("doc_id").as("media_id"))
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val base = id - id % 3
+            val delta = if (id % 3 == 2) 8 else 0
+            Row(id, Multimodal.synthBmpBytesShifted(base, delta))
+          }
+        }(Encoders.row(mediaSchema)).toDF()
+      val hashed = Multimodal.aHashBmp(media, "media_id", "payload")
+      Dedup.hammingPairs64(hashed, "media_id", "hash_lo", "hash_hi",
+          maxHamming = 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("long")
+          .as("hamming"))
+        .orderBy("id1", "id2")
+    }),
+
+    // CSV sink+source roundtrip — the interchange format every external
+    // data drop arrives in. RFC-4180 quoting (escape = doubled quote,
+    // not Spark's backslash default) + explicit read schema; empty-text
+    // rows are excluded because CSV cannot distinguish "" from NULL
+    // (the one lossy corner of the format — documented by the filter,
+    // mirrored in the oracle). Digest = the same md5 row-hash sum as
+    // q144, computed by the oracle straight from the parquet source.
+    "q147_csv_roundtrip" -> ((s, dir) => {
+      val path = scratch("q147")
+      docs(s, dir).where(col("text").isNotNull && col("text") =!= "")
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+      s.read.schema("doc_id LONG, source STRING, text STRING")
+        .option("header", "true").option("escape", "\"")
+        .csv(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          sum(Output.rowHash(col("doc_id"), col("source"), col("text")))
+            .as("content_sum"))
+        .orderBy("source")
+    }),
+
     // Hybrid retrieval — the RAG-stack shape: a lexical BM25 arm over
     // text and a dense exact-cosine arm over the aligned embeddings,
     // fused by reciprocal-rank fusion (no score calibration across
@@ -2559,6 +2614,44 @@ object QueriesExt {
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** The q117/q148 closed-form aHash replay: synthetic BMP pixel family →
+    * 8×8 nearest-neighbor luma grid → mean threshold → 64-bit hash as two
+    * 32-bit words, ending in CTE `bits(doc_id, w, h, hash_hi, hash_lo)`.
+    */
+  private val ahashCtes =
+    """fam AS (
+      |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
+      |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS delta
+      |  FROM documents
+      |), dim AS (
+      |  SELECT doc_id, base, delta,
+      |    (4 + base % 8)::INTEGER AS w, (3 + base % 5)::INTEGER AS h
+      |  FROM fam
+      |), lum AS (
+      |  SELECT d.doc_id, d.w, d.h, gj.j * 8 + gi.i AS k,
+      |    (299 * least((d.base + 2 * ((gi.i * d.w) // 8)
+      |                  + 5 * ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
+      |     + 587 * least((d.base * 3 + ((gi.i * d.w) // 8)
+      |                  + ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
+      |     + 114 * least((d.base * 7 + ((gi.i * d.w) // 8) * 4
+      |                  + ((gj.j * d.h) // 8) * 2) % 256 + d.delta, 255)
+      |    ) // 1000 AS gray
+      |  FROM dim d, generate_series(0, 7) AS gi(i),
+      |       generate_series(0, 7) AS gj(j)
+      |), hs AS (
+      |  SELECT doc_id, sum(gray) // 64 AS mean
+      |  FROM lum GROUP BY doc_id
+      |), bits AS (
+      |  SELECT l.doc_id, l.w, l.h,
+      |    sum(CASE WHEN l.gray > h.mean AND l.k >= 32
+      |        THEN (1::BIGINT << (l.k - 32)) ELSE 0 END)::BIGINT
+      |      AS hash_hi,
+      |    sum(CASE WHEN l.gray > h.mean AND l.k < 32
+      |        THEN (1::BIGINT << l.k) ELSE 0 END)::BIGINT AS hash_lo
+      |  FROM lum l JOIN hs h USING (doc_id)
+      |  GROUP BY l.doc_id, l.w, l.h
+      |)""".stripMargin
 
   /** CTE chain replaying [[graft.ops.Graphs.pageRank]] over the q114
     * doc-derived 97-domain link graph: e0/e/nodes/cnt/od/r0 then 5
@@ -5544,42 +5637,23 @@ object QueriesExt {
     // byte-level kernel must recover: 8x8 nearest-neighbor sample,
     // integer luma, mean threshold, 32-bit hash halves
     "q117_image_ahash" ->
-      """WITH fam AS (
-        |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
-        |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS delta
-        |  FROM documents
-        |), dim AS (
-        |  SELECT doc_id, base, delta,
-        |    (4 + base % 8)::INTEGER AS w, (3 + base % 5)::INTEGER AS h
-        |  FROM fam
-        |), lum AS (
-        |  SELECT d.doc_id, d.w, d.h, gj.j * 8 + gi.i AS k,
-        |    (299 * least((d.base + 2 * ((gi.i * d.w) // 8)
-        |                  + 5 * ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
-        |     + 587 * least((d.base * 3 + ((gi.i * d.w) // 8)
-        |                  + ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
-        |     + 114 * least((d.base * 7 + ((gi.i * d.w) // 8) * 4
-        |                  + ((gj.j * d.h) // 8) * 2) % 256 + d.delta, 255)
-        |    ) // 1000 AS gray
-        |  FROM dim d, generate_series(0, 7) AS gi(i),
-        |       generate_series(0, 7) AS gj(j)
-        |), hs AS (
-        |  SELECT doc_id, sum(gray) // 64 AS mean
-        |  FROM lum GROUP BY doc_id
-        |), bits AS (
-        |  SELECT l.doc_id, l.w, l.h,
-        |    sum(CASE WHEN l.gray > h.mean AND l.k >= 32
-        |        THEN (1::BIGINT << (l.k - 32)) ELSE 0 END)::BIGINT
-        |      AS hash_hi,
-        |    sum(CASE WHEN l.gray > h.mean AND l.k < 32
-        |        THEN (1::BIGINT << l.k) ELSE 0 END)::BIGINT AS hash_lo
-        |  FROM lum l JOIN hs h USING (doc_id)
-        |  GROUP BY l.doc_id, l.w, l.h
-        |)
+      s"""WITH $ahashCtes
         |SELECT doc_id AS media_id, w AS width, h AS height,
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // same closed-form hash family, brute-force hamming join (the
+    // blocked plan is exact for hamming <= 3, so brute == blocked)
+    "q148_ahash_neardup" ->
+      s"""WITH $ahashCtes
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  (bit_count(xor(a.hash_lo, b.hash_lo))
+        |   + bit_count(xor(a.hash_hi, b.hash_hi)))::BIGINT AS hamming
+        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hash_lo, b.hash_lo))
+        |    + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
 
     // components via the recursive reachability twin, then the same
     // quality-ranked survivor per cluster
@@ -6321,6 +6395,16 @@ object QueriesExt {
          |SELECT shard, n_rows, rows_before,
          |  (rows_before // 1000)::BIGINT AS grp
          |FROM c ORDER BY shard""".stripMargin,
+
+    // the digest from the parquet source again — CSV roundtrip must
+    // reproduce it; empty text excluded (CSV can't carry ""≠NULL)
+    "q147_csv_roundtrip" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS n_tokens,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || source || '|'
+         |      || text), 1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM documents WHERE text IS NOT NULL AND text <> ''
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // replays both arms (the q67 BM25 chain at k=10, the q24 exact
     // cosine chain at k=10) and the one-addition RRF re-rank

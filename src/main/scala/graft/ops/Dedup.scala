@@ -721,7 +721,19 @@ object Dedup {
     * a larger `maxHamming`; wider chunks always block better.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 64, numChunks: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64, numChunks: Int = 4): DataFrame =
+    hammingPairs64(simHash(df, idCol, textCol, bits), idCol,
+      "simhash_lo", "simhash_hi", maxHamming, bits, numChunks)
+
+  /** The blocked hamming-pair core behind [[simHashPairs]], usable over
+    * ANY 64-bit fingerprint split into two 32-bit words — text SimHash,
+    * image aHash ([[Multimodal.aHashBmp]]'s hash_hi/hash_lo), audio
+    * envelope hashes: chunk-block, join, hamming-filter BEFORE the
+    * pair-dedup shuffle. Same pigeonhole exactness contract.
+    */
+  def hammingPairs64(hashed: DataFrame, idCol: String, loCol: String,
+      hiCol: String, maxHamming: Int = 3, bits: Int = 64,
+      numChunks: Int = 4): DataFrame = {
     require(bits % numChunks == 0, "numChunks must divide bits")
     require(numChunks > maxHamming,
       s"pigeonhole exactness needs numChunks > maxHamming " +
@@ -730,7 +742,8 @@ object Dedup {
     require(w <= 32 && 32 % w == 0,
       s"chunk width $w must divide the 32-bit words")
     val mask = (1L << w) - 1
-    val sh = simHash(df, idCol, textCol, bits)
+    val sh = hashed.select(col(idCol), col(loCol).as("simhash_lo"),
+      col(hiCol).as("simhash_hi"))
     // chunk c reads bits [c·w, (c+1)·w) of the lo‖hi concatenation;
     // w divides 32 so no chunk straddles the word boundary
     val chunked = sh.select(col(idCol), col("simhash_lo"), col("simhash_hi"),

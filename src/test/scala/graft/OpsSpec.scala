@@ -1741,6 +1741,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hammingPairs64 over raw hash frames: planted hamming-2 pair " +
+      "found, across-threshold pair rejected, straddling chunks ok") {
+    import spark.implicits._
+    // a/b differ in 2 bits in DIFFERENT chunks (bit 0 of lo, bit 0 of
+    // hi) — pigeonhole still catches them via the two untouched chunks;
+    // c differs from a by 4 bits > maxHamming=3 → rejected
+    val a = (1L, 0x00000000F0F0F0F0L & 0xFFFFFFFFL, 0x12345678L)
+    val b = (2L, a._2 ^ 1L, a._3 ^ 1L)
+    val c = (3L, a._2 ^ 0xFL, a._3)
+    val df = Seq(a, b, c).toDF("id", "lo", "hi")
+    val got = Dedup.hammingPairs64(df, "id", "lo", "hi", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2)), s"got $got")
+  }
+
   test("rrfFuse: both-arm candidates outrank single-arm; absent arm " +
       "contributes 0; score scale of the arms is irrelevant") {
     import spark.implicits._
