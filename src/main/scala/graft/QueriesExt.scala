@@ -2539,6 +2539,104 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Bootstrap confidence intervals for the per-source mean quality —
+    // the error bar every eval report needs: B=32 resampled replicas
+    // per source, drawn with replacement by DETERMINISTIC md5 picks
+    // (draw i of replica r = doc at index floor(u·n), u =
+    // hashUnit(source#r#i)), replica statistic = exact DECIMAL sum,
+    // CI = order statistics (rank 4 / rank 29 of 32 ≈ 12.5 % / 90.6 %).
+    // Scale shape: the draw frame is n×B rows built by two explodes
+    // from the per-source counts and joined back on (source, idx) —
+    // partition-pruned by the source key; per-source windows only. At
+    // 100 TB the same statistic is computed one-pass with Poisson(1)
+    // replica weights instead of materialized draws (no n×B frame) —
+    // materialized draws kept here because integer picks replay
+    // cell-exact in any engine, Poisson inverse-CDF doubles don't.
+    "q151_bootstrap_ci" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val B = 32
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          round(TextOps.qualityScore(col("text")), 12)
+            .cast(DecimalType(28, 12)).as("q"))
+      val idx = d.withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")) - 1)
+        .select(col("source").as("__src"), col("idx").cast("long").as("idx"),
+          col("q"))
+      val cnt = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val draws = cnt
+        .select(col("source"), col("n_docs"),
+          explode(sequence(lit(1), lit(B))).as("r"))
+        .select(col("source"), col("n_docs"), col("r"),
+          explode(sequence(lit(0L), col("n_docs") - 1)).as("i"))
+        .withColumn("u", Sampling.hashUnit(
+          concat_ws("#", col("source"), col("r"), col("i"))))
+        .select(col("source"), col("r"),
+          least(floor(col("u") * col("n_docs")).cast("long"),
+            col("n_docs") - 1).as("pick"))
+      val reps = draws.join(idx,
+          draws("source") === idx("__src") && col("pick") === col("idx"))
+        .groupBy("source", "r").agg(sum(col("q")).as("rep_sum"))
+      val ranked = reps.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("rep_sum"), col("r"))))
+      val ci = ranked.groupBy("source").agg(
+        min(when(col("rk") === 4, col("rep_sum"))).as("lo_sum"),
+        min(when(col("rk") === 29, col("rep_sum"))).as("hi_sum"))
+      val point = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("q")).as("point_sum"))
+      point.join(ci, "source")
+        .select("source", "n_docs", "point_sum", "lo_sum", "hi_sum")
+        .orderBy("source")
+    }),
+
+    // ANALYZE-style catalog statistics in ONE scan: per-column null
+    // count, exact NDV, min/max for every documents column. All five
+    // columns' distinct aggregates ride one aggregation (Catalyst
+    // Expand — 5× exchange rows but a single pass/shuffle, vs five
+    // full scans the naive union-of-aggs pays); the per-column rows
+    // unpivot from the single result row. At 100 TB swap the exact
+    // countDistinct for approx_count_distinct (HLL) — same plan shape,
+    // no Expand blowup; exact kept here for the cell-exact oracle.
+    "q150_column_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cs = Seq("doc_id", "lang", "source", "n_chars", "text")
+      val aggs = cs.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}_nulls"),
+          countDistinct(col(c)).as(s"__${c}_nd"),
+          min(col(c)).cast("string").as(s"__${c}_min"),
+          max(col(c)).cast("string").as(s"__${c}_max"))
+      }
+      val one = d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      one.select(col("n_rows"), explode(array(cs.map(c =>
+          struct(lit(c).as("column"), col(s"__${c}_nulls").as("n_nulls"),
+            col(s"__${c}_nd").as("n_distinct"),
+            col(s"__${c}_min").as("min_s"),
+            col(s"__${c}_max").as("max_s"))): _*)).as("st"))
+        .select(col("st.column").as("column"), col("n_rows"),
+          col("st.n_nulls").as("n_nulls"),
+          col("st.n_distinct").as("n_distinct"),
+          col("st.min_s").as("min_s"), col("st.max_s").as("max_s"))
+        .orderBy("column")
+    }),
+
+    // Word-set fingerprint dedup — the template-spam detector: every
+    // 7th doc gets a planted twin with its token ORDER reversed (same
+    // vocabulary, different text → invisible to exact dedup); the
+    // sorted-distinct-token md5 collides them. Fp computed in the scan
+    // projection; only (id, 8-byte fp) reach the exchange.
+    "q149_wordset_dedup" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(reverse(TextOps.tokens(col("text"))), " ").as("text"))
+      Dedup.wordSetDedup(base.unionByName(twins), "doc_id", "text")
+        .select(col("doc_id"), col("wordset_fp"),
+          col("n_same").cast("long").as("n_same"), col("canonical"))
+        .orderBy("doc_id")
+    }),
+
     // Perceptual near-dup pairs over the image corpus: the q117 aHash
     // family (3k+1 byte-identical, 3k+2 brightness-shifted) run through
     // the SAME blocked-hamming pair machinery as text SimHash
@@ -5642,6 +5740,85 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // replays the md5 draw table, the per-source index, the DECIMAL
+    // replica sums and the rank-4/rank-29 order statistics
+    "q151_bootstrap_ci" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    round(($qualitySql), 12)::DECIMAL(28,12) AS q
+         |  FROM documents WHERE text IS NOT NULL
+         |), x AS (
+         |  SELECT source, q,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+         |      AS idx
+         |  FROM d
+         |), cnt AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs FROM d GROUP BY 1
+         |), draws AS (
+         |  SELECT c.source, r.r,
+         |    least(floor(
+         |      (${hashUnitSql("c.source || '#' || r.r || '#' || i.i")})
+         |        * c.n_docs)::BIGINT, c.n_docs - 1) AS pick
+         |  FROM cnt c
+         |  CROSS JOIN generate_series(1, 32) AS r(r)
+         |  CROSS JOIN (SELECT DISTINCT idx AS i FROM x) AS i
+         |  WHERE i.i < c.n_docs
+         |), reps AS (
+         |  SELECT dr.source, dr.r, sum(x.q) AS rep_sum
+         |  FROM draws dr JOIN x ON dr.source = x.source AND dr.pick = x.idx
+         |  GROUP BY 1, 2
+         |), rk AS (
+         |  SELECT source, rep_sum,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY rep_sum, r) AS rk
+         |  FROM reps
+         |), ci AS (
+         |  SELECT source,
+         |    min(CASE WHEN rk = 4 THEN rep_sum END) AS lo_sum,
+         |    min(CASE WHEN rk = 29 THEN rep_sum END) AS hi_sum
+         |  FROM rk GROUP BY 1
+         |), pt AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs, sum(q) AS point_sum
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT p.source, p.n_docs, p.point_sum, c.lo_sum, c.hi_sum
+         |FROM pt p JOIN ci c USING (source) ORDER BY source""".stripMargin,
+
+    // per-column stats replayed as a union of per-column aggregates
+    "q150_column_stats" -> {
+      val per = Seq("doc_id", "lang", "source", "n_chars", "text").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($per) ORDER BY "column"""".stripMargin
+    },
+
+    // replays the reversed-token twins and the sorted-vocabulary md5
+    "q149_wordset_dedup" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH b AS (
+         |  SELECT doc_id, $toks AS tk FROM documents
+         |), tw AS (
+         |  SELECT doc_id + 1000000 AS doc_id, list_reverse(tk) AS tk
+         |  FROM b WHERE doc_id % 7 = 0
+         |), a AS (
+         |  SELECT doc_id, tk FROM b UNION ALL SELECT doc_id, tk FROM tw
+         |), f AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(array_to_string(
+         |      list_sort(list_distinct(tk)), ' ')), 1, 8))::BIGINT
+         |      AS wordset_fp
+         |  FROM a
+         |)
+         |SELECT doc_id, wordset_fp,
+         |  count(*) OVER (PARTITION BY wordset_fp)::BIGINT AS n_same,
+         |  min(doc_id) OVER (PARTITION BY wordset_fp) AS canonical
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     // same closed-form hash family, brute-force hamming join (the
     // blocked plan is exact for hamming <= 3, so brute == blocked)

@@ -1233,4 +1233,28 @@ object Dedup {
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** Bag-of-words fingerprint dedup: fp = md5-prefix32 of the SORTED
+    * DISTINCT token list — docs that are token permutations or
+    * repetitions of the same vocabulary collide, which exact hashing
+    * (order-sensitive) misses and MinHash only catches probabilistically.
+    * The template-spam / listicle-reshuffle detector between [[exact]]
+    * and [[minHashLshPairs]] in strictness.
+    *
+    * Scale shape: the fingerprint is computed in the scan projection
+    * (array ops + one md5, no explode); only the 8-byte fp + id reach
+    * the grouping window — same exchange footprint as exact dedup.
+    *
+    * @return one row per input doc: (idCol, wordset_fp, n_same,
+    *         canonical) — canonical = min id of the fp group.
+    */
+  def wordSetDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = graft.ops.Sampling.md5Prefix32(array_join(
+      array_sort(array_distinct(TextOps.tokens(col(textCol)))), " "))
+    val w = Window.partitionBy(col("wordset_fp"))
+    df.select(col(idCol), fp.as("wordset_fp"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .withColumn("canonical", min(col(idCol)).over(w))
+  }
 }

@@ -1741,6 +1741,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("wordSetDedup: permutations and repetitions collide, different " +
+      "vocabularies don't; canonical is the min id") {
+    val df = docFrame(
+      1L -> "alpha beta gamma delta",
+      2L -> "delta gamma beta alpha",        // permutation → same fp
+      3L -> "alpha alpha beta beta gamma delta gamma", // repetition → same
+      4L -> "alpha beta gamma epsilon")      // different vocab
+    val got = Dedup.wordSetDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L) == ((3L, 1L)) && got(2L) == ((3L, 1L)) &&
+      got(3L) == ((3L, 1L)), s"got $got")
+    assert(got(4L) == ((1L, 4L)))
+  }
+
   test("hammingPairs64 over raw hash frames: planted hamming-2 pair " +
       "found, across-threshold pair rejected, straddling chunks ok") {
     import spark.implicits._
