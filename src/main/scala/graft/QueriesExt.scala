@@ -2539,6 +2539,38 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // The classic warehouse star join, planned the way a 100 TB cluster
+    // wants it: fact lineitem ⋈ orders on the shuffle keys, customer
+    // joined by size (AQE broadcasts it at small SF, shuffles at
+    // warehouse scale), nation/region EXPLICITLY broadcast — they are
+    // 25/5 rows at ANY scale factor, and letting them shuffle would put
+    // two pointless exchanges on the fact table's critical path.
+    // Revenue on the cent grid → per-row round to DECIMAL, exact sums.
+    "q152_star_join" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      // quantize the INPUTS to their exact grids (prices are cents,
+      // discounts 2 dp), multiply in DECIMAL: no double product ever
+      // lands on a rounding boundary (round(p·(1−d), 2) does, because
+      // the product grid is 4 dp — half the corpus ends in .xx50)
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue"))
+        .select("region", "o_year", "n_items", "revenue")
+        .orderBy("region", "o_year")
+    }),
+
     // Bootstrap confidence intervals for the per-source mean quality —
     // the error bar every eval report needs: B=32 resampled replicas
     // per source, drawn with replacement by DETERMINISTIC md5 picks
@@ -5740,6 +5772,20 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // the star rollup replayed directly; same cent-grid DECIMAL terms
+    "q152_star_join" ->
+      """SELECT r.r_name AS region,
+        |  year(o.o_orderdate)::BIGINT AS o_year,
+        |  count(*) AS n_items,
+        |  sum(l.l_extendedprice::DECIMAL(18,2)
+        |      * (1 - l.l_discount::DECIMAL(4,2))) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // replays the md5 draw table, the per-source index, the DECIMAL
     // replica sums and the rank-4/rank-29 order statistics

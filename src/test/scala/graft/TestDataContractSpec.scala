@@ -102,4 +102,16 @@ class TestDataContractSpec extends SparkSpec {
     assume(available)
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("star join broadcasts the fixed-size dims (nation/region) — " +
+      "no exchange on the fact path for them") {
+    assume(available)
+    val df = SparkEntry.queries("q152_star_join")(spark, sfDir)
+    assert(df.count() > 0)
+    // AQE final plan: the two explicit broadcasts (plus whatever AQE
+    // promoted) must appear as BroadcastHashJoins
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins, plan:\n$plan")
+  }
 }
