@@ -2669,13 +2669,16 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
-    // Perceptual near-dup pairs over the image corpus: the q117 aHash
-    // family (3k+1 byte-identical, 3k+2 brightness-shifted) run through
-    // the SAME blocked-hamming pair machinery as text SimHash
-    // (hammingPairs64): 4×16-bit pigeonhole chunks, hamming ≤ 3 exact,
-    // pairs meet at n²/2¹⁶ blocking cost — never all-pairs. Catches the
-    // brightness-shifted near-twin exact dedup (q117's n_same) misses
-    // whenever clamping flips a few grid bits.
+    // Perceptual near-dup over the image corpus: the q117 aHash family
+    // (3k+1 byte-identical, 3k+2 brightness-shifted) paired at the
+    // DISTINCT-HASH-VALUE level — collapse equal hashes to (canonical
+    // member, n_members) FIRST, then run the SAME blocked-hamming
+    // machinery as text SimHash (hammingPairs64: 4×16-bit pigeonhole
+    // chunks, exact at hamming ≤ 3) over the value frame. Member-level
+    // pairing is O(Σ group²) — the first cut emitted 893 k pairs at
+    // sf0.1 and went quadratic at 10× (huge equal-hash families);
+    // value-level pairing is bounded by the distinct-hash count, and
+    // the member expansion stays an aggregate (n1·n2), never rows.
     "q148_ahash_neardup" -> ((s, dir) => {
       import org.apache.spark.sql.{Encoders, Row}
       import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -2691,11 +2694,20 @@ object QueriesExt {
             Row(id, Multimodal.synthBmpBytesShifted(base, delta))
           }
         }(Encoders.row(mediaSchema)).toDF()
-      val hashed = Multimodal.aHashBmp(media, "media_id", "payload")
-      Dedup.hammingPairs64(hashed, "media_id", "hash_lo", "hash_hi",
-          maxHamming = 3)
-        .select(col("id1"), col("id2"), col("hamming").cast("long")
-          .as("hamming"))
+      val vals = Multimodal.aHashBmp(media, "media_id", "payload")
+        .groupBy("hash_lo", "hash_hi")
+        .agg(min(col("media_id")).as("canon"),
+          count(lit(1)).as("n_members"))
+      val pairs = Dedup.hammingPairs64(vals, "canon", "hash_lo", "hash_hi",
+        maxHamming = 3)
+      val m1 = vals.select(col("canon").as("id1"),
+        col("n_members").as("n1"))
+      val m2 = vals.select(col("canon").as("id2"),
+        col("n_members").as("n2"))
+      pairs.join(m1, "id1").join(m2, "id2")
+        .select(col("id1"), col("id2"),
+          col("hamming").cast("long").as("hamming"),
+          col("n1"), col("n2"))
         .orderBy("id1", "id2")
     }),
 
@@ -5866,14 +5878,20 @@ object QueriesExt {
          |FROM f ORDER BY doc_id""".stripMargin
     },
 
-    // same closed-form hash family, brute-force hamming join (the
-    // blocked plan is exact for hamming <= 3, so brute == blocked)
+    // same closed-form hash family: collapse to distinct values, then
+    // brute-force hamming over the value frame (the blocked plan is
+    // exact for hamming <= 3, so brute == blocked)
     "q148_ahash_neardup" ->
-      s"""WITH $ahashCtes
-        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      s"""WITH $ahashCtes, v AS (
+        |  SELECT hash_lo, hash_hi, min(doc_id) AS canon,
+        |    count(*)::BIGINT AS n_members
+        |  FROM bits GROUP BY 1, 2
+        |)
+        |SELECT a.canon AS id1, b.canon AS id2,
         |  (bit_count(xor(a.hash_lo, b.hash_lo))
-        |   + bit_count(xor(a.hash_hi, b.hash_hi)))::BIGINT AS hamming
-        |FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |   + bit_count(xor(a.hash_hi, b.hash_hi)))::BIGINT AS hamming,
+        |  a.n_members AS n1, b.n_members AS n2
+        |FROM v a JOIN v b ON a.canon < b.canon
         |WHERE bit_count(xor(a.hash_lo, b.hash_lo))
         |    + bit_count(xor(a.hash_hi, b.hash_hi)) <= 3
         |ORDER BY id1, id2""".stripMargin,
