@@ -2539,6 +2539,66 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // The data card — the one-row-per-source report every corpus
+    // release ships: volume (docs/tokens), language purity (en share),
+    // exact-dup rate (distinct content fingerprints vs rows), and the
+    // quality DISTRIBUTION as exact quartiles (ceil-rank order
+    // statistics over the per-source quality ranking — integer rank
+    // arithmetic, never percentile_approx, so any engine replays it).
+    // One scan + per-source windows; every input is machinery already
+    // proven cell-exact (langId, qualityScore, md5 fingerprints).
+    "q154_data_card" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 12)
+            .cast(DecimalType(28, 12)).as("q"),
+          Sampling.md5Prefix32(TextOps.normText(col("text"))).as("fp"),
+          (TextOps.langId(col("text")) === "en").as("en"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      val wS = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val ranked = d
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("source").orderBy(col("q"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(wS))
+      ranked.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("n_tokens"),
+          sum(when(col("en"), 1L).otherwise(0L)).as("n_en"),
+          countDistinct(col("fp")).as("n_distinct"),
+          min(when(col("rk") === expr("(n + 3) DIV 4"), col("q"))).as("q1"),
+          min(when(col("rk") === expr("(n + 1) DIV 2"), col("q"))).as("q2"),
+          min(when(col("rk") === expr("(3 * n + 3) DIV 4"), col("q")))
+            .as("q3"))
+        .orderBy("source")
+    }),
+
+    // Hard-negative mining — the contrastive-training data miner (DPR /
+    // sentence-transformer recipe): candidates that the LEXICAL arm
+    // ranks high (BM25 top-20) but the DENSE arm does NOT consider
+    // semantically close (not in cosine top-20) are exactly the
+    // confusable-but-wrong pairs a reranker trains on. One anti-join
+    // over two bounded top-k arms; cost lives in the arms.
+    "q153_hard_negatives" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = embs(s, dir)
+      val lex = graft.ops.TfIdf.bm25TopK(
+        d.where(col("doc_id") < 5), d, "doc_id", "text", k = 20)
+      val dense = Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 5), e, "vec_id", "embedding", k = 20)
+        .select("query_id", "neighbor_id")
+      val hn = lex.join(dense, Seq("query_id", "neighbor_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rank"), col("neighbor_id"))
+      hn.withColumn("hn_rank", row_number().over(w))
+        .where(col("hn_rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("bm25_rank"),
+          col("hn_rank").cast("long").as("hn_rank"))
+        .orderBy("query_id", "hn_rank")
+    }),
+
     // The classic warehouse star join, planned the way a 100 TB cluster
     // wants it: fact lineitem ⋈ orders on the shuffle keys, customer
     // joined by size (AQE broadcasts it at small SF, shuffles at
@@ -5784,6 +5844,93 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // replays the card: same fingerprints, en gate, ceil-rank quartiles
+    "q154_data_card" -> {
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    round(($qualitySql), 12)::DECIMAL(28,12) AS q,
+         |    ('0x' || substr(md5($normSql), 1, 8))::BIGINT AS fp,
+         |    (($langIdSql) = 'en') AS en,
+         |    $tok::BIGINT AS nt
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY q, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM d
+         |)
+         |SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN en THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |  count(DISTINCT fp)::BIGINT AS n_distinct,
+         |  min(CASE WHEN rk = (n + 3) // 4 THEN q END) AS q1,
+         |  min(CASE WHEN rk = (n + 1) // 2 THEN q END) AS q2,
+         |  min(CASE WHEN rk = (3 * n + 3) // 4 THEN q END) AS q3
+         |FROM r GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    // replays both top-20 arms and the anti-join re-rank
+    "q153_hard_negatives" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest($toks) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+         |), dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n,
+         |         (SELECT sum(dl)::DOUBLE FROM dl) AS sumdl
+         |), dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |idf AS (
+         |  SELECT token,
+         |    CAST(round(ln((n::DOUBLE - df::DOUBLE + 0.5)
+         |      / (df::DOUBLE + 0.5) + 1), 6) AS DECIMAL(18,6)) AS idf
+         |  FROM dft CROSS JOIN stats
+         |), q AS (
+         |  SELECT doc_id AS query_id, token, tf AS qtf
+         |  FROM tf WHERE doc_id < 5
+         |), sc AS (
+         |  SELECT q.query_id, p.doc_id AS neighbor_id,
+         |    CAST(round((q.qtf::DOUBLE * idf.idf::DOUBLE) *
+         |      ((p.tf::DOUBLE * 2.5) / (p.tf::DOUBLE + 1.5 *
+         |        (0.25 + 0.75 * (dl.dl::DOUBLE / (stats.sumdl / stats.n))))),
+         |      6) AS DECIMAL(18,6)) AS term
+         |  FROM q JOIN tf p USING (token) JOIN idf USING (token)
+         |  JOIN dl ON dl.doc_id = p.doc_id CROSS JOIN stats
+         |  WHERE q.query_id <> p.doc_id
+         |), agg AS (
+         |  SELECT query_id, neighbor_id, (sum(term))::DOUBLE AS score
+         |  FROM sc GROUP BY 1, 2
+         |), lex AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM agg QUALIFY rank <= 20
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cs AS (
+         |  SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(qe.v, c.v)
+         |      / (sqrt(list_dot_product(qe.v, qe.v))
+         |         * sqrt(list_dot_product(c.v, c.v))) AS cosine
+         |  FROM e qe JOIN e c ON qe.vec_id <> c.vec_id
+         |  WHERE qe.vec_id < 5
+         |), den AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM cs QUALIFY rank <= 20
+         |), hn AS (
+         |  SELECT l.query_id, l.neighbor_id, l.rank AS bm25_rank,
+         |    row_number() OVER (PARTITION BY l.query_id
+         |      ORDER BY l.rank, l.neighbor_id) AS hn_rank
+         |  FROM lex l ANTI JOIN den d
+         |    ON l.query_id = d.query_id AND l.neighbor_id = d.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, bm25_rank::BIGINT AS bm25_rank,
+         |  hn_rank::BIGINT AS hn_rank
+         |FROM hn WHERE hn_rank <= 5 ORDER BY query_id, hn_rank""".stripMargin
+    },
 
     // the star rollup replayed directly; same cent-grid DECIMAL terms
     "q152_star_join" ->
