@@ -2539,6 +2539,63 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Differentially-private count release (ε=1, sensitivity 1 →
+    // Laplace b=1): the noisy per-source histogram a corpus owner can
+    // publish. Noise = inverse-CDF Laplace from the SAME seeded md5
+    // uniform machinery as every other deterministic draw (u =
+    // hashUnit("dp#"+source), x = −sgn(u−½)·ln(1−2|u−½|)), rounded to
+    // 6 dp off any boundary and added in DECIMAL. Deterministic draws
+    // make the release REPLAYABLE for audit; a production release
+    // would salt the seed per publication epoch. Map-only over the
+    // per-source counts — group-count scale, not corpus scale.
+    "q156_dp_release" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val cnt = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val u = Sampling.hashUnit(concat(lit("dp#"), col("source")))
+      val noise = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+      cnt.select(col("source"),
+          (col("n_docs").cast(DecimalType(12, 0)) +
+            round(noise, 6).cast(DecimalType(18, 6))).as("released"))
+        .orderBy("source")
+    }),
+
+    // Taxonomy tagging — the broadcast-lexicon topic tagger every
+    // curated corpus runs (FlashText/keyword-list classification):
+    // keyword-occurrence counts per topic computed in the scan
+    // projection (array filter over the token array — tiny literal
+    // lexicon, no join, no explode), dominant topic by a fixed
+    // preference-ordered tie-break, rolled up per (source, topic).
+    // At 100 TB this is a map-only pass; a 10⁵-keyword lexicon swaps
+    // the literal isin for a broadcast join on the exploded tokens.
+    "q155_topic_tags" -> ((s, dir) => {
+      val topics = Seq(
+        "joins" -> Seq("join", "merge", "hash", "key"),
+        "scan" -> Seq("scan", "filter", "sort", "order"),
+        "storage" -> Seq("table", "row", "column", "part"),
+        "streaming" -> Seq("stream", "batch", "window"))
+      val toks = TextOps.tokens(col("text"))
+      val cnts = topics.map { case (name, kws) =>
+        size(filter(toks, t => t.isin(kws.map(lit): _*)))
+          .cast("long").as(s"n_$name")
+      }
+      val tagged = docs(s, dir).select(
+        col("source") +: col("doc_id") +: cnts: _*)
+      val dominant = when(col("n_joins") >= col("n_scan") &&
+          col("n_joins") >= col("n_storage") &&
+          col("n_joins") >= col("n_streaming"), "joins")
+        .when(col("n_scan") >= col("n_storage") &&
+          col("n_scan") >= col("n_streaming"), "scan")
+        .when(col("n_storage") >= col("n_streaming"), "storage")
+        .otherwise("streaming")
+      tagged.withColumn("topic", dominant)
+        .groupBy("source", "topic")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_joins") + col("n_scan") + col("n_storage") +
+            col("n_streaming")).as("n_hits"))
+        .orderBy("source", "topic")
+    }),
+
     // The data card — the one-row-per-source report every corpus
     // release ships: volume (docs/tokens), language purity (en share),
     // exact-dup rate (distinct content fingerprints vs rows), and the
@@ -5844,6 +5901,55 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // replays the seeded Laplace draw and the DECIMAL add
+    "q156_dp_release" ->
+      s"""WITH c AS (
+         |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1
+         |), v AS (
+         |  SELECT source, n,
+         |    ${hashUnitSql("'dp#' || source")} AS u
+         |  FROM c
+         |)
+         |SELECT source,
+         |  (n::DECIMAL(12,0) +
+         |   round(-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
+         |     ::DECIMAL(18,6)) AS released
+         |FROM v ORDER BY source""".stripMargin,
+
+    // replays the lexicon counts and the preference-ordered tie-break
+    "q155_topic_tags" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      def hits(kws: Seq[String]) = kws.map(k =>
+        s"len(list_filter(tk, x -> x = '$k'))").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT source, doc_id, $toks AS tk FROM documents
+         |), c AS (
+         |  SELECT source, doc_id,
+         |    (${hits(Seq("join", "merge", "hash", "key"))})::BIGINT
+         |      AS n_joins,
+         |    (${hits(Seq("scan", "filter", "sort", "order"))})::BIGINT
+         |      AS n_scan,
+         |    (${hits(Seq("table", "row", "column", "part"))})::BIGINT
+         |      AS n_storage,
+         |    (${hits(Seq("stream", "batch", "window"))})::BIGINT
+         |      AS n_streaming
+         |  FROM d
+         |), t AS (
+         |  SELECT source,
+         |    CASE WHEN n_joins >= n_scan AND n_joins >= n_storage
+         |              AND n_joins >= n_streaming THEN 'joins'
+         |         WHEN n_scan >= n_storage AND n_scan >= n_streaming
+         |           THEN 'scan'
+         |         WHEN n_storage >= n_streaming THEN 'storage'
+         |         ELSE 'streaming' END AS topic,
+         |    n_joins + n_scan + n_storage + n_streaming AS hits
+         |  FROM c
+         |)
+         |SELECT source, topic, count(*) AS n_docs,
+         |  sum(hits)::BIGINT AS n_hits
+         |FROM t GROUP BY 1, 2 ORDER BY source, topic""".stripMargin
+    },
 
     // replays the card: same fingerprints, en gate, ceil-rank quartiles
     "q154_data_card" -> {
