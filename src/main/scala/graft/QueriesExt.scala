@@ -2539,6 +2539,56 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // GROUPING SETS over the star join: the warehouse rollup lattice
+    // (region×year, region, year, grand total) in ONE pass — Catalyst
+    // Expand replicates each row once per grouping set, so the lattice
+    // costs one shuffle, not four scans. NULL-able lattice keys are
+    // disambiguated by grouping_id (a NULL region in the data would
+    // otherwise collide with the rolled-up row — the classic cube bug).
+    "q157_grouping_sets" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      val r = s.read.parquet(s"$dir/region.parquet")
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))
+      val base = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"),
+          year(col("o_orderdate")).cast("long").as("o_year"),
+          rev.as("rev"))
+      base.createOrReplaceTempView("graft_q157_base")
+      s.sql("""SELECT region, o_year,
+              |  grouping_id(region, o_year) AS gid,
+              |  count(*) AS n_items, sum(rev) AS revenue
+              |FROM graft_q157_base
+              |GROUP BY GROUPING SETS ((region, o_year), (region),
+              |                        (o_year), ())
+              |ORDER BY gid, region, o_year""".stripMargin)
+    }),
+
+    // Hot-key aggregation, salted: the two-phase (key, salt) →
+    // partial → merge shape that keeps one hot group key (a dominant
+    // language, a boilerplate fingerprint) from pinning a single
+    // reducer at 100 TB. Salt = xxhash64(doc_id) mod 16 — NO rand():
+    // deterministic under task retry/speculation, which is what makes
+    // the two-phase plan exactly-once-safe. Oracle = the plain
+    // single-phase aggregate (algebraic aggregates merge losslessly).
+    "q158_salted_agg" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      graft.ops.Skew.saltedAggregate(d, Seq("lang"), col("doc_id"),
+          Seq((col("nt"), c => sum(c), c => sum(c), "n_tokens"),
+            (lit(1L), c => count(c), c => sum(c), "n_docs")),
+          saltBuckets = 16)
+        .orderBy("lang")
+    }),
+
     // Differentially-private count release (ε=1, sensitivity 1 →
     // Laplace b=1): the noisy per-source histogram a corpus owner can
     // publish. Noise = inverse-CDF Laplace from the SAME seeded md5
@@ -5901,6 +5951,36 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // the same lattice in DuckDB grouping sets; grouping_id must match
+    // Spark's bit order (region = high bit, o_year = low bit)
+    "q157_grouping_sets" ->
+      """WITH base AS (
+        |  SELECT r.r_name AS region,
+        |    year(o.o_orderdate)::BIGINT AS o_year,
+        |    l.l_extendedprice::DECIMAL(18,2)
+        |      * (1 - l.l_discount::DECIMAL(4,2)) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |)
+        |SELECT region, o_year,
+        |  grouping(region, o_year)::BIGINT AS gid,
+        |  count(*) AS n_items, sum(rev) AS revenue
+        |FROM base
+        |GROUP BY GROUPING SETS ((region, o_year), (region), (o_year), ())
+        |ORDER BY gid, region, o_year""".stripMargin,
+
+    // the plain single-phase aggregate — algebraic aggregates merge
+    // losslessly through the salted two-phase plan
+    "q158_salted_agg" -> {
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
+      s"""SELECT lang, sum($tok)::BIGINT AS n_tokens,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // replays the seeded Laplace draw and the DECIMAL add
     "q156_dp_release" ->
