@@ -225,6 +225,40 @@ object StreamOps {
         intervalPayload.map(p => col("__m").getField(p).as(p)): _*)
   }
 
+  /** Stream-STREAM interval join — Spark's stateful two-sided join, the
+    * shape stream-static can't cover: BOTH sides arrive live (clicks ⋈
+    * impressions, spans ⋈ points), so both need watermarks and the join
+    * condition needs a time bound, or state grows forever. The range
+    * predicate `left.ts ∈ [right.ts, right.ts + window]` is exactly
+    * what lets Spark expire right-side state past
+    * `watermark + window` — an unbounded-time equi-join would be
+    * rejected in append mode. Inner semantics; output rows carry both
+    * timestamps so parity with the batch interval join is checkable
+    * row-for-row (StreamingSpec).
+    *
+    * State size: O(in-flight window per key), set by the two watermark
+    * delays + `windowSeconds` — the knobs a 100 TB stream tunes against
+    * its late-data tail, not its history.
+    */
+  def intervalJoinStreamStream(left: DataFrame, right: DataFrame,
+      on: String, leftTs: String, rightTs: String,
+      windowSeconds: Long, watermarkDelay: String = "10 seconds")
+      : DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == on).toSeq
+    require(rightPayload.contains(rightTs), s"right side missing $rightTs")
+    require(rightPayload.intersect(left.columns.toSeq).isEmpty,
+      "right payload collides with left columns")
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    l.join(r,
+        col(s"l.$on") === col(s"r.$on") &&
+          col(s"l.$leftTs") >= col(s"r.$rightTs") &&
+          col(s"l.$leftTs") <=
+            col(s"r.$rightTs") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(left.columns.toSeq.map(c => col(s"l.$c")) ++
+        rightPayload.map(c => col(s"r.$c")): _*)
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp, n: Long,

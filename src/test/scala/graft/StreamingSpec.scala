@@ -649,4 +649,51 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(snap.getAs[Double]("est_distinct") / 5000.0 - 1.0) < 0.4)
     } finally q.stop()
   }
+
+  test("stream-stream interval join (two watermarked sides) matches " +
+      "the batch range join across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imps = MemoryStream[(Long, Timestamp, Long)]
+    val clickDf = clicks.toDF().toDF("user_id", "c_ts")
+    val impDf = imps.toDF().toDF("user_id", "i_ts", "imp_id")
+    val q = StreamOps.intervalJoinStreamStream(clickDf, impDf,
+        on = "user_id", leftTs = "c_ts", rightTs = "i_ts",
+        windowSeconds = 60)
+      .writeStream.format("memory").queryName("ssij").outputMode("append")
+      .start()
+    try {
+      // impressions land first (their own micro-batch), clicks trail in
+      // a second one — the two-sided state store must hold the
+      // impressions until the matching clicks arrive
+      val impRows = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 100L),
+        (1L, ts("2024-01-01 10:05:00"), 101L), // both windows catch 10:05:30
+        (2L, ts("2024-01-01 10:00:00"), 200L),
+        (3L, ts("2024-01-01 10:00:00"), 300L)) // never clicked
+      val clickRows = Seq(
+        (1L, ts("2024-01-01 10:05:30")), // in [10:05, 10:06] only
+        (1L, ts("2024-01-01 10:00:30")), // in [10:00, 10:01] only
+        (2L, ts("2024-01-01 10:02:00")), // outside the 60 s window
+        (4L, ts("2024-01-01 10:00:10"))) // unknown user
+      imps.addData(impRows: _*)
+      q.processAllAvailable()
+      clicks.addData(clickRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssij").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+      assert(got == Set(
+        (1L, ts("2024-01-01 10:05:30"), 101L),
+        (1L, ts("2024-01-01 10:00:30"), 100L)))
+      // row-for-row parity with the same condition run as a batch join
+      val batch = clickRows.toDF("user_id", "c_ts")
+        .join(impRows.toDF("user_id", "i_ts", "imp_id"), Seq("user_id"))
+        .where(col("c_ts") >= col("i_ts") &&
+          col("c_ts") <= col("i_ts") + expr("INTERVAL 60 SECONDS"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+        .toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
