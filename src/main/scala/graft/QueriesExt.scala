@@ -2539,6 +2539,76 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Hive-style partitioned layout + partition PRUNING — the first
+    // thing a 100 TB table gets right: written partitionBy(lang), so a
+    // lang-filtered read never opens the other partitions' files (the
+    // filter binds at directory level — PartitionFilters in the scan,
+    // asserted in OutputSpec — not as a row filter after a full scan).
+    // The digest proves the pruned read returns exactly the partition's
+    // content.
+    "q159_partition_prune" -> ((s, dir) => {
+      val path = scratch("q159")
+      docs(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .where(col("lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Output.rowHash(col("doc_id"), col("text"))).as("content_sum"))
+        .orderBy("source")
+    }),
+
+    // Dynamic partition overwrite — the incremental-refresh contract:
+    // re-writing ONE partition (lang=en, texts uppercased) must leave
+    // every other partition byte-untouched. Static overwrite mode would
+    // truncate the whole table — the classic nightly-job data-loss bug;
+    // partitionOverwriteMode=dynamic scopes the overwrite to the
+    // partitions present in the incoming frame. Digest over the WHOLE
+    // re-read table: en carries the new content, the rest the old.
+    "q160_dynamic_overwrite" -> ((s, dir) => {
+      val path = scratch("q160")
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "lang", "source", "text")
+      d.write.mode("overwrite").partitionBy("lang").parquet(path)
+      val refresh = d.where(col("lang") === "en")
+        .withColumn("text", upper(col("text")))
+      refresh.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang").parquet(path)
+      s.read.parquet(path)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Output.rowHash(col("doc_id"), col("text"))).as("content_sum"))
+        .orderBy("lang")
+    }),
+
+    // Schema evolution across file generations — mergeSchema: an old
+    // batch (no `quality` column) and a new batch (with it) live in one
+    // dataset; the merged read surfaces the union schema with NULLs for
+    // the old files. The nightly-append reality every long-lived table
+    // hits; the oracle replays the generation split and the null fill.
+    "q161_schema_evolution" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val path = scratch("q161")
+      val d = docs(s, dir).where(col("text").isNotNull)
+      d.where(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "text")
+        .write.mode("overwrite").parquet(s"$path/gen=old")
+      d.where(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"),
+          round(TextOps.qualityScore(col("text")), 12)
+            .cast(DecimalType(28, 12)).as("quality"))
+        .write.mode("overwrite").parquet(s"$path/gen=new")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality").isNull, 1L).otherwise(0L))
+            .as("n_null_quality"),
+          sum(col("quality")).as("sum_quality"))
+        .orderBy("gen")
+    }),
+
     // GROUPING SETS over the star join: the warehouse rollup lattice
     // (region×year, region, year, grand total) in ONE pass — Catalyst
     // Expand replicates each row once per grouping set, so the lattice
@@ -5951,6 +6021,36 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // pruned-partition digest straight from the source rows
+    "q159_partition_prune" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM documents WHERE text IS NOT NULL AND lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // whole-table digest: en carries the refreshed (uppercased)
+    // content, every other partition the original
+    "q160_dynamic_overwrite" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+         |    CASE WHEN lang = 'en' THEN upper(text) ELSE text END),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replays the generation split and the old-generation null fill
+    "q161_schema_evolution" ->
+      s"""SELECT CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END AS gen,
+         |  count(*) AS n_docs,
+         |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_null_quality,
+         |  sum(CASE WHEN doc_id % 2 <> 0
+         |      THEN round(($qualitySql), 12)::DECIMAL(28,12) END)
+         |    AS sum_quality
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY 1 ORDER BY gen""".stripMargin,
 
     // the same lattice in DuckDB grouping sets; grouping_id must match
     // Spark's bit order (region = high bit, o_year = low bit)

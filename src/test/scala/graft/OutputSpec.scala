@@ -209,6 +209,26 @@ class OutputSpec extends SparkSpec {
     assert(globalOrder(s"$base/n4") == globalOrder(s"$base/n8"))
   }
 
+  test("partitioned write prunes at directory level: the lang filter " +
+      "binds as a PartitionFilter, not a post-scan row filter") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    Seq((1L, "en", "a"), (2L, "en", "b"), (3L, "fr", "c"), (4L, "de", "d"))
+      .toDF("id", "lang", "payload")
+      .write.mode("overwrite").partitionBy("lang").parquet(base)
+    val read = spark.read.parquet(base).where(col("lang") === "en")
+    assert(read.count() == 2)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ")
+        .matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*=[^\\]]*en[^\\]]*\\].*"),
+      s"lang=en not a partition filter:\n$plan")
+    // and NOT pushed as a data filter (it isn't in the file schema)
+    assert(!plan.replaceAll("\\s+", " ")
+      .matches(".*PushedFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang leaked into PushedFilters:\n$plan")
+  }
+
   test("compaction plan: greedy cut rule, contiguous groups, closed groups reach target") {
     import spark.implicits._
     val inv = Seq(
