@@ -2539,6 +2539,31 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Manifest-pinned snapshot read — time travel without a table
+    // format: capture the file listing at commit time (what
+    // Delta/Iceberg put in the transaction log), keep reading THAT list
+    // while the table appends underneath. The snapshot read returns the
+    // v1 content byte-for-byte even though the directory has since
+    // doubled — isolation by manifest, the property every reproducible
+    // training run needs from its corpus ("the run reads the snapshot,
+    // not the directory").
+    "q162_manifest_snapshot" -> ((s, dir) => {
+      val path = scratch("q162")
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select("doc_id", "source", "text")
+      d.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/data")
+      val v1Manifest = s.read.parquet(s"$path/data").inputFiles.toSeq.sorted
+      // the table moves on (a later batch appends)
+      d.where(col("doc_id") % 2 =!= 0)
+        .write.mode("append").parquet(s"$path/data")
+      s.read.parquet(v1Manifest: _*)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Output.rowHash(col("doc_id"), col("text"))).as("content_sum"))
+        .orderBy("source")
+    }),
+
     // Hive-style partitioned layout + partition PRUNING — the first
     // thing a 100 TB table gets right: written partitionBy(lang), so a
     // lang-filtered read never opens the other partitions' files (the
@@ -6021,6 +6046,15 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // the v1 (even-doc) content digest — the appended rows must be
+    // invisible through the pinned manifest
+    "q162_manifest_snapshot" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     // pruned-partition digest straight from the source rows
     "q159_partition_prune" ->

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -16,20 +16,36 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // dev-loop filter: comma-separated name substrings; unset (the
     // driver's mode) = dump everything
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").toSeq).getOrElse(Seq.empty)
-    // Failures must be LOUD: a query that throws produces no parquet dump
-    // and would silently vanish from the round's correctness record (round
-    // 8 lost 4 green-in-r7 queries this way). Collect every failure and
-    // write _verify_errors.json next to the dumps so the driver's compare
-    // can report `err` instead of dropping the row.
+    val errors = dump(spark, sfDir, outDir,
+      SparkEntry.queries
+        .filter { case (n, _) => only.isEmpty || only.exists(n.contains) },
+      SparkEntry.oracleSql)
+    // loud but non-fatal: a nonzero exit could make the driver discard the
+    // 80+ good dumps; the errors file + stderr banner carry the failures
+    if (errors.nonEmpty) System.err.println(
+      s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
+    spark.stop()
+  }
+
+  /** The dump pass, factored for the harness spec: runs every query,
+    * writes per-query parquet + oracle_sql.json + _verify_errors.json,
+    * returns the error map. Failures must be LOUD: a query that throws
+    * produces no parquet dump and would silently vanish from the round's
+    * correctness record (round 8 lost 4 green-in-r7 queries this way);
+    * the errors file lets the driver's compare report `err` instead of
+    * dropping the row.
+    */
+  def dump(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracle: Map[String, String])
+      : scala.collection.Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
-      .foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -38,28 +54,26 @@ object Verify {
         errors(name) = msg.take(2000)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracle
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
-    // loud but non-fatal: a nonzero exit could make the driver discard the
-    // 80+ good dumps; the errors file + stderr banner carry the failures
-    if (errors.nonEmpty) System.err.println(
-      s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
-    spark.stop()
+    errors
   }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
