@@ -2539,6 +2539,40 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Exact AUC of the quality score as an en-detector — the eval
+    // metric a learned filter ships with. Mann-Whitney U with proper
+    // tie credit, computed WITHOUT a per-row global ranking (the
+    // corpus-sized single-partition window q134 banned): group to the
+    // DISTINCT-score value table first (one row per distinct score —
+    // the q75 histogram pattern), cumulate negatives below each value,
+    // then U2 = Σ n_pos·(2·cumneg_below + n_neg) — all integer
+    // arithmetic, ties get their half credit exactly, AUC = U2/(2n₁n₀)
+    // in one replayable division. At 100 TB the value table is
+    // distinct-score-sized; a fixed-grid score quantization bounds it.
+    "q163_quality_auc" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(round(TextOps.qualityScore(col("text")), 12)
+            .cast(DecimalType(28, 12)).as("q"),
+          when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
+            .as("pos"))
+      val vals = d.groupBy("q").agg(
+        sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("q")
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val u = vals
+        .withColumn("cumneg", coalesce(sum(col("n_neg")).over(w), lit(0L)))
+        .agg(sum(col("n_pos")).as("n1"), sum(col("n_neg")).as("n0"),
+          sum(col("n_pos") * (lit(2L) * col("cumneg") + col("n_neg")))
+            .as("u2"))
+      u.select(col("n1"), col("n0"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n1").cast("double") * col("n0").cast("double")))
+          .as("auc"))
+    }),
+
     // Manifest-pinned snapshot read — time travel without a table
     // format: capture the file listing at commit time (what
     // Delta/Iceberg put in the transaction log), keep reading THAT list
@@ -6046,6 +6080,29 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // replays the distinct-value Mann-Whitney accumulation
+    "q163_quality_auc" ->
+      s"""WITH d AS (
+         |  SELECT round(($qualitySql), 12)::DECIMAL(28,12) AS q,
+         |    CASE WHEN ($langIdSql) = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents WHERE text IS NOT NULL
+         |), v AS (
+         |  SELECT q, sum(pos)::BIGINT AS n_pos,
+         |    sum(1 - pos)::BIGINT AS n_neg
+         |  FROM d GROUP BY q
+         |), c AS (
+         |  SELECT n_pos, n_neg,
+         |    coalesce(sum(n_neg) OVER (ORDER BY q
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS cumneg
+         |  FROM v
+         |)
+         |SELECT sum(n_pos)::BIGINT AS n1, sum(n_neg)::BIGINT AS n0,
+         |  sum(n_pos * (2 * cumneg + n_neg))::BIGINT AS u2,
+         |  (sum(n_pos * (2 * cumneg + n_neg))::DOUBLE
+         |   / (2.0 * sum(n_pos)::DOUBLE * sum(n_neg)::DOUBLE)) AS auc
+         |FROM c""".stripMargin,
 
     // the v1 (even-doc) content digest — the appended rows must be
     // invisible through the pinned manifest
