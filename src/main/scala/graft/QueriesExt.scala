@@ -2539,6 +2539,32 @@ object QueriesExt {
         .orderBy("shard")
     }),
 
+    // Calibration table (reliability diagram) for the quality score
+    // against the en label — AUC's companion: is a 0.8-scoring doc
+    // actually english 80 % of the time? Scores clamp to [0,1] and bin
+    // to a FIXED 10-cell grid (integer floor on the DECIMAL grid — the
+    // bin id is exact in any engine); per bin the exact count,
+    // positive count and DECIMAL score sum. ECE and the diagram are
+    // arithmetic over these 10 rows. Map-side partial aggregation to
+    // 10 groups — the 100 TB shape by construction.
+    "q164_calibration" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val q = round(TextOps.qualityScore(col("text")), 12)
+        .cast(DecimalType(28, 12))
+      val qc = greatest(lit(0).cast(DecimalType(28, 12)),
+        least(lit(1).cast(DecimalType(28, 12)), q))
+      docs(s, dir).where(col("text").isNotNull)
+        .select(qc.as("qc"),
+          when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
+            .as("pos"))
+        .withColumn("bin", least(floor(col("qc") * 10), lit(9L))
+          .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          sum(col("qc")).as("sum_q"))
+        .orderBy("bin")
+    }),
+
     // Exact AUC of the quality score as an en-detector — the eval
     // metric a learned filter ships with. Mann-Whitney U with proper
     // tie credit, computed WITHOUT a per-row global ranking (the
@@ -6080,6 +6106,25 @@ object QueriesExt {
         |  hash_hi, hash_lo,
         |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
         |FROM bits ORDER BY media_id""".stripMargin,
+
+    // replays the clamp, the fixed-grid bin id and the DECIMAL sums.
+    // Clamp spelled as CASE, not least/greatest — DuckDB's
+    // least/greatest on DECIMAL(28,12) silently degrades to DOUBLE and
+    // the bin sums then accumulate fp error (caught by the hash gate)
+    "q164_calibration" ->
+      s"""WITH d0 AS (
+         |  SELECT round(($qualitySql), 12)::DECIMAL(28,12) AS q,
+         |    CASE WHEN ($langIdSql) = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents WHERE text IS NOT NULL
+         |), d AS (
+         |  SELECT CASE WHEN q < 0 THEN 0::DECIMAL(28,12)
+         |              WHEN q > 1 THEN 1::DECIMAL(28,12)
+         |              ELSE q END AS qc, pos
+         |  FROM d0
+         |)
+         |SELECT least(floor(qc * 10)::BIGINT, 9) AS bin,
+         |  count(*) AS n, sum(pos)::BIGINT AS n_pos, sum(qc) AS sum_q
+         |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // replays the distinct-value Mann-Whitney accumulation
     "q163_quality_auc" ->
