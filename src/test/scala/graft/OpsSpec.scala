@@ -1771,6 +1771,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 2)), s"got $got")
   }
 
+  test("hammingPairs64 equals brute-force on random clustered hashes " +
+      "(pigeonhole exactness property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { _ =>
+      // clustered values: a few seeds, most hashes are a seed with a
+      // couple of bits flipped — dense in the <=3-hamming regime
+      val seeds = Array.fill(4)(
+        (rnd.nextLong() & 0xFFFFFFFFL, rnd.nextLong() & 0xFFFFFFFFL))
+      val rows = (1L to 30L).map { id =>
+        val (lo0, hi0) = seeds(rnd.nextInt(seeds.length))
+        val flips = rnd.nextInt(5)
+        var lo = lo0; var hi = hi0
+        (0 until flips).foreach { _ =>
+          val b = rnd.nextInt(64)
+          if (b < 32) lo ^= (1L << b) else hi ^= (1L << (b - 32))
+        }
+        (id, lo, hi)
+      }
+      val brute = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        h = java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3)
+        if h <= 3
+      } yield (a._1, b._1, h)).toSet
+      val blocked = Dedup.hammingPairs64(rows.toDF("id", "lo", "hi"),
+          "id", "lo", "hi", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    }
+  }
+
   test("rrfFuse: both-arm candidates outrank single-arm; absent arm " +
       "contributes 0; score scale of the arms is irrelevant") {
     import spark.implicits._

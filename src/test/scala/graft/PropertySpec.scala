@@ -219,6 +219,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("winnow_fps kernel: equals a naive reference on random unicode " +
+      "text (code-point grams, full windows, first-occurrence distinct)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def refFps(text: String, gram: Int, window: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      if (cps.length < gram) return Seq.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = (0 to cps.length - gram).map { i =>
+        val g = new String(cps, i, gram)
+        md.reset()
+        val d = md.digest(g.getBytes("UTF-8"))
+        ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      }
+      if (hs.length < window) Seq.empty
+      else (0 to hs.length - window)
+        .map(i => hs.slice(i, i + window).min).distinct
+    }
+    val alphabet = Gen.oneOf('a', 'b', 'c', ' ', 'é', 'ü', '漢', '字')
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, alphabet)
+      gram <- Gen.choose(1, 6)
+      window <- Gen.choose(1, 5)
+    } yield (cs.mkString, gram, window)
+    forAllN(gen, n = 150) { case (text, gram, window) =>
+      val native = graft.plans.WinnowFps
+        .fps(UTF8String.fromString(text), gram, window).toLongArray().toSeq
+      assert(native == refFps(text, gram, window),
+        s"text='$text' gram=$gram window=$window")
+    }
+  }
+
   test("nlrx HP solve: null (NaN) positions are preserved, rest finite") {
     import graft.kernels.Nlrx
     val gen = for {
