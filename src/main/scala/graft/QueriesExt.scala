@@ -2062,6 +2062,19 @@ object QueriesExt {
       graft.ops.Graphs.degreeProfile(edges).orderBy("node")
     }),
 
+    // Triangle counts over the same q114/q125 link graph — the
+    // community/link-farm signal that degree alone can't see. Ordered
+    // wedges + one closure join; oracle replays the identical triple
+    // enumeration.
+    "q165_triangles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def edge(mul: Long, add: Long) = d.select(
+        (col("doc_id") % 97).as("src"),
+        ((col("doc_id") * mul + add) % 97).as("dst"))
+      val edges = edge(7, 1).union(edge(13, 5)).union(edge(31, 11))
+      graft.ops.Graphs.triangleCounts(edges).orderBy("node")
+    }),
+
     // Crawl-frontier prioritization — the composition a crawl scheduler
     // actually runs: per-domain score = authority (q114 PageRank) ×
     // mean quality (q28 contract, DECIMAL-grid sums) × lexical novelty
@@ -6641,6 +6654,38 @@ object QueriesExt {
          |       12)::DECIMAL(28,12)))::DOUBLE AS js_bits
          |FROM pq GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    // replays the canonical edges, the ordered wedges, the closure
+    // join and the per-node unpivot (zeros kept via the node universe)
+    "q165_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 97 AS src, (doc_id * 7 + 1) % 97 AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97, (doc_id * 13 + 5) % 97 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 97, (doc_id * 31 + 11) % 97 FROM documents
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw WHERE src <> dst
+        |), wd AS (
+        |  SELECT x.a AS u, x.b AS v, y.b AS w
+        |  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+        |), t AS (
+        |  SELECT u, v, w FROM wd JOIN e ON e.a = wd.v AND e.b = wd.w
+        |), pn AS (
+        |  SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        |    SELECT u AS node FROM t
+        |    UNION ALL SELECT v FROM t
+        |    UNION ALL SELECT w FROM t
+        |  ) GROUP BY node
+        |), nodes AS (
+        |  SELECT DISTINCT a AS node FROM e
+        |  UNION SELECT DISTINCT b FROM e
+        |)
+        |SELECT n.node, coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles
+        |FROM nodes n LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin,
 
     // replays the deduped edge list, both degree aggregations, and the
     // reverse-edge reciprocity join

@@ -132,6 +132,46 @@ object Graphs {
         coalesce(col("n_recip"), lit(0L)).as("n_recip"))
   }
 
+  /** Per-node triangle counts over the undirected simple graph — the
+    * clustering-structure signal next to degree/PageRank (dense
+    * triangle neighborhoods = communities / link farms; triangle-free
+    * hubs = star spam). Standard ordered-wedge algorithm: canonicalize
+    * each edge to (a < b), build wedges (u < v < w sharing the low
+    * vertex) with one self-join, close them against the edge list with
+    * a second join — every triangle is found exactly once, as its
+    * id-ordered triple.
+    *
+    * Scale shape: two equi-joins on vertex keys; the wedge count is
+    * Σ deg(v)² — the real 100 TB variant orders each edge by DEGREE
+    * (not id) before wedge-building, which provably bounds wedges at
+    * O(E^1.5) on any graph (the hottest hub stops being a wedge
+    * pivot). Id-ordering is kept here because it is engine-replayable;
+    * the degree-ordered variant changes no output, only the join size.
+    *
+    * @return (node, n_triangles) for every edge endpoint, zeros kept.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // feeds wedge-build, closure join, universe
+    val wedges = e.as("x").join(e.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.a").as("u"), col("x.b").as("v"), col("y.b").as("w"))
+    val tris = wedges.join(
+      e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val perNode = tris.select(explode(array(col("u"), col("v"), col("w")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node"))).distinct()
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Driver-side naive reference for specs: same integer arithmetic on a
     * small in-memory graph.
     */

@@ -89,4 +89,20 @@ class GraphSpec extends SparkSpec {
     // all leaves are structurally identical -> identical integer ranks
     assert(leaves.map(ranks).toSet.size == 1)
   }
+
+  test("triangle counts: K4 gives every node C(3,2)=3; a path gives " +
+      "zeros; direction and duplicate edges don't matter") {
+    // K4 on 1..4 with edges in mixed directions + duplicates
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 1L), (2L, 3L),
+      (3L, 4L), (2L, 4L), (2L, 4L))
+    // plus a disjoint path 10-11-12 (no triangles)
+    val got = Graphs.triangleCounts(
+        edgeFrame(k4 ++ Seq((10L, 11L), (11L, 12L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L, 4L).foreach(n =>
+      assert(got(n) == 3L, s"node $n: ${got(n)}"))
+    Seq(10L, 11L, 12L).foreach(n => assert(got(n) == 0L))
+    // total triangles = K4's 4, each counted at 3 nodes
+    assert(got.values.sum == 12L)
+  }
 }
