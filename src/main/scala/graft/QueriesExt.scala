@@ -340,6 +340,27 @@ object QueriesExt {
         .orderBy("user_id", "session_id")
     }),
 
+    // The NATIVE session_window operator (Spark's built-in merging
+    // session aggregation — the same operator Structured Streaming
+    // uses for stateful sessionization) next to q34's hand-rolled
+    // gaps-and-islands: one groupBy(user, session_window(ts, gap)),
+    // no window functions at all. Semantics pinned by the oracle:
+    // end-EXCLUSIVE windows (an event exactly gap after the previous
+    // one starts a NEW session — q34's `>` rule differs at the
+    // boundary) and session_end = last event + gap, the operator's
+    // convention. DECIMAL value sums as in q34.
+    "q166_native_session_window" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("value", col("value").cast("decimal(18,8)"))
+      ev.groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sv"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // near-dup CLUSTERING: the consecutive-pair trigram graph (edges =
     // jaccard >= 0.5) resolved to connected components — pair detection
     // turned into dedup groups with a canonical min-id survivor. The
@@ -5026,6 +5047,28 @@ object QueriesExt {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.p_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    // gaps-and-islands with the native operator's boundary rule:
+    // break at diff >= gap (end-exclusive), end = last event + gap
+    "q166_native_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value::DECIMAL(18,8) AS value FROM events
+        |), l AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, (sum(value))::DOUBLE AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q34_sessions" ->
       """WITH g AS (
