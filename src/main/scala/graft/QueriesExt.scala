@@ -344,11 +344,11 @@ object QueriesExt {
     // session aggregation — the same operator Structured Streaming
     // uses for stateful sessionization) next to q34's hand-rolled
     // gaps-and-islands: one groupBy(user, session_window(ts, gap)),
-    // no window functions at all. Semantics pinned by the oracle:
-    // end-EXCLUSIVE windows (an event exactly gap after the previous
-    // one starts a NEW session — q34's `>` rule differs at the
-    // boundary) and session_end = last event + gap, the operator's
-    // convention. DECIMAL value sums as in q34.
+    // no window functions at all. Semantics probed empirically and
+    // pinned by the oracle: sessions MERGE ON TOUCH (an event exactly
+    // gap after the previous one joins the session — break only when
+    // diff > gap, same as q34's rule) and session_end = last event +
+    // gap, the operator's convention. DECIMAL value sums as in q34.
     "q166_native_session_window" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("value", col("value").cast("decimal(18,8)"))
@@ -5049,14 +5049,14 @@ object QueriesExt {
         |ORDER BY l.event_id""".stripMargin,
 
     // gaps-and-islands with the native operator's boundary rule:
-    // break at diff >= gap (end-exclusive), end = last event + gap
+    // merge on touch — break only at diff > gap; end = last event + gap
     "q166_native_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts, value::DECIMAL(18,8) AS value FROM events
         |), l AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), g AS (

@@ -650,6 +650,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window aggregates a watermarked stream; merged " +
+      "sessions match the q166 batch operator's boundary semantics") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val src = MemoryStream[(Long, Timestamp, Double)]
+    val df = src.toDF().toDF("user_id", "ts", "value")
+    val q = df.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n_events"),
+        col("sum_value"))
+      .writeStream.format("memory").queryName("ssw").outputMode("complete")
+      .start()
+    try {
+      // user 1: events 10 min apart merge; an event exactly 30 min
+      // after the previous also merges (MERGE ON TOUCH — the boundary
+      // rule the q166 oracle pins); one 31 min later starts a new
+      // session. Events arrive across two micro-batches — the session
+      // store must merge live state.
+      src.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 09:00:00"), 9.0))
+      q.processAllAvailable()
+      src.addData(
+        (1L, ts("2024-01-01 10:10:00"), 2.0),
+        (1L, ts("2024-01-01 10:40:00"), 4.0), // touches [10:10+30] → merges
+        (1L, ts("2024-01-01 11:11:00"), 8.0)) // 31 min later → new session
+      q.processAllAvailable()
+      val got = spark.table("ssw").orderBy("user_id", "s").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSeq
+      assert(got == Seq(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 11:10:00.0", 3L, 7.0),
+        (1L, "2024-01-01 11:11:00.0", "2024-01-01 11:41:00.0", 1L, 8.0),
+        (2L, "2024-01-01 09:00:00.0", "2024-01-01 09:30:00.0", 1L, 9.0)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join (two watermarked sides) matches " +
       "the batch range join across micro-batches") {
     implicit val sql = spark.sqlContext
