@@ -476,6 +476,29 @@ object QueriesExt {
         .orderBy("event_id")
     }),
 
+    // the SAME task as q46 written the way a user would naively write
+    // it — a plain join with key + BETWEEN condition — plus the
+    // `range_bin` hint: the injected analyzer/optimizer rules
+    // (plans.RangeBinHintRule / RangeBinJoinRule) rewrite it into the
+    // binned equi-join automatically. Same oracle shape as q46; the
+    // rewrite is proven row-identical by the hash gate, and the plan
+    // rewrite itself is asserted in RangeBinJoinSpec.
+    "q167_hinted_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sessions = graft.ops.EventOps.sessionize(ev)
+        .select(col("user_id").as("s_user"), col("session_id"),
+          col("session_start"), col("session_end"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      errors.join(sessions.hint("range_bin", 3600),
+          col("user_id") === col("s_user") &&
+            col("ts") >= col("session_start") &&
+            col("ts") <= col("session_end"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("session_id"))
+        .orderBy("event_id")
+    }),
+
     // benchmark-contamination screening: training docs (md5 split
     // u < 0.8) sharing any word 5-gram with the held-out set (u >= 0.9).
     // One equi-join on the gram; oracle recomputes with unnest + join.
@@ -4557,6 +4580,35 @@ object QueriesExt {
     },
 
     "q46_interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, session_id::BIGINT AS session_id,
+        |    make_timestamp(epoch_us(min(ts))) AS session_start,
+        |    make_timestamp(epoch_us(max(ts))) AS session_end
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  make_timestamp(epoch_us(e.ts)) AS ts, sess.session_id
+        |FROM events e JOIN sess
+        |  ON e.user_id = sess.user_id
+        | AND make_timestamp(epoch_us(e.ts))
+        |       BETWEEN sess.session_start AND sess.session_end
+        |WHERE e.event_type = 'error'
+        |ORDER BY e.event_id""".stripMargin,
+
+    // identical replay: the hinted rewrite must be row-identical to q46
+    "q167_hinted_range_join" ->
       """WITH g AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER w IS NULL

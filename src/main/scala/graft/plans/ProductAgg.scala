@@ -57,6 +57,10 @@ case class ProductAgg(child: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the range-join binning rewrite: hint("range_bin", secs) →
+    // RangeBinHint marker (resolution) → binned equi-join (optimizer)
+    ext.injectResolutionRule(RangeBinHintRule)
+    ext.injectOptimizerRule(RangeBinJoinRule)
     ext.injectFunction((
       FunctionIdentifier("product_agg"),
       new ExpressionInfo(classOf[ProductAgg].getName, "product_agg"),
