@@ -476,6 +476,44 @@ object QueriesExt {
         .orderBy("event_id")
     }),
 
+    // The pure-SQL surface: the whole dedup+quality rollup written as
+    // ONE spark.sql string — parquet path table, the registered
+    // md5_prefix32 extension function called FROM SQL, grouped dedup
+    // and token sums. Proves a SQL-only user (no Scala API) gets the
+    // same engine: every registered function is a first-class SQL
+    // function, and the oracle replays the identical statement.
+    "q168_pure_sql" -> ((s, dir) => {
+      s.sql(
+        s"""SELECT source,
+           |  count(*) AS n_docs,
+           |  count(DISTINCT md5_prefix32(
+           |    trim(regexp_replace(lower(text), '\\\\s+', ' ')))) AS n_distinct,
+           |  sum(size(filter(split(trim(regexp_replace(lower(text),
+           |    '\\\\s+', ' ')), ' '), x -> length(x) > 0))) AS n_tokens
+           |FROM parquet.`$dir/documents.parquet`
+           |WHERE text IS NOT NULL
+           |GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // Pivot → unpivot roundtrip: the lang×source count matrix built
+    // with Spark's native pivot (wide), melted back to long with
+    // unpivot — the reshape pair every report/export pipeline uses.
+    // The roundtrip drops nothing: zero cells (absent combinations)
+    // pivot to 0 and melt back out via the n > 0 filter, so the long
+    // digest equals the original groupBy — which is the oracle.
+    "q169_pivot_roundtrip" -> ((s, dir) => {
+      val langs = docs(s, dir).select("lang").distinct()
+        .collect().map(_.getString(0)).sorted // bounded: language count
+      val wide = docs(s, dir).groupBy("source")
+        .pivot("lang", langs).agg(count(lit(1)))
+        .na.fill(0L, langs)
+      wide.unpivot(Array(col("source")), langs.map(col),
+          "lang", "n")
+        .where(col("n") > 0)
+        .select(col("source"), col("lang"), col("n").cast("long").as("n"))
+        .orderBy("source", "lang")
+    }),
+
     // the SAME task as q46 written the way a user would naively write
     // it — a plain join with key + BETWEEN condition — plus the
     // `range_bin` hint: the injected analyzer/optimizer rules
@@ -4606,6 +4644,22 @@ object QueriesExt {
         |       BETWEEN sess.session_start AND sess.session_end
         |WHERE e.event_type = 'error'
         |ORDER BY e.event_id""".stripMargin,
+
+    // the identical statement (md5_prefix32 spelled as the builtin
+    // hex-substr chain, which the native expression is spec-pinned to)
+    "q168_pure_sql" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  count(DISTINCT ('0x' || substr(md5($normSql), 1, 8))::BIGINT)
+         |    AS n_distinct,
+         |  sum(len(list_filter(string_split($normSql, ' '),
+         |    x -> len(x) > 0)))::BIGINT AS n_tokens
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the roundtrip must reproduce the plain long-form groupBy
+    "q169_pivot_roundtrip" ->
+      """SELECT source, lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
 
     // identical replay: the hinted rewrite must be row-identical to q46
     "q167_hinted_range_join" ->
