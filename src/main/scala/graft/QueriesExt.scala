@@ -1329,6 +1329,32 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // HLL sketches as PERSISTED per-slice state — the operational
+    // pattern at 100 TB: per-source register files land next to the
+    // data (physically written + re-read here), corpus-wide
+    // cardinality is a MERGE of the sketch files (union + max per
+    // register), never a re-scan. Merge-then-estimate equals
+    // build-global-then-estimate by HLL's defining property; the
+    // oracle replays the global registers straight from the corpus,
+    // which is exactly that identity.
+    "q170_sketch_persist" -> ((s, dir) => {
+      val path = scratch("q170")
+      val d = docs(s, dir)
+      val grams = Dedup.posGramRows(d, "doc_id", "text", w = 3)
+        .join(d.select("doc_id", "source"), "doc_id")
+      Sketches.hllRegisters(grams, Seq("source"), col("gram"))
+        .write.mode("overwrite").parquet(path)
+      val global = s.read.parquet(path)
+        .select(lit("all").as("scope"), col("reg"), col("rho"))
+        .groupBy("scope", "reg").agg(max(col("rho")).as("rho"))
+      val est = Sketches.hllEstimate(global, Seq("scope"))
+      val exact = grams.agg(
+        countDistinct(col("gram")).as("exact_distinct"))
+      est.crossJoin(exact)
+        .select(col("scope"), col("regs_hit"), col("reg_sum"),
+          col("est_distinct"), col("exact_distinct"))
+    }),
+
     // Count-Min heavy hitters: 4×1024 counters over the 3-shingle
     // occurrence stream (affine md5 row hashes — the minhash permutation
     // family), probed for the exact top-50 shingles. est_cnt >=
@@ -5232,6 +5258,37 @@ object QueriesExt {
          |SELECT e.lang, regs_hit, reg_sum,
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
+    },
+
+    // the merged-sketch identity: global registers computed straight
+    // from the corpus must equal the merge of the persisted slices
+    "q170_sketch_persist" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH d AS (
+         |  SELECT $toks AS toks FROM documents
+         |), t AS (
+         |  SELECT unnest(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS token FROM d
+         |), h AS (
+         |  SELECT ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS reg,
+         |    ('0x' || substr(md5(token), 9, 8))::BIGINT AS w2
+         |  FROM t
+         |), r AS (
+         |  SELECT reg, max(CASE WHEN w2 = 0 THEN 33
+         |                       ELSE 33 - length(bin(w2)) END) AS rho
+         |  FROM h GROUP BY reg
+         |), e AS (
+         |  SELECT count(*) AS regs_hit,
+         |    ((256 - count(*)) * 8589934592 +
+         |      sum(1::BIGINT << (33 - rho)))::BIGINT AS reg_sum
+         |  FROM r
+         |)
+         |SELECT 'all' AS scope, regs_hit, reg_sum,
+         |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct,
+         |  (SELECT count(DISTINCT token) FROM t) AS exact_distinct
+         |FROM e""".stripMargin
     },
 
     // CMS counters and probes replayed: the affine row-hash parameters
