@@ -1329,6 +1329,40 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Reproducibility as a FIRST-CLASS check: the same selection
+    // pipeline (quality gate → en gate → md5 split) run twice under
+    // DIFFERENT physical partitionings (7 vs 13 partitions), digested
+    // order-independently, compared IN-QUERY. Every decision in the
+    // engine is a pure function of row content — never of partition,
+    // task, or arrival order — so the digests must be identical; this
+    // query makes that invariant a driver-checked artifact instead of
+    // a design claim. The oracle computes the digest once (what both
+    // runs must equal).
+    "q171_repro_digest" -> ((s, dir) => {
+      def pipeline(parts: Int): org.apache.spark.sql.DataFrame =
+        docs(s, dir).where(col("text").isNotNull)
+          .repartition(parts)
+          .where(TextOps.qualityScore(col("text")) > 0.5 &&
+            TextOps.langId(col("text")) === "en")
+          .withColumn("split", when(
+            Sampling.hashUnit(col("doc_id"), "v1") < 0.9, "train")
+            .otherwise("eval"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(Output.rowHash(col("doc_id"), col("text")))
+              .as("content_sum"))
+      val a = pipeline(7)
+      val b = pipeline(13)
+        .withColumnRenamed("n_docs", "n_docs_b")
+        .withColumnRenamed("content_sum", "content_sum_b")
+      a.join(b, "split")
+        .select(col("split"), col("n_docs"), col("content_sum"),
+          (col("n_docs") === col("n_docs_b") &&
+            col("content_sum") === col("content_sum_b"))
+            .as("partitioning_invariant"))
+        .orderBy("split")
+    }),
+
     // HLL sketches as PERSISTED per-slice state — the operational
     // pattern at 100 TB: per-source register files land next to the
     // data (physically written + re-read here), corpus-wide
@@ -5259,6 +5293,21 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // the digest computed once — both partitionings must equal it and
+    // each other (invariant literally true)
+    "q171_repro_digest" ->
+      s"""SELECT
+         |  CASE WHEN ${hashUnitSql("doc_id::VARCHAR || 'v1'")} < 0.9
+         |       THEN 'train' ELSE 'eval' END AS split,
+         |  count(*) AS n_docs,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '|' || text),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum,
+         |  true AS partitioning_invariant
+         |FROM documents
+         |WHERE text IS NOT NULL AND ($qualitySql) > 0.5
+         |  AND ($langIdSql) = 'en'
+         |GROUP BY 1 ORDER BY split""".stripMargin,
 
     // the merged-sketch identity: global registers computed straight
     // from the corpus must equal the merge of the persisted slices
