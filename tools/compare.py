@@ -34,6 +34,16 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # surface the dump pass's own failures first — a query that threw has
+    # no parquet directory, and silently skipping it would repeat the
+    # round-8 silent-loss bug in the local loop
+    try:
+        errs = json.load(open(f"{out_dir}/_verify_errors.json"))
+        for q, msg in errs.items():
+            print(f"{q}: VERIFY ERROR {msg[:160]}")
+    except FileNotFoundError:
+        errs = {}
+    queries = [q for q in queries if q not in errs]
     con = duckdb.connect()
     for t in TABLES:
         try:
