@@ -1329,6 +1329,30 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // EXACT set-similarity join (PPJoin prefix filtering) — no false
+    // negatives, so the oracle is BRUTE FORCE all-pairs: the strongest
+    // possible check of the candidate-generation guarantee. Planted
+    // twins: every 11th doc gets a copy with 10% of tokens replaced
+    // (deterministic md5 decision per position, keyed on the TWIN id:
+    // Spark 4's lateral column aliasing binds col("doc_id") below to
+    // the re-keyed select alias, so the oracle keys the same way) so
+    // J ≥ 0.5 pairs exist.
+    "q172_ppjoin" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(transform(TextOps.tokens(col("text")),
+            (t, i) => when(
+              Sampling.hashUnit(concat_ws("#", col("doc_id"), i)) < 0.1,
+              concat(lit("repl"), i)).otherwise(t)), " ").as("text"))
+      Dedup.prefixJaccardPairs(base.unionByName(twins), "doc_id", "text",
+          minJaccard = 0.5, gram = 3)
+        .select(col("id1"), col("id2"), col("n_common").cast("long")
+          .as("n_common"), col("l1").cast("long").as("l1"),
+          col("l2").cast("long").as("l2"), col("jaccard"))
+        .orderBy("id1", "id2")
+    }),
+
     // Reproducibility as a FIRST-CLASS check: the same selection
     // pipeline (quality gate → en gate → md5 split) run twice under
     // DIFFERENT physical partitionings (7 vs 13 partitions), digested
@@ -5292,6 +5316,46 @@ object QueriesExt {
          |SELECT e.lang, regs_hit, reg_sum,
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
+    },
+
+    // BRUTE-FORCE all-pairs exact Jaccard — the prefix-filtered plan
+    // must reproduce it exactly (the no-false-negatives guarantee)
+    "q172_ppjoin" -> {
+      val toks = s"list_filter(string_split($normSql, ' '), x -> len(x) > 0)"
+      s"""WITH b0 AS (
+         |  SELECT doc_id, $toks AS toks FROM documents
+         |), tw0 AS (
+         |  -- replacement draws keyed on the TWIN id (+2000000), matching
+         |  -- the Spark side where lateral column aliasing binds doc_id
+         |  -- inside the lambda to the re-keyed select alias
+         |  SELECT doc_id + 2000000 AS tw_id,
+         |    list_transform(range(1, len(toks) + 1), i ->
+         |      CASE WHEN ${hashUnitSql(
+                  "(doc_id + 2000000)::VARCHAR || '#' || (i - 1)")} < 0.1
+         |           THEN 'repl' || (i - 1)
+         |           ELSE toks[i] END) AS tw_toks
+         |  FROM b0 WHERE doc_id % 11 = 0
+         |), tw AS (
+         |  SELECT tw_id AS doc_id, tw_toks AS toks FROM tw0
+         |), a AS (
+         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(toks[i:i+2], ' '))
+         |    ELSE [] END) AS s
+         |  FROM (SELECT doc_id, toks FROM b0
+         |        UNION ALL SELECT doc_id, toks FROM tw)
+         |  WHERE len(toks) >= 3
+         |), pr AS (
+         |  SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |    len(list_intersect(x.s, y.s))::BIGINT AS n_common,
+         |    len(x.s)::BIGINT AS l1, len(y.s)::BIGINT AS l2
+         |  FROM a x JOIN a y ON x.doc_id < y.doc_id
+         |)
+         |SELECT id1, id2, n_common, l1, l2,
+         |  n_common::DOUBLE / (l1 + l2 - n_common)::DOUBLE AS jaccard
+         |FROM pr
+         |WHERE n_common::DOUBLE / (l1 + l2 - n_common)::DOUBLE >= 0.5
+         |ORDER BY id1, id2""".stripMargin
     },
 
     // the digest computed once — both partitionings must equal it and

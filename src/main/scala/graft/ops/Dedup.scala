@@ -1234,6 +1234,78 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** EXACT Jaccard-threshold pairs by prefix filtering (the
+    * PPJoin/AllPairs family — Chaudhuri et al. 2006, Xiao et al. 2008):
+    * the deterministic complement of [[minHashLshPairs]]. Every doc's
+    * DISTINCT token set is ordered by a global rarest-first key
+    * (df asc, token); a pair with J ≥ t provably shares a token within
+    * each side's first |x| − ⌈t·|x|⌉ + 1 tokens, so only prefix tokens
+    * join — and prefix tokens are by construction the RAREST, so the
+    * candidate join is driven by low-df keys (the exact opposite of the
+    * hot-token trap). Candidates then verify with an exact
+    * intersection count. NO false negatives (unlike LSH's probabilistic
+    * recall): output == brute force, which is what the q172 oracle
+    * asserts.
+    *
+    * Scale shape: df table + per-doc sorted list are one groupBy each;
+    * the candidate join is on prefix tokens only (≈ (1−t)·|doc| of the
+    * rarest tokens per doc) with the length filter t·|y| ≤ |x| pruning
+    * before the pair-dedup; verification joins on (id, token) equi-keys
+    * for candidate pairs only.
+    *
+    * @return (id1, id2, n_common, l1, l2, jaccard) with id1 < id2,
+    *         jaccard ≥ minJaccard.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, gram: Int = 1): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1)
+    // the set item: distinct tokens (gram=1) or distinct word n-grams —
+    // n-grams are the standard AllPairs practice on natural corpora:
+    // a small-vocabulary corpus saturates unigram sets (every long doc
+    // ≈ the whole vocabulary ⇒ a dense J-clique); shingle space doesn't
+    val tok =
+      if (gram <= 1)
+        df.select(col(idCol),
+          explode(array_distinct(TextOps.tokens(col(textCol)))).as("__t"))
+      else
+        posGramRows(df, idCol, textCol, gram)
+          .select(col(idCol), col("gram").as("__t")).distinct()
+    val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val lists = tok.join(dfreq, "__t")
+      .groupBy(idCol)
+      .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
+        .as("__lst"))
+      .withColumn("__len", size(col("__lst")))
+    val p = (col("__len") -
+      ceil(lit(minJaccard) * col("__len")) + 1).cast("int")
+    val pre = lists
+      .select(col(idCol), col("__len"),
+        explode(slice(col("__lst"), lit(1), p)).as("__e"))
+      .select(col(idCol), col("__len"), col("__e.__t").as("__t"))
+    val a = pre.select(col("__t"), col(idCol).as("id1"),
+      col("__len").as("l1"))
+    val b = pre.select(col("__t"), col(idCol).as("id2"),
+      col("__len").as("l2"))
+    val cand = a.join(b, Seq("__t"))
+      .where(col("id1") < col("id2") &&
+        col("l2") * minJaccard <= col("l1") &&
+        col("l1") * minJaccard <= col("l2"))
+      .select("id1", "id2").distinct()
+    val t1 = tok.select(col(idCol).as("id1"), col("__t"))
+    val t2 = tok.select(col(idCol).as("id2"), col("__t"))
+    val inter = cand.join(t1, "id1").join(t2, Seq("id2", "__t"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(lists.select(col(idCol).as("id1"), col("__len").as("l1")),
+        "id1")
+      .join(lists.select(col(idCol).as("id2"), col("__len").as("l2")),
+        "id2")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("l1") + col("l2") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id1", "id2", "n_common", "l1", "l2", "jaccard")
+  }
+
   /** Bag-of-words fingerprint dedup: fp = md5-prefix32 of the SORTED
     * DISTINCT token list — docs that are token permutations or
     * repetitions of the same vocabulary collide, which exact hashing

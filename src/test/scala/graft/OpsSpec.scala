@@ -1741,6 +1741,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs == brute force on distinct word sets, " +
+      "inclusive at exactly J = 0.5") {
+    val df = docFrame(
+      1L -> "a b c d",        // {a,b,c,d}
+      2L -> "a b c e",        // J(1,2) = 3/5 = 0.6
+      3L -> "a b e f",        // J(1,3) = 2/6 = 1/3; J(2,3) = 3/5
+      4L -> "a b c d e f g h",// J(1,4) = 4/8 = 0.5 exactly (inclusive)
+      5L -> "x y z")          // disjoint
+    val sets = Map(1L -> Set("a","b","c","d"), 2L -> Set("a","b","c","e"),
+      3L -> Set("a","b","e","f"), 4L -> Set("a","b","c","d","e","f","g","h"),
+      5L -> Set("x","y","z"))
+    val brute = (for {
+      i <- sets.keys; j <- sets.keys if i < j
+      inter = (sets(i) & sets(j)).size
+      jac = inter.toDouble / (sets(i) | sets(j)).size
+      if jac >= 0.5
+    } yield (i, j, inter, jac)).toSet
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSet
+    assert(got == brute, s"got $got\nbrute $brute")
+    assert(got.exists(_._4 == 0.5), "inclusive boundary pair missing")
+  }
+
   test("wordSetDedup: permutations and repetitions collide, different " +
       "vocabularies don't; canonical is the min id") {
     val df = docFrame(
