@@ -14,6 +14,12 @@ import graft.ops.{AsOfJoin, Bpe, Dedup, Dsir, MixPlan, Multimodal, Output, Sampl
   */
 object QueriesExt {
 
+  /** Typed rows for the q174 Dataset/Aggregator surface — top-level so
+    * Spark's product encoders find their TypeTags.
+    */
+  final case class DocRow(source: String, nt: Long)
+  final case class AggBuf(n: Long, tokens: Long, maxTok: Long)
+
   private[graft] def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private[graft] def embs(s: SparkSession, dir: String): DataFrame =
@@ -1327,6 +1333,60 @@ object QueriesExt {
         .select(col("lang"), col("regs_hit"), col("reg_sum"),
           col("est_distinct"), col("exact_distinct"))
         .orderBy("lang")
+    }),
+
+    // k-anonymity audit over the release quasi-identifiers (source,
+    // lang, length decile): any equivalence class smaller than k = 5
+    // re-identifies its members and must be suppressed or generalized
+    // before the corpus metadata ships. Outputs every class with its
+    // size and the suppression verdict — one groupBy on the
+    // quasi-identifier tuple; the length decile uses the same exact
+    // integer grid as every histogram op.
+    "q173_k_anonymity" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("source"), col("lang"),
+          least(floor(col("n_chars") / 100L), lit(9L)).cast("long")
+            .as("len_bucket"))
+      d.groupBy("source", "lang", "len_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("suppress", col("class_size") < 5)
+        .orderBy("source", "lang", "len_bucket")
+    }),
+
+    // The typed Dataset surface: a case-class Encoder pipeline with a
+    // custom Aggregator[IN, BUF, OUT] (compile-time-checked merge
+    // semantics — the typed twin of an agg expression). The aggregator
+    // carries (docs, tokens, max token count) through reduce+merge, so
+    // partial aggregation across partitions is exercised by
+    // construction. Typed API where type safety helps; results equal
+    // the untyped rollup, which is the oracle.
+    "q174_typed_agg" -> ((s, dir) => {
+      import org.apache.spark.sql.{Encoder, Encoders}
+      import org.apache.spark.sql.expressions.Aggregator
+      val s2 = s
+      import s2.implicits._
+      val agg = new Aggregator[DocRow, AggBuf, (Long, Long, Long)] {
+        def zero: AggBuf = AggBuf(0L, 0L, 0L)
+        def reduce(b: AggBuf, a: DocRow): AggBuf =
+          AggBuf(b.n + 1, b.tokens + a.nt, math.max(b.maxTok, a.nt))
+        def merge(x: AggBuf, y: AggBuf): AggBuf =
+          AggBuf(x.n + y.n, x.tokens + y.tokens,
+            math.max(x.maxTok, y.maxTok))
+        def finish(b: AggBuf): (Long, Long, Long) =
+          (b.n, b.tokens, b.maxTok)
+        def bufferEncoder: Encoder[AggBuf] = Encoders.product[AggBuf]
+        def outputEncoder: Encoder[(Long, Long, Long)] =
+          Encoders.product[(Long, Long, Long)]
+      }
+      val ds = docs(s, dir).where(col("text").isNotNull)
+        .select(col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+        .as[DocRow]
+      ds.groupByKey(_.source).agg(agg.toColumn.name("stats"))
+        .select(col("key").as("source"),
+          col("stats._1").as("n_docs"), col("stats._2").as("n_tokens"),
+          col("stats._3").as("max_tokens"))
+        .orderBy("source")
     }),
 
     // EXACT set-similarity join (PPJoin prefix filtering) — no false
@@ -5316,6 +5376,25 @@ object QueriesExt {
          |SELECT e.lang, regs_hit, reg_sum,
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
+    },
+
+    // equivalence classes + the k >= 5 verdict replayed directly
+    "q173_k_anonymity" ->
+      """SELECT source, lang,
+        |  least(n_chars // 100, 9)::BIGINT AS len_bucket,
+        |  count(*) AS class_size,
+        |  (count(*) < 5) AS suppress
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY source, lang, len_bucket""".stripMargin,
+
+    // the untyped rollup the typed Aggregator must reproduce
+    "q174_typed_agg" -> {
+      val tok = "len(regexp_extract_all(text, '\\S+'))"
+      s"""SELECT source, count(*) AS n_docs,
+         |  sum($tok)::BIGINT AS n_tokens,
+         |  max($tok)::BIGINT AS max_tokens
+         |FROM documents WHERE text IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     // BRUTE-FORCE all-pairs exact Jaccard — the prefix-filtered plan
