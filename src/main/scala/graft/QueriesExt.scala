@@ -1335,6 +1335,51 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // BAG-semantics set operations (intersectAll / exceptAll — the
+    // multiset algebra ANSI INTERSECT ALL/EXCEPT ALL defines, subtler
+    // than the distinct variants: multiplicities subtract). Two
+    // deliberately-duplicated snapshots of (source, lang) rows; the
+    // oracle is DuckDB's own INTERSECT ALL / EXCEPT ALL, so Spark's
+    // multiset semantics are pinned against a second engine's.
+    "q175_bag_setops" -> ((s, dir) => {
+      val rows = docs(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"))
+      val snapA = rows.where(col("doc_id") % 3 =!= 0)
+        .select("source", "lang") // dup rows: one per qualifying doc
+      val snapB = rows.where(col("doc_id") % 2 === 0)
+        .select("source", "lang")
+      val inter = snapA.intersectAll(snapB)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_inter"))
+      val exc = snapA.exceptAll(snapB)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n_except"))
+      inter.join(exc, Seq("source", "lang"), "full_outer")
+        .select(col("source"), col("lang"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("source", "lang")
+    }),
+
+    // Correlated subqueries through Spark's decorrelation machinery
+    // (DecorrelateInnerQuery → rewritten joins): a correlated EXISTS,
+    // a correlated scalar subquery, and an uncorrelated scalar — the
+    // SQL-author surface every warehouse migration exercises first.
+    // The oracle runs the IDENTICAL statement, so Spark's decorrelated
+    // plan is semantics-checked against a direct evaluator.
+    "q176_correlated_subquery" -> ((s, dir) => {
+      docs(s, dir).createOrReplaceTempView("graft_q176_docs")
+      s.sql(
+        """SELECT d.source, count(*) AS n_docs,
+          |  sum(CASE WHEN d.n_chars >
+          |    (SELECT avg(i.n_chars) FROM graft_q176_docs i
+          |     WHERE i.source = d.source) THEN 1 ELSE 0 END)
+          |    AS n_above_source_avg
+          |FROM graft_q176_docs d
+          |WHERE EXISTS (SELECT 1 FROM graft_q176_docs o
+          |              WHERE o.source = d.source AND o.lang = 'en')
+          |  AND d.n_chars > (SELECT min(n_chars) FROM graft_q176_docs)
+          |GROUP BY d.source ORDER BY d.source""".stripMargin)
+    }),
+
     // k-anonymity audit over the release quasi-identifiers (source,
     // lang, length decile): any equivalence class smaller than k = 5
     // re-identifies its members and must be suppressed or generalized
@@ -5377,6 +5422,42 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // DuckDB's own multiset operators as the second-engine pin
+    "q175_bag_setops" ->
+      """WITH a AS (
+        |  SELECT source, lang FROM documents WHERE doc_id % 3 <> 0
+        |), b AS (
+        |  SELECT source, lang FROM documents WHERE doc_id % 2 = 0
+        |), i AS (
+        |  SELECT source, lang, count(*) AS n_inter FROM (
+        |    SELECT * FROM a INTERSECT ALL SELECT * FROM b
+        |  ) GROUP BY 1, 2
+        |), x AS (
+        |  SELECT source, lang, count(*) AS n_except FROM (
+        |    SELECT * FROM a EXCEPT ALL SELECT * FROM b
+        |  ) GROUP BY 1, 2
+        |)
+        |SELECT coalesce(i.source, x.source) AS source,
+        |  coalesce(i.lang, x.lang) AS lang,
+        |  coalesce(n_inter, 0)::BIGINT AS n_inter,
+        |  coalesce(n_except, 0)::BIGINT AS n_except
+        |FROM i FULL OUTER JOIN x
+        |  ON i.source = x.source AND i.lang = x.lang
+        |ORDER BY source, lang""".stripMargin,
+
+    // identical statement, evaluated directly
+    "q176_correlated_subquery" ->
+      """SELECT d.source, count(*) AS n_docs,
+        |  sum(CASE WHEN d.n_chars >
+        |    (SELECT avg(i.n_chars) FROM documents i
+        |     WHERE i.source = d.source) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_above_source_avg
+        |FROM documents d
+        |WHERE EXISTS (SELECT 1 FROM documents o
+        |              WHERE o.source = d.source AND o.lang = 'en')
+        |  AND d.n_chars > (SELECT min(n_chars) FROM documents)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // equivalence classes + the k >= 5 verdict replayed directly
     "q173_k_anonymity" ->
