@@ -650,6 +650,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed file sink survives a query RESTART: dedup state " +
+      "restores (cross-restart duplicate dropped) and no rows double") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("eo_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("eo_ck").toString
+    val src = MemoryStream[(Timestamp, String)]
+    def start() = StreamOps.streamingDedup(
+        src.toDF().toDF("ts", "text"), "ts", "text",
+        watermark = "24 hours")
+      .select("ts", "text")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:00:00"), "alpha content"),
+        (ts("2024-01-01 10:01:00"), "alpha content"), // in-batch dup
+        (ts("2024-01-01 10:02:00"), "beta content"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // RESTART from the same checkpoint — the dropDuplicates state store
+    // must come back; a duplicate of a pre-restart row must still drop
+    val q2 = start()
+    try {
+      src.addData(
+        (ts("2024-01-01 10:10:00"), "alpha content"), // cross-restart dup
+        (ts("2024-01-01 10:11:00"), "gamma content"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(_.getString(1)).sorted.toSeq
+    assert(got == Seq("alpha content", "beta content", "gamma content"),
+      s"exactly-once/state-restore violated: $got")
+  }
+
   test("native session_window aggregates a watermarked stream; merged " +
       "sessions match the q166 batch operator's boundary semantics") {
     implicit val sql = spark.sqlContext
