@@ -650,6 +650,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch incremental-dedup sink: each micro-batch screens " +
+      "against the standing corpus on disk and appends survivors " +
+      "(the q89 nightly loop at micro-batch cadence)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("fb_corp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fb_ck").toString
+    // seed standing corpus
+    Seq((1L, "seed one"), (2L, "seed two")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(corpus)
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val standing = spark.read.parquet(corpus)
+        val fresh = graft.ops.Dedup.exactAgainst(
+          batch, standing, "doc_id", "text")
+        fresh.select("doc_id", "text")
+          .write.mode("append").parquet(corpus)
+      }
+      .start()
+    try {
+      // batch 1: one dup of the seed, one new
+      src.addData((10L, "seed one"), (11L, "new in batch one"))
+      q.processAllAvailable()
+      // batch 2: a dup of batch 1's survivor (standing corpus must have
+      // GROWN between micro-batches), plus one new
+      src.addData((20L, "new in batch one"), (21L, "new in batch two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set(
+      (1L, "seed one"), (2L, "seed two"),
+      (11L, "new in batch one"), (21L, "new in batch two")),
+      s"incremental screen failed: $kept")
+  }
+
   test("checkpointed file sink survives a query RESTART: dedup state " +
       "restores (cross-restart duplicate dropped) and no rows double") {
     implicit val sql = spark.sqlContext
