@@ -40,4 +40,38 @@ class NullTextSpec extends SparkSpec {
     assert(math.abs(out(4).getDouble(1) - 0.6) < 1e-15)
     assert(out(4).getDouble(2) == 0.5)
   }
+
+  test("round-9 dedup ops on null/empty/tiny text: no throw, sane sets") {
+    import graft.ops.Dedup
+    val rows = Seq(
+      Row(1L, null.asInstanceOf[String]),
+      Row(2L, ""),
+      Row(3L, "   "),
+      Row(4L, "one"),
+      Row(5L, "a b c d e f g h i j k l"),
+      Row(6L, "a b c d e f g h i j k l")) // dup of 5
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    // winnowing: degenerate docs produce no fingerprints, dup pair found
+    val wp = Dedup.winnowingPairs(df, "doc_id", "text",
+        gram = 4, window = 2, maxFpDf = 32, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wp == Set((5L, 6L)), s"winnowing: $wp")
+    // word-set: NULL text propagates to a NULL fingerprint (its own
+    // singleton class — nulls are not silently conflated with empty),
+    // while empty and whitespace-only docs share the empty-vocabulary
+    // fingerprint; the dup pair collides
+    val ws = Dedup.wordSetDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ws(5L) == 2L && ws(6L) == 2L)
+    assert(ws(1L) == 1L, s"null text not a singleton class: ${ws(1L)}")
+    assert(ws(2L) == 2L && ws(3L) == 2L) // empty == whitespace-only
+    // prefix-jaccard: degenerate docs drop out, dup pair at J = 1
+    val pj = Dedup.prefixJaccardPairs(df, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(pj.toSeq == Seq((5L, 6L, 1.0)), s"prefix: ${pj.toSeq}")
+  }
 }
