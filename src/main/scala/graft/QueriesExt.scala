@@ -1335,6 +1335,51 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Gini coefficient of the corpus's source-size distribution — the
+    // one-number concentration summary next to q132's entropy: 0 =
+    // perfectly balanced sources, →1 = one source dominates (the
+    // pretraining-mix red flag). Exact integer rank/size sums on the
+    // #sources-row frame (the bounded-window pattern), gini = one
+    // replayable division of two exact integers.
+    "q178_source_gini" -> ((s, dir) => {
+      val sizes = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"))
+      val ranked = sizes.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n"), col("source"))))
+      ranked.agg(count(lit(1)).as("n_sources"),
+          sum(col("n")).as("total_docs"),
+          sum(col("rk") * col("n")).as("rank_weighted_sum"))
+        .select(col("n_sources"), col("total_docs"),
+          col("rank_weighted_sum"),
+          ((lit(2.0) * col("rank_weighted_sum").cast("double") -
+            (col("n_sources") + 1).cast("double") *
+              col("total_docs").cast("double")) /
+            (col("n_sources").cast("double") *
+              col("total_docs").cast("double"))).as("gini"))
+    }),
+
+    // Business-day shipping lag per order month — time intelligence
+    // over the fact join using the closed-form weekday arithmetic
+    // (BusinessCalendar.businessDaysBetween: O(1) integer math per
+    // row; the naive per-day explode would be O(lag) rows per line
+    // item — a 100× scan multiplier at warehouse scale). Exact integer
+    // sums; the mean is one replayable division.
+    "q177_busday_lag" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val lag = graft.kernels.BusinessCalendar
+        .businessDaysBetween(col("o_orderdate"), col("l_shipdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+          month(col("o_orderdate")).cast("long").as("o_month"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(lag).as("sum_busdays"))
+        .withColumn("avg_busdays",
+          col("sum_busdays").cast("double") / col("n_items").cast("double"))
+        .orderBy("o_year", "o_month")
+    }),
+
     // BAG-semantics set operations (intersectAll / exceptAll — the
     // multiset algebra ANSI INTERSECT ALL/EXCEPT ALL defines, subtler
     // than the distinct variants: multiplicities subtract). Two
@@ -5421,6 +5466,36 @@ object QueriesExt {
          |SELECT e.lang, regs_hit, reg_sum,
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
+    },
+
+    // same exact rank/size sums, same single division
+    "q178_source_gini" ->
+      """WITH s AS (
+        |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n, source) AS rk FROM s
+        |)
+        |SELECT count(*) AS n_sources, sum(n)::BIGINT AS total_docs,
+        |  sum(rk * n)::BIGINT AS rank_weighted_sum,
+        |  ((2.0 * sum(rk * n)::DOUBLE
+        |    - (count(*) + 1)::DOUBLE * sum(n)::DOUBLE)
+        |   / (count(*)::DOUBLE * sum(n)::DOUBLE)) AS gini
+        |FROM r""".stripMargin,
+
+    // the same closed-form weekday arithmetic, replayed in SQL
+    "q177_busday_lag" -> {
+      def w(d: String) =
+        s"(5 * (($d) // 7) + least(($d) % 7, 5))"
+      val da = "date_diff('day', DATE '1970-01-05', o.o_orderdate::DATE) + 1"
+      val db = "date_diff('day', DATE '1970-01-05', l.l_shipdate::DATE) + 1"
+      s"""SELECT year(o.o_orderdate)::BIGINT AS o_year,
+         |  month(o.o_orderdate)::BIGINT AS o_month,
+         |  count(*) AS n_items,
+         |  sum(${w(db)} - ${w(da)})::BIGINT AS sum_busdays,
+         |  (sum(${w(db)} - ${w(da)})::DOUBLE / count(*)::DOUBLE)
+         |    AS avg_busdays
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin
     },
 
     // DuckDB's own multiset operators as the second-engine pin

@@ -348,4 +348,37 @@ class EngineSpec extends SparkSpec {
     val joins = up.queryExecution.optimizedPlan.collect { case j: Join => j }
     assert(joins.size == 2, s"expected 2 joins (calendar + slopes), got ${joins.size}")
   }
+
+  test("businessDaysBetween closed form equals a naive weekday walk " +
+      "on anchors and a date sweep") {
+    import java.time.{DayOfWeek, LocalDate}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_date}
+    import graft.kernels.BusinessCalendar
+    def naive(a: LocalDate, b: LocalDate): Long =
+      Iterator.iterate(a.plusDays(1))(_.plusDays(1))
+        .takeWhile(!_.isAfter(b))
+        .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+          d.getDayOfWeek != DayOfWeek.SUNDAY).toLong
+    // anchors: Mon→Fri same week = 4; Fri→Mon = 1; over two weekends
+    val anchors = Seq(
+      ("2024-01-01", "2024-01-05"), // Mon → Fri
+      ("2024-01-05", "2024-01-08"), // Fri → Mon
+      ("2024-01-03", "2024-01-17"), // Wed → Wed, two weeks
+      ("2024-01-06", "2024-01-07"), // Sat → Sun: zero
+      ("2024-01-10", "2024-01-10")) // empty interval
+    // plus a 60-day sweep from varied weekday starts
+    val sweep = for {
+      s <- Seq("2023-12-28", "2024-01-02", "2024-01-06")
+      k <- 0 to 60 by 7
+    } yield (s, LocalDate.parse(s).plusDays(k + 3).toString)
+    val cases = anchors ++ sweep
+    val got = cases.toDF("a", "b")
+      .select(BusinessCalendar.businessDaysBetween(
+        to_date(col("a")), to_date(col("b"))).as("bd"))
+      .collect().map(_.getLong(0)).toSeq
+    val expected = cases.map { case (a, b) =>
+      naive(LocalDate.parse(a), LocalDate.parse(b)) }
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
 }
