@@ -1335,6 +1335,43 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Referential-integrity audit — the dbt-style data-quality checks
+    // every warehouse load runs: orphaned facts (lineitems whose order
+    // is missing), childless dimensions (orders with no lineitems),
+    // and key-uniqueness violations, all in anti-join/aggregate form
+    // so each check is one shuffle on the key being audited.
+    "q179_fk_audit" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val orphans = li.join(o.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      val childless = o.join(li.select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_anti").count()
+      val dupKeys = o.groupBy("o_orderkey").count()
+        .where(col("count") > 1).count()
+      val lineDupes = li.groupBy("l_orderkey", "l_linenumber").count()
+        .where(col("count") > 1).count()
+      import s.implicits._
+      Seq(("orphan_lineitems", orphans),
+        ("childless_orders", childless),
+        ("dup_order_keys", dupKeys),
+        ("dup_line_numbers", lineDupes))
+        .toDF("check", "n_violations").orderBy("check")
+    }),
+
+    // Day-of-week × hour activity profile of the event stream — the
+    // seasonality heat map capacity planning reads (is the pipeline's
+    // load diurnal? weekend-shaped?). One groupBy on the two derived
+    // calendar keys; 7×24-bounded output at any scale.
+    "q180_dow_profile" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("dow", "hod")
+    }),
+
     // Gini coefficient of the corpus's source-size distribution — the
     // one-number concentration summary next to q132's entropy: 0 =
     // perfectly balanced sources, →1 = one source dominates (the
@@ -5467,6 +5504,38 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // the four audits replayed as counts over anti-join/dup groups
+    "q179_fk_audit" ->
+      """SELECT 'childless_orders' AS "check",
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                     WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+        |    AS n_violations
+        |UNION ALL
+        |SELECT 'dup_line_numbers',
+        |  (SELECT count(*) FROM (
+        |     SELECT 1 FROM lineitem
+        |     GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'dup_order_keys',
+        |  (SELECT count(*) FROM (
+        |     SELECT 1 FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'orphan_lineitems',
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |ORDER BY "check"""".stripMargin,
+
+    // 7×24 calendar rollup replayed directly (Sunday=1 in both engines'
+    // dayofweek/dow+1 conventions — pinned here)
+    "q180_dow_profile" ->
+      """SELECT (dayofweek(ts) + 1)::BIGINT AS dow,
+        |  hour(ts)::BIGINT AS hod,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
 
     // same exact rank/size sums, same single division
     "q178_source_gini" ->
