@@ -1335,6 +1335,28 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Market-basket co-occurrence — the association-mining primitive:
+    // part pairs bought in the SAME order, support-counted, top-20.
+    // The within-order self-join is bounded by the max basket size
+    // (≤ 7 line items in TPC-H) — the o(basket²)-per-group shape that
+    // is safe precisely BECAUSE the group key (order) bounds the
+    // expansion, unlike the hash-value groups q148 had to collapse.
+    "q181_basket_pairs" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("p2"))
+      val pairs = a.join(b, "l_orderkey").where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+      pairs.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select(col("p1"), col("p2"), col("support"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    }),
+
     // Referential-integrity audit — the dbt-style data-quality checks
     // every warehouse load runs: orphaned facts (lineitems whose order
     // is missing), childless dimensions (orders with no lineitems),
@@ -5504,6 +5526,24 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // within-order pair supports and the deterministic top-20
+    "q181_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), p AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |    count(*)::BIGINT AS support
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT p1, p2, support,
+        |    row_number() OVER (ORDER BY support DESC, p1, p2) AS rank
+        |  FROM p
+        |)
+        |SELECT p1, p2, support, rank
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     // the four audits replayed as counts over anti-join/dup groups
     "q179_fk_audit" ->
