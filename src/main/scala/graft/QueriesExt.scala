@@ -1335,6 +1335,33 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Local-vs-cross-border trade (the TPC-H Q5 family): revenue per
+    // part brand split by whether the CUSTOMER's nation equals the
+    // SUPPLIER's nation — the five-table star with BOTH dim chains
+    // (order→customer→nation and lineitem→supplier→nation) joined at
+    // once, exercising the last two untouched fixture tables
+    // (supplier, part). All dims broadcast-sized next to the fact;
+    // cent-grid DECIMAL revenue as in q152.
+    "q182_local_trade" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val su = s.read.parquet(s"$dir/supplier.parquet")
+      val p = s.read.parquet(s"$dir/part.parquet")
+      val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0).cast(DecimalType(3, 2)) -
+          col("l_discount").cast(DecimalType(4, 2)))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          (col("c_nationkey") === col("s_nationkey")).as("local"))
+        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue"))
+        .orderBy("p_brand", "local")
+    }),
+
     // Market-basket co-occurrence — the association-mining primitive:
     // part pairs bought in the SAME order, support-counted, top-20.
     // The within-order self-join is bounded by the max basket size
@@ -5526,6 +5553,20 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // the five-table star replayed with the same DECIMAL terms
+    "q182_local_trade" ->
+      """SELECT p.p_brand,
+        |  (c.c_nationkey = s.s_nationkey) AS local,
+        |  count(*) AS n_items,
+        |  sum(l.l_extendedprice::DECIMAL(18,2)
+        |      * (1 - l.l_discount::DECIMAL(4,2))) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1, 2 ORDER BY p_brand, local""".stripMargin,
 
     // within-order pair supports and the deterministic top-20
     "q181_basket_pairs" ->
