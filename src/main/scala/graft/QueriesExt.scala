@@ -1335,6 +1335,39 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Decile lift table — the gains chart that completes the eval
+    // trio (AUC q163 ranks, calibration q164 score-buckets, lift
+    // RANK-buckets): docs ranked by quality score, split into ten
+    // equal-count deciles (exact integer rank arithmetic, determinist
+    // tie-break by doc id), en-rate per decile. Decile 9 ≫ decile 0 is
+    // what justifies a ranking-based selection cutoff; the single
+    // global ranking is the distinct-score value-table pattern's
+    // row-level sibling and is bounded here by design choice — at
+    // 100 TB lift is computed per STRATUM (source) or on a sampled
+    // frame, never a corpus-wide single-partition sort (documented).
+    "q183_decile_lift" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(TextOps.qualityScore(col("text")), 12)
+            .cast(DecimalType(18, 12)).as("q"),
+          when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
+            .as("pos"))
+      val ranked = d
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("q"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+      ranked
+        .withColumn("decile", expr("((rk - 1) * 10) DIV n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_en"),
+          sum(col("q")).as("sum_q"))
+        .orderBy("decile")
+    }),
+
     // Local-vs-cross-border trade (the TPC-H Q5 family): revenue per
     // part brand split by whether the CUSTOMER's nation equals the
     // SUPPLIER's nation — the five-table star with BOTH dim chains
@@ -5553,6 +5586,23 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // same exact rank → decile assignment and DECIMAL sums
+    "q183_decile_lift" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    round(($qualitySql), 12)::DECIMAL(18,12) AS q,
+         |    CASE WHEN ($langIdSql) = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT q, pos,
+         |    row_number() OVER (ORDER BY q, doc_id) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM d
+         |)
+         |SELECT (((rk - 1) * 10) // n)::BIGINT AS decile,
+         |  count(*) AS n_docs, sum(pos)::BIGINT AS n_en, sum(q) AS sum_q
+         |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
     // the five-table star replayed with the same DECIMAL terms
     "q182_local_trade" ->
