@@ -1335,6 +1335,35 @@ object QueriesExt {
         .orderBy("lang")
     }),
 
+    // Compaction EXECUTED, not just planned (q145's missing half): the
+    // 16-shard small-file layout is rewritten into its merge groups
+    // (shard → grp via the broadcast plan, physical write partitioned
+    // by group), and the re-read proves the rewrite is content-
+    // lossless per group — the digest a real OPTIMIZE job checks
+    // before swapping manifests. The oracle replays shard membership,
+    // the greedy cut rule AND the per-group content sums straight from
+    // the source rows.
+    "q184_compaction_exec" -> ((s, dir) => {
+      val path = scratch("q184")
+      val d = docs(s, dir).select("doc_id", "source", "text")
+      Output.writeSharded(d, "doc_id", s"$path/small", numShards = 16)
+      val small = s.read.parquet(s"$path/small")
+      val inv = small.groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_rows"))
+      val plan = Output.compactionPlan(inv, "shard", "n_rows",
+        targetRows = 100L)
+      small.withColumn("shard", col("shard").cast("long"))
+        .join(broadcast(plan.select("shard", "grp")), "shard")
+        .write.mode("overwrite").partitionBy("grp")
+        .parquet(s"$path/compacted")
+      s.read.parquet(s"$path/compacted")
+        .groupBy(col("grp").cast("long").as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Output.rowHash(col("doc_id"), col("text")))
+            .as("content_sum"))
+        .orderBy("grp")
+    }),
+
     // Decile lift table — the gains chart that completes the eval
     // trio (AUC q163 ranks, calibration q164 score-buckets, lift
     // RANK-buckets): docs ranked by quality score, split into ten
@@ -5586,6 +5615,29 @@ object QueriesExt {
          |  ${Sketches.HllK} / reg_sum::DOUBLE AS est_distinct, exact_distinct
          |FROM e JOIN x ON e.lang = x.lang ORDER BY e.lang""".stripMargin
     },
+
+    // shard membership + greedy cut rule + per-group content digests
+    "q184_compaction_exec" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, text,
+         |    floor(${hashUnitSql("doc_id::VARCHAR")} * 16)::BIGINT AS shard
+         |  FROM documents
+         |), inv AS (
+         |  SELECT shard, count(*)::BIGINT AS n_rows FROM sh GROUP BY 1
+         |), c AS (
+         |  SELECT shard,
+         |    coalesce(sum(n_rows) OVER (ORDER BY shard
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS rows_before
+         |  FROM inv
+         |), g AS (
+         |  SELECT shard, (rows_before // 100)::BIGINT AS grp FROM c
+         |)
+         |SELECT g.grp, count(*) AS n_rows,
+         |  sum(('0x' || substr(md5(sh.doc_id::VARCHAR || '|' || sh.text),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM sh JOIN g USING (shard)
+         |GROUP BY g.grp ORDER BY grp""".stripMargin,
 
     // same exact rank → decile assignment and DECIMAL sums
     "q183_decile_lift" ->
