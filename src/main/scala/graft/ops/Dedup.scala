@@ -1263,13 +1263,17 @@ object Dedup {
     // n-grams are the standard AllPairs practice on natural corpora:
     // a small-vocabulary corpus saturates unigram sets (every long doc
     // ≈ the whole vocabulary ⇒ a dense J-clique); shingle space doesn't
+    // the item table feeds FOUR consumers (df table, per-doc lists,
+    // both verification sides) — persist once, release after the
+    // (tiny) pair result materializes, the bm25TopK cache lifecycle
     val tok =
-      if (gram <= 1)
+      (if (gram <= 1)
         df.select(col(idCol),
           explode(array_distinct(TextOps.tokens(col(textCol)))).as("__t"))
       else
         posGramRows(df, idCol, textCol, gram)
-          .select(col(idCol), col("gram").as("__t")).distinct()
+          .select(col(idCol), col("gram").as("__t")).distinct())
+        .persist()
     val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
     val lists = tok.join(dfreq, "__t")
       .groupBy(idCol)
@@ -1295,7 +1299,7 @@ object Dedup {
     val t2 = tok.select(col(idCol).as("id2"), col("__t"))
     val inter = cand.join(t1, "id1").join(t2, Seq("id2", "__t"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_common"))
-    inter
+    val out = inter
       .join(lists.select(col(idCol).as("id1"), col("__len").as("l1")),
         "id1")
       .join(lists.select(col(idCol).as("id2"), col("__len").as("l2")),
@@ -1304,6 +1308,9 @@ object Dedup {
         (col("l1") + col("l2") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id1", "id2", "n_common", "l1", "l2", "jaccard")
+      .localCheckpoint(true)
+    tok.unpersist()
+    out
   }
 
   /** Bag-of-words fingerprint dedup: fp = md5-prefix32 of the SORTED
