@@ -1223,15 +1223,22 @@ object Dedup {
           .otherwise(array().cast("array<long>")))
       }
     val hashed = df.select(col(idCol), fpArr.as("__fps"))
+    // fps feeds the hot-df count AND the anti-join, with NO exchange
+    // between scan and join for ReuseExchange to dedupe — without the
+    // persist the winnow kernel hashes the whole corpus twice
     val fps = hashed.select(col(idCol), explode(col("__fps")).as("__fp"))
+      .persist()
     val hot = fps.groupBy("__fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxFpDf).select("__fp")
     val cold = fps.join(hot, Seq("__fp"), "left_anti")
     val a = cold.select(col("__fp"), col(idCol).as("id1"))
     val b = cold.select(col("__fp"), col(idCol).as("id2"))
-    a.join(b, Seq("__fp")).where(col("id1") < col("id2"))
+    val out = a.join(b, Seq("__fp")).where(col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
+      .localCheckpoint(true)
+    fps.unpersist()
+    out
   }
 
   /** EXACT Jaccard-threshold pairs by prefix filtering (the
