@@ -139,9 +139,16 @@ object Output {
     * use: walk files in `fileCol` order, cut a new group every time the
     * running total passes a multiple of `targetRows` — group id =
     * ⌊rows-before-this-file / target⌋. Groups are contiguous in the
-    * walk order, every group except possibly the last holds ≥ target
-    * once it closes, and the plan is a pure function of the inventory —
-    * any engine replays it with one window cumsum.
+    * walk order, every CLOSED group's cumulative end crosses its
+    * window boundary (≥ (g+1)·target rows seen once it closes), and
+    * the group count is at most ⌈total/target⌉ — the file-count
+    * reduction OPTIMIZE is after. Note the honest limit (found by the
+    * OutputSpec property test): an OVERSIZED file that overhangs into
+    * the next window can leave that window's group smaller than
+    * target — per-group minimums would need a stateful
+    * reset-on-threshold fold, which no window cumsum (and so no
+    * cross-engine replay) expresses. The plan is a pure function of
+    * the inventory — any engine replays it with one window cumsum.
     *
     * Scale shape: the plan frame is FILE-inventory-sized (thousands of
     * rows for a 100 TB table), not row-sized; the single unpartitioned

@@ -229,6 +229,46 @@ class OutputSpec extends SparkSpec {
       s"lang leaked into PushedFilters:\n$plan")
   }
 
+  test("compaction plan invariants hold on random inventories: " +
+      "row conservation, contiguity, closed groups >= target") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(184)
+    (1 to 5).foreach { _ =>
+      val target = 50L + rnd.nextInt(200)
+      val inv = (0 until 1 + rnd.nextInt(40)).map(i =>
+        (f"f$i%03d", 1L + rnd.nextInt(500).toLong)).toDF("file", "n_rows")
+      val plan = Output.compactionPlan(inv, "file", "n_rows", target)
+        .orderBy("file").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // conservation: every file present once, rows unchanged
+      assert(plan.map(_._1).toSeq ==
+        inv.orderBy("file").collect().map(_.getString(0)).toSeq)
+      // rows_before is the exact prefix sum in file order
+      assert(plan.map(_._3).toSeq ==
+        plan.map(_._2).scanLeft(0L)(_ + _).init.toSeq)
+      // groups contiguous and non-decreasing in walk order
+      assert(plan.map(_._4).toSeq == plan.map(_._4).toSeq.sorted)
+      // the TRUE invariants of DIV-binning (a first draft asserted
+      // closed-group >= target; the random sweep disproved it — an
+      // oversized file's overhang can leave a small group in the next
+      // window): every closed group's cumulative END crosses its
+      // window boundary, and #groups <= ceil(total/target)
+      val total = plan.map(_._2).sum
+      val grps = plan.map(_._4).distinct
+      assert(grps.length <= ((total + target - 1) / target).toInt,
+        s"${grps.length} groups for total=$total target=$target")
+      val last = plan.map(_._4).max
+      plan.groupBy(_._4).foreach { case (g, files) =>
+        if (g != last) {
+          val end = files.map(f => f._3 + f._2).max
+          assert(end >= (g + 1) * target,
+            s"closed group $g ends at $end < ${(g + 1) * target}")
+        }
+      }
+    }
+  }
+
   test("compaction plan: greedy cut rule, contiguous groups, closed groups reach target") {
     import spark.implicits._
     val inv = Seq(
@@ -244,7 +284,9 @@ class OutputSpec extends SparkSpec {
     assert(plan.map(_._3).toSeq == Seq(0L, 400L, 800L, 1200L, 1250L, 3750L, 3760L))
     // groups are contiguous in file order
     assert(plan.map(_._4).toSeq == plan.map(_._4).toSeq.sorted)
-    // every group that CLOSED (a later group exists) holds >= target rows
+    // on THIS inventory (no oversized-file overhang before a window)
+    // closed groups also reach the target — the random-inventory
+    // property test above pins the weaker invariant that always holds
     val byGrp = plan.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
     val last = plan.map(_._4).max
     byGrp.filter(_._1 != last).foreach { case (g, rows) =>
