@@ -262,13 +262,17 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
-    // embedding-cosine near-dup pairs via hyperplane buckets (rows-only)
+    // embedding-cosine near-dup pairs via hyperplane buckets, at the
+    // PRODUCTION configuration: planes = ⌊log₂ n⌋ + 2 (sized by one
+    // cheap count — the r9 sweep measured fixed planes=6 super-linear,
+    // 15× at 10× vectors) with one-bit multi-probe buying back the
+    // recall finer buckets cost. The oracle replays the same dynamic
+    // plane count from its own count(*) and the Hamming ≤ 1 bucket join.
     "q26_embed_neardup" -> ((s, dir) => {
-      // synthetic embeddings top out near cosine 0.5 — 0.25 exercises the
-      // bucket-then-verify path with non-empty output; 6 planes = 64
-      // buckets keeps the within-bucket pair count ~n²/64
-      Dedup.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding",
-        minCosine = 0.25, planes = 6)
+      // synthetic embeddings top out near cosine 0.5 — 0.25 exercises
+      // the bucket-then-verify path with non-empty output
+      Dedup.embeddingNearDupPairsScaled(embs(s, dir), "vec_id",
+          "embedding", minCosine = 0.25)
         .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine"))
         .orderBy("id1", "id2")
     }),
@@ -1393,7 +1397,12 @@ object QueriesExt {
         .withColumn("decile", expr("((rk - 1) * 10) DIV n"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_en"),
-          sum(col("q")).as("sum_q"))
+          // output-boundary contract (VERDICT r9): the exact DECIMAL sum
+          // re-rounds to a ≤15-significant-digit grid and leaves as
+          // DOUBLE — one correctly-rounded conversion both engines agree
+          // on bit-for-bit (wide DECIMAL canonicalizes differently per
+          // engine in the driver's hasher; see Verify's schema lint)
+          round(sum(col("q")), 6).cast("double").as("sum_q"))
         .orderBy("decile")
     }),
 
@@ -1420,7 +1429,12 @@ object QueriesExt {
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"),
           (col("c_nationkey") === col("s_nationkey")).as("local"))
-        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue"))
+        // cent-exact DECIMAL sum internally; DOUBLE at the boundary
+        // (round to the cent grid first — ≤15 significant digits, so the
+        // decimal→double conversion is the same single rounding in any
+        // engine; the r9 wide-DECIMAL hash-gate lesson)
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(rev), 2).cast("double").as("revenue"))
         .orderBy("p_brand", "local")
     }),
 
@@ -1630,21 +1644,25 @@ object QueriesExt {
     // EXACT set-similarity join (PPJoin prefix filtering) — no false
     // negatives, so the oracle is BRUTE FORCE all-pairs: the strongest
     // possible check of the candidate-generation guarantee. Planted
-    // twins: every 11th doc gets a copy with 10% of tokens replaced
+    // twins: every 11th doc gets a copy with 5% of tokens replaced
     // (deterministic md5 decision per position, keyed on the TWIN id:
     // Spark 4's lateral column aliasing binds col("doc_id") below to
     // the re-keyed select alias, so the oracle keys the same way) so
-    // J ≥ 0.5 pairs exist.
+    // J ≥ 0.5 pairs exist (5-gram survival ≈ 0.95⁵ ⇒ J ≈ 0.6).
+    // gram=5, NOT 3: the r9 10× sweep killed gram=3 on this fixture —
+    // the 31-token vocabulary saturates the 3-gram space and prefix
+    // filtering's df-sparsity contract breaks (SCALING.md §6b); wider
+    // shingles restore a df-sparse item space and measured linearity.
     "q172_ppjoin" -> ((s, dir) => {
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val twins = base.where(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 2000000L).as("doc_id"),
           array_join(transform(TextOps.tokens(col("text")),
             (t, i) => when(
-              Sampling.hashUnit(concat_ws("#", col("doc_id"), i)) < 0.1,
+              Sampling.hashUnit(concat_ws("#", col("doc_id"), i)) < 0.05,
               concat(lit("repl"), i)).otherwise(t)), " ").as("text"))
       Dedup.prefixJaccardPairs(base.unionByName(twins), "doc_id", "text",
-          minJaccard = 0.5, gram = 3)
+          minJaccard = 0.5, gram = 5)
         .select(col("id1"), col("id2"), col("n_common").cast("long")
           .as("n_common"), col("l1").cast("long").as("l1"),
           col("l2").cast("long").as("l2"), col("jaccard"))
@@ -2955,7 +2973,11 @@ object QueriesExt {
     // output), 6 grid-renormalized iterations replayed bit-for-bit by
     // the oracle's unrolled CTEs.
     "q142_pca_power" -> ((s, dir) => {
+      // the kernel's λ̂ is an exact DECIMAL(38,0) integer; leave it as
+      // DOUBLE at the output boundary (|λ̂| ≪ 2⁵³ here, so the int→double
+      // conversion is exact in both engines — r9 wide-DECIMAL lesson)
       Similarity.pcaTopComponent(embs(s, dir), "embedding", iters = 6)
+        .select(col("d"), col("v"), col("lam").cast("double").as("lam"))
         .orderBy("d")
     }),
 
@@ -3037,8 +3059,9 @@ object QueriesExt {
         .withColumn("bin", least(floor(col("qc") * 10), lit(9L))
           .cast("long"))
         .groupBy("bin")
+        // exact DECIMAL accumulation; 6-dp grid + DOUBLE at the boundary
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-          sum(col("qc")).as("sum_q"))
+          round(sum(col("qc")), 6).cast("double").as("sum_q"))
         .orderBy("bin")
     }),
 
@@ -3167,7 +3190,8 @@ object QueriesExt {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("quality").isNull, 1L).otherwise(0L))
             .as("n_null_quality"),
-          sum(col("quality")).as("sum_quality"))
+          // DECIMAL-exact sum; 6-dp grid + DOUBLE at the output boundary
+          round(sum(col("quality")), 6).cast("double").as("sum_quality"))
         .orderBy("gen")
     }),
 
@@ -3197,7 +3221,8 @@ object QueriesExt {
       base.createOrReplaceTempView("graft_q157_base")
       s.sql("""SELECT region, o_year,
               |  grouping_id(region, o_year) AS gid,
-              |  count(*) AS n_items, sum(rev) AS revenue
+              |  count(*) AS n_items,
+              |  CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
               |FROM graft_q157_base
               |GROUP BY GROUPING SETS ((region, o_year), (region),
               |                        (o_year), ())
@@ -3237,8 +3262,10 @@ object QueriesExt {
       val u = Sampling.hashUnit(concat(lit("dp#"), col("source")))
       val noise = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
       cnt.select(col("source"),
+          // DECIMAL add is exact; DOUBLE at the boundary (≤15 sig digits)
           (col("n_docs").cast(DecimalType(12, 0)) +
-            round(noise, 6).cast(DecimalType(18, 6))).as("released"))
+            round(noise, 6).cast(DecimalType(18, 6))).cast("double")
+            .as("released"))
         .orderBy("source")
     }),
 
@@ -3306,10 +3333,14 @@ object QueriesExt {
           sum(col("nt")).as("n_tokens"),
           sum(when(col("en"), 1L).otherwise(0L)).as("n_en"),
           countDistinct(col("fp")).as("n_distinct"),
-          min(when(col("rk") === expr("(n + 3) DIV 4"), col("q"))).as("q1"),
-          min(when(col("rk") === expr("(n + 1) DIV 2"), col("q"))).as("q2"),
+          // quartiles are single 12-dp values in [0,1] — the DECIMAL→
+          // DOUBLE cast is one exact-input rounding both engines share
+          min(when(col("rk") === expr("(n + 3) DIV 4"), col("q")))
+            .cast("double").as("q1"),
+          min(when(col("rk") === expr("(n + 1) DIV 2"), col("q")))
+            .cast("double").as("q2"),
           min(when(col("rk") === expr("(3 * n + 3) DIV 4"), col("q")))
-            .as("q3"))
+            .cast("double").as("q3"))
         .orderBy("source")
     }),
 
@@ -3365,7 +3396,9 @@ object QueriesExt {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name").as("region"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(count(lit(1)).as("n_items"), sum(rev).as("revenue"))
+        // cent-exact DECIMAL internally; cent-grid DOUBLE at the boundary
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(rev), 2).cast("double").as("revenue"))
         .select("region", "o_year", "n_items", "revenue")
         .orderBy("region", "o_year")
     }),
@@ -3412,11 +3445,15 @@ object QueriesExt {
       val ranked = reps.withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("rep_sum"), col("r"))))
+      // replica sums stay DECIMAL-exact through the ranking; the three
+      // reported statistics leave on the 6-dp grid as DOUBLE
       val ci = ranked.groupBy("source").agg(
-        min(when(col("rk") === 4, col("rep_sum"))).as("lo_sum"),
-        min(when(col("rk") === 29, col("rep_sum"))).as("hi_sum"))
+        round(min(when(col("rk") === 4, col("rep_sum"))), 6).cast("double")
+          .as("lo_sum"),
+        round(min(when(col("rk") === 29, col("rep_sum"))), 6).cast("double")
+          .as("hi_sum"))
       val point = d.groupBy("source").agg(count(lit(1)).as("n_docs"),
-        sum(col("q")).as("point_sum"))
+        round(sum(col("q")), 6).cast("double").as("point_sum"))
       point.join(ci, "source")
         .select("source", "n_docs", "point_sum", "lo_sum", "hi_sum")
         .orderBy("source")
@@ -4425,18 +4462,26 @@ object QueriesExt {
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
 
-    // replays bucket-then-verify near-dup: same literal-plane buckets,
-    // pairs meet once (one bucket per vector), exact-cosine threshold
-    // applied BEFORE the display rounding (mirrors the Spark plan)
+    // replays the PRODUCTION bucket-then-verify near-dup: plane count
+    // derived from the oracle's own count(*) (p = ⌊log₂ n⌋ + 2 =
+    // length(bin(n)) + 1 — integer arithmetic, no float log), bucket =
+    // the 24-plane literal bucket masked to the low p bits (plane i's
+    // splitmix coefficients depend only on i, so the mask equals the
+    // p-plane bucket), pair qualifies iff buckets are within Hamming
+    // distance 1 (= the Spark side's one-bit multi-probe), exact-cosine
+    // threshold BEFORE the display rounding (mirrors the Spark plan)
     "q26_embed_neardup" -> {
-      val bucket = lshBucketSql("v", planes = 6, dim = 64)
+      val bucket = lshBucketSql("v", planes = 24, dim = 64)
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+         |np AS (SELECT length(bin(count(*))) + 1 AS p FROM e),
+         |b AS (SELECT vec_id, v,
+         |  $bucket % (1::BIGINT << p) AS bucket FROM e CROSS JOIN np)
          |SELECT l.vec_id AS id1, r.vec_id AS id2,
          |  round(list_dot_product(l.v, r.v)
          |    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 8)
          |    AS cosine
-         |FROM b l JOIN b r USING (bucket)
+         |FROM b l JOIN b r
+         |  ON length(replace(bin(xor(l.bucket, r.bucket)), '0', '')) <= 1
          |WHERE l.vec_id < r.vec_id
          |  AND list_dot_product(l.v, r.v)
          |    / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
@@ -5653,7 +5698,8 @@ object QueriesExt {
          |  FROM d
          |)
          |SELECT (((rk - 1) * 10) // n)::BIGINT AS decile,
-         |  count(*) AS n_docs, sum(pos)::BIGINT AS n_en, sum(q) AS sum_q
+         |  count(*) AS n_docs, sum(pos)::BIGINT AS n_en,
+         |  round(sum(q), 6)::DOUBLE AS sum_q
          |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
 
     // the five-table star replayed with the same DECIMAL terms
@@ -5661,8 +5707,8 @@ object QueriesExt {
       """SELECT p.p_brand,
         |  (c.c_nationkey = s.s_nationkey) AS local,
         |  count(*) AS n_items,
-        |  sum(l.l_extendedprice::DECIMAL(18,2)
-        |      * (1 - l.l_discount::DECIMAL(4,2))) AS revenue
+        |  round(sum(l.l_extendedprice::DECIMAL(18,2)
+        |      * (1 - l.l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -5818,20 +5864,20 @@ object QueriesExt {
          |  SELECT doc_id + 2000000 AS tw_id,
          |    list_transform(range(1, len(toks) + 1), i ->
          |      CASE WHEN ${hashUnitSql(
-                  "(doc_id + 2000000)::VARCHAR || '#' || (i - 1)")} < 0.1
+                  "(doc_id + 2000000)::VARCHAR || '#' || (i - 1)")} < 0.05
          |           THEN 'repl' || (i - 1)
          |           ELSE toks[i] END) AS tw_toks
          |  FROM b0 WHERE doc_id % 11 = 0
          |), tw AS (
          |  SELECT tw_id AS doc_id, tw_toks AS toks FROM tw0
          |), a AS (
-         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-         |    THEN list_transform(range(1, len(toks) - 1),
-         |           i -> array_to_string(toks[i:i+2], ' '))
+         |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+         |    THEN list_transform(range(1, len(toks) - 3),
+         |           i -> array_to_string(toks[i:i+4], ' '))
          |    ELSE [] END) AS s
          |  FROM (SELECT doc_id, toks FROM b0
          |        UNION ALL SELECT doc_id, toks FROM tw)
-         |  WHERE len(toks) >= 3
+         |  WHERE len(toks) >= 5
          |), pr AS (
          |  SELECT x.doc_id AS id1, y.doc_id AS id2,
          |    len(list_intersect(x.s, y.s))::BIGINT AS n_common,
@@ -6942,7 +6988,8 @@ object QueriesExt {
          |  FROM d0
          |)
          |SELECT least(floor(qc * 10)::BIGINT, 9) AS bin,
-         |  count(*) AS n, sum(pos)::BIGINT AS n_pos, sum(qc) AS sum_q
+         |  count(*) AS n, sum(pos)::BIGINT AS n_pos,
+         |  round(sum(qc), 6)::DOUBLE AS sum_q
          |FROM d GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // replays the distinct-value Mann-Whitney accumulation
@@ -7001,9 +7048,9 @@ object QueriesExt {
          |  count(*) AS n_docs,
          |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_null_quality,
-         |  sum(CASE WHEN doc_id % 2 <> 0
-         |      THEN round(($qualitySql), 12)::DECIMAL(28,12) END)
-         |    AS sum_quality
+         |  round(sum(CASE WHEN doc_id % 2 <> 0
+         |      THEN round(($qualitySql), 12)::DECIMAL(28,12) END),
+         |    6)::DOUBLE AS sum_quality
          |FROM documents WHERE text IS NOT NULL
          |GROUP BY 1 ORDER BY gen""".stripMargin,
 
@@ -7023,7 +7070,7 @@ object QueriesExt {
         |)
         |SELECT region, o_year,
         |  grouping(region, o_year)::BIGINT AS gid,
-        |  count(*) AS n_items, sum(rev) AS revenue
+        |  count(*) AS n_items, round(sum(rev), 2)::DOUBLE AS revenue
         |FROM base
         |GROUP BY GROUPING SETS ((region, o_year), (region), (o_year), ())
         |ORDER BY gid, region, o_year""".stripMargin,
@@ -7049,7 +7096,7 @@ object QueriesExt {
          |SELECT source,
          |  (n::DECIMAL(12,0) +
          |   round(-sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 6)
-         |     ::DECIMAL(18,6)) AS released
+         |     ::DECIMAL(18,6))::DOUBLE AS released
          |FROM v ORDER BY source""".stripMargin,
 
     // replays the lexicon counts and the preference-ordered tie-break
@@ -7105,9 +7152,9 @@ object QueriesExt {
          |SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens,
          |  sum(CASE WHEN en THEN 1 ELSE 0 END)::BIGINT AS n_en,
          |  count(DISTINCT fp)::BIGINT AS n_distinct,
-         |  min(CASE WHEN rk = (n + 3) // 4 THEN q END) AS q1,
-         |  min(CASE WHEN rk = (n + 1) // 2 THEN q END) AS q2,
-         |  min(CASE WHEN rk = (3 * n + 3) // 4 THEN q END) AS q3
+         |  min(CASE WHEN rk = (n + 3) // 4 THEN q END)::DOUBLE AS q1,
+         |  min(CASE WHEN rk = (n + 1) // 2 THEN q END)::DOUBLE AS q2,
+         |  min(CASE WHEN rk = (3 * n + 3) // 4 THEN q END)::DOUBLE AS q3
          |FROM r GROUP BY source ORDER BY source""".stripMargin
     },
 
@@ -7178,8 +7225,8 @@ object QueriesExt {
       """SELECT r.r_name AS region,
         |  year(o.o_orderdate)::BIGINT AS o_year,
         |  count(*) AS n_items,
-        |  sum(l.l_extendedprice::DECIMAL(18,2)
-        |      * (1 - l.l_discount::DECIMAL(4,2))) AS revenue
+        |  round(sum(l.l_extendedprice::DECIMAL(18,2)
+        |      * (1 - l.l_discount::DECIMAL(4,2))), 2)::DOUBLE AS revenue
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -7221,11 +7268,14 @@ object QueriesExt {
          |  FROM reps
          |), ci AS (
          |  SELECT source,
-         |    min(CASE WHEN rk = 4 THEN rep_sum END) AS lo_sum,
-         |    min(CASE WHEN rk = 29 THEN rep_sum END) AS hi_sum
+         |    round(min(CASE WHEN rk = 4 THEN rep_sum END), 6)::DOUBLE
+         |      AS lo_sum,
+         |    round(min(CASE WHEN rk = 29 THEN rep_sum END), 6)::DOUBLE
+         |      AS hi_sum
          |  FROM rk GROUP BY 1
          |), pt AS (
-         |  SELECT source, count(*)::BIGINT AS n_docs, sum(q) AS point_sum
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    round(sum(q), 6)::DOUBLE AS point_sum
          |  FROM d GROUP BY 1
          |)
          |SELECT p.source, p.n_docs, p.point_sum, c.lo_sum, c.hi_sum
@@ -7987,7 +8037,7 @@ object QueriesExt {
       s"""WITH ${pcaCtes(6)}
          |SELECT d::INTEGER AS d, v::BIGINT AS v,
          |  (CASE WHEN den = 0 THEN 0
-         |   ELSE num // den END)::DECIMAL(38,0) AS lam
+         |   ELSE num // den END)::DECIMAL(38,0)::DOUBLE AS lam
          |FROM v6 CROSS JOIN num CROSS JOIN den ORDER BY d""".stripMargin,
 
     // replays the q97 closed-form samples, then silent/clipped counts

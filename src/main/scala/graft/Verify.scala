@@ -46,9 +46,21 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        wideDecimalColumns(df.schema).foreach { colDesc =>
+          // the round-9 lesson: the driver's hasher canonicalizes wide
+          // decimals differently per engine, so a dump that LOOKS right
+          // locally still hash-fails the gate. Refusing here makes the
+          // output-boundary contract (cast to DOUBLE / ≤15-digit grid)
+          // enforceable before the driver ever sees the dump.
+          throw new IllegalStateException(
+            s"output-boundary contract violation: final schema carries " +
+            s"wide DECIMAL column $colDesc (precision > 15); cast to " +
+            s"DOUBLE or round to a <=15-significant-digit grid first")
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         errors(name) = msg.take(2000)
@@ -61,6 +73,28 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
     errors
+  }
+
+  /** Top-level columns (recursing into arrays/structs/maps) whose type is
+    * DECIMAL with precision > 15 — wide enough that a decimal→float64
+    * canonicalization is engine-dependent, which the driver's hash gate
+    * punishes even when the values agree (VERDICT r9). Exposed for the
+    * HarnessSpec pin.
+    */
+  def wideDecimalColumns(schema: org.apache.spark.sql.types.StructType)
+      : Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(name: String, dt: DataType): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 15 =>
+        Seq(s"$name: ${d.simpleString}")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(s"$name.${f.name}", f.dataType))
+      case a: ArrayType => walk(s"$name[]", a.elementType)
+      case m: MapType =>
+        walk(s"$name.key", m.keyType) ++ walk(s"$name.value", m.valueType)
+      case _ => Seq.empty
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
   }
 
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)

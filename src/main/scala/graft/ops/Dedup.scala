@@ -1009,6 +1009,44 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** [[embeddingNearDupPairs]] at PRODUCTION configuration: planes grow
+    * with the corpus (planes = ⌊log₂ n⌋ + 2, one cheap count to size the
+    * index) so within-bucket pair count stays ~n²/2^planes ≈ 4n instead
+    * of exploding quadratically at fixed planes — the r9 10× sweep
+    * measured the fixed-6-planes variant super-linear (15× at 10×,
+    * SCALING.md §6b) and this knob linear. The recall lost to finer
+    * buckets is bought back with ONE-BIT MULTI-PROBE (Lv et al. 2007):
+    * each vector probes its own bucket plus the `planes` buckets at
+    * Hamming distance 1, so a pair survives any single disagreeing
+    * plane. Probing is an explode on ONE join side only — and because
+    * probe p of x equals bucket(y) iff the buckets differ exactly in
+    * bit p (mutually exclusive with the identity probe), every
+    * qualifying pair still meets EXACTLY once: no pair-dedup shuffle.
+    *
+    * Scale shape: (planes+1)·n probe rows through one equi-join; bucket
+    * population ~n/2^planes ≈ 1/4 keeps per-bucket pair work constant.
+    */
+  def embeddingNearDupPairsScaled(df: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
+    val n = df.count()
+    val planes = (63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(n, 1L))).toInt + 2
+    val coefs = Similarity.planeCoefs(planes, Similarity.vecDim(df, vecCol))
+    val b = df.select(col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), coefs).as("bucket"))
+    val probes = col("bucket") +:
+      (0 until planes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
+    val l = b.select(col(idCol).as("id1"), col(vecCol).as("__v1"),
+      explode(array(probes: _*)).as("bucket"))
+    val r = b.select(col("bucket"), col(idCol).as("id2"),
+      col(vecCol).as("__v2"))
+    l.join(r, "bucket")
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        Similarity.cosine(col("__v1"), col("__v2")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): cluster the embedding
     * space with k-means, then compare pairs only WITHIN each cluster —

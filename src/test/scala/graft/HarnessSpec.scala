@@ -37,4 +37,52 @@ class HarnessSpec extends SparkSpec {
     assert(!oracleFile.exists(c => c < ' ' && c != '\n'.toChar),
       "raw control characters leaked into oracle_sql.json")
   }
+
+  // the round-9 blind spot: a wide-DECIMAL final schema passed the local
+  // mirror but hash-failed the driver gate (engine-dependent decimal
+  // canonicalization). The lint makes the output-boundary contract —
+  // DOUBLE or a <=15-digit grid at the boundary — enforceable locally.
+  test("Verify.dump refuses a dump whose final schema carries " +
+      "DECIMAL(precision > 15); narrow DECIMAL and DOUBLE pass") {
+    import org.apache.spark.sql.types.DecimalType
+    val out = java.nio.file.Files.createTempDirectory("harness-dec").toString
+    val wide: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._
+        Seq(BigDecimal("1.25")).toDF("v")
+          .select(col("v").cast(DecimalType(38, 12)).as("v")) }
+    val nested: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._
+        Seq(BigDecimal("1.25")).toDF("v")
+          .select(array(struct(col("v").cast(DecimalType(18, 6)).as("x")))
+            .as("a")) }
+    val fine: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._
+        Seq(BigDecimal("1.2")).toDF("v")
+          .select(col("v").cast(DecimalType(2, 1)).as("v"),
+            col("v").cast("double").as("d")) }
+    val errors = Verify.dump(spark, "/unused", out,
+      Map("q_wide" -> wide, "q_nested" -> nested, "q_fine" -> fine),
+      Map.empty)
+    assert(errors.keySet == Set("q_wide", "q_nested"))
+    assert(errors("q_wide").contains("output-boundary contract") &&
+      errors("q_wide").contains("decimal(38,12)"))
+    assert(errors("q_nested").contains("decimal(18,6)"))
+    // the refused dump wrote nothing — the driver sees err, not a dump
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/q_wide")))
+    assert(spark.read.parquet(s"$out/q_fine").count() == 1)
+  }
+
+  test("wideDecimalColumns walks structs, arrays and maps") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", DecimalType(15, 2)),
+      StructField("b", DecimalType(16, 2)),
+      StructField("c", MapType(StringType, DecimalType(20, 0))),
+      StructField("d", ArrayType(StructType(Seq(
+        StructField("e", DecimalType(38, 4))))))))
+    assert(Verify.wideDecimalColumns(schema) == Seq(
+      "b: decimal(16,2)", "c.value: decimal(20,0)",
+      "d[].e: decimal(38,4)"))
+  }
 }
