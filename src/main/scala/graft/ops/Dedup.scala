@@ -1255,10 +1255,16 @@ object Dedup {
         // already covered
         val hs = transform(TextOps.charNgrams(norm, gram),
           g => Sampling.md5Prefix32(g))
-        array_distinct(when(size(hs) >= window,
-          transform(sequence(lit(1), size(hs) - window + 1),
-            i => array_min(slice(hs, i, lit(window)))))
-          .otherwise(array().cast("array<long>")))
+        // null-propagate EXPLICITLY: the native expression is
+        // null-intolerant (null text → null), while size(null) = -1
+        // would route the bare spelling to the empty-array branch —
+        // the two paths must stay bit-identical on EVERY input,
+        // including null (spec-pinned in OpsSpec)
+        when(norm.isNull, lit(null).cast("array<long>"))
+          .otherwise(array_distinct(when(size(hs) >= window,
+            transform(sequence(lit(1), size(hs) - window + 1),
+              i => array_min(slice(hs, i, lit(window)))))
+            .otherwise(array().cast("array<long>"))))
       }
     val hashed = df.select(col(idCol), fpArr.as("__fps"))
     // fps feeds the hot-df count AND the anti-join, with NO exchange

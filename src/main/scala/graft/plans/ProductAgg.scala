@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // RangeBinHint marker (resolution) → binned equi-join (optimizer)
     ext.injectResolutionRule(RangeBinHintRule)
     ext.injectOptimizerRule(RangeBinJoinRule)
+    // after the fixed-point operator batch: last rewrite attempt, then
+    // strip unmatched markers WITH a warning (silent-fallback guard)
+    ext.injectPreCBORule(RangeBinStripRule)
     ext.injectFunction((
       FunctionIdentifier("product_agg"),
       new ExpressionInfo(classOf[ProductAgg].getName, "product_agg"),

@@ -63,26 +63,68 @@ case class RangeBinHintRule(
   }
 }
 
-/** Optimizer rule: rewrite marked naive range joins to the binned form. */
+/** Optimizer rule: rewrite marked naive range joins to the binned form.
+  *
+  * Runs inside the fixed-point operator-optimization batch and must NOT
+  * strip unmatched markers there: on the batch's first iteration the
+  * range predicates may still sit in a Filter above the Join (pushdown
+  * has not reached it yet) and pruning may have inserted a Project
+  * between the join and the marker — stripping then would silently
+  * forfeit the rewrite a later iteration could do. Leftover markers are
+  * removed by [[RangeBinStripRule]] AFTER the batch (pre-CBO), with a
+  * warning, so an ineligible hint degrades loudly to the naive plan.
+  */
 case class RangeBinJoinRule(
-    spark: org.apache.spark.sql.SparkSession) extends Rule[LogicalPlan]
-    with PredicateHelper {
+    spark: org.apache.spark.sql.SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    RangeBinJoin.rewriteJoins(plan, conf.sessionLocalTimeZone)
+}
 
+/** Post-batch (pre-CBO, runs once) cleanup: one last rewrite attempt,
+  * then strip any marker that never matched — nothing may reach
+  * physical planning, but the fallback to the naive plan is LOGGED
+  * instead of silent.
+  */
+case class RangeBinStripRule(
+    spark: org.apache.spark.sql.SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val joined = plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => tryRewrite(j).getOrElse(j)
+    val joined = RangeBinJoin.rewriteJoins(plan, conf.sessionLocalTimeZone)
+    joined.transformUp { case RangeBinHint(_, child) =>
+      logWarning("range_bin hint did not match an eligible inner " +
+        "point-in-interval join; falling back to the unhinted plan")
+      child
     }
-    // strip leftover markers (hint present but join not eligible / no
-    // join at all) — nothing may reach physical planning
-    joined.transformUp { case RangeBinHint(_, child) => child }
   }
+}
 
-  private def tryRewrite(j: Join): Option[LogicalPlan] = {
-    val (width, left, right, pointOnLeft) = (j.left, j.right) match {
-      case (l, RangeBinHint(w, r)) => (w, l, r, true)
-      case (RangeBinHint(w, l), r) => (w, l, r, false)
-      case _ => return None
+object RangeBinJoin extends PredicateHelper {
+
+  def rewriteJoins(plan: LogicalPlan, timeZone: String): LogicalPlan =
+    plan.transformUp {
+      case j @ Join(_, _, Inner, Some(_), _) =>
+        tryRewrite(j, timeZone).getOrElse(j)
     }
+
+  /** The marker may sit directly on the join side or below a chain of
+    * Project/Filter nodes the optimizer inserted (column pruning,
+    * pushed predicates). Returns the bin width and the side with the
+    * (output-transparent) marker removed, chain preserved.
+    */
+  private def unwrap(p: LogicalPlan): Option[(Long, LogicalPlan)] =
+    p match {
+      case RangeBinHint(w, c) => Some((w, c))
+      case pr: Project =>
+        unwrap(pr.child).map { case (w, c) => (w, pr.copy(child = c)) }
+      case f: Filter =>
+        unwrap(f.child).map { case (w, c) => (w, f.copy(child = c)) }
+      case _ => None
+    }
+
+  private def tryRewrite(j: Join, timeZone: String): Option[LogicalPlan] = {
+    val (width, left, right, pointOnLeft) =
+      unwrap(j.right).map { case (w, r) => (w, j.left, r, true) }
+        .orElse(unwrap(j.left).map { case (w, l) => (w, l, j.right, false) })
+        .getOrElse(return None)
     val (pointSide, intervalSide) =
       if (pointOnLeft) (left, right) else (right, left)
     val conjuncts = splitConjunctivePredicates(j.condition.get)
@@ -153,10 +195,15 @@ case class RangeBinJoinRule(
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays UNRESOLVED and the optimizer rejects the rewritten plan
       val gen = Explode(new Sequence(binOf(s), binOf(e), Literal(1L))
-        .withTimeZone(conf.sessionLocalTimeZone))
+        .withTimeZone(timeZone))
+      // guard malformed intervals (e < s, or a NULL bound): Sequence
+      // throws on start > stop, where the unhinted naive join simply
+      // matches nothing — the hint must not turn bad data into a query
+      // failure, so such rows are dropped before the Generate (the
+      // residual range condition could never accept them anyway)
       val newIntervalSide = Generate(gen, unrequiredChildIndex = Nil,
         outer = false, qualifier = None, generatorOutput = Seq(binI),
-        child = intervalSide)
+        child = Filter(LessThanOrEqual(s, e), intervalSide))
       val binEq = EqualTo(binP.toAttribute, binI)
       val (nl, nr) =
         if (pointOnLeft) (newPointSide, newIntervalSide)

@@ -1538,7 +1538,8 @@ class OpsSpec extends SparkSpec {
       "aaaaaaaaaaaaaaaaaaaaaaaa", // constant text: one distinct fp
       "short", // < gram chars → empty
       "exactly11ch", // nGrams=4=window → one full window
-      "")
+      "",
+      null) // null text: BOTH paths must return null, not empty
     val df = texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
@@ -1546,10 +1547,14 @@ class OpsSpec extends SparkSpec {
     val norm = TextOps.normText(col("text"))
     val hs = transform(TextOps.charNgrams(norm, gram),
       g => graft.ops.Sampling.md5Prefix32(g))
-    val portable = array_distinct(when(size(hs) >= window,
-      transform(sequence(lit(1), size(hs) - window + 1),
-        i => array_min(slice(hs, i, lit(window)))))
-      .otherwise(array().cast("array<long>")))
+    // the winnowingPairs fallback spelling, INCLUDING its explicit null
+    // propagation (size(null) = -1 would otherwise route null text to
+    // the empty-array branch while the native expression returns null)
+    val portable = when(norm.isNull, lit(null).cast("array<long>"))
+      .otherwise(array_distinct(when(size(hs) >= window,
+        transform(sequence(lit(1), size(hs) - window + 1),
+          i => array_min(slice(hs, i, lit(window)))))
+        .otherwise(array().cast("array<long>"))))
     val rows = df.select(col("doc_id"),
         call_function("winnow_fps", norm, lit(gram), lit(window))
           .as("native"),
@@ -1564,6 +1569,9 @@ class OpsSpec extends SparkSpec {
     assert(rows(3).getSeq[Long](1).isEmpty && rows(5).getSeq[Long](1).isEmpty)
     // constant text has exactly one distinct fingerprint
     assert(rows(2).getSeq[Long](1).length == 1)
+    // null text is null through BOTH paths (the contract ADVICE r9
+    // flagged: it must not depend on GraftExtensions being installed)
+    assert(rows(6).isNullAt(1) && rows(6).isNullAt(2))
   }
 
   test("envelope hash: byte-identical clips collide, JVM reference " +
