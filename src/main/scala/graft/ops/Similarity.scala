@@ -617,11 +617,17 @@ object Similarity {
     * twin); λ̂ = ⌊vᵀSv / vᵀv⌋. Every step is integer arithmetic an
     * oracle replays bit-for-bit as unrolled CTEs.
     *
-    * Scale shape: the outer-product expansion is map-only (double
-    * posexplode, dim² rows per vector) into ONE partial-aggregated
-    * groupBy bounded by dim² output rows; the iteration itself runs on
-    * the collected dim×dim matrix — a BOUNDED driver step (64² decimals
-    * here; the k-means-centroid precedent), corpus-size-independent.
+    * Scale shape: the outer-product partials accumulate INSIDE one
+    * mapPartitions pass — long accumulators with an overflow-guarded
+    * BigInt spill, so each partition emits exactly dim²+dim rows
+    * (scatter partial + per-dim sum partial) instead of shipping
+    * n·dim² exploded rows into the hash aggregate (the r9 sweep's
+    * 8.9×-at-10× row; the lshIndexRows "few output rows per input"
+    * mapPartitions criterion applies with dim²/partition ≪ n·dim²).
+    * One tiny groupBy reduces the partials; the iteration itself runs
+    * on the collected dim×dim matrix — a BOUNDED driver step (64²
+    * decimals here; the k-means-centroid precedent),
+    * corpus-size-independent.
     * Returns (d 1-based, v on the G grid, lam) — empty when the corpus
     * is empty, mirroring the oracle's empty join chain.
     */
@@ -642,23 +648,31 @@ object Similarity {
     if (n == 0)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
-    val dims = e.select(posexplode(col("__q")).as(Seq("d0", "x")))
-      .select((col("d0") + 1).as("d"), col("x"))
-    val sums = dims.groupBy("d")
-      .agg(sum(col("x").cast(dec)).as("sd"))
-    val prods = e
-      .select(posexplode(col("__q")).as(Seq("i0", "xi")), col("__q"))
-      .select((col("i0") + 1).as("i"), col("xi"),
-        posexplode(col("__q")).as(Seq("j0", "xj")))
-      .select(col("i"), (col("j0") + 1).as("j"),
-        (col("xi").cast(dec) * col("xj").cast(dec)).as("p"))
-      .groupBy("i", "j").agg(sum("p").as("p"))
+    // per-partition partial sums of Σqqᵀ (rows i ≥ 1) and Σq (i = 0):
+    // long accumulators with a headroom-guarded BigInt spill keep the
+    // inner loop allocation-free while staying exact at any corpus size
+    val partSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.DecimalType(38, 0), nullable = false)))
+    val partials = e.mapPartitions { it =>
+      scatterPartials(it.map(_.getSeq[Long](0)))
+    }(org.apache.spark.sql.Encoders.row(partSchema))
+    val red = partials.groupBy("i", "j")
+      .agg(sum(col("p")).as("p")).persist()
+    val sums = red.where(col("i") === 0)
+      .select(col("j").as("d"), col("p").as("sd"))
+    val prods = red.where(col("i") > 0)
     val scat = prods
       .join(sums.select(col("d").as("i"), col("sd").as("si")), "i")
       .join(sums.select(col("d").as("j"), col("sd").as("sj")), "j")
       .select(col("i"), col("j"),
         (lit(n).cast(dec) * col("p") - col("si") * col("sj")).as("sv"))
     val entries = scat.collect() // bounded: dim² rows
+    red.unpersist()
     val dim = entries.iterator.map(_.getInt(0)).max
     val smat = Array.ofDim[BigInt](dim, dim)
     entries.foreach { r =>
@@ -689,6 +703,118 @@ object Similarity {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), outSchema)
+  }
+
+  /** One partition's exact partial sums for [[pcaTopComponent]]'s
+    * scatter assembly: emits (i ≥ 1, j, Σ xᵢxⱼ-partial) for the full
+    * dim×dim (accumulated on the upper triangle, mirrored at emit —
+    * integer products commute exactly) plus (0, j, Σ xⱼ-partial)
+    * per-dim sum rows. Hot loop is long-typed multiply-adds; a
+    * headroom counter tracks the worst-case accumulated magnitude and
+    * spills to BigInt BEFORE any long add could overflow, so the
+    * partials are exact at any corpus size (a vector with components
+    * beyond ±3·10⁹ on the grid routes straight to the BigInt path —
+    * its square alone would overflow the headroom arithmetic).
+    */
+  private def scatterPartials(vecs: Iterator[Seq[Long]])
+      : Iterator[org.apache.spark.sql.Row] = {
+    var dim = 0
+    var accP: Array[Long] = null // upper triangle, flattened
+    var accS: Array[Long] = null
+    var bigP: Array[java.math.BigInteger] = null
+    var bigS: Array[java.math.BigInteger] = null
+    var headroom = Long.MaxValue
+    def init(d: Int): Unit = {
+      dim = d
+      accP = new Array[Long](d * (d + 1) / 2)
+      accS = new Array[Long](d)
+      bigP = Array.fill(d * (d + 1) / 2)(java.math.BigInteger.ZERO)
+      bigS = Array.fill(d)(java.math.BigInteger.ZERO)
+    }
+    def spill(): Unit = {
+      var k = 0
+      while (k < accP.length) {
+        if (accP(k) != 0) {
+          bigP(k) = bigP(k).add(java.math.BigInteger.valueOf(accP(k)))
+          accP(k) = 0
+        }
+        k += 1
+      }
+      k = 0
+      while (k < accS.length) {
+        if (accS(k) != 0) {
+          bigS(k) = bigS(k).add(java.math.BigInteger.valueOf(accS(k)))
+          accS(k) = 0
+        }
+        k += 1
+      }
+      headroom = Long.MaxValue
+    }
+    vecs.foreach { q =>
+      val d = q.length
+      if (d > 0) {
+        if (accP == null) init(d)
+        require(d == dim, s"pca: ragged vector dims ($d vs $dim)")
+        val x = new Array[Long](d)
+        var mb = 0L
+        var i = 0
+        while (i < d) {
+          x(i) = q(i)
+          val a = math.abs(x(i))
+          if (a > mb) mb = a
+          i += 1
+        }
+        if (mb >= 3000000000L) {
+          // giant components: exact BigInt path, no headroom arithmetic
+          var k = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              bigP(k) = bigP(k).add(java.math.BigInteger.valueOf(x(i))
+                .multiply(java.math.BigInteger.valueOf(x(j))))
+              k += 1; j += 1
+            }
+            bigS(i) = bigS(i).add(java.math.BigInteger.valueOf(x(i)))
+            i += 1
+          }
+        } else {
+          val bound = math.max(mb * mb, mb) + 1
+          if (bound > headroom) spill()
+          headroom -= bound
+          var k = 0
+          i = 0
+          while (i < d) {
+            val xi = x(i)
+            var j = i
+            while (j < d) { accP(k) += xi * x(j); k += 1; j += 1 }
+            accS(i) += xi
+            i += 1
+          }
+        }
+      }
+    }
+    if (accP == null) Iterator.empty
+    else {
+      spill()
+      val out = new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](dim * dim + dim)
+      var k = 0
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) {
+          val p = new java.math.BigDecimal(bigP(k))
+          out += org.apache.spark.sql.Row(i + 1, j + 1, p)
+          if (j != i) out += org.apache.spark.sql.Row(j + 1, i + 1, p)
+          k += 1; j += 1
+        }
+        out += org.apache.spark.sql.Row(0, i + 1,
+          new java.math.BigDecimal(bigS(i)))
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two

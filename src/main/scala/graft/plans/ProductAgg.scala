@@ -103,6 +103,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.types.StringType), children(1), children(2))
       }))
     ext.injectFunction((
+      FunctionIdentifier("tri_hashes"),
+      new ExpressionInfo(classOf[TriHashes].getName, "tri_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"tri_hashes expects 2 arguments, got ${children.length}")
+        TriHashes(Cast(children(0),
+          org.apache.spark.sql.types.StringType), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_second32"),
       new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
       (children: Seq[Expression]) => {

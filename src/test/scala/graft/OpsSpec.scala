@@ -1574,6 +1574,54 @@ class OpsSpec extends SparkSpec {
     assert(rows(6).isNullAt(1) && rows(6).isNullAt(2))
   }
 
+  test("tri_hashes native expression is bit-identical to the declarative " +
+      "array_distinct(transform(charNgrams, xxhash64)) spelling") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "répétition déjà-vu üñïçødé multi-byte ééé runs", // non-ASCII spans
+      "aaaaaaaa", // constant text: one distinct trigram
+      "ab", // < gram chars → empty
+      "abc", // exactly one gram
+      "",
+      null) // null text: BOTH paths yield EMPTY (charNgrams' when routes
+            // a null length to the array() branch — the opposite of
+            // winnow_fps' null contract, deliberately, because triFrame's
+            // declarative spelling has always produced empty here)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(3, 5).foreach { gram =>
+      val rows = df
+        .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
+        .select(col("doc_id"),
+          call_function("tri_hashes", col("t"), lit(gram)).as("native"),
+          array_distinct(transform(TextOps.charNgrams(col("t"), gram),
+            g => xxhash64(g))).as("decl"))
+        .orderBy("doc_id").collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"gram=$gram doc ${r.getLong(0)}: native ${r.getSeq[Long](1)} " +
+            s"!= declarative ${r.getSeq[Long](2)}")
+      }
+      // null and short text produce EMPTY (not null) through both paths
+      assert(rows(6).getSeq[Long](1).isEmpty && rows(6).getSeq[Long](2).isEmpty)
+      assert(rows(3).getSeq[Long](1).isEmpty)
+    }
+    // hash values equal Spark's own xxhash64 of the substring grams
+    val one = df.where(col("doc_id") === 4L)
+      .select(call_function("tri_hashes",
+        TextOps.normText(col("text")), lit(3)).as("h"),
+        xxhash64(TextOps.normText(col("text"))).as("whole"))
+      .head()
+    assert(one.getSeq[Long](0) == Seq(one.getLong(1))) // "abc": gram==doc
+    // determinism + first-occurrence order: repeated grams keep position
+    val rep = df.sparkSession.sql(
+      "SELECT tri_hashes('abcabc', 3) AS h").head().getSeq[Long](0)
+    assert(rep.length == 3) // abc, bca, cab; the second abc dup-drops
+  }
+
   test("envelope hash: byte-identical clips collide, JVM reference " +
       "matches, quarantine holds") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}

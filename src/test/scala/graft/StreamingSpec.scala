@@ -812,4 +812,49 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("micro-batched FAME ingest equals the batch run over full history " +
+      "(pct lag crosses the batch boundary)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famestream").toString
+    val script =
+      """freq m
+        |base = 100
+        |v2 = rev * 2
+        |growth = pct(v2)""".stripMargin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batch1 = Seq((d("1995-01-01"), 4.0, 10.0), (d("1995-02-01"), 5.0, 12.0))
+    val batch2 = Seq((d("1995-03-01"), 6.0, 9.0), (d("1995-04-01"), 3.0, 11.0))
+    val src = MemoryStream[(java.sql.Date, Double, Double)]
+    val df = src.toDF().toDF("DATE", "REV", "CNT")
+    val q = graft.streaming.FameStream.run(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try {
+      src.addData(batch1: _*)
+      q.processAllAvailable()
+      // first snapshot covers only batch-1 history
+      assert(spark.read.parquet(s"$base/result").count() == 2)
+      src.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "V2", "GROWTH").orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    val batchRun = graft.api.FameSession.run(script,
+        (batch1 ++ batch2).toDF("DATE", "REV", "CNT")).df
+      .select("DATE", "V2", "GROWTH").orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString, r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.toSeq == batchRun.toSeq)
+    // March's growth needs February (prior micro-batch) — non-null and
+    // exactly (12-10)/10*100
+    assert(got(2)._3 == 20.0)
+    // bronze is batch-id keyed: exactly one subdir per delivered batch
+    val bronze = new java.io.File(s"$base/bronze").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(bronze == Set("batch=0", "batch=1"))
+  }
 }
