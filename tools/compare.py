@@ -34,6 +34,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     queries = sys.argv[3:]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if not queries:
+        # no explicit list -> compare EVERY dumped query (an empty loop
+        # that exits 0 reads as "all green" — the same silent-pass shape
+        # the round-8 harness bug had)
+        import os
+        queries = sorted(d for d in os.listdir(out_dir)
+                         if os.path.isdir(f"{out_dir}/{d}"))
     # surface the dump pass's own failures first — a query that threw has
     # no parquet directory, and silently skipping it would repeat the
     # round-8 silent-loss bug in the local loop
