@@ -365,11 +365,27 @@ object Dedup {
       // a pair can meet in several bands; est is identical in each
       .groupBy("id1", "id2").agg(first(col("est_jaccard")).as("est_jaccard"))
       .where(col("est_jaccard") >= minEstJaccard)
+      // three consumers since r10 (candidate ids + intersection + final)
+      .persist()
 
     // verify with true shingle Jaccard: |A∩B| via a shingle-level join.
     // Joining on (id2, shingle) keeps it an equi-join — the intersection is
-    // found by hash lookup, never a per-pair cross product.
+    // found by hash lookup, never a per-pair cross product. The shingle
+    // table is semi-joined to CANDIDATE docs first (r10), so the two
+    // intersection joins shuffle only near-dup candidates' shingles — at
+    // corpus scale the non-candidate majority (virtually everything) stays
+    // out of both exchanges. No broadcast hint on purpose: the candidate
+    // set is corpus-dependent (could be huge on a dup-heavy corpus), and
+    // withEst is persisted so AQE sees its exact size and converts the
+    // semi-join to broadcast at runtime exactly when that is safe.
+    val candIds = withEst
+      .select(explode(array(col("id1"), col("id2"))).as("__cid")).distinct()
+    // candidate shingles are small (near-dups only) and feed three
+    // consumers (sizes + both intersection sides) — persist so the
+    // full-table semi-join shuffle runs exactly once
     val sh = shingles.withColumnRenamed(idCol, "__id")
+      .join(candIds, col("__id") === col("__cid"), "left_semi")
+      .persist()
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__sz"))
     val inter = withEst.select("id1", "id2")
       .join(sh.withColumnRenamed("__id", "id1"), "id1")
@@ -391,6 +407,8 @@ object Dedup {
       // returning instead of leaking executor memory for the session's
       // lifetime. localCheckpoint blocks are context-cleaned on GC.
       .localCheckpoint(true)
+    withEst.unpersist()
+    sh.unpersist()
     shingles.unpersist()
     out
   }
@@ -451,10 +469,20 @@ object Dedup {
       .select(col("p.new_id").as("new_id"), col("p.ref_id").as("ref_id"),
         col("p.est_jaccard").as("est_jaccard"))
       .groupBy("new_id", "ref_id").agg(first(col("est_jaccard")).as("est_jaccard"))
+      .persist()
+    // candidate-restricted verify (r10), per side, as in minHashLshPairs
+    val candNew = withEst.select(col("new_id").as("__cid")).distinct()
+    val candRef = withEst.select(col("ref_id").as("__cid")).distinct()
+    // each side feeds two consumers (intersection + size) — persist the
+    // small candidate-only frames so the full-table semi-joins run once
     val newSh = shingles.where(col("__k").getField("__new"))
       .select(col("__k").getField("__id").as("new_id"), col("__sh"))
+      .join(candNew, col("new_id") === col("__cid"), "left_semi")
+      .persist()
     val refSh = shingles.where(!col("__k").getField("__new"))
       .select(col("__k").getField("__id").as("ref_id"), col("__sh"))
+      .join(candRef, col("ref_id") === col("__cid"), "left_semi")
+      .persist()
     val inter = withEst.select("new_id", "ref_id")
       .join(newSh, "new_id")
       .join(refSh, Seq("ref_id", "__sh"))
@@ -469,6 +497,9 @@ object Dedup {
           (col("__sz1") + col("__sz2") - coalesce(col("__inter"), lit(0L))))
       .select("new_id", "ref_id", "est_jaccard", "jaccard")
       .localCheckpoint(true)
+    withEst.unpersist()
+    newSh.unpersist()
+    refSh.unpersist()
     shingles.unpersist()
     out
   }
