@@ -3633,6 +3633,77 @@ object QueriesExt {
         .select(col("query_id"), col("neighbor_id"),
           round(col("rrf"), 8).as("rrf"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Type-2 slowly-changing dimension from the event log (user ×
+    // event_type runs → versioned validity intervals) — the warehouse
+    // dimension-load staple, derived declaratively instead of a mutable
+    // MERGE. One shuffle on user; see EventOps.scd2Dimension. Dump
+    // bounded to a user sample; the operator itself is corpus-wide.
+    "q186_scd2_dimension" -> ((s, dir) => {
+      graft.ops.EventOps.scd2Dimension(
+          events(s, dir).where(col("user_id") % 29 === 0))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from"), col("n_events"), col("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
+    // First/last-touch conversion attribution: purchases credit their
+    // value to the user's first and last preceding non-purchase event
+    // type — two IGNORE-NULLS window lookups over ONE per-user sort, no
+    // per-conversion backward join (EventOps.touchAttribution).
+    "q187_attribution" -> ((s, dir) => {
+      graft.ops.EventOps.touchAttribution(events(s, dir))
+        .orderBy("model", "touch_type")
+    }),
+
+    // Cohen's kappa between two deterministic quality raters (length
+    // rule vs stopword rule) — the inter-annotator agreement number a
+    // labeling pipeline reports before trusting auto-labels. Exact
+    // integer contingency counts in one aggregation; po/pe/kappa are
+    // replayable divisions of those integers.
+    "q189_rater_kappa" -> ((s, dir) => {
+      val a = when(col("n_chars") >= 200, 1L).otherwise(0L)
+      val b = when(array_contains(split(col("text"), " "), "the"), 1L)
+        .otherwise(0L)
+      val c = docs(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(a).as("n_a_pos"),
+        sum(b).as("n_b_pos"),
+        sum(a * b).as("n_both_pos"),
+        sum((lit(1) - a) * (lit(1) - b)).as("n_both_neg"))
+      c.select(col("n"), col("n_a_pos"), col("n_b_pos"),
+        col("n_both_pos"), col("n_both_neg"),
+        ((col("n_both_pos") + col("n_both_neg")).cast("double") /
+          col("n").cast("double")).as("po"),
+        ((col("n_a_pos") * col("n_b_pos") +
+          (col("n") - col("n_a_pos")) * (col("n") - col("n_b_pos")))
+          .cast("double") / (col("n") * col("n")).cast("double")).as("pe"))
+        .withColumn("kappa",
+          round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 8))
+    }),
+
+    // Dedup-aware token budget: each doc's tokens are down-weighted by
+    // its exact-duplicate cluster size (cluster = md5 content
+    // fingerprint), giving the EFFECTIVE per-source token supply a
+    // sampler should draw against — the number dedup-aware mixture
+    // planning needs, not the raw count. Fingerprints (8 bytes), never
+    // text, go through the cluster-size shuffle.
+    "q191_dedup_budget" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.contentFingerprint(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val sz = t.groupBy("fp").agg(count(lit(1)).as("csz"))
+      t.join(sz, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("raw_tokens"),
+          round(sum(col("n_tok").cast("double") /
+            col("csz").cast("double")), 6).as("eff_tokens"))
+        .withColumn("dup_inflation",
+          round(col("raw_tokens").cast("double") / col("eff_tokens"), 6))
+        .orderBy("source")
     })
   )
 
@@ -8259,6 +8330,101 @@ object QueriesExt {
          |)
          |SELECT query_id, neighbor_id, round(rrf, 8) AS rrf, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    }
+    },
+
+    // the same lag-change + running-sum run detection, replayed with SQL
+    // window functions (event_id breaks ts ties on both sides)
+    "q186_scd2_dimension" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type FROM events
+        |  WHERE user_id % 29 = 0
+        |), m AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR event_type <> lag(event_type) OVER w
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS version
+        |  FROM m
+        |), r AS (
+        |  SELECT user_id, version, event_type, min(ts) AS valid_from,
+        |    count(*)::BIGINT AS n_events
+        |  FROM g GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, version, event_type, valid_from, n_events,
+        |  lead(valid_from) OVER w2 AS valid_to,
+        |  (CASE WHEN lead(valid_from) OVER w2 IS NULL
+        |    THEN 1 ELSE 0 END)::BIGINT AS is_current
+        |FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // the same two IGNORE-NULLS window lookups + long-form rollup
+    "q187_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER w AS last_touch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), c AS (SELECT * FROM t WHERE event_type = 'purchase'),
+        |l AS (
+        |  SELECT 'first_touch' AS model, first_touch AS touch_type, value
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'last_touch', last_touch, value FROM c
+        |)
+        |SELECT model, touch_type, count(*) AS n_conversions,
+        |  round(sum(value), 6) AS attributed_value
+        |FROM l WHERE touch_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY model, touch_type""".stripMargin,
+
+    // exact integer contingency counts; po/pe/kappa replayed as the
+    // same divisions of those integers
+    "q189_rater_kappa" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN list_contains(string_split(text, ' '), 'the')
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM documents
+        |), c AS (
+        |  SELECT count(*)::BIGINT AS n, sum(a)::BIGINT AS n_a_pos,
+        |    sum(b)::BIGINT AS n_b_pos, sum(a * b)::BIGINT AS n_both_pos,
+        |    sum((1 - a) * (1 - b))::BIGINT AS n_both_neg
+        |  FROM t
+        |)
+        |SELECT n, n_a_pos, n_b_pos, n_both_pos, n_both_neg,
+        |  (n_both_pos + n_both_neg)::DOUBLE / n::DOUBLE AS po,
+        |  (n_a_pos * n_b_pos + (n - n_a_pos) * (n - n_b_pos))::DOUBLE
+        |    / (n * n)::DOUBLE AS pe,
+        |  round(((n_both_pos + n_both_neg)::DOUBLE / n::DOUBLE
+        |      - (n_a_pos * n_b_pos + (n - n_a_pos) * (n - n_b_pos))::DOUBLE
+        |        / (n * n)::DOUBLE)
+        |    / (1.0 - (n_a_pos * n_b_pos
+        |        + (n - n_a_pos) * (n - n_b_pos))::DOUBLE
+        |        / (n * n)::DOUBLE), 8) AS kappa
+        |FROM c""".stripMargin,
+
+    // same md5-prefix cluster fingerprint (q30's contract) + the same
+    // 1/cluster-size down-weighting
+    "q191_dedup_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5($normSql), 1, 8))::BIGINT AS fp,
+         |    len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tok
+         |  FROM documents
+         |), sz AS (SELECT fp, count(*)::BIGINT AS csz FROM t GROUP BY 1)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  sum(n_tok)::BIGINT AS raw_tokens,
+         |  round(sum(n_tok::DOUBLE / csz::DOUBLE), 6) AS eff_tokens,
+         |  round(sum(n_tok)::DOUBLE
+         |    / round(sum(n_tok::DOUBLE / csz::DOUBLE), 6), 6)
+         |    AS dup_inflation
+         |FROM t JOIN sz USING (fp) GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -133,4 +133,73 @@ object EventOps {
           .as("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_active"))
   }
+
+  /** Type-2 slowly-changing dimension built from an event/change log:
+    * consecutive equal values of `attrCol` per key collapse into one
+    * versioned validity interval `[valid_from, valid_to)`, `valid_to`
+    * null (and `is_current` = 1) on the open current version — the
+    * standard warehouse dimension-load shape, derived here instead of
+    * maintained by a mutable MERGE.
+    *
+    * Run detection is the lag-change + running-sum pattern (same shape
+    * as [[sessionize]]): one shuffle on the key; `valid_to` comes from
+    * `lead` over the per-key version sequence, which reuses the same
+    * hash partitioning — no second exchange of the run frame beyond the
+    * groupBy. Ordering ties on `tsCol` break on `tieCol` so versions
+    * are deterministic. Contract: `attrCol` non-null (null attribute
+    * rows would merge into neighboring runs via null-unequal lag
+    * semantics).
+    */
+  def scd2Dimension(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", attrCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(col(attrCol), 1).over(w)
+    val versioned = events
+      .withColumn("__chg",
+        when(prev.isNull || col(attrCol) =!= prev, 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(w))
+    val runs = versioned
+      .groupBy(col(keyCol), col("version"), col(attrCol))
+      .agg(min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(keyCol).orderBy("version")
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
+  /** First-touch / last-touch conversion attribution: each conversion
+    * event (`typeCol` == `convType`) attributes its `valueCol` to the
+    * user's FIRST and LAST preceding non-conversion event type. The
+    * marketing-attribution staple, computed with two IGNORE-NULLS
+    * window lookups over one per-user sort — no per-conversion
+    * backward join, so cost is one shuffle on user regardless of how
+    * many touches precede each conversion.
+    *
+    * Output is long-form: (model ∈ first_touch|last_touch, touch_type,
+    * n_conversions, attributed_value); conversions with no preceding
+    * touch are dropped (nothing to credit).
+    */
+  def touchAttribution(events: DataFrame, convType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val conv = events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .where(col(typeCol) === convType)
+    conv.select(lit("first_touch").as("model"),
+        col("first_touch").as("touch_type"), col(valueCol).as("__v"))
+      .unionAll(conv.select(lit("last_touch").as("model"),
+        col("last_touch").as("touch_type"), col(valueCol).as("__v")))
+      .where(col("touch_type").isNotNull)
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__v")), 6).as("attributed_value"))
+  }
 }

@@ -89,4 +89,84 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L), // user 1 week2
       ("2024-01-08", 0L, 1L))) // user 2
   }
+
+  /** (user_id, event_id, ts, event_type, value) frame for the SCD-2 and
+    * attribution operators, which need the event_id tiebreak and value.
+    */
+  private def evFrameId(rows: (Long, Long, String, String, Double)*)
+      : DataFrame = {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (u, i, t, e, v) =>
+          Row(u, i, ts(t), e, v) }).asJava), schema)
+  }
+
+  test("scd2Dimension: runs collapse, ties break on event_id, intervals tile") {
+    val df = evFrameId(
+      // user 1: A A B A -> versions A(2 events), B, A again (type alone
+      // is NOT the version key - recurrence opens a new version)
+      (1L, 1L, "2024-01-01 10:00:00", "A", 0.0),
+      (1L, 2L, "2024-01-01 11:00:00", "A", 0.0),
+      (1L, 3L, "2024-01-01 12:00:00", "B", 0.0),
+      (1L, 4L, "2024-01-01 13:00:00", "A", 0.0),
+      // user 2: ts tie - event_id orders B before A
+      (2L, 1L, "2024-01-01 10:00:00", "B", 0.0),
+      (2L, 2L, "2024-01-01 10:00:00", "A", 0.0),
+      // user 3: single event -> one open version
+      (3L, 9L, "2024-01-01 10:00:00", "C", 0.0))
+    val out = EventOps.scd2Dimension(df)
+      .orderBy("user_id", "version").collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getTimestamp(3).toString.take(19), r.getLong(4),
+      Option(r.getTimestamp(5)).map(_.toString.take(19)), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "A", "2024-01-01 10:00:00", 2L,
+        Some("2024-01-01 12:00:00"), 0L),
+      (1L, 2L, "B", "2024-01-01 12:00:00", 1L,
+        Some("2024-01-01 13:00:00"), 0L),
+      (1L, 3L, "A", "2024-01-01 13:00:00", 1L, None, 1L),
+      (2L, 1L, "B", "2024-01-01 10:00:00", 1L,
+        Some("2024-01-01 10:00:00"), 0L),
+      (2L, 2L, "A", "2024-01-01 10:00:00", 1L, None, 1L),
+      (3L, 1L, "C", "2024-01-01 10:00:00", 1L, None, 1L)))
+    // interval-tiling invariants: per user exactly one open version, and
+    // every closed valid_to equals the next version's valid_from
+    assert(rows.count(_._7 == 1L) == 3)
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.sortBy(_._2).toList.sliding(2).forall {
+        case a :: b :: Nil => a._6.contains(b._4)
+        case _ => true
+      }
+    })
+  }
+
+  test("touchAttribution: first/last touch credit, conversions without " +
+      "touches drop, purchases never self-credit") {
+    val df = evFrameId(
+      // user 1: view -> click -> purchase(10): first=view, last=click
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (1L, 2L, "2024-01-01 10:05:00", "click", 0.0),
+      (1L, 3L, "2024-01-01 10:10:00", "purchase", 10.0),
+      // then a second purchase(5): the FIRST purchase is not a touch,
+      // so first=view still, last=click still
+      (1L, 4L, "2024-01-01 10:20:00", "purchase", 5.0),
+      // user 2: purchase with no preceding event -> dropped entirely
+      (2L, 1L, "2024-01-01 09:00:00", "purchase", 99.0),
+      // user 3: single touch doubles as first AND last
+      (3L, 1L, "2024-01-01 08:00:00", "signup", 0.0),
+      (3L, 2L, "2024-01-01 08:30:00", "purchase", 7.0))
+    val out = EventOps.touchAttribution(df)
+      .orderBy("model", "touch_type").collect()
+    val rows = out.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(
+      ("first_touch", "signup", 1L, 7.0),
+      ("first_touch", "view", 2L, 15.0),
+      ("last_touch", "click", 2L, 15.0),
+      ("last_touch", "signup", 1L, 7.0)))
+  }
 }
