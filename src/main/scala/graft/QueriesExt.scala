@@ -3684,6 +3684,62 @@ object QueriesExt {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 8))
     }),
 
+    // EXACT edit-distance-1 fuzzy linkage over customer names via
+    // wildcard-neighborhood blocking (Dedup.editDistanceOnePairs):
+    // len+1 keys per row, equi-join on the near-unique wildcard string
+    // — never a quadratic block — with recall exact BY CONSTRUCTION
+    // (same-length lev<=1 == hamming<=1). The brute-force DuckDB oracle
+    // proves the blocking loses nothing. Rolled up by differing digit
+    // position to keep the dump bounded.
+    "q188_fuzzy_linkage" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      Dedup.editDistanceOnePairs(c, "c_custkey", "c_name")
+        .groupBy("diff_pos")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("id1")).as("min_id1"), min(col("id2")).as("min_id2"))
+        .orderBy("diff_pos")
+    }),
+
+    // Classical seasonal adjustment (ratio-to-moving-average, the X-11
+    // opening move) of the monthly revenue series: centered 2x12 MA
+    // trend, per-calendar-month seasonal indices normalized to mean 1,
+    // adjusted = rev / index. The econometric op FAME shops run right
+    // after ingestion; window + one 12-row broadcast join back.
+    "q190_seasonal_adjust" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = QueriesCore.monthly(s, dir)
+      val w = Window.orderBy("DATE").rowsBetween(-6, 6)
+      val t = m
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("trend",
+          (sum(col("REV")).over(w) -
+            (first(col("REV")).over(w) + last(col("REV")).over(w)) / 2) / 12)
+        .where(col("__n") === 13)
+        .withColumn("mon", month(col("DATE")))
+        .withColumn("ratio", col("REV") / col("trend"))
+      val si = t.groupBy("mon").agg(avg(col("ratio")).as("s_raw"))
+      val total = si.agg(sum(col("s_raw")).as("__tot"))
+      val sn = si.crossJoin(broadcast(total))
+        .select(col("mon"),
+          (col("s_raw") * 12 / col("__tot")).as("s_idx"))
+      t.join(broadcast(sn), "mon")
+        .select(col("DATE").as("date"), round(col("REV"), 6).as("rev"),
+          round(col("trend"), 6).as("trend"),
+          round(col("s_idx"), 6).as("seasonal_idx"),
+          round(col("REV") / col("s_idx"), 6).as("adjusted"))
+        .orderBy("DATE")
+    }),
+
+    // Token-positional phrase search ("table hash") — the positional
+    // inverted-index query as equi-joins on (doc, pos − k), with the
+    // term filter applied before any exchange so only matching
+    // postings shuffle (TextOps.phraseOccurrences).
+    "q192_phrase_search" -> ((s, dir) => {
+      TextOps.phraseOccurrences(docs(s, dir), "doc_id", "text",
+          Seq("table", "hash"))
+        .orderBy("doc_id")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -3708,6 +3764,32 @@ object QueriesExt {
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ')"
+
+  /** q190's oracle CTE chain: monthly frame → centered 2×12 MA trend →
+    * per-calendar-month ratio → seasonal index normalized to mean 1,
+    * ending in CTEs `t(date, rev, trend, mon, ratio)` and
+    * `sn(mon, s_idx)`.
+    */
+  private val monthlySqlForSeasonal: String =
+    s"""${QueriesCore.monthlySql}, w AS (
+       |  SELECT date, rev,
+       |    count(*) OVER win AS n,
+       |    (sum(rev) OVER win
+       |      - (first_value(rev) OVER win + last_value(rev) OVER win) / 2)
+       |      / 12 AS trend
+       |  FROM m
+       |  WINDOW win AS (ORDER BY date
+       |    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+       |), t AS (
+       |  SELECT date, rev, trend, month(date) AS mon,
+       |    rev / trend AS ratio
+       |  FROM w WHERE n = 13
+       |), si AS (
+       |  SELECT mon, avg(ratio) AS s_raw FROM t GROUP BY 1
+       |), sn AS (
+       |  SELECT mon, s_raw * 12 / (SELECT sum(s_raw) FROM si) AS s_idx
+       |  FROM si
+       |)""".stripMargin
 
   /** The q117/q148 closed-form aHash replay: synthetic BMP pixel family →
     * 8×8 nearest-neighbor luma grid → mean threshold → 64-bit hash as two
@@ -8409,6 +8491,49 @@ object QueriesExt {
         |        + (n - n_a_pos) * (n - n_b_pos))::DOUBLE
         |        / (n * n)::DOUBLE), 8) AS kappa
         |FROM c""".stripMargin,
+
+    // BRUTE-FORCE pair scan as the oracle: every same-length pair with
+    // levenshtein <= 1, no blocking — if the wildcard neighborhood
+    // missed any pair, the rollup counts would differ
+    "q188_fuzzy_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS n FROM customer),
+        |p AS (
+        |  SELECT a.id AS id1, b.id AS id2, a.n AS n1, b.n AS n2,
+        |    levenshtein(a.n, b.n) AS lev
+        |  FROM c a JOIN c b
+        |    ON a.id < b.id AND length(a.n) = length(b.n)
+        |), d AS (
+        |  SELECT id1, id2,
+        |    coalesce(list_filter(range(1, length(n1) + 1),
+        |      i -> n1[i] <> n2[i])[1], 0) AS diff_pos
+        |  FROM p WHERE lev <= 1
+        |)
+        |SELECT diff_pos::BIGINT AS diff_pos, count(*) AS n_pairs,
+        |  min(id1) AS min_id1, min(id2) AS min_id2
+        |FROM d GROUP BY 1 ORDER BY diff_pos""".stripMargin,
+
+    // the same 2x12 MA / ratio / normalized-index arithmetic with SQL
+    // window frames
+    "q190_seasonal_adjust" ->
+      s"""$monthlySqlForSeasonal
+         |SELECT t.date, round(t.rev, 6) AS rev,
+         |  round(t.trend, 6) AS trend,
+         |  round(sn.s_idx, 6) AS seasonal_idx,
+         |  round(t.rev / sn.s_idx, 6) AS adjusted
+         |FROM t JOIN sn ON month(t.date) = sn.mon
+         |ORDER BY t.date""".stripMargin,
+
+    // the same positional join replayed over unnest-ed token positions
+    "q192_phrase_search" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), t AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(l) - 1)) AS i, l
+        |  FROM s WHERE len(l) >= 2
+        |)
+        |SELECT doc_id, count(*) AS n_occurrences
+        |FROM t WHERE l[i] = 'table' AND l[i + 1] = 'hash'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting

@@ -1418,4 +1418,48 @@ object Dedup {
       .withColumn("n_same", count(lit(1)).over(w))
       .withColumn("canonical", min(col(idCol)).over(w))
   }
+
+  /** EXACT edit-distance ≤ 1 similarity self-join over same-length
+    * strings, via wildcard (substitution) neighborhood blocking: each
+    * row emits its string with position i replaced by a NUL sentinel,
+    * one key per position. Two equal-length strings at Hamming distance
+    * ≤ 1 share a wildcard key at exactly the differing position (or
+    * every key when identical) — and for equal lengths, Levenshtein ≤ 1
+    * ⇔ Hamming ≤ 1 (an insert+delete pair already costs 2) — so recall
+    * is exact BY CONSTRUCTION, no quadratic block and no verification
+    * miss. The fuzzy record-linkage / typo-dedup primitive.
+    *
+    * Scale shape: len+1 keys per row (linear emit), equi-join on the
+    * near-unique wildcard string; the only possible hot keys are
+    * identical-value clusters, whose pairs are the operator's own
+    * output. Contract: same-length substitution distance — cross-length
+    * indel pairs are out of scope (keys embed length).
+    *
+    * @return one row per pair: (id1, id2, s1, s2, lev, diff_pos) with
+    *         id1 < id2, lev ∈ {0, 1}, diff_pos = 1-based position of
+    *         the differing char (0 for identical strings).
+    */
+  def editDistanceOnePairs(df: DataFrame, idCol: String,
+      strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+      .where(col("__s").isNotNull)
+    val keys = base.select(col("__id"), col("__s"),
+      explode(transform(sequence(lit(1), length(col("__s"))), i =>
+        concat_ws("", col("__s").substr(lit(1), i - 1), lit("\u0000"),
+          col("__s").substr(i + 1, length(col("__s")) - i))))
+        .as("__key"))
+    val pairs = keys.as("a").join(keys.as("b"),
+        col("a.__key") === col("b.__key") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id1"), col("b.__id").as("id2"),
+        col("a.__s").as("s1"), col("b.__s").as("s2"))
+      .distinct() // identical strings meet in every wildcard position
+    pairs
+      .withColumn("lev", levenshtein(col("s1"), col("s2")).cast("long"))
+      .withColumn("diff_pos", coalesce(try_element_at(
+        filter(sequence(lit(1), length(col("s1"))), i =>
+          col("s1").substr(i, lit(1)) =!= col("s2").substr(i, lit(1))),
+        lit(1)),
+        lit(0)).cast("long"))
+  }
 }

@@ -589,4 +589,29 @@ object TextOps {
     ScriptRanges.map { case (n, p) =>
       countMatches(text, p).cast("long").as(s"${n}_chars")
     }
+
+  /** Token-positional phrase search: documents containing the exact
+    * token sequence `phrase`, with per-doc occurrence counts — the
+    * positional-inverted-index query shape, as equi-joins. Postings
+    * (doc, pos) are built per phrase term with the term filter applied
+    * BEFORE any exchange, so each join shuffles only the matching
+    * terms' postings — corpus-size-independent for selective phrases.
+    * Joining term k on (doc, pos − k) keeps every step an equi-join;
+    * overlapping occurrences count naturally (one row per start
+    * position). Whitespace tokenization (`split(' ')`), positions
+    * 0-based.
+    */
+  def phraseOccurrences(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrase: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val toks = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val starts = phrase.zipWithIndex.map { case (term, k) =>
+      toks.where(col("__tok") === term)
+        .select(col("__id"), (col("__pos") - k).as("__start"))
+    }.reduce((a, b) => a.join(b, Seq("__id", "__start")))
+    starts.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -1908,4 +1908,64 @@ class OpsSpec extends SparkSpec {
     val tied = got.filter(g => math.abs(g._2 - 1.0 / 61.0) < 1e-15)
     assert(tied.map(_._1).toSeq == tied.map(_._1).toSeq.sorted)
   }
+
+  test("editDistanceOnePairs equals brute-force same-length lev<=1 on " +
+      "random small-alphabet strings (wildcard exactness property)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(20260814)
+    (1 to 3).foreach { _ =>
+      // small alphabet + mixed lengths: dense in the lev<=1 regime,
+      // with cross-length near-misses the contract must exclude and
+      // exact duplicates (diff_pos 0)
+      val rows = (1L to 40L).map { id =>
+        val len = 3 + rnd.nextInt(2)
+        (id, Array.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString)
+      }
+      val brute = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        if a._2.length == b._2.length && lev(a._2, b._2) <= 1
+      } yield (a._1, b._1, lev(a._2, b._2).toLong)).toSet
+      val blocked = Dedup.editDistanceOnePairs(
+          rows.toDF("id", "s"), "id", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .toSet
+      assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    }
+    // diff_pos: 1-based differing position; 0 for identical strings
+    val out = Dedup.editDistanceOnePairs(
+        Seq((1L, "abc"), (2L, "abc"), (3L, "axc"), (4L, "abcd"))
+          .toDF("id", "s"), "id", "s")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map((1L, 2L) -> (0L, 0L), (1L, 3L) -> (1L, 2L),
+      (2L, 3L) -> (1L, 2L)), s"got $out") // 4 (len 4) pairs with nobody
+  }
+
+  test("phraseOccurrences: overlapping starts count; multi-term join; " +
+      "absent phrase yields no row") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a b"),     // "a a" starts at 0 and 1 -> 2 occurrences
+      (2L, "a b a b a"),   // "a b a" at 0 and 2 -> 2
+      (3L, "b b b"),
+      (4L, "a")).toDF("doc_id", "text")
+    val two = TextOps.phraseOccurrences(d, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(two == Map(1L -> 2L), s"got $two")
+    val three = TextOps.phraseOccurrences(d, "doc_id", "text",
+        Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(three == Map(2L -> 2L), s"got $three")
+    val single = TextOps.phraseOccurrences(d, "doc_id", "text", Seq("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(single == Map(1L -> 3L, 2L -> 3L, 4L -> 1L), s"got $single")
+  }
 }
