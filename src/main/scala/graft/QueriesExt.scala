@@ -3740,6 +3740,47 @@ object QueriesExt {
         .orderBy("doc_id")
     }),
 
+    // Per-nation exponential smoothing of the monthly revenue series:
+    // the ordered fold s_t = 0.7·s_{t-1} + 0.3·x_t run EXACTLY (window
+    // collect_list + aggregate HOF, same multiply order as the
+    // oracle's list_reduce — bit-identical doubles). Partitioned by
+    // nation: 25 independent folds, one shuffle. The per-row prefix
+    // list is O(periods²) per key — fine for the FAME domain's
+    // period-count-bounded frames; long histories would use the
+    // ProductAgg linear recursion instead (q13's kernel).
+    "q193_ewma" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("NATION").orderBy("DATE")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      QueriesCore.monthlyByNation(s, dir)
+        .withColumn("__l", collect_list(col("REV")).over(w))
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          round(col("REV"), 6).as("rev"),
+          round(aggregate(
+            slice(col("__l"), lit(2), size(col("__l")) - 1),
+            element_at(col("__l"), 1),
+            (acc, x) => acc * lit(0.7) + lit(0.3) * x), 8).as("ewma"))
+        .orderBy("nation", "date")
+    }),
+
+    // Multi-source BFS hop distance over the near-dup graph — the
+    // contamination blast radius: every doc within 4 hops of the seed
+    // set, with its minimum hop count. Level-synchronous frontier
+    // expansion (Graphs.bfsHops): each round joins only the NEW
+    // frontier against the edges; the oracle replays min-hop semantics
+    // with a recursive CTE. Rolled up by hop to keep the dump bounded.
+    "q195_bfs_hops" -> ((s, dir) => {
+      val edges = consecTriEdges(s, dir, minJ = 0.5)
+      val seeds = docs(s, dir).where(col("doc_id") % 100 === 0)
+        .select("doc_id")
+      graft.ops.Graphs.bfsHops(edges, "id1", "id2", seeds, "doc_id",
+          maxHops = 4)
+        .groupBy("hop")
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          sum(col("node")).as("id_sum"))
+        .orderBy("hop")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -4183,7 +4224,11 @@ object QueriesExt {
     * Tractable because near-dup components are small; the engine side
     * uses log-round label propagation instead.
     */
-  private val ccCtes: String =
+  /** The consecutive-trigram-jaccard edge set (the [[consecTriEdges]]
+    * twin), symmetrized, ending in CTE `sym(a, b)` — shared by the
+    * q39 components and q195 BFS oracles.
+    */
+  private val triEdgeCtes: String =
     s"""d AS (SELECT doc_id, $normSql AS t FROM documents),
        |g AS (
        |  SELECT DISTINCT doc_id, substr(t, i, 3) AS gr
@@ -4201,7 +4246,11 @@ object QueriesExt {
        |  FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
        |  LEFT JOIN iv ON iv.id1 = sa.doc_id
        |), e AS (SELECT id1 AS a, id2 AS b FROM jac WHERE j >= 0.5),
-       |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+       |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e)"""
+      .stripMargin
+
+  private val ccCtes: String =
+    s"""$triEdgeCtes,
        |reach AS (
        |  SELECT doc_id AS node, doc_id AS label FROM documents
        |  UNION
@@ -8534,6 +8583,38 @@ object QueriesExt {
         |SELECT doc_id, count(*) AS n_occurrences
         |FROM t WHERE l[i] = 'table' AND l[i + 1] = 'hash'
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same left-to-right fold via windowed list + list_reduce
+    // (identical multiply order -> bit-identical doubles pre-round)
+    "q193_ewma" ->
+      s"""${QueriesCore.monthlyByNationSql}, w AS (
+         |  SELECT nation, date, rev,
+         |    list(rev) OVER (PARTITION BY nation ORDER BY date
+         |      ROWS UNBOUNDED PRECEDING) AS l
+         |  FROM m
+         |)
+         |SELECT nation, date, round(rev, 6) AS rev,
+         |  round(list_reduce(l, (a, b) -> a * 0.7 + 0.3 * b), 8) AS ewma
+         |FROM w ORDER BY nation, date""".stripMargin,
+
+    // min-hop semantics replayed with a recursive CTE over the same
+    // symmetric edge set (UNION dedups (node, hop) states; min(hop)
+    // collapses to the BFS distance)
+    "q195_bfs_hops" ->
+      s"""WITH RECURSIVE $triEdgeCtes,
+         |bfs AS (
+         |  SELECT doc_id AS node, 0 AS hop FROM documents
+         |  WHERE doc_id % 100 = 0
+         |  UNION
+         |  SELECT s.a AS node, bfs.hop + 1
+         |  FROM sym s JOIN bfs ON bfs.node = s.b
+         |  WHERE bfs.hop < 4
+         |), dist AS (
+         |  SELECT node, min(hop) AS hop FROM bfs GROUP BY 1
+         |)
+         |SELECT hop::BIGINT AS hop, count(*) AS n_nodes,
+         |  min(node) AS min_node, sum(node)::BIGINT AS id_sum
+         |FROM dist GROUP BY 1 ORDER BY hop""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting

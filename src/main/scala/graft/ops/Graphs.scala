@@ -172,6 +172,58 @@ object Graphs {
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 
+  /** Multi-source BFS hop distance over an UNDIRECTED edge set: the
+    * minimum number of edges from any seed to each reachable node,
+    * capped at `maxHops`. The contamination-blast-radius / influence-
+    * neighborhood query over a near-dup or link graph: "everything
+    * within k hops of these known-bad docs".
+    *
+    * Level-synchronous frontier expansion: each round joins the CURRENT
+    * frontier (nodes first reached last round — never the full visited
+    * set) against the edge table and anti-joins already-visited nodes,
+    * so round cost tracks the frontier boundary, not the corpus.
+    * Per-round lineage is truncated with an eager localCheckpoint (the
+    * pageRank/label-propagation pattern) so `maxHops` stacked joins
+    * never build a mega-plan; visited stays distributed throughout —
+    * nothing node-shaped touches the driver.
+    *
+    * @param edges (srcCol, dstCol) edge endpoints; treated as
+    *              undirected (both directions are expanded), self-loops
+    *              are harmless (the anti-join drops them).
+    * @param seeds one column of seed node ids (hop 0).
+    * @return (node, hop) with hop = min #edges from any seed, one row
+    *         per node within `maxHops` of a seed (seeds included at 0).
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("a"),
+        col(srcCol).cast("long").as("b")))
+      .distinct()
+      .persist()
+    sym.count() // materialize once; every round re-reads the cache
+    var visited = seeds
+      .select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = frontier
+        .join(sym, frontier("node") === sym("b"))
+        .select(col("a").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(hop.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionAll(frontier).localCheckpoint(true)
+    }
+    sym.unpersist()
+    visited
+  }
+
   /** Driver-side naive reference for specs: same integer arithmetic on a
     * small in-memory graph.
     */

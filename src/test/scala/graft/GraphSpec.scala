@@ -105,4 +105,29 @@ class GraphSpec extends SparkSpec {
     // total triangles = K4's 4, each counted at 3 nodes
     assert(got.values.sum == 12L)
   }
+
+  test("bfsHops: min hop wins over longer paths, undirected expansion, " +
+      "hop cap binds, unreachable nodes absent") {
+    import spark.implicits._
+    // seed 1. Diamond 1-2-4 / 1-3-4 (4 at hop 2 via either path) plus a
+    // long way round 1-5-6-7-4; chain 4-8-9-10-11 tests the cap (11 is
+    // hop 6 > 4); 20-21 is a disconnected island. Edge 2->1 points INTO
+    // the seed: undirected expansion must still leave 2 at hop 1.
+    val edges = Seq((2L, 1L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 4L), (4L, 8L), (8L, 9L), (9L, 10L),
+      (10L, 11L), (20L, 21L))
+    val seeds = Seq(1L).toDF("id")
+    val got = Graphs.bfsHops(edgeFrame(edges), "src", "dst", seeds, "id",
+        maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 4L), s"got $got")
+    // multi-seed: adding seed 10 pulls 11 inside the cap and re-labels
+    // the chain from the nearer source
+    val got2 = Graphs.bfsHops(edgeFrame(edges), "src", "dst",
+        Seq(1L, 10L).toDF("id"), "id", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(10L) == 0L && got2(11L) == 1L && got2(9L) == 1L &&
+      got2(8L) == 2L && got2(4L) == 2L, s"got $got2")
+  }
 }
