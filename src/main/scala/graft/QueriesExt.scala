@@ -3781,6 +3781,21 @@ object QueriesExt {
         .orderBy("hop")
     }),
 
+    // Max-inner-product search via the norm-augmentation reduction
+    // (Similarity.mipsTopK): items gain the √(M²−|x|²) coordinate, the
+    // cosine-LSH machinery buckets the augmented space, candidates
+    // re-rank by EXACT raw inner product — recommender-style retrieval
+    // over un-normalized embeddings, which raw cosine LSH can't serve.
+    "q194_mips" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.mipsTopK(e.where(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 5, planes = 6)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("dot"), 8).as("dot"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -8615,6 +8630,45 @@ object QueriesExt {
          |SELECT hop::BIGINT AS hop, count(*) AS n_nodes,
          |  min(node) AS min_node, sum(node)::BIGINT AS id_sum
          |FROM dist GROUP BY 1 ORDER BY hop""".stripMargin,
+
+    // replays the augmentation (M² from the oracle's own max), the
+    // 65-dim plane buckets, the one-bit multi-probe, and the exact
+    // inner-product re-rank
+    "q194_mips" -> {
+      val itemBucket = lshBucketSql(
+        "list_append(v, sqrt(greatest(m2 - list_dot_product(v, v), 0)))",
+        planes = 6, dim = 65)
+      val queryBucket = lshBucketSql(
+        "list_append(v, 0.0::DOUBLE)", planes = 6, dim = 65)
+      val flips = (0 until 6).map(p => s"xor(b0, ${1L << p})")
+        .mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |mx AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+         |b AS (
+         |  SELECT vec_id, v, $itemBucket AS bucket
+         |  FROM e CROSS JOIN mx
+         |), q0 AS (
+         |  SELECT vec_id, v, $queryBucket AS b0
+         |  FROM e CROSS JOIN mx WHERE vec_id < 10
+         |), p AS (
+         |  SELECT vec_id AS query_id, v AS qv,
+         |    unnest([b0, $flips]) AS bucket
+         |  FROM q0
+         |), s AS (
+         |  SELECT query_id, c.vec_id AS neighbor_id,
+         |    min(list_dot_product(qv, c.v)) AS dot
+         |  FROM p JOIN b c USING (bucket)
+         |  WHERE query_id <> c.vec_id
+         |  GROUP BY query_id, c.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, dot,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY dot DESC, neighbor_id) AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, round(dot, 8) AS dot, rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting

@@ -359,6 +359,56 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Maximum-inner-product search (MIPS) via the norm-augmentation
+    * reduction (Bachrach et al., RecSys 2014; Shrivastava & Li, NIPS
+    * 2014): items gain a coordinate x' = [x ; √(M² − |x|²)] with M the
+    * max item norm, queries q' = [q ; 0]. Then ⟨q', x'⟩ = ⟨q, x⟩ and
+    * |x'| = M for every item, so inner-product ranking becomes cosine
+    * ranking on the augmented space and the signed-hyperplane LSH
+    * machinery ([[annTopK]]) applies to a problem raw cosine-LSH can't
+    * serve — the retrieval shape of recommender scoring and un-
+    * normalized embedding search. The 1/M normalization is dropped on
+    * purpose: sign-LSH is scale-invariant, and the unscaled form
+    * replays in SQL without a division per coordinate.
+    *
+    * Buckets on the augmented (dim+1)-space with one-bit multi-probe;
+    * candidates re-rank by the EXACT raw inner product. M² is one max
+    * aggregate (order-independent over doubles — oracle-replayable),
+    * the same driver boundary as [[vecDim]].
+    *
+    * @return (query_id, neighbor_id, dot, rank) — top `k` by inner
+    *         product among probed candidates, self-matches excluded,
+    *         ties broken by neighbor id.
+    */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val dim = vecDim(corpus, vecCol)
+    val coefs = planeCoefs(planes, dim + 1)
+    val v = col(vecCol).cast("array<double>")
+    val m2 = corpus.agg(max(dot(v, v))).head().getDouble(0)
+    val itemAug = concat(v,
+      array(sqrt(greatest(lit(m2) - dot(v, v), lit(0.0)))))
+    val queryAug = concat(v, array(lit(0.0)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), v.as("__cv"),
+      lshBucket(itemAug, coefs).as("bucket"))
+    val qb = queries.select(col(idCol).as("query_id"), v.as("__qv"),
+      lshBucket(queryAug, coefs).as("__b0"))
+    val probes = qb.select(col("query_id"), col("__qv"), explode(array(
+      col("__b0") +: (0 until planes).map(p =>
+        col("__b0").bitwiseXOR(shiftleft(lit(1L), p))): _*)).as("bucket"))
+    val scored = probes.join(c, "bucket")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qv"), col("__cv")).as("dot"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("dot")).as("dot"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dot", "rank")
+  }
+
   /** Product-Quantization codebooks + codes (Jegou, Douze, Schmid,
     * TPAMI 2011) — the memory path of planet-scale ANN (FAISS's
     * IVF-PQ): the `dim`-vector splits into `m` subvectors, each

@@ -1049,6 +1049,44 @@ class OpsSpec extends SparkSpec {
     assert(ivf == exact, s"ivf=$ivf exact=$exact")
   }
 
+  test("mipsTopK: planes=1 probes every bucket -> exact inner-product " +
+      "top-k; big-norm item beats nearer-angle small-norm item") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // query 0 = [1, 0, 0]. Item 1 is PERFECTLY aligned but tiny
+    // (dot 0.5); item 2 is 45-degrees off but huge (dot 7.07). Cosine
+    // ranking puts 1 first; MIPS must put 2 first. Items 3.. are noise.
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(0.5f, 0.0f, 0.0f)),
+      Row(2L, Seq(10.0f, 10.0f, 0.0f)),
+      Row(3L, Seq(-3.0f, 2.0f, 1.0f)),
+      Row(4L, Seq(0.0f, 4.0f, 4.0f)),
+      Row(5L, Seq(2.0f, -1.0f, 3.0f)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val qs = df.where(col("vec_id") === 0)
+    // planes=1: own bucket + the single flip = the whole space, so the
+    // candidate set is total and the result must equal brute force
+    val got = Similarity.mipsTopK(qs, df, "vec_id", "embedding", k = 5,
+        planes = 1)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    val vecs = rows.map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble)).toMap
+    val brute = vecs.filterNot(_._1 == 0L)
+      .map { case (id, v) =>
+        (id, v.zip(vecs(0L)).map { case (a, b) => a * b }.sum)
+      }.toSeq.sortBy { case (id, d) => (-d, id) }
+    assert(got.map(_._1).toSeq == brute.map(_._1), s"got ${got.toSeq}")
+    got.zip(brute).foreach { case ((_, gd), (_, bd)) =>
+      assert(math.abs(gd - bd) < 1e-9) }
+    // the MIPS-defining inversion: huge-norm item 2 outranks aligned 1
+    assert(got.head._1 == 2L)
+    assert(got.map(_._1).indexOf(2L) < got.map(_._1).indexOf(1L))
+  }
+
   /** Real corpus + one planted near-duplicate per query vector: twin id =
     * id + 100000, twin vector = vector with small deterministic per-dim
     * noise (cosine ≥ ~0.99 to its source). The planted twin IS each
