@@ -315,6 +315,60 @@ object StreamOps {
       }
   }
 
+  final case class Scd2State(attr: String, validFromUs: Long,
+      version: Long, n: Long)
+  final case class Scd2Closed(user_id: Long, version: Long,
+      event_type: String, valid_from: Timestamp, n_events: Long,
+      valid_to: Timestamp)
+
+  /** Streaming twin of [[graft.ops.EventOps.scd2Dimension]]: the
+    * per-key CURRENT dimension version lives in `flatMapGroupsWithState`
+    * state (one fixed-size record per key — attribute, valid_from,
+    * version, run length), and the moment the attribute changes a
+    * CLOSED version row is emitted with its `[valid_from, valid_to)`
+    * interval. Append mode: the emitted log is exactly the closed
+    * history; the open version per key is the state itself.
+    *
+    * Parity contract (StreamingSpec): whenever per-key arrival order
+    * respects event time, the streamed closed rows equal the batch
+    * operator's `is_current = 0` rows over the same log — the batch
+    * rebuild stays the retrospective-correction path for out-of-order
+    * replays, same contract as [[funnelStreaming]].
+    */
+  def scd2Streaming(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def tsOf(u: Long): Timestamp = {
+      val t = new Timestamp(u / 1000L)
+      t.setNanos(((u % 1000000L) * 1000L).toInt)
+      t
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[Scd2State]) =>
+          var closed = List.empty[Scd2Closed]
+          var cur = state.getOption
+          it.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+            cur match {
+              case Some(s) if s.attr == e.event_type =>
+                cur = Some(s.copy(n = s.n + 1))
+              case Some(s) =>
+                closed ::= Scd2Closed(user, s.version, s.attr,
+                  tsOf(s.validFromUs), s.n, e.ts)
+                cur = Some(Scd2State(e.event_type, us(e.ts),
+                  s.version + 1, 1L))
+              case None =>
+                cur = Some(Scd2State(e.event_type, us(e.ts), 1L, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: a session closes
     * when no event arrives within `gapMs` of the previous one (enforced by
     * event-time timeout against the watermark). Emits one row per closed

@@ -146,6 +146,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD-2: closed versions emit on change across " +
+      "micro-batches and equal the batch operator's closed rows") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.Event]
+    val q = StreamOps.scd2Streaming(src.toDS())
+      .writeStream.format("memory").queryName("scd2").outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 A A; user 2 B — nothing closes yet
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), "A", 0.0),
+        StreamOps.Event(1L, ts("2024-01-01 11:00:00"), "A", 0.0),
+        StreamOps.Event(2L, ts("2024-01-01 10:00:00"), "B", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2").isEmpty)
+      // batch 2: user 1 flips to B (closes the A run ACROSS batches,
+      // n_events = 2 spanning both batches), then back to A within the
+      // batch (closes B immediately); user 2 stays B (nothing closes)
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 12:00:00"), "B", 0.0),
+        StreamOps.Event(1L, ts("2024-01-01 13:00:00"), "A", 0.0),
+        StreamOps.Event(2L, ts("2024-01-01 14:00:00"), "B", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("scd2").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3).toString.take(19), r.getLong(4),
+          r.getTimestamp(5).toString.take(19))).toSet
+      assert(got == Set(
+        (1L, 1L, "A", "2024-01-01 10:00:00", 2L, "2024-01-01 12:00:00"),
+        (1L, 2L, "B", "2024-01-01 12:00:00", 1L, "2024-01-01 13:00:00")),
+        s"got $got")
+      // parity: streamed closed rows == batch scd2's is_current = 0 rows
+      val log = Seq(
+        (1L, 1L, "2024-01-01 10:00:00", "A"),
+        (1L, 2L, "2024-01-01 11:00:00", "A"),
+        (1L, 3L, "2024-01-01 12:00:00", "B"),
+        (1L, 4L, "2024-01-01 13:00:00", "A"),
+        (2L, 1L, "2024-01-01 10:00:00", "B"),
+        (2L, 2L, "2024-01-01 14:00:00", "B"))
+        .toDF("user_id", "event_id", "s", "event_type")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      val batch = graft.ops.EventOps.scd2Dimension(log)
+        .where(col("is_current") === 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getTimestamp(3).toString.take(19), r.getLong(4),
+          r.getTimestamp(5).toString.take(19))).toSet
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static near-dup screen matches the batch operator") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
