@@ -3796,6 +3796,52 @@ object QueriesExt {
         .orderBy("query_id", "rank")
     }),
 
+    // EXACT per-source discrete quantiles (median / p90 of the token
+    // count) — percentile_disc semantics spelled as row_number against
+    // the partition count, so both engines pick the same physical row
+    // (no engine-specific interpolation to disagree over). One window
+    // + one aggregation; complements the mergeable q95 sketch with the
+    // exact answer at report time.
+    "q196_group_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_tok"), col("doc_id"))
+      val ranked = t
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      ranked.groupBy("source")
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("rk") === ceil(col("n") * 0.5), col("n_tok")))
+            .as("median_tok"),
+          min(when(col("rk") === ceil(col("n") * 0.9), col("n_tok")))
+            .as("p90_tok"))
+        .orderBy("source")
+    }),
+
+    // First-order Markov transition matrix of user behavior: counts of
+    // consecutive event-type pairs per user timeline + row-normalized
+    // probabilities — the behavior model attribution/path analysis
+    // builds on, one lag window + one groupBy (transition matrix is
+    // |types|²-bounded at any scale).
+    "q197_event_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = events(s, dir)
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .where(col("from_type").isNotNull)
+      val counts = pairs.groupBy(col("from_type"),
+          col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wf = Window.partitionBy("from_type")
+      counts
+        .withColumn("p",
+          round(col("n").cast("double") /
+            sum(col("n")).over(wf).cast("double"), 8))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -8669,6 +8715,40 @@ object QueriesExt {
          |SELECT query_id, neighbor_id, round(dot, 8) AS dot, rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    // the same physical-row quantile pick (row_number vs ceil(p*n)),
+    // no builtin percentile on either side
+    "q196_group_quantiles" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tok, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t
+        |)
+        |SELECT source, max(n)::BIGINT AS n_docs,
+        |  min(CASE WHEN rk = ceil(n * 0.5) THEN n_tok END) AS median_tok,
+        |  min(CASE WHEN rk = ceil(n * 0.9) THEN n_tok END) AS p90_tok
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same lag + rollup + row-normalization
+    "q197_event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS from_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 8) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting
