@@ -369,6 +369,49 @@ object StreamOps {
       }
   }
 
+  final case class TouchState(first: String, last: String)
+  final case class Attribution(user_id: Long, conv_ts: Timestamp,
+      first_touch: String, last_touch: String, value: Double)
+
+  /** Streaming twin of [[graft.ops.EventOps.touchAttribution]]: per-key
+    * state is exactly TWO strings (first and latest non-conversion
+    * touch — O(1) per user forever), and each conversion event emits
+    * its attribution row the moment it arrives; conversions with no
+    * preceding touch emit nothing, and conversions never update the
+    * touch state (a purchase is not a touch), both exactly the batch
+    * operator's rules. Aggregating the emitted log by
+    * (model, touch_type) reproduces the batch rollup — StreamingSpec
+    * pins that across micro-batches. Same in-order contract as
+    * [[funnelStreaming]]: replay the batch operator for out-of-order
+    * corrections.
+    */
+  def attributionStreaming(events: Dataset[Event],
+      convType: String = "purchase"): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attribution](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Event], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(null, null))
+          val out = scala.collection.mutable.ListBuffer.empty[Attribution]
+          it.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+            if (e.event_type == convType) {
+              if (s.last != null)
+                out += Attribution(user, e.ts, s.first, s.last, e.value)
+            } else {
+              s = TouchState(
+                if (s.first == null) e.event_type else s.first,
+                e.event_type)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: a session closes
     * when no event arrives within `gapMs` of the previous one (enforced by
     * event-time timeout against the watermark). Emits one row per closed

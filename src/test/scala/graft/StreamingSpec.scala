@@ -197,6 +197,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution: conversions credit cross-batch touches; " +
+      "aggregated emissions equal the batch rollup") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[StreamOps.Event]
+    val q = StreamOps.attributionStreaming(src.toDS())
+      .writeStream.format("memory").queryName("attr").outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 touches (view, click); user 2 converts UNTOUCHED
+      // (emits nothing); user 3 touches once
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:00:00"), "view", 0.0),
+        StreamOps.Event(1L, ts("2024-01-01 10:05:00"), "click", 0.0),
+        StreamOps.Event(2L, ts("2024-01-01 09:00:00"), "purchase", 99.0),
+        StreamOps.Event(3L, ts("2024-01-01 08:00:00"), "signup", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("attr").isEmpty)
+      // batch 2: user 1 converts twice (the first purchase is NOT a
+      // touch, so both credit view/click); user 3 converts
+      src.addData(
+        StreamOps.Event(1L, ts("2024-01-01 10:10:00"), "purchase", 10.0),
+        StreamOps.Event(1L, ts("2024-01-01 10:20:00"), "purchase", 5.0),
+        StreamOps.Event(3L, ts("2024-01-01 08:30:00"), "purchase", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("attr").collect().map(r =>
+        (r.getLong(0), r.getString(2), r.getString(3), r.getDouble(4)))
+        .toSet
+      assert(got == Set(
+        (1L, "view", "click", 10.0), (1L, "view", "click", 5.0),
+        (3L, "signup", "signup", 7.0)), s"got $got")
+      // aggregated emissions == the batch operator over the full log
+      val log = Seq(
+        (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+        (1L, 2L, "2024-01-01 10:05:00", "click", 0.0),
+        (1L, 3L, "2024-01-01 10:10:00", "purchase", 10.0),
+        (1L, 4L, "2024-01-01 10:20:00", "purchase", 5.0),
+        (2L, 1L, "2024-01-01 09:00:00", "purchase", 99.0),
+        (3L, 1L, "2024-01-01 08:00:00", "signup", 0.0),
+        (3L, 2L, "2024-01-01 08:30:00", "purchase", 7.0))
+        .toDF("user_id", "event_id", "s", "event_type", "value")
+        .withColumn("ts", col("s").cast("timestamp")).drop("s")
+      val batch = graft.ops.EventOps.touchAttribution(log)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      val streamRollup = spark.table("attr")
+        .select(lit("first_touch").as("model"),
+          col("first_touch").as("touch_type"), col("value"))
+        .unionAll(spark.table("attr")
+          .select(lit("last_touch"), col("last_touch"), col("value")))
+        .groupBy("model", "touch_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("v"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(streamRollup == batch, s"stream=$streamRollup batch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static near-dup screen matches the batch operator") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
