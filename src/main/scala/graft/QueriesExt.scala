@@ -2031,24 +2031,42 @@ object QueriesExt {
       val sk = Sketches.kmvSketch(grams, Seq("source"), col("gram"),
         k = 256).localCheckpoint(true)
       val overlap = Sketches.kmvPairOverlap(sk, "source", k = 256)
-      // exact witness on the string gram sets (same pair/union trick)
+      // exact witness via a SOURCE-BITMASK HISTOGRAM instead of the
+      // r9 pair-fanout (which expanded every distinct gram ~2×#pairs
+      // through the shuffle — the dominant cost at 3.2 s): each gram
+      // collapses to one long whose bit s says "source s has it"
+      // (sum == bit_or here since (source, gram) is distinct), the
+      // mask histogram is bounded by the distinct-mask count (≤ 2^20,
+      // a few hundred in practice) — corpus-size-INDEPENDENT — and
+      // every pairwise intersection is a filtered sum over that tiny
+      // frame; unions follow as |A| + |B| − inter. Same cells, one
+      // gram-keyed shuffle instead of a pair-replicated one.
       val g = grams.distinct()
+      def bitOf(c: String) =
+        expr(s"shiftleft(1L, cast(regexp_replace($c, 'src', '') as int))")
+      val gm = g.select(col("gram"), bitOf("source").as("__bit"))
+        .groupBy("gram").agg(sum(col("__bit")).as("__mask"))
+        .groupBy("__mask").agg(count(lit(1)).as("__n"))
+      val totals = g.groupBy("source").agg(count(lit(1)).as("__tot"))
       val srcs = d.select(col("source")).distinct()
       val pairs = srcs.select(col("source").as("src_a"))
         .crossJoin(srcs.select(col("source").as("src_b")))
         .where(col("src_a") < col("src_b"))
-      val ga = g.join(broadcast(pairs), col("source") === col("src_a"))
-        .select(col("src_a"), col("src_b"), col("gram"),
-          lit(1).as("in_a"), lit(0).as("in_b"))
-      val gb = g.join(broadcast(pairs), col("source") === col("src_b"))
-        .select(col("src_a"), col("src_b"), col("gram"),
-          lit(0).as("in_a"), lit(1).as("in_b"))
-      val exact = ga.unionByName(gb)
-        .groupBy(col("src_a"), col("src_b"), col("gram"))
-        .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-        .groupBy(col("src_a"), col("src_b"))
-        .agg(count(lit(1)).as("exact_union"),
-          sum((col("in_a") * col("in_b")).cast("long")).as("exact_inter"))
+      val inter = broadcast(pairs).crossJoin(gm)
+        .where((col("__mask").bitwiseAND(bitOf("src_a")) =!= 0) &&
+          (col("__mask").bitwiseAND(bitOf("src_b")) =!= 0))
+        .groupBy("src_a", "src_b")
+        .agg(sum(col("__n")).as("exact_inter"))
+      val exact = pairs
+        .join(totals.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("__tot", "__ta"), "src_a")
+        .join(totals.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("__tot", "__tb"), "src_b")
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          (col("__ta") + col("__tb") -
+            coalesce(col("exact_inter"), lit(0L))).as("exact_union"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
       overlap.join(exact, Seq("src_a", "src_b"))
         .select(col("src_a"), col("src_b"), col("n_union_k"),
           col("kth_union"), col("n_inter_k"), col("est_union"),
