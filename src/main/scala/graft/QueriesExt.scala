@@ -3860,6 +3860,93 @@ object QueriesExt {
         .orderBy("from_type", "to_type")
     }),
 
+    // 2-D skyline (Pareto frontier): the shortest-yet-richest docs —
+    // minimize token count, maximize distinct-token count; a doc is on
+    // the frontier iff nothing is at most as long AND at least as rich
+    // (one strictly). Computed declaratively with the sorted-scan
+    // identity: on distinct metric pairs, keep per-x max y, then
+    // survivors are strict running maxima of y in ASCENDING x — two
+    // windows, no pairwise join; the running max is spelled lag +
+    // running frame (the q187 lesson: a (-1)-ended frame forfeits the
+    // incremental path). The oracle is the quadratic NOT-EXISTS
+    // dominance scan — an independent spelling, so the window identity
+    // itself is what's being checked.
+    "q198_skyline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir).select(
+        TextOps.tokenCount(col("text")).cast("long").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+      val pairs = t.groupBy("x", "y").agg(count(lit(1)).as("n_docs"))
+      val maxY = pairs.groupBy("x").agg(max(col("y")).as("y"))
+      val kept = pairs.join(maxY, Seq("x", "y"))
+      val wo = Window.orderBy(col("x").asc)
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("__py", lag(col("y"), 1).over(wo))
+        .withColumn("__runmax", max(col("__py")).over(wr))
+        .where(col("__runmax").isNull || col("y") > col("__runmax"))
+        .select(col("x").as("n_tokens"), col("y").as("n_distinct"),
+          col("n_docs"))
+        .orderBy(col("n_tokens"))
+    }),
+
+    // Per-source OLS regression of distinct-token richness on token
+    // count (slope / intercept / r²) from EXACT integer sums — the
+    // regr_slope/regr_r2 warehouse staple, spelled as the closed-form
+    // sum arithmetic on both engines so no builtin's numeric path can
+    // disagree. One aggregation.
+    "q199_group_regression" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("x"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
+      t.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("n"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")), 8).as("slope"),
+          round((col("sy").cast("double") -
+            ((col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double")) * col("sx").cast("double")) /
+            col("n").cast("double"), 8).as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")))
+            .cast("double") /
+            (((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))
+              .cast("double")), 8).as("r2"))
+        .orderBy("source")
+    }),
+
+    // OHLC bars: open/high/low/close of the event value per
+    // (event_type, hour) — the time-series bar aggregation, with
+    // open/close picked by row_number over the (ts, event_id) order on
+    // both engines (no arg_min/arg_max tie ambiguity).
+    "q200_ohlc_bars" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, dir)
+        .withColumn("bar", date_trunc("hour", col("ts")))
+      val w = Window.partitionBy("event_type", "bar")
+        .orderBy(col("ts"), col("event_id"))
+      val n = Window.partitionBy("event_type", "bar")
+      e.withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(n))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(count(lit(1)).as("n_events"),
+          round(min(when(col("rk") === 1, col("value"))), 6).as("open"),
+          round(max(col("value")), 6).as("high"),
+          round(min(col("value")), 6).as("low"),
+          round(min(when(col("rk") === col("cnt"), col("value"))), 6)
+            .as("close"))
+        .orderBy("event_type", "bar")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -8767,6 +8854,67 @@ object QueriesExt {
         |SELECT from_type, to_type, n,
         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 8) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // the INDEPENDENT quadratic spelling: a distinct metric pair
+    // survives iff no pair dominates it (>= both, > one) — checks the
+    // Spark side's two-window sorted-scan identity, not its plan
+    "q198_skyline" ->
+      """WITH t AS (
+        |  SELECT len(regexp_extract_all(text, '\S+'))::BIGINT AS x,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS y
+        |  FROM documents
+        |), p AS (
+        |  SELECT x, y, count(*) AS n_docs FROM t GROUP BY 1, 2
+        |)
+        |SELECT x AS n_tokens, y AS n_distinct, n_docs
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+        |ORDER BY n_tokens""".stripMargin,
+
+    // the same closed-form sums; every division replayed verbatim
+    "q199_group_regression" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS x,
+        |    len(list_distinct(string_split(text, ' ')))::BIGINT AS y
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+        |  FROM t GROUP BY source
+        |)
+        |SELECT source, n,
+        |  round((n * sxy - sx * sy)::DOUBLE
+        |    / (n * sxx - sx * sx)::DOUBLE, 8) AS slope,
+        |  round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |    / n::DOUBLE, 8) AS intercept,
+        |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))::DOUBLE
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE, 8)
+        |    AS r2
+        |FROM s ORDER BY source""".stripMargin,
+
+    // same row_number-picked open/close, same min/max extremes
+    "q200_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar, ts,
+        |    event_id, value,
+        |    row_number() OVER w AS rk,
+        |    count(*) OVER (PARTITION BY event_type,
+        |      date_trunc('hour', ts)) AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id)
+        |)
+        |SELECT event_type, bar, count(*) AS n_events,
+        |  round(min(CASE WHEN rk = 1 THEN value END), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(min(CASE WHEN rk = cnt THEN value END), 6) AS close
+        |FROM e GROUP BY 1, 2 ORDER BY event_type, bar""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting
