@@ -3947,6 +3947,97 @@ object QueriesExt {
         .orderBy("event_type", "bar")
     }),
 
+    // Lag correlogram (sample ACF via lag-k Pearson correlation) of the
+    // per-nation monthly revenue series — the seasonality diagnostic
+    // that decides whether q190's 12-month adjustment is even the right
+    // model. The series lands on an exact integer grid (thousands of
+    // dollars) so every sum is BIGINT arithmetic both engines replay
+    // verbatim; the correlation leaves as one sqrt+divide in DOUBLE at
+    // the boundary. Five lags × 25 nations: the union of five lag
+    // frames is five window passes over one cached 2 000-row monthly
+    // frame — at any fact scale the frame stays period-bounded, so the
+    // query's cost is the ONE orders→customer aggregation upstream.
+    "q201_acf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = QueriesCore.monthlyByNation(s, dir)
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          round(col("REV") * 1000).cast("long").as("x"))
+        .persist()
+      val w = Window.partitionBy("nation").orderBy("date")
+      val lagged = Seq(1, 2, 3, 6, 12).map { k =>
+        m.withColumn("y", lag(col("x"), k).over(w))
+          .where(col("y").isNotNull)
+          .withColumn("lag_k", lit(k.toLong))
+      }.reduce(_ unionByName _)
+      val out = lagged.groupBy("nation", "lag_k")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("nation"), col("lag_k"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 8).as("acf"))
+        .orderBy("nation", "lag_k")
+      out.count() // materialize before releasing the shared frame
+      m.unpersist()
+      out
+    }),
+
+    // Precision–recall curve of the quality→english classifier on a
+    // bounded ventile grid: score buckets floor(q·20) are exact integer
+    // keys both engines derive from the same double (floor is
+    // unambiguous), cumulative TP/N run DESCENDING by threshold as
+    // exact BIGINT window sums, and precision/recall leave as DOUBLE
+    // ratios. Completes the eval family (AUC q163, calibration q164,
+    // lift q183) with the curve itself; ≤21 output rows at any corpus
+    // size.
+    "q202_pr_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(floor(TextOps.qualityScore(col("text")) * 20)
+            .cast("long").as("score_bucket"),
+          when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
+            .as("pos"))
+      val g = d.groupBy("score_bucket")
+        .agg(sum(col("pos")).as("np"), count(lit(1)).as("nb"))
+      val w = Window.orderBy(col("score_bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(lit(1))
+      g.withColumn("cum_tp", sum(col("np")).over(w))
+        .withColumn("cum_n", sum(col("nb")).over(w))
+        .withColumn("all_tp", sum(col("np")).over(all))
+        .select(col("score_bucket"), col("cum_tp"), col("cum_n"),
+          round(col("cum_tp").cast("double") / col("cum_n").cast("double"),
+            8).as("precision"),
+          round(col("cum_tp").cast("double") / col("all_tp").cast("double"),
+            8).as("recall"))
+        .orderBy(col("score_bucket").desc)
+    }),
+
+    // Character-level edit-distance histogram between consecutive docs
+    // (the q21 pairing) on an ASCII-projected 60-char prefix — the
+    // similarity primitive the token/shingle family can't see
+    // (transpositions, small in-word edits). Cost is O(60²) per pair —
+    // constant — so the query is one linear self-join on the monotonic
+    // id; the histogram keeps the dump ≤61 rows at any corpus size.
+    // Both engines run textbook Levenshtein on the same ASCII bytes.
+    "q203_edit_distance" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""),
+            1, 60).as("t"))
+      val a = d.select(col("doc_id").as("id1"), col("t").as("t1"))
+      val b = d.select(col("doc_id").as("id2"), col("t").as("t2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(levenshtein(col("t1"), col("t2")).cast("long").as("dist"))
+        .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("dist")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -8915,6 +9006,76 @@ object QueriesExt {
         |  round(min(value), 6) AS low,
         |  round(min(CASE WHEN rk = cnt THEN value END), 6) AS close
         |FROM e GROUP BY 1, 2 ORDER BY event_type, bar""".stripMargin,
+
+    // the same integer-grid series, the same five literal-offset lag
+    // frames (one UNION ALL branch per lag — no variable-offset window
+    // dependence), the same closed-form correlation sums
+    "q201_acf" ->
+      s"""${QueriesCore.monthlyByNationSql}, g AS (
+         |  SELECT nation, date, CAST(round(rev * 1000) AS BIGINT) AS x
+         |  FROM m
+         |), l AS (
+         |  SELECT nation, 1::BIGINT AS lag_k, x,
+         |    lag(x, 1) OVER (PARTITION BY nation ORDER BY date) AS y FROM g
+         |  UNION ALL SELECT nation, 2, x,
+         |    lag(x, 2) OVER (PARTITION BY nation ORDER BY date) FROM g
+         |  UNION ALL SELECT nation, 3, x,
+         |    lag(x, 3) OVER (PARTITION BY nation ORDER BY date) FROM g
+         |  UNION ALL SELECT nation, 6, x,
+         |    lag(x, 6) OVER (PARTITION BY nation ORDER BY date) FROM g
+         |  UNION ALL SELECT nation, 12, x,
+         |    lag(x, 12) OVER (PARTITION BY nation ORDER BY date) FROM g
+         |), s AS (
+         |  SELECT nation, lag_k, count(*)::BIGINT AS n,
+         |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         |    sum(x * y)::BIGINT AS sxy
+         |  FROM l WHERE y IS NOT NULL GROUP BY 1, 2
+         |)
+         |SELECT nation, lag_k, n,
+         |  round((n * sxy - sx * sy)::DOUBLE
+         |    / sqrt((n * sxx - sx * sx)::DOUBLE
+         |           * (n * syy - sy * sy)::DOUBLE), 8) AS acf
+         |FROM s ORDER BY nation, lag_k""".stripMargin,
+
+    // the same ventile bucketing (floor of the same double), the same
+    // descending cumulative BIGINT sums, DOUBLE ratios at the boundary
+    "q202_pr_curve" ->
+      s"""WITH d AS (
+         |  SELECT CAST(floor(($qualitySql) * 20) AS BIGINT)
+         |      AS score_bucket,
+         |    CASE WHEN ($langIdSql) = 'en' THEN 1 ELSE 0 END AS pos
+         |  FROM documents WHERE text IS NOT NULL
+         |), g AS (
+         |  SELECT score_bucket, sum(pos)::BIGINT AS np,
+         |    count(*)::BIGINT AS nb
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT score_bucket,
+         |  sum(np) OVER w::BIGINT AS cum_tp,
+         |  sum(nb) OVER w::BIGINT AS cum_n,
+         |  round(sum(np) OVER w::DOUBLE / sum(nb) OVER w::DOUBLE, 8)
+         |    AS precision,
+         |  round(sum(np) OVER w::DOUBLE / sum(np) OVER ()::DOUBLE, 8)
+         |    AS recall
+         |FROM g
+         |WINDOW w AS (ORDER BY score_bucket DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY score_bucket DESC""".stripMargin,
+
+    // textbook Levenshtein over the same ASCII-projected 60-char
+    // prefixes, same consecutive-id pairing
+    "q203_edit_distance" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 60)
+        |      AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT levenshtein(a.t, b.t)::BIGINT AS dist,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |GROUP BY 1 ORDER BY dist""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting
