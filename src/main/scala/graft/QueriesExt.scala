@@ -4038,6 +4038,73 @@ object QueriesExt {
         .orderBy("dist")
     }),
 
+    // Two-proportion A/B z-test — the experiment-analysis primitive on
+    // top of the hash-split machinery: users split 50/50 by the salted
+    // md5 uniform (q41's splitter, '#ab' salt so assignment is
+    // independent of every other hash decision), conversion = "more
+    // purchases than errors" (interior rates ~0.45-0.53 at every SF —
+    // "any purchase" saturates to 1.0 here and zeroes the pooled
+    // variance), pooled-variance z on the exact BIGINT counts. Per-user
+    // conversion is one groupBy(user) — the whole test is two shuffles
+    // and a 1-row output at any event scale.
+    "q204_ab_test" -> ((s, dir) => {
+      val u = events(s, dir).groupBy("user_id")
+        .agg(when(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)), 1L)
+          .otherwise(0L).as("conv"))
+        .withColumn("variant",
+          when(Sampling.hashUnit(col("user_id"), "#ab") < 0.5, "A")
+            .otherwise("B"))
+      val c = u.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L))
+          .as("conv_b"))
+      val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+      val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+      val pp = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(pa, 8).as("rate_a"), round(pb, 8).as("rate_b"),
+        round((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))), 8).as("z"))
+    }),
+
+    // Exact rolling 12-period median of the per-nation monthly revenue
+    // series — the robust-trend twin of q193's EWMA. The series sits on
+    // the q201 integer grid; the window is a row-bounded collect_list +
+    // sort (12 elements max, constant per row), and the even/odd middle
+    // arithmetic is replayed verbatim by the oracle — no engine median()
+    // whose interpolation rule could differ. Period-bounded frame: the
+    // windows never grow with fact scale.
+    "q205_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = QueriesCore.monthlyByNation(s, dir)
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          round(col("REV") * 1000).cast("long").as("rev_k"))
+      val w = Window.partitionBy("nation").orderBy("date")
+        .rowsBetween(-11, Window.currentRow)
+      val n = size(col("l"))
+      m.withColumn("l", sort_array(collect_list(col("rev_k")).over(w)))
+        .select(col("nation"), col("date"), col("rev_k"),
+          // DIV, not `/`: the Column `/` is double division and
+          // element_at needs an integral index
+          round(when(n % 2 === 1,
+            element_at(col("l"), expr("CAST((size(l) + 1) DIV 2 AS INT)"))
+              .cast("double"))
+            .otherwise((element_at(col("l"), expr("CAST(size(l) DIV 2 AS INT)")) +
+              element_at(col("l"), expr("CAST(size(l) DIV 2 + 1 AS INT)")))
+              .cast("double") / 2.0), 6)
+            .as("roll_median"),
+          n.cast("long").as("win_n"))
+        .orderBy("nation", "date")
+    }),
+
     // Dedup-aware token budget: each doc's tokens are down-weighted by
     // its exact-duplicate cluster size (cluster = md5 content
     // fingerprint), giving the EFFECTIVE per-source token supply a
@@ -9076,6 +9143,60 @@ object QueriesExt {
         |  count(*)::BIGINT AS n_pairs
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |GROUP BY 1 ORDER BY dist""".stripMargin,
+
+    // same '#ab'-salted split, same purchases>errors conversion flag,
+    // same pooled-variance formula with every division replayed in order
+    "q204_ab_test" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN
+         |      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+         |      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      THEN 1 ELSE 0 END AS conv,
+         |    CASE WHEN ${hashUnitSql("user_id::VARCHAR || '#ab'")} < 0.5
+         |      THEN 'A' ELSE 'B' END AS variant
+         |  FROM events GROUP BY user_id,
+         |    CASE WHEN ${hashUnitSql("user_id::VARCHAR || '#ab'")} < 0.5
+         |      THEN 'A' ELSE 'B' END
+         |), c AS (
+         |  SELECT
+         |    sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+         |    sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)::BIGINT
+         |      AS conv_a,
+         |    sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+         |    sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)::BIGINT
+         |      AS conv_b
+         |  FROM u
+         |)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  round(conv_a::DOUBLE / n_a::DOUBLE, 8) AS rate_a,
+         |  round(conv_b::DOUBLE / n_b::DOUBLE, 8) AS rate_b,
+         |  round((conv_a::DOUBLE / n_a::DOUBLE
+         |       - conv_b::DOUBLE / n_b::DOUBLE)
+         |    / sqrt((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE
+         |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+         |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 8) AS z
+         |FROM c""".stripMargin,
+
+    // the same sorted 12-row window list and the same even/odd middle
+    // arithmetic (1-based extraction on both engines)
+    "q205_rolling_median" ->
+      s"""${QueriesCore.monthlyByNationSql}, g AS (
+         |  SELECT nation, date, CAST(round(rev * 1000) AS BIGINT) AS rev_k
+         |  FROM m
+         |), w AS (
+         |  SELECT nation, date, rev_k,
+         |    list_sort(list(rev_k) OVER (PARTITION BY nation ORDER BY date
+         |      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)) AS l
+         |  FROM g
+         |)
+         |SELECT nation, date, rev_k,
+         |  round(CASE WHEN len(l) % 2 = 1
+         |    THEN l[(len(l) + 1) // 2]::DOUBLE
+         |    ELSE (l[len(l) // 2] + l[len(l) // 2 + 1])::DOUBLE / 2.0
+         |    END, 6) AS roll_median,
+         |  len(l)::BIGINT AS win_n
+         |FROM w ORDER BY nation, date""".stripMargin,
 
     // same md5-prefix cluster fingerprint (q30's contract) + the same
     // 1/cluster-size down-weighting
