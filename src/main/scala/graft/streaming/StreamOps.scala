@@ -35,6 +35,31 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col(typeCol),
         col("n_events"), col("sum_value"))
 
+  /** Streaming OHLC bars: open/high/low/close of `valueCol` per
+    * (type, tumbling bar) — the streaming twin of the batch q200 bar
+    * aggregation. Open/close pick by min_by/max_by over the
+    * (ts, event_id) struct: the same total order the batch twin's
+    * row_number walks, expressed as single-pass streaming-legal
+    * aggregates (window functions don't stream). The watermark bounds
+    * per-(type, bar) state to the horizon; bars emit finalized in
+    * append mode.
+    */
+  def ohlcStreaming(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value", barLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), barLen), col(typeCol))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col(valueCol), struct(col(tsCol), col(idCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col(tsCol), col(idCol))).as("close"))
+      .select(col("window.start").as("bar"), col(typeCol),
+        col("n_events"), col("open"), col("high"), col("low"),
+        col("close"))
+
   /** Streaming exact dedup on normalized-content hash: with a watermark,
     * the dedup state store is bounded to the watermark horizon — the
     * streaming analogue of [[graft.ops.Dedup.exact]].

@@ -40,6 +40,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars equal the batch row_number twin; open/close " +
+      "tie-break on event_id; bars finalize in append mode") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = src.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.ohlcStreaming(df)
+      .writeStream.format("memory").queryName("ohlc").outputMode("append")
+      .start()
+    // two bars for 'trade' (the 10:00 bar spans both micro-batches), a
+    // ts TIE in the 11:00 bar whose open must break on the LOWER
+    // event_id, and one 'quote' bar
+    val rows = Seq(
+      (3L, ts("2024-01-01 10:20:00"), "trade", 5.0),
+      (1L, ts("2024-01-01 10:05:00"), "trade", 2.0),
+      (9L, ts("2024-01-01 10:59:00"), "trade", 9.0),
+      (4L, ts("2024-01-01 11:00:00"), "trade", 7.0),
+      (2L, ts("2024-01-01 11:00:00"), "trade", 1.0), // tie: id 2 < 4
+      (5L, ts("2024-01-01 10:30:00"), "quote", 4.0))
+    val late = Seq( // second micro-batch: still inside the watermark
+      (6L, ts("2024-01-01 10:40:00"), "trade", 0.5),
+      (7L, ts("2024-01-01 11:30:00"), "trade", 3.0))
+    val flush = Seq( // advances the watermark past both bars
+      (8L, ts("2024-01-01 14:30:00"), "trade", 1.0))
+    try {
+      src.addData(rows: _*)
+      q.processAllAvailable()
+      src.addData(late: _*)
+      q.processAllAvailable()
+      src.addData(flush: _*)
+      q.processAllAvailable()
+      val got = spark.table("ohlc").orderBy("event_type", "bar").collect()
+        .map(r => (r.getString(1), r.getTimestamp(0).toString.take(19),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toSeq
+      assert(got == Seq(
+        ("quote", "2024-01-01 10:00:00", 1L, 4.0, 4.0, 4.0, 4.0),
+        // open = earliest ts (id 1, 2.0), close = latest ts (id 9, 9.0),
+        // low includes the second-batch 0.5
+        ("trade", "2024-01-01 10:00:00", 4L, 2.0, 9.0, 0.5, 9.0),
+        // tie at 11:00: open is id 2 (1.0), not id 4 (7.0)
+        ("trade", "2024-01-01 11:00:00", 3L, 1.0, 7.0, 1.0, 3.0)))
+      // the same bars from the batch row_number spelling (q200's shape)
+      import org.apache.spark.sql.expressions.Window
+      val all = (rows ++ late).toDF("event_id", "ts", "event_type", "value")
+      val w = Window.partitionBy("event_type", "bar")
+        .orderBy("ts", "event_id")
+      val batch = all.withColumn("bar", date_trunc("hour", col("ts")))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("event_type", "bar")))
+        .groupBy("event_type", "bar")
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("rk") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          min(when(col("rk") === col("cnt"), col("value"))).as("close"))
+        .orderBy("event_type", "bar").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).toString.take(19),
+          r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toSeq
+      assert(got == batch, s"stream=$got batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-content docs within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
