@@ -4075,6 +4075,27 @@ object QueriesExt {
              lit(1.0) / col("n_b").cast("double"))), 8).as("z"))
     }),
 
+    // Jaro–Winkler fuzzy linkage over consecutive-doc ASCII prefixes —
+    // drives the native codegen'd `jaro_winkler` kernel
+    // (plans/JaroWinkler.scala, the Jaro-family primitive Spark lacks)
+    // against DuckDB's builtin, PER PAIR at 8 dp: every matching-window
+    // decision, integer transposition halving, and boost branch must
+    // agree on all ~n pairs for the hash to land. Same linear
+    // monotonic-id self-join shape as q203; O(60·window) per pair.
+    "q206_jaro_linkage" -> ((s, dir) => {
+      val d = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^\\x20-\\x7e]", ""),
+            1, 60).as("t"))
+      val a = d.select(col("doc_id").as("id1"), col("t").as("t1"))
+      val b = d.select(col("doc_id").as("id2"), col("t").as("t2"))
+      a.join(b, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          round(call_function("jaro_winkler", col("t1"), col("t2")), 8)
+            .as("jw"))
+        .orderBy("id1")
+    }),
+
     // Exact rolling 12-period median of the per-nation monthly revenue
     // series — the robust-trend twin of q193's EWMA. The series sits on
     // the q201 integer grid; the window is a row-bounded collect_list +
@@ -9177,6 +9198,21 @@ object QueriesExt {
          |      * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
          |      * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 8) AS z
          |FROM c""".stripMargin,
+
+    // DuckDB's builtin jaro_winkler_similarity — the kernel's
+    // conventions (window, integer transposition halving, 0.7 boost
+    // threshold, m=0 → 0) are pinned to it empirically
+    "q206_jaro_linkage" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(regexp_replace(text, '[^\x20-\x7e]', '', 'g'), 1, 60)
+        |      AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(jaro_winkler_similarity(a.t, b.t), 8) AS jw
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id1""".stripMargin,
 
     // the same sorted 12-row window list and the same even/odd middle
     // arithmetic (1-based extraction on both engines)

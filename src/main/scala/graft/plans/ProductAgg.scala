@@ -112,6 +112,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.types.StringType), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"jaro_winkler expects 2 arguments, got ${children.length}")
+        JaroWinkler(
+          Cast(children(0), org.apache.spark.sql.types.StringType),
+          Cast(children(1), org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_second32"),
       new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
       (children: Seq[Expression]) => {
