@@ -4096,6 +4096,39 @@ object QueriesExt {
         .orderBy("id1")
     }),
 
+    // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
+    // the q201 integer grid (μ = the nation's exact-sum mean, one
+    // double division), the changepoint is the argmax of |S_t| with
+    // earliest-date tie-break. Completes the time-series family
+    // (EWMA, seasonal, ACF, rolling median, OHLC → changepoint); all
+    // arithmetic derives from exact BIGINT sums so the oracle replays
+    // the doubles verbatim. Two window passes over the period-bounded
+    // monthly frame; 25-row output at any fact scale.
+    "q207_cusum_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = QueriesCore.monthlyByNation(s, dir)
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          round(col("REV") * 1000).cast("long").as("x"))
+      val g = m.groupBy("nation")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      val wo = Window.partitionBy("nation").orderBy("date")
+      val wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val scored = m.join(g, "nation")
+        .withColumn("t", row_number().over(wo))
+        .withColumn("cusum", sum(col("x")).over(wr).cast("double") -
+          col("t").cast("double") *
+          (col("sx").cast("double") / col("n").cast("double")))
+        .withColumn("score", abs(col("cusum")))
+      val pick = Window.partitionBy("nation")
+        .orderBy(col("score").desc, col("date"))
+      scored.withColumn("rk", row_number().over(pick))
+        .where(col("rk") === 1)
+        .select(col("nation"), col("date").as("cp_date"), col("n"),
+          round(col("cusum"), 6).as("cusum"),
+          round(col("score"), 6).as("score"))
+        .orderBy("nation")
+    }),
+
     // Exact rolling 12-period median of the per-nation monthly revenue
     // series — the robust-trend twin of q193's EWMA. The series sits on
     // the q201 integer grid; the window is a row-bounded collect_list +
@@ -9213,6 +9246,33 @@ object QueriesExt {
         |  round(jaro_winkler_similarity(a.t, b.t), 8) AS jw
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY id1""".stripMargin,
+
+    // the same integer grid, the same prefix-sum − t·mean double
+    // arithmetic, the same (score DESC, date) argmax tie-break
+    "q207_cusum_changepoint" ->
+      s"""${QueriesCore.monthlyByNationSql}, g0 AS (
+         |  SELECT nation, date, CAST(round(rev * 1000) AS BIGINT) AS x
+         |  FROM m
+         |), st AS (
+         |  SELECT nation, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx
+         |  FROM g0 GROUP BY 1
+         |), sc AS (
+         |  SELECT g0.nation, g0.date, st.n,
+         |    sum(x) OVER (PARTITION BY g0.nation ORDER BY g0.date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE
+         |    - (row_number() OVER (PARTITION BY g0.nation
+         |        ORDER BY g0.date))::DOUBLE
+         |      * (st.sx::DOUBLE / st.n::DOUBLE) AS cusum
+         |  FROM g0 JOIN st ON g0.nation = st.nation
+         |), pick AS (
+         |  SELECT nation, date, n, cusum, abs(cusum) AS score,
+         |    row_number() OVER (PARTITION BY nation
+         |      ORDER BY abs(cusum) DESC, date) AS rk
+         |  FROM sc
+         |)
+         |SELECT nation, date AS cp_date, n, round(cusum, 6) AS cusum,
+         |  round(score, 6) AS score
+         |FROM pick WHERE rk = 1 ORDER BY nation""".stripMargin,
 
     // the same sorted 12-row window list and the same even/odd middle
     // arithmetic (1-based extraction on both engines)
