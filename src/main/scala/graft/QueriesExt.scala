@@ -4096,6 +4096,70 @@ object QueriesExt {
         .orderBy("id1")
     }),
 
+    // Burstiness (Fano factor) of the event stream: sample
+    // variance/mean of DAILY counts per event type — the dispersion
+    // signal capacity planning and bot detection read (Fano ≈ 1 is
+    // Poisson arrival, ≫ 1 is bursty). Daily counts are exact BIGINTs,
+    // the n·Σc² − (Σc)² variance form stays integer through the
+    // aggregation, and mean/variance/fano leave as DOUBLE ratios —
+    // two groupBys, |types|-bounded output at any event scale.
+    "q208_burstiness" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"),
+          sum(col("c") * col("c")).as("scc"))
+        .select(col("event_type"), col("n_days"), col("n_events"),
+          round(col("n_events").cast("double") /
+            col("n_days").cast("double"), 8).as("mean_daily"),
+          round((col("n_days") * col("scc") -
+            col("n_events") * col("n_events")).cast("double") /
+            (col("n_days") * (col("n_days") - 1)).cast("double"), 8)
+            .as("var_daily"),
+          round(((col("n_days") * col("scc") -
+            col("n_events") * col("n_events")).cast("double") /
+            (col("n_days") * (col("n_days") - 1)).cast("double")) /
+            (col("n_events").cast("double") /
+              col("n_days").cast("double")), 8).as("fano"))
+        .orderBy("event_type")
+    }),
+
+    // Inter-arrival gap profile per event type: exact median and p90 of
+    // the second-granular gaps between consecutive events of a type —
+    // q196's physical-row percentile_disc discipline applied to the
+    // lag-derived gap column (no interpolation, the ceil(n·q)-th
+    // smallest row on both engines). One sort-window per type for the
+    // gaps, one for the rank; gaps are data, never state.
+    "q209_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      val gaps = events(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(wo))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          // exact microsecond gaps: unix_timestamp FLOORS to seconds
+          // while DuckDB's epoch()::BIGINT ROUNDS — the off-by-one the
+          // first cut hit; unix_micros/epoch_us are both exact
+          (unix_micros(col("ts")) - unix_micros(col("prev")))
+            .as("gap_us"),
+          col("event_id"))
+      val wr = Window.partitionBy("event_type")
+        .orderBy(col("gap_us"), col("event_id"))
+      gaps
+        .withColumn("rk", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(col("rk") === ceil(col("n") * 0.5), col("gap_us")))
+            .as("median_gap_us"),
+          min(when(col("rk") === ceil(col("n") * 0.9), col("gap_us")))
+            .as("p90_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("event_type")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -9246,6 +9310,52 @@ object QueriesExt {
         |  round(jaro_winkler_similarity(a.t, b.t), 8) AS jw
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY id1""".stripMargin,
+
+    // the same exact-integer variance form and the same DOUBLE ratios
+    "q208_burstiness" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_days,
+        |    sum(c)::BIGINT AS n_events, sum(c * c)::BIGINT AS scc
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, n_events,
+        |  round(n_events::DOUBLE / n_days::DOUBLE, 8) AS mean_daily,
+        |  round((n_days * scc - n_events * n_events)::DOUBLE
+        |    / (n_days * (n_days - 1))::DOUBLE, 8) AS var_daily,
+        |  round(((n_days * scc - n_events * n_events)::DOUBLE
+        |      / (n_days * (n_days - 1))::DOUBLE)
+        |    / (n_events::DOUBLE / n_days::DOUBLE), 8) AS fano
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    // same lag-derived integer gaps, same ceil(n*q)-th-smallest
+    // physical-row percentile (q196's discipline)
+    "q209_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id))
+        |      AS gap_us
+        |  FROM events
+        |  QUALIFY lag(ts, 1) OVER
+        |    (PARTITION BY event_type ORDER BY ts, event_id) IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, gap_us,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_us, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM g
+        |)
+        |SELECT event_type, max(n)::BIGINT AS n_gaps,
+        |  min(CASE WHEN rk = ceil(n * 0.5) THEN gap_us END)::BIGINT
+        |    AS median_gap_us,
+        |  min(CASE WHEN rk = ceil(n * 0.9) THEN gap_us END)::BIGINT
+        |    AS p90_gap_us,
+        |  max(gap_us)::BIGINT AS max_gap_us
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break
