@@ -86,7 +86,7 @@ object QueriesExt {
   private def triFrame(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TextOps.normText(col("text")).as("t"))
-      .select(col("doc_id"), TextOps.hashedNgramSet(col("t"), 3).as("g"))
+      .select(col("doc_id"), TextOps.hashedNgramSet(s, col("t"), 3).as("g"))
 
   /** (id1, id2, jaccard) between consecutive doc ids over a trigram
     * frame `d` — q21's body, shared with the q39/q50 edge builder.
@@ -3822,8 +3822,12 @@ object QueriesExt {
     // exact answer at report time.
     "q196_group_quantiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val t = docs(s, dir).select(col("doc_id"), col("source"),
-        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      // text IS NOT NULL (q202/q203 convention): a null text yields a
+      // null n_tok, and Spark ranks nulls FIRST where DuckDB ranks them
+      // LAST — the physical-row quantile pick would shift cross-engine
+      val t = docs(s, dir).where(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
       val w = Window.partitionBy("source")
         .orderBy(col("n_tok"), col("doc_id"))
       val ranked = t
@@ -9103,7 +9107,7 @@ object QueriesExt {
       """WITH t AS (
         |  SELECT doc_id, source,
         |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
-        |  FROM documents
+        |  FROM documents WHERE text IS NOT NULL
         |), r AS (
         |  SELECT source, n_tok,
         |    row_number() OVER (PARTITION BY source

@@ -1441,8 +1441,11 @@ object Dedup {
     */
   def editDistanceOnePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
+    // length >= 1: sequence(1, 0) is DESCENDING ([1,0]), so an empty
+    // string would emit the bare " " wildcard twice and pair with
+    // every 1-char string, violating the same-length contract.
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-      .where(col("__s").isNotNull)
+      .where(col("__s").isNotNull && length(col("__s")) >= 1)
     val keys = base.select(col("__id"), col("__s"),
       explode(transform(sequence(lit(1), length(col("__s"))), i =>
         concat_ws("", col("__s").substr(lit(1), i - 1), lit("\u0000"),

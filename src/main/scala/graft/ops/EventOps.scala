@@ -155,10 +155,17 @@ object EventOps {
       tieCol: String = "event_id"): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     val prev = lag(col(attrCol), 1).over(w)
+    // ROWS frame, not the default RANGE one: the q186 oracle pins ROWS
+    // UNBOUNDED PRECEDING, and the two diverge if two events tie on
+    // (ts, tieCol) within a key (RANGE would sum the whole peer group,
+    // merging/duplicating versions). Contract: tieCol SHOULD be unique
+    // per key — with ties, ROWS keeps version numbering consistent with
+    // the lag() row order instead of silently collapsing versions.
     val versioned = events
       .withColumn("__chg",
         when(prev.isNull || col(attrCol) =!= prev, 1L).otherwise(0L))
-      .withColumn("version", sum(col("__chg")).over(w))
+      .withColumn("version", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val runs = versioned
       .groupBy(col(keyCol), col("version"), col(attrCol))
       .agg(min(col(tsCol)).as("valid_from"),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,10 +382,20 @@ object Similarity {
     */
   def mipsTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    // empty-corpus guard (module convention, same as pcaTopComponent):
+    // max over zero rows is a null cell, and vecDim's head() would throw
+    val m2Cell = corpus.agg(max(dot(v, v))).head().getAs[Any](0)
+    if (m2Cell == null) {
+      val s = corpus.sparkSession
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("dot", DoubleType), StructField("rank", IntegerType))))
+    }
+    val m2 = m2Cell.asInstanceOf[Double]
     val dim = vecDim(corpus, vecCol)
     val coefs = planeCoefs(planes, dim + 1)
-    val v = col(vecCol).cast("array<double>")
-    val m2 = corpus.agg(max(dot(v, v))).head().getDouble(0)
     val itemAug = concat(v,
       array(sqrt(greatest(lit(m2) - dot(v, v), lit(0.0)))))
     val queryAug = concat(v, array(lit(0.0)))

@@ -129,6 +129,21 @@ object TextOps {
     else
       array_distinct(transform(charNgrams(c, n), g => xxhash64(g)))
 
+  /** [[hashedNgramSet]] with the native-vs-declarative choice resolved
+    * against an EXPLICIT session at plan time — prefer this from any
+    * caller that has the session in hand (triFrame does): the no-arg
+    * form consults `getActiveSession` at Column-construction time, so a
+    * Column built on a thread with no active session (or a different
+    * one than executes it) silently takes the slow declarative path.
+    * Both paths stay bit-identical; the choice is performance-only.
+    */
+  def hashedNgramSet(s: org.apache.spark.sql.SparkSession, c: Column,
+      n: Int): Column =
+    if (s.catalog.functionExists("tri_hashes"))
+      call_function("tri_hashes", c, lit(n))
+    else
+      array_distinct(transform(charNgrams(c, n), g => xxhash64(g)))
+
   /** Fraction of tokens taken by the single most frequent token — the
     * Gopher-style "repetition" signal catching `spam spam spam…` pages.
     * Computed per row over the token array (distinct × occurrences scan;

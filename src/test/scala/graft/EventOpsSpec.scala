@@ -144,6 +144,24 @@ class EventOpsSpec extends SparkSpec {
     })
   }
 
+  test("scd2Dimension: full (ts, event_id) sort-key tie still yields " +
+      "distinct versions (ROWS running-sum frame, not RANGE)") {
+    // two events identical on BOTH sort keys but different types: the
+    // default RANGE frame would sum the whole peer group (both rows get
+    // version 2, merging into a phantom single version per type with
+    // the change flags double-counted); the ROWS frame versions them
+    // 1 and 2 in row order. Peer order within the tie is not pinned,
+    // so assert the order-independent invariants only.
+    val out = EventOps.scd2Dimension(evFrameId(
+        (1L, 7L, "2024-01-01 10:00:00", "A", 0.0),
+        (1L, 7L, "2024-01-01 10:00:00", "B", 0.0)))
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L))
+    assert(out.map(_.getString(2)).toSet == Set("A", "B"))
+    assert(out.count(_.getLong(6) == 1L) == 1) // exactly one open version
+  }
+
   test("touchAttribution: first/last touch credit, conversions without " +
       "touches drop, purchases never self-credit") {
     val df = evFrameId(

@@ -1985,6 +1985,25 @@ class OpsSpec extends SparkSpec {
         (r.getLong(4), r.getLong(5)))).toMap
     assert(out == Map((1L, 2L) -> (0L, 0L), (1L, 3L) -> (1L, 2L),
       (2L, 3L) -> (1L, 2L)), s"got $out") // 4 (len 4) pairs with nobody
+    // empty strings stay out of scope: sequence(1, 0) is DESCENDING in
+    // Spark, so an unguarded empty string would emit the bare wildcard
+    // and pair with every 1-char string across the length contract
+    val empt = Dedup.editDistanceOnePairs(
+        Seq((1L, ""), (2L, ""), (3L, "a"), (4L, "b")).toDF("id", "s"),
+        "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(empt == Set((3L, 4L)), s"got $empt")
+  }
+
+  test("mipsTopK: empty corpus returns an empty frame with the output " +
+      "schema (module empty-input convention, not an NPE)") {
+    import spark.implicits._
+    val qs = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = qs.where(lit(false))
+    val out = Similarity.mipsTopK(qs, corpus, "vec_id", "embedding", k = 3)
+    assert(out.columns.toSeq ==
+      Seq("query_id", "neighbor_id", "dot", "rank"))
+    assert(out.count() == 0L)
   }
 
   test("phraseOccurrences: overlapping starts count; multi-term join; " +
