@@ -93,11 +93,42 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // q01..q36 = the subset recorded in BASELINE.md (quiet-box ~27 s at sf0.1)
+    val subsetNames = selected.map(_._1).filter(
+      _.matches("^q(0[1-9]|[12][0-9]|3[0-6])_.*"))
     val baselineSubset = results.filter { case (n, _) =>
-      n.matches("^q(0[1-9]|[12][0-9]|3[0-6])_.*")
+      subsetNames.contains(n)
     }
     val bsTotal = baselineSubset.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}""")
+    // 1-minute load average — the box is SHARED and its load swings 1-15,
+    // which alone spreads same-code subset totals 11-18 s (four r10
+    // measurements). Sampling it into the record makes the driver's
+    // figure interpretable in place instead of requiring a quiet-box
+    // re-measure every round.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // BASELINE v4 protocol: after the main suite (everything warm), the
+    // q01-q36 subset runs as `subsetPasses` additional COMPLETE passes,
+    // each pass one timed run per query, with the load average sampled
+    // before each pass. The reported reference figure is the MEDIAN of
+    // the pass totals — a point estimate plus its own spread, so a gate
+    // read never again compares box noise against a lucky-edge number.
+    val subsetPasses = sys.env.getOrElse("SPARK_GRAFT_SUBSET_PASSES", "3").toInt
+    val passResults = (1 to subsetPasses).map { _ =>
+      val la = loadAvg()
+      val t = subsetNames.map(n =>
+        timeQuery(n, byName(n), 1).min).sum
+      (t, la)
+    }
+    val passTotals = passResults.map(_._1).sorted
+    val bsMedian = if (passTotals.isEmpty) bsTotal
+      else passTotals(passTotals.size / 2)
+    val passJson = passResults.map { case (t, la) =>
+      s"""{"sec":${r3(t)},"load_avg":${r3(la)}}""" }.mkString("[", ",", "]")
+    val loadNow = loadAvg()
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":${r3(bsMedian)},"subset_passes":$passJson,"load_avg":${r3(loadNow)}}""")
     // Second, COMPACT summary line printed LAST: the per-query line above
     // overflows the driver's stdout capture window (87 queries; rounds 6-7
     // stored a truncated head and "parsed": null), and a tail-capture keeps
@@ -106,7 +137,7 @@ object Bench {
     // on where truncation lands. The full per-query map is also persisted to
     // bench_queries.json in the cwd for post-hoc reads.
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size}}"""
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":${r3(bsMedian)},"subset_passes":$passJson,"load_avg":${r3(loadNow)}}"""
     // Persist the machine-readable record to FIXED filenames so it never
     // depends on stdout capture (rounds 6-8 all stored "parsed": null
     // because sbt log decoration / truncation ate the stdout line):

@@ -30,4 +30,28 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     QueriesCore.oracles ++ QueriesExt.oracles
+
+  /** Queries registered WITHOUT an oracle — each maps to the spec that
+    * pins its exactness by an independent JVM reference instead. This
+    * set is a deliberate, closed exception list: every other registered
+    * query MUST carry an oracle, and HarnessSpec locks the invariant
+    * (queries.keySet == oracleSql.keySet ++ rowsOnly.keySet, disjoint)
+    * so the rows-only set cannot silently grow as the suite does.
+    *
+    * Why these two are permanently oracle-less: q49 runs BPE encode at
+    * a production vocab scale whose 200-round merge unroll is not a
+    * sane SQL oracle (BpeSpec pins encode against a rank-order
+    * reference implementation, random corpora included); q81's zlib
+    * ratio depends on the engine-private Deflate implementation
+    * (OpsSpec pins separation behavior; java.util.zip IS the
+    * reference).
+    */
+  def rowsOnly: Map[String, String] = Map(
+    "q49_bpe_encode" ->
+      ("BpeSpec: \"encoded ids match the rank-order reference " +
+        "implementation\" / \"random corpora: operator and rank-order " +
+        "reference always agree\""),
+    "q81_compression_ratio" ->
+      ("OpsSpec: \"compression ratio separates repetitive from " +
+        "diverse text\" (java.util.zip as the reference)"))
 }

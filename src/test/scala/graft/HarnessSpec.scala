@@ -85,4 +85,35 @@ class HarnessSpec extends SparkSpec {
       "b: decimal(16,2)", "c.value: decimal(20,0)",
       "d[].e: decimal(38,4)"))
   }
+
+  test("every registered query has an oracle or an explicit rows-only " +
+      "registration; the rows-only set is locked at exactly 2") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val rowsOnly = SparkEntry.rowsOnly.keySet
+    // the two exception lists are disjoint and jointly exhaustive
+    assert((oracles & rowsOnly).isEmpty,
+      s"queries registered BOTH ways: ${(oracles & rowsOnly).mkString(", ")}")
+    val unregistered = queries -- oracles -- rowsOnly
+    assert(unregistered.isEmpty,
+      s"queries with NO oracle and NO rows-only registration: " +
+        s"${unregistered.toSeq.sorted.mkString(", ")} — add an oracleSql " +
+        s"entry, or (only if a SQL oracle is genuinely impossible) an " +
+        s"explicit SparkEntry.rowsOnly entry pointing at its exactness spec")
+    // oracles for queries that don't exist are dead weight / typos
+    assert((oracles -- queries).isEmpty,
+      s"oracle entries with no query: ${(oracles -- queries).mkString(", ")}")
+    assert((rowsOnly -- queries).isEmpty,
+      s"rows-only entries with no query: ${(rowsOnly -- queries).mkString(", ")}")
+    // LOCKED: q49 (BPE at production vocab scale) and q81 (zlib ratio)
+    // are the only by-design exceptions; growing this set needs a
+    // deliberate edit here, not just an omission
+    assert(rowsOnly == Set("q49_bpe_encode", "q81_compression_ratio"),
+      s"rows-only set changed: ${rowsOnly.toSeq.sorted.mkString(", ")}")
+    // and each rows-only entry must point at its exactness spec
+    SparkEntry.rowsOnly.foreach { case (name, pointer) =>
+      assert(pointer.contains("Spec"), s"$name rows-only pointer does not " +
+        s"name a spec: $pointer")
+    }
+  }
 }
