@@ -1362,21 +1362,61 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
         .as("__lst"))
       .withColumn("__len", size(col("__lst")))
-    val p = (col("__len") -
-      ceil(lit(minJaccard) * col("__len")) + 1).cast("int")
-    val pre = lists
+    // TWO prefix lengths per doc (the full PPJoin self-join form, Xiao
+    // et al. 2008 §4, not just AllPairs): every unordered pair is
+    // generated exactly once with the SMALLER doc in (length, id)
+    // order as the "index" side. The later/probing doc y needs the
+    // full probing prefix |y| - ceil(t*|y|) + 1, but the indexed doc x
+    // only needs |x| - ceil(2t/(1+t)*|x|) + 1 tokens: with |y| >= |x|,
+    // a J >= t pair's required overlap t/(1+t)*(|x|+|y|) is already
+    // >= 2t/(1+t)*|x|, so a shared token must fall inside that shorter
+    // index prefix. At t=0.5 the index prefix is ~|x|/3 vs the ~|x|/2
+    // probing prefix — the candidate join (the measured superlinearity
+    // driver in the r9/r10 10x sweeps) shrinks by the product. The
+    // 1e-9 slack inside ceil keeps an fp-rounded threshold from ever
+    // SHORTENING a prefix past the exact value (recall must stay
+    // exact; 2t/(1+t) is not fp-representable for most t).
+    val pProbe = (col("__len") -
+      ceil(lit(minJaccard) * col("__len") - 1e-9) + 1).cast("int")
+    val idxFrac = 2 * minJaccard / (1 + minJaccard)
+    val pIdx = (col("__len") -
+      ceil(lit(idxFrac) * col("__len") - 1e-9) + 1).cast("int")
+    // prefix rows carry the 1-based POSITION of each token in the doc's
+    // full sorted list (the prefix IS the list head, so the slice
+    // position is the global position) — the positional filter needs it
+    def prefixRows(plen: Column) = lists
       .select(col(idCol), col("__len"),
-        explode(slice(col("__lst"), lit(1), p)).as("__e"))
-      .select(col(idCol), col("__len"), col("__e.__t").as("__t"))
-    val a = pre.select(col("__t"), col(idCol).as("id1"),
-      col("__len").as("l1"))
-    val b = pre.select(col("__t"), col(idCol).as("id2"),
-      col("__len").as("l2"))
+        posexplode(slice(col("__lst"), lit(1), plen)).as(Seq("__i", "__e")))
+      .select(col(idCol), col("__len"), (col("__i") + 1).as("__i"),
+        col("__e.__t").as("__t"))
+    val a = prefixRows(pProbe).select(col("__t"), col(idCol).as("idP"),
+      col("__len").as("lP"), col("__i").as("iP"))
+    val b = prefixRows(pIdx).select(col("__t"), col(idCol).as("idI"),
+      col("__len").as("lI"), col("__i").as("iI"))
+    // POSITIONAL filter (PPJoin's second refinement): a shared token at
+    // global sorted positions (i, j) bounds the overlap by
+    //   ub = min(i-1, j-1)        (tokens strictly before the match)
+    //      + 1 + min(lI-i, lP-j)  (the match + tokens after it),
+    // valid for EVERY shared prefix token, so the pair's overlap is at
+    // most the MIN ub across its prefix matches; J >= t needs overlap
+    // >= t/(1+t)*(lI+lP), and candidates whose min-ub can't reach it
+    // are pruned BEFORE the verification join. The min is
+    // partial-aggregable, so the pruning costs one map-side-combined
+    // shuffle of (pair) keys — strictly less than the .distinct() it
+    // replaces. 1e-9 slack again: never prune a boundary-exact pair.
+    val ub = least(col("iI"), col("iP")) +
+      least(col("lI") - col("iI"), col("lP") - col("iP"))
+    val alpha = (col("lI") + col("lP")) * (minJaccard / (1 + minJaccard))
     val cand = a.join(b, Seq("__t"))
-      .where(col("id1") < col("id2") &&
-        col("l2") * minJaccard <= col("l1") &&
-        col("l1") * minJaccard <= col("l2"))
-      .select("id1", "id2").distinct()
+      .where((col("lI") < col("lP")) ||
+        (col("lI") === col("lP") && col("idI") < col("idP")))
+      .where(col("lP") * minJaccard <= col("lI") &&
+        col("lI") * minJaccard <= col("lP"))
+      .groupBy("idI", "idP", "lI", "lP")
+      .agg(min(ub).as("__ub"))
+      .where(col("__ub") >= alpha - 1e-9)
+      .select(least(col("idI"), col("idP")).as("id1"),
+        greatest(col("idI"), col("idP")).as("id2"))
     val t1 = tok.select(col(idCol).as("id1"), col("__t"))
     val t2 = tok.select(col(idCol).as("id2"), col("__t"))
     val inter = cand.join(t1, "id1").join(t2, Seq("id2", "__t"))
