@@ -2676,9 +2676,14 @@ object QueriesExt {
       val exact = Similarity.bruteForceTopK(queries, e, "vec_id",
           "embedding", k = 1)
         .select(col("query_id"), col("neighbor_id").as("exact_top1"))
+      // ONE index build (the expensive Lloyd training), three probes —
+      // identical results to three independent trainings (training is
+      // deterministic), minus two redundant trainings
+      val (assigned, centroids) =
+        Similarity.ivfIndex(e, "vec_id", "embedding", nlist = 16, iters = 2)
       val curves = Seq(1, 2, 4).map { np =>
-        Similarity.ivfTopK(queries, e, "vec_id", "embedding", k = 1,
-            nlist = 16, iters = 2, nprobe = np)
+        Similarity.ivfProbe(queries, assigned, centroids,
+            "vec_id", "embedding", k = 1, nprobe = np)
           .select(lit(np.toLong).as("nprobe"), col("query_id"),
             col("neighbor_id").as("ivf_top1"))
       }.reduce(_ union _)
@@ -4162,6 +4167,57 @@ object QueriesExt {
             .as("p90_gap_us"),
           max(col("gap_us")).as("max_gap_us"))
         .orderBy("event_type")
+    }),
+
+    // INCREMENTAL micro-batched FAME (q185's forward-only sibling): the
+    // eligibility analyzer proves this script reaches at most 2 rows
+    // back, so each micro-batch evaluates only (2-row tail ∪ batch) —
+    // O(batch) per batch vs q185's honest O(history) snapshot for
+    // general scripts. Same year-partitioned file stream, ~7 real
+    // micro-batches; the lag cells crossing batch boundaries (growth
+    // at each year's first month, d2 at the first two) come from the
+    // carried tail and hash-match the whole-history oracle.
+    "q210_fame_incremental" -> ((s, dir) => {
+      val base = scratch("q210")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val m = QueriesCore.monthly(s, dir).localCheckpoint(true)
+      // the incremental contract is nondecreasing date order per key,
+      // and FileStreamSource delivers by modification time — so write
+      // ONE file per year and pin strictly ascending mtimes (a single
+      // partitioned write gives every file the same ms timestamp,
+      // leaving delivery order to directory-listing luck)
+      val yrs = m.select(year(col("DATE")).as("y")).distinct()
+        .orderBy("y").collect().map(_.getInt(0))
+      yrs.foreach { yy =>
+        m.where(year(col("DATE")) === yy).orderBy("DATE").coalesce(1)
+          .write.parquet(s"$base/src/y=$yy")
+      }
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      yrs.zipWithIndex.foreach { case (yy, i) =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/src/y=$yy"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.setTimes(f.getPath, t0 + i * 1000L, -1))
+      }
+      val srcSchema = s.read.parquet(s"$base/src").schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/src")
+        .drop("y")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |v2 = rev * 2
+          |growth = pct(v2)
+          |d2 = rev - rev[t-2]""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("DATE").as("date"), col("REV").as("rev"),
+          col("V2").as("v2"), col("GROWTH").as("growth"),
+          col("D2").as("d2"))
+        .orderBy("date")
     }),
 
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
@@ -9360,6 +9416,17 @@ object QueriesExt {
         |    AS p90_gap_us,
         |  max(gap_us)::BIGINT AS max_gap_us
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // whole-history replay of the script the incremental runner
+    // evaluated batch-by-batch — identical double arithmetic, so the
+    // boundary-crossing lag cells must hash-match
+    "q210_fame_incremental" ->
+      s"""${QueriesCore.monthlySql}
+         |SELECT date, rev AS rev, rev*2 AS v2,
+         |  (rev*2 - lag(rev*2,1) OVER (ORDER BY date))
+         |    / lag(rev*2,1) OVER (ORDER BY date) * 100 AS growth,
+         |  rev - lag(rev,2) OVER (ORDER BY date) AS d2
+         |FROM m ORDER BY date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

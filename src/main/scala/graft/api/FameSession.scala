@@ -57,12 +57,33 @@ object FameSession {
     * @param businessCal business-day calendar for b-frequency converts
     *                    (SURVEY §2.5); default Mon–Fri matches the
     *                    reference's `is_business_day`.
+    * @param isoWeeks    weekly date literals `yyyy.ww` resolve to the
+    *                    Monday of ISO-8601 week ww instead of the
+    *                    reference's approximate Jan-1 + 7·(w−1)
+    *                    arithmetic (`formulas_generator.py:312-380`,
+    *                    acknowledged approximate in the reference's own
+    *                    `ASSESSMENT_SUMMARY.md:181`). Default off =
+    *                    reference parity.
     */
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother,
       dateofStub: Boolean = false,
-      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly): SeriesFrame = {
+      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
+      isoWeeks: Boolean = false): SeriesFrame =
+    // date literals become plan literals during this synchronous driver-
+    // thread call, so a dynamically-scoped parse mode is sound (nothing
+    // re-parses after run returns)
+    FameDate.withIsoWeeks(isoWeeks) {
+      runImpl(script, input, dateCol, partitionKeys, nlrx, dateofStub,
+        businessCal)
+    }
+
+  private def runImpl(script: String, input: DataFrame, dateCol: String,
+      partitionKeys: Seq[String],
+      nlrx: Nlrx,
+      dateofStub: Boolean,
+      businessCal: BusinessCalendar): SeriesFrame = {
 
     // uppercase-normalize input columns (reference normalizes all names,
     // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a

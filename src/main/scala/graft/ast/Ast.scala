@@ -66,7 +66,7 @@ object Frequency {
   * `12jul1985` → day-month-year; bare year `2020` → Jan 1;
   * `2020m03` → first of month; `jan2020` → first of month;
   * weekly `2020.05` → Jan 1 + 7*(w-1) days (reference-compatible
-  * approximation, not ISO weeks).
+  * approximation; real ISO weeks behind [[withIsoWeeks]]).
   */
 object FameDate {
   private val months = Map(
@@ -81,6 +81,27 @@ object FameDate {
   private val my       = """([a-zA-Z]{3})(\d{4})""".r
   private val weekly   = """(\d{4})\.(\d{1,2})""".r
 
+  /** ISO-8601 week-date mode for the weekly literal `yyyy.ww`: ON makes
+    * `2020.05` the Monday of ISO week 5 of week-based-year 2020; OFF
+    * (default) keeps the reference's approximate Jan-1 + 7·(w−1)
+    * arithmetic. Dynamically scoped (parsing is a synchronous
+    * driver-thread phase), set via [[withIsoWeeks]] — the
+    * `FameSession.run(isoWeeks = …)` plumbing.
+    */
+  private val isoWeeks = new scala.util.DynamicVariable[Boolean](false)
+  def withIsoWeeks[A](on: Boolean)(body: => A): A =
+    isoWeeks.withValue(on)(body)
+
+  private def weekDate(y: Int, w: Int): LocalDate =
+    if (isoWeeks.value)
+      // Jan 4 is in ISO week 1 of every week-based year; set the week,
+      // then snap to that week's Monday
+      LocalDate.of(y, 1, 4)
+        .`with`(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear(),
+          w.toLong)
+        .`with`(java.time.temporal.ChronoField.DAY_OF_WEEK, 1L)
+    else LocalDate.of(y, 1, 1).plusDays(7L * (w - 1))
+
   def parse(raw0: String): Option[LocalDate] = {
     val raw = raw0.trim.stripPrefix("\"").stripSuffix("\"")
       .stripPrefix("'").stripSuffix("'").trim
@@ -88,7 +109,7 @@ object FameDate {
       case iso(y, m, d)    => Some(LocalDate.of(y.toInt, m.toInt, d.toInt))
       case quarter(y, q)   => Some(LocalDate.of(y.toInt, (q.toInt - 1) * 3 + 1, 1))
       case ym(y, m)        => Some(LocalDate.of(y.toInt, m.toInt, 1))
-      case weekly(y, w)    => Some(LocalDate.of(y.toInt, 1, 1).plusDays(7L * (w.toInt - 1)))
+      case weekly(y, w)    => Some(weekDate(y.toInt, w.toInt))
       case dmy(d, mon, y)  => months.get(mon.toLowerCase).map(m => LocalDate.of(y.toInt, m, d.toInt))
       case my(mon, y)      => months.get(mon.toLowerCase).map(m => LocalDate.of(y.toInt, m, 1))
       case year(y)         => Some(LocalDate.of(y.toInt, 1, 1))

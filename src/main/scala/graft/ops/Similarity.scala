@@ -291,17 +291,42 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** Coarse IVF index: the corpus assigned to its nearest trained
+    * centroid, plus the centroid arrays — built ONCE per (corpus,
+    * nlist, iters) and probed at any nprobe via [[ivfProbe]]. The
+    * assignment frame is staged EAGERLY (localCheckpoint): training is
+    * the expensive step (iters Lloyd rounds over the whole corpus), and
+    * without staging every downstream probe lazily re-executes it — the
+    * r10 q127 shape, which trained the same index three times for three
+    * nprobe points. This is the in-query twin of the q89 persisted
+    * nightly index: same build, the physical parquet write swapped for
+    * an in-memory checkpoint.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2): (DataFrame, Seq[Array[Long]]) = {
+    val (assigned, centroids) =
+      kmeansAssign(corpus, idCol, vecCol, nlist, iters)
+    (assigned.localCheckpoint(true), centroids)
+  }
+
   /** IVF-style ANN top-k: [[kmeansAssign]] centroids, corpus assigned to
     * its nearest centroid, each query probing the `nprobe` nearest
-    * centroid lists.
+    * centroid lists. One-shot form; sweeps over nprobe should build
+    * [[ivfIndex]] once and call [[ivfProbe]] per point.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, iters: Int = 2,
       nprobe: Int = 2): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
     val (assigned, centroids) =
       kmeansAssign(corpus, idCol, vecCol, nlist, iters)
+    ivfProbe(queries, assigned, centroids, idCol, vecCol, k, nprobe)
+  }
 
+  /** Probe step of [[ivfTopK]] over a pre-built [[ivfIndex]]. */
+  def ivfProbe(queries: DataFrame, assigned: DataFrame,
+      centroids: Seq[Array[Long]], idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
     val c = assigned.select(col(idCol).as("neighbor_id"),
       col("__v").as("__cv"), col("__c").as("bucket"))
     // query probes: indices of the nprobe nearest centroids by exact

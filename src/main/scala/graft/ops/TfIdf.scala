@@ -26,15 +26,35 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TfIdf {
 
+  /** (idCol, token, __tf) term-frequency rows — the one tokenize →
+    * explode → groupBy pass that every retrieval operator here derives
+    * its document lengths, document frequencies, postings and query
+    * multiplicities from. Factored out so a query chain can STAGE it
+    * once (`.localCheckpoint(true)`) and fan out: Spark does not dedupe
+    * common subplans, so a plan that references this frame N times
+    * re-runs the scan+explode+shuffle N times — and concurrent
+    * shuffle-map stages race past a lazy `.persist()` before its blocks
+    * land. Eager checkpointing is the same staging trick as the q89
+    * LSH index build.
+    */
+  def termFreqs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
+
   /** (idCol, token, w): smoothed-idf tf-idf rows, exact DECIMAL weights.
     * `nDocs` is the corpus size for the idf (pass `df.count()` or the
     * known corpus size — a scalar, the model-stat class of boundary).
     */
   def vectors(df: DataFrame, idCol: String, textCol: String, nDocs: Long,
-      maxDf: Option[Long] = None): DataFrame = {
-    val tf = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
+      maxDf: Option[Long] = None): DataFrame =
+    weightRows(termFreqs(df, idCol, textCol), idCol, nDocs, maxDf)
+
+  /** [[vectors]] from a pre-staged [[termFreqs]] frame — the reuse seam
+    * for chains that already hold the tf rows.
+    */
+  private def weightRows(tf: DataFrame, idCol: String, nDocs: Long,
+      maxDf: Option[Long]): DataFrame = {
     val dft = tf.groupBy("token").agg(count(lit(1)).as("__df"))
     val kept = maxDf match {
       case None => dft
@@ -78,10 +98,11 @@ object TfIdf {
       textCol: String, k: Int, k1: Double = 1.5, b: Double = 0.75,
       maxDf: Option[Long] = None, nDocs: Option[Long] = None): DataFrame = {
     val n = nDocs.getOrElse(corpus.count())
-    val tf = corpus.select(col(idCol),
-        explode(TextOps.tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("__tf"))
-      .persist()
+    // four consumers below (dl, df, postings, qtf); the sumDl scalar
+    // action right after doubles as the materialization barrier, so
+    // every later stage reads cached blocks — no concurrent-stage
+    // cache race, the scan+explode+shuffle runs exactly once
+    val tf = termFreqs(corpus, idCol, textCol).persist()
     val dl = tf.groupBy(idCol).agg(sum(col("__tf")).as("__dl"))
     // avgdl: exact long sum / exact count — one scalar job (tf is cached)
     val sumDl = dl.agg(sum(col("__dl"))).head().getLong(0)
@@ -136,7 +157,16 @@ object TfIdf {
       textCol: String, k: Int, maxDf: Option[Long] = None,
       nDocs: Option[Long] = None): DataFrame = {
     val n = nDocs.getOrElse(corpus.count())
-    val cv = vectors(corpus, idCol, textCol, n, maxDf).persist()
+    // stage the tf rows FIRST (count() is the materialization barrier):
+    // cv references tf twice (df branch + weight join) and the three cv
+    // consumers below fan out into concurrent shuffle-map stages — a
+    // lazy persist lets each racing stage re-run the scan+explode
+    // before any cache block lands (the measured r10 q58 drift). With
+    // tf materialized, everything downstream is cheap joins/aggs over
+    // cached blocks, so cv's own persist is race-tolerant.
+    val tf = termFreqs(corpus, idCol, textCol).persist()
+    tf.count()
+    val cv = weightRows(tf, idCol, n, maxDf).persist()
     val qIds = queries.select(col(idCol)).distinct()
     val qv = cv.join(qIds, idCol)
       .select(col(idCol).as("query_id"), col("token"), col("w").as("__qw"))
@@ -160,6 +190,7 @@ object TfIdf {
       .select("query_id", "neighbor_id", "cosine", "rank")
       .localCheckpoint(true)
     cv.unpersist()
+    tf.unpersist()
     out
   }
 

@@ -1,10 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.api.FameSession
+import graft.ast.{FameExpr, FameStmt}
 import graft.kernels.{BusinessCalendar, Nlrx}
+import graft.parse.FameParser
 
 /** Micro-batched FAME ingest: the streaming twin of
   * [[graft.api.FameSession.run]], closing the batch/streaming asymmetry
@@ -62,6 +66,177 @@ object FameStream {
       val out = FameSession.run(script, full, dateCol, partitionKeys,
         nlrx, businessCal = businessCal).df
       out.write.mode("overwrite").parquet(resultDir)
+      ()
+    }.start()
+  }
+
+  /** Append-only eligibility analysis over the parsed script:
+    * `Right(maxLag)` when every statement can be evaluated over only the
+    * arriving rows plus a carried `maxLag`-row-per-key history tail, or
+    * `Left(reason)` naming the first disqualifying construct.
+    *
+    * A statement is eligible when its value at row t depends only on
+    * rows ≤ t at bounded distance: arithmetic/conditionals/lsum (row-
+    * local), date masks and point-in-time assigns (functions of the
+    * row's own date), backward lags `v[t−k]` / `pct` / `diff`
+    * (bounded reach k, ACCUMULATED through nesting — `pct(v[t-2], 3)`
+    * reaches 5 back). Disqualifiers: leads `v[t+k]` with positive NET
+    * offset (the value isn't known when the row is emitted), whole-
+    * series functions (`ave`, `firstvalue`, `lastvalue`, `dateof` —
+    * their value changes as history grows), history lookups
+    * `v[scalar]` / `v["date"]` (unbounded reach), every kernel
+    * statement (convert re-buckets history, shift-pct recurses
+    * backward from the END of the series, chain/fishvol/nlrx are
+    * whole-series solves), and scalars derived from series data (their
+    * value is a moving target). The reach arithmetic mirrors
+    * [[graft.compile.ColumnCompiler]]'s offset composition
+    * (`callAt`: pct/diff evaluate their argument at `o` and `o−k`).
+    */
+  def incrementalEligibility(script: String): Either[String, Int] = {
+    import FameExpr._
+    import FameStmt._
+    val stmts = FameParser.parseScript(script)
+    val scalarNames = stmts.collect { case ScalarAssign(n, _) => n }.toSet
+
+    // (maxLead, maxLag) reach of e relative to the current row; a
+    // shifted evaluation point widens the interval, it never narrows it
+    def reach(e: FameExpr): Either[String, (Int, Int)] = e match {
+      case Num(_) | Str(_) | Missing | TimeVar | Ref(_) => Right((0, 0))
+      case TimeShift(_, k) =>
+        Right(if (k > 0) (k, 0) else (0, -k))
+      case DynLookup(s, sc) => Left(s"history lookup $s[$sc]")
+      case DateLookup(s, d) => Left(s"""history lookup $s["$d"]""")
+      case Bin(_, l, r)  => for (a <- reach(l); b <- reach(r))
+        yield (math.max(a._1, b._1), math.max(a._2, b._2))
+      case Un(_, x)      => reach(x)
+      case Cond(c, t, f) => for (a <- reach(c); b <- reach(t); d <- reach(f))
+        yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
+      case ChainCall(_, _) => Left("inline $chain (whole-series index)")
+      case Call(name, args) => name match {
+        case "pct" | "diff" =>
+          val k = args.lift(1).collect { case Num(v) => v.toInt }.getOrElse(1)
+          reach(args.head).map { case (ld, lg) => (ld, lg + k) }
+        case "sqrt" | "abs" | "log" | "exp" | "exists" =>
+          reach(args.head)
+        case "min" | "max" | "lsum" =>
+          args.foldLeft[Either[String, (Int, Int)]](Right((0, 0))) {
+            (acc, a) => for (x <- acc; y <- reach(a))
+              yield (math.max(x._1, y._1), math.max(x._2, y._2))
+          }
+        case "make" => Right((0, 0)) // plan-time date literal
+        case "ave" | "firstvalue" | "lastvalue" | "dateof" =>
+          Left(s"whole-series function $name")
+        case other => Left(s"function $other (unknown reach)")
+      }
+    }
+
+    def scalarPure(e: FameExpr): Boolean = e match {
+      case Num(_) | Str(_) | Missing => true
+      case Ref(n)        => scalarNames.contains(n)
+      case Bin(_, l, r)  => scalarPure(l) && scalarPure(r)
+      case Un(_, x)      => scalarPure(x)
+      case Cond(c, t, f) => scalarPure(c) && scalarPure(t) && scalarPure(f)
+      case Call("make", _) => true
+      case _             => false
+    }
+
+    stmts.foldLeft[Either[String, Int]](Right(0)) { (acc, s) =>
+      acc.flatMap { lag =>
+        s match {
+          case SetFreq(_) | SetDate(_) | ClearDate | ListAlias(_, _) =>
+            Right(lag)
+          case Assign(_, e, _, _) => reach(e).flatMap {
+            case (0, lg)  => Right(math.max(lag, lg))
+            case (ld, _)  => Left(s"lead reach +$ld in ${s}")
+          }
+          case PointInTime(_, _, e) => reach(e).flatMap {
+            case (0, lg)  => Right(math.max(lag, lg))
+            case (ld, _)  => Left(s"lead reach +$ld in ${s}")
+          }
+          case ScalarAssign(n, e) =>
+            if (scalarPure(e)) Right(lag)
+            else Left(s"scalar $n derived from series data")
+          case ConvertAssign(t, _, _, _, _, _, _) =>
+            Left(s"convert ($t) re-buckets history")
+          case ShiftPctAssign(t, _, _) =>
+            Left(s"shift_pct ($t) recurses backward from series end")
+          case ChainAssign(t, _, _)   => Left(s"chain ($t) whole-series")
+          case FishvolAssign(t, _, _, _) =>
+            Left(s"fishvol ($t) whole-series")
+          case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
+        }
+      }
+    }
+  }
+
+  /** Incremental micro-batched FAME for the forward-only script subset
+    * ([[incrementalEligibility]]): per-batch cost O(batch + maxLag·keys)
+    * instead of [[run]]'s O(history) snapshot recompute. Throws
+    * IllegalArgumentException on an ineligible script — callers choose
+    * the fallback explicitly (auto-silently degrading to O(history)
+    * would hide a 1000× cost cliff behind a flag).
+    *
+    * Mechanics per micro-batch, all idempotent under checkpoint replay:
+    *  1. the batch lands at `bronzeDir/batch=<id>` (overwrite — the
+    *     [[run]] bronze contract);
+    *  2. the script runs over (carried tail ∪ batch): the tail is the
+    *     last `maxLag` INPUT rows per key as of the previous batch, so
+    *     every backward lag a batch row needs is present; tail rows are
+    *     marked and their outputs dropped (they were emitted by the
+    *     batch that first carried them);
+    *  3. new rows' outputs land at `resultDir/batch=<id>` (overwrite);
+    *  4. the new tail (last `maxLag` rows per key of tail ∪ batch) is
+    *     VERSIONED at `bronzeDir/_tail/v=<id>` — a replayed batch n
+    *     re-reads tail v=n−1, which a later batch never overwrites, so
+    *     recovery recomputes batch n byte-identically.
+    *
+    * Contract: rows arrive in nondecreasing date order per key (the
+    * standard series-ingest shape — a late row would need the
+    * snapshot-recompute form [[run]] to revise already-emitted output).
+    * Read the result as `spark.read.parquet(resultDir)` (batch subdirs
+    * union; drop the synthetic `batch` partition column).
+    */
+  def runIncremental(stream: DataFrame, script: String, bronzeDir: String,
+      resultDir: String, dateCol: String = "DATE",
+      partitionKeys: Seq[String] = Nil,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val maxLag = incrementalEligibility(script) match {
+      case Left(reason) => throw new IllegalArgumentException(
+        s"script not incrementally evaluable: $reason (use FameStream.run)")
+      case Right(k) => k
+    }
+    val spark = stream.sparkSession
+    val cols = stream.columns.toIndexedSeq
+    val dateU = dateCol.toUpperCase
+    val keysU = partitionKeys.map(_.toUpperCase)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var w = stream.writeStream.outputMode("append")
+    checkpointDir.foreach(c => w = w.option("checkpointLocation", c))
+    w.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$bronzeDir/batch=$batchId")
+      val tailPath = new org.apache.hadoop.fs.Path(
+        s"$bronzeDir/_tail/v=${batchId - 1}")
+      val fs = tailPath.getFileSystem(hconf)
+      val upper = batch.select(
+        cols.map(c => col(c).as(c.toUpperCase)): _*)
+      val prevTail: DataFrame =
+        if (batchId > 0 && fs.exists(tailPath))
+          spark.read.parquet(tailPath.toString)
+        else upper.where(lit(false))
+      val work = prevTail.withColumn("__IS_TAIL", lit(true))
+        .unionByName(upper.withColumn("__IS_TAIL", lit(false)))
+      val out = FameSession.run(script, work, dateU, keysU).df
+      out.where(!col("__IS_TAIL")).drop("__IS_TAIL")
+        .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
+      // next tail: last maxLag INPUT rows per key of tail ∪ batch
+      val ord = Window.partitionBy(
+          (if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)): _*)
+        .orderBy(col(dateU).desc)
+      work.drop("__IS_TAIL")
+        .withColumn("__RN", row_number().over(ord))
+        .where(col("__RN") <= maxLag).drop("__RN")
+        .write.mode("overwrite")
+        .parquet(s"$bronzeDir/_tail/v=$batchId")
       ()
     }.start()
   }

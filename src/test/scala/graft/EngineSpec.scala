@@ -64,6 +64,17 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "A"), Seq(Some(1.0), Some(22.0), Some(33.0)))
   }
 
+  test("weekly literal end-to-end: reference approximation vs isoWeeks") {
+    // weekly grid around week 5 of 2020: approx mode resolves 2020.05
+    // to Jan 29 (Jan 1 + 28d), ISO mode to Mon Jan 27 — same script,
+    // flag decides which row the point assignment lands on
+    val in = frame(Seq("2020-01-27", "2020-01-29"))
+    val approx = FameSession.run("""w[2020.05] = 7""", in).df
+    assertSeq(column(approx, "W"), Seq(None, Some(7.0)))
+    val iso = FameSession.run("""w[2020.05] = 7""", in, isoWeeks = true).df
+    assertSeq(column(iso, "W"), Seq(Some(7.0), None))
+  }
+
   test("F5: lsum null-as-zero (tests/test_master_suite.py:808-820)") {
     val in = frame(Seq("2020-01-01", "2020-02-01"),
       "A" -> Seq(10, null), "B" -> Seq(null, 20))

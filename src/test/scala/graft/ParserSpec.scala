@@ -171,4 +171,23 @@ class ParserSpec extends AnyFunSuite {
     assert(p("jan2020") == LocalDate.of(2020, 1, 1))
     assert(p("2020.05") == LocalDate.of(2020, 1, 29)) // Jan1 + 7*(w-1)
   }
+
+  test("weekly literals: ISO-8601 mode vs reference approximation") {
+    def p(s: String) = FameDate.parse(s).get
+    def iso(s: String) =
+      FameDate.withIsoWeeks(true)(FameDate.parse(s)).get
+    // 2020 week 1 starts Mon 2019-12-30, so ISO week 5 = Mon Jan 27
+    assert(iso("2020.05") == LocalDate.of(2020, 1, 27))
+    assert(p("2020.05") == LocalDate.of(2020, 1, 29))
+    // Jan 1 2021 is a Friday in ISO week 53 OF 2020; week-based-year
+    // 2021 starts Mon Jan 4 — the case the approximation can't express
+    assert(iso("2021.01") == LocalDate.of(2021, 1, 4))
+    assert(p("2021.01") == LocalDate.of(2021, 1, 1))
+    // ISO week 1 of 2015 starts in the PREVIOUS calendar year
+    assert(iso("2015.01") == LocalDate.of(2014, 12, 29))
+    assert(p("2015.01") == LocalDate.of(2015, 1, 1))
+    // ISO mode results always land on Mondays; default stays off
+    assert(iso("1999.26").getDayOfWeek == java.time.DayOfWeek.MONDAY)
+    assert(FameDate.parse("2020.05").get == LocalDate.of(2020, 1, 29))
+  }
 }

@@ -1030,4 +1030,85 @@ class StreamingSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(bronze == Set("batch=0", "batch=1"))
   }
+
+  test("incremental eligibility: forward-only scripts get their max lag, " +
+      "whole-series/backward/lead constructs are named and refused") {
+    import graft.streaming.FameStream.incrementalEligibility
+    assert(incrementalEligibility(
+      "freq m\nbase = 100\nv2 = rev * 2\ngrowth = pct(v2)") == Right(1))
+    // nested reach accumulates: pct(v[t-2], 3) looks 5 back
+    assert(incrementalEligibility("x = pct(rev[t-2], 3)") == Right(5))
+    assert(incrementalEligibility("x = diff(rev) + rev[t-3]") == Right(3))
+    // lead inside a lag nets forward — refused
+    assert(incrementalEligibility("x = rev[t+1]").isLeft)
+    assert(incrementalEligibility("x = ave(rev)").isLeft)
+    assert(incrementalEligibility("x = firstvalue(rev)").isLeft)
+    assert(incrementalEligibility(
+      "x = convert(rev, q, discrete, averaged)").isLeft)
+    assert(incrementalEligibility("scalar s = rev[t-1]").isLeft)
+    // pure scalars are fine and usable downstream
+    assert(incrementalEligibility(
+      "lambda20 = 20\nx = rev * lambda20") == Right(0))
+  }
+
+  test("incremental FAME ingest: O(batch) evaluation equals the batch " +
+      "run across 3 micro-batches (2-lag tail crosses two boundaries)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fameinc").toString
+    // maxLag = 2: growth needs t-1, d2 needs t-2 — both reach across
+    // micro-batch boundaries through the carried tail
+    val script =
+      """freq m
+        |base = 100
+        |v2 = rev * 2
+        |growth = pct(v2)
+        |d2 = rev - rev[t-2]""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script)
+      == Right(2))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0, 10.0), (d("1995-02-01"), 5.0, 12.0)),
+      Seq((d("1995-03-01"), 6.0, 9.0)),
+      Seq((d("1995-04-01"), 3.0, 11.0), (d("1995-05-01"), 8.0, 7.0)))
+    val src = MemoryStream[(java.sql.Date, Double, Double)]
+    val df = src.toDF().toDF("DATE", "REV", "CNT")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2),
+      if (r.isNullAt(3)) null else r.getDouble(3))
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "V2", "GROWTH", "D2").orderBy("DATE")
+      .collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "REV", "CNT")).df
+      .select("DATE", "V2", "GROWTH", "D2").orderBy("DATE")
+      .collect().map(key).toSeq
+    assert(got == batchRun)
+    // the boundary-crossing cells are real values, not nulls: March's
+    // growth needs February, April's d2 needs February via the tail
+    assert(got(2)._3 == 20.0)          // (12-10)/10*100
+    assert(got(3)._4 == 3.0 - 5.0)     // April rev − February rev
+    // every batch emitted exactly its own rows (O(batch) outputs)…
+    val perBatch = spark.read.parquet(s"$base/result")
+      .groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 2L, 1L -> 1L, 2L -> 2L))
+    // …and the carried tail never exceeds maxLag rows per version
+    val tails = new java.io.File(s"$base/bronze/_tail").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(tails == Set("v=0", "v=1", "v=2"))
+    assert(spark.read.parquet(s"$base/bronze/_tail/v=1").count() == 2)
+    // ineligible script refused loudly
+    intercept[IllegalArgumentException] {
+      graft.streaming.FameStream.runIncremental(df,
+        "x = ave(rev)", s"$base/b2", s"$base/r2")
+    }
+  }
 }

@@ -11,7 +11,9 @@ per 5,000 docs, 256 one-token-edit near-twin pairs (J >= 0.5 at
 duplicating texts 10x would inflate the near-dup pair graph
 quadratically and misrepresent the workload. Seed 408 (round 8's).
 
-Usage: python3 tools/gen10x_documents.py [out_dir]   (default /tmp/sf1.0)
+Usage: python3 tools/gen10x_documents.py [out_dir] [factor]
+       (defaults /tmp/sf1.0, 10; the round-11 30x sweep fixture is
+        `python3 tools/gen10x_documents.py /tmp/sf3.0 30`)
 """
 import sys
 
@@ -20,7 +22,7 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
 OUT = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0")
-N_FACTOR = 10
+N_FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 NEAR_PER_5K = 256
 EXACT_PER_5K = 8
 
