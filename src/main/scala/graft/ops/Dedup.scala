@@ -1321,8 +1321,11 @@ object Dedup {
     * the deterministic complement of [[minHashLshPairs]]. Every doc's
     * DISTINCT token set is ordered by a global rarest-first key
     * (df asc, token); a pair with J ≥ t provably shares a token within
-    * each side's first |x| − ⌈t·|x|⌉ + 1 tokens, so only prefix tokens
-    * join — and prefix tokens are by construction the RAREST, so the
+    * each side's first |x| − ⌈t·|x|⌉ + 1 tokens — and, generating each
+    * unordered pair once in (length, id) order, the smaller side needs
+    * only the first |x| − ⌈2t/(1+t)·|x|⌉ + 1 (the PPJoin index
+    * prefix). Only prefix tokens join — and prefix tokens are by
+    * construction the RAREST, so the
     * candidate join is driven by low-df keys (the exact opposite of the
     * hot-token trap). Candidates then verify with an exact
     * intersection count. NO false negatives (unlike LSH's probabilistic
@@ -1330,10 +1333,11 @@ object Dedup {
     * asserts.
     *
     * Scale shape: df table + per-doc sorted list are one groupBy each;
-    * the candidate join is on prefix tokens only (≈ (1−t)·|doc| of the
-    * rarest tokens per doc) with the length filter t·|y| ≤ |x| pruning
-    * before the pair-dedup; verification joins on (id, token) equi-keys
-    * for candidate pairs only.
+    * the candidate join is probing-prefix × index-prefix rows only,
+    * with the length filter t·|y| ≤ |x| and PPJoin's positional
+    * overlap upper bound (min over shared prefix positions, a map-side-
+    * combined aggregate) pruning before verification; verification
+    * joins on (id, token) equi-keys for surviving pairs only.
     *
     * @return (id1, id2, n_common, l1, l2, jaccard) with id1 < id2,
     *         jaccard ≥ minJaccard.
