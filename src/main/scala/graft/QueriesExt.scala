@@ -2025,9 +2025,16 @@ object QueriesExt {
     // only the sketch survives.
     "q103_kmv_overlap" -> ((s, dir) => {
       val d = docs(s, dir)
+      // stage the DISTINCT (source, gram) frame ONCE: the sketch and
+      // the exact witness both consume it, the tokenize+3-gram explode
+      // is the dominant scan, and kmvSketch dedupes (source, hash)
+      // internally anyway — so feeding it pre-distinct rows is
+      // semantically identical and halves the heavy passes (same
+      // staging trick as the q89 index and the bm25 tf frame)
       val grams = Dedup.posGramRows(d, "doc_id", "text", w = 3)
         .join(d.select("doc_id", "source"), "doc_id")
         .select(col("source"), col("gram"))
+        .distinct().localCheckpoint(true)
       val sk = Sketches.kmvSketch(grams, Seq("source"), col("gram"),
         k = 256).localCheckpoint(true)
       val overlap = Sketches.kmvPairOverlap(sk, "source", k = 256)
@@ -2041,7 +2048,7 @@ object QueriesExt {
       // every pairwise intersection is a filtered sum over that tiny
       // frame; unions follow as |A| + |B| − inter. Same cells, one
       // gram-keyed shuffle instead of a pair-replicated one.
-      val g = grams.distinct()
+      val g = grams
       def bitOf(c: String) =
         expr(s"shiftleft(1L, cast(regexp_replace($c, 'src', '') as int))")
       val gm = g.select(col("gram"), bitOf("source").as("__bit"))
@@ -2130,10 +2137,15 @@ object QueriesExt {
     "q106_kmv_novelty" -> ((s, dir) => {
       val k = 256
       val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      // each half's gram frame feeds 2-3 consumers (its sketch + the
+      // exact witnesses); stage it DISTINCT once — kmvSketch dedupes
+      // (source, hash) internally, so pre-distinct rows are
+      // semantically identical and the heavy explode runs once per half
       def gramsOf(df: DataFrame): DataFrame =
         Dedup.posGramRows(df, "doc_id", "text", w = 3)
           .join(df.select("doc_id", "source"), "doc_id")
           .select(col("source"), col("gram"))
+          .distinct().localCheckpoint(true)
       val gS = gramsOf(d.where(col("u") < 0.5))
       val gF = gramsOf(d.where(col("u") >= 0.5))
       val skS = Sketches.kmvSketch(gS, Seq("source"), col("gram"), k)
@@ -2147,10 +2159,10 @@ object QueriesExt {
       val estU = Sketches.kmvEstimate(merged, Seq("source"), k)
         .select(col("source"), col("n_k").as("n_union_k"),
           col("est_distinct").as("est_union"))
-      val exactSt = gS.distinct().groupBy("source")
+      val exactSt = gS.groupBy("source")
         .agg(count(lit(1)).as("exact_standing"))
-      val exactNew = gF.distinct()
-        .join(gS.distinct(), Seq("source", "gram"), "left_anti")
+      val exactNew = gF
+        .join(gS, Seq("source", "gram"), "left_anti")
         .groupBy("source").agg(count(lit(1)).as("exact_new"))
       estS.join(estU, "source")
         .withColumn("est_new", col("est_union") - col("est_standing"))

@@ -1495,6 +1495,10 @@ object Dedup {
         concat_ws("", col("__s").substr(lit(1), i - 1), lit("\u0000"),
           col("__s").substr(i + 1, length(col("__s")) - i))))
         .as("__key"))
+      // staged eagerly: the self-join references the frame twice and
+      // Spark does not dedupe common subplans — without the barrier
+      // the scan+explode runs once per side
+      .localCheckpoint(true)
     val pairs = keys.as("a").join(keys.as("b"),
         col("a.__key") === col("b.__key") &&
           col("a.__id") < col("b.__id"))
