@@ -13,7 +13,9 @@ plus small uniform jitter — preserving the label-cluster structure the
 IVF/k-means/cartography operators key on. Fresh draws, not copies
 (duplicated vectors would collapse ANN candidate sets). Seed 409.
 
-Usage: python3 tools/gen10x_embeddings.py [out_dir]  (default /tmp/sf1.0)
+Usage: python3 tools/gen10x_embeddings.py [out_dir] [factor]
+       (defaults /tmp/sf1.0, 10; the round-11 30x ANN sweep fixture is
+        `python3 tools/gen10x_embeddings.py /tmp/sf3.0 30`)
 """
 import sys
 
@@ -22,7 +24,7 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1/embeddings.parquet"
 OUT = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0")
-N_FACTOR = 10
+N_FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 rng = np.random.default_rng(409)
 src = pd.read_parquet(SRC)
