@@ -1399,13 +1399,18 @@ object QueriesExt {
         .option("maxFilesPerTrigger", 1)
         .parquet(s"$base/src")
         .drop("y")
+      // mode = Snapshot: this query IS the snapshot-recompute oracle pin
+      // (q210 pins the incremental path); also the year files land with
+      // one shared mtime, so the incremental path's ordered-arrival
+      // contract isn't guaranteed by this fixture
       val q = graft.streaming.FameStream.run(stream,
         """freq m
           |base = 100
           |v2 = rev * 2
           |growth = pct(v2)""".stripMargin,
         s"$base/bronze", s"$base/result",
-        checkpointDir = Some(s"$base/ckpt"))
+        checkpointDir = Some(s"$base/ckpt"),
+        mode = graft.streaming.FameStream.Snapshot)
       try q.processAllAvailable() finally q.stop()
       s.read.parquet(s"$base/result")
         .select(col("DATE").as("date"), col("REV").as("rev"),

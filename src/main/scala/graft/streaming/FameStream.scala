@@ -43,16 +43,48 @@ import graft.parse.FameParser
   */
 object FameStream {
 
+  /** Execution mode for [[run]]: `Auto` (default) consults
+    * [[incrementalEligibility]] and routes forward-only scripts to the
+    * O(batch) incremental evaluator, everything else to the O(history)
+    * snapshot recompute; `Snapshot` / `Incremental` force a path.
+    * Force `Snapshot` when ingest is NOT nondecreasing-date-ordered per
+    * key — the incremental path's contract (late rows need the
+    * recompute form to revise already-emitted output).
+    */
+  sealed trait Mode
+  case object Auto        extends Mode
+  case object Snapshot    extends Mode
+  case object Incremental extends Mode
+
   /** Start the micro-batched loop; returns the running query (caller
     * stops it). `stream` must carry the same columns a batch
     * [[FameSession.run]] input would (dateCol + series columns).
+    *
+    * The single user-facing entry (VERDICT r11 task 3): `mode = Auto`
+    * dispatches on [[incrementalEligibility]] — an eligible
+    * (bounded-backward-reach) script runs [[runIncremental]], an
+    * ineligible one falls back to the snapshot recompute below — so
+    * callers no longer need to know which evaluator fits their script.
+    * NOTE the result layouts differ: incremental appends
+    * `resultDir/batch=<id>` subdirs (plus a synthetic `batch` partition
+    * column on read), snapshot overwrites a flat gold snapshot; both
+    * read back with `spark.read.parquet(resultDir)`.
     */
   def run(stream: DataFrame, script: String, bronzeDir: String,
       resultDir: String, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      mode: Mode = Auto): StreamingQuery = {
+    val incremental = mode match {
+      case Incremental => true
+      case Snapshot    => false
+      case Auto        => incrementalEligibility(script).isRight
+    }
+    if (incremental)
+      return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
+        partitionKeys, checkpointDir)
     val spark = stream.sparkSession
     val cols = stream.columns.toIndexedSeq
     var w = stream.writeStream.outputMode("append")
@@ -91,6 +123,16 @@ object FameStream {
     * value is a moving target). The reach arithmetic mirrors
     * [[graft.compile.ColumnCompiler]]'s offset composition
     * (`callAt`: pct/diff evaluate their argument at `o` and `o−k`).
+    *
+    * Reach is TRANSITIVE through derived series: in
+    * `a = pct(rev); b = pct(a)`, `b` at row t reads `a[t−1]` which
+    * reads `rev[t−2]`, so the script's maxLag is 2, not 1 — the fold
+    * records each assigned series' accumulated (lead, lag) interval and
+    * `Ref`/`TimeShift`/`pct`/`diff` of a derived name add the recorded
+    * interval to their own offset. Without this the carried input tail
+    * is too short and the first rows of every batch silently evaluate
+    * chained lags against absent history (nulls where the whole-history
+    * run has values), breaking the batch-equivalence contract.
     */
   def incrementalEligibility(script: String): Either[String, Int] = {
     import FameExpr._
@@ -98,29 +140,36 @@ object FameStream {
     val stmts = FameParser.parseScript(script)
     val scalarNames = stmts.collect { case ScalarAssign(n, _) => n }.toSet
 
-    // (maxLead, maxLag) reach of e relative to the current row; a
-    // shifted evaluation point widens the interval, it never narrows it
-    def reach(e: FameExpr): Either[String, (Int, Int)] = e match {
-      case Num(_) | Str(_) | Missing | TimeVar | Ref(_) => Right((0, 0))
-      case TimeShift(_, k) =>
-        Right(if (k > 0) (k, 0) else (0, -k))
+    // (maxLead, maxLag) reach of e relative to the current row, given
+    // the reaches recorded so far for derived series (`env`); a shifted
+    // evaluation point TRANSLATES a referenced series' whole interval
+    // [−lg, +ld] to [k−lg, k+ld], it never narrows it. Input series and
+    // pure scalars are absent from env → (0, 0).
+    def reach(e: FameExpr, env: Map[String, (Int, Int)])
+        : Either[String, (Int, Int)] = e match {
+      case Num(_) | Str(_) | Missing | TimeVar => Right((0, 0))
+      case Ref(n) => Right(env.getOrElse(n, (0, 0)))
+      case TimeShift(n, k) =>
+        val (ld, lg) = env.getOrElse(n, (0, 0))
+        Right((math.max(0, ld + k), math.max(0, lg - k)))
       case DynLookup(s, sc) => Left(s"history lookup $s[$sc]")
       case DateLookup(s, d) => Left(s"""history lookup $s["$d"]""")
-      case Bin(_, l, r)  => for (a <- reach(l); b <- reach(r))
+      case Bin(_, l, r)  => for (a <- reach(l, env); b <- reach(r, env))
         yield (math.max(a._1, b._1), math.max(a._2, b._2))
-      case Un(_, x)      => reach(x)
-      case Cond(c, t, f) => for (a <- reach(c); b <- reach(t); d <- reach(f))
-        yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
+      case Un(_, x)      => reach(x, env)
+      case Cond(c, t, f) =>
+        for (a <- reach(c, env); b <- reach(t, env); d <- reach(f, env))
+          yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
       case ChainCall(_, _) => Left("inline $chain (whole-series index)")
       case Call(name, args) => name match {
         case "pct" | "diff" =>
           val k = args.lift(1).collect { case Num(v) => v.toInt }.getOrElse(1)
-          reach(args.head).map { case (ld, lg) => (ld, lg + k) }
+          reach(args.head, env).map { case (ld, lg) => (ld, lg + k) }
         case "sqrt" | "abs" | "log" | "exp" | "exists" =>
-          reach(args.head)
+          reach(args.head, env)
         case "min" | "max" | "lsum" =>
           args.foldLeft[Either[String, (Int, Int)]](Right((0, 0))) {
-            (acc, a) => for (x <- acc; y <- reach(a))
+            (acc, a) => for (x <- acc; y <- reach(a, env))
               yield (math.max(x._1, y._1), math.max(x._2, y._2))
           }
         case "make" => Right((0, 0)) // plan-time date literal
@@ -140,21 +189,36 @@ object FameStream {
       case _             => false
     }
 
-    stmts.foldLeft[Either[String, Int]](Right(0)) { (acc, s) =>
-      acc.flatMap { lag =>
+    // fold state: (global max input-lag so far, per-series recorded
+    // reach). A masked / point-in-time reassign PRESERVES rows the old
+    // definition wrote, so a re-recorded series keeps the max of old
+    // and new reach (never narrows — conservative is sound here: an
+    // over-long tail only costs a few carried rows).
+    def record(env: Map[String, (Int, Int)], name: String,
+        r: (Int, Int)): Map[String, (Int, Int)] = {
+      val old = env.getOrElse(name, (0, 0))
+      env + (name -> (math.max(old._1, r._1), math.max(old._2, r._2)))
+    }
+
+    stmts.foldLeft[Either[String, (Int, Map[String, (Int, Int)])]](
+      Right((0, Map.empty))) { (acc, s) =>
+      acc.flatMap { case (lag, env) =>
         s match {
           case SetFreq(_) | SetDate(_) | ClearDate | ListAlias(_, _) =>
-            Right(lag)
-          case Assign(_, e, _, _) => reach(e).flatMap {
-            case (0, lg)  => Right(math.max(lag, lg))
-            case (ld, _)  => Left(s"lead reach +$ld in ${s}")
+            Right((lag, env))
+          case Assign(target, e, _, localDb) => reach(e, env).flatMap {
+            case r @ (0, lg) =>
+              val name = localDb.map(_ + "_").getOrElse("") + target
+              Right((math.max(lag, lg), record(env, name, r)))
+            case (ld, _) => Left(s"lead reach +$ld in ${s}")
           }
-          case PointInTime(_, _, e) => reach(e).flatMap {
-            case (0, lg)  => Right(math.max(lag, lg))
-            case (ld, _)  => Left(s"lead reach +$ld in ${s}")
+          case PointInTime(target, _, e) => reach(e, env).flatMap {
+            case r @ (0, lg) =>
+              Right((math.max(lag, lg), record(env, target, r)))
+            case (ld, _) => Left(s"lead reach +$ld in ${s}")
           }
           case ScalarAssign(n, e) =>
-            if (scalarPure(e)) Right(lag)
+            if (scalarPure(e)) Right((lag, env))
             else Left(s"scalar $n derived from series data")
           case ConvertAssign(t, _, _, _, _, _, _) =>
             Left(s"convert ($t) re-buckets history")
@@ -166,7 +230,7 @@ object FameStream {
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }
+    }.map(_._1)
   }
 
   /** Incremental micro-batched FAME for the forward-only script subset

@@ -1,0 +1,193 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.api.FameSession
+import graft.streaming.FameStream
+
+/** Property test for [[FameStream.incrementalEligibility]]'s reach
+  * arithmetic (VERDICT r11 task 4): over randomly generated scripts
+  * mixing lags, leads, nested pct/diff, whole-series functions, scalars
+  * and chained derived-series references,
+  *
+  *  - the walker's verdict must match an INDEPENDENTLY-computed
+  *    expectation carried by the generator (exact maxLag for `Right`,
+  *    refusal for `Left`), and
+  *  - every `Right(maxLag)` script must satisfy the contract the number
+  *    exists for: evaluating the script over (last-maxLag-input-rows
+  *    tail ∪ batch) — exactly [[FameStream.runIncremental]]'s per-batch
+  *    work frame — reproduces the whole-history run bit-for-bit on the
+  *    batch rows, across ≥3 micro-batches.
+  *
+  * The equivalence check deliberately bypasses the streaming harness
+  * (MemoryStream + checkpoint per generated script would cost seconds
+  * each); the work-frame construction IS runIncremental's (tail = last
+  * maxLag input rows, outputs of tail rows dropped), and the real
+  * streaming plumbing is pinned separately by StreamingSpec's
+  * incremental-ingest and chained-lag tests.
+  */
+class IncrementalPropertySpec extends SparkSpec {
+
+  private def forAllN[A](gen: Gen[A], n: Int)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(0xFA7E + i), retries = 100))
+    }
+
+  // --- generator: expression text + the generator's OWN reach algebra ---
+  // Reach is Either[refused, (maxLead, maxLag)] relative to the current
+  // row. This arithmetic is written independently of the walker's (the
+  // walker folds statements with an env; here each emitted node carries
+  // its interval forward), and the run-equivalence below is the ground
+  // truth for the Right side.
+
+  private type Reach = Either[String, (Int, Int)]
+  private def merge(a: Reach, b: Reach): Reach =
+    for (x <- a; y <- b)
+      yield (math.max(x._1, y._1), math.max(x._2, y._2))
+
+  private def genExpr(depth: Int, env: Map[String, (Int, Int)])
+      : Gen[(String, Reach)] = {
+    val names = env.keys.toSeq.sorted
+    val leaf: Gen[(String, Reach)] = Gen.frequency(
+      2 -> Gen.choose(2, 9).map(n => (n.toString, Right((0, 0)))),
+      5 -> Gen.oneOf(names).map(n => (n.toLowerCase, Right(env(n)))),
+      3 -> (for {
+        n <- Gen.oneOf(names); k <- Gen.choose(1, 3)
+      } yield {
+        val (ld, lg) = env(n)
+        (s"${n.toLowerCase}[t-$k]", Right((math.max(0, ld - k), lg + k)))
+      }),
+      1 -> (for { // lead — usually fatal at statement level
+        n <- Gen.oneOf(names); k <- Gen.choose(1, 2)
+      } yield {
+        val (ld, lg) = env(n)
+        (s"${n.toLowerCase}[t+$k]", Right((ld + k, math.max(0, lg - k))))
+      }),
+      1 -> Gen.oneOf(names).map(n =>
+        (s"ave(${n.toLowerCase})", Left(s"whole-series ave"))),
+      1 -> Gen.oneOf("firstvalue", "lastvalue").flatMap(f =>
+        Gen.oneOf(names).map(n =>
+          (s"$f(${n.toLowerCase})", Left(s"whole-series $f")))))
+    if (depth <= 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      3 -> (for {
+        op <- Gen.oneOf("+", "-", "*")
+        l <- genExpr(depth - 1, env); r <- genExpr(depth - 1, env)
+      } yield (s"(${l._1} $op ${r._1})", merge(l._2, r._2))),
+      3 -> (for {
+        f <- Gen.oneOf("pct", "diff"); k <- Gen.choose(1, 2)
+        j <- Gen.choose(1, 3)
+        a <- genExpr(depth - 1, env)
+      } yield {
+        // pct divides by the lagged argument — keep it strictly
+        // positive (ANSI mode turns a zero denominator into an error,
+        // and the reach algebra is what's under test, not div-by-zero)
+        val arg = if (f == "pct") s"(abs(${a._1}) + $j)" else a._1
+        (s"$f($arg, $k)", a._2.map { case (ld, lg) => (ld, lg + k) })
+      }),
+      1 -> genExpr(depth - 1, env).map { case (s, r) => (s"abs($s)", r) },
+      1 -> (for {
+        f <- Gen.oneOf("min", "max", "lsum")
+        l <- genExpr(depth - 1, env); r <- genExpr(depth - 1, env)
+      } yield (s"$f(${l._1}, ${r._1})", merge(l._2, r._2))))
+  }
+
+  /** A script of 2–4 chained assignments (targets v1..v4, later RHSs may
+    * reference earlier targets — the transitive-reach hazard) plus the
+    * generator-side expectation: Left(reason) or Right(maxLag).
+    */
+  private val genScript: Gen[(String, Either[String, Int])] = {
+    val base = Map("REV" -> (0, 0), "CNT" -> (0, 0))
+    def stmts(i: Int, n: Int, env: Map[String, (Int, Int)],
+        acc: List[String], expect: Either[String, Int])
+        : Gen[(String, Either[String, Int])] =
+      if (i > n)
+        Gen.const((("freq m" :: acc.reverse).mkString("\n"), expect))
+      else genExpr(2, env).flatMap { case (txt, r) =>
+        val line = s"v$i = $txt"
+        val nextExpect: Either[String, Int] = expect.flatMap { lag =>
+          r match {
+            case Left(reason)   => Left(reason)
+            case Right((ld, _)) if ld > 0 => Left(s"lead +$ld")
+            case Right((_, lg)) => Right(math.max(lag, lg))
+          }
+        }
+        // env only grows on an accepted assignment; after a refusal the
+        // expectation is already Left and further statements can't
+        // rescue it (the walker stops at the first refusal too)
+        val nextEnv = r match {
+          case Right((ld, lg)) if ld == 0 =>
+            val old = env.getOrElse(s"V$i", (0, 0))
+            env + (s"V$i" -> (math.max(old._1, ld), math.max(old._2, lg)))
+          case _ => env
+        }
+        stmts(i + 1, n, nextEnv, line :: acc, nextExpect)
+      }
+    Gen.choose(2, 4).flatMap(n => stmts(1, n, base, Nil, Right(0)))
+  }
+
+  private def bits(o: Option[Double]): Option[Long] =
+    o.map(java.lang.Double.doubleToLongBits)
+
+  test("eligibility walker: generated-script verdicts match the " +
+      "independent reach algebra, and every Right(maxLag) script is " +
+      "batch-equivalent over a maxLag tail across 3 micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dates = (1 to 9).map(m => f"1995-$m%02d-01")
+    var rights = 0
+    var lefts = 0
+    forAllN(Gen.zip(genScript,
+      Gen.listOfN(9, Gen.choose(1, 50)),
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 120) {
+      case ((script, expect), revRaw, cntRaw) =>
+        val got = FameStream.incrementalEligibility(script)
+        expect match {
+          case Left(_) =>
+            lefts += 1
+            assert(got.isLeft, s"walker accepted a refused script:\n$script")
+          case Right(m) =>
+            rights += 1
+            assert(got == Right(m),
+              s"walker said $got, independent algebra says Right($m):\n$script")
+            // ground truth: maxLag input-tail suffices for batch parity
+            val rev = revRaw.map(_ + 0.5)
+            val cnt = cntRaw.map(_ + 0.25)
+            val full = FameSession.run(script,
+              frame(dates, "REV" -> rev, "CNT" -> cnt)).df
+            val series = full.columns.filter(_.startsWith("V"))
+            def byDate(df: org.apache.spark.sql.DataFrame,
+                keep: Set[String]): Map[String, Seq[Option[Long]]] =
+              df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+                .orderBy("DATE")
+                .select(series.map(col).toIndexedSeq: _*).collect().toSeq
+                .map(r => series.indices.map(j =>
+                  bits(if (r.isNullAt(j)) None else Some(r.getDouble(j)))))
+                .transpose match {
+                  case cols => series.zip(
+                    if (cols.isEmpty) series.map(_ => Seq.empty[Option[Long]])
+                    else cols).toMap
+                }
+            var consumed = 0
+            Seq(0 until 3, 3 until 6, 6 until 9).foreach { idx =>
+              val tailIdx = (consumed - m).max(0) until consumed
+              val workIdx = tailIdx ++ idx
+              val work = FameSession.run(script,
+                frame(workIdx.map(dates),
+                  "REV" -> workIdx.map(rev), "CNT" -> workIdx.map(cnt))).df
+              val batchDates = idx.map(dates).toSet
+              val gotCols = byDate(work, batchDates)
+              val wantCols = byDate(full, batchDates)
+              assert(gotCols == wantCols,
+                s"batch $idx diverged from whole-history (maxLag=$m):\n" +
+                  s"$script\n got=$gotCols\nwant=$wantCols")
+              consumed += idx.size
+            }
+        }
+    }
+    // the generator must actually exercise both sides at real volume
+    assert(rights >= 30, s"only $rights Right scripts generated")
+    assert(lefts >= 30, s"only $lefts Left scripts generated")
+  }
+}

@@ -1001,9 +1001,12 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq((d("1995-03-01"), 6.0, 9.0), (d("1995-04-01"), 3.0, 11.0))
     val src = MemoryStream[(java.sql.Date, Double, Double)]
     val df = src.toDF().toDF("DATE", "REV", "CNT")
+    // mode = Snapshot pins the O(history) recompute path itself (this
+    // script is incremental-eligible, so Auto would route it away)
     val q = graft.streaming.FameStream.run(df, script,
       s"$base/bronze", s"$base/result",
-      checkpointDir = Some(s"$base/ckpt"))
+      checkpointDir = Some(s"$base/ckpt"),
+      mode = graft.streaming.FameStream.Snapshot)
     try {
       src.addData(batch1: _*)
       q.processAllAvailable()
@@ -1049,6 +1052,112 @@ class StreamingSpec extends SparkSpec {
     // pure scalars are fine and usable downstream
     assert(incrementalEligibility(
       "lambda20 = 20\nx = rev * lambda20") == Right(0))
+    // reach is TRANSITIVE through derived series (the r11 advice bug):
+    // b reads a[t-1] which reads rev[t-2] — maxLag 2, not 1
+    assert(incrementalEligibility(
+      "a = pct(rev)\nb = pct(a)") == Right(2))
+    assert(incrementalEligibility(
+      "a = rev[t-2]\nb = a[t-1]\nc = pct(b, 3)") == Right(6))
+    // a lead on a derived lag-bearing series still nets forward — refused
+    assert(incrementalEligibility("a = pct(rev)\nb = a[t+1]").isLeft)
+    // a masked reassign may preserve the older, deeper-reaching rows:
+    // recorded reach is the max of both definitions
+    assert(incrementalEligibility(
+      "a = rev[t-3]\nset <date 1995-06-01 to *> a = rev\nb = pct(a)")
+      == Right(4))
+  }
+
+  test("incremental FAME: chained lags through derived series carry a " +
+      "transitively-sized tail (batch parity at every boundary row)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famechain").toString
+    // b needs a[t-1] needs rev[t-2]: with the pre-fix 1-row tail, b at
+    // each batch's first row was silently null — this pins the fix
+    val script =
+      """freq m
+        |a = pct(rev)
+        |b = pct(a)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script)
+      == Right(2))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0),
+        (d("1995-03-01"), 7.0)),
+      Seq((d("1995-04-01"), 6.0)),          // b here needs Feb via Mar
+      Seq((d("1995-05-01"), 3.0), (d("1995-06-01"), 8.0)))
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "A", "B").orderBy("DATE").collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "A", "B").orderBy("DATE").collect().map(key).toSeq
+    assert(got == batchRun)
+    // the boundary cell is a real value: April's b needs March's a
+    // which needs February's rev — all through the 2-row carried tail
+    assert(got(3)._3 != null, "chained lag across the boundary was null")
+  }
+
+  test("FameStream.run auto-dispatch: eligible scripts take the " +
+      "incremental path, ineligible fall back to snapshot; parity on both") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      Seq((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0)),
+      Seq((d("1995-03-01"), 6.0), (d("1995-04-01"), 3.0)))
+
+    def drive(script: String): (String, Seq[(String, Any)]) = {
+      val base = java.nio.file.Files.createTempDirectory("fameauto").toString
+      val src = MemoryStream[(java.sql.Date, Double)]
+      val df = src.toDF().toDF("DATE", "REV")
+      val q = graft.streaming.FameStream.run(df, script,
+        s"$base/bronze", s"$base/result",
+        checkpointDir = Some(s"$base/ckpt"))
+      try rows.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      val out = spark.read.parquet(s"$base/result")
+      val outCol = out.columns.find(c => c == "G" || c == "X").get
+      (base, out.select(col("DATE"), col(outCol)).orderBy("DATE")
+        .collect().map(r => (r.getDate(0).toString,
+          if (r.isNullAt(1)) null else r.getDouble(1))).toSeq)
+    }
+
+    // eligible (bounded lag): Auto must route to the incremental form —
+    // per-batch result subdirs and a versioned tail exist
+    val (incBase, incGot) = drive("freq m\ng = pct(rev)")
+    assert(new java.io.File(s"$incBase/bronze/_tail").isDirectory,
+      "eligible script did not take the incremental path")
+    assert(new java.io.File(s"$incBase/result/batch=0").isDirectory)
+    val incOracle = graft.api.FameSession.run("freq m\ng = pct(rev)",
+        rows.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "G").orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString,
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(incGot == incOracle)
+
+    // ineligible (whole-series ave): Auto must fall back to snapshot —
+    // flat gold overwrite, no tail dir
+    val (snapBase, snapGot) = drive("freq m\nx = ave(rev)")
+    assert(!new java.io.File(s"$snapBase/bronze/_tail").exists(),
+      "ineligible script did not fall back to snapshot")
+    assert(!new java.io.File(s"$snapBase/result/batch=0").exists())
+    val snapOracle = graft.api.FameSession.run("freq m\nx = ave(rev)",
+        rows.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "X").orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString,
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(snapGot == snapOracle)
   }
 
   test("incremental FAME ingest: O(batch) evaluation equals the batch " +
