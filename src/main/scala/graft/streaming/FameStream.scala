@@ -56,6 +56,17 @@ object FameStream {
   case object Snapshot    extends Mode
   case object Incremental extends Mode
 
+  /** Thrown (inside the stream; surfaces as the cause of the query's
+    * StreamingQueryException) when a micro-batch on the incremental
+    * path violates the nondecreasing-date-per-key ingest contract: a
+    * row older than the carried tail's newest row for its key can
+    * neither see the history it lags against nor revise the
+    * already-emitted rows that should have lagged against IT. Re-run
+    * with `mode = Snapshot` (O(history) recompute) for late data.
+    */
+  final class OutOfOrderIngestException(msg: String)
+      extends IllegalStateException(msg)
+
   /** Start the micro-batched loop; returns the running query (caller
     * stops it). `stream` must carry the same columns a batch
     * [[FameSession.run]] input would (dateCol + series columns).
@@ -84,7 +95,7 @@ object FameStream {
     }
     if (incremental)
       return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
-        partitionKeys, checkpointDir)
+        partitionKeys, nlrx, businessCal, checkpointDir)
     val spark = stream.sparkSession
     val cols = stream.columns.toIndexedSeq
     var w = stream.writeStream.outputMode("append")
@@ -206,10 +217,14 @@ object FameStream {
         s match {
           case SetFreq(_) | SetDate(_) | ClearDate | ListAlias(_, _) =>
             Right((lag, env))
-          case Assign(target, e, _, localDb) => reach(e, env).flatMap {
+          // target already carries the DB prefix (FameParser.colName
+          // folds `aa'x` to AA_X before Assign is built, and Ref/
+          // TimeShift sites see the same folded name), so it is the
+          // env key as-is — re-prefixing here would record AA_AA_X
+          // and lose transitive reach for every local-db chain.
+          case Assign(target, e, _, _) => reach(e, env).flatMap {
             case r @ (0, lg) =>
-              val name = localDb.map(_ + "_").getOrElse("") + target
-              Right((math.max(lag, lg), record(env, name, r)))
+              Right((math.max(lag, lg), record(env, target, r)))
             case (ld, _) => Left(s"lead reach +$ld in ${s}")
           }
           case PointInTime(target, _, e) => reach(e, env).flatMap {
@@ -263,6 +278,8 @@ object FameStream {
   def runIncremental(stream: DataFrame, script: String, bronzeDir: String,
       resultDir: String, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
+      nlrx: Nlrx = Nlrx.HpSmoother,
+      businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       checkpointDir: Option[String] = None): StreamingQuery = {
     val maxLag = incrementalEligibility(script) match {
       case Left(reason) => throw new IllegalArgumentException(
@@ -274,6 +291,25 @@ object FameStream {
     val dateU = dateCol.toUpperCase
     val keysU = partitionKeys.map(_.toUpperCase)
     val hconf = spark.sparkContext.hadoopConfiguration
+    // Refuse a resultDir left over from the SNAPSHOT layout (flat
+    // parquet files): partition discovery over mixed flat files and
+    // batch=<id> subdirs breaks spark.read.parquet(resultDir), and
+    // silently unioning a stale gold snapshot with incremental batches
+    // would double-count every historical row.
+    locally {
+      val rp = new org.apache.hadoop.fs.Path(resultDir)
+      val rfs = rp.getFileSystem(hconf)
+      if (rfs.exists(rp)) {
+        val flat = rfs.listStatus(rp).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("batch=") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        if (flat) throw new IllegalArgumentException(
+          s"resultDir $resultDir holds a flat (snapshot-layout) result; " +
+          "the incremental path writes batch=<id> subdirs — point it at " +
+          "an empty directory or clear the old snapshot first")
+      }
+    }
     var w = stream.writeStream.outputMode("append")
     checkpointDir.foreach(c => w = w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -287,9 +323,31 @@ object FameStream {
         if (batchId > 0 && fs.exists(tailPath))
           spark.read.parquet(tailPath.toString)
         else upper.where(lit(false))
+      // Enforce the ingest contract instead of documenting it: any
+      // batch row dated before its key's newest carried-tail row is a
+      // late arrival the incremental form cannot evaluate correctly —
+      // fail loudly rather than emit silently-wrong output. The tail
+      // is ≤ maxLag rows per key, so this is one cheap pass per batch.
+      val late =
+        if (keysU.isEmpty) {
+          val tm = prevTail.agg(max(col(dateU))).collect()(0)
+          if (tm.isNullAt(0)) Array.empty[org.apache.spark.sql.Row]
+          else upper.where(col(dateU) < lit(tm.get(0))).limit(1).collect()
+        } else {
+          val tailMax = prevTail.groupBy(keysU.map(col): _*)
+            .agg(max(col(dateU)).as("__TAIL_MAX"))
+          upper.join(tailMax, keysU, "inner")
+            .where(col(dateU) < col("__TAIL_MAX")).limit(1).collect()
+        }
+      if (late.nonEmpty) throw new OutOfOrderIngestException(
+        s"batch $batchId contains a row older than already-processed " +
+        s"history (first offender: ${late.head}); the incremental path " +
+        "requires nondecreasing dates per key — use mode = Snapshot " +
+        "for out-of-order ingest")
       val work = prevTail.withColumn("__IS_TAIL", lit(true))
         .unionByName(upper.withColumn("__IS_TAIL", lit(false)))
-      val out = FameSession.run(script, work, dateU, keysU).df
+      val out = FameSession.run(script, work, dateU, keysU,
+        nlrx, businessCal = businessCal).df
       out.where(!col("__IS_TAIL")).drop("__IS_TAIL")
         .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
       // next tail: last maxLag INPUT rows per key of tail ∪ batch

@@ -46,29 +46,39 @@ class IncrementalPropertySpec extends SparkSpec {
     for (x <- a; y <- b)
       yield (math.max(x._1, y._1), math.max(x._2, y._2))
 
+  // Render a folded env name back to script text. A local-db series
+  // (folded AA_Vi) is written in its FAME-native apostrophe form — the
+  // parser folds aa'vN and aa_vN to the same column, and emitting the
+  // apostrophe form keeps the generator exercising the localDbOf path
+  // on references (the r12 advice bug was invisible to a generator
+  // that never produced db-prefixed names).
+  private def show(n: String): String =
+    if (n.startsWith("AA_")) "aa'" + n.drop(3).toLowerCase
+    else n.toLowerCase
+
   private def genExpr(depth: Int, env: Map[String, (Int, Int)])
       : Gen[(String, Reach)] = {
     val names = env.keys.toSeq.sorted
     val leaf: Gen[(String, Reach)] = Gen.frequency(
       2 -> Gen.choose(2, 9).map(n => (n.toString, Right((0, 0)))),
-      5 -> Gen.oneOf(names).map(n => (n.toLowerCase, Right(env(n)))),
+      5 -> Gen.oneOf(names).map(n => (show(n), Right(env(n)))),
       3 -> (for {
         n <- Gen.oneOf(names); k <- Gen.choose(1, 3)
       } yield {
         val (ld, lg) = env(n)
-        (s"${n.toLowerCase}[t-$k]", Right((math.max(0, ld - k), lg + k)))
+        (s"${show(n)}[t-$k]", Right((math.max(0, ld - k), lg + k)))
       }),
       1 -> (for { // lead — usually fatal at statement level
         n <- Gen.oneOf(names); k <- Gen.choose(1, 2)
       } yield {
         val (ld, lg) = env(n)
-        (s"${n.toLowerCase}[t+$k]", Right((ld + k, math.max(0, lg - k))))
+        (s"${show(n)}[t+$k]", Right((ld + k, math.max(0, lg - k))))
       }),
       1 -> Gen.oneOf(names).map(n =>
-        (s"ave(${n.toLowerCase})", Left(s"whole-series ave"))),
+        (s"ave(${show(n)})", Left(s"whole-series ave"))),
       1 -> Gen.oneOf("firstvalue", "lastvalue").flatMap(f =>
         Gen.oneOf(names).map(n =>
-          (s"$f(${n.toLowerCase})", Left(s"whole-series $f")))))
+          (s"$f(${show(n)})", Left(s"whole-series $f")))))
     if (depth <= 0) leaf
     else Gen.frequency(
       3 -> leaf,
@@ -105,8 +115,12 @@ class IncrementalPropertySpec extends SparkSpec {
         : Gen[(String, Either[String, Int])] =
       if (i > n)
         Gen.const((("freq m" :: acc.reverse).mkString("\n"), expect))
-      else genExpr(2, env).flatMap { case (txt, r) =>
-        val line = s"v$i = $txt"
+      else Gen.zip(genExpr(2, env),
+          Gen.frequency(3 -> "", 1 -> "aa'")).flatMap { case ((txt, r), pfx) =>
+        val line = s"${pfx}v$i = $txt"
+        // the env key is the PARSER-FOLDED name (aa'vN -> AA_VN) —
+        // exactly what Ref/TimeShift sites will carry after parse
+        val folded = (if (pfx.isEmpty) "" else "AA_") + s"V$i"
         val nextExpect: Either[String, Int] = expect.flatMap { lag =>
           r match {
             case Left(reason)   => Left(reason)
@@ -119,8 +133,8 @@ class IncrementalPropertySpec extends SparkSpec {
         // rescue it (the walker stops at the first refusal too)
         val nextEnv = r match {
           case Right((ld, lg)) if ld == 0 =>
-            val old = env.getOrElse(s"V$i", (0, 0))
-            env + (s"V$i" -> (math.max(old._1, ld), math.max(old._2, lg)))
+            val old = env.getOrElse(folded, (0, 0))
+            env + (folded -> (math.max(old._1, ld), math.max(old._2, lg)))
           case _ => env
         }
         stmts(i + 1, n, nextEnv, line :: acc, nextExpect)
@@ -156,7 +170,8 @@ class IncrementalPropertySpec extends SparkSpec {
             val cnt = cntRaw.map(_ + 0.25)
             val full = FameSession.run(script,
               frame(dates, "REV" -> rev, "CNT" -> cnt)).df
-            val series = full.columns.filter(_.startsWith("V"))
+            val series = full.columns.filter(c =>
+              c.startsWith("V") || c.startsWith("AA_V"))
             def byDate(df: org.apache.spark.sql.DataFrame,
                 keep: Set[String]): Map[String, Seq[Option[Long]]] =
               df.where(col("DATE").isInCollection(keep.toSeq.map(d)))

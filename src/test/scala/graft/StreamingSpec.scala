@@ -1065,6 +1065,15 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "a = rev[t-3]\nset <date 1995-06-01 to *> a = rev\nb = pct(a)")
       == Right(4))
+    // local-db targets: the parser folds aa'x to AA_X before Assign is
+    // built, so the walker must record reach under the folded name —
+    // the r12 advice bug re-prefixed it (AA_AA_X) and downstream refs
+    // via aa'x / aa_x lost the transitive reach
+    assert(incrementalEligibility(
+      "aa'x = pct(rev)\nb = pct(aa'x)") == Right(2))
+    assert(incrementalEligibility(
+      "aa'x = rev[t-2]\nb = aa_x[t-1]\nc = pct(b)") == Right(4))
+    assert(incrementalEligibility("aa'x = pct(rev)\nb = aa'x[t+1]").isLeft)
   }
 
   test("incremental FAME: chained lags through derived series carry a " +
@@ -1106,6 +1115,58 @@ class StreamingSpec extends SparkSpec {
     // the boundary cell is a real value: April's b needs March's a
     // which needs February's rev — all through the 2-row carried tail
     assert(got(3)._3 != null, "chained lag across the boundary was null")
+  }
+
+  test("incremental FAME enforces the nondecreasing-date ingest contract: " +
+      "a late row fails the stream with OutOfOrderIngestException") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famelate").toString
+    val script = "freq m\na = pct(rev)"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try {
+      src.addData((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0))
+      q.processAllAvailable()
+      // late arrival: January again after February was processed —
+      // the incremental form would silently mis-evaluate it (and the
+      // already-emitted February should have lagged against it)
+      src.addData((d("1995-01-15"), 9.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(
+        _.isInstanceOf[graft.streaming.FameStream.OutOfOrderIngestException]),
+        s"expected OutOfOrderIngestException in cause chain, got $ex")
+    } finally q.stop()
+    // batch 0's output is intact; the offending batch emitted nothing
+    val emitted = spark.read.parquet(s"$base/result")
+    assert(emitted.count() == 2)
+  }
+
+  test("incremental FAME refuses a resultDir holding a flat snapshot-" +
+      "layout result (mixed layouts would break readback)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famemix").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // simulate a prior mode=Snapshot run: flat parquet at resultDir
+    Seq((d("1994-12-01"), 1.0)).toDF("DATE", "A")
+      .write.parquet(s"$base/result")
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.FameStream.runIncremental(df, "freq m\na = pct(rev)",
+        s"$base/bronze", s"$base/result",
+        checkpointDir = Some(s"$base/ckpt"))
+    }
+    assert(ex.getMessage.contains("snapshot-layout"))
   }
 
   test("FameStream.run auto-dispatch: eligible scripts take the " +
