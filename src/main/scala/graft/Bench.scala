@@ -22,6 +22,26 @@ import org.apache.spark.sql.SparkSession
   * readable from BENCH_r{N}.json without cross-round reconstruction.
   */
 object Bench {
+
+  /** Subset-pass count from the raw env value: absent, malformed, or
+    * negative falls back to the default 3 (a typo'd env var must not
+    * kill the whole bench run — the driver reads its tail line).
+    */
+  def subsetPassCount(raw: Option[String]): Int =
+    raw.flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 0).getOrElse(3)
+
+  /** Median of the v4 subset passes — None when the selected query list
+    * contains no q01-q36 entries (a dev-loop SPARK_GRAFT_BENCH_ONLY
+    * filter): an empty subset must record null, not a fake 0.0 the
+    * perf gate would read as a 100x speedup.
+    */
+  def subsetMedian(passTotals: Seq[Double], fallback: Double,
+      subsetNonEmpty: Boolean): Option[Double] =
+    if (!subsetNonEmpty) None
+    else if (passTotals.isEmpty) Some(fallback)
+    else Some(passTotals.sorted.apply(passTotals.size / 2))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,20 +135,24 @@ object Bench {
     // before each pass. The reported reference figure is the MEDIAN of
     // the pass totals — a point estimate plus its own spread, so a gate
     // read never again compares box noise against a lucky-edge number.
-    val subsetPasses = sys.env.getOrElse("SPARK_GRAFT_SUBSET_PASSES", "3").toInt
-    val passResults = (1 to subsetPasses).map { _ =>
-      val la = loadAvg()
-      val t = subsetNames.map(n =>
-        timeQuery(n, byName(n), 1).min).sum
-      (t, la)
-    }
-    val passTotals = passResults.map(_._1).sorted
-    val bsMedian = if (passTotals.isEmpty) bsTotal
-      else passTotals(passTotals.size / 2)
+    val subsetPasses = subsetPassCount(sys.env.get("SPARK_GRAFT_SUBSET_PASSES"))
+    // no q01-q36 in the selection (dev-loop filter) → no passes at all;
+    // the subset fields emit null instead of a fake 0.0
+    val passResults =
+      if (subsetNames.isEmpty) Seq.empty
+      else (1 to subsetPasses).map { _ =>
+        val la = loadAvg()
+        val t = subsetNames.map(n =>
+          timeQuery(n, byName(n), 1).min).sum
+        (t, la)
+      }
+    val bsMedianJson = subsetMedian(passResults.map(_._1), bsTotal,
+      subsetNames.nonEmpty).map(r3).getOrElse("null")
+    val bsTotalJson = if (subsetNames.isEmpty) "null" else r3(bsTotal)
     val passJson = passResults.map { case (t, la) =>
       s"""{"sec":${r3(t)},"load_avg":${r3(la)}}""" }.mkString("[", ",", "]")
     val loadNow = loadAvg()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":${r3(bsMedian)},"subset_passes":$passJson,"load_avg":${r3(loadNow)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"load_avg":${r3(loadNow)}}""")
     // Second, COMPACT summary line printed LAST: the per-query line above
     // overflows the driver's stdout capture window (87 queries; rounds 6-7
     // stored a truncated head and "parsed": null), and a tail-capture keeps
@@ -137,7 +161,7 @@ object Bench {
     // on where truncation lands. The full per-query map is also persisted to
     // bench_queries.json in the cwd for post-hoc reads.
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":${r3(bsTotal)},"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":${r3(bsMedian)},"subset_passes":$passJson,"load_avg":${r3(loadNow)}}"""
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"load_avg":${r3(loadNow)}}"""
     // Persist the machine-readable record to FIXED filenames so it never
     // depends on stdout capture (rounds 6-8 all stored "parsed": null
     // because sbt log decoration / truncation ate the stdout line):

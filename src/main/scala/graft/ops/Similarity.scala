@@ -414,8 +414,13 @@ object Similarity {
     if (m2Cell == null) {
       val s = corpus.sparkSession
       import org.apache.spark.sql.types._
+      // id field types derive from the input schemas (a string-keyed
+      // corpus must yield string-typed empty columns, not hardcoded
+      // longs — the r11 advice nit)
+      val qIdType = queries.schema(idCol).dataType
+      val cIdType = corpus.schema(idCol).dataType
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
-        StructField("query_id", LongType), StructField("neighbor_id", LongType),
+        StructField("query_id", qIdType), StructField("neighbor_id", cIdType),
         StructField("dot", DoubleType), StructField("rank", IntegerType))))
     }
     val m2 = m2Cell.asInstanceOf[Double]

@@ -116,4 +116,31 @@ class HarnessSpec extends SparkSpec {
         s"name a spec: $pointer")
     }
   }
+
+  test("Bench.subsetPassCount tolerates malformed/absent/negative env " +
+      "values (a typo must not kill the bench run)") {
+    assert(Bench.subsetPassCount(None) == 3)
+    assert(Bench.subsetPassCount(Some("5")) == 5)
+    assert(Bench.subsetPassCount(Some(" 2 ")) == 2)
+    assert(Bench.subsetPassCount(Some("0")) == 0)
+    assert(Bench.subsetPassCount(Some("three")) == 3)
+    assert(Bench.subsetPassCount(Some("")) == 3)
+    assert(Bench.subsetPassCount(Some("-1")) == 3)
+  }
+
+  test("Bench.subsetMedian: empty subset selection records None (null), " +
+      "never a fake 0.0 the perf gate would misread") {
+    // dev-loop BENCH_ONLY filter excluded all q01-q36 -> None
+    assert(Bench.subsetMedian(Seq.empty, 0.0, subsetNonEmpty = false).isEmpty)
+    assert(Bench.subsetMedian(Seq(1.0), 0.0, subsetNonEmpty = false).isEmpty)
+    // subset present but zero passes configured -> in-suite fallback
+    assert(Bench.subsetMedian(Seq.empty, 12.5, subsetNonEmpty = true)
+      .contains(12.5))
+    // odd passes -> true median, input order irrelevant
+    assert(Bench.subsetMedian(Seq(3.0, 1.0, 2.0), 0.0, subsetNonEmpty = true)
+      .contains(2.0))
+    // even passes -> upper median (size/2 index on the sorted totals)
+    assert(Bench.subsetMedian(Seq(4.0, 1.0), 0.0, subsetNonEmpty = true)
+      .contains(4.0))
+  }
 }

@@ -2004,6 +2004,21 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("query_id", "neighbor_id", "dot", "rank"))
     assert(out.count() == 0L)
+    // id field types derive from the INPUT schemas (r11 advice): a
+    // string-keyed corpus must not come back long-typed — that frame
+    // would fail a later union with the non-empty path's output
+    val qsStr = Seq(("a", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val outStr = Similarity.mipsTopK(qsStr, qsStr.where(lit(false)),
+      "vec_id", "embedding", k = 3)
+    assert(outStr.schema("query_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(outStr.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // and it unions cleanly with a non-empty run over the same key type
+    val nonEmpty = Similarity.mipsTopK(qsStr,
+      Seq(("b", Seq(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3)
+    assert(outStr.unionByName(nonEmpty).count() == nonEmpty.count())
   }
 
   test("phraseOccurrences: overlapping starts count; multi-term join; " +
