@@ -51,6 +51,47 @@ object QueriesExt {
   private def scratch(sub: String): String =
     scratchRoot.resolve(sub).toString
 
+  /** Chunked file-stream source for the FAME streaming twins (q185 /
+    * q210), staged ONCE per (JVM, sfDir) and shared by both: the
+    * monthly series split into 3 contiguous date ranges, one parquet
+    * file each, mtimes pinned strictly ascending so FileStreamSource
+    * (which orders by modification time) delivers them as 3
+    * nondecreasing-date micro-batches — the incremental path's ingest
+    * contract holds by construction. 3 batches is the parity minimum
+    * (tail must cross ≥2 boundaries); the previous shape — 7 per-year
+    * files re-staged on EVERY invocation — was the top bench-harness
+    * cost two rounds running (r11 task 5): the bench runs each query
+    * 3-4×, so per-invocation staging multiplied a fixture write that
+    * carries zero engine signal.
+    */
+  private val stagedFameSrc =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fameStreamSrc(s: SparkSession, dir: String): String =
+    stagedFameSrc.computeIfAbsent(dir, _ => {
+      val base = scratch("fame_src_" +
+        Integer.toHexString(dir.hashCode))
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val m = QueriesCore.monthly(s, dir).localCheckpoint(true)
+      val dates = m.select(col("DATE")).distinct().orderBy("DATE")
+        .collect().map(_.getDate(0))
+      val nChunks = math.min(3, math.max(1, dates.length))
+      val per = math.ceil(dates.length.toDouble / nChunks).toInt
+      val cuts = dates.grouped(per).toSeq
+      cuts.zipWithIndex.foreach { case (ds, i) =>
+        m.where(col("DATE").isInCollection(ds.toSeq)).orderBy("DATE")
+          .coalesce(1).write.parquet(s"$base/c=$i")
+      }
+      val t0 = System.currentTimeMillis() - 3600L * 1000
+      cuts.indices.foreach { i =>
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/c=$i"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach(f => fs.setTimes(f.getPath, t0 + i * 1000L, -1))
+      }
+      base
+    })
+
   /** events.parquet's `ts` physical type has drifted across testdata
     * generations — TIMESTAMP(NANOS) (readable only as a long via
     * `spark.sql.legacy.parquet.nanosAsLong`) and now TIMESTAMP(MICROS)
@@ -1390,19 +1431,16 @@ object QueriesExt {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val m = QueriesCore.monthly(s, dir)
-      m.withColumn("y", year(col("DATE")))
-        .repartition(col("y"))
-        .write.partitionBy("y").parquet(s"$base/src")
-      val srcSchema = s.read.parquet(s"$base/src").schema
+      // once-per-JVM staged 3-chunk source, shared with q210 — only
+      // the streaming loop itself (bronze/result/ckpt) runs per call
+      val src = fameStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
       val stream = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/src")
-        .drop("y")
+        .parquet(src)
+        .drop("c")
       // mode = Snapshot: this query IS the snapshot-recompute oracle pin
-      // (q210 pins the incremental path); also the year files land with
-      // one shared mtime, so the incremental path's ordered-arrival
-      // contract isn't guaranteed by this fixture
+      // (q210 pins the incremental path)
       val q = graft.streaming.FameStream.run(stream,
         """freq m
           |base = 100
@@ -4236,29 +4274,16 @@ object QueriesExt {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val m = QueriesCore.monthly(s, dir).localCheckpoint(true)
-      // the incremental contract is nondecreasing date order per key,
-      // and FileStreamSource delivers by modification time — so write
-      // ONE file per year and pin strictly ascending mtimes (a single
-      // partitioned write gives every file the same ms timestamp,
-      // leaving delivery order to directory-listing luck)
-      val yrs = m.select(year(col("DATE")).as("y")).distinct()
-        .orderBy("y").collect().map(_.getInt(0))
-      yrs.foreach { yy =>
-        m.where(year(col("DATE")) === yy).orderBy("DATE").coalesce(1)
-          .write.parquet(s"$base/src/y=$yy")
-      }
-      val t0 = System.currentTimeMillis() - 3600L * 1000
-      yrs.zipWithIndex.foreach { case (yy, i) =>
-        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/src/y=$yy"))
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .foreach(f => fs.setTimes(f.getPath, t0 + i * 1000L, -1))
-      }
-      val srcSchema = s.read.parquet(s"$base/src").schema
+      // once-per-JVM staged source (shared with q185): 3 contiguous
+      // date-range chunks with strictly ascending mtimes, so the
+      // incremental path's nondecreasing-date ingest contract — now
+      // ENFORCED at runtime by FameStream — holds by construction
+      val src = fameStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
       val stream = s.readStream.schema(srcSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/src")
-        .drop("y")
+        .parquet(src)
+        .drop("c")
       val q = graft.streaming.FameStream.runIncremental(stream,
         """freq m
           |v2 = rev * 2
