@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Scaling measurement harness (SCALING.md §6b): runs named queries
+  * against a fixture dir and reports, per query, wall time plus the
+  * MEMORY-PRESSURE metrics a wall clock can't see — total shuffle
+  * write/read bytes, peak single-stage shuffle write, and memory/disk
+  * spill — from a stage-level SparkListener. Wall-time sweeps showed
+  * the dedup family linear through 30×; this is the instrument for the
+  * 100× question "does it still fit, or does it start spilling?"
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <q1,q2,...> [runs]
+  * Emits one JSON line per query (min-wall run's metrics) and one
+  * `{"probe":"done"}` terminator. Measurement infrastructure, not a
+  * shipped operator — same standing as Bench.
+  */
+object ScaleProbe {
+
+  private class StageMetrics extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var shuffleRead = 0L
+    @volatile var peakStageWrite = 0L
+    @volatile var memorySpill = 0L
+    @volatile var diskSpill = 0L
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          peakStageWrite = math.max(peakStageWrite,
+            m.shuffleWriteMetrics.bytesWritten)
+          memorySpill += m.memoryBytesSpilled
+          diskSpill += m.diskBytesSpilled
+        }
+      }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = ()
+    def snapshot(): Map[String, Long] = synchronized(Map(
+      "shuffle_write" -> shuffleWrite, "shuffle_read" -> shuffleRead,
+      "peak_stage_write" -> peakStageWrite,
+      "memory_spill" -> memorySpill, "disk_spill" -> diskSpill))
+    def reset(): Unit = synchronized {
+      shuffleWrite = 0L; shuffleRead = 0L; peakStageWrite = 0L
+      memorySpill = 0L; diskSpill = 0L
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleProbe <sfDir> <q1,q2,...> [runs]")
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new StageMetrics
+    spark.sparkContext.addSparkListener(listener)
+    val byName = SparkEntry.queries
+    names.foreach { pat =>
+      val matches = byName.keys.filter(_.contains(pat)).toSeq.sorted
+      matches.foreach { name =>
+        // run 1 untimed warmup (codegen), then `runs` timed; report the
+        // min-wall run's stage metrics (listener reset per run)
+        var best: (Double, Map[String, Long]) = (Double.MaxValue, Map.empty)
+        (0 to runs).foreach { i =>
+          listener.reset()
+          val t0 = System.nanoTime()
+          byName(name)(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          // listener events drain asynchronously; give stage-completed
+          // callbacks a beat before snapshotting
+          Thread.sleep(300)
+          val snap = listener.snapshot()
+          if (i > 0 && wall < best._1) best = (wall, snap)
+        }
+        val m = best._2
+        def mb(k: String): String =
+          "%.1f".formatLocal(java.util.Locale.US, m.getOrElse(k, 0L) / 1e6)
+        println(s"""{"query":"$name","sf":"$sfDir","wall_sec":${
+          "%.3f".formatLocal(java.util.Locale.US, best._1)
+        },"shuffle_write_mb":${mb("shuffle_write")},"shuffle_read_mb":${
+          mb("shuffle_read")},"peak_stage_write_mb":${mb("peak_stage_write")
+        },"memory_spill_mb":${mb("memory_spill")},"disk_spill_mb":${
+          mb("disk_spill")}}""")
+      }
+    }
+    println("""{"probe":"done"}""")
+    spark.stop()
+  }
+}
