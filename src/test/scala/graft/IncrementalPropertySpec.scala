@@ -104,9 +104,16 @@ class IncrementalPropertySpec extends SparkSpec {
       } yield (s"$f(${l._1}, ${r._1})", merge(l._2, r._2))))
   }
 
-  /** A script of 2–4 chained assignments (targets v1..v4, later RHSs may
+  /** A script of 2–4 chained statements (targets v1..v4, later RHSs may
     * reference earlier targets — the transitive-reach hazard) plus the
     * generator-side expectation: Left(reason) or Right(maxLag).
+    * Statement forms cover the full incremental-eligible surface
+    * (VERDICT r12 task 8): plain assigns, date-MASKED assigns
+    * (`set <date A to B> t = e`), and POINT-IN-TIME assigns
+    * (`t[date] = e`) — the latter two sometimes REASSIGNING an earlier
+    * derived series, which pins the walker's record-max rule (a
+    * preserved row keeps the old definition's reach, so recorded reach
+    * is max(old, new), never narrowed).
     */
   private val genScript: Gen[(String, Either[String, Int])] = {
     val base = Map("REV" -> (0, 0), "CNT" -> (0, 0))
@@ -115,29 +122,49 @@ class IncrementalPropertySpec extends SparkSpec {
         : Gen[(String, Either[String, Int])] =
       if (i > n)
         Gen.const((("freq m" :: acc.reverse).mkString("\n"), expect))
-      else Gen.zip(genExpr(2, env),
-          Gen.frequency(3 -> "", 1 -> "aa'")).flatMap { case ((txt, r), pfx) =>
-        val line = s"${pfx}v$i = $txt"
-        // the env key is the PARSER-FOLDED name (aa'vN -> AA_VN) —
-        // exactly what Ref/TimeShift sites will carry after parse
-        val folded = (if (pfx.isEmpty) "" else "AA_") + s"V$i"
-        val nextExpect: Either[String, Int] = expect.flatMap { lag =>
-          r match {
-            case Left(reason)   => Left(reason)
-            case Right((ld, _)) if ld > 0 => Left(s"lead +$ld")
-            case Right((_, lg)) => Right(math.max(lag, lg))
-          }
+      else {
+        val derived = (env.keySet -- base.keySet).toSeq.sorted
+        Gen.zip(genExpr(2, env),
+            Gen.frequency(3 -> "", 1 -> "aa'"),
+            Gen.frequency(6 -> 0, 2 -> 1, 2 -> 2), // plain|masked|pit
+            Gen.choose(1, 9), Gen.choose(1, 9),
+            Gen.oneOf(true, false)).flatMap {
+          case ((txt, r), pfx, form, d1, d2, reuse) =>
+            // masked/pit may reassign an earlier derived series; the env
+            // key is always the PARSER-FOLDED name (aa'vN -> AA_VN) —
+            // exactly what Ref/TimeShift sites will carry after parse
+            val folded =
+              if (form != 0 && reuse && derived.nonEmpty)
+                derived((i + d1) % derived.size)
+              else (if (pfx.isEmpty) "" else "AA_") + s"V$i"
+            val tname = show(folded)
+            val line = form match {
+              case 0 => s"$tname = $txt"
+              case 1 =>
+                val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+                f"set <date 1995-$lo%02d-01 to 1995-$hi%02d-01> $tname = $txt"
+              case _ => f"$tname[1995-$d1%02d-01] = $txt"
+            }
+            val nextExpect: Either[String, Int] = expect.flatMap { lag =>
+              r match {
+                case Left(reason)   => Left(reason)
+                case Right((ld, _)) if ld > 0 => Left(s"lead +$ld")
+                case Right((_, lg)) => Right(math.max(lag, lg))
+              }
+            }
+            // env only grows on an accepted statement (max with any
+            // previous reach of a reassigned target); after a refusal
+            // the expectation is already Left and further statements
+            // can't rescue it (the walker stops at the first refusal)
+            val nextEnv = r match {
+              case Right((ld, lg)) if ld == 0 =>
+                val old = env.getOrElse(folded, (0, 0))
+                env + (folded ->
+                  (math.max(old._1, ld), math.max(old._2, lg)))
+              case _ => env
+            }
+            stmts(i + 1, n, nextEnv, line :: acc, nextExpect)
         }
-        // env only grows on an accepted assignment; after a refusal the
-        // expectation is already Left and further statements can't
-        // rescue it (the walker stops at the first refusal too)
-        val nextEnv = r match {
-          case Right((ld, lg)) if ld == 0 =>
-            val old = env.getOrElse(folded, (0, 0))
-            env + (folded -> (math.max(old._1, ld), math.max(old._2, lg)))
-          case _ => env
-        }
-        stmts(i + 1, n, nextEnv, line :: acc, nextExpect)
       }
     Gen.choose(2, 4).flatMap(n => stmts(1, n, base, Nil, Right(0)))
   }
@@ -152,10 +179,15 @@ class IncrementalPropertySpec extends SparkSpec {
     val dates = (1 to 9).map(m => f"1995-$m%02d-01")
     var rights = 0
     var lefts = 0
+    var masked = 0
+    var pits = 0
     forAllN(Gen.zip(genScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
-      Gen.listOfN(9, Gen.choose(1, 50))), n = 120) {
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 160) {
       case ((script, expect), revRaw, cntRaw) =>
+        if (script.contains("set <date")) masked += 1
+        if (script.linesIterator.exists(l =>
+          l.contains("[1995-") && l.indexOf('=') > l.indexOf(']'))) pits += 1
         val got = FameStream.incrementalEligibility(script)
         expect match {
           case Left(_) =>
@@ -201,8 +233,12 @@ class IncrementalPropertySpec extends SparkSpec {
             }
         }
     }
-    // the generator must actually exercise both sides at real volume
+    // the generator must actually exercise both sides at real volume,
+    // and the masked / point-in-time statement forms must appear (the
+    // r12 stretch: their incremental coverage was previously thin)
     assert(rights >= 30, s"only $rights Right scripts generated")
     assert(lefts >= 30, s"only $lefts Left scripts generated")
+    assert(masked >= 20, s"only $masked scripts with a date-masked stmt")
+    assert(pits >= 20, s"only $pits scripts with a point-in-time stmt")
   }
 }

@@ -1074,6 +1074,11 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "aa'x = rev[t-2]\nb = aa_x[t-1]\nc = pct(b)") == Right(4))
     assert(incrementalEligibility("aa'x = pct(rev)\nb = aa'x[t+1]").isLeft)
+    // point-in-time assigns are row-date-local: reach flows through the
+    // expr and records under the target like any assign
+    assert(incrementalEligibility(
+      "a = pct(rev)\nb[1995-03-01] = a[t-1]\nc = pct(b)") == Right(3))
+    assert(incrementalEligibility("b[1995-03-01] = rev[t+1]").isLeft)
   }
 
   test("incremental FAME: chained lags through derived series carry a " +
