@@ -71,6 +71,21 @@ out = pd.DataFrame({
 out["n_chars"] = out["text"].str.len().astype("int64")
 
 import os
+# Write a DIRECTORY of part files, not one single-row-group file: Spark
+# assigns scan tasks per file, so a one-file fixture serializes every
+# map-only stage onto ONE task and fakes superlinear scaling for the
+# per-row text operators (found in the round-13 100x sweep). Production
+# corpora are many files; the fixture should look like production.
+n_files = max(8, min(64, N_FACTOR))
 os.makedirs(OUT, exist_ok=True)
-out.to_parquet(f"{OUT}/documents.parquet", index=False)
-print(f"wrote {len(out)} docs to {OUT}/documents.parquet")
+d = f"{OUT}/documents.parquet"
+if os.path.isfile(d):
+    os.remove(d)
+os.makedirs(d, exist_ok=True)
+for f in os.listdir(d):
+    os.remove(os.path.join(d, f))
+step = -(-len(out) // n_files)
+for i in range(n_files):
+    out.iloc[i * step:(i + 1) * step].to_parquet(
+        f"{d}/part-{i:05d}.parquet", index=False)
+print(f"wrote {len(out)} docs to {d} ({n_files} files)")

@@ -52,6 +52,20 @@ df = pd.DataFrame({
     "embedding": list(out),
     "label": out_labels.astype(np.int32),
 })
-df.to_parquet(f"{OUT}/embeddings.parquet", index=False)
+# directory of part files — same single-file/one-task lesson as the
+# documents generator (round-13 100x sweep)
+import os
+n_files = max(8, min(64, N_FACTOR))
+os.makedirs(OUT, exist_ok=True)
+d = f"{OUT}/embeddings.parquet"
+if os.path.isfile(d):
+    os.remove(d)
+os.makedirs(d, exist_ok=True)
+for f in os.listdir(d):
+    os.remove(os.path.join(d, f))
+step = -(-len(df) // n_files)
+for i in range(n_files):
+    df.iloc[i * step:(i + 1) * step].to_parquet(
+        f"{d}/part-{i:05d}.parquet", index=False)
 print(f"wrote {n_out} vectors (dim {dim}, {len(label_vals)} labels) "
-      f"to {OUT}/embeddings.parquet")
+      f"to {d} ({n_files} files)")
