@@ -74,7 +74,13 @@ object ScaleProbe {
         (0 to runs).foreach { i =>
           listener.reset()
           val t0 = System.nanoTime()
-          byName(name)(spark, sfDir).count()
+          // noop sink, NOT count(): count() lets column pruning delete
+          // the whole projection of a map-only query (a pure per-row
+          // scorer collapses to a parquet metadata row count — q101
+          // probed flat 0.14 s at every scale). The noop writer
+          // evaluates every output column and discards rows.
+          byName(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
           val wall = (System.nanoTime() - t0) / 1e9
           // listener events drain asynchronously; give stage-completed
           // callbacks a beat before snapshotting
