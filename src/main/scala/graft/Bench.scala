@@ -70,16 +70,27 @@ object Bench {
     // entries (times-to-exception). Track failures per query and surface
     // them in the summary as "failed":[...].
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Default sink is count() — every recorded round and BASELINE v4 were
+    // measured with it, so the 2x gate stays apples-to-apples. CAVEAT
+    // (round-13 ScaleProbe lesson): count() lets column pruning delete a
+    // map-only query's entire projection, so pure per-row scorers read as
+    // metadata row counts. SPARK_GRAFT_BENCH_SINK=noop opts into a
+    // full-evaluation noop write for honest map-stage timing — use it for
+    // investigation, never for gate reads against count()-era baselines.
+    val noopSink = sys.env.get("SPARK_GRAFT_BENCH_SINK").contains("noop")
     def timeQuery(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         n: Int): Seq[Double] =
       (1 to n).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try {
+          val df = fn(spark, sfDir)
+          if (noopSink) df.write.mode("overwrite").format("noop").save()
+          else df.count(): Unit
+        }
         catch { case e: Throwable =>
           if (failed.add(name)) System.err.println(
             s"[bench] $name FAILED: ${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
-          -1L
         }
         (System.nanoTime() - t0) / 1e9
       }
