@@ -103,6 +103,38 @@ class PlanLintSpec extends SparkSpec {
     found.toSet
   }
 
+  /** collect_list/collect_set over a GROWING frame (unbounded preceding
+    * → current row) materializes every prefix: O(rows²) memory and work
+    * per key — the q193 EWMA finding class. A whole-partition frame
+    * (unbounded → unbounded) evaluates once per partition and a
+    * row-bounded frame (ROWS -k..0) is O(k) — both fine.
+    */
+  private def prefixCollects(plan: LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    plan.collect { case w: Window =>
+      w.windowExpressions.flatMap(_.collect {
+        case we: WindowExpression =>
+          val collects = we.windowFunction match {
+            case ae: AggregateExpression => ae.aggregateFunction match {
+              case _: CollectList | _: CollectSet => true
+              case _ => false
+            }
+            case _ => false
+          }
+          val growing = we.windowSpec.frameSpecification match {
+            case f: SpecifiedWindowFrame =>
+              f.lower == UnboundedPreceding && f.upper != UnboundedFollowing
+            case _ => false
+          }
+          if (collects && growing)
+            Seq("collect_list/set over a growing window frame " +
+              "(O(rows²) prefix materialization per key)")
+          else Seq.empty[String]
+      }.flatten)
+    }.flatten
+  }
+
   private def offendingNodes(plan: LogicalPlan): Seq[String] = {
     val rootSort = presentationSort(plan)
     val topK = topKSorts(plan)
@@ -114,7 +146,7 @@ class PlanLintSpec extends SparkSpec {
           !rootSort.exists(_ eq s) && !topK.exists(_ eq s) =>
         s"interior global Sort(${s.order.map(_.sql).mkString(",")}) " +
           "over corpus-sized input"
-    }
+    } ++ prefixCollects(plan)
   }
 
   test("no registered query plans a keyless Window or global Sort over " +
@@ -160,5 +192,26 @@ class PlanLintSpec extends SparkSpec {
         org.apache.spark.sql.expressions.Window.orderBy("n")))
       .orderBy("rk")
     assert(offendingNodes(valueTable.queryExecution.optimizedPlan).isEmpty)
+  }
+
+  test("the lint flags collect_list over a growing window frame " +
+      "(the q193 O(rows²) class) but not bounded or whole-partition " +
+      "collects") {
+    assume(available)
+    import org.apache.spark.sql.expressions.{Window => W}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val key = W.partitionBy("lang").orderBy("doc_id")
+    val planted = docs.withColumn("pfx", collect_list(col("doc_id"))
+      .over(key.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    assert(offendingNodes(planted.queryExecution.optimizedPlan)
+      .exists(_.contains("growing window frame")))
+    // whole-partition collect: evaluated once per partition — fine
+    val whole = docs.withColumn("all", collect_list(col("doc_id"))
+      .over(W.partitionBy("lang")))
+    assert(prefixCollects(whole.queryExecution.optimizedPlan).isEmpty)
+    // row-bounded rolling collect (the q207 family): O(k) — fine
+    val rolling = docs.withColumn("win", collect_list(col("doc_id"))
+      .over(key.rowsBetween(-11, 0)))
+    assert(prefixCollects(rolling.queryExecution.optimizedPlan).isEmpty)
   }
 }
