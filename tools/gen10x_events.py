@@ -19,7 +19,7 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1/events.parquet"
 OUT = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0")
-U_FACTOR = 10
+U_FACTOR = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 rng = np.random.default_rng(408)
 src = pd.read_parquet(SRC)
@@ -46,6 +46,18 @@ out = pd.DataFrame({
 })
 
 import os
+# part-file directory — single-file fixtures serialize map stages onto
+# one Spark scan task (round-13 lesson, same as the documents generator)
+n_files = max(8, min(64, U_FACTOR))
 os.makedirs(OUT, exist_ok=True)
-out.to_parquet(f"{OUT}/events.parquet", index=False)
-print(f"wrote {len(out)} events / {n_users} users to {OUT}/events.parquet")
+d = f"{OUT}/events.parquet"
+if os.path.isfile(d):
+    os.remove(d)
+os.makedirs(d, exist_ok=True)
+for f in os.listdir(d):
+    os.remove(os.path.join(d, f))
+step = -(-len(out) // n_files)
+for i in range(n_files):
+    out.iloc[i * step:(i + 1) * step].to_parquet(
+        f"{d}/part-{i:05d}.parquet", index=False)
+print(f"wrote {len(out)} events / {n_users} users to {d} ({n_files} files)")

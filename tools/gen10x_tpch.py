@@ -22,7 +22,7 @@ import pandas as pd
 
 SRC = "/root/testdata/sf0.1"
 OUT = (sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0")
-N = 10
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 rng = np.random.default_rng(410)
 orders = pd.read_parquet(f"{SRC}/orders.parquet")
@@ -48,8 +48,22 @@ for k in range(N):
             rng.integers(-2, 3, len(l)).astype(float))
     l_out.append(l)
 
-pd.concat(o_out).to_parquet(f"{OUT}/orders.parquet", index=False)
-pd.concat(l_out).to_parquet(f"{OUT}/lineitem.parquet", index=False)
+import os
+# part-file directories (round-13 single-file lesson); one part per
+# replica block keeps memory flat while writing
+def write_parts(frames, d):
+    if os.path.isfile(d):
+        os.remove(d)
+    os.makedirs(d, exist_ok=True)
+    for f in os.listdir(d):
+        os.remove(os.path.join(d, f))
+    for i, fr in enumerate(frames):
+        fr.to_parquet(f"{d}/part-{i:05d}.parquet", index=False)
+write_parts(o_out, f"{OUT}/orders.parquet")
+write_parts(l_out, f"{OUT}/lineitem.parquet")
 for t in ["customer", "nation", "region", "supplier", "part"]:
-    shutil.copy(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+    dst = f"{OUT}/{t}.parquet"
+    if os.path.islink(dst) or os.path.isfile(dst):
+        os.remove(dst)
+    shutil.copy(f"{SRC}/{t}.parquet", dst)
 print(f"wrote {len(orders) * N} orders / {len(li) * N} lineitems to {OUT}")
