@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Scaling measurement harness (SCALING.md §6b): runs named queries
@@ -24,6 +24,16 @@ object ScaleProbe {
     @volatile var peakStageWrite = 0L
     @volatile var memorySpill = 0L
     @volatile var diskSpill = 0L
+    // outstanding-job tracking for the deterministic drain below: the
+    // bus delivers events to a listener FIFO, so once this listener has
+    // seen JobEnd for every JobStart, all StageCompleted events of
+    // those jobs have already been accumulated.
+    private var outstanding = 0
+    override def onJobStart(e: SparkListenerJobStart): Unit =
+      synchronized { outstanding += 1 }
+    override def onJobEnd(e: SparkListenerJobEnd): Unit =
+      synchronized { outstanding -= 1; notifyAll() }
+    def outstandingJobs: Int = synchronized(outstanding)
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
       synchronized {
         val m = e.stageInfo.taskMetrics
@@ -52,6 +62,9 @@ object ScaleProbe {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val runs = if (args.length > 2) args(2).toInt else 2
+    // runs = 0 would leave best = (Double.MaxValue, empty) and print
+    // garbage wall_sec JSON (r13 ADVICE) — the probe needs >= 1 timed run
+    require(runs >= 1, s"ScaleProbe needs runs >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,6 +77,34 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new StageMetrics
     spark.sparkContext.addSparkListener(listener)
+    // Deterministic listener drain (replaces the old fixed
+    // Thread.sleep(300), which under load let stage-completed events
+    // land AFTER the snapshot and under-report shuffle/spill for the
+    // recorded min-wall run — r13 ADVICE). Primary: the listener bus's
+    // own waitUntilEmpty() (private[spark] = public in bytecode, so
+    // plain reflection reaches it) — after it returns, every posted
+    // event has been delivered to every listener. Fallback if the
+    // internals move: poll until no jobs are outstanding AND two
+    // consecutive snapshots agree.
+    val busWait: Option[(AnyRef, java.lang.reflect.Method)] =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        Some((bus, bus.getClass.getMethod("waitUntilEmpty")))
+      } catch { case _: Throwable => None }
+    def drain(): Unit = busWait match {
+      case Some((bus, m)) => m.invoke(bus): Unit
+      case None =>
+        val deadline = System.nanoTime() + 30L * 1000000000L
+        var prev = listener.snapshot()
+        var stable = false
+        while (!stable && System.nanoTime() < deadline) {
+          Thread.sleep(150)
+          val cur = listener.snapshot()
+          stable = listener.outstandingJobs == 0 && cur == prev
+          prev = cur
+        }
+    }
     val byName = SparkEntry.queries
     names.foreach { pat =>
       val matches = byName.keys.filter(_.contains(pat)).toSeq.sorted
@@ -82,9 +123,7 @@ object ScaleProbe {
           byName(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
           val wall = (System.nanoTime() - t0) / 1e9
-          // listener events drain asynchronously; give stage-completed
-          // callbacks a beat before snapshotting
-          Thread.sleep(300)
+          drain()
           val snap = listener.snapshot()
           if (i > 0 && wall < best._1) best = (wall, snap)
         }

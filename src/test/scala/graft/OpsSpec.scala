@@ -2040,4 +2040,41 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(single == Map(1L -> 3L, 2L -> 3L, 4L -> 1L), s"got $single")
   }
+
+  test("decileLift guard: a boundary-spanning tie group larger than the " +
+      "threshold fails loudly; healthy distributions are unaffected") {
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    // 20 docs, all distinct scores -> every group has cnt = 1; even a
+    // guard of 1 never fires and deciles are exact 2-doc buckets
+    val healthy = (1 to 20).map(i =>
+        (i.toLong, BigDecimal(i) / 100, if (i % 2 == 0) 1L else 0L))
+      .toDF("doc_id", "q", "pos")
+      .select(col("doc_id"),
+        col("q").cast(DecimalType(18, 12)).as("q"), col("pos"))
+    val out = QueriesExt.decileLift(healthy, spanRankGuard = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10 && out.forall(_._2 == 2L), out.toSeq.toString)
+    // mass-point distribution: 14 of 20 docs share one score, so the
+    // tie group spans several decile boundaries. With the default
+    // guard (1M) the doc-level ranking handles it exactly...
+    val degen = (1 to 20).map(i =>
+        (i.toLong, if (i <= 14) BigDecimal("0.5") else BigDecimal(i) / 100,
+          if (i % 2 == 0) 1L else 0L))
+      .toDF("doc_id", "q", "pos")
+      .select(col("doc_id"),
+        col("q").cast(DecimalType(18, 12)).as("q"), col("pos"))
+    val ok = QueriesExt.decileLift(degen).collect()
+    assert(ok.map(_.getLong(1)).sum == 20L)
+    // ...but a guard below the group size fails LOUDLY (named message),
+    // instead of silently feeding one corpus-scale group to one sort task
+    val e = intercept[Exception] {
+      QueriesExt.decileLift(degen, spanRankGuard = 5L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("degenerate for rank-bucketing")),
+      messages(e).mkString(" | "))
+  }
 }

@@ -79,11 +79,14 @@ import os
 n_files = max(8, min(64, N_FACTOR))
 os.makedirs(OUT, exist_ok=True)
 d = f"{OUT}/documents.parquet"
+# rmtree, not a per-file remove loop: an old fixture dir holding
+# SUBDIRECTORIES (e.g. a leftover partitioned y=1995/ layout) made the
+# per-file loop raise IsADirectoryError and abort regeneration
+import shutil
+shutil.rmtree(d, ignore_errors=True)
 if os.path.isfile(d):
     os.remove(d)
 os.makedirs(d, exist_ok=True)
-for f in os.listdir(d):
-    os.remove(os.path.join(d, f))
 step = -(-len(out) // n_files)
 for i in range(n_files):
     out.iloc[i * step:(i + 1) * step].to_parquet(

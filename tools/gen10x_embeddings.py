@@ -58,11 +58,13 @@ import os
 n_files = max(8, min(64, N_FACTOR))
 os.makedirs(OUT, exist_ok=True)
 d = f"{OUT}/embeddings.parquet"
+# rmtree handles stale subdirectories; isfile handles a legacy
+# single-file fixture at the same path
+import shutil
+shutil.rmtree(d, ignore_errors=True)
 if os.path.isfile(d):
     os.remove(d)
 os.makedirs(d, exist_ok=True)
-for f in os.listdir(d):
-    os.remove(os.path.join(d, f))
 step = -(-len(df) // n_files)
 for i in range(n_files):
     df.iloc[i * step:(i + 1) * step].to_parquet(

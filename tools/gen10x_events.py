@@ -51,11 +51,13 @@ import os
 n_files = max(8, min(64, U_FACTOR))
 os.makedirs(OUT, exist_ok=True)
 d = f"{OUT}/events.parquet"
+# rmtree handles stale subdirectories; isfile handles a legacy
+# single-file fixture at the same path
+import shutil
+shutil.rmtree(d, ignore_errors=True)
 if os.path.isfile(d):
     os.remove(d)
 os.makedirs(d, exist_ok=True)
-for f in os.listdir(d):
-    os.remove(os.path.join(d, f))
 step = -(-len(out) // n_files)
 for i in range(n_files):
     out.iloc[i * step:(i + 1) * step].to_parquet(

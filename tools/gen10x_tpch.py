@@ -52,11 +52,12 @@ import os
 # part-file directories (round-13 single-file lesson); one part per
 # replica block keeps memory flat while writing
 def write_parts(frames, d):
+    # rmtree handles stale subdirectories; isfile handles a legacy
+    # single-file fixture at the same path
+    shutil.rmtree(d, ignore_errors=True)
     if os.path.isfile(d):
         os.remove(d)
     os.makedirs(d, exist_ok=True)
-    for f in os.listdir(d):
-        os.remove(os.path.join(d, f))
     for i, fr in enumerate(frames):
         fr.to_parquet(f"{d}/part-{i:05d}.parquet", index=False)
 write_parts(o_out, f"{OUT}/orders.parquet")
