@@ -1214,6 +1214,47 @@ object QueriesExt {
         .orderBy("band")
     }),
 
+    // INDEX RETIREMENT — the document-UPDATE boundary of the nightly
+    // loop (q89 covers adds; without this, a changed doc's OLD band
+    // buckets stay in the standing index forever: monotonic bloat plus
+    // stale candidate pairs against text that no longer exists).
+    // Tonight's change feed is deterministic and disjoint by
+    // construction: standing docs with doc_id % 10 == 0 are UPDATED
+    // (text edited), % 10 == 7 are DELETED. The composed maintenance
+    // step is retire(updated ∪ deleted) — ONE anti-join on the
+    // persisted index, no text rescans — then append the updated docs'
+    // re-indexed rows at their new content. The digest is over the
+    // final index; the oracle replays it cell-exact by rebuilding the
+    // index of (unchanged ∪ updated-at-new-text) from scratch, so any
+    // row the anti-join fails to retire (or retires in excess) breaks
+    // the hash.
+    "q211_index_retire" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("u", Sampling.hashUnit(col("doc_id")))
+      val standing = d.where(col("u") < 0.5).select("doc_id", "text")
+      val updated = standing.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" updated edition")).as("text"))
+      val deleted = standing.where(col("doc_id") % 10 === 7)
+        .select("doc_id")
+      def idxOf(part: DataFrame) =
+        Dedup.lshIndexRows(part, "doc_id", "text", numHashes = 32, bands = 8)
+          .select("doc_id", "band", "bucket")
+      // the standing index is PERSISTED (at the real cadence it exists
+      // from last night — same staging shape as q89)
+      val idxPath = scratch("q211_index")
+      idxOf(standing).write.mode("overwrite").parquet(idxPath)
+      val index = s.read.parquet(idxPath)
+      val retired = Dedup.retireFromIndex(index,
+        updated.select("doc_id").unionByName(deleted), "doc_id")
+      retired.unionByName(idxOf(updated))
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("bucket")).as("n_buckets"),
+          sum(Sampling.md5Prefix32(
+            concat_ws("#", col("doc_id"), col("bucket")))).as("content_sum"))
+        .orderBy("band")
+    }),
+
     // deterministic global-shuffle write: the whole corpus re-ordered by
     // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
     // floor(u·8), u-sorted within), re-read, and digested per shard with
@@ -5478,6 +5519,36 @@ object QueriesExt {
          |  sum(('0x' || substr(md5(doc_id::VARCHAR || '#' || bucket),
          |    1, 8))::BIGINT)::BIGINT AS content_sum
          |FROM idx GROUP BY band ORDER BY band""".stripMargin
+    },
+
+    "q211_index_retire" -> {
+      // the oracle rebuilds the post-maintenance index FROM SCRATCH —
+      // unchanged standing docs at their old text, updated docs at
+      // their new text, deleted docs absent — so any row the engine's
+      // anti-join fails to retire (or retires in excess) breaks the
+      // per-band content hash
+      val ctes = minHashCtes(width = 3, numHashes = 32, bands = 8,
+        maxBucketSize = 1000)
+      val normNew = "trim(regexp_replace(lower(text || ' updated edition')" +
+        ", '\\s+', ' ', 'g'), ' ')"
+      s"""WITH s0 AS (
+         |  SELECT doc_id, text
+         |  FROM (SELECT doc_id, text,
+         |          ${hashUnitSql("doc_id::VARCHAR")} AS u
+         |        FROM documents)
+         |  WHERE u < 0.5
+         |), dset AS (
+         |  SELECT doc_id, $normSql AS t FROM s0
+         |  WHERE doc_id % 10 NOT IN (0, 7)
+         |  UNION ALL
+         |  SELECT doc_id, $normNew AS t FROM s0 WHERE doc_id % 10 = 0
+         |),
+         |$ctes
+         |SELECT band::BIGINT AS band, count(*) AS n_entries,
+         |  count(DISTINCT bucket) AS n_buckets,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR || '#' || bucket),
+         |    1, 8))::BIGINT)::BIGINT AS content_sum
+         |FROM bnd GROUP BY band ORDER BY band""".stripMargin
     },
 
     "q79_random_projection" -> {

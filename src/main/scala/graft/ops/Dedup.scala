@@ -319,6 +319,74 @@ object Dedup {
     * @return (id1, id2, est_jaccard, jaccard) with id1 < id2, one row per
     *         verified candidate pair; filter on `jaccard` downstream.
     */
+  /** Banding plan computed by [[bandsFor]]: `bands` bands of
+    * `rowsPerBand` MinHash components each, plus the plan's derived
+    * diagnostics — `knee` is the S-curve threshold (1/b)^(1/r) where
+    * pair-detection probability crosses ~63%, and
+    * `expectedFalseCandidates` is the modeled corpus-wide count of
+    * sub-threshold pairs that still collide in ≥1 band,
+    * `bands · n(n−1)/2 · s̄^r` for background similarity s̄.
+    */
+  final case class BandPlan(bands: Int, rowsPerBand: Int, knee: Double,
+      expectedFalseCandidates: Double)
+
+  /** Compute (bands, rows-per-band) for [[minHashLshPairs]] from corpus
+    * size and threshold — the r13 100× sweep's lesson promoted from
+    * prose (SCALING.md §6b) to API. A FIXED rows-per-band gives every
+    * unrelated pair a fixed per-band collision probability s̄^r, so
+    * false candidates grow Θ(n²): measured on the documents corpus,
+    * 8 bands × 4 rows produced 2,945,644 candidates at 500k docs of
+    * which ~2.86M were noise (J < 0.5), shuffling 4.8 GB and spilling
+    * 13.3 GB in the verify join. Holding the false-candidate mass
+    * LINEAR in n requires r ≥ ln(n)/ln(1/s̄) — rows-per-band grows
+    * with log of corpus size, exactly as the LSH literature
+    * prescribes. Re-banded 4×8 by this rule, the same corpus measured
+    * 20 false candidates (the model here predicts 19.5), zero spill,
+    * ~40% less wall, 91.4% recall at the J ≥ 0.5 knee.
+    *
+    * `backgroundJaccard` (s̄) is the typical similarity of UNRELATED
+    * doc pairs under the shingle set in use; 0.05 is the documents
+    * corpus's empirical value (back-solved from both the 8×4 and 4×8
+    * measurements above) and a reasonable default for natural-language
+    * word-shingles. The returned `rowsPerBand` is the smallest divisor
+    * of `numHashes` satisfying the linearity bound, so the plan drops
+    * straight into `minHashLshPairs(..., bands = plan.bands)` (which
+    * requires bands to divide numHashes); the divisor step-up is
+    * conservative (more rows = fewer false candidates, never more).
+    *
+    * Recall trade-off is explicit, not hidden: `knee` in the returned
+    * plan is where detection reaches ~63%. Growing r at fixed
+    * numHashes RAISES the knee — recall at a LOW target threshold
+    * needs more total hashes (b ≥ (1/t)^r), which is the other lever
+    * this plan surfaces rather than silently spending. Callers whose
+    * true pairs sit well above the threshold (near-twin dedup — the
+    * common corpus case) keep high recall regardless, because
+    * detection at s is 1−(1−s^r)^b, ≈1 for s near 1.
+    */
+  def bandsFor(n: Long, targetJaccard: Double, numHashes: Int = 32,
+      backgroundJaccard: Double = 0.05): BandPlan = {
+    require(n >= 1, s"corpus size must be >= 1, got $n")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"targetJaccard must be in (0,1), got $targetJaccard")
+    require(backgroundJaccard > 0 && backgroundJaccard < targetJaccard,
+      s"backgroundJaccard ($backgroundJaccard) must be in (0, targetJaccard)")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+    // linearity bound: E[false candidates] = b·C(n,2)·s̄^r ≤ O(n)
+    // ⇔ s̄^r ≤ ~1/n ⇔ r ≥ ln(n)/ln(1/s̄)
+    val rMin = math.ceil(
+      math.log(math.max(n, 2).toDouble) /
+        math.log(1.0 / backgroundJaccard)).toInt.max(1)
+    // smallest divisor of numHashes ≥ rMin (conservative: larger r only
+    // shrinks the false-candidate mass); all hashes in one band if none
+    val r = (1 to numHashes).find(d =>
+      numHashes % d == 0 && d >= rMin).getOrElse(numHashes)
+    val b = numHashes / r
+    val knee = math.pow(b.toDouble, -1.0 / r)
+    val pairs = n.toDouble * (n.toDouble - 1) / 2
+    val fc = b * pairs * math.pow(backgroundJaccard, r.toDouble)
+    BandPlan(b, r, knee, fc)
+  }
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
       maxBucketSize: Int = 1000, minEstJaccard: Double = 0.0): DataFrame = {
@@ -704,6 +772,34 @@ object Dedup {
       .select(col("__new_id").as(idCol)).distinct()
     df.join(hits, Seq(idCol), "left_anti")
   }
+
+  /** Retire documents from a persisted LSH index — the UPDATE/DELETE
+    * half of index maintenance ([[nearDupAgainstIndex]] screens,
+    * appends cover adds — q89; this covers the document-update
+    * boundary the nightly loop otherwise leaks). Without retirement, a
+    * changed or deleted doc's OLD band buckets stay in the standing
+    * index forever: the index bloats monotonically, and every future
+    * screen drags stale candidate pairs through the verify join
+    * against text that no longer exists (or worse, verifies against
+    * the doc's NEW text under its OLD buckets, silently shifting the
+    * candidate set).
+    *
+    * The operation is one anti-join on the id column — same layout in,
+    * same layout out (`idCol`, band, bucket), so the result overwrites
+    * or compacts into the standing index table directly. An UPDATE is
+    * retire(old) then append(lshIndexRows(newText)) — see
+    * q211_index_retire for the composed nightly form with a cell-exact
+    * oracle replaying add+retire. At 100 TB the anti-join broadcasts
+    * when tonight's retire set is small (the usual case) and hash-joins
+    * on the index's own key otherwise; nothing rescans any text.
+    *
+    * @param index persisted standing index rows (`idCol`, band, bucket)
+    * @param docIds frame whose `idCol` column lists the docs to retire
+    *               (changed + deleted); extra columns are ignored
+    */
+  def retireFromIndex(index: DataFrame, docIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(docIds.select(idCol), Seq(idCol), "left_anti")
 
   /** SimHash per document over word tokens: bit i of the hash is the
     * sign of Σ_tokens (±1 by bit i of the token hash). md5 arithmetic

@@ -2077,4 +2077,80 @@ class OpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("degenerate for rank-bucketing")),
       messages(e).mkString(" | "))
   }
+
+  test("bandsFor: reproduces the measured q22 re-banding (SCALING.md " +
+      "§6b) and holds the false-candidate mass linear") {
+    // test-scale corpus (sf0.1, ~60k docs): the registered q22 form, 8x4
+    val small = Dedup.bandsFor(60000L, targetJaccard = 0.5)
+    assert((small.bands, small.rowsPerBand) == ((8, 4)), small.toString)
+    // 100x corpus (500k docs): the measured re-banding, 4x8; the model's
+    // false-candidate count must pin the MEASURED 20 within 2x (19.5)
+    val big = Dedup.bandsFor(500000L, targetJaccard = 0.5)
+    assert((big.bands, big.rowsPerBand) == ((4, 8)), big.toString)
+    assert(big.expectedFalseCandidates > 10 &&
+      big.expectedFalseCandidates < 40, big.toString)
+    // knee is the documented S-curve threshold (1/b)^(1/r)
+    assert(math.abs(big.knee - math.pow(4.0, -1.0 / 8)) < 1e-12)
+    // linearity: with r adapting ~log n, false candidates stay o(n)
+    // where the FIXED 8x4 banding measured ~2.86M at 500k (quadratic)
+    Seq(1000000L, 100000000L, 1000000000L).foreach { n =>
+      val p = Dedup.bandsFor(n, 0.5)
+      assert(p.expectedFalseCandidates < n.toDouble,
+        s"n=$n plan=$p")
+    }
+    // rowsPerBand always divides numHashes (minHashLshPairs contract)
+    (1 to 12).foreach { e =>
+      val p = Dedup.bandsFor(1L << (2 * e), 0.5, numHashes = 32)
+      assert(32 % p.bands == 0 && p.bands * p.rowsPerBand == 32)
+    }
+    // degenerate args are refused loudly
+    intercept[IllegalArgumentException](Dedup.bandsFor(0L, 0.5))
+    intercept[IllegalArgumentException](Dedup.bandsFor(10L, 1.5))
+    intercept[IllegalArgumentException](
+      Dedup.bandsFor(10L, 0.5, backgroundJaccard = 0.6))
+    // and the plan drops straight into minHashLshPairs: a planted
+    // near-twin pair is found under the plan's banding
+    val df = docFrame(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      (3L, "completely different text about spark catalyst planning"))
+    val plan = Dedup.bandsFor(3L, 0.5)
+    val pairs = Dedup.minHashLshPairs(df, "doc_id", "text",
+        numHashes = 32, bands = plan.bands)
+      .where(col("jaccard") >= 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)), pairs.mkString(","))
+  }
+
+  test("retireFromIndex removes exactly the listed docs' rows and " +
+      "composes with re-add into an update") {
+    import spark.implicits._
+    val docs = docFrame(
+      (1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu"))
+    val idx = Dedup.lshIndexRows(docs, "doc_id", "text",
+      numHashes = 16, bands = 4).select("doc_id", "band", "bucket")
+    val retired = Dedup.retireFromIndex(idx, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    // layout preserved, doc 2's rows gone, others untouched
+    assert(retired.columns.toSeq == Seq("doc_id", "band", "bucket"))
+    assert(retired.where(col("doc_id") === 2L).count() == 0)
+    assert(retired.count() == idx.where(col("doc_id") =!= 2L).count())
+    // UPDATE = retire(old) then append(new-text rows): equals the
+    // from-scratch index of the post-update corpus
+    val updatedDoc = docFrame((2L, "epsilon zeta eta theta revised"))
+    val after = retired.unionByName(
+      Dedup.lshIndexRows(updatedDoc, "doc_id", "text",
+        numHashes = 16, bands = 4).select("doc_id", "band", "bucket"))
+    val scratch = Dedup.lshIndexRows(
+      docs.where(col("doc_id") =!= 2L).unionByName(updatedDoc),
+      "doc_id", "text", numHashes = 16, bands = 4)
+      .select("doc_id", "band", "bucket")
+    assert(after.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(after).count() == 0)
+    // extra columns on the retire list are ignored
+    val retired2 = Dedup.retireFromIndex(idx,
+      Seq((2L, "x")).toDF("doc_id", "junk"), "doc_id")
+    assert(retired2.count() == retired.count())
+  }
 }
