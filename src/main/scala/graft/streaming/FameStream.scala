@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.api.FameSession
-import graft.ast.{FameExpr, FameStmt}
+import graft.ast.{DateFilter, FameExpr, FameStmt, Frequency}
 import graft.kernels.{BusinessCalendar, Nlrx}
 import graft.parse.FameParser
 
@@ -91,7 +91,8 @@ object FameStream {
     val incremental = mode match {
       case Incremental => true
       case Snapshot    => false
-      case Auto        => incrementalEligibility(script).isRight
+      case Auto        =>
+        incrementalEligibility(script, partitionKeys.nonEmpty).isRight
     }
     if (incremental)
       return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
@@ -144,49 +145,144 @@ object FameStream {
     * is too short and the first rows of every batch silently evaluate
     * chained lags against absent history (nulls where the whole-history
     * run has values), breaking the batch-equivalence contract.
+    *
+    * FIXED-DATE LOOKUPS become BOUNDED under a closed horizon (r13
+    * verdict task 3 widening). `v["d"]` (and `v[s]` where scalar `s` is
+    * a resolvable `make(...)` date literal) is unbounded in a PLAIN
+    * assign — rows arbitrarily far in the future keep reading date d —
+    * but inside a statement whose affected rows have a KNOWN last date
+    * it is an ordinary bounded backward read:
+    *
+    *  - a point-in-time assign `x[D] = … v["d"] …` evaluates only at
+    *    row D, so the read reaches `periods(d → D)` back (refused when
+    *    d > D — that is a forward read);
+    *  - a CLOSED date mask `set <date A to B> x = … v["d"] …` (inline,
+    *    or the ambient `date A to B` in effect — the fold tracks
+    *    SetDate/ClearDate) evaluates only at rows in [A, B], so when
+    *    d ≤ A the read reaches at most `periods(d → B)` back (d inside
+    *    the mask would be a forward read for rows before d — refused).
+    *
+    * Period distance is CEILED per the session frequency (an over-long
+    * tail is sound — it only carries extra rows; a short one silently
+    * nulls the lookup); business frequency uses calendar days, an
+    * overestimate of business-day rows. Lookups need a `freq` already
+    * declared, and are refused under PARTITIONED execution regardless
+    * (`partitioned = true`): the executor inlines a lookup as one
+    * `limit(1)` literal over the whole multi-entity frame, so the
+    * chosen row is frame-dependent and work-frame vs whole-history runs
+    * could legally disagree.
     */
-  def incrementalEligibility(script: String): Either[String, Int] = {
+  def incrementalEligibility(script: String,
+      partitioned: Boolean = false): Either[String, Int] = {
+    import java.time.LocalDate
     import FameExpr._
     import FameStmt._
     val stmts = FameParser.parseScript(script)
     val scalarNames = stmts.collect { case ScalarAssign(n, _) => n }.toSet
+
+    // fixed-date value of a pure `make(...)` scalar RHS — such scalars
+    // resolve DynLookup sites to DateLookup semantics (the compiler
+    // inlines them identically, ColumnCompiler `DynLookup` case)
+    def dateOfMake(e: FameExpr): Option[LocalDate] = e match {
+      case Call("make", args) =>
+        args.collectFirst { case Str(s) => s }.flatMap(graft.ast.FameDate.parse)
+      case _ => None
+    }
+
+    // period distance from `from` to `to` (from ≤ to) under freq, CEILED
+    def periods(f: Frequency, from: LocalDate, to: LocalDate): Int = {
+      import java.time.temporal.ChronoUnit
+      def ceilBy(unitLen: Long): Int = {
+        val d = ChronoUnit.DAYS.between(from, to)
+        ((d + unitLen - 1) / unitLen).toInt
+      }
+      f match {
+        case Frequency.Monthly =>
+          val m = ChronoUnit.MONTHS.between(from, to)
+          (if (from.plusMonths(m).isBefore(to)) m + 1 else m).toInt
+        case Frequency.Quarterly =>
+          val m = ChronoUnit.MONTHS.between(from, to)
+          val q = m / 3
+          (if (from.plusMonths(q * 3).isBefore(to)) q + 1 else q).toInt
+        case Frequency.Annual =>
+          val y = ChronoUnit.YEARS.between(from, to)
+          (if (from.plusYears(y).isBefore(to)) y + 1 else y).toInt
+        case Frequency.Daily | Frequency.Business =>
+          // business rows are a SUBSET of calendar days — day distance
+          // over-counts rows, never under-counts
+          ChronoUnit.DAYS.between(from, to).toInt
+        case Frequency.Weekly(_) => ceilBy(7)
+      }
+    }
+
+    // the statement's lookup horizon: Some((latestAllowedLookupDate,
+    // lastAffectedRowDate, freq)) when every row the statement writes
+    // has a known last date; None = lookups unbounded here
+    type Look = Option[(LocalDate, LocalDate, Frequency)]
 
     // (maxLead, maxLag) reach of e relative to the current row, given
     // the reaches recorded so far for derived series (`env`); a shifted
     // evaluation point TRANSLATES a referenced series' whole interval
     // [−lg, +ld] to [k−lg, k+ld], it never narrows it. Input series and
     // pure scalars are absent from env → (0, 0).
-    def reach(e: FameExpr, env: Map[String, (Int, Int)])
-        : Either[String, (Int, Int)] = e match {
-      case Num(_) | Str(_) | Missing | TimeVar => Right((0, 0))
-      case Ref(n) => Right(env.getOrElse(n, (0, 0)))
-      case TimeShift(n, k) =>
-        val (ld, lg) = env.getOrElse(n, (0, 0))
-        Right((math.max(0, ld + k), math.max(0, lg - k)))
-      case DynLookup(s, sc) => Left(s"history lookup $s[$sc]")
-      case DateLookup(s, d) => Left(s"""history lookup $s["$d"]""")
-      case Bin(_, l, r)  => for (a <- reach(l, env); b <- reach(r, env))
-        yield (math.max(a._1, b._1), math.max(a._2, b._2))
-      case Un(_, x)      => reach(x, env)
-      case Cond(c, t, f) =>
-        for (a <- reach(c, env); b <- reach(t, env); d <- reach(f, env))
-          yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
-      case ChainCall(_, _) => Left("inline $chain (whole-series index)")
-      case Call(name, args) => name match {
-        case "pct" | "diff" =>
-          val k = args.lift(1).collect { case Num(v) => v.toInt }.getOrElse(1)
-          reach(args.head, env).map { case (ld, lg) => (ld, lg + k) }
-        case "sqrt" | "abs" | "log" | "exp" | "exists" =>
-          reach(args.head, env)
-        case "min" | "max" | "lsum" =>
-          args.foldLeft[Either[String, (Int, Int)]](Right((0, 0))) {
-            (acc, a) => for (x <- acc; y <- reach(a, env))
-              yield (math.max(x._1, y._1), math.max(x._2, y._2))
+    def reach(e: FameExpr, env: Map[String, (Int, Int)], look: Look,
+        sdates: Map[String, LocalDate]): Either[String, (Int, Int)] = {
+      def lookupReach(s: String, d: LocalDate, shown: String)
+          : Either[String, (Int, Int)] = look match {
+        case None => Left(s"history lookup $shown (bounded only inside a " +
+          "closed date mask or point-in-time assign)")
+        case Some(_) if partitioned => Left(s"history lookup $shown under " +
+          "partitioned execution (the inlined literal is frame-dependent)")
+        case Some((latest, horizon, f)) =>
+          if (d.isAfter(latest))
+            Left(s"history lookup $shown dated after the statement's " +
+              "mask start — a forward read for masked rows")
+          else {
+            // s's value AT date d carries s's own recorded lag behind d
+            val lg = env.getOrElse(s, (0, 0))._2
+            Right((0, lg + periods(f, d, horizon)))
           }
-        case "make" => Right((0, 0)) // plan-time date literal
-        case "ave" | "firstvalue" | "lastvalue" | "dateof" =>
-          Left(s"whole-series function $name")
-        case other => Left(s"function $other (unknown reach)")
+      }
+      e match {
+        case Num(_) | Str(_) | Missing | TimeVar => Right((0, 0))
+        case Ref(n) => Right(env.getOrElse(n, (0, 0)))
+        case TimeShift(n, k) =>
+          val (ld, lg) = env.getOrElse(n, (0, 0))
+          Right((math.max(0, ld + k), math.max(0, lg - k)))
+        case DynLookup(s, sc) => sdates.get(sc) match {
+          case Some(d) => lookupReach(s, d, s"$s[$sc]")
+          case None => Left(s"history lookup $s[$sc] (scalar is not a " +
+            "fixed date literal)")
+        }
+        case DateLookup(s, d) => lookupReach(s, d, s"""$s["$d"]""")
+        case Bin(_, l, r)  =>
+          for (a <- reach(l, env, look, sdates);
+               b <- reach(r, env, look, sdates))
+            yield (math.max(a._1, b._1), math.max(a._2, b._2))
+        case Un(_, x)      => reach(x, env, look, sdates)
+        case Cond(c, t, f) =>
+          for (a <- reach(c, env, look, sdates);
+               b <- reach(t, env, look, sdates);
+               d <- reach(f, env, look, sdates))
+            yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
+        case ChainCall(_, _) => Left("inline $chain (whole-series index)")
+        case Call(name, args) => name match {
+          case "pct" | "diff" =>
+            val k = args.lift(1).collect { case Num(v) => v.toInt }.getOrElse(1)
+            reach(args.head, env, look, sdates)
+              .map { case (ld, lg) => (ld, lg + k) }
+          case "sqrt" | "abs" | "log" | "exp" | "exists" =>
+            reach(args.head, env, look, sdates)
+          case "min" | "max" | "lsum" =>
+            args.foldLeft[Either[String, (Int, Int)]](Right((0, 0))) {
+              (acc, a) => for (x <- acc; y <- reach(a, env, look, sdates))
+                yield (math.max(x._1, y._1), math.max(x._2, y._2))
+            }
+          case "make" => Right((0, 0)) // plan-time date literal
+          case "ave" | "firstvalue" | "lastvalue" | "dateof" =>
+            Left(s"whole-series function $name")
+          case other => Left(s"function $other (unknown reach)")
+        }
       }
     }
 
@@ -200,40 +296,59 @@ object FameStream {
       case _             => false
     }
 
-    // fold state: (global max input-lag so far, per-series recorded
-    // reach). A masked / point-in-time reassign PRESERVES rows the old
-    // definition wrote, so a re-recorded series keeps the max of old
-    // and new reach (never narrows — conservative is sound here: an
-    // over-long tail only costs a few carried rows).
+    // fold state: global max input-lag, per-series recorded reach,
+    // resolvable date scalars, the ambient freq and date filter. A
+    // masked / point-in-time reassign PRESERVES rows the old definition
+    // wrote, so a re-recorded series keeps the max of old and new reach
+    // (never narrows — conservative is sound here: an over-long tail
+    // only costs a few carried rows).
     def record(env: Map[String, (Int, Int)], name: String,
         r: (Int, Int)): Map[String, (Int, Int)] = {
       val old = env.getOrElse(name, (0, 0))
       env + (name -> (math.max(old._1, r._1), math.max(old._2, r._2)))
     }
 
-    stmts.foldLeft[Either[String, (Int, Map[String, (Int, Int)])]](
-      Right((0, Map.empty))) { (acc, s) =>
-      acc.flatMap { case (lag, env) =>
-        s match {
-          case SetFreq(_) | SetDate(_) | ClearDate | ListAlias(_, _) =>
-            Right((lag, env))
+    final case class St(lag: Int, env: Map[String, (Int, Int)],
+        sdates: Map[String, LocalDate], freq: Option[Frequency],
+        filter: Option[DateFilter])
+
+    // effective statement mask = inline if present else ambient —
+    // EXACTLY the executor's rule (FameSession: inlineFilter.orElse
+    // (b.dateFilter)); a closed mask yields a lookup horizon
+    def maskLook(st: St, inline: Option[DateFilter]): Look =
+      for {
+        df <- inline.orElse(st.filter)
+        a <- df.start; b <- df.end; f <- st.freq
+      } yield if (a.isAfter(b)) (b, a, f) else (a, b, f)
+
+    stmts.foldLeft[Either[String, St]](
+      Right(St(0, Map.empty, Map.empty, None, None))) { (acc, s) =>
+      acc.flatMap { st =>
+        def accept(target: String, r: Either[String, (Int, Int)])
+            : Either[String, St] = r.flatMap {
           // target already carries the DB prefix (FameParser.colName
           // folds `aa'x` to AA_X before Assign is built, and Ref/
           // TimeShift sites see the same folded name), so it is the
           // env key as-is — re-prefixing here would record AA_AA_X
           // and lose transitive reach for every local-db chain.
-          case Assign(target, e, _, _) => reach(e, env).flatMap {
-            case r @ (0, lg) =>
-              Right((math.max(lag, lg), record(env, target, r)))
-            case (ld, _) => Left(s"lead reach +$ld in ${s}")
-          }
-          case PointInTime(target, _, e) => reach(e, env).flatMap {
-            case r @ (0, lg) =>
-              Right((math.max(lag, lg), record(env, target, r)))
-            case (ld, _) => Left(s"lead reach +$ld in ${s}")
-          }
+          case rr @ (0, lg) => Right(st.copy(
+            lag = math.max(st.lag, lg), env = record(st.env, target, rr)))
+          case (ld, _) => Left(s"lead reach +$ld in ${s}")
+        }
+        s match {
+          case SetFreq(f)       => Right(st.copy(freq = Some(f)))
+          case SetDate(filter)  => Right(st.copy(filter = Some(filter)))
+          case ClearDate        => Right(st.copy(filter = None))
+          case ListAlias(_, _)  => Right(st)
+          case Assign(target, e, inline, _) =>
+            accept(target, reach(e, st.env, maskLook(st, inline), st.sdates))
+          case PointInTime(target, dte, e) =>
+            accept(target,
+              reach(e, st.env, st.freq.map(f => (dte, dte, f)), st.sdates))
           case ScalarAssign(n, e) =>
-            if (scalarPure(e)) Right((lag, env))
+            if (scalarPure(e)) Right(dateOfMake(e)
+              .map(d => st.copy(sdates = st.sdates + (n -> d)))
+              .getOrElse(st))
             else Left(s"scalar $n derived from series data")
           case ConvertAssign(t, _, _, _, _, _, _) =>
             Left(s"convert ($t) re-buckets history")
@@ -245,7 +360,7 @@ object FameStream {
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }.map(_._1)
+    }.map(_.lag)
   }
 
   /** Incremental micro-batched FAME for the forward-only script subset
@@ -281,7 +396,7 @@ object FameStream {
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val maxLag = incrementalEligibility(script) match {
+    val maxLag = incrementalEligibility(script, partitionKeys.nonEmpty) match {
       case Left(reason) => throw new IllegalArgumentException(
         s"script not incrementally evaluable: $reason (use FameStream.run)")
       case Right(k) => k

@@ -56,8 +56,16 @@ class IncrementalPropertySpec extends SparkSpec {
     if (n.startsWith("AA_")) "aa'" + n.drop(3).toLowerCase
     else n.toLowerCase
 
-  private def genExpr(depth: Int, env: Map[String, (Int, Int)])
-      : Gen[(String, Reach)] = {
+  /** `lookCtx` is the statement's lookup horizon as (loMonth, hiMonth)
+    * of the enclosing closed 1995-monthly mask (PIT: lo = hi = the PIT
+    * month): a fixed-date lookup `v["1995-mm-01"]` with mm ≤ lo is a
+    * bounded backward read reaching `hi − mm` periods (plus the target
+    * series' own recorded lag); mm > lo, or no horizon at all (plain
+    * statement / open mask), is refused — mirroring the r14 walker
+    * widening, with the 3-batch parity check as ground truth.
+    */
+  private def genExpr(depth: Int, env: Map[String, (Int, Int)],
+      lookCtx: Option[(Int, Int)]): Gen[(String, Reach)] = {
     val names = env.keys.toSeq.sorted
     val leaf: Gen[(String, Reach)] = Gen.frequency(
       2 -> Gen.choose(2, 9).map(n => (n.toString, Right((0, 0)))),
@@ -74,6 +82,24 @@ class IncrementalPropertySpec extends SparkSpec {
         val (ld, lg) = env(n)
         (s"${show(n)}[t+$k]", Right((ld + k, math.max(0, lg - k))))
       }),
+      2 -> (for { // fixed-date lookup — bounded iff horizoned and mm ≤ lo
+        n <- Gen.oneOf(names)
+        // bias toward the eligible range when a horizon exists, so the
+        // Right-side (parity-checked) lookup volume stays high; the
+        // unbiased arm keeps refusal shapes in the mix
+        mm <- lookCtx match {
+          case Some((lo, _)) =>
+            Gen.frequency(3 -> Gen.choose(1, lo), 1 -> Gen.choose(1, 9))
+          case None => Gen.choose(1, 9)
+        }
+      } yield {
+        val txt = f"""${show(n)}["1995-$mm%02d-01"]"""
+        lookCtx match {
+          case Some((lo, hi)) if mm <= lo =>
+            (txt, Right((0, env(n)._2 + (hi - mm))))
+          case _ => (txt, Left("history lookup (unbounded here)"))
+        }
+      }),
       1 -> Gen.oneOf(names).map(n =>
         (s"ave(${show(n)})", Left(s"whole-series ave"))),
       1 -> Gen.oneOf("firstvalue", "lastvalue").flatMap(f =>
@@ -84,12 +110,13 @@ class IncrementalPropertySpec extends SparkSpec {
       3 -> leaf,
       3 -> (for {
         op <- Gen.oneOf("+", "-", "*")
-        l <- genExpr(depth - 1, env); r <- genExpr(depth - 1, env)
+        l <- genExpr(depth - 1, env, lookCtx)
+        r <- genExpr(depth - 1, env, lookCtx)
       } yield (s"(${l._1} $op ${r._1})", merge(l._2, r._2))),
       3 -> (for {
         f <- Gen.oneOf("pct", "diff"); k <- Gen.choose(1, 2)
         j <- Gen.choose(1, 3)
-        a <- genExpr(depth - 1, env)
+        a <- genExpr(depth - 1, env, lookCtx)
       } yield {
         // pct divides by the lagged argument — keep it strictly
         // positive (ANSI mode turns a zero denominator into an error,
@@ -97,10 +124,12 @@ class IncrementalPropertySpec extends SparkSpec {
         val arg = if (f == "pct") s"(abs(${a._1}) + $j)" else a._1
         (s"$f($arg, $k)", a._2.map { case (ld, lg) => (ld, lg + k) })
       }),
-      1 -> genExpr(depth - 1, env).map { case (s, r) => (s"abs($s)", r) },
+      1 -> genExpr(depth - 1, env, lookCtx)
+        .map { case (s, r) => (s"abs($s)", r) },
       1 -> (for {
         f <- Gen.oneOf("min", "max", "lsum")
-        l <- genExpr(depth - 1, env); r <- genExpr(depth - 1, env)
+        l <- genExpr(depth - 1, env, lookCtx)
+        r <- genExpr(depth - 1, env, lookCtx)
       } yield (s"$f(${l._1}, ${r._1})", merge(l._2, r._2))))
   }
 
@@ -124,46 +153,61 @@ class IncrementalPropertySpec extends SparkSpec {
         Gen.const((("freq m" :: acc.reverse).mkString("\n"), expect))
       else {
         val derived = (env.keySet -- base.keySet).toSeq.sorted
-        Gen.zip(genExpr(2, env),
-            Gen.frequency(3 -> "", 1 -> "aa'"),
-            Gen.frequency(6 -> 0, 2 -> 1, 2 -> 2), // plain|masked|pit
+        // form first, THEN the expression: lookup leaves need the
+        // statement's horizon (mask/PIT dates) to carry their reach.
+        // forms: 0 plain | 1 inline mask | 2 point-in-time |
+        //        3 ambient `date A to B` mask (reset by `date *` after)
+        Gen.zip(
+            Gen.frequency(5 -> 0, 2 -> 1, 2 -> 2, 2 -> 3),
             Gen.choose(1, 9), Gen.choose(1, 9),
+            Gen.frequency(3 -> "", 1 -> "aa'"),
             Gen.oneOf(true, false)).flatMap {
-          case ((txt, r), pfx, form, d1, d2, reuse) =>
-            // masked/pit may reassign an earlier derived series; the env
-            // key is always the PARSER-FOLDED name (aa'vN -> AA_VN) —
-            // exactly what Ref/TimeShift sites will carry after parse
-            val folded =
-              if (form != 0 && reuse && derived.nonEmpty)
-                derived((i + d1) % derived.size)
-              else (if (pfx.isEmpty) "" else "AA_") + s"V$i"
-            val tname = show(folded)
-            val line = form match {
-              case 0 => s"$tname = $txt"
-              case 1 =>
-                val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
-                f"set <date 1995-$lo%02d-01 to 1995-$hi%02d-01> $tname = $txt"
-              case _ => f"$tname[1995-$d1%02d-01] = $txt"
+          case (form, d1, d2, pfx, reuse) =>
+            val (lo, hi) = (math.min(d1, d2), math.max(d1, d2))
+            val lookCtx = form match {
+              case 1 | 3 => Some((lo, hi))
+              case 2     => Some((d1, d1))
+              case _     => None
             }
-            val nextExpect: Either[String, Int] = expect.flatMap { lag =>
-              r match {
-                case Left(reason)   => Left(reason)
-                case Right((ld, _)) if ld > 0 => Left(s"lead +$ld")
-                case Right((_, lg)) => Right(math.max(lag, lg))
+            genExpr(2, env, lookCtx).flatMap { case (txt, r) =>
+              // masked/pit may reassign an earlier derived series; the
+              // env key is always the PARSER-FOLDED name (aa'vN ->
+              // AA_VN) — exactly what Ref/TimeShift sites carry
+              val folded =
+                if (form != 0 && reuse && derived.nonEmpty)
+                  derived((i + d1) % derived.size)
+                else (if (pfx.isEmpty) "" else "AA_") + s"V$i"
+              val tname = show(folded)
+              val lines = form match {
+                case 0 => List(s"$tname = $txt")
+                case 1 => List(
+                  f"set <date 1995-$lo%02d-01 to 1995-$hi%02d-01> $tname = $txt")
+                case 2 => List(f"$tname[1995-$d1%02d-01] = $txt")
+                case _ => List(
+                  f"date 1995-$lo%02d-01 to 1995-$hi%02d-01",
+                  s"$tname = $txt",
+                  "date *")
               }
+              val nextExpect: Either[String, Int] = expect.flatMap { lag =>
+                r match {
+                  case Left(reason)   => Left(reason)
+                  case Right((ld, _)) if ld > 0 => Left(s"lead +$ld")
+                  case Right((_, lg)) => Right(math.max(lag, lg))
+                }
+              }
+              // env only grows on an accepted statement (max with any
+              // previous reach of a reassigned target); after a refusal
+              // the expectation is already Left and further statements
+              // can't rescue it (the walker stops at the first refusal)
+              val nextEnv = r match {
+                case Right((ld, lg)) if ld == 0 =>
+                  val old = env.getOrElse(folded, (0, 0))
+                  env + (folded ->
+                    (math.max(old._1, ld), math.max(old._2, lg)))
+                case _ => env
+              }
+              stmts(i + 1, n, nextEnv, lines.reverse ::: acc, nextExpect)
             }
-            // env only grows on an accepted statement (max with any
-            // previous reach of a reassigned target); after a refusal
-            // the expectation is already Left and further statements
-            // can't rescue it (the walker stops at the first refusal)
-            val nextEnv = r match {
-              case Right((ld, lg)) if ld == 0 =>
-                val old = env.getOrElse(folded, (0, 0))
-                env + (folded ->
-                  (math.max(old._1, ld), math.max(old._2, lg)))
-              case _ => env
-            }
-            stmts(i + 1, n, nextEnv, line :: acc, nextExpect)
         }
       }
     Gen.choose(2, 4).flatMap(n => stmts(1, n, base, Nil, Right(0)))
@@ -181,6 +225,9 @@ class IncrementalPropertySpec extends SparkSpec {
     var lefts = 0
     var masked = 0
     var pits = 0
+    var ambient = 0
+    var lookups = 0
+    var rightLookups = 0
     forAllN(Gen.zip(genScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
       Gen.listOfN(9, Gen.choose(1, 50))), n = 160) {
@@ -188,6 +235,11 @@ class IncrementalPropertySpec extends SparkSpec {
         if (script.contains("set <date")) masked += 1
         if (script.linesIterator.exists(l =>
           l.contains("[1995-") && l.indexOf('=') > l.indexOf(']'))) pits += 1
+        if (script.linesIterator.exists(_.startsWith("date 1995"))) ambient += 1
+        if (script.contains("[\"1995-")) {
+          lookups += 1
+          if (expect.isRight) rightLookups += 1
+        }
         val got = FameStream.incrementalEligibility(script)
         expect match {
           case Left(_) =>
@@ -240,5 +292,13 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(lefts >= 30, s"only $lefts Left scripts generated")
     assert(masked >= 20, s"only $masked scripts with a date-masked stmt")
     assert(pits >= 20, s"only $pits scripts with a point-in-time stmt")
+    // the r14 widening must actually be exercised: ambient `date A to B`
+    // masks appear, fixed-date lookups appear, and — the point — some
+    // lookup-bearing scripts are ELIGIBLE (bounded by their horizon)
+    // and survive the bit-exact 3-batch parity check above
+    assert(ambient >= 10, s"only $ambient scripts with an ambient date mask")
+    assert(lookups >= 10, s"only $lookups scripts with a fixed-date lookup")
+    assert(rightLookups >= 5,
+      s"only $rightLookups ELIGIBLE lookup-bearing scripts generated")
   }
 }

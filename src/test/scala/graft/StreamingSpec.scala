@@ -1079,6 +1079,60 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "a = pct(rev)\nb[1995-03-01] = a[t-1]\nc = pct(b)") == Right(3))
     assert(incrementalEligibility("b[1995-03-01] = rev[t+1]").isLeft)
+
+    // --- r14 widening: fixed-date lookups under a closed horizon ---
+    // PIT at D reading date d <= D reaches periods(d -> D) back
+    assert(incrementalEligibility(
+      "freq m\nx[1995-05-01] = rev[\"1995-02-01\"]") == Right(3))
+    // ... d > D is a forward read — refused
+    assert(incrementalEligibility(
+      "freq m\nx[1995-05-01] = rev[\"1995-06-01\"]").isLeft)
+    // closed INLINE mask [A,B], d <= A: reach = periods(d -> B)
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-04-01 to 1995-07-01> x = rev[\"1995-02-01\"]")
+      == Right(5))
+    // closed AMBIENT mask works the same and ClearDate ends it
+    assert(incrementalEligibility(
+      "freq m\ndate 1995-04-01 to 1995-07-01\nx = rev[\"1995-02-01\"]")
+      == Right(5))
+    assert(incrementalEligibility(
+      "freq m\ndate 1995-04-01 to 1995-07-01\ndate *\n" +
+        "x = rev[\"1995-02-01\"]").isLeft)
+    // lookup date INSIDE the mask is a forward read for earlier masked
+    // rows — refused; open masks carry no horizon — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-04-01 to 1995-07-01> x = rev[\"1995-05-01\"]")
+      .isLeft)
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-04-01 to *> x = rev[\"1995-02-01\"]").isLeft)
+    // plain assigns stay unbounded — refused
+    assert(incrementalEligibility(
+      "freq m\nx = rev[\"1995-02-01\"]").isLeft)
+    // DynLookup through a pure make(...) scalar resolves like DateLookup
+    assert(incrementalEligibility(
+      "freq m\nscalar d1 = make(date(m), \"1995-02-01\")\n" +
+        "x[1995-05-01] = rev[d1]") == Right(3))
+    // ... but a series-derived or unknown scalar stays refused
+    assert(incrementalEligibility(
+      "freq m\nx[1995-05-01] = rev[nosuch]").isLeft)
+    // lookup reach is transitive: the looked-up series' own lag rides on
+    assert(incrementalEligibility(
+      "freq m\na = rev[t-2]\nx[1995-05-01] = a[\"1995-03-01\"]")
+      == Right(4))
+    // quarterly distance counts quarters, not months
+    assert(incrementalEligibility(
+      "freq q\nx[1995-10-01] = rev[\"1995-01-01\"]") == Right(3))
+    // PARTITIONED execution refuses lookups (the inlined limit(1)
+    // literal is frame-dependent across entities) but keeps ordinary
+    // masked/lagged statements eligible
+    assert(incrementalEligibility(
+      "freq m\nx[1995-05-01] = rev[\"1995-02-01\"]",
+      partitioned = true).isLeft)
+    assert(incrementalEligibility(
+      "freq m\na = pct(rev)\nb = pct(a)", partitioned = true) == Right(2))
+    // no freq declared -> no period arithmetic -> lookups refused
+    assert(incrementalEligibility(
+      "x[1995-05-01] = rev[\"1995-02-01\"]").isLeft)
   }
 
   test("incremental FAME: chained lags through derived series carry a " +
@@ -1120,6 +1174,48 @@ class StreamingSpec extends SparkSpec {
     // the boundary cell is a real value: April's b needs March's a
     // which needs February's rev — all through the 2-row carried tail
     assert(got(3)._3 != null, "chained lag across the boundary was null")
+  }
+
+  test("incremental FAME: a masked fixed-date-lookup script (r14 " +
+      "widening) is batch-equivalent through the real streaming harness") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famelook").toString
+    // rows in [Apr, May] are rebased against January's level; the June
+    // batch still recomputes May's masked value transitively via b —
+    // January must ride the carried tail that far (maxLag = 4 + 1)
+    val script =
+      """freq m
+        |set <date 1995-04-01 to 1995-05-01> a = rev / rev["1995-01-01"]
+        |b = diff(a)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script)
+      == Right(5))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0),
+        (d("1995-03-01"), 7.0)),
+      Seq((d("1995-04-01"), 6.0), (d("1995-05-01"), 3.0)),
+      Seq((d("1995-06-01"), 8.0)))
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "A", "B").orderBy("DATE").collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "A", "B").orderBy("DATE").collect().map(key).toSeq
+    assert(got == batchRun)
+    // the lookup actually resolved: April's a = 6/4, May's a = 3/4, and
+    // June's b = diff(a) still sees May's masked value from the tail
+    assert(got(3)._2 == 1.5 && got(4)._2 == 0.75, got.toString)
   }
 
   test("incremental FAME enforces the nondecreasing-date ingest contract: " +
