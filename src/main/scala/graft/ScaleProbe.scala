@@ -57,6 +57,53 @@ object ScaleProbe {
     }
   }
 
+  /** Entity-scaled keyed-FAME probe queries (r13 verdict task 4): the
+    * q19/q38 script (pct + quarterly convert) and the q86 script (one
+    * HP-smoother NLRX solve per entity) over the nation frame
+    * replicated `SPARK_GRAFT_FAME_REPS`× (default 100 = q38's standing
+    * 2500 entities; 10 = 250 entities, 1000 = 25k). The partitioned
+    * FAME path is the engine's scale story — per-entity parallel
+    * windows and mapGroups solves, no keyless exchange — and until
+    * this probe its evidence was wall-clock only. Output is the
+    * registered q38/q86 per-entity digest so the result stays bounded
+    * at any replication factor. Probe-only: NOT in SparkEntry.queries
+    * (the driver's correctness gate pins q19/q38/q86 themselves).
+    */
+  private def fameProbes(reps: Int)
+      : Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def wide(s: SparkSession, dir: String) = {
+      val r = s.range(reps.toLong).select(col("id").cast("string").as("REP"))
+      QueriesCore.monthlyByNation(s, dir).crossJoin(r)
+        .select(concat_ws("#", col("NATION"), col("REP")).as("NATION"),
+          col("DATE"), col("REV"))
+    }
+    Map(
+      s"fameprobe_pct_convert_x$reps" -> ((s, dir) => {
+        val out = graft.api.FameSession.run(
+          """freq m
+            |p = pct(rev)
+            |rev_q = convert(rev, q, discrete, sum)""".stripMargin,
+          wide(s, dir), partitionKeys = Seq("NATION"))
+        out.df.groupBy(col("NATION").as("nation"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("P"), 8).cast(DecimalType(28, 8)))
+              .cast("double").as("sum_p"),
+            sum(round(col("REV_QTRLY"), 8).cast(DecimalType(28, 8)))
+              .cast("double").as("sum_rev_q"))
+      }),
+      s"fameprobe_nlrx_x$reps" -> ((s, dir) => {
+        val out = graft.api.FameSession.run(
+          "sm = nlrx(1600, rev, rev, rev, rev, rev, rev, rev)",
+          wide(s, dir), partitionKeys = Seq("NATION"))
+        out.df.groupBy(col("NATION").as("nation"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("SM"), 6).cast(DecimalType(28, 6)))
+              .cast("double").as("sum_sm"))
+      }))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <q1,q2,...> [runs]")
     val sfDir = args(0)
@@ -75,6 +122,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_FAME_REPS", "100").toInt
     val listener = new StageMetrics
     spark.sparkContext.addSparkListener(listener)
     // Deterministic listener drain (replaces the old fixed
@@ -105,7 +153,7 @@ object ScaleProbe {
           prev = cur
         }
     }
-    val byName = SparkEntry.queries
+    val byName = SparkEntry.queries ++ fameProbes(reps)
     names.foreach { pat =>
       val matches = byName.keys.filter(_.contains(pat)).toSeq.sorted
       matches.foreach { name =>
