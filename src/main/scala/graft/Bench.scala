@@ -172,14 +172,21 @@ object Bench {
     // the main sink is already noop.
     val noopPass = !noopSink &&
       !sys.env.get("SPARK_GRAFT_NOOP_PASS").contains("0")
+    // A query can pass the count() gate yet fail only under full
+    // evaluation — the exact case this pass exists to surface — so an
+    // exception must NOT contribute its time-to-failure to noop_total
+    // (r14 ADVICE): failures go to `noop_failed` (summary field) and
+    // write `null` in bench_noop_queries.json instead of a time.
+    val noopFailed = scala.collection.mutable.ArrayBuffer[String]()
     val noopResults: Seq[(String, Double)] =
       if (!noopPass) Seq.empty
       else selected.filterNot { case (n, _) => failed.contains(n) }
-        .map { case (name, fn) =>
+        .flatMap { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => noopFailed += name; None }
         }
     val bsMedianJson = subsetMedian(passResults.map(_._1), bsTotal,
       subsetNames.nonEmpty).map(r3).getOrElse("null")
@@ -198,7 +205,8 @@ object Bench {
     val failedArr = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noopTotalJson =
       if (noopResults.isEmpty) "null" else r3(noopResults.map(_._2).sum)
-    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"noop_total":$noopTotalJson,"load_avg":${r3(loadNow)}}"""
+    val noopFailedArr = noopFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"noop_total":$noopTotalJson,"noop_failed":$noopFailedArr,"load_avg":${r3(loadNow)}}"""
     // Persist the machine-readable record to FIXED filenames so it never
     // depends on stdout capture (rounds 6-8 all stored "parsed": null
     // because sbt log decoration / truncation ate the stdout line):
@@ -207,8 +215,9 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_queries.json"),
         (qs + "\n").getBytes("UTF-8"))
-      if (noopResults.nonEmpty) {
-        val nq = noopResults.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      if (noopResults.nonEmpty || noopFailed.nonEmpty) {
+        val nq = (noopResults.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          ++ noopFailed.map(k => "\"" + k + "\":null"))
           .mkString("{", ",", "}")
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_noop_queries.json"),

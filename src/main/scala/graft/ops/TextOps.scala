@@ -490,8 +490,27 @@ object TextOps {
     * under local edits elsewhere in the doc). Hashes each shingle with
     * [[Sampling.md5Prefix32]] so the value is engine-independent —
     * fingerprint files written today must verify on any engine tomorrow.
+    *
+    * Uses the native one-pass `min_shingle_fp` kernel
+    * ([[graft.plans.MinShingleFp]]) when the session carries
+    * GraftExtensions: the declarative spelling materializes a per-row
+    * array of EVERY k-char shingle (O(chars) strings) plus one
+    * expression-level md5 per position before reducing to a single
+    * long — q30's 25.4 s noop-sink outlier (r14 verdict). Both paths
+    * are bit-identical (spec-pinned on random Unicode in OpsSpec).
     */
   def minShingleFingerprint(c: Column, k: Int = 8): Column =
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("min_shingle_fp")))
+      call_function("min_shingle_fp", normText(c), lit(k))
+    else
+      minShingleFingerprintDeclarative(c, k)
+
+  /** The builtin-only spelling of [[minShingleFingerprint]] — the
+    * cross-engine-reproducibility REFERENCE the native kernel is pinned
+    * against, and the fallback in sessions without GraftExtensions.
+    */
+  def minShingleFingerprintDeclarative(c: Column, k: Int = 8): Column =
     array_min(transform(charNgrams(normText(c), k),
       g => Sampling.md5Prefix32(g)))
 

@@ -122,6 +122,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(children(1), org.apache.spark.sql.types.StringType))
       }))
     ext.injectFunction((
+      FunctionIdentifier("min_shingle_fp"),
+      new ExpressionInfo(classOf[MinShingleFp].getName, "min_shingle_fp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"min_shingle_fp expects 2 arguments, got ${children.length}")
+        MinShingleFp(Cast(children(0),
+          org.apache.spark.sql.types.StringType), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_second32"),
       new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
       (children: Seq[Expression]) => {

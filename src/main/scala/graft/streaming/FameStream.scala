@@ -346,9 +346,15 @@ object FameStream {
             accept(target,
               reach(e, st.env, st.freq.map(f => (dte, dte, f)), st.sdates))
           case ScalarAssign(n, e) =>
+            // A non-date reassign must INVALIDATE any earlier make(...)
+            // binding for the same name (r14 ADVICE): keeping the stale
+            // date would classify a later v[n] lookup as eligible and
+            // the stream would die on its first micro-batch with the
+            // executor's "scalar is not a date" CompileError instead of
+            // being refused here, upfront, with a named reason.
             if (scalarPure(e)) Right(dateOfMake(e)
               .map(d => st.copy(sdates = st.sdates + (n -> d)))
-              .getOrElse(st))
+              .getOrElse(st.copy(sdates = st.sdates - n)))
             else Left(s"scalar $n derived from series data")
           case ConvertAssign(t, _, _, _, _, _, _) =>
             Left(s"convert ($t) re-buckets history")

@@ -1660,6 +1660,70 @@ class OpsSpec extends SparkSpec {
     assert(rep.length == 3) // abc, bca, cab; the second abc dup-drops
   }
 
+  test("min_shingle_fp native expression is bit-identical to the " +
+      "declarative array_min(transform(charNgrams, md5_prefix32)) " +
+      "spelling, incl. random Unicode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // deterministic random-Unicode corpus spanning 1-4-byte UTF-8 runs
+    // (ASCII, Latin-1 sup, CJK, emoji) plus the edge shapes
+    val rnd = new scala.util.Random(408)
+    val pools = Seq(
+      ('a' to 'z').mkString + " ",
+      "àéîõüñçß¡¿",
+      "漢字かなカナ한글",
+      "😀🚀🍕") // surrogate-pair emoji
+    val randomTexts = (0 until 40).map { _ =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map { _ =>
+        val p = pools(rnd.nextInt(pools.length))
+        // nextInt over code-unit positions can split a surrogate pair;
+        // pick by code POINT so every text is well-formed UTF-16
+        val cps = p.codePoints().toArray
+        new String(Character.toChars(cps(rnd.nextInt(cps.length))))
+      }.mkString
+    }
+    val texts: Seq[String] = randomTexts ++ Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa", // constant text: all shingles hash equal
+      "short", // < gram chars → null
+      "exactly8", // exactly one shingle
+      "",
+      null)
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Seq(3, 8).foreach { gram =>
+      val rows = df.select(col("doc_id"),
+          call_function("min_shingle_fp",
+            TextOps.normText(col("text")), lit(gram)).as("native"),
+          TextOps.minShingleFingerprintDeclarative(col("text"), gram)
+            .as("decl"))
+        .orderBy("doc_id").collect()
+      rows.foreach { r =>
+        val n = if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1))
+        val d = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+        assert(n == d,
+          s"gram=$gram doc ${r.getLong(0)}: native $n != declarative $d")
+      }
+      // short / empty / null text → null through BOTH paths
+      val tail = rows.takeRight(4)
+      if (gram == 8) assert(tail(0).isNullAt(1) && tail(0).isNullAt(2)) // "short"
+      assert(tail(2).isNullAt(1) && tail(2).isNullAt(2)) // ""
+      assert(tail(3).isNullAt(1) && tail(3).isNullAt(2)) // null
+    }
+    // the TextOps entry point routes to the native kernel under
+    // GraftExtensions and keeps the same value
+    val viaOps = df.select(col("doc_id"),
+        TextOps.minShingleFingerprint(col("text"), 8).as("fp"),
+        TextOps.minShingleFingerprintDeclarative(col("text"), 8).as("ref"))
+      .collect()
+    viaOps.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getLong(1) == r.getLong(2)))
+    }
+  }
+
   test("envelope hash: byte-identical clips collide, JVM reference " +
       "matches, quarantine holds") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}

@@ -1115,6 +1115,20 @@ class StreamingSpec extends SparkSpec {
     // ... but a series-derived or unknown scalar stays refused
     assert(incrementalEligibility(
       "freq m\nx[1995-05-01] = rev[nosuch]").isLeft)
+    // a scalar REASSIGNED to a non-date pure expression must INVALIDATE
+    // its earlier make(...) binding (r14 ADVICE): the lookup is refused
+    // here rather than crashing the stream's first micro-batch with the
+    // executor's "scalar is not a date" CompileError
+    assert(incrementalEligibility(
+      "freq m\nscalar d1 = make(date(m), \"1995-02-01\")\n" +
+        "scalar d1 = 7\nx[1995-05-01] = rev[d1]").isLeft)
+    // ... while re-binding to a NEW date keeps eligibility on the
+    // latest date (conservative max-reach applies to series, not here:
+    // a scalar lookup reads exactly one binding — the current one)
+    assert(incrementalEligibility(
+      "freq m\nscalar d1 = make(date(m), \"1995-04-01\")\n" +
+        "scalar d1 = make(date(m), \"1995-02-01\")\n" +
+        "x[1995-05-01] = rev[d1]") == Right(3))
     // lookup reach is transitive: the looked-up series' own lag rides on
     assert(incrementalEligibility(
       "freq m\na = rev[t-2]\nx[1995-05-01] = a[\"1995-03-01\"]")
