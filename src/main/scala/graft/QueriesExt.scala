@@ -1255,6 +1255,53 @@ object QueriesExt {
         .orderBy("band")
     }),
 
+    // the scale-safe LSH parameterization itself, correctness-gated
+    // (r14 verdict task 7): banding DERIVED from corpus size + threshold
+    // via Dedup.bandsFor — rows-per-band ≥ ln(n)/ln(1/s̄), the measured
+    // 100× lesson (§6b) as an API — instead of the fixed 8×4. The
+    // count() is the documented bounded driver-side scalar (ONE long);
+    // the oracle re-derives (b, r) from count(*) with the same formula
+    // and re-runs the banded pipeline at the derived r, so drift in
+    // EITHER the derivation or the banded plan breaks the hash match.
+    "q212_lsh_autoband" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val plan = Dedup.bandsFor(d.count(), targetJaccard = 0.5,
+        numHashes = 32)
+      Dedup.minHashLshPairs(d, "doc_id", "text", numHashes = 32,
+        bands = plan.bands, shingleWidth = 2)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 8).as("est_jaccard"),
+          round(col("jaccard"), 8).as("jaccard"),
+          lit(plan.bands).cast("long").as("bands"),
+          lit(plan.rowsPerBand).cast("long").as("rows_per_band"))
+        .orderBy("id1", "id2")
+    }),
+
+    // the SQL entry surface end-to-end (r14 verdict task 5): a
+    // multi-statement FAME script (pct + quarterly convert) runs
+    // entirely through spark.sql — the input series built as a SQL
+    // temp view over the parquet path, the script via the fame_run
+    // table function GraftExtensions registers, the result consumed
+    // like any relation. q168 proved scalar functions are SQL-first;
+    // this proves the ENGINE is.
+    "q213_fame_sql" -> ((s, dir) => {
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW q213_monthly AS
+           |SELECT trunc(CAST(o_orderdate AS DATE), 'MONTH') AS DATE,
+           |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1e6
+           |    AS REV,
+           |  CAST(count(*) AS DOUBLE) AS CNT
+           |FROM parquet.`$dir/orders.parquet`
+           |GROUP BY 1""".stripMargin)
+      s.sql(
+        """SELECT DATE AS date, REV AS rev, P AS p,
+          |  round(REV_QTRLY, 8) AS rev_qtrly
+          |FROM fame_run(
+          |  'freq m\np = pct(rev)\nrev_q = convert(rev, q, discrete, sum)',
+          |  'q213_monthly')
+          |ORDER BY date""".stripMargin)
+    }),
+
     // deterministic global-shuffle write: the whole corpus re-ordered by
     // a salted md5-uniform, written as hash-RANGE jsonl shards (shard =
     // floor(u·8), u-sorted within), re-read, and digested per shard with
@@ -5132,9 +5179,15 @@ object QueriesExt {
     * whole-doc fallback for short docs), `sz` (shingle-set sizes), `sig`
     * (doc_id, i, s), `ok` (doc_id, band, bucket after the 2..max cap).
     */
+  /** `rowsSql` overrides the rows-per-band literal with a SQL expression
+    * (q212: `(SELECT r FROM plan)` — the banding derived from count(*)).
+    * Works because the band key is `i // rows` and the bucket is a
+    * string_agg within the group: nothing else in the CTE chain depends
+    * on the band count.
+    */
   private def minHashCtes(width: Int, numHashes: Int, bands: Int,
-      maxBucketSize: Int): String = {
-    val rows = numHashes / bands
+      maxBucketSize: Int, rowsSql: Option[String] = None): String = {
+    val rows = rowsSql.getOrElse((numHashes / bands).toString)
     val params = (0 until numHashes).map { i =>
       val (a, b) = graft.ops.Dedup.minHashParams(i)
       s"($i, $a, $b)"
@@ -5240,6 +5293,70 @@ object QueriesExt {
          |JOIN sz sb ON sb.doc_id = e.id2
          |ORDER BY e.id1, e.id2""".stripMargin
     },
+
+    // q22 with the banding DERIVED from count(*): the plan CTE replays
+    // bandsFor exactly — rMin = ceil(ln(max(n,2)) / ln(1/s̄)) clamped to
+    // [1, 32], r = smallest divisor of 32 ≥ rMin, b = 32/r — and the
+    // banded CTEs run at that r (band = i // r works for any r because
+    // the bucket is a string_agg within the band group)
+    "q212_lsh_autoband" -> {
+      val numHashes = 32
+      val ctes = minHashCtes(width = 2, numHashes = numHashes, bands = 8,
+        maxBucketSize = 1000, rowsSql = Some("(SELECT r FROM plan)"))
+      s"""WITH dset AS (SELECT doc_id, $normSql AS t FROM documents),
+         |cnt AS (SELECT count(*) AS n FROM documents),
+         |plan AS (
+         |  SELECT d AS r, $numHashes // d AS b
+         |  FROM (VALUES (1),(2),(4),(8),(16),(32)) AS divs(d), cnt
+         |  WHERE d >= least(greatest(CAST(ceil(
+         |      ln(greatest(n, 2)) / ln(1.0/0.05)) AS INTEGER), 1), $numHashes)
+         |  ORDER BY d LIMIT 1
+         |),
+         |$ctes,
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         |  FROM ok l JOIN ok r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |), est AS (
+         |  SELECT c.id1, c.id2,
+         |    sum(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END)::DOUBLE / $numHashes AS e
+         |  FROM cand c
+         |  JOIN sig s1 ON s1.doc_id = c.id1
+         |  JOIN sig s2 ON s2.doc_id = c.id2 AND s2.i = s1.i
+         |  GROUP BY c.id1, c.id2
+         |), iv AS (
+         |  SELECT c.id1, c.id2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN hh a ON a.doc_id = c.id1
+         |  JOIN hh b ON b.doc_id = c.id2 AND b.gram = a.gram
+         |  GROUP BY c.id1, c.id2
+         |)
+         |SELECT e.id1, e.id2, round(e.e, 8) AS est_jaccard,
+         |  round(coalesce(iv.inter, 0)::DOUBLE
+         |    / (sa.ssz + sb.ssz - coalesce(iv.inter, 0)), 8) AS jaccard,
+         |  (SELECT b FROM plan)::BIGINT AS bands,
+         |  (SELECT r FROM plan)::BIGINT AS rows_per_band
+         |FROM est e
+         |LEFT JOIN iv ON iv.id1 = e.id1 AND iv.id2 = e.id2
+         |JOIN sz sa ON sa.doc_id = e.id1
+         |JOIN sz sb ON sb.doc_id = e.id2
+         |ORDER BY e.id1, e.id2""".stripMargin
+    },
+
+    // the q213 script's semantics replayed directly: monthly frame,
+    // 1-period pct, quarterly discrete sum joined back at quarter starts
+    // (the q06/q11 oracle shapes composed)
+    "q213_fame_sql" ->
+      s"""${graft.QueriesCore.monthlySql}, qq AS (
+         |  SELECT date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT m.date AS date, m.rev AS rev,
+         |  (m.rev - lag(m.rev, 1) OVER (ORDER BY m.date))
+         |    / lag(m.rev, 1) OVER (ORDER BY m.date) * 100 AS p,
+         |  round(qq.rq, 8) AS rev_qtrly
+         |FROM m LEFT JOIN qq ON m.date = qq.qd
+         |ORDER BY date""".stripMargin,
 
     // replays the incremental (new x reference) LSH screen end to end:
     // shared bucket space over both md5-split halves, candidates crossing

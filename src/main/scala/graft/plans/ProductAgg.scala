@@ -121,6 +121,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Cast(children(0), org.apache.spark.sql.types.StringType),
           Cast(children(1), org.apache.spark.sql.types.StringType))
       }))
+    // the FAME session as a SQL table function — the SQL-first entry
+    // surface (see FameRun): FROM fame_run('script', 'table'[, 'keys'])
+    ext.injectTableFunction((
+      FunctionIdentifier("fame_run"),
+      new ExpressionInfo(FameRun.getClass.getName, "fame_run"),
+      (children: Seq[Expression]) => FameRun.build(children)))
     ext.injectFunction((
       FunctionIdentifier("min_shingle_fp"),
       new ExpressionInfo(classOf[MinShingleFp].getName, "min_shingle_fp"),

@@ -392,4 +392,48 @@ class EngineSpec extends SparkSpec {
       naive(LocalDate.parse(a), LocalDate.parse(b)) }
     assert(got == expected, s"got $got\nexpected $expected")
   }
+
+  test("fame_run table function: SQL-only entry matches the Scala API, " +
+      "composes with outer SQL, takes partition keys, rejects bad arity") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "REV" -> Seq(10, 20, 25))
+    in.createOrReplaceTempView("fame_run_in")
+    val script = "freq m\np = pct(rev)\nd2 = diff(rev) * 2"
+    // SQL surface == Scala API, cell for cell
+    val viaSql = spark.sql(
+      "SELECT * FROM fame_run('freq m\\np = pct(rev)\\nd2 = diff(rev) * 2'," +
+        " 'fame_run_in')")
+    val viaApi = FameSession.run(script, in).df
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assertSeq(column(viaSql, "P"), column(viaApi, "P"))
+    assertSeq(column(viaSql, "D2"), column(viaApi, "D2"))
+    // the result is a relation: outer projection/filter/agg compose
+    val agg = spark.sql(
+      "SELECT sum(D2) AS s FROM fame_run('d2 = diff(rev) * 2', " +
+        "'fame_run_in') WHERE D2 > 10").head()
+    assert(agg.getDouble(0) == 20.0) // diffs 10,5 -> d2 20,10; >10 keeps 20
+    // partitioned execution via the third argument
+    val keyed = frame(Seq("2020-01-01", "2020-02-01",
+        "2020-01-01", "2020-02-01"), "REV" -> Seq(10, 20, 100, 150))
+      .withColumn("K",
+        when(col("REV") < 50, lit("a")).otherwise(lit("b")))
+    keyed.createOrReplaceTempView("fame_run_keyed")
+    val perKey = spark.sql(
+      "SELECT K, DATE, P FROM fame_run('p = pct(rev)', 'fame_run_keyed', " +
+        "'K') ORDER BY K, DATE")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(perKey == Seq(("a", None), ("a", Some(100.0)),
+      ("b", None), ("b", Some(50.0))))
+    // bad arity / non-literal args are analysis-time errors
+    intercept[Exception] {
+      spark.sql("SELECT * FROM fame_run('x = rev')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM fame_run('x = rev', 'fame_run_in', 'K', 'extra')")
+        .collect()
+    }
+  }
 }
