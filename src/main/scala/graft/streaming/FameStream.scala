@@ -92,7 +92,8 @@ object FameStream {
       case Incremental => true
       case Snapshot    => false
       case Auto        =>
-        incrementalEligibility(script, partitionKeys.nonEmpty).isRight
+        incrementalEligibility(script, partitionKeys.nonEmpty,
+          Some(stream.columns.toSet)).isRight
     }
     if (incremental)
       return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
@@ -127,7 +128,10 @@ object FameStream {
     * reaches 5 back). Disqualifiers: leads `v[t+k]` with positive NET
     * offset (the value isn't known when the row is emitted), whole-
     * series functions (`ave`, `firstvalue`, `lastvalue`, `dateof` —
-    * their value changes as history grows), history lookups
+    * their value changes as history grows; EXCEPT, since r15, over a
+    * BOUNDED-SUPPORT series under a closed horizon — see the
+    * whole-series case in `reach`, which needs `inputColumns` to know
+    * a masked target had nothing to preserve), history lookups
     * `v[scalar]` / `v["date"]` (unbounded reach), every kernel
     * statement (convert re-buckets history, shift-pct recurses
     * backward from the END of the series, chain/fishvol/nlrx are
@@ -173,12 +177,24 @@ object FameStream {
     * could legally disagree.
     */
   def incrementalEligibility(script: String,
-      partitioned: Boolean = false): Either[String, Int] = {
+      partitioned: Boolean = false,
+      inputColumns: Option[Set[String]] = None): Either[String, Int] = {
     import java.time.LocalDate
     import FameExpr._
     import FameStmt._
     val stmts = FameParser.parseScript(script)
     val scalarNames = stmts.collect { case ScalarAssign(n, _) => n }.toSet
+    // BOUNDED-SUPPORT tracking (r15 widening, see the whole-series case
+    // in `reach`) needs to know a target is NOT an input column: a
+    // masked assign to an existing series PRESERVES it outside the mask
+    // (EngineSpec F3b), so its support is only bounded when there was
+    // nothing to preserve. None = schema unknown → no support recorded
+    // (conservative; the streaming entry points pass the real schema).
+    val inputCols: String => Boolean = inputColumns match {
+      case Some(cols) =>
+        val up = cols.map(_.toUpperCase); n => up.contains(n)
+      case None => _ => true // unknown schema: every target might collide
+    }
 
     // fixed-date value of a pure `make(...)` scalar RHS — such scalars
     // resolve DynLookup sites to DateLookup semantics (the compiler
@@ -226,7 +242,9 @@ object FameStream {
     // [−lg, +ld] to [k−lg, k+ld], it never narrows it. Input series and
     // pure scalars are absent from env → (0, 0).
     def reach(e: FameExpr, env: Map[String, (Int, Int)], look: Look,
-        sdates: Map[String, LocalDate]): Either[String, (Int, Int)] = {
+        sdates: Map[String, LocalDate],
+        supports: Map[String, (LocalDate, LocalDate)])
+        : Either[String, (Int, Int)] = {
       def lookupReach(s: String, d: LocalDate, shown: String)
           : Either[String, (Int, Int)] = look match {
         case None => Left(s"history lookup $shown (bounded only inside a " +
@@ -256,31 +274,72 @@ object FameStream {
         }
         case DateLookup(s, d) => lookupReach(s, d, s"""$s["$d"]""")
         case Bin(_, l, r)  =>
-          for (a <- reach(l, env, look, sdates);
-               b <- reach(r, env, look, sdates))
+          for (a <- reach(l, env, look, sdates, supports);
+               b <- reach(r, env, look, sdates, supports))
             yield (math.max(a._1, b._1), math.max(a._2, b._2))
-        case Un(_, x)      => reach(x, env, look, sdates)
+        case Un(_, x)      => reach(x, env, look, sdates, supports)
         case Cond(c, t, f) =>
-          for (a <- reach(c, env, look, sdates);
-               b <- reach(t, env, look, sdates);
-               d <- reach(f, env, look, sdates))
+          for (a <- reach(c, env, look, sdates, supports);
+               b <- reach(t, env, look, sdates, supports);
+               d <- reach(f, env, look, sdates, supports))
             yield (Seq(a._1, b._1, d._1).max, Seq(a._2, b._2, d._2).max)
         case ChainCall(_, _) => Left("inline $chain (whole-series index)")
         case Call(name, args) => name match {
           case "pct" | "diff" =>
             val k = args.lift(1).collect { case Num(v) => v.toInt }.getOrElse(1)
-            reach(args.head, env, look, sdates)
+            reach(args.head, env, look, sdates, supports)
               .map { case (ld, lg) => (ld, lg + k) }
           case "sqrt" | "abs" | "log" | "exp" | "exists" =>
-            reach(args.head, env, look, sdates)
+            reach(args.head, env, look, sdates, supports)
           case "min" | "max" | "lsum" =>
             args.foldLeft[Either[String, (Int, Int)]](Right((0, 0))) {
-              (acc, a) => for (x <- acc; y <- reach(a, env, look, sdates))
+              (acc, a) => for (x <- acc; y <- reach(a, env, look, sdates, supports))
                 yield (math.max(x._1, y._1), math.max(x._2, y._2))
             }
           case "make" => Right((0, 0)) // plan-time date literal
-          case "ave" | "firstvalue" | "lastvalue" | "dateof" =>
-            Left(s"whole-series function $name")
+          // Whole-series aggregates over a BOUNDED-SUPPORT series become
+          // bounded backward reads under a closed horizon (r15 widening).
+          // The aggregate ignores nulls (avg / first / last with
+          // ignoreNulls — ColumnCompiler), so for a series m whose ONLY
+          // definitions are closed-masked / point-in-time assigns to a
+          // non-input target — null everywhere outside its recorded
+          // support [sA, sB] — `ave(m)` aggregates exactly the rows in
+          // [sA, sB]. A statement writing only rows ≥ latest with
+          // sB ≤ latest sees every support row by the time any of its
+          // rows is emitted (nondecreasing-date ingest), so the read
+          // reaches `m's own lag + periods(sA → horizon)` back — the
+          // DateLookup arithmetic with the support start as the date.
+          // Everything else stays refused: the mask gates WRITES, not
+          // the aggregation frame (avg runs over an unbounded window —
+          // reference parity, `formulas_generator.py:881` broadcasts
+          // the whole-series mean), so without bounded support the
+          // value keeps changing as history grows.
+          case "ave" | "firstvalue" | "lastvalue" =>
+            args.head match {
+              case Ref(m) if supports.contains(m) => look match {
+                case None => Left(s"whole-series $name($m) outside a " +
+                  "closed horizon (bounded support needs a bounded " +
+                  "write range)")
+                case Some(_) if partitioned =>
+                  Left(s"whole-series $name($m) under partitioned " +
+                    "execution")
+                case Some((latest, horizon, f)) =>
+                  val (supStart, supEnd) = supports(m)
+                  if (supEnd.isAfter(latest))
+                    Left(s"whole-series $name($m): $m's support ends " +
+                      "after the statement's mask start — rows would " +
+                      "be written before the aggregate is complete")
+                  else {
+                    val lg = env.getOrElse(m, (0, 0))._2
+                    Right((0, lg + periods(f, supStart, horizon)))
+                  }
+              }
+              case _ => Left(s"whole-series function $name aggregates " +
+                "the entire frame (masks gate writes, not reads; " +
+                "bounded only over a series whose closed-masked/" +
+                "point-in-time definitions bound its support)")
+            }
+          case "dateof" => Left("whole-series function dateof")
           case other => Left(s"function $other (unknown reach)")
         }
       }
@@ -308,9 +367,16 @@ object FameStream {
       env + (name -> (math.max(old._1, r._1), math.max(old._2, r._2)))
     }
 
+    // supports: series whose EVERY definition so far was closed-masked /
+    // point-in-time on a non-input target → null outside the recorded
+    // [start, end] union (assigned tracks "has any definition", so a
+    // plain or open-masked (re)assign removes the entry — outside-mask
+    // rows then carry data, F3b preserve semantics)
     final case class St(lag: Int, env: Map[String, (Int, Int)],
         sdates: Map[String, LocalDate], freq: Option[Frequency],
-        filter: Option[DateFilter])
+        filter: Option[DateFilter],
+        supports: Map[String, (LocalDate, LocalDate)],
+        assigned: Set[String])
 
     // effective statement mask = inline if present else ambient —
     // EXACTLY the executor's rule (FameSession: inlineFilter.orElse
@@ -322,7 +388,8 @@ object FameStream {
       } yield if (a.isAfter(b)) (b, a, f) else (a, b, f)
 
     stmts.foldLeft[Either[String, St]](
-      Right(St(0, Map.empty, Map.empty, None, None))) { (acc, s) =>
+      Right(St(0, Map.empty, Map.empty, None, None, Map.empty, Set.empty))) {
+      (acc, s) =>
       acc.flatMap { st =>
         def accept(target: String, r: Either[String, (Int, Int)])
             : Either[String, St] = r.flatMap {
@@ -335,16 +402,40 @@ object FameStream {
             lag = math.max(st.lag, lg), env = record(st.env, target, rr)))
           case (ld, _) => Left(s"lead reach +$ld in ${s}")
         }
+        // bounded-support bookkeeping after an ACCEPTED definition of
+        // `target` whose written range is `rng` (None = unbounded
+        // writes): support stays recorded only while every definition
+        // is range-bounded on a non-input target; the recorded range is
+        // the UNION of the definitions' ranges (a masked reassign
+        // preserves the previous bounded writes — F3b)
+        def updSupport(st2: St, target: String,
+            rng: Option[(LocalDate, LocalDate)]): St = {
+          val sup = rng match {
+            case Some((a, b)) if !inputCols(target) &&
+                (!st.assigned(target) || st.supports.contains(target)) =>
+              val (pa, pb) = st.supports.getOrElse(target, (a, b))
+              st2.supports + (target ->
+                (if (a.isBefore(pa)) a else pa,
+                  if (b.isAfter(pb)) b else pb))
+            case _ => st2.supports - target
+          }
+          st2.copy(supports = sup, assigned = st2.assigned + target)
+        }
         s match {
           case SetFreq(f)       => Right(st.copy(freq = Some(f)))
           case SetDate(filter)  => Right(st.copy(filter = Some(filter)))
           case ClearDate        => Right(st.copy(filter = None))
           case ListAlias(_, _)  => Right(st)
           case Assign(target, e, inline, _) =>
-            accept(target, reach(e, st.env, maskLook(st, inline), st.sdates))
+            val look = maskLook(st, inline)
+            accept(target, reach(e, st.env, look, st.sdates, st.supports))
+              .map(updSupport(_, target,
+                look.map { case (a, b, _) => (a, b) }))
           case PointInTime(target, dte, e) =>
             accept(target,
-              reach(e, st.env, st.freq.map(f => (dte, dte, f)), st.sdates))
+              reach(e, st.env, st.freq.map(f => (dte, dte, f)), st.sdates,
+                st.supports))
+              .map(updSupport(_, target, Some((dte, dte))))
           case ScalarAssign(n, e) =>
             // A non-date reassign must INVALIDATE any earlier make(...)
             // binding for the same name (r14 ADVICE): keeping the stale
@@ -402,7 +493,8 @@ object FameStream {
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val maxLag = incrementalEligibility(script, partitionKeys.nonEmpty) match {
+    val maxLag = incrementalEligibility(script, partitionKeys.nonEmpty,
+        Some(stream.columns.toSet)) match {
       case Left(reason) => throw new IllegalArgumentException(
         s"script not incrementally evaluable: $reason (use FameStream.run)")
       case Right(k) => k

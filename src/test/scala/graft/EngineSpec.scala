@@ -393,6 +393,29 @@ class EngineSpec extends SparkSpec {
     assert(got == expected, s"got $got\nexpected $expected")
   }
 
+  test("ave under a date mask aggregates the WHOLE frame (masks gate " +
+      "writes, not reads); over a mask-DEFINED series it aggregates " +
+      "only the support") {
+    // the two executor facts FameStream's r15 whole-series eligibility
+    // widening rests on (reference parity: formulas_generator.py:881
+    // broadcasts the whole-series mean, masks applied as write gates)
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "V" -> Seq(1, 2, 30))
+    val out = FameSession.run(
+      """freq m
+        |date 2020-01-01 to 2020-02-01
+        |x = ave(v)
+        |date *
+        |set <date 2020-01-01 to 2020-02-01> m = v
+        |y = ave(m)""".stripMargin, in).df
+    // x is WRITTEN only at Jan/Feb, but its value is the mean over all
+    // three rows — (1+2+30)/3 — not the masked subset's 1.5
+    assertSeq(column(out, "X"), Seq(Some(11.0), Some(11.0), None))
+    // m is null outside its defining mask, so ave(m) aggregates exactly
+    // the support rows: mean(1, 2) everywhere
+    assertSeq(column(out, "Y"), Seq.fill(3)(Some(1.5)))
+  }
+
   test("fame_run table function: SQL-only entry matches the Scala API, " +
       "composes with outer SQL, takes partition keys, rejects bad arity") {
     import org.apache.spark.sql.functions.{col, lit, when}

@@ -65,7 +65,8 @@ class IncrementalPropertySpec extends SparkSpec {
     * widening, with the 3-batch parity check as ground truth.
     */
   private def genExpr(depth: Int, env: Map[String, (Int, Int)],
-      lookCtx: Option[(Int, Int)]): Gen[(String, Reach)] = {
+      lookCtx: Option[(Int, Int)],
+      supports: Map[String, (Int, Int)]): Gen[(String, Reach)] = {
     val names = env.keys.toSeq.sorted
     val leaf: Gen[(String, Reach)] = Gen.frequency(
       2 -> Gen.choose(2, 9).map(n => (n.toString, Right((0, 0)))),
@@ -100,23 +101,38 @@ class IncrementalPropertySpec extends SparkSpec {
           case _ => (txt, Left("history lookup (unbounded here)"))
         }
       }),
-      1 -> Gen.oneOf(names).map(n =>
-        (s"ave(${show(n)})", Left(s"whole-series ave"))),
-      1 -> Gen.oneOf("firstvalue", "lastvalue").flatMap(f =>
-        Gen.oneOf(names).map(n =>
-          (s"$f(${show(n)})", Left(s"whole-series $f")))))
+      2 -> (for { // whole-series — bounded iff over a bounded-SUPPORT
+                    // series under a horizon starting at/after the
+                    // support end (r15 walker widening); biased toward
+                    // supported names so the eligible (parity-checked)
+                    // volume stays high
+        f <- Gen.oneOf("ave", "firstvalue", "lastvalue")
+        n <- {
+          val supported = names.filter(supports.contains)
+          if (supported.nonEmpty)
+            Gen.frequency(3 -> Gen.oneOf(supported), 1 -> Gen.oneOf(names))
+          else Gen.oneOf(names)
+        }
+      } yield {
+        val txt = s"$f(${show(n)})"
+        (supports.get(n), lookCtx) match {
+          case (Some((sLo, sHi)), Some((lo, hi))) if sHi <= lo =>
+            (txt, Right((0, env(n)._2 + (hi - sLo))))
+          case _ => (txt, Left(s"whole-series $f"))
+        }
+      }))
     if (depth <= 0) leaf
     else Gen.frequency(
       3 -> leaf,
       3 -> (for {
         op <- Gen.oneOf("+", "-", "*")
-        l <- genExpr(depth - 1, env, lookCtx)
-        r <- genExpr(depth - 1, env, lookCtx)
+        l <- genExpr(depth - 1, env, lookCtx, supports)
+        r <- genExpr(depth - 1, env, lookCtx, supports)
       } yield (s"(${l._1} $op ${r._1})", merge(l._2, r._2))),
       3 -> (for {
         f <- Gen.oneOf("pct", "diff"); k <- Gen.choose(1, 2)
         j <- Gen.choose(1, 3)
-        a <- genExpr(depth - 1, env, lookCtx)
+        a <- genExpr(depth - 1, env, lookCtx, supports)
       } yield {
         // pct divides by the lagged argument — keep it strictly
         // positive (ANSI mode turns a zero denominator into an error,
@@ -124,12 +140,12 @@ class IncrementalPropertySpec extends SparkSpec {
         val arg = if (f == "pct") s"(abs(${a._1}) + $j)" else a._1
         (s"$f($arg, $k)", a._2.map { case (ld, lg) => (ld, lg + k) })
       }),
-      1 -> genExpr(depth - 1, env, lookCtx)
+      1 -> genExpr(depth - 1, env, lookCtx, supports)
         .map { case (s, r) => (s"abs($s)", r) },
       1 -> (for {
         f <- Gen.oneOf("min", "max", "lsum")
-        l <- genExpr(depth - 1, env, lookCtx)
-        r <- genExpr(depth - 1, env, lookCtx)
+        l <- genExpr(depth - 1, env, lookCtx, supports)
+        r <- genExpr(depth - 1, env, lookCtx, supports)
       } yield (s"$f(${l._1}, ${r._1})", merge(l._2, r._2))))
   }
 
@@ -147,6 +163,7 @@ class IncrementalPropertySpec extends SparkSpec {
   private val genScript: Gen[(String, Either[String, Int])] = {
     val base = Map("REV" -> (0, 0), "CNT" -> (0, 0))
     def stmts(i: Int, n: Int, env: Map[String, (Int, Int)],
+        supports: Map[String, (Int, Int)],
         acc: List[String], expect: Either[String, Int])
         : Gen[(String, Either[String, Int])] =
       if (i > n)
@@ -157,9 +174,19 @@ class IncrementalPropertySpec extends SparkSpec {
         // statement's horizon (mask/PIT dates) to carry their reach.
         // forms: 0 plain | 1 inline mask | 2 point-in-time |
         //        3 ambient `date A to B` mask (reset by `date *` after)
+        // once some series has bounded support, bias the statement
+        // months HIGH (at/after the smallest support end) so horizoned
+        // statements can legally read it — the whole-series-eligible
+        // shape needs mask start >= support end, which uniform months
+        // rarely produce
+        val monthGen = supports.values.map(_._2).minOption match {
+          case Some(hiMin) if hiMin < 9 =>
+            Gen.frequency(2 -> Gen.choose(hiMin, 9), 1 -> Gen.choose(1, 9))
+          case _ => Gen.choose(1, 9)
+        }
         Gen.zip(
             Gen.frequency(5 -> 0, 2 -> 1, 2 -> 2, 2 -> 3),
-            Gen.choose(1, 9), Gen.choose(1, 9),
+            monthGen, monthGen,
             Gen.frequency(3 -> "", 1 -> "aa'"),
             Gen.oneOf(true, false)).flatMap {
           case (form, d1, d2, pfx, reuse) =>
@@ -169,7 +196,7 @@ class IncrementalPropertySpec extends SparkSpec {
               case 2     => Some((d1, d1))
               case _     => None
             }
-            genExpr(2, env, lookCtx).flatMap { case (txt, r) =>
+            genExpr(2, env, lookCtx, supports).flatMap { case (txt, r) =>
               // masked/pit may reassign an earlier derived series; the
               // env key is always the PARSER-FOLDED name (aa'vN ->
               // AA_VN) — exactly what Ref/TimeShift sites carry
@@ -206,11 +233,36 @@ class IncrementalPropertySpec extends SparkSpec {
                     (math.max(old._1, ld), math.max(old._2, lg)))
                 case _ => env
               }
-              stmts(i + 1, n, nextEnv, lines.reverse ::: acc, nextExpect)
+              // bounded-support bookkeeping, mirroring the walker's
+              // updSupport: a range-bounded (masked/PIT) definition of a
+              // never-plain-assigned target records/unions the support;
+              // a plain assign (or any definition after a plain one)
+              // removes it. Only meaningful on the Right path — after a
+              // refusal the verdict is already Left.
+              val assignedBefore = (env.keySet -- base.keySet)(folded)
+              val rng: Option[(Int, Int)] = form match {
+                case 1 | 3 => Some((lo, hi))
+                case 2     => Some((d1, d1))
+                case _     => None
+              }
+              val nextSupports = r match {
+                case Right((ld, _)) if ld == 0 => rng match {
+                  case Some((a, b))
+                      if !assignedBefore || supports.contains(folded) =>
+                    val (pa, pb) = supports.getOrElse(folded, (a, b))
+                    supports + (folded ->
+                      (math.min(a, pa), math.max(b, pb)))
+                  case _ => supports - folded
+                }
+                case _ => supports
+              }
+              stmts(i + 1, n, nextEnv, nextSupports,
+                lines.reverse ::: acc, nextExpect)
             }
         }
       }
-    Gen.choose(2, 4).flatMap(n => stmts(1, n, base, Nil, Right(0)))
+    Gen.choose(2, 4).flatMap(n =>
+      stmts(1, n, base, Map.empty, Nil, Right(0)))
   }
 
   private def bits(o: Option[Double]): Option[Long] =
@@ -228,6 +280,8 @@ class IncrementalPropertySpec extends SparkSpec {
     var ambient = 0
     var lookups = 0
     var rightLookups = 0
+    var wholeSeries = 0
+    var rightWholeSeries = 0
     forAllN(Gen.zip(genScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
       Gen.listOfN(9, Gen.choose(1, 50))), n = 160) {
@@ -240,7 +294,17 @@ class IncrementalPropertySpec extends SparkSpec {
           lookups += 1
           if (expect.isRight) rightLookups += 1
         }
-        val got = FameStream.incrementalEligibility(script)
+        val ws = Seq("ave(", "firstvalue(", "lastvalue(")
+          .exists(script.contains)
+        if (ws) {
+          wholeSeries += 1
+          if (expect.isRight) rightWholeSeries += 1
+        }
+        // the schema is what lets the walker trust a masked target had
+        // nothing to preserve (bounded support) — the streaming entry
+        // points pass it the same way
+        val got = FameStream.incrementalEligibility(script,
+          inputColumns = Some(Set("REV", "CNT")))
         expect match {
           case Left(_) =>
             lefts += 1
@@ -300,5 +364,12 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(lookups >= 10, s"only $lookups scripts with a fixed-date lookup")
     assert(rightLookups >= 5,
       s"only $rightLookups ELIGIBLE lookup-bearing scripts generated")
+    // the r15 widening must actually be exercised: whole-series calls
+    // appear, and some whole-series-bearing scripts are ELIGIBLE
+    // (bounded support + closed horizon) and survive bit-exact parity
+    assert(wholeSeries >= 10,
+      s"only $wholeSeries scripts with a whole-series call")
+    assert(rightWholeSeries >= 3,
+      s"only $rightWholeSeries ELIGIBLE whole-series-bearing scripts")
   }
 }

@@ -1122,6 +1122,66 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "freq m\nscalar d1 = make(date(m), \"1995-02-01\")\n" +
         "scalar d1 = 7\nx[1995-05-01] = rev[d1]").isLeft)
+
+    // --- r15 widening: whole-series over a BOUNDED-SUPPORT series ---
+    // the schema argument is what lets the walker trust a masked target
+    // had nothing to preserve; IncrementalPropertySpec carries the
+    // 3-batch bit-parity proof for the accepted shapes
+    val cols = Some(Set("REV"))
+    // masked def writes only [Feb..Apr] (fresh target, nothing to
+    // preserve) → ave over it at a PIT ≥ the support end is a bounded
+    // backward read: periods(Feb → Jun) = 4
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1)", inputColumns = cols) == Right(4))
+    // PIT-defined support (single date) + lastvalue, closed-mask reader
+    assert(incrementalEligibility(
+      "freq m\nm1[1995-03-01] = rev\n" +
+        "set <date 1995-03-01 to 1995-05-01> y = lastvalue(m1)",
+      inputColumns = cols) == Right(2))
+    // the aggregated series' own lag rides on: m1 at its support dates
+    // reads rev two back
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-03-01 to 1995-04-01> m1 = rev[t-2]\n" +
+        "x[1995-06-01] = firstvalue(m1)", inputColumns = cols)
+      == Right(5))
+    // reader whose mask STARTS before the support end: rows would be
+    // written before the aggregate is complete — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-05-01> m1 = rev\n" +
+        "set <date 1995-04-01 to 1995-06-01> x = ave(m1)",
+      inputColumns = cols).isLeft)
+    // plain (unhorizoned) reader stays refused even with bounded support
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x = ave(m1)", inputColumns = cols).isLeft)
+    // masked target that IS an input column preserves outside the mask
+    // (support unbounded) — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1)",
+      inputColumns = Some(Set("REV", "M1"))).isLeft)
+    // unknown schema (the bare analysis form): conservative — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1)").isLeft)
+    // a plain reassign UNBOUNDS the support — refused thereafter
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\nm1 = rev\n" +
+        "x[1995-06-01] = ave(m1)", inputColumns = cols).isLeft)
+    // two bounded definitions UNION their ranges: reach spans from the
+    // earliest support start, and the reader must clear the latest end
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-03-01> m1 = rev\n" +
+        "m1[1995-05-01] = rev\nx[1995-07-01] = ave(m1)",
+      inputColumns = cols) == Right(5))
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-03-01> m1 = rev\n" +
+        "m1[1995-05-01] = rev\nx[1995-04-01] = ave(m1)",
+      inputColumns = cols).isLeft)
+    // whole-series over an INPUT series stays refused regardless
+    assert(incrementalEligibility(
+      "freq m\nx[1995-06-01] = ave(rev)", inputColumns = cols).isLeft)
     // ... while re-binding to a NEW date keeps eligibility on the
     // latest date (conservative max-reach applies to series, not here:
     // a scalar lookup reads exactly one binding — the current one)
