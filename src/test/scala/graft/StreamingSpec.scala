@@ -1292,6 +1292,49 @@ class StreamingSpec extends SparkSpec {
     assert(got(3)._2 == 1.5 && got(4)._2 == 0.75, got.toString)
   }
 
+  test("incremental FAME: a bounded-support whole-series script (r15 " +
+      "widening) is batch-equivalent through the real streaming harness") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famews").toString
+    // m1 exists only in [Feb, Mar]; the May point reads its mean, the
+    // [Apr, Jun] mask reads its last value — June's batch recomputes y
+    // with Feb/Mar riding the carried tail (maxLag = periods(Feb→Jun))
+    val script =
+      """freq m
+        |set <date 1995-02-01 to 1995-03-01> m1 = rev
+        |x[1995-05-01] = ave(m1)
+        |set <date 1995-04-01 to 1995-06-01> y = lastvalue(m1)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script,
+      inputColumns = Some(Set("DATE", "REV"))) == Right(4))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0),
+        (d("1995-03-01"), 7.0)),
+      Seq((d("1995-04-01"), 6.0), (d("1995-05-01"), 3.0)),
+      Seq((d("1995-06-01"), 8.0)))
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "X", "Y").orderBy("DATE").collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "X", "Y").orderBy("DATE").collect().map(key).toSeq
+    assert(got == batchRun)
+    // the aggregates actually resolved from the tail: May's x is the
+    // support mean (5+7)/2 and Jun's y still sees March's last value
+    assert(got(4)._2 == 6.0 && got(5)._3 == 7.0, got.toString)
+  }
+
   test("incremental FAME enforces the nondecreasing-date ingest contract: " +
       "a late row fails the stream with OutOfOrderIngestException") {
     implicit val sql = spark.sqlContext
