@@ -30,8 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * All arguments must be foldable strings: the script text, the
   * table/view name (anything `spark.table` resolves, including
-  * `parquet.`/path/``), and optionally a comma-separated partition-key
-  * list for multi-entity execution (SURVEY §4).
+  * `parquet.`/path/``), optionally a comma-separated partition-key
+  * list for multi-entity execution (SURVEY §4; pass '' for none), and
+  * optionally the date column's name when it is not `DATE`.
   */
 object FameRun {
 
@@ -45,9 +46,9 @@ object FameRun {
   }
 
   def build(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2 || args.length == 3,
-      "fame_run expects (script, table[, partition_keys_csv]), got " +
-        s"${args.length} argument(s)")
+    require(args.length >= 2 && args.length <= 4,
+      "fame_run expects (script, table[, partition_keys_csv[, date_col]])," +
+        s" got ${args.length} argument(s)")
     val script = strArg(args, 0, "script")
     val table = strArg(args, 1, "table name")
     val keys =
@@ -55,10 +56,12 @@ object FameRun {
         strArg(args, 2, "partition keys").split(",")
           .map(_.trim).filter(_.nonEmpty).toSeq
       else Nil
+    val dateCol =
+      if (args.length > 3) strArg(args, 3, "date column") else "DATE"
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException(
         "fame_run requires an active SparkSession"))
-    graft.api.FameSession.run(script, spark.table(table),
+    graft.api.FameSession.run(script, spark.table(table), dateCol = dateCol,
       partitionKeys = keys).df.queryExecution.analyzed
   }
 }

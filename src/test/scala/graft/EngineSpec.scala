@@ -449,13 +449,22 @@ class EngineSpec extends SparkSpec {
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
     assert(perKey == Seq(("a", None), ("a", Some(100.0)),
       ("b", None), ("b", Some(50.0))))
+    // optional 4th argument names a non-DATE date column ('' = no keys)
+    in.withColumnRenamed("DATE", "OBS")
+      .createOrReplaceTempView("fame_run_obs")
+    val viaObs = spark.sql(
+      "SELECT OBS, D2 FROM fame_run('d2 = diff(rev) * 2', " +
+        "'fame_run_obs', '', 'OBS') ORDER BY OBS")
+      .collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getDouble(1))).toSeq
+    assert(viaObs == Seq(None, Some(20.0), Some(10.0)))
     // bad arity / non-literal args are analysis-time errors
     intercept[Exception] {
       spark.sql("SELECT * FROM fame_run('x = rev')").collect()
     }
     intercept[Exception] {
       spark.sql(
-        "SELECT * FROM fame_run('x = rev', 'fame_run_in', 'K', 'extra')")
+        "SELECT * FROM fame_run('x = rev', 'fame_run_in', 'K', 'OBS', 'x')")
         .collect()
     }
   }
