@@ -236,6 +236,46 @@ object FameStream {
     // has a known last date; None = lookups unbounded here
     type Look = Option[(LocalDate, LocalDate, Frequency)]
 
+    // Support interval of an expression: Some((a, b)) proves the
+    // compiled column is null at every row outside [a, b]. STRICT
+    // (null-in → null-out) operators — arithmetic, comparisons, unary
+    // -/not, sqrt/abs/log/exp, pct/diff (which need the row's own value
+    // too) — propagate any operand's bound: the parent is null wherever
+    // that operand is, so its non-null set is ⊆ each bounded operand's
+    // support; bounds combine by UNION (⊇ the true set — sound: over-
+    // covering only lengthens the carried tail and tightens the
+    // premature-read check). NON-strict shapes (and/or's Kleene logic,
+    // if/else, lsum's null-as-zero, elementwise min/max's null-skipping
+    // least/greatest, exists) can be non-null where their series
+    // operands are null, so they contribute None — which is still
+    // sound INSIDE a strict parent.
+    def exprSupport(e: FameExpr,
+        supports: Map[String, (LocalDate, LocalDate)])
+        : Option[(LocalDate, LocalDate)] = {
+      def union(a: Option[(LocalDate, LocalDate)],
+          b: Option[(LocalDate, LocalDate)]) = (a, b) match {
+        case (Some((a1, b1)), Some((a2, b2))) =>
+          Some((if (a1.isBefore(a2)) a1 else a2,
+            if (b1.isAfter(b2)) b1 else b2))
+        case (x, None) => x
+        case (None, y) => y
+      }
+      e match {
+        case Ref(m) => supports.get(m)
+        case Bin(op, l, r)
+            if Set("+", "-", "*", "/",
+              "eq", "ne", "gt", "lt", "ge", "le")(op) =>
+          union(exprSupport(l, supports), exprSupport(r, supports))
+        case Un("-", x)   => exprSupport(x, supports)
+        case Un("not", x) => exprSupport(x, supports)
+        case Call(n, args)
+            if Set("sqrt", "abs", "log", "exp", "pct", "diff")(n) &&
+              args.nonEmpty =>
+          exprSupport(args.head, supports)
+        case _ => None
+      }
+    }
+
     // (maxLead, maxLag) reach of e relative to the current row, given
     // the reaches recorded so far for derived series (`env`); a shifted
     // evaluation point TRANSLATES a referenced series' whole interval
@@ -315,29 +355,35 @@ object FameStream {
           // the whole-series mean), so without bounded support the
           // value keeps changing as history grows.
           case "ave" | "firstvalue" | "lastvalue" =>
-            args.head match {
-              case Ref(m) if supports.contains(m) => look match {
-                case None => Left(s"whole-series $name($m) outside a " +
+            exprSupport(args.head, supports) match {
+              case Some((supStart, supEnd)) => look match {
+                case None => Left(s"whole-series $name outside a " +
                   "closed horizon (bounded support needs a bounded " +
                   "write range)")
                 case Some(_) if partitioned =>
-                  Left(s"whole-series $name($m) under partitioned " +
+                  Left(s"whole-series $name under partitioned " +
                     "execution")
                 case Some((latest, horizon, f)) =>
-                  val (supStart, supEnd) = supports(m)
                   if (supEnd.isAfter(latest))
-                    Left(s"whole-series $name($m): $m's support ends " +
-                      "after the statement's mask start — rows would " +
-                      "be written before the aggregate is complete")
-                  else {
-                    val lg = env.getOrElse(m, (0, 0))._2
-                    Right((0, lg + periods(f, supStart, horizon)))
-                  }
+                    Left(s"whole-series $name: the argument's support " +
+                      "ends after the statement's mask start — rows " +
+                      "would be written before the aggregate is complete")
+                  else reach(args.head, env, look, sdates, supports)
+                    .flatMap {
+                      // the aggregated rows read their OWN inputs: the
+                      // argument's relative lag rides on top of the
+                      // support-to-horizon distance
+                      case (0, lg) =>
+                        Right((0, lg + periods(f, supStart, horizon)))
+                      case (ld, _) =>
+                        Left(s"lead +$ld inside whole-series $name")
+                    }
               }
-              case _ => Left(s"whole-series function $name aggregates " +
+              case None => Left(s"whole-series function $name aggregates " +
                 "the entire frame (masks gate writes, not reads; " +
-                "bounded only over a series whose closed-masked/" +
-                "point-in-time definitions bound its support)")
+                "bounded only when strict arithmetic over closed-masked/" +
+                "point-in-time-defined series bounds the argument's " +
+                "support)")
             }
           case "dateof" => Left("whole-series function dateof")
           case other => Left(s"function $other (unknown reach)")

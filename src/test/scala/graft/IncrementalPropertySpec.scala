@@ -101,11 +101,12 @@ class IncrementalPropertySpec extends SparkSpec {
           case _ => (txt, Left("history lookup (unbounded here)"))
         }
       }),
-      2 -> (for { // whole-series — bounded iff over a bounded-SUPPORT
-                    // series under a horizon starting at/after the
-                    // support end (r15 walker widening); biased toward
-                    // supported names so the eligible (parity-checked)
-                    // volume stays high
+      2 -> (for { // whole-series — bounded iff the ARGUMENT's support
+                    // is bounded (a bounded-support name, possibly under
+                    // strict arithmetic) AND the horizon starts at/after
+                    // the support end (r15 walker widening); biased
+                    // toward supported names so the eligible
+                    // (parity-checked) volume stays high
         f <- Gen.oneOf("ave", "firstvalue", "lastvalue")
         n <- {
           val supported = names.filter(supports.contains)
@@ -113,11 +114,30 @@ class IncrementalPropertySpec extends SparkSpec {
             Gen.frequency(3 -> Gen.oneOf(supported), 1 -> Gen.oneOf(names))
           else Gen.oneOf(names)
         }
+        // inner shape: 0 bare name | 1 name*const | 2 abs(name) |
+        // 3 name+otherName (strict Bin: support = UNION of the bounded
+        // sides, lag = max of both sides' recorded lags)
+        shape <- Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3)
+        c <- Gen.choose(2, 5)
+        n2 <- Gen.oneOf(names)
       } yield {
-        val txt = s"$f(${show(n)})"
-        (supports.get(n), lookCtx) match {
+        val (txt, sup, lag) = shape match {
+          case 0 => (s"$f(${show(n)})", supports.get(n), env(n)._2)
+          case 1 => (s"$f((${show(n)} * $c))", supports.get(n), env(n)._2)
+          case 2 => (s"$f(abs(${show(n)}))", supports.get(n), env(n)._2)
+          case _ =>
+            val u = (supports.get(n), supports.get(n2)) match {
+              case (Some((a1, b1)), Some((a2, b2))) =>
+                Some((math.min(a1, a2), math.max(b1, b2)))
+              case (x, None) => x
+              case (None, y) => y
+            }
+            (s"$f((${show(n)} + ${show(n2)}))", u,
+              math.max(env(n)._2, env(n2)._2))
+        }
+        (sup, lookCtx) match {
           case (Some((sLo, sHi)), Some((lo, hi))) if sHi <= lo =>
-            (txt, Right((0, env(n)._2 + (hi - sLo))))
+            (txt, Right((0, lag + (hi - sLo))))
           case _ => (txt, Left(s"whole-series $f"))
         }
       }))

@@ -1182,6 +1182,26 @@ class StreamingSpec extends SparkSpec {
     // whole-series over an INPUT series stays refused regardless
     assert(incrementalEligibility(
       "freq m\nx[1995-06-01] = ave(rev)", inputColumns = cols).isLeft)
+    // STRICT arithmetic propagates the bound (null wherever the bounded
+    // operand is): ave(m1*2 + rev) aggregates ⊆ m1's support even
+    // though rev is everywhere; rev contributes lag 0, m1's rides on
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1 * 2 + rev)", inputColumns = cols)
+      == Right(4))
+    // ...but NON-strict shapes can be non-null outside the support —
+    // lsum's null-as-zero and if/else rescue the nulls — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(lsum(m1, rev))", inputColumns = cols).isLeft)
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(if exists(m1) then m1 else rev)",
+      inputColumns = cols).isLeft)
+    // a lead inside the aggregated expression is refused by name
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1 + rev[t+1])", inputColumns = cols).isLeft)
     // ... while re-binding to a NEW date keeps eligibility on the
     // latest date (conservative max-reach applies to series, not here:
     // a scalar lookup reads exactly one binding — the current one)
