@@ -250,8 +250,8 @@ object FameStream {
     // operands are null, so they contribute None — which is still
     // sound INSIDE a strict parent.
     def exprSupport(e: FameExpr,
-        supports: Map[String, (LocalDate, LocalDate)])
-        : Option[(LocalDate, LocalDate)] = {
+        supports: Map[String, (LocalDate, LocalDate)],
+        f: Frequency): Option[(LocalDate, LocalDate)] = {
       def union(a: Option[(LocalDate, LocalDate)],
           b: Option[(LocalDate, LocalDate)]) = (a, b) match {
         case (Some((a1, b1)), Some((a2, b2))) =>
@@ -260,18 +260,40 @@ object FameStream {
         case (x, None) => x
         case (None, y) => y
       }
+      // date >= the one n periods after d — EXACT for calendar
+      // frequencies, an OVERestimate for business (n business rows span
+      // >= n calendar days; a too-late end only tightens the premature-
+      // read check, never loosens it)
+      def plusPeriodsCeil(d: LocalDate, n: Int): LocalDate = f match {
+        case Frequency.Monthly   => d.plusMonths(n.toLong)
+        case Frequency.Quarterly => d.plusMonths(3L * n)
+        case Frequency.Annual    => d.plusYears(n.toLong)
+        case Frequency.Weekly(_) => d.plusWeeks(n.toLong)
+        case Frequency.Daily     => d.plusDays(n.toLong)
+        case Frequency.Business  => d.plusDays(2L * n + 3)
+      }
       e match {
         case Ref(m) => supports.get(m)
+        // a LAG of a bounded series: value at row ρ is m@(ρ − k), so
+        // the non-null set shifts FORWARD k periods. Only the END
+        // shifts (exact or over) — the START stays put, because a
+        // forward-shifted start would SHORTEN the computed reach
+        // (unsound); keeping it only lengthens the carried tail.
+        // Leads (offset > 0) return None — the reach step refuses
+        // them by name anyway.
+        case TimeShift(m, off) if off < 0 =>
+          supports.get(m).map { case (a, b) =>
+            (a, plusPeriodsCeil(b, -off)) }
         case Bin(op, l, r)
             if Set("+", "-", "*", "/",
               "eq", "ne", "gt", "lt", "ge", "le")(op) =>
-          union(exprSupport(l, supports), exprSupport(r, supports))
-        case Un("-", x)   => exprSupport(x, supports)
-        case Un("not", x) => exprSupport(x, supports)
+          union(exprSupport(l, supports, f), exprSupport(r, supports, f))
+        case Un("-", x)   => exprSupport(x, supports, f)
+        case Un("not", x) => exprSupport(x, supports, f)
         case Call(n, args)
             if Set("sqrt", "abs", "log", "exp", "pct", "diff")(n) &&
               args.nonEmpty =>
-          exprSupport(args.head, supports)
+          exprSupport(args.head, supports, f)
         case _ => None
       }
     }
@@ -354,16 +376,12 @@ object FameStream {
           // reference parity, `formulas_generator.py:881` broadcasts
           // the whole-series mean), so without bounded support the
           // value keeps changing as history grows.
-          case "ave" | "firstvalue" | "lastvalue" =>
-            exprSupport(args.head, supports) match {
-              case Some((supStart, supEnd)) => look match {
-                case None => Left(s"whole-series $name outside a " +
-                  "closed horizon (bounded support needs a bounded " +
-                  "write range)")
-                case Some(_) if partitioned =>
-                  Left(s"whole-series $name under partitioned " +
-                    "execution")
-                case Some((latest, horizon, f)) =>
+          case "ave" | "firstvalue" | "lastvalue" => look match {
+            case Some(_) if partitioned =>
+              Left(s"whole-series $name under partitioned execution")
+            case Some((latest, horizon, f)) =>
+              exprSupport(args.head, supports, f) match {
+                case Some((supStart, supEnd)) =>
                   if (supEnd.isAfter(latest))
                     Left(s"whole-series $name: the argument's support " +
                       "ends after the statement's mask start — rows " +
@@ -378,13 +396,15 @@ object FameStream {
                       case (ld, _) =>
                         Left(s"lead +$ld inside whole-series $name")
                     }
+                case None => Left(s"whole-series function $name " +
+                  "aggregates the entire frame (masks gate writes, not " +
+                  "reads; bounded only when strict arithmetic/lags over " +
+                  "closed-masked/point-in-time-defined series bound the " +
+                  "argument's support)")
               }
-              case None => Left(s"whole-series function $name aggregates " +
-                "the entire frame (masks gate writes, not reads; " +
-                "bounded only when strict arithmetic over closed-masked/" +
-                "point-in-time-defined series bounds the argument's " +
-                "support)")
-            }
+            case None => Left(s"whole-series $name outside a closed " +
+              "horizon (bounded support needs a bounded write range)")
+          }
           case "dateof" => Left("whole-series function dateof")
           case other => Left(s"function $other (unknown reach)")
         }

@@ -116,16 +116,19 @@ class IncrementalPropertySpec extends SparkSpec {
         }
         // inner shape: 0 bare name | 1 name*const | 2 abs(name) |
         // 3 name+otherName (strict Bin: support = UNION of the bounded
-        // sides, lag = max of both sides' recorded lags)
-        shape <- Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3)
+        // sides, lag = max of both sides' recorded lags) | 4 name[t-k]
+        // (a LAG: the support END shifts forward k, the start stays —
+        // the walker's conservative shift — and the lag rides on)
+        shape <- Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3, 1 -> 4)
         c <- Gen.choose(2, 5)
+        k <- Gen.choose(1, 2)
         n2 <- Gen.oneOf(names)
       } yield {
         val (txt, sup, lag) = shape match {
           case 0 => (s"$f(${show(n)})", supports.get(n), env(n)._2)
           case 1 => (s"$f((${show(n)} * $c))", supports.get(n), env(n)._2)
           case 2 => (s"$f(abs(${show(n)}))", supports.get(n), env(n)._2)
-          case _ =>
+          case 3 =>
             val u = (supports.get(n), supports.get(n2)) match {
               case (Some((a1, b1)), Some((a2, b2))) =>
                 Some((math.min(a1, a2), math.max(b1, b2)))
@@ -134,6 +137,9 @@ class IncrementalPropertySpec extends SparkSpec {
             }
             (s"$f((${show(n)} + ${show(n2)}))", u,
               math.max(env(n)._2, env(n2)._2))
+          case _ => (s"$f(${show(n)}[t-$k])",
+            supports.get(n).map { case (a, b) => (a, b + k) },
+            env(n)._2 + k)
         }
         (sup, lookCtx) match {
           case (Some((sLo, sHi)), Some((lo, hi))) if sHi <= lo =>

@@ -1202,6 +1202,17 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
         "x[1995-06-01] = ave(m1 + rev[t+1])", inputColumns = cols).isLeft)
+    // a LAG of a bounded series shifts the support end forward (m1[t-1]
+    // is non-null in [Mar, May]): the May end still clears the June
+    // PIT, the lag rides on the reach — periods(Feb→Jun) + 1 = 5
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1[t-1])", inputColumns = cols) == Right(5))
+    // ...and the SHIFTED end must clear the mask start: m1[t-2] is
+    // non-null through June, after the June PIT's latest — refused
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-05-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1[t-2])", inputColumns = cols).isLeft)
     // ... while re-binding to a NEW date keeps eligibility on the
     // latest date (conservative max-reach applies to series, not here:
     // a scalar lookup reads exactly one binding — the current one)
