@@ -189,7 +189,7 @@ object FameSession {
             val v = ColumnCompiler.compile(e, ctx)
             val existing: Column =
               if (cur.columns.contains(target)) col(target)
-              else lit(null).cast(DoubleType)
+              else nullLike(v, cur)
             cur = cur.withColumn(target,
               when(col(dateCol) === lit(java.sql.Date.valueOf(date)), v)
                 .otherwise(existing))
@@ -270,6 +270,21 @@ object FameSession {
     case other => throw new IllegalArgumentException(s"not a date: $other")
   }
 
+  /** Null literal typed like `value` (probed with one driver-side nested
+    * analysis over `cur`), so masked / point-in-time assigns of
+    * non-double expressions — `d[pit] = dateof(...)` is date-typed —
+    * don't hit CASE-branch type mismatches. An untypeable / NullType
+    * value keeps the historical DoubleType default (`x = nd` masked
+    * must stay a numeric series).
+    */
+  private def nullLike(value: Column, cur: DataFrame): Column = {
+    val dt =
+      try cur.select(value.as("__type_probe")).schema.head.dataType
+      catch { case _: Throwable => DoubleType }
+    lit(null).cast(
+      if (dt == org.apache.spark.sql.types.NullType) DoubleType else dt)
+  }
+
   /** Date-range masking — SURVEY §2.2 / APPLY_DATE_FILTER
     * (`formulas_generator.py:1499-1536`): inside the range the new value,
     * outside either the previous value (`preserve_existing`) or null.
@@ -286,7 +301,7 @@ object FameSession {
         val inRange = conds.reduce(_ && _)
         val outside: Column =
           if (preserve && cur.columns.contains(target)) col(target)
-          else lit(null).cast(DoubleType)
+          else nullLike(value, cur)
         when(inRange, value).otherwise(outside)
     }
 

@@ -405,6 +405,38 @@ object FameStream {
             case None => Left(s"whole-series $name outside a closed " +
               "horizon (bounded support needs a bounded write range)")
           }
+          // dateof compiles to min/max(when(series nonNull, DATE)) over
+          // the whole frame (CONTAIN) or the preceding rows (BEFORE) —
+          // ColumnCompiler.dateof. Series-free heads ARE the expression
+          // (the reference's DATEOF_GENERIC) — row-local. Otherwise the
+          // same bounded-support argument as ave applies: the observed
+          // dates come only from the argument's support, and any
+          // written row (≥ the mask start ≥ the support end) has every
+          // support row in frame under BOTH frame variants.
+          case "dateof" if args.nonEmpty =>
+            if (FameExpr.refs(args.head).isEmpty)
+              reach(args.head, env, look, sdates, supports)
+            else look match {
+              case Some(_) if partitioned =>
+                Left("whole-series dateof under partitioned execution")
+              case Some((latest, horizon, f)) =>
+                exprSupport(args.head, supports, f) match {
+                  case Some((supStart, supEnd))
+                      if !supEnd.isAfter(latest) =>
+                    reach(args.head, env, look, sdates, supports).flatMap {
+                      case (0, lg) =>
+                        Right((0, lg + periods(f, supStart, horizon)))
+                      case (ld, _) =>
+                        Left(s"lead +$ld inside dateof")
+                    }
+                  case Some(_) =>
+                    Left("dateof: the argument's support ends after " +
+                      "the statement's mask start")
+                  case None => Left("whole-series function dateof")
+                }
+              case None =>
+                Left("whole-series dateof outside a closed horizon")
+            }
           case "dateof" => Left("whole-series function dateof")
           case other => Left(s"function $other (unknown reach)")
         }

@@ -416,6 +416,38 @@ class EngineSpec extends SparkSpec {
     assertSeq(column(out, "Y"), Seq.fill(3)(Some(1.5)))
   }
 
+  test("point-in-time / masked assigns of non-double expressions type " +
+      "their null branch from the value (dateof into a fresh series)") {
+    // the outside-the-range null used to be hardcoded DOUBLE, so
+    // `d[pit] = dateof(...)` (date-typed) failed analysis with a
+    // CASE-branch type mismatch — found by the r15 streaming widening
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "A" -> Seq(1, null, 3))
+    val out = FameSession.run(
+      """freq m
+        |d[2020-02-01] = dateof(a, *, contain, end)
+        |set <date 2020-01-01 to 2020-02-01> lastd = dateof(a, *, before, end)
+        |""".stripMargin, in).df.orderBy("DATE").collect()
+    def dcol(i: Int, c: String) = {
+      val j = out(i).fieldIndex(c)
+      if (out(i).isNullAt(j)) null else out(i).getDate(j).toString
+    }
+    // d: non-null only at the PIT row, carrying a's last obs date (Mar)
+    assert(dcol(0, "D") == null && dcol(2, "D") == null)
+    assert(dcol(1, "D") == "2020-03-01")
+    // lastd: BEFORE variant inside the mask (a is null at Feb, so both
+    // masked rows see Jan as the last observation), null outside
+    assert(dcol(0, "LASTD") == "2020-01-01")
+    assert(dcol(1, "LASTD") == "2020-01-01")
+    assert(dcol(2, "LASTD") == null)
+    // the plain numeric behavior is unchanged: x = nd masked stays a
+    // numeric (double) series
+    val nd = FameSession.run(
+      "freq m\nset <date 2020-01-01 to 2020-02-01> z = nd", in).df
+    assert(nd.schema("Z").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("fame_run table function: SQL-only entry matches the Scala API, " +
       "composes with outer SQL, takes partition keys, rejects bad arity") {
     import org.apache.spark.sql.functions.{col, lit, when}

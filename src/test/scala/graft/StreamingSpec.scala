@@ -1213,6 +1213,24 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "freq m\nset <date 1995-02-01 to 1995-05-01> m1 = rev\n" +
         "x[1995-06-01] = ave(m1[t-2])", inputColumns = cols).isLeft)
+    // dateof over bounded support: same acceptance as ave (the observed
+    // dates come only from the support), both frame variants; over an
+    // unbounded series it stays refused; series-free heads are
+    // row-local (the reference's DATEOF_GENERIC)
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "d[1995-06-01] = dateof(m1, *, contain, end)",
+      inputColumns = cols) == Right(4))
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "d[1995-06-01] = dateof(m1, *, before, begin)",
+      inputColumns = cols) == Right(4))
+    assert(incrementalEligibility(
+      "freq m\nd[1995-06-01] = dateof(rev, *, contain, end)",
+      inputColumns = cols).isLeft)
+    assert(incrementalEligibility(
+      "freq m\nd = dateof(make(date(m), \"1995-02-01\"), *, contain, end)",
+      inputColumns = cols) == Right(0))
     // ... while re-binding to a NEW date keeps eligibility on the
     // latest date (conservative max-reach applies to series, not here:
     // a scalar lookup reads exactly one binding — the current one)
@@ -1364,6 +1382,46 @@ class StreamingSpec extends SparkSpec {
     // the aggregates actually resolved from the tail: May's x is the
     // support mean (5+7)/2 and Jun's y still sees March's last value
     assert(got(4)._2 == 6.0 && got(5)._3 == 7.0, got.toString)
+  }
+
+  test("incremental FAME: dateof over a bounded-support series (r15 " +
+      "widening) is batch-equivalent through the real streaming harness") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famedo").toString
+    // m1 exists only in [Feb, Mar]; the June point reads the date of
+    // its last observation — a DATE-typed whole-series read resolved
+    // from the carried tail
+    val script =
+      """freq m
+        |set <date 1995-02-01 to 1995-03-01> m1 = rev
+        |d[1995-06-01] = dateof(m1, *, contain, end)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script,
+      inputColumns = Some(Set("DATE", "REV"))) == Right(4))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0), (d("1995-02-01"), 5.0),
+        (d("1995-03-01"), 7.0)),
+      Seq((d("1995-04-01"), 6.0), (d("1995-05-01"), 3.0)),
+      Seq((d("1995-06-01"), 8.0)))
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      if (r.isNullAt(1)) null else r.getDate(1).toString)
+    val got = spark.read.parquet(s"$base/result")
+      .select("DATE", "D").orderBy("DATE").collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "D").orderBy("DATE").collect().map(key).toSeq
+    assert(got == batchRun)
+    // the date resolved from the tail: June's d = March (m1's last obs)
+    assert(got(5) == ("1995-06-01", "1995-03-01"), got.toString)
   }
 
   test("incremental FAME enforces the nondecreasing-date ingest contract: " +
