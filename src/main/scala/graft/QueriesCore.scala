@@ -194,7 +194,7 @@ object QueriesCore {
           |lg = log(rev)
           |rt = sqrt(cnt)
           |ab = abs(dev)
-          |ex = exp(rev / 10)""".stripMargin, monthly(s, dir))
+          |ex = exp(rev / mu)""".stripMargin, monthly(s, dir))
       out.select(col("DATE").as("date"), r8(col("DEV")).as("dev"),
         r8(col("LG")).as("lg"), col("RT").as("rt"),
         r8(col("AB")).as("ab"), r8(col("EX")).as("ex")).orderBy("date")
@@ -577,7 +577,7 @@ object QueriesCore {
          |  round(ln(rev), 8) AS lg,
          |  sqrt(cnt) AS rt,
          |  round(abs(rev - (SELECT avg(rev) FROM m)), 8) AS ab,
-         |  round(exp(rev / 10), 8) AS ex
+         |  round(exp(rev / (SELECT avg(rev) FROM m)), 8) AS ex
          |FROM m ORDER BY date""".stripMargin,
 
     "q10_minmax_exists" ->

@@ -4024,8 +4024,18 @@ object QueriesExt {
             .otherwise(lit(0.3) * col("REV") / col("p")))
         .withColumn("ssum", sum(col("term")).over(run))
         .select(col("NATION").as("nation"), col("DATE").as("date"),
-          round(col("REV"), 6).as("rev"),
-          round(col("p") * col("ssum"), 8).as("ewma"))
+          // ARITHMETIC rounding (floor(x*1e6 + 0.5)/1e6), not round():
+          // the pre-round doubles are bit-identical across engines by
+          // this query's construction, but round() semantics are not —
+          // Spark rounds the double's SHORTEST DECIMAL REPR half-up,
+          // DuckDB the exact binary value, and at sf0.1 one ewma cell
+          // (17.3048817749999...96, shortest repr 17.304881775) sat
+          // exactly on the 8-dp boundary and rounded opposite ways.
+          // Spelled as plain IEEE ops, the rounding is closed under the
+          // same bit-identity as the fold itself — exact at ANY sf.
+          (floor(col("REV") * lit(1e6) + lit(0.5)) / lit(1e6)).as("rev"),
+          (floor(col("p") * col("ssum") * lit(1e8) + lit(0.5)) / lit(1e8))
+            .as("ewma"))
         .orderBy("nation", "date")
     }),
 
@@ -9437,8 +9447,9 @@ object QueriesExt {
          |    r.ssum + (0.3::DOUBLE * mr.rev) / (r.p * 0.7::DOUBLE) AS ssum
          |  FROM r JOIN mr ON mr.nation = r.nation AND mr.rn = r.rn + 1
          |)
-         |SELECT nation, date, round(rev, 6) AS rev,
-         |  round(p * ssum, 8) AS ewma
+         |SELECT nation, date,
+         |  floor(rev * 1e6 + 0.5) / 1e6 AS rev,
+         |  floor(p * ssum * 1e8 + 0.5) / 1e8 AS ewma
          |FROM r ORDER BY nation, date""".stripMargin,
 
     // min-hop semantics replayed with a recursive CTE over the same
