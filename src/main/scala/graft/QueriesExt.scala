@@ -1671,6 +1671,9 @@ object QueriesExt {
             .cast(DecimalType(18, 12)).as("q"),
           when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
             .as("pos"))
+        // SCORED docs only (NULL q: cross-engine NULL ordering; an
+        // unscored doc has no rank in a gains chart)
+        .where(col("q").isNotNull)
       decileLift(d)
     }),
 
@@ -2272,8 +2275,20 @@ object QueriesExt {
       // frame; unions follow as |A| + |B| − inter. Same cells, one
       // gram-keyed shuffle instead of a pair-replicated one.
       val g = grams
-      def bitOf(c: String) =
-        expr(s"shiftleft(1L, cast(regexp_replace($c, 'src', '') as int))")
+      // bit index by SOURCE RANK (ordered by name), not by parsing a
+      // 'srcN' pattern out of the label — corpora carry arbitrary
+      // source names (the adversarial fixture's 'wiki' crashed the
+      // int cast). Bounded driver-side collect: the distinct-source
+      // list the pair frame below already implies. The mask stays one
+      // long, so the witness supports <= 63 sources (the histogram is
+      // 2^#sources-bounded anyway — diagnostic scale by design).
+      val srcIdx = d.select("source").distinct().orderBy("source")
+        .collect().map(_.getString(0)).zipWithIndex
+      require(srcIdx.size <= 63,
+        s"source-bitmask witness supports <= 63 sources, got ${srcIdx.size}")
+      val bitMap = map(srcIdx.flatMap { case (s, i) =>
+        Seq(lit(s), lit(1L << i)) }.toIndexedSeq: _*)
+      def bitOf(c: String) = element_at(bitMap, col(c))
       val gm = g.select(col("gram"), bitOf("source").as("__bit"))
         .groupBy("gram").agg(sum(col("__bit")).as("__mask"))
         .groupBy("__mask").agg(count(lit(1)).as("__n"))
@@ -3355,7 +3370,10 @@ object QueriesExt {
         .cast(DecimalType(28, 12))
       val qc = greatest(lit(0).cast(DecimalType(28, 12)),
         least(lit(1).cast(DecimalType(28, 12)), q))
-      docs(s, dir).where(col("text").isNotNull)
+      // SCORED docs only: Spark's least/greatest SKIP nulls, so a NULL
+      // q would silently clamp to 1 (bin 9) while the oracle's CASE
+      // clamp keeps it NULL — an unscored doc has no calibration bin
+      docs(s, dir).where(col("text").isNotNull && q.isNotNull)
         .select(qc.as("qc"),
           when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
             .as("pos"))
@@ -3380,11 +3398,15 @@ object QueriesExt {
     // distinct-score-sized; a fixed-grid score quantization bounds it.
     "q163_quality_auc" -> ((s, dir) => {
       import org.apache.spark.sql.types.DecimalType
+      // SCORED docs only: an unscored doc (empty text -> NULL q) cannot
+      // be ranked by an AUC, and NULL orders opposite ways by default
+      // across engines (Spark NULLS FIRST, DuckDB NULLS LAST)
       val d = docs(s, dir).where(col("text").isNotNull)
         .select(round(TextOps.qualityScore(col("text")), 12)
             .cast(DecimalType(28, 12)).as("q"),
           when(TextOps.langId(col("text")) === "en", 1L).otherwise(0L)
             .as("pos"))
+        .where(col("q").isNotNull)
       val vals = d.groupBy("q").agg(
         sum(col("pos")).as("n_pos"),
         sum(lit(1L) - col("pos")).as("n_neg"))
@@ -3626,10 +3648,14 @@ object QueriesExt {
           (TextOps.langId(col("text")) === "en").as("en"),
           TextOps.tokenCount(col("text")).cast("long").as("nt"))
       val wS = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      // EXPLICIT nulls-last: a score-less doc (empty text -> NULL q)
+      // sorts opposite ways by default (Spark NULLS FIRST, DuckDB
+      // NULLS LAST) and shifts every quartile rank in its source
       val ranked = d
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
-            .partitionBy("source").orderBy(col("q"), col("doc_id"))))
+            .partitionBy("source")
+            .orderBy(col("q").asc_nulls_last, col("doc_id"))))
         .withColumn("n", count(lit(1)).over(wS))
       ranked.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
@@ -3859,13 +3885,25 @@ object QueriesExt {
     // q144, computed by the oracle straight from the parquet source.
     "q147_csv_roundtrip" -> ((s, dir) => {
       val path = scratch("q147")
+      // the WRITER defaults ignore{Leading,Trailing}WhiteSpace=true and
+      // silently TRIMS field whitespace — a whitespace-only doc and a
+      // trailing-space doc both corrupted the roundtrip digest on the
+      // adversarial corpus. (The reader's defaults are already false.)
       docs(s, dir).where(col("text").isNotNull && col("text") =!= "")
         .select("doc_id", "source", "text")
         .write.mode("overwrite")
         .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
+      // multiLine: quoted fields may carry embedded newlines/CRLF (the
+      // adversarial corpus does; real interchange drops do too) — the
+      // default line-split reader breaks such records in two. The cost
+      // is per-file (multiLine files aren't line-splittable), the
+      // standard trade for RFC-4180-complete ingest.
       s.read.schema("doc_id LONG, source STRING, text STRING")
         .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
         .csv(path)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -6813,7 +6851,7 @@ object QueriesExt {
          |  SELECT q, pos,
          |    row_number() OVER (ORDER BY q, doc_id) AS rk,
          |    count(*) OVER () AS n
-         |  FROM d
+         |  FROM d WHERE q IS NOT NULL
          |)
          |SELECT (((rk - 1) * 10) // n)::BIGINT AS decile,
          |  count(*) AS n_docs, sum(pos)::BIGINT AS n_en,
@@ -8103,7 +8141,7 @@ object QueriesExt {
          |  SELECT CASE WHEN q < 0 THEN 0::DECIMAL(28,12)
          |              WHEN q > 1 THEN 1::DECIMAL(28,12)
          |              ELSE q END AS qc, pos
-         |  FROM d0
+         |  FROM d0 WHERE q IS NOT NULL
          |)
          |SELECT least(floor(qc * 10)::BIGINT, 9) AS bin,
          |  count(*) AS n, sum(pos)::BIGINT AS n_pos,
@@ -8119,7 +8157,7 @@ object QueriesExt {
          |), v AS (
          |  SELECT q, sum(pos)::BIGINT AS n_pos,
          |    sum(1 - pos)::BIGINT AS n_neg
-         |  FROM d GROUP BY q
+         |  FROM d WHERE q IS NOT NULL GROUP BY q
          |), c AS (
          |  SELECT n_pos, n_neg,
          |    coalesce(sum(n_neg) OVER (ORDER BY q
@@ -8263,7 +8301,7 @@ object QueriesExt {
          |  FROM documents WHERE text IS NOT NULL
          |), r AS (
          |  SELECT *, row_number() OVER (PARTITION BY source
-         |      ORDER BY q, doc_id) AS rk,
+         |      ORDER BY q NULLS LAST, doc_id) AS rk,
          |    count(*) OVER (PARTITION BY source) AS n
          |  FROM d
          |)
@@ -8423,9 +8461,10 @@ object QueriesExt {
          |  SELECT doc_id, tk FROM b UNION ALL SELECT doc_id, tk FROM tw
          |), f AS (
          |  SELECT doc_id,
-         |    ('0x' || substr(md5(array_to_string(
-         |      list_sort(list_distinct(tk)), ' ')), 1, 8))::BIGINT
-         |      AS wordset_fp
+         |    CASE WHEN tk IS NULL THEN NULL ELSE
+         |      ('0x' || substr(md5(coalesce(array_to_string(
+         |        list_sort(list_distinct(tk)), ' '), '')), 1, 8))::BIGINT
+         |    END AS wordset_fp
          |  FROM a
          |)
          |SELECT doc_id, wordset_fp,

@@ -1551,6 +1551,12 @@ object Dedup {
     */
   def wordSetDedup(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // Contract (NullTextSpec): NULL text propagates to a NULL
+    // fingerprint — its own class, missing data is never conflated
+    // with present-but-token-less text — while empty/whitespace-only
+    // docs share the md5("") empty-vocabulary class. (DuckDB replay
+    // caveat: its array_to_string([]) is NULL, not '' — the q149
+    // oracle coalesces before hashing.)
     val fp = graft.ops.Sampling.md5Prefix32(array_join(
       array_sort(array_distinct(TextOps.tokens(col(textCol)))), " "))
     val w = Window.partitionBy(col("wordset_fp"))
