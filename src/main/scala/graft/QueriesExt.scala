@@ -25,6 +25,18 @@ object QueriesExt {
   private[graft] def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Embeddings with a DIRECTION: zero-norm vectors — an embedded empty
+    * document, guaranteed to exist at corpus scale — are excluded from
+    * every COSINE-space operator (cosine is undefined there; the ANSI
+    * division otherwise throws, which is how the adversarial-embeddings
+    * sweep found this). Oracles mirror the filter in their e-CTEs.
+    * Norm-free operators (PQ/ADC distances, centroids, norm outliers,
+    * PCA, MIPS augmentation) keep the raw [[embs]] frame.
+    */
+  private[graft] def cosEmbs(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).where(
+      graft.ops.Similarity.dot(col("embedding"), col("embedding")) > 0)
+
   /** Decile lift table over a scored frame `(doc_id, q: DECIMAL(18,12),
     * pos: LONG)` — the gains chart that completes the eval trio (AUC
     * q163 ranks, calibration q164 score-buckets, lift RANK-buckets):
@@ -348,7 +360,7 @@ object QueriesExt {
 
     // exact brute-force cosine top-5 for the first 10 vectors
     "q24_ann_brute" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       Similarity.bruteForceTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
@@ -365,7 +377,11 @@ object QueriesExt {
         .select(col("vec_id"),
           posexplode(col("projected")).as(Seq("dim_idx", "value")))
         .select(col("vec_id"), col("dim_idx").cast("long").as("dim_idx"),
-          round(col("value"), 8).as("value"))
+          // + 0.0 canonicalizes SIGNED ZERO (x + 0.0 is the identity on
+          // every other double): a tiny vector's projection rounds to
+          // -0.0 in DuckDB but +0.0 through Spark's BigDecimal round,
+          // and the two hash differently (adversarial-embeddings sweep)
+          (round(col("value"), 8) + lit(0.0)).as("value"))
         .orderBy("vec_id", "dim_idx")
     }),
 
@@ -373,7 +389,7 @@ object QueriesExt {
     // scoring (per-vector scales cancel in cosine) — the oracle
     // recomputes the quantization and the integer dots cell-for-cell.
     "q72_ann_quantized" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       Similarity.quantizedTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
@@ -384,7 +400,7 @@ object QueriesExt {
     // LSH-bucketed ANN with multi-probe (scale path); the deterministic
     // plane literals let the oracle replay the whole pipeline cell-exact
     "q25_ann_lsh" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       Similarity.annTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, planes = 6)
         .select(col("query_id"), col("neighbor_id"),
@@ -395,7 +411,7 @@ object QueriesExt {
     // IVF ANN: hash-seeded Lloyd centroids on the integer grid, nprobe
     // nearest lists — the oracle replays the whole index build + search
     "q35_ann_ivf" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       Similarity.ivfTopK(e.where(col("vec_id") < 10), e,
         "vec_id", "embedding", k = 5, nlist = 16, iters = 2, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"),
@@ -412,7 +428,7 @@ object QueriesExt {
     "q26_embed_neardup" -> ((s, dir) => {
       // synthetic embeddings top out near cosine 0.5 — 0.25 exercises
       // the bucket-then-verify path with non-empty output
-      Dedup.embeddingNearDupPairsScaled(embs(s, dir), "vec_id",
+      Dedup.embeddingNearDupPairsScaled(cosEmbs(s, dir), "vec_id",
           "embedding", minCosine = 0.25)
         .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine"))
         .orderBy("id1", "id2")
@@ -1111,7 +1127,7 @@ object QueriesExt {
     // lands on exactly the old nlist=16, so the replay is unchanged
     // there. The oracle recomputes the same formula from count(*).
     "q61_semantic_dedup" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       val nlist = math.min(4096,
         math.max(16, math.ceil(e.count() / 128.0).toInt))
       Dedup.semanticDedup(e, "vec_id", "embedding",
@@ -2921,7 +2937,7 @@ object QueriesExt {
     // baseline, per the q24 contract. recall_x1000 is an exact integer
     // ratio; the whole table is 3 rows.
     "q127_nprobe_curve" -> ((s, dir) => {
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       val queries = e.where(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(queries, e, "vec_id",
           "embedding", k = 1)
@@ -3681,7 +3697,7 @@ object QueriesExt {
     // over two bounded top-k arms; cost lives in the arms.
     "q153_hard_negatives" -> ((s, dir) => {
       val d = docs(s, dir)
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       val lex = graft.ops.TfIdf.bm25TopK(
         d.where(col("doc_id") < 5), d, "doc_id", "text", k = 20)
       val dense = Similarity.bruteForceTopK(
@@ -3920,7 +3936,7 @@ object QueriesExt {
     // q24); the fusion adds one bounded full-outer join + re-rank.
     "q146_hybrid_rrf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val e = embs(s, dir)
+      val e = cosEmbs(s, dir)
       val lex = graft.ops.TfIdf.bm25TopK(
         d.where(col("doc_id") < 5), d, "doc_id", "text", k = 10)
       val dense = Similarity.bruteForceTopK(
@@ -5163,7 +5179,15 @@ object QueriesExt {
     * byte-identical to the pre-r10 text.
     */
   private def kmeansCtes(nlist: Int, dim: Int,
-      dynNlistSql: Option[String] = None): String = {
+      dynNlistSql: Option[String] = None,
+      cosOnly: Boolean = false): String = {
+    // cosOnly mirrors the Spark-side cosEmbs contract: cosine-space
+    // oracles exclude zero-norm vectors; PQ/ADC-space ones keep them
+    val embWhere =
+      if (cosOnly)
+        " WHERE list_dot_product(embedding::DOUBLE[], " +
+          "embedding::DOUBLE[]) > 0"
+      else ""
     val grid = graft.ops.Similarity.KmeansGrid
     val nlExpr = dynNlistSql.map(_ => "(SELECT nl FROM nlt)")
       .getOrElse(nlist.toString)
@@ -5197,7 +5221,7 @@ object QueriesExt {
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
          |    FROM d$n) WHERE rn = 1
          |)""".stripMargin
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings$embWhere),
        |${nltCte}g0 AS (
        |  SELECT vec_id, v,
        |    list_transform(v, x -> round(x * $grid)::BIGINT) AS vq,
@@ -5471,7 +5495,7 @@ object QueriesExt {
     // iterations, nprobe=4 nearest centroid lists per query, exact
     // cosine within the probed lists — cell-exact (round-7 verdict #2)
     "q35_ann_ivf" -> {
-      val ctes = kmeansCtes(nlist = 16, dim = 64)
+      val ctes = kmeansCtes(nlist = 16, dim = 64, cosOnly = true)
       s"""WITH $ctes,
          |dq AS (
          |  SELECT q.vec_id, q.v, ct.c,
@@ -5509,7 +5533,7 @@ object QueriesExt {
       // min(4096, max(16, ceil(n/128))); 4096 is both the clamp and
       // the oversized-series cap the dynamic CTE filters down from
       val ctes = kmeansCtes(nlist = 4096, dim = 64, dynNlistSql = Some(
-        "least(4096, greatest(16, cast(ceil(count(*) / 128.0) AS INTEGER)))"))
+        "least(4096, greatest(16, cast(ceil(count(*) / 128.0) AS INTEGER)))"), cosOnly = true)
       s"""WITH RECURSIVE $ctes,
          |p AS (
          |  SELECT l.vec_id AS a, r.vec_id AS b
@@ -5532,7 +5556,7 @@ object QueriesExt {
     },
 
     "q24_ann_brute" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |s AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         |    list_dot_product(q.v, c.v)
@@ -5555,7 +5579,7 @@ object QueriesExt {
       val bucket = lshBucketSql("v", planes = 6, dim = 64)
       val flips = (0 until 6).map(p => s"xor(bucket, ${1L << p})")
         .mkString(", ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
          |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
          |p AS (
          |  SELECT vec_id AS query_id, v AS qv,
@@ -5589,7 +5613,7 @@ object QueriesExt {
     // threshold BEFORE the display rounding (mirrors the Spark plan)
     "q26_embed_neardup" -> {
       val bucket = lshBucketSql("v", planes = 24, dim = 64)
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
          |np AS (SELECT length(bin(count(*))) + 1 AS p FROM e),
          |b AS (SELECT vec_id, v,
          |  $bucket % (1::BIGINT << p) AS bucket FROM e CROSS JOIN np)
@@ -5729,13 +5753,13 @@ object QueriesExt {
          |$rows
          |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT vec_id, dim_idx::BIGINT AS dim_idx,
-         |  round(list_dot_product(v, r) * $scale, 8) AS value
+         |  round(list_dot_product(v, r) * $scale, 8) + 0.0 AS value
          |FROM e CROSS JOIN m
          |ORDER BY vec_id, dim_idx""".stripMargin
     },
 
     "q72_ann_quantized" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |qz AS (
         |  SELECT vec_id, v,
         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
@@ -8351,7 +8375,7 @@ object QueriesExt {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, neighbor_id) AS rank
          |  FROM agg QUALIFY rank <= 20
-         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
          |cs AS (
          |  SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    list_dot_product(qe.v, c.v)
@@ -8771,7 +8795,7 @@ object QueriesExt {
     // replays the q35 k-means/probe chain at each nprobe plus the
     // exact-brute witness, then the integer recall ratios
     "q127_nprobe_curve" -> {
-      val ctes = kmeansCtes(nlist = 16, dim = 64)
+      val ctes = kmeansCtes(nlist = 16, dim = 64, cosOnly = true)
       val perNp = Seq(1, 2, 4).map { np =>
         s"""qp$np AS (
            |  SELECT vec_id AS query_id, v AS qv, c AS bucket FROM (
@@ -9312,7 +9336,7 @@ object QueriesExt {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, neighbor_id) AS rank
          |  FROM agg QUALIFY rank <= 10
-         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
          |cs AS (
          |  SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    list_dot_product(qe.v, c.v)
