@@ -4429,15 +4429,20 @@ object QueriesExt {
         .select(col("event_type"), col("n_days"), col("n_events"),
           round(col("n_events").cast("double") /
             col("n_days").cast("double"), 8).as("mean_daily"),
-          round((col("n_days") * col("scc") -
-            col("n_events") * col("n_events")).cast("double") /
-            (col("n_days") * (col("n_days") - 1)).cast("double"), 8)
+          // sample variance needs n >= 2: a type observed on a single
+          // day (adversarial-events sweep: the NULL-type group) must
+          // emit NULL dispersion, not divide by zero
+          when(col("n_days") > 1,
+            round((col("n_days") * col("scc") -
+              col("n_events") * col("n_events")).cast("double") /
+              (col("n_days") * (col("n_days") - 1)).cast("double"), 8))
             .as("var_daily"),
-          round(((col("n_days") * col("scc") -
-            col("n_events") * col("n_events")).cast("double") /
-            (col("n_days") * (col("n_days") - 1)).cast("double")) /
-            (col("n_events").cast("double") /
-              col("n_days").cast("double")), 8).as("fano"))
+          when(col("n_days") > 1,
+            round(((col("n_days") * col("scc") -
+              col("n_events") * col("n_events")).cast("double") /
+              (col("n_days") * (col("n_days") - 1)).cast("double")) /
+              (col("n_events").cast("double") /
+                col("n_days").cast("double")), 8)).as("fano"))
         .orderBy("event_type")
     }),
 
@@ -7326,7 +7331,8 @@ object QueriesExt {
         |        WHEN c.t2 IS NOT NULL THEN 2
         |        WHEN v.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stage
         |FROM (SELECT DISTINCT user_id FROM events
-        |      WHERE event_type IN ('view','click','purchase')) u
+        |      WHERE event_type IN ('view','click','purchase')
+        |        AND user_id IS NOT NULL) u
         |LEFT JOIN v USING (user_id)
         |LEFT JOIN c USING (user_id)
         |LEFT JOIN p USING (user_id)
@@ -9800,11 +9806,13 @@ object QueriesExt {
         |)
         |SELECT event_type, n_days, n_events,
         |  round(n_events::DOUBLE / n_days::DOUBLE, 8) AS mean_daily,
-        |  round((n_days * scc - n_events * n_events)::DOUBLE
-        |    / (n_days * (n_days - 1))::DOUBLE, 8) AS var_daily,
-        |  round(((n_days * scc - n_events * n_events)::DOUBLE
-        |      / (n_days * (n_days - 1))::DOUBLE)
-        |    / (n_events::DOUBLE / n_days::DOUBLE), 8) AS fano
+        |  CASE WHEN n_days > 1 THEN
+        |    round((n_days * scc - n_events * n_events)::DOUBLE
+        |      / (n_days * (n_days - 1))::DOUBLE, 8) END AS var_daily,
+        |  CASE WHEN n_days > 1 THEN
+        |    round(((n_days * scc - n_events * n_events)::DOUBLE
+        |        / (n_days * (n_days - 1))::DOUBLE)
+        |      / (n_events::DOUBLE / n_days::DOUBLE), 8) END AS fano
         |FROM s ORDER BY event_type""".stripMargin,
 
     // same lag-derived integer gaps, same ceil(n*q)-th-smallest

@@ -83,6 +83,11 @@ object EventOps {
     }
     val sorted = events
       .withColumn("__ord", ord).where(col("__ord") >= 0)
+      // anonymous events (NULL user) cannot be attributed to a chain —
+      // grouping them would weld every anonymous hit into one fake
+      // journey (adversarial-events sweep); they are excluded, matching
+      // the SQL min-chain formulation where NULL never joins
+      .where(col(userCol).isNotNull)
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
         col("__ord").as("ord")))).as("__evs"))
