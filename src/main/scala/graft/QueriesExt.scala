@@ -169,24 +169,25 @@ object QueriesExt {
     */
   private val stagedFameSrc =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def fameStreamSrc(s: SparkSession, dir: String): String =
-    stagedFameSrc.computeIfAbsent(dir, _ => {
+  private def stageChunkedSrc(s: SparkSession, dir: String, name: String)
+      (build: => DataFrame): String =
+    stagedFameSrc.computeIfAbsent(s"$name|$dir", _ => {
       // dir name derives from the sanitized full path PLUS a real
       // digest, not hashCode: two sfDirs whose 32-bit hashCodes (or
       // sanitized names, e.g. /a/b vs /a_b) collide would map to the
       // same scratch path, and the second staging would delete files
       // the first cache entry still points at — silently serving the
-      // wrong fixture to q185/q210
+      // wrong fixture to q185/q210/q214
       val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(8)
+        .digest(s"$name|$dir".getBytes("UTF-8")).take(8)
         .map("%02x".format(_)).mkString
-      val base = scratch("fame_src_" +
+      val base = scratch(name + "_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40) +
         "_" + digest)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
-      val m = QueriesCore.monthly(s, dir).localCheckpoint(true)
+      val m = build.localCheckpoint(true)
       val dates = m.select(col("DATE")).distinct().orderBy("DATE")
         .collect().map(_.getDate(0))
       val nChunks = math.min(3, math.max(1, dates.length))
@@ -204,6 +205,15 @@ object QueriesExt {
       }
       base
     })
+  private def fameStreamSrc(s: SparkSession, dir: String): String =
+    stageChunkedSrc(s, dir, "fame_src")(QueriesCore.monthly(s, dir))
+  /** Keyed twin for q214: the per-nation monthly series, date-chunked —
+    * every chunk holds ALL nations' rows for its date range, so ingest
+    * is nondecreasing-date PER KEY by construction (the keyed
+    * incremental contract).
+    */
+  private def fameKeyedStreamSrc(s: SparkSession, dir: String): String =
+    stageChunkedSrc(s, dir, "fame_ksrc")(QueriesCore.monthlyByNation(s, dir))
 
   /** events.parquet's `ts` physical type has drifted across testdata
     * generations — TIMESTAMP(NANOS) (readable only as a long via
@@ -4517,6 +4527,45 @@ object QueriesExt {
           col("V2").as("v2"), col("GROWTH").as("growth"),
           col("D2").as("d2"))
         .orderBy("date")
+    }),
+
+    // KEYED incremental micro-batched FAME (q210's multi-entity twin,
+    // the r16 widening): 25 per-nation monthly series stream through
+    // runIncremental with partitionKeys=NATION — per-key carried
+    // tails, per-key late-row enforcement, and a whole-series
+    // `lastvalue` over a bounded-support masked series now accepted
+    // under partitioned execution (the executor's windows partition by
+    // the keys, so each nation's 1994-H1 base level is its OWN, not a
+    // frame literal). lastvalue (not ave) keeps the oracle arithmetic-
+    // free: arg_max replays it bit-exactly with no summation-order
+    // hazard. maxLag = periods(1994-01 → 1996-12) = 35 rows per key.
+    "q214_fame_incremental_keyed" -> ((s, dir) => {
+      val base = scratch("q214")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = fameKeyedStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |growth = pct(rev)
+          |d2 = rev - rev[t-2]
+          |set <date 1994-01-01 to 1994-06-01> base = rev
+          |set <date 1995-01-01 to 1996-12-01> idx = rev / lastvalue(base) * 100""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), col("GROWTH").as("growth"),
+          col("D2").as("d2"), col("BASE").as("base"),
+          col("IDX").as("idx"))
+        .orderBy("nation", "date")
     }),
 
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
@@ -9851,6 +9900,30 @@ object QueriesExt {
          |    / lag(rev*2,1) OVER (ORDER BY date) * 100 AS growth,
          |  rev - lag(rev,2) OVER (ORDER BY date) AS d2
          |FROM m ORDER BY date""".stripMargin,
+
+    // whole-history replay of the KEYED incremental run: per-nation
+    // windows, and the masked whole-series lastvalue(base) is each
+    // nation's latest 1994-H1 rev — arg_max, no float aggregation, so
+    // the engine's window-last must hash-match bit-for-bit
+    "q214_fame_incremental_keyed" ->
+      s"""${QueriesCore.monthlyByNationSql},
+         |b AS (
+         |  SELECT nation, arg_max(rev, date) AS base_last
+         |  FROM m
+         |  WHERE date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  GROUP BY 1
+         |)
+         |SELECT m.nation, m.date, m.rev,
+         |  (m.rev - lag(m.rev, 1) OVER w) / lag(m.rev, 1) OVER w * 100
+         |    AS growth,
+         |  m.rev - lag(m.rev, 2) OVER w AS d2,
+         |  CASE WHEN m.date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |       THEN m.rev END AS base,
+         |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1996-12-01'
+         |       THEN m.rev / b.base_last * 100 END AS idx
+         |FROM m LEFT JOIN b USING (nation)
+         |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
+         |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

@@ -376,9 +376,17 @@ object FameStream {
           // reference parity, `formulas_generator.py:881` broadcasts
           // the whole-series mean), so without bounded support the
           // value keeps changing as history grows.
+          // Under PARTITIONED execution the same argument holds per key:
+          // the executor compiles these to windows PARTITIONED BY the
+          // keys (ColumnCompiler `unboundedWin`), masks are date ranges
+          // identical for every key, and ingest is nondecreasing-date
+          // PER KEY — so each key's aggregate over its own bounded
+          // support is complete by the time any of that key's masked
+          // rows is emitted, with the per-key carried tail holding the
+          // same periods(supStart → horizon) rows the unkeyed proof
+          // counts (r16 widening; keyed parity in StreamingSpec /
+          // IncrementalPropertySpec).
           case "ave" | "firstvalue" | "lastvalue" => look match {
-            case Some(_) if partitioned =>
-              Left(s"whole-series $name under partitioned execution")
             case Some((latest, horizon, f)) =>
               exprSupport(args.head, supports, f) match {
                 case Some((supStart, supEnd)) =>
@@ -417,8 +425,8 @@ object FameStream {
             if (FameExpr.refs(args.head).isEmpty)
               reach(args.head, env, look, sdates, supports)
             else look match {
-              case Some(_) if partitioned =>
-                Left("whole-series dateof under partitioned execution")
+              // per-key windows make the bounded-support argument hold
+              // under partitioned execution too (see ave above)
               case Some((latest, horizon, f)) =>
                 exprSupport(args.head, supports, f) match {
                   case Some((supStart, supEnd))

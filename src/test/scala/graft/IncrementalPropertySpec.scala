@@ -398,4 +398,82 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(rightWholeSeries >= 3,
       s"only $rightWholeSeries ELIGIBLE whole-series-bearing scripts")
   }
+
+  test("eligibility walker, PARTITIONED (r16): keyed verdicts = unkeyed " +
+      "minus lookups, and every keyed Right(maxLag) script is batch-" +
+      "equivalent over PER-KEY maxLag tails across 3 micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val dates = (1 to 9).map(m => f"1995-$m%02d-01")
+    var keyedRights = 0
+    var keyedWholeSeries = 0
+    forAllN(Gen.zip(genScript,
+      Gen.listOfN(9, Gen.choose(1, 50)),
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 140) {
+      case ((script, expect), revRaw, cntRaw) =>
+        val keyed = FameStream.incrementalEligibility(script,
+          partitioned = true, inputColumns = Some(Set("REV", "CNT", "K")))
+        val hasLookup = script.contains("[\"1995-")
+        expect match {
+          case Left(_) =>
+            // partitioned only ADDS refusals — an unkeyed-refused script
+            // can never become keyed-eligible
+            assert(keyed.isLeft,
+              s"keyed walker accepted an unkeyed-refused script:\n$script")
+          case Right(m) if hasLookup =>
+            // the one keyed-specific refusal: history lookups (the
+            // executor inlines a frame-global limit(1) literal)
+            assert(keyed.isLeft,
+              s"keyed walker accepted a lookup-bearing script:\n$script")
+          case Right(m) =>
+            // lookup-free eligible scripts keep the SAME maxLag keyed —
+            // the reach arithmetic is per-row and key-blind
+            assert(keyed == Right(m),
+              s"keyed walker said $keyed, unkeyed algebra Right($m):\n$script")
+            keyedRights += 1
+            if (Seq("ave(", "firstvalue(", "lastvalue(")
+                .exists(script.contains)) keyedWholeSeries += 1
+            // ground truth: PER-KEY maxLag tails suffice for keyed batch
+            // parity — two keys with distinct data, so a frame-global
+            // evaluation of anything would diverge on at least one
+            import spark.implicits._
+            val revA = revRaw.map(_ + 0.5)
+            val cntA = cntRaw.map(_ + 0.25)
+            val revB = revRaw.reverse.map(_ + 7.5)
+            val cntB = cntRaw.reverse.map(_ + 3.25)
+            def kframe(idx: Seq[Int]) =
+              (idx.map(i => ("A", d(dates(i)), revA(i), cntA(i))) ++
+               idx.map(i => ("B", d(dates(i)), revB(i), cntB(i))))
+                .toDF("K", "DATE", "REV", "CNT")
+            val full = FameSession.run(script, kframe(0 until 9),
+              partitionKeys = Seq("K")).df
+            val series = full.columns.filter(c =>
+              c.startsWith("V") || c.startsWith("AA_V"))
+            def cells(df: org.apache.spark.sql.DataFrame,
+                keep: Set[String]): Map[(String, String), Seq[Option[Long]]] =
+              df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+                .select((Seq(col("K"), col("DATE").cast("string")) ++
+                  series.map(col)).toIndexedSeq: _*)
+                .collect().toSeq.map { r =>
+                  (r.getString(0), r.getString(1)) ->
+                    series.indices.map(j => bits(
+                      if (r.isNullAt(j + 2)) None else Some(r.getDouble(j + 2))))
+                }.toMap
+            var consumed = 0
+            Seq(0 until 3, 3 until 6, 6 until 9).foreach { idx =>
+              val tailIdx = (consumed - m).max(0) until consumed
+              val work = FameSession.run(script,
+                kframe(tailIdx ++ idx), partitionKeys = Seq("K")).df
+              val batchDates = idx.map(dates).toSet
+              assert(cells(work, batchDates) == cells(full, batchDates),
+                s"keyed batch $idx diverged (maxLag=$m):\n$script")
+              consumed += idx.size
+            }
+        }
+    }
+    assert(keyedRights >= 15, s"only $keyedRights keyed-eligible scripts")
+    // the r16 widening must actually be exercised keyed: some eligible
+    // scripts carry whole-series calls and survive per-key parity
+    assert(keyedWholeSeries >= 2,
+      s"only $keyedWholeSeries keyed-eligible whole-series scripts")
+  }
 }

@@ -1253,6 +1253,23 @@ class StreamingSpec extends SparkSpec {
       partitioned = true).isLeft)
     assert(incrementalEligibility(
       "freq m\na = pct(rev)\nb = pct(a)", partitioned = true) == Right(2))
+    // the r16 widening: bounded-support whole-series shapes are
+    // eligible UNDER PARTITIONED execution too — the executor compiles
+    // ave/firstvalue/lastvalue/dateof to windows PARTITIONED BY the
+    // keys, so each key's aggregate over its own support is as bounded
+    // as the unkeyed one; the reach arithmetic is unchanged
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "x[1995-06-01] = ave(m1)",
+      partitioned = true, inputColumns = cols) == Right(4))
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-04-01> m1 = rev\n" +
+        "d[1995-06-01] = dateof(m1, *, contain, end)",
+      partitioned = true, inputColumns = cols) == Right(4))
+    // …while the UNBOUNDED whole-series shape stays refused by name
+    // under partitioned, exactly as unkeyed
+    assert(incrementalEligibility("freq m\nx = ave(rev)",
+      partitioned = true, inputColumns = cols).isLeft)
     // no freq declared -> no period arithmetic -> lookups refused
     assert(incrementalEligibility(
       "x[1995-05-01] = rev[\"1995-02-01\"]").isLeft)
@@ -1587,5 +1604,113 @@ class StreamingSpec extends SparkSpec {
       graft.streaming.FameStream.runIncremental(df,
         "x = ave(rev)", s"$base/b2", s"$base/r2")
     }
+  }
+
+  test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
+      "support whole-series over per-key carried tails are batch-" +
+      "equivalent across 3 batches, incl. a key appearing mid-stream") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famekeyed").toString
+    // covers both keyed widenings at once: transitive lags (b needs
+    // rev[t-2] through a, PER KEY) and the r16 whole-series acceptance
+    // (z rebases Apr..Jun against each key's own Feb..Mar mean)
+    val script =
+      """freq m
+        |a = pct(rev)
+        |b = pct(a)
+        |set <date 1995-02-01 to 1995-03-01> m1 = rev
+        |set <date 1995-04-01 to 1995-06-01> z = rev / ave(m1)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script,
+      partitioned = true, inputColumns = Some(Set("DATE", "K", "REV")))
+      == Right(4))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // FR and DE run Jan..Jun; IT first APPEARS in batch 1 (no tail rows,
+    // no support rows → its z must be null in both runs)
+    val batches = Seq(
+      Seq(("FR", "1995-01-01", 4.0), ("DE", "1995-01-01", 9.0),
+        ("FR", "1995-02-01", 5.0), ("DE", "1995-02-01", 8.0),
+        ("FR", "1995-03-01", 7.0), ("DE", "1995-03-01", 6.0)),
+      Seq(("FR", "1995-04-01", 6.0), ("DE", "1995-04-01", 5.0),
+        ("IT", "1995-04-01", 3.0), ("IT", "1995-05-01", 4.0)),
+      Seq(("FR", "1995-05-01", 3.0), ("DE", "1995-05-01", 7.0),
+        ("FR", "1995-06-01", 8.0), ("DE", "1995-06-01", 2.0),
+        ("IT", "1995-06-01", 5.0)))
+      .map(_.map { case (k, dt, v) => (k, d(dt), v) })
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def bits(r: org.apache.spark.sql.Row, j: Int) =
+      if (r.isNullAt(j)) None
+      else Some(java.lang.Double.doubleToLongBits(r.getDouble(j)))
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0),
+      r.getDate(1).toString, bits(r, 2), bits(r, 3), bits(r, 4))
+    val got = spark.read.parquet(s"$base/result")
+      .select("K", "DATE", "A", "B", "Z").orderBy("K", "DATE")
+      .collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("K", "DATE", "REV"),
+        partitionKeys = Seq("K")).df
+      .select("K", "DATE", "A", "B", "Z").orderBy("K", "DATE")
+      .collect().map(key).toSeq
+    assert(got == batchRun)
+    val byKey = got.map(r => (r._1, r._2) -> r).toMap
+    // boundary-crossing lag cells are real PER-KEY values: April's b
+    // needs that key's February rev via the carried tail
+    assert(byKey(("FR", "1995-04-01"))._4.isDefined)
+    assert(byKey(("DE", "1995-04-01"))._4.isDefined)
+    // the whole-series rebase resolved per key from the tail: May's z
+    // (emitted two batches after the support closed) = rev / mean(Feb,
+    // Mar) of ITS key — different denominators, not one frame literal
+    assert(byKey(("FR", "1995-05-01"))._5 ==
+      Some(java.lang.Double.doubleToLongBits(3.0 / 6.0)))
+    assert(byKey(("DE", "1995-05-01"))._5 ==
+      Some(java.lang.Double.doubleToLongBits(7.0 / 7.0)))
+    // the mid-stream key: no support rows → z null, but its OWN lag
+    // chain works (June's b needs IT's April rev via the tail)
+    assert(byKey(("IT", "1995-05-01"))._5.isEmpty)
+    assert(byKey(("IT", "1995-06-01"))._4.isDefined)
+  }
+
+  test("incremental FAME, PARTITIONED: the late-row contract is PER KEY " +
+      "— a row behind another key's watermark passes, behind its own fails") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famekeyedlate").toString
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df,
+      "freq m\na = pct(rev)", s"$base/bronze", s"$base/result",
+      partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try {
+      // FR advances to Feb; DE only to Jan-01
+      src.addData(("FR", d("1995-01-01"), 4.0), ("FR", d("1995-02-01"), 5.0),
+        ("DE", d("1995-01-01"), 9.0))
+      q.processAllAvailable()
+      // DE at Jan-15 is BEHIND FR's watermark but ahead of its own —
+      // a global max-date check would wrongly kill this batch
+      src.addData(("DE", d("1995-01-15"), 8.0))
+      q.processAllAvailable()
+      // FR at Jan-20 is behind FR's own Feb watermark — must fail
+      src.addData(("FR", d("1995-01-20"), 1.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(
+        _.isInstanceOf[graft.streaming.FameStream.OutOfOrderIngestException]),
+        s"expected OutOfOrderIngestException in cause chain, got $ex")
+    } finally q.stop()
+    // batches 0 and 1 emitted; the offending batch emitted nothing
+    assert(spark.read.parquet(s"$base/result").count() == 4)
   }
 }
