@@ -2720,7 +2720,11 @@ object QueriesExt {
       val hashed = Multimodal.aHashBmp(media, "media_id", "payload")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("hash_hi", "hash_lo")
-      hashed.withColumn("n_same", count(lit(1)).over(w))
+      // quarantined payloads have NULL hashes; a bare count-over-hash
+      // window would weld them into one fake duplicate family (the
+      // q99 NULL-user lesson) — n_same is NULL for unparseable media
+      hashed.withColumn("n_same",
+          when(col("hash_hi").isNotNull, count(lit(1)).over(w)))
         .select("media_id", "width", "height", "hash_hi", "hash_lo",
           "n_same")
         .orderBy("media_id")
@@ -2790,7 +2794,10 @@ object QueriesExt {
       val hashed = Multimodal.envelopeHashWav(media, "media_id", "payload")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("env_hash")
-      hashed.withColumn("n_same", count(lit(1)).over(w))
+      // NULL env_hash = quarantined media; don't weld them into one
+      // fake duplicate family (the q99 NULL-user lesson)
+      hashed.withColumn("n_same",
+          when(col("env_hash").isNotNull, count(lit(1)).over(w)))
         .select("media_id", "sample_rate", "n_samples", "env_hash",
           "n_same")
         .orderBy("media_id")
@@ -3886,6 +3893,9 @@ object QueriesExt {
           }
         }(Encoders.row(mediaSchema)).toDF()
       val vals = Multimodal.aHashBmp(media, "media_id", "payload")
+        // quarantined (NULL-hash) media never enters the dedup index —
+        // the cosine family's zero-norm exclusion, for hashes
+        .where(col("hash_hi").isNotNull)
         .groupBy("hash_lo", "hash_hi")
         .agg(min(col("media_id")).as("canon"),
           count(lit(1)).as("n_members"))
@@ -4222,31 +4232,32 @@ object QueriesExt {
     // sum arithmetic on both engines so no builtin's numeric path can
     // disagree. One aggregation.
     "q199_group_regression" -> ((s, dir) => {
+      // Degenerate groups are NULL, not a crash (regr_slope semantics;
+      // the adversarial-media sweep found ANSI DIVIDE_BY_ZERO here): a
+      // source whose docs all share one token count — any single-doc
+      // source included — has n·sxx − sx² = 0, so slope/intercept are
+      // undefined; r² is additionally undefined when var(y) = 0.
       val t = docs(s, dir).select(col("source"),
         TextOps.tokenCount(col("text")).cast("long").as("x"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("y"))
-      t.groupBy("source")
+      val a = t.groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
           sum(col("y") * col("y")).as("syy"),
           sum(col("x") * col("y")).as("sxy"))
-        .select(col("source"), col("n"),
-          round(((col("n") * col("sxy") - col("sx") * col("sy"))
-            .cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx"))
-              .cast("double")), 8).as("slope"),
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
+      val slope = when(col("vx") =!= 0,
+        col("cxy").cast("double") / col("vx").cast("double"))
+      a.select(col("source"), col("n"),
+          round(slope, 8).as("slope"),
           round((col("sy").cast("double") -
-            ((col("n") * col("sxy") - col("sx") * col("sy"))
-              .cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx"))
-                .cast("double")) * col("sx").cast("double")) /
+            slope * col("sx").cast("double")) /
             col("n").cast("double"), 8).as("intercept"),
-          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-            (col("n") * col("sxy") - col("sx") * col("sy")))
-            .cast("double") /
-            (((col("n") * col("sxx") - col("sx") * col("sx")) *
-              (col("n") * col("syy") - col("sy") * col("sy")))
-              .cast("double")), 8).as("r2"))
+          round(when(col("vx") * col("vy") =!= 0,
+            (col("cxy") * col("cxy")).cast("double") /
+              (col("vx") * col("vy")).cast("double")), 8).as("r2"))
         .orderBy("source")
     }),
 
@@ -4686,17 +4697,23 @@ object QueriesExt {
     * 8×8 nearest-neighbor luma grid → mean threshold → 64-bit hash as two
     * 32-bit words, ending in CTE `bits(doc_id, w, h, hash_hi, hash_lo)`.
     */
+  // vb = adversarial-media band variant of the triple's BASE id (the
+  // payload synth keys on the base): 0-3 are malformed → the engine
+  // quarantines (null hash); 4 is the top-down edge whose hash equals
+  // this normal closed form. NULL off-band.
   private val ahashCtes =
     """fam AS (
       |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
-      |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS delta
+      |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 0 END AS delta,
+      |    CASE WHEN (doc_id - doc_id % 3) >= 9000000
+      |         THEN ((doc_id - doc_id % 3) - 9000000) % 5 END AS vb
       |  FROM documents
       |), dim AS (
-      |  SELECT doc_id, base, delta,
+      |  SELECT doc_id, base, delta, vb,
       |    (4 + base % 8)::INTEGER AS w, (3 + base % 5)::INTEGER AS h
       |  FROM fam
       |), lum AS (
-      |  SELECT d.doc_id, d.w, d.h, gj.j * 8 + gi.i AS k,
+      |  SELECT d.doc_id, d.vb, d.w, d.h, gj.j * 8 + gi.i AS k,
       |    (299 * least((d.base + 2 * ((gi.i * d.w) // 8)
       |                  + 5 * ((gj.j * d.h) // 8)) % 256 + d.delta, 255)
       |     + 587 * least((d.base * 3 + ((gi.i * d.w) // 8)
@@ -4710,14 +4727,14 @@ object QueriesExt {
       |  SELECT doc_id, sum(gray) // 64 AS mean
       |  FROM lum GROUP BY doc_id
       |), bits AS (
-      |  SELECT l.doc_id, l.w, l.h,
+      |  SELECT l.doc_id, l.vb, l.w, l.h,
       |    sum(CASE WHEN l.gray > h.mean AND l.k >= 32
       |        THEN (1::BIGINT << (l.k - 32)) ELSE 0 END)::BIGINT
       |      AS hash_hi,
       |    sum(CASE WHEN l.gray > h.mean AND l.k < 32
       |        THEN (1::BIGINT << l.k) ELSE 0 END)::BIGINT AS hash_lo
       |  FROM lum l JOIN hs h USING (doc_id)
-      |  GROUP BY l.doc_id, l.w, l.h
+      |  GROUP BY l.doc_id, l.vb, l.w, l.h
       |)""".stripMargin
 
   /** CTE chain replaying [[graft.ops.Graphs.pageRank]] over the q114
@@ -7314,32 +7331,53 @@ object QueriesExt {
 
     // predicts every decoded WAV feature in closed form from doc_id —
     // the engine must recover these numbers from the synthesized BYTES
+    // v = adversarial-media band variant (NULL off-band): 0/1/3 are
+    // malformed → quarantine (all-null features); 2 is a VALID
+    // zero-sample clip (fixed 8 kHz mono, zero counts — NOT null); 4 is
+    // the odd-junk-chunk edge that must decode exactly like a normal id
     "q97_wav_decode" ->
       """WITH p AS (
-        |  SELECT doc_id, 64 + doc_id % 32 AS n,
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 9000000 THEN (doc_id - 9000000) % 5 END AS v,
+        |    64 + doc_id % 32 AS n,
         |    (8000 * (1 + doc_id % 3))::INTEGER AS rate
         |  FROM documents
         |), s AS (
         |  SELECT p.doc_id,
         |    abs((p.doc_id * 31 + g.i * 7) % 2048 - 1024) AS a
         |  FROM p, generate_series(0, 95) AS g(i)
-        |  WHERE g.i < p.n
+        |  WHERE (p.v IS NULL OR p.v = 4) AND g.i < p.n
         |), agg AS (
         |  SELECT doc_id, max(a) AS peak_abs, sum(a) AS sum_abs
         |  FROM s GROUP BY 1
         |)
-        |SELECT p.doc_id AS media_id, p.rate AS sample_rate,
-        |  1::INTEGER AS n_channels, 16::INTEGER AS bits_per_sample,
-        |  p.n::BIGINT AS n_samples,
-        |  ((p.n * 1000) // p.rate)::BIGINT AS duration_ms,
-        |  agg.peak_abs::INTEGER AS peak_abs, agg.sum_abs::BIGINT AS sum_abs
-        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
+        |SELECT p.doc_id AS media_id,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN p.rate
+        |        WHEN p.v = 2 THEN 8000 END)::INTEGER AS sample_rate,
+        |  (CASE WHEN p.v IS NULL OR p.v IN (2, 4) THEN 1 END)::INTEGER
+        |    AS n_channels,
+        |  (CASE WHEN p.v IS NULL OR p.v IN (2, 4) THEN 16 END)::INTEGER
+        |    AS bits_per_sample,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN p.n
+        |        WHEN p.v = 2 THEN 0 END)::BIGINT AS n_samples,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN (p.n * 1000) // p.rate
+        |        WHEN p.v = 2 THEN 0 END)::BIGINT AS duration_ms,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN agg.peak_abs
+        |        WHEN p.v = 2 THEN 0 END)::INTEGER AS peak_abs,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN agg.sum_abs
+        |        WHEN p.v = 2 THEN 0 END)::BIGINT AS sum_abs
+        |FROM p LEFT JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
 
     // predicts every decoded BMP feature in closed form from doc_id —
     // dimensions and per-channel sums over the (x, y) grid
+    // band variants 0-3 are malformed (truncated / bad magic / giant
+    // dims / 32bpp) → all-null; 4 is the top-down edge whose decode is
+    // identical to the normal closed form (sums are row-order-free)
     "q98_bmp_decode" ->
       """WITH p AS (
-        |  SELECT doc_id, (4 + doc_id % 8)::INTEGER AS w,
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id >= 9000000 THEN (doc_id - 9000000) % 5 END AS v,
+        |    (4 + doc_id % 8)::INTEGER AS w,
         |    (3 + doc_id % 5)::INTEGER AS h
         |  FROM documents
         |), px AS (
@@ -7348,16 +7386,21 @@ object QueriesExt {
         |    (p.doc_id * 3 + gx.x + gy.y) % 256 AS g,
         |    (p.doc_id * 7 + gx.x * 4 + gy.y * 2) % 256 AS b
         |  FROM p, generate_series(0, 11) AS gx(x), generate_series(0, 7) AS gy(y)
-        |  WHERE gx.x < p.w AND gy.y < p.h
+        |  WHERE (p.v IS NULL OR p.v = 4) AND gx.x < p.w AND gy.y < p.h
         |), agg AS (
         |  SELECT doc_id, sum(r) AS sum_r, sum(g) AS sum_g, sum(b) AS sum_b
         |  FROM px GROUP BY 1
         |)
-        |SELECT p.doc_id AS media_id, p.w AS width, p.h AS height,
-        |  24::INTEGER AS bits_per_pixel, (p.w * p.h)::BIGINT AS n_pixels,
+        |SELECT p.doc_id AS media_id,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN p.w END)::INTEGER AS width,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN p.h END)::INTEGER AS height,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN 24 END)::INTEGER
+        |    AS bits_per_pixel,
+        |  (CASE WHEN p.v IS NULL OR p.v = 4 THEN p.w * p.h END)::BIGINT
+        |    AS n_pixels,
         |  agg.sum_r::BIGINT AS sum_r, agg.sum_g::BIGINT AS sum_g,
         |  agg.sum_b::BIGINT AS sum_b
-        |FROM p JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
+        |FROM p LEFT JOIN agg USING (doc_id) ORDER BY media_id""".stripMargin,
 
     // independent min-chain formulation of the funnel (one JOIN per
     // stage) — cross-checks the engine's single-pass greedy scan
@@ -8201,11 +8244,15 @@ object QueriesExt {
     // byte-level kernel must recover: 8x8 nearest-neighbor sample,
     // integer luma, mean threshold, 32-bit hash halves
     "q117_image_ahash" ->
-      s"""WITH $ahashCtes
-        |SELECT doc_id AS media_id, w AS width, h AS height,
-        |  hash_hi, hash_lo,
-        |  count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
-        |FROM bits ORDER BY media_id""".stripMargin,
+      s"""WITH $ahashCtes, ok AS (
+        |  SELECT doc_id, w, h, hash_hi, hash_lo,
+        |    count(*) OVER (PARTITION BY hash_hi, hash_lo)::BIGINT AS n_same
+        |  FROM bits WHERE vb IS NULL OR vb = 4
+        |)
+        |SELECT b.doc_id AS media_id, o.w AS width, o.h AS height,
+        |  o.hash_hi, o.hash_lo, o.n_same
+        |FROM bits b LEFT JOIN ok o USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
 
     // replays the clamp, the fixed-grid bin id and the DECIMAL sums.
     // Clamp spelled as CASE, not least/greatest — DuckDB's
@@ -8559,7 +8606,7 @@ object QueriesExt {
       s"""WITH $ahashCtes, v AS (
         |  SELECT hash_lo, hash_hi, min(doc_id) AS canon,
         |    count(*)::BIGINT AS n_members
-        |  FROM bits GROUP BY 1, 2
+        |  FROM bits WHERE vb IS NULL OR vb = 4 GROUP BY 1, 2
         |)
         |SELECT a.canon AS id1, b.canon AS id2,
         |  (bit_count(xor(a.hash_lo, b.hash_lo))
@@ -8634,17 +8681,23 @@ object QueriesExt {
     // truncates toward zero on negatives, like Scala / and Spark DIV),
     // balanced segment split i*32//n, integer segment means,
     // mean-of-means threshold
+    // vb = band variant of the BASE id: 0-3 malformed → engine
+    // null-fills everything; 2 (zero-sample) is ALSO null here (the
+    // envelope needs ≥1 sample, unlike q97's decode); 4 is the
+    // junk-chunk edge whose envelope equals this normal closed form
     "q120_audio_envhash" ->
       """WITH fam AS (
         |  SELECT doc_id, (doc_id - doc_id % 3) AS base,
         |    CASE WHEN doc_id % 3 = 2 THEN 9 ELSE 1 END AS num,
-        |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 1 END AS den
+        |    CASE WHEN doc_id % 3 = 2 THEN 8 ELSE 1 END AS den,
+        |    CASE WHEN (doc_id - doc_id % 3) >= 9000000
+        |         THEN ((doc_id - doc_id % 3) - 9000000) % 5 END AS vb
         |  FROM documents
         |), dim AS (
         |  SELECT doc_id, base, num, den,
         |    (64 + base % 32)::BIGINT AS n,
         |    (8000 * (1 + base % 3))::INTEGER AS rate
-        |  FROM fam
+        |  FROM fam WHERE vb IS NULL OR vb = 4
         |), smp AS (
         |  SELECT d.doc_id, d.n, d.rate, gi.i,
         |    abs(greatest(-32768, least(32767,
@@ -8667,10 +8720,15 @@ object QueriesExt {
         |  FROM seg s JOIN mm m USING (doc_id)
         |  GROUP BY s.doc_id
         |)
-        |SELECT doc_id AS media_id, rate AS sample_rate, n AS n_samples,
-        |  env_hash,
-        |  count(*) OVER (PARTITION BY env_hash)::BIGINT AS n_same
-        |FROM hs ORDER BY media_id""".stripMargin,
+        |, ok AS (
+        |  SELECT doc_id, rate, n, env_hash,
+        |    count(*) OVER (PARTITION BY env_hash)::BIGINT AS n_same
+        |  FROM hs
+        |)
+        |SELECT f.doc_id AS media_id, o.rate AS sample_rate,
+        |  o.n AS n_samples, o.env_hash, o.n_same
+        |FROM fam f LEFT JOIN ok o USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
 
     // replays the q29 token twins per language and the exact-long
     // ratio divisions
@@ -9278,13 +9336,18 @@ object QueriesExt {
 
     // replays the q97 closed-form samples, then silent/clipped counts
     // and the run lengths by gaps-and-islands
+    // band variants: 0/1/3 malformed → all-null; 2 is the VALID
+    // zero-sample clip → all-ZERO counts; 4 decodes like a normal id
     "q143_wav_activity" ->
       """WITH ids AS (
-        |  SELECT doc_id AS media_id, 64 + doc_id % 32 AS n FROM documents
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id >= 9000000 THEN (doc_id - 9000000) % 5 END AS v,
+        |    64 + doc_id % 32 AS n FROM documents
         |), smp AS (
         |  SELECT media_id, u.i AS i,
         |    abs(((media_id * 31 + u.i * 7) % 2048) - 1024) AS a
         |  FROM ids, unnest(generate_series(0, n - 1)) AS u(i)
+        |  WHERE ids.v IS NULL OR ids.v = 4
         |), fl AS (
         |  SELECT media_id, i, a < 128 AS silent, a >= 1000 AS clipped
         |  FROM smp
@@ -9307,10 +9370,20 @@ object QueriesExt {
         |  SELECT media_id, max(len)::BIGINT AS max_silence_run
         |  FROM runs GROUP BY 1
         |)
-        |SELECT a.media_id, n_samples, n_silent, n_clipped,
-        |  coalesce(mx.max_silence_run, 0)::BIGINT AS max_silence_run,
-        |  lead_silence
-        |FROM agg a LEFT JOIN mx USING (media_id)
+        |SELECT i.media_id,
+        |  (CASE WHEN i.v IS NULL OR i.v = 4 THEN a.n_samples
+        |        WHEN i.v = 2 THEN 0 END)::BIGINT AS n_samples,
+        |  (CASE WHEN i.v IS NULL OR i.v = 4 THEN a.n_silent
+        |        WHEN i.v = 2 THEN 0 END)::BIGINT AS n_silent,
+        |  (CASE WHEN i.v IS NULL OR i.v = 4 THEN a.n_clipped
+        |        WHEN i.v = 2 THEN 0 END)::BIGINT AS n_clipped,
+        |  (CASE WHEN i.v IS NULL OR i.v = 4
+        |        THEN coalesce(mx.max_silence_run, 0)
+        |        WHEN i.v = 2 THEN 0 END)::BIGINT AS max_silence_run,
+        |  (CASE WHEN i.v IS NULL OR i.v = 4 THEN a.lead_silence
+        |        WHEN i.v = 2 THEN 0 END)::BIGINT AS lead_silence
+        |FROM ids i LEFT JOIN agg a USING (media_id)
+        |LEFT JOIN mx USING (media_id)
         |ORDER BY media_id""".stripMargin,
 
     // the digest straight from the parquet source: a lossless ORC
@@ -9695,13 +9768,13 @@ object QueriesExt {
         |)
         |SELECT source, n,
         |  round((n * sxy - sx * sy)::DOUBLE
-        |    / (n * sxx - sx * sx)::DOUBLE, 8) AS slope,
+        |    / nullif(n * sxx - sx * sx, 0)::DOUBLE, 8) AS slope,
         |  round((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
-        |      / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+        |      / nullif(n * sxx - sx * sx, 0)::DOUBLE) * sx::DOUBLE)
         |    / n::DOUBLE, 8) AS intercept,
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy))::DOUBLE
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy))::DOUBLE, 8)
-        |    AS r2
+        |    / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0)::DOUBLE,
+        |    8) AS r2
         |FROM s ORDER BY source""".stripMargin,
 
     // same row_number-picked open/close, same min/max extremes

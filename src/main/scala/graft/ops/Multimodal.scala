@@ -190,7 +190,11 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None
+      // LONG arithmetic: a lying declared size near Int.MaxValue makes
+      // `off + 8 + size` wrap negative in 32 bits, the bounds check
+      // pass, and the next tag read throw out of the quarantine —
+      // found by the adversarial-media band (giant declared size)
+      if (size < 0 || off + 8L + size > b.length) return None
       if (id == "fmt " && size >= 16) {
         fmtPcm = le16(b, off + 8) == 1 // PCM
         channels = le16(b, off + 10)
@@ -326,14 +330,21 @@ object Multimodal {
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return NullWav
-    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4-byte boundaries
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+    // LONG row stride: a giant declared width makes `w * 3` wrap
+    // negative in 32 bits, the bounds check pass, and the pixel scan
+    // read out of the array — the quarantine contract must absorb
+    // lying dimensions (adversarial-media band, giant-dims variant).
+    // rowBytes/h each ≤ length after these checks, so the product and
+    // the per-row offsets below fit comfortably in a long.
+    val rowBytes = (w.toLong * 3 + 3) & ~3L // rows pad to 4-byte boundaries
+    if (dataOff < 0 || rowBytes > b.length || h.toLong > b.length ||
+      dataOff.toLong + rowBytes * h > b.length)
       return NullWav
     var sr, sg, sb = 0L
     var y = 0
     while (y < h) {
       var x = 0
-      val ro = dataOff + y * rowBytes
+      val ro = (dataOff + y * rowBytes).toInt
       while (x < w) {
         val po = ro + x * 3 // stored B, G, R
         sb += b(po) & 0xFF
@@ -398,8 +409,10 @@ object Multimodal {
     val h = math.abs(hRaw)
     if (w <= 0 || h == 0 || le16(b, 28) != 24 || le32(b, 30) != 0)
       return NullAHash
-    val rowBytes = (w * 3 + 3) & ~3
-    if (dataOff < 0 || dataOff.toLong + rowBytes.toLong * h > b.length)
+    // long stride — the parseBmp giant-width overflow lesson
+    val rowBytes = (w.toLong * 3 + 3) & ~3L
+    if (dataOff < 0 || rowBytes > b.length || h.toLong > b.length ||
+      dataOff.toLong + rowBytes * h > b.length)
       return NullAHash
     // 8x8 nearest-neighbor luma grid in IMAGE coordinates (y = 0 at the
     // top); bottom-up files store image row y at file row h-1-y
@@ -407,12 +420,12 @@ object Multimodal {
     var sum = 0
     var j = 0
     while (j < 8) {
-      val sy = j * h / 8
+      val sy = (j.toLong * h / 8).toInt // long: 7·h overflows int at huge h
       val fileRow = if (hRaw > 0) h - 1 - sy else sy
-      val ro = dataOff + fileRow * rowBytes
+      val ro = (dataOff + fileRow * rowBytes).toInt
       var i = 0
       while (i < 8) {
-        val sx = i * w / 8
+        val sx = (i.toLong * w / 8).toInt // long: 7·w overflows int
         val po = ro + sx * 3 // stored B, G, R
         val g = (299 * (b(po + 2) & 0xFF) + 587 * (b(po + 1) & 0xFF) +
           114 * (b(po) & 0xFF)) / 1000
@@ -435,10 +448,135 @@ object Multimodal {
     Seq[Any](w, h, hi, lo)
   }
 
+  /** Doc-id band reserved for the committed adversarial-media fixture
+    * (`tools/gen_adversarial_media.py`): for ids at/above this base
+    * every synth emits a deterministic ADVERSARIAL payload keyed by
+    * `(id − base) mod 5` — truncated header, giant lying chunk
+    * size/dims, zero-sample clip, unsupported format, and a
+    * structurally-adversarial-but-VALID edge (odd-sized unknown RIFF
+    * chunk; top-down negative-height BMP) that must decode
+    * feature-identically to the normal synth. This turns the decoders'
+    * quarantine contract from a unit-spec promise into a full-suite
+    * driver-checked behavior: the fixture's oracles predict null (or
+    * edge) features per variant. Normal fixtures' doc_ids stay far
+    * below (≤ 500k at the 100× fixture; the adversarial-Unicode docs
+    * use the 10k band).
+    */
+  val AdvMediaBase: Long = 9000000L
+
+  private def advVariant(id: Long): Int = ((id - AdvMediaBase) % 5).toInt
+
+  /** Adversarial WAV payloads (see [[AdvMediaBase]]); `num/den` is the
+    * gain of the valid-edge variant so the q120 gain-triple semantics
+    * survive into the band.
+    */
+  private def advWavBytes(id: Long, num: Int, den: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    def ascii(s: String): Unit =
+      out.write(s.getBytes("US-ASCII"), 0, s.length)
+    advVariant(id) match {
+      case 0 => // truncated header: 2 bytes
+        ascii("RI")
+      case 1 => // giant lying chunk size: 32-bit overflow crash driver
+        ascii("RIFF"); w32(36); ascii("WAVE")
+        ascii("fmt "); w32(0x7FFFFFF0)
+        w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+      case 2 => // zero-sample but VALID PCM16 mono 8 kHz
+        ascii("RIFF"); w32(36); ascii("WAVE")
+        ascii("fmt "); w32(16)
+        w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+        ascii("data"); w32(0)
+      case 3 => // non-PCM format code (IEEE float)
+        ascii("RIFF"); w32(36); ascii("WAVE")
+        ascii("fmt "); w32(16)
+        w16(3); w16(1); w32(8000); w32(32000); w16(4); w16(32)
+        ascii("data"); w32(0)
+      case _ => // valid edge: ODD-sized unknown chunk (word-alignment
+        // pad), then the standard clip — feature-identical to the
+        // normal synth at this id
+        val n = (64 + id % 32).toInt
+        val rate = (8000 * (1 + id % 3)).toInt
+        val dataLen = n * 2
+        ascii("RIFF"); w32(48 + dataLen); ascii("WAVE")
+        ascii("junk"); w32(3)
+        ascii("xyz"); out.write(0) // 3 payload bytes + align pad
+        ascii("fmt "); w32(16)
+        w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+        ascii("data"); w32(dataLen)
+        var i = 0
+        while (i < n) {
+          val base = ((id * 31 + i * 7) % 2048) - 1024
+          val v = math.max(-32768L, math.min(32767L, base * num / den))
+          w16(v.toInt)
+          i += 1
+        }
+    }
+    out.toByteArray
+  }
+
+  /** Adversarial BMP payloads (see [[AdvMediaBase]]); `delta` is the
+    * brightness shift of the valid-edge variant so the q117/q148
+    * shift-triple semantics survive into the band.
+    */
+  private def advBmpBytes(id: Long, delta: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    def w32(v: Int): Unit = { w16(v & 0xFFFF); w16((v >>> 16) & 0xFFFF) }
+    advVariant(id) match {
+      case 0 => // truncated: 10 bytes starting BM
+        out.write('B'); out.write('M'); w32(54); w32(0)
+      case 1 => // bad magic, otherwise-plausible 54-byte header
+        out.write('X'); out.write('X'); w32(54); w32(0); w32(54)
+        w32(40); w32(4); w32(3); w16(1); w16(24); w32(0); w32(0)
+        w32(2835); w32(2835); w32(0); w32(0)
+      case 2 => // giant declared dims over a 12-byte pixel array:
+        // w·3 wraps negative in 32 bits — the overflow crash driver
+        out.write('B'); out.write('M'); w32(66); w32(0); w32(54)
+        w32(40); w32(0x40000000); w32(3); w16(1); w16(24); w32(0); w32(12)
+        w32(2835); w32(2835); w32(0); w32(0)
+        (0 until 12).foreach(_ => out.write(7))
+      case 3 => // unsupported 32bpp depth on a valid 4×3 geometry
+        out.write('B'); out.write('M'); w32(54 + 48); w32(0); w32(54)
+        w32(40); w32(4); w32(3); w16(1); w16(32); w32(0); w32(48)
+        w32(2835); w32(2835); w32(0); w32(0)
+        (0 until 48).foreach(_ => out.write(1))
+      case _ => // valid edge: TOP-DOWN (negative height), standard
+        // geometry and pixel formula — feature-identical to the
+        // bottom-up synth at this id (sums and aHash are row-order
+        // independent by construction)
+        val w = (4 + id % 8).toInt
+        val h = (3 + id % 5).toInt
+        val rowBytes = (w * 3 + 3) & ~3
+        val dataLen = rowBytes * h
+        out.write('B'); out.write('M'); w32(54 + dataLen); w32(0); w32(54)
+        w32(40); w32(w); w32(-h); w16(1); w16(24); w32(0); w32(dataLen)
+        w32(2835); w32(2835); w32(0); w32(0)
+        def clamp(v: Long): Int = math.min(v + delta, 255L).toInt
+        var fy = 0
+        while (fy < h) {
+          val y = fy // top-down: file row fy IS image row fy
+          var x = 0
+          while (x < w) {
+            out.write(clamp((id * 7 + x * 4 + y * 2) % 256)) // B
+            out.write(clamp((id * 3 + x + y) % 256))         // G
+            out.write(clamp((id + 2 * x + 5 * y) % 256))     // R
+            x += 1
+          }
+          var p = w * 3
+          while (p < rowBytes) { out.write(0); p += 1 }
+          fy += 1
+        }
+    }
+    out.toByteArray
+  }
+
   /** [[synthBmpBytes]] with a clamped brightness shift — the near-dup
     * test vector: `delta = 0` reproduces [[synthBmpBytes]] exactly.
     */
   def synthBmpBytesShifted(id: Long, delta: Int): Array[Byte] = {
+    if (id >= AdvMediaBase) return advBmpBytes(id, delta)
     val w = (4 + id % 8).toInt
     val h = (3 + id % 5).toInt
     val rowBytes = (w * 3 + 3) & ~3
@@ -475,6 +613,7 @@ object Multimodal {
     * recover. Bottom-up row order as standard positive-height BMPs.
     */
   def synthBmpBytes(id: Long): Array[Byte] = {
+    if (id >= AdvMediaBase) return advBmpBytes(id, 0)
     val w = (4 + id % 8).toInt
     val h = (3 + id % 5).toInt
     val rowBytes = (w * 3 + 3) & ~3
@@ -552,7 +691,8 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = tag(b, off)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return NullEnvHash
+      // long arithmetic — the wavPcm16 overflow lesson applies here too
+      if (size < 0 || off + 8L + size > b.length) return NullEnvHash
       if (id == "fmt " && size >= 16) {
         fmtPcm = le16(b, off + 8) == 1
         channels = le16(b, off + 10)
@@ -597,6 +737,7 @@ object Multimodal {
     * test vector: `num = den` reproduces [[synthWavBytes]] exactly.
     */
   def synthWavBytesScaled(id: Long, num: Int, den: Int): Array[Byte] = {
+    if (id >= AdvMediaBase) return advWavBytes(id, num, den)
     val n = (64 + id % 32).toInt
     val rate = (8000 * (1 + id % 3)).toInt
     val dataLen = n * 2
@@ -629,6 +770,7 @@ object Multimodal {
     * BYTE-LEVEL parse must recover (the q97 contract).
     */
   def synthWavBytes(id: Long): Array[Byte] = {
+    if (id >= AdvMediaBase) return advWavBytes(id, 1, 1)
     val n = (64 + id % 32).toInt
     val rate = (8000 * (1 + id % 3)).toInt
     val dataLen = n * 2

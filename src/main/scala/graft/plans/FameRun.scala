@@ -61,7 +61,20 @@ object FameRun {
     val spark = SparkSession.getActiveSession.getOrElse(
       throw new IllegalStateException(
         "fame_run requires an active SparkSession"))
-    graft.api.FameSession.run(script, spark.table(table), dateCol = dateCol,
+    val rel = spark.table(table)
+    // name the contract violations HERE, at the fame_run boundary —
+    // letting them flow into FameSession surfaces as an unresolved-
+    // column error deep inside the compiled script's plan, with no
+    // hint that the 4th argument names the date column
+    def missing(c: String) = !rel.columns.exists(_.equalsIgnoreCase(c))
+    require(!missing(dateCol),
+      s"fame_run: table '$table' has no date column '$dateCol' " +
+        s"(columns: ${rel.columns.mkString(", ")}); pass the date " +
+        "column's name as the 4th argument")
+    keys.filter(missing).foreach(k => throw new IllegalArgumentException(
+      s"fame_run: table '$table' has no partition-key column '$k' " +
+        s"(columns: ${rel.columns.mkString(", ")})"))
+    graft.api.FameSession.run(script, rel, dateCol = dateCol,
       partitionKeys = keys).df.queryExecution.analyzed
   }
 }

@@ -126,7 +126,14 @@ object FameStream {
     * row's own date), backward lags `v[t−k]` / `pct` / `diff`
     * (bounded reach k, ACCUMULATED through nesting — `pct(v[t-2], 3)`
     * reaches 5 back). Disqualifiers: leads `v[t+k]` with positive NET
-    * offset (the value isn't known when the row is emitted), whole-
+    * offset (the value isn't known when the row is emitted) — and
+    * deliberately ALSO net-backward compositions through a derived
+    * series (`a = rev[t-3]; b = a[t+1]` reads rev[t−2] in VALUE terms,
+    * but the compiled plan is `lag(a, −1)`, which reads through the
+    * next PHYSICAL row; at a batch edge that row hasn't arrived, so
+    * batch parity breaks — the frontier test in StreamingSpec carries
+    * the counterexample; interval arithmetic that cancelled offsets
+    * would be unsound against this executor), whole-
     * series functions (`ave`, `firstvalue`, `lastvalue`, `dateof` —
     * their value changes as history grows; EXCEPT, since r15, over a
     * BOUNDED-SUPPORT series under a closed horizon — see the

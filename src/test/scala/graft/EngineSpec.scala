@@ -500,4 +500,48 @@ class EngineSpec extends SparkSpec {
         .collect()
     }
   }
+
+  test("fame_run robustness: SQL-literal escapes round-trip, missing " +
+      "columns get boundary errors, outer WHERE pushes into the scan") {
+    val in = frame(Seq("2020-01-01", "2020-02-01", "2020-03-01"),
+      "REV" -> Seq(10, 20, 25))
+    in.createOrReplaceTempView("fame_run_rb")
+    // FAME double-quoted date lookups pass through a single-quoted SQL
+    // literal unescaped; a local-db apostrophe name needs SQL's ''
+    // doubling — both must reach the parser as written
+    val viaSql = spark.sql(
+      """SELECT DATE, R, AA_Z FROM fame_run(
+        |  'freq m\nr = rev / rev["2020-01-01"]\naa''z = r * 2',
+        |  'fame_run_rb') ORDER BY DATE""".stripMargin).collect()
+    assert(viaSql.map(_.getDouble(1)).toSeq == Seq(1.0, 2.0, 2.5))
+    assert(viaSql.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0, 5.0))
+    // a wrong date column fails AT THE BOUNDARY with the remedy named,
+    // not as an unresolved column deep inside the compiled plan
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM fame_run('p = pct(rev)', 'fame_run_rb', " +
+        "'', 'OBS')").collect()
+    }
+    assert(e1.getMessage.contains("no date column 'OBS'") &&
+      e1.getMessage.contains("4th argument"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM fame_run('p = pct(rev)', 'fame_run_rb', " +
+        "'NO_SUCH_KEY')").collect()
+    }
+    assert(e2.getMessage.contains("no partition-key column 'NO_SUCH_KEY'"),
+      e2.getMessage)
+    // the analysis-time splice is one Catalyst plan: an outer WHERE on
+    // the date reaches the PARQUET SCAN of a row-local script (pct/diff
+    // would pin a window above it; v2 = rev*2 is a pure projection)
+    val dir = java.nio.file.Files.createTempDirectory("famerunpush").toString
+    in.write.mode("overwrite").parquet(dir)
+    val pushed = spark.sql(
+      s"""SELECT DATE, V2 FROM fame_run('v2 = rev * 2',
+         |  'parquet.`$dir`') WHERE DATE >= DATE'2020-02-01'""".stripMargin)
+    val scan = pushed.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters:") &&
+      scan.replaceAll("\\s+", " ")
+        .matches(".*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(DATE.*"),
+      s"date filter not pushed to the scan:\n$scan")
+    assert(pushed.count() == 2)
+  }
 }

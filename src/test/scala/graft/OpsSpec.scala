@@ -1491,6 +1491,57 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("adversarial-media band: giant lying sizes quarantine (the " +
+      "32-bit overflow guards), zero-sample and structural edges decode") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val B = Multimodal.AdvMediaBase
+    val wav = (0 until 5).map(v => (B + v, Multimodal.synthWavBytes(B + v)))
+    val bmp = (0 until 5).map(v => (B + v, Multimodal.synthBmpBytes(B + v)))
+    val schema = StructType(Seq(StructField("media_id", LongType, false),
+      StructField("payload", BinaryType, true)))
+    def df(rows: Seq[(Long, Array[Byte])]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows.map { case (i, p) => Row(i, p) }).asJava), schema)
+    val w = Multimodal.decodeWav(df(wav)).orderBy("media_id").collect()
+    // v0 truncated, v1 GIANT lying chunk size (pre-fix: off+8+size
+    // wrapped negative in 32 bits and the walk threw out of the
+    // quarantine), v3 non-PCM → all-null
+    Seq(0, 1, 3).foreach { v =>
+      assert((2 to 8).forall(w(v).isNullAt), s"wav v$v not quarantined") }
+    // v2 zero-sample VALID clip: 8 kHz mono, zero counts — NOT null
+    assert(w(2).getInt(2) == 8000 && w(2).getLong(5) == 0L &&
+      w(2).getLong(8) == 0L)
+    // v4 odd-junk-chunk edge decodes exactly like the normal formula
+    val id4 = B + 4
+    val n4 = (64 + id4 % 32).toInt
+    assert(w(4).getInt(2) == (8000 * (1 + id4 % 3)).toInt)
+    assert(w(4).getLong(5) == n4.toLong)
+    val expSum = (0 until n4)
+      .map(i => math.abs((id4 * 31 + i * 7) % 2048 - 1024)).sum
+    assert(w(4).getLong(8) == expSum)
+    val b = Multimodal.decodeBmp(df(bmp)).orderBy("media_id").collect()
+    // v0 truncated, v1 bad magic, v2 GIANT DIMS (pre-fix: w·3 wrapped
+    // negative and the row scan threw), v3 32bpp → all-null
+    Seq(0, 1, 2, 3).foreach { v =>
+      assert((2 to 8).forall(b(v).isNullAt), s"bmp v$v not quarantined") }
+    // v4 top-down edge: standard dims and channel sums at this id
+    val w4 = (4 + id4 % 8).toInt
+    val h4 = (3 + id4 % 5).toInt
+    assert(b(4).getInt(2) == w4 && b(4).getInt(3) == h4)
+    val expR = (for (x <- 0 until w4; y <- 0 until h4)
+      yield (id4 + 2 * x + 5 * y) % 256).sum
+    assert(b(4).getLong(6) == expR)
+    // the hash kernels hold the same line: null for 0-3, real for 4
+    val ah = Multimodal.aHashBmp(df(bmp)).orderBy("media_id").collect()
+    Seq(0, 1, 2, 3).foreach(v =>
+      assert(ah(v).isNullAt(4), s"ahash v$v not quarantined"))
+    assert(!ah(4).isNullAt(4))
+    val eh = Multimodal.envelopeHashWav(df(wav)).orderBy("media_id").collect()
+    Seq(0, 1, 2, 3).foreach(v =>
+      assert(eh(v).isNullAt(4), s"envhash v$v not quarantined"))
+    assert(!eh(4).isNullAt(4))
+  }
+
   test("aHash: identical bytes hash identically, JVM grid reference " +
       "matches, quarantine holds") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}

@@ -1606,6 +1606,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("eligibility frontier (r16): lead-of-lagged-series and open-" +
+      "ended masks are refused BY NAME, and necessarily — counterexamples " +
+      "show the would-be-accepted shapes break batch parity") {
+    import graft.streaming.FameStream.incrementalEligibility
+    // b[t] = a[t+1] = rev[t-2]: the VALUE dependence is net-backward,
+    // but the COMPILED plan is lag(a, -1) over the window — it reads
+    // through the next physical row, which at a batch edge has not
+    // arrived yet. The walker must refuse despite the backward net
+    // offset; interval arithmetic that cancelled the offsets would be
+    // unsound against this executor.
+    val script = "freq m\na = rev[t-3]\nb = a[t+1]"
+    val got = incrementalEligibility(script)
+    assert(got.isLeft && got.swap.exists(_.contains("lead")), got.toString)
+    // NECESSITY, not conservatism: the whole-history run has a real b
+    // at 1995-04-01 (a's May row exists, carrying February's rev); a
+    // work frame ending at April — exactly a batch edge — yields null
+    val dates = (1 to 6).map(m => f"1995-0$m-01")
+    val rev = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val full = graft.api.FameSession.run(script,
+      frame(dates, "REV" -> rev)).df
+    val work = graft.api.FameSession.run(script,
+      frame(dates.take(4), "REV" -> rev.take(4))).df
+    def bAt(df: org.apache.spark.sql.DataFrame): Option[Double] = {
+      val r = df.where(org.apache.spark.sql.functions.col("DATE") ===
+        java.sql.Date.valueOf("1995-04-01")).select("B").head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(bAt(full) == Some(2.0), "whole-history April b should be Feb rev")
+    assert(bAt(work).isEmpty,
+      "work-frame April b is null at the batch edge — the refusal is " +
+        "necessary, a maxLag tail cannot supply a next ROW")
+    // open-ENDED mask: no horizon end bounds the affected rows, so
+    // lookups and whole-series functions stay refused by name
+    val cols = Some(Set("DATE", "REV"))
+    val l1 = incrementalEligibility(
+      "freq m\ndate 1995-02-01 to *\nx = rev / rev[\"1995-01-01\"]",
+      inputColumns = cols)
+    assert(l1.isLeft && l1.swap.exists(_.contains("closed date mask")),
+      l1.toString)
+    val l2 = incrementalEligibility(
+      "freq m\nset <date 1995-02-01 to 1995-03-01> m1 = rev\n" +
+        "date 1995-04-01 to *\nz = ave(m1)", inputColumns = cols)
+    assert(l2.isLeft && l2.swap.exists(_.contains("closed horizon")),
+      l2.toString)
+    // open-STARTED mask: the horizon END exists but the earliest
+    // affected row is unknown, so a fixed-date read can still be a
+    // forward read for early rows — refused by the same names
+    val l3 = incrementalEligibility(
+      "freq m\ndate * to 1995-05-01\nx = rev / rev[\"1995-03-01\"]",
+      inputColumns = cols)
+    assert(l3.isLeft, l3.toString)
+  }
+
   test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
       "support whole-series over per-key carried tails are batch-" +
       "equivalent across 3 batches, incl. a key appearing mid-stream") {
