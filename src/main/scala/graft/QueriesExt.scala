@@ -4579,6 +4579,25 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // Per-key fixed-date lookup through the SQL surface (r16): the
+    // whole statement — fame_run TVF, partitioned execution, and the
+    // per-key lookup-column materialization — runs as ONE spark.sql.
+    // Each nation rebases against ITS OWN June-1994 level; before the
+    // r16 materialization the executor inlined a single frame-global
+    // limit(1) literal and every nation silently rebased against an
+    // arbitrary one's value. Oracle: per-nation join on the date row.
+    "q215_fame_keyed_lookup" -> ((s, dir) => {
+      QueriesCore.monthlyByNation(s, dir)
+        .createOrReplaceTempView("q215_m")
+      s.sql(
+        """SELECT NATION AS nation, DATE AS date, REV AS rev,
+          |  REL AS rel, D AS d
+          |FROM fame_run(
+          |  'freq m\nrel = rev / rev["1994-06-01"] * 100\nd = diff(rel)',
+          |  'q215_m', 'NATION')
+          |ORDER BY nation, date""".stripMargin)
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -9994,6 +10013,23 @@ object QueriesExt {
          |       THEN m.rev END AS base,
          |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1996-12-01'
          |       THEN m.rev / b.base_last * 100 END AS idx
+         |FROM m LEFT JOIN b USING (nation)
+         |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
+         |ORDER BY nation, date""".stripMargin,
+
+    // per-nation rebase against the nation's OWN 1994-06 row (LEFT
+    // JOIN: nations without that month stay null), identical double
+    // op order, diff via lag of the same computed expression
+    "q215_fame_keyed_lookup" ->
+      s"""${QueriesCore.monthlyByNationSql},
+         |b AS (
+         |  SELECT nation, rev AS rev0 FROM m
+         |  WHERE date = DATE '1994-06-01'
+         |)
+         |SELECT m.nation, m.date, m.rev,
+         |  m.rev / b.rev0 * 100 AS rel,
+         |  (m.rev / b.rev0 * 100)
+         |    - lag(m.rev / b.rev0 * 100, 1) OVER w AS d
          |FROM m LEFT JOIN b USING (nation)
          |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
          |ORDER BY nation, date""".stripMargin,

@@ -100,13 +100,67 @@ object FameSession {
     var localDbCols = Map.empty[String, Seq[String]] // db -> prefixed col names
     var sessionFreq: Option[Frequency] = bounds.flatMap(_.freq).headOption
 
+    var lookupCols = Map.empty[(String, java.time.LocalDate), String]
+    var lookupSeq = 0
+
     def ctx = Ctx(dateCol, partitionKeys, scalars, refMap,
       lookup = (series, date) => {
         val r = cur.where(col(dateCol) === lit(java.sql.Date.valueOf(date)))
           .select(col(series)).limit(1).collect()
         if (r.isEmpty || r(0).isNullAt(0)) null else r(0).get(0)
       },
-      dateofStub = dateofStub)
+      dateofStub = dateofStub,
+      lookupCols = lookupCols)
+
+    /** Under PARTITIONED execution a fixed-date lookup must be each
+      * key's OWN value at the date — the unkeyed driver literal is one
+      * arbitrary row of the multi-entity frame (frame-dependent). Walk
+      * the expression for lookup sites and materialize each distinct
+      * (series, date) as a key-constant column: filter the frame to the
+      * date, group by the keys, left-join back (one #keys-row join per
+      * site, broadcast-sized at any scale). The compiler then reads the
+      * column instead of inlining a literal (Ctx.lookupCols). Entries
+      * invalidate when their series is reassigned — a later lookup of
+      * the new definition re-materializes under a fresh name. The
+      * `__LKP_` columns are dropped from the final frame.
+      */
+    def materializeKeyedLookups(e: FameExpr): Unit = {
+      if (partitionKeys.isEmpty) return
+      def site(series0: String, d: java.time.LocalDate): Unit = {
+        val series = refMap.getOrElse(series0, series0)
+        if (!lookupCols.contains((series, d)) &&
+            cur.columns.contains(series)) {
+          lookupSeq += 1
+          val name = s"__LKP_$lookupSeq"
+          val lk = cur
+            .where(col(dateCol) === lit(java.sql.Date.valueOf(d)))
+            .groupBy(partitionKeys.map(col): _*)
+            .agg(first(col(series)).as(name))
+          cur = cur.join(lk, partitionKeys, "left")
+          lookupCols += (series, d) -> name
+        }
+      }
+      def walk(x: FameExpr): Unit = x match {
+        case DateLookup(s, d) => site(s, d)
+        case DynLookup(s, sc) => scalars.get(sc) match {
+          case Some(d: java.time.LocalDate) => site(s, d)
+          case _ => () // non-date scalar: the compiler's error fires
+        }
+        case Bin(_, l, r)   => walk(l); walk(r)
+        case Un(_, a)       => walk(a)
+        case Cond(c, t, f)  => walk(c); walk(t); walk(f)
+        case TimeShift(_, _) | Ref(_) | Num(_) | Str(_) | Missing |
+             TimeVar => ()
+        case Call(_, args)   => args.foreach(walk)
+        case ChainCall(_, _) => () // series-name terms, no nested exprs
+      }
+      walk(e)
+    }
+
+    // a (re)assignment of `target` supersedes any lookup column that
+    // captured the OLD definition's values
+    def invalidateLookups(target: String): Unit =
+      lookupCols = lookupCols.filterNot(_._1._1 == target)
 
     // ------------------------------------------------- convert bridge phase
     val converts = bounds.collect { case b @ Bound(_, c: ConvertAssign, _, _, _) => (b, c) }
@@ -165,6 +219,7 @@ object FameSession {
           val Assign(target, expr0, inlineFilter, localDb) = b.stmt: @unchecked
           val (expr, df2) = materializeInlineChains(expr0, cur, dateCol, partitionKeys)
           cur = df2
+          materializeKeyedLookups(expr)
           val compiled = ColumnCompiler.compile(expr, ctx)
           val filter = inlineFilter.orElse(b.dateFilter)
           localDb.foreach { db =>
@@ -179,6 +234,7 @@ object FameSession {
         // the stale converted one (the RHS above still saw the redirect,
         // matching the reference's statement-order semantics)
         refMap --= batch.map(_._1)
+        batch.foreach { case (t, _) => invalidateLookups(t) }
       }
       others.foreach { b =>
         b.stmt match {
@@ -186,6 +242,7 @@ object FameSession {
             scalars += name -> evalScalar(e, cur, ctx)
 
           case PointInTime(target, date, e) =>
+            materializeKeyedLookups(e)
             val v = ColumnCompiler.compile(e, ctx)
             val existing: Column =
               if (cur.columns.contains(target)) col(target)
@@ -242,15 +299,18 @@ object FameSession {
         }
         // same redirect invalidation for kernel-written targets
         b.stmt match {
-          case PointInTime(t, _, _)      => refMap -= t
-          case ChainAssign(t, _, _)      => refMap -= t
-          case FishvolAssign(t, _, _, _) => refMap -= t
-          case NlrxAssign(t, _, _)       => refMap -= t
-          case ShiftPctAssign(t, _, _)   => refMap -= t
+          case PointInTime(t, _, _)      => refMap -= t; invalidateLookups(t)
+          case ChainAssign(t, _, _)      => refMap -= t; invalidateLookups(t)
+          case FishvolAssign(t, _, _, _) => refMap -= t; invalidateLookups(t)
+          case NlrxAssign(t, _, _)       => refMap -= t; invalidateLookups(t)
+          case ShiftPctAssign(t, _, _)   => refMap -= t; invalidateLookups(t)
           case _                         => ()
         }
       }
     }
+
+    // the per-key lookup scaffolding is engine-internal — drop it
+    cur = cur.drop(cur.columns.filter(_.startsWith("__LKP_")).toIndexedSeq: _*)
 
     // --------------------------------------------- local-DB projections (F9)
     val dbs = localDbCols.map { case (db, cols0) =>

@@ -39,13 +39,24 @@ object ColumnCompiler {
     *                    emit the reference's literal stubs instead of the
     *                    real window implementation (SURVEY §7 compat flag).
     */
+  /** @param lookupCols per-key lookup columns materialized by
+    *                    [[graft.api.FameSession]] under PARTITIONED
+    *                    execution: (resolved series, date) → the name of
+    *                    a key-constant column carrying that key's own
+    *                    value at the date. A lookup site with an entry
+    *                    compiles to `col(name)` — offset-invariant like
+    *                    the driver literal, and per-key correct where
+    *                    the frame-global `limit(1)` literal was
+    *                    frame-dependent. Empty under unkeyed execution.
+    */
   final case class Ctx(
       dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       scalars: Map[String, Any] = Map.empty,
       refMap: Map[String, String] = Map.empty,
       lookup: (String, LocalDate) => Any = (_, _) => null,
-      dateofStub: Boolean = false) {
+      dateofStub: Boolean = false,
+      lookupCols: Map[(String, LocalDate), String] = Map.empty) {
 
     def win: WindowSpec =
       if (partitionKeys.isEmpty) Window.orderBy(dateCol)
@@ -82,10 +93,14 @@ object ColumnCompiler {
     case Ref(n)   => sh(col(ctx.resolve(n)), o, ctx)
     case TimeShift(s, k) => sh(col(ctx.resolve(s)), o + k, ctx)
 
-    case DateLookup(s, d) => scalarLit(ctx.lookup(ctx.resolve(s), d))
+    case DateLookup(s, d) =>
+      ctx.lookupCols.get((ctx.resolve(s), d))
+        .map(col).getOrElse(scalarLit(ctx.lookup(ctx.resolve(s), d)))
     case DynLookup(s, scalarName) =>
       ctx.scalars.get(scalarName) match {
-        case Some(d: LocalDate) => scalarLit(ctx.lookup(ctx.resolve(s), d))
+        case Some(d: LocalDate) =>
+          ctx.lookupCols.get((ctx.resolve(s), d))
+            .map(col).getOrElse(scalarLit(ctx.lookup(ctx.resolve(s), d)))
         case Some(other) => throw CompileError(
           s"scalar $scalarName is not a date (got $other) in $s[$scalarName]")
         case None => throw CompileError(s"unknown scalar `$scalarName`")

@@ -177,11 +177,14 @@ object FameStream {
     * tail is sound — it only carries extra rows; a short one silently
     * nulls the lookup); business frequency uses calendar days, an
     * overestimate of business-day rows. Lookups need a `freq` already
-    * declared, and are refused under PARTITIONED execution regardless
-    * (`partitioned = true`): the executor inlines a lookup as one
-    * `limit(1)` literal over the whole multi-entity frame, so the
-    * chosen row is frame-dependent and work-frame vs whole-history runs
-    * could legally disagree.
+    * declared.
+    *
+    * Since r16 the `partitioned` flag adds NO extra refusals: the
+    * executor materializes keyed lookups as per-key columns
+    * (FameSession.materializeKeyedLookups) and compiles whole-series
+    * functions to key-partitioned windows, so every eligible shape is
+    * eligible keyed with the same maxLag, per key. The parameter stays
+    * for call-site stability and for any future keyed-only hazard.
     */
   def incrementalEligibility(script: String,
       partitioned: Boolean = false,
@@ -318,8 +321,6 @@ object FameStream {
           : Either[String, (Int, Int)] = look match {
         case None => Left(s"history lookup $shown (bounded only inside a " +
           "closed date mask or point-in-time assign)")
-        case Some(_) if partitioned => Left(s"history lookup $shown under " +
-          "partitioned execution (the inlined literal is frame-dependent)")
         case Some((latest, horizon, f)) =>
           if (d.isAfter(latest))
             Left(s"history lookup $shown dated after the statement's " +

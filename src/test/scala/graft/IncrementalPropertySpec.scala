@@ -399,32 +399,29 @@ class IncrementalPropertySpec extends SparkSpec {
       s"only $rightWholeSeries ELIGIBLE whole-series-bearing scripts")
   }
 
-  test("eligibility walker, PARTITIONED (r16): keyed verdicts = unkeyed " +
-      "minus lookups, and every keyed Right(maxLag) script is batch-" +
-      "equivalent over PER-KEY maxLag tails across 3 micro-batches") {
+  test("eligibility walker, PARTITIONED (r16): keyed verdicts EQUAL " +
+      "unkeyed (incl. lookups — per-key columns), and every keyed " +
+      "Right(maxLag) script is batch-equivalent over PER-KEY maxLag " +
+      "tails across 3 micro-batches") {
     import org.apache.spark.sql.functions.col
     val dates = (1 to 9).map(m => f"1995-$m%02d-01")
     var keyedRights = 0
     var keyedWholeSeries = 0
+    var keyedLookups = 0
     forAllN(Gen.zip(genScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
       Gen.listOfN(9, Gen.choose(1, 50))), n = 140) {
       case ((script, expect), revRaw, cntRaw) =>
         val keyed = FameStream.incrementalEligibility(script,
           partitioned = true, inputColumns = Some(Set("REV", "CNT", "K")))
-        val hasLookup = script.contains("[\"1995-")
         expect match {
           case Left(_) =>
-            // partitioned only ADDS refusals — an unkeyed-refused script
-            // can never become keyed-eligible
+            // keyed execution supports the full eligible surface, so
+            // refusals too must coincide with the unkeyed verdict
             assert(keyed.isLeft,
               s"keyed walker accepted an unkeyed-refused script:\n$script")
-          case Right(m) if hasLookup =>
-            // the one keyed-specific refusal: history lookups (the
-            // executor inlines a frame-global limit(1) literal)
-            assert(keyed.isLeft,
-              s"keyed walker accepted a lookup-bearing script:\n$script")
           case Right(m) =>
+            if (script.contains("[\"1995-")) keyedLookups += 1
             // lookup-free eligible scripts keep the SAME maxLag keyed —
             // the reach arithmetic is per-row and key-blind
             assert(keyed == Right(m),
@@ -471,9 +468,12 @@ class IncrementalPropertySpec extends SparkSpec {
         }
     }
     assert(keyedRights >= 15, s"only $keyedRights keyed-eligible scripts")
-    // the r16 widening must actually be exercised keyed: some eligible
-    // scripts carry whole-series calls and survive per-key parity
+    // the r16 widenings must actually be exercised keyed: eligible
+    // scripts with whole-series calls AND with fixed-date lookups
+    // survive per-key parity
     assert(keyedWholeSeries >= 2,
       s"only $keyedWholeSeries keyed-eligible whole-series scripts")
+    assert(keyedLookups >= 3,
+      s"only $keyedLookups keyed-eligible lookup-bearing scripts")
   }
 }

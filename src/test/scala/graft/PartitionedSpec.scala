@@ -56,6 +56,51 @@ class PartitionedSpec extends SparkSpec {
       Seq(None, Some(40.0), Some(60.0), None))
   }
 
+  test("fixed-date lookups are PER-KEY (r16): each entity rebases " +
+      "against its OWN value, reassignment invalidates the column, " +
+      "scaffolding never leaks") {
+    val in = entityFrame(("V", Seq(10, 20, 30, 40), Seq(100, 300, 400, 800)))
+    val out = FameSession.run(
+      """freq m
+        |rel = v / v[2020-01-01]
+        |scalar dd = make(date(m), "2020-02-01")
+        |rel2 = v / v[dd]
+        |w = v * 2
+        |r3 = v / w[2020-01-01]
+        |w = v * 3
+        |r4 = v / w[2020-01-01]""".stripMargin,
+      in, partitionKeys = Seq("ENT")).df
+    // pre-r16 this inlined ONE frame-global limit(1) literal — whichever
+    // entity's row happened to come first rebased BOTH entities
+    assertSeq(byEntity(out, "A", "REL"),
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+    assertSeq(byEntity(out, "B", "REL"),
+      Seq(Some(1.0), Some(3.0), Some(4.0), Some(8.0)))
+    // dynamic (scalar-date) lookups take the same per-key path
+    assertSeq(byEntity(out, "A", "REL2"),
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0)))
+    assertSeq(byEntity(out, "B", "REL2"),
+      Seq(Some(100.0 / 300), Some(1.0), Some(400.0 / 300), Some(800.0 / 300)))
+    // the lookup of w BEFORE the reassignment reads the old definition,
+    // after it the new one — the cached column must invalidate
+    assertSeq(byEntity(out, "A", "R3"),
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0)))      // / (10*2)
+    assertSeq(byEntity(out, "A", "R4"),
+      Seq(Some(10.0 / 30), Some(20.0 / 30), Some(1.0), Some(40.0 / 30)))
+    assert(!out.columns.exists(_.startsWith("__LKP_")),
+      "lookup scaffolding leaked into the output frame")
+    // a date absent from one entity's grid stays null FOR THAT ENTITY
+    val sparse = entityFrame(("V", Seq(10, 20, 30, 40), Seq(100, 300, 400, 800)))
+      .where(!(org.apache.spark.sql.functions.col("ENT") === "B" &&
+        org.apache.spark.sql.functions.col("DATE") ===
+          java.sql.Date.valueOf("2020-01-01")))
+    val out2 = FameSession.run("freq m\nrel = v / v[2020-01-01]",
+      sparse, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out2, "A", "REL"),
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0)))
+    assertSeq(byEntity(out2, "B", "REL"), Seq(None, None, None))
+  }
+
   test("convert down groups per entity") {
     val in = entityFrame(("V", Seq(1, 2, 3, 4), Seq(10, 20, 30, 40)))
     val out = FameSession.run(

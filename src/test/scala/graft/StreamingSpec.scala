@@ -1245,12 +1245,12 @@ class StreamingSpec extends SparkSpec {
     // quarterly distance counts quarters, not months
     assert(incrementalEligibility(
       "freq q\nx[1995-10-01] = rev[\"1995-01-01\"]") == Right(3))
-    // PARTITIONED execution refuses lookups (the inlined limit(1)
-    // literal is frame-dependent across entities) but keeps ordinary
-    // masked/lagged statements eligible
+    // PARTITIONED execution adds no refusals since r16: lookups
+    // materialize as per-key columns in the executor, so the keyed
+    // verdict and maxLag equal the unkeyed ones
     assert(incrementalEligibility(
       "freq m\nx[1995-05-01] = rev[\"1995-02-01\"]",
-      partitioned = true).isLeft)
+      partitioned = true) == Right(3))
     assert(incrementalEligibility(
       "freq m\na = pct(rev)\nb = pct(a)", partitioned = true) == Right(2))
     // the r16 widening: bounded-support whole-series shapes are
@@ -1270,6 +1270,11 @@ class StreamingSpec extends SparkSpec {
     // under partitioned, exactly as unkeyed
     assert(incrementalEligibility("freq m\nx = ave(rev)",
       partitioned = true, inputColumns = cols).isLeft)
+    // masked keyed lookup: same horizon arithmetic as unkeyed (r16 —
+    // the executor's per-key lookup columns make it key-correct)
+    assert(incrementalEligibility(
+      "freq m\nset <date 1995-04-01 to 1995-05-01> a = rev / rev[\"1995-01-01\"]\nb = diff(a)",
+      partitioned = true) == Right(5))
     // no freq declared -> no period arithmetic -> lookups refused
     assert(incrementalEligibility(
       "x[1995-05-01] = rev[\"1995-02-01\"]").isLeft)
@@ -1729,6 +1734,58 @@ class StreamingSpec extends SparkSpec {
     // chain works (June's b needs IT's April rev via the tail)
     assert(byKey(("IT", "1995-05-01"))._5.isEmpty)
     assert(byKey(("IT", "1995-06-01"))._4.isDefined)
+  }
+
+  test("incremental FAME, PARTITIONED: a masked fixed-date-lookup " +
+      "script rebases each key against ITS OWN level through the real " +
+      "streaming harness (r16 per-key lookup columns)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("famekeylook").toString
+    val script =
+      """freq m
+        |set <date 1995-04-01 to 1995-05-01> a = rev / rev["1995-01-01"]
+        |b = diff(a)""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script,
+      partitioned = true) == Right(5))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val batches = Seq(
+      Seq(("FR", "1995-01-01", 4.0), ("DE", "1995-01-01", 10.0),
+        ("FR", "1995-02-01", 5.0), ("DE", "1995-02-01", 8.0),
+        ("FR", "1995-03-01", 7.0), ("DE", "1995-03-01", 6.0)),
+      Seq(("FR", "1995-04-01", 6.0), ("DE", "1995-04-01", 5.0),
+        ("FR", "1995-05-01", 3.0), ("DE", "1995-05-01", 7.0)),
+      Seq(("FR", "1995-06-01", 8.0), ("DE", "1995-06-01", 2.0)))
+      .map(_.map { case (k, dt, v) => (k, d(dt), v) })
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b =>
+      src.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    def bits(r: org.apache.spark.sql.Row, j: Int) =
+      if (r.isNullAt(j)) None
+      else Some(java.lang.Double.doubleToLongBits(r.getDouble(j)))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getDate(1).toString, bits(r, 2), bits(r, 3))
+    val got = spark.read.parquet(s"$base/result")
+      .select("K", "DATE", "A", "B").orderBy("K", "DATE")
+      .collect().map(key).toSeq
+    val batchRun = graft.api.FameSession.run(script,
+        batches.flatten.toDF("K", "DATE", "REV"),
+        partitionKeys = Seq("K")).df
+      .select("K", "DATE", "A", "B").orderBy("K", "DATE")
+      .collect().map(key).toSeq
+    assert(got == batchRun)
+    // the rebase denominators differ per key: FR/Jan = 4, DE/Jan = 10 —
+    // carried through the tail TWO batches after January arrived
+    val m = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(m(("FR", "1995-04-01")) ==
+      Some(java.lang.Double.doubleToLongBits(6.0 / 4.0)))
+    assert(m(("DE", "1995-04-01")) ==
+      Some(java.lang.Double.doubleToLongBits(5.0 / 10.0)))
   }
 
   test("incremental FAME, PARTITIONED: the late-row contract is PER KEY " +
