@@ -101,6 +101,28 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n_rows"),
             sum(round(col("SM"), 6).cast(DecimalType(28, 6)))
               .cast("double").as("sum_sm"))
+      }),
+      // r16: the per-key lookup materialization at entity scale — each
+      // lookup site is a filter → groupBy(keys) → join back, so the
+      // question is whether the #keys-row join stays broadcast-shaped
+      // as keys grow 100×. Two sites (fixed date + scalar date) plus a
+      // masked site exercise invalidation-free reuse.
+      s"fameprobe_lookup_x$reps" -> ((s, dir) => {
+        val out = graft.api.FameSession.run(
+          """freq m
+            |rel = rev / rev[1994-06-01] * 100
+            |scalar d0 = make(date(m), "1995-06-01")
+            |rel2 = rev / rev[d0]
+            |set <date 1996-01-01 to 1996-12-01> z = rel / rel[1994-06-01]""".stripMargin,
+          wide(s, dir), partitionKeys = Seq("NATION"))
+        out.df.groupBy(col("NATION").as("nation"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("REL"), 8).cast(DecimalType(28, 8)))
+              .cast("double").as("sum_rel"),
+            sum(round(col("REL2"), 8).cast(DecimalType(28, 8)))
+              .cast("double").as("sum_rel2"),
+            sum(round(col("Z"), 8).cast(DecimalType(28, 8)))
+              .cast("double").as("sum_z"))
       }))
   }
 
