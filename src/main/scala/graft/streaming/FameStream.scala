@@ -282,6 +282,14 @@ object FameStream {
         case Frequency.Daily     => d.plusDays(n.toLong)
         case Frequency.Business  => d.plusDays(2L * n + 3)
       }
+      // union requiring EVERY side bounded — for shapes (if/else,
+      // least/greatest) that are non-null wherever ANY branch is, so a
+      // single unbounded branch unbounds the whole expression (unlike
+      // the strict-operator union below, where None is an identity)
+      def unionAll(xs: Seq[Option[(LocalDate, LocalDate)]])
+          : Option[(LocalDate, LocalDate)] =
+        if (xs.isEmpty || xs.exists(_.isEmpty)) None
+        else xs.reduce(union)
       e match {
         case Ref(m) => supports.get(m)
         // a LAG of a bounded series: value at row ρ is m@(ρ − k), so
@@ -304,6 +312,22 @@ object FameStream {
             if Set("sqrt", "abs", "log", "exp", "pct", "diff")(n) &&
               args.nonEmpty =>
           exprSupport(args.head, supports, f)
+        // if/else compiles to when(c, t).otherwise(e): at a row where
+        // BOTH branches are null the result is null whichever way the
+        // condition goes (incl. null-condition → otherwise) — so two
+        // bounded branches bound the whole conditional, condition
+        // irrelevant (r16 widening)
+        case Cond(_, t, els) =>
+          unionAll(Seq(exprSupport(t, supports, f),
+            exprSupport(els, supports, f)))
+        // elementwise min/max compile to least/greatest, which SKIP
+        // nulls: non-null wherever ANY argument is, so bounded only
+        // when EVERY argument is (a numeric literal arg → None →
+        // unbounded: least(m, 5) is 5 outside m's support). lsum stays
+        // None (null-as-zero: non-null everywhere); exists stays None
+        // (boolean, non-null everywhere).
+        case Call(n, args) if Set("min", "max")(n) && args.nonEmpty =>
+          unionAll(args.map(exprSupport(_, supports, f)))
         case _ => None
       }
     }

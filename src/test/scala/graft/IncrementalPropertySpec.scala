@@ -118,8 +118,12 @@ class IncrementalPropertySpec extends SparkSpec {
         // 3 name+otherName (strict Bin: support = UNION of the bounded
         // sides, lag = max of both sides' recorded lags) | 4 name[t-k]
         // (a LAG: the support END shifts forward k, the start stays —
-        // the walker's conservative shift — and the lag rides on)
-        shape <- Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3, 1 -> 4)
+        // the walker's conservative shift — and the lag rides on) |
+        // 5 min(name, name2) (least SKIPS nulls: bounded only when
+        // BOTH are — r16) | 6 if/else of two names (null when both
+        // branches are: union when BOTH bounded — r16)
+        shape <- Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3, 1 -> 4,
+          1 -> 5, 1 -> 6)
         c <- Gen.choose(2, 5)
         k <- Gen.choose(1, 2)
         n2 <- Gen.oneOf(names)
@@ -137,9 +141,26 @@ class IncrementalPropertySpec extends SparkSpec {
             }
             (s"$f((${show(n)} + ${show(n2)}))", u,
               math.max(env(n)._2, env(n2)._2))
-          case _ => (s"$f(${show(n)}[t-$k])",
+          case 4 => (s"$f(${show(n)}[t-$k])",
             supports.get(n).map { case (a, b) => (a, b + k) },
             env(n)._2 + k)
+          case 5 =>
+            val u = (supports.get(n), supports.get(n2)) match {
+              case (Some((a1, b1)), Some((a2, b2))) =>
+                Some((math.min(a1, a2), math.max(b1, b2)))
+              case _ => None // least skips nulls: one unbounded side
+                             // unbounds the whole expression
+            }
+            (s"$f(min(${show(n)}, ${show(n2)}))", u,
+              math.max(env(n)._2, env(n2)._2))
+          case _ =>
+            val u = (supports.get(n), supports.get(n2)) match {
+              case (Some((a1, b1)), Some((a2, b2))) =>
+                Some((math.min(a1, a2), math.max(b1, b2)))
+              case _ => None
+            }
+            (s"$f(if rev gt 25 then ${show(n)} else ${show(n2)})", u,
+              math.max(env(n)._2, env(n2)._2))
         }
         (sup, lookCtx) match {
           case (Some((sLo, sHi)), Some((lo, hi))) if sHi <= lo =>

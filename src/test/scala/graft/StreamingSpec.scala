@@ -1275,6 +1275,27 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalEligibility(
       "freq m\nset <date 1995-04-01 to 1995-05-01> a = rev / rev[\"1995-01-01\"]\nb = diff(a)",
       partitioned = true) == Right(5))
+    // r16 support widening: if/else and least/greatest of TWO bounded
+    // series stay bounded (null where both branches are) — but one
+    // literal/unbounded side unbounds the whole expression (least
+    // skips nulls; lsum's null-as-zero is non-null everywhere)
+    val two = "freq m\nset <date 1995-02-01 to 1995-03-01> m1 = rev\n" +
+      "set <date 1995-01-01 to 1995-03-01> m2 = rev * 2\n"
+    assert(incrementalEligibility(
+      two + "x[1995-06-01] = ave(min(m1, m2))",
+      inputColumns = cols) == Right(5))
+    assert(incrementalEligibility(
+      two + "x[1995-06-01] = ave(if rev gt 25 then m1 else m2)",
+      inputColumns = cols) == Right(5))
+    assert(incrementalEligibility(
+      two + "x[1995-06-01] = ave(min(m1, 5))",
+      inputColumns = cols).isLeft)
+    assert(incrementalEligibility(
+      two + "x[1995-06-01] = ave(min(m1, rev))",
+      inputColumns = cols).isLeft)
+    assert(incrementalEligibility(
+      two + "x[1995-06-01] = ave(lsum(m1, m2))",
+      inputColumns = cols).isLeft)
     // no freq declared -> no period arithmetic -> lookups refused
     assert(incrementalEligibility(
       "x[1995-05-01] = rev[\"1995-02-01\"]").isLeft)
