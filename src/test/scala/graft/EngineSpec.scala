@@ -544,4 +544,35 @@ class EngineSpec extends SparkSpec {
       s"date filter not pushed to the scan:\n$scan")
     assert(pushed.count() == 2)
   }
+
+  test("fame_run, KEYED: a WHERE on the partition key pushes below the " +
+      "key-partitioned windows AND into both sides of the per-key " +
+      "lookup join — per-entity queries pay only for their entity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("famekeypush").toString
+    Seq(("FR", java.sql.Date.valueOf("1995-01-01"), 4.0),
+        ("FR", java.sql.Date.valueOf("1995-02-01"), 5.0),
+        ("DE", java.sql.Date.valueOf("1995-01-01"), 9.0),
+        ("DE", java.sql.Date.valueOf("1995-02-01"), 8.0))
+      .toDF("K", "DATE", "REV").write.mode("overwrite").parquet(dir)
+    val df = spark.sql(
+      s"""SELECT K, DATE, P, R FROM fame_run(
+         |  'freq m\np = pct(rev)\nr = rev / rev["1995-01-01"]',
+         |  'parquet.`$dir`', 'K') WHERE K = 'FR'""".stripMargin)
+    val rows = df.orderBy("DATE").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("FR", "FR"))
+    assert(rows(1).getDouble(3) == 5.0 / 4.0) // FR's OWN Jan level
+    val plan = df.queryExecution.executedPlan.toString
+      .replaceAll("\\s+", " ")
+    // the main scan prunes to the key…
+    assert(plan.matches(".*PushedFilters: \\[[^\\]]*EqualTo\\(K,FR\\).*"),
+      s"key filter not pushed to the scan:\n$plan")
+    // …and the LOOKUP side prunes to (key AND date) — the per-key
+    // materialization composes with predicate pushdown instead of
+    // rescanning every entity for one entity's rebase
+    assert(plan.matches(
+      ".*PushedFilters: \\[[^\\]]*EqualTo\\(DATE,1995-01-01\\)," +
+        " EqualTo\\(K,FR\\).*"),
+      s"lookup-side scan not pruned to (date, key):\n$plan")
+  }
 }
