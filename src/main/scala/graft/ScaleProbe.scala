@@ -126,6 +126,71 @@ object ScaleProbe {
       }))
   }
 
+  /** Keyed incremental-STREAMING probe (r16): stages the replicated
+    * per-nation frame as 3 contiguous date chunks, streams them through
+    * [[graft.streaming.FameStream.runIncremental]] with
+    * `partitionKeys = NATION` (the q214 script: lag chains + a masked
+    * whole-series rebase, maxLag 35), and reports PER-BATCH wall
+    * seconds plus the run's shuffle/spill totals — the O(batch +
+    * tail·keys) claim measured through the real streaming harness, not
+    * argued from the batch path. Chunks are appended to the source dir
+    * between `processAllAvailable()` calls, so each timed call is
+    * exactly one micro-batch.
+    */
+  private def streamProbe(spark: SparkSession, sfDir: String, reps: Int,
+      listener: StageMetrics, drain: () => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("famestreamprobe").toString
+    val r = spark.range(reps.toLong)
+      .select(col("id").cast("string").as("REP"))
+    val m = QueriesCore.monthlyByNation(spark, sfDir).crossJoin(r)
+      .select(concat_ws("#", col("NATION"), col("REP")).as("NATION"),
+        col("DATE"), col("REV"))
+      .localCheckpoint(true)
+    val nKeys = m.select("NATION").distinct().count()
+    val dates = m.select(col("DATE")).distinct().orderBy("DATE")
+      .collect().map(_.getDate(0))
+    val cuts = dates.grouped(math.ceil(dates.length / 3.0).toInt).toSeq
+    val srcDir = s"$base/src"
+    def writeChunk(i: Int): Unit =
+      m.where(col("DATE").isInCollection(cuts(i).toSeq))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    writeChunk(0)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val script =
+      """freq m
+        |growth = pct(rev)
+        |d2 = rev - rev[t-2]
+        |set <date 1994-01-01 to 1994-06-01> base = rev
+        |set <date 1995-01-01 to 1996-12-01> idx = rev / lastvalue(base) * 100""".stripMargin
+    listener.reset()
+    val q = graft.streaming.FameStream.runIncremental(stream, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("NATION"),
+      checkpointDir = Some(s"$base/ckpt"))
+    val batchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try cuts.indices.foreach { i =>
+      if (i > 0) writeChunk(i)
+      val t0 = System.nanoTime()
+      q.processAllAvailable()
+      batchSecs += (System.nanoTime() - t0) / 1e9
+    } finally q.stop()
+    drain()
+    val snap = listener.snapshot()
+    val outRows = spark.read.parquet(s"$base/result").count()
+    def mb(k: String): String =
+      "%.1f".formatLocal(java.util.Locale.US, snap.getOrElse(k, 0L) / 1e6)
+    val bs = batchSecs.map(s =>
+      "%.3f".formatLocal(java.util.Locale.US, s)).mkString("[", ",", "]")
+    println(s"""{"query":"famestreamprobe_x$reps","sf":"$sfDir",""" +
+      s""""n_keys":$nKeys,"out_rows":$outRows,"batch_secs":$bs,""" +
+      s""""total_sec":${"%.3f".formatLocal(java.util.Locale.US,
+        batchSecs.sum)},"shuffle_write_mb":${mb("shuffle_write")},""" +
+      s""""memory_spill_mb":${mb("memory_spill")},"disk_spill_mb":${
+        mb("disk_spill")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleProbe <sfDir> <q1,q2,...> [runs]")
     val sfDir = args(0)
@@ -177,6 +242,9 @@ object ScaleProbe {
     }
     val byName = SparkEntry.queries ++ fameProbes(reps)
     names.foreach { pat =>
+      if (pat.startsWith("famestreamprobe")) {
+        streamProbe(spark, sfDir, reps, listener, () => drain())
+      } else {
       val matches = byName.keys.filter(_.contains(pat)).toSeq.sorted
       matches.foreach { name =>
         // run 1 untimed warmup (codegen), then `runs` timed; report the
@@ -206,6 +274,7 @@ object ScaleProbe {
           mb("shuffle_read")},"peak_stage_write_mb":${mb("peak_stage_write")
         },"memory_spill_mb":${mb("memory_spill")},"disk_spill_mb":${
           mb("disk_spill")}}""")
+      }
       }
     }
     println("""{"probe":"done"}""")
