@@ -4598,6 +4598,46 @@ object QueriesExt {
           |ORDER BY nation, date""".stripMargin)
     }),
 
+    // HOLD-BACK incremental FAME (r16): a LEAD-bearing script (forward
+    // reads rev[t+1], rev[t+2]) streams through runIncremental — the
+    // lead-aware reach analyzer proves (maxLead, maxLag) = (2, 1), and
+    // the executor emits a row only once 2 rows after it (per nation)
+    // have arrived, so every forward read is FINAL at emission (the
+    // watermark-style delay; a maxLag tail alone provably cannot do
+    // this — StreamingSpec's frontier counterexample). The boundary-
+    // crossing lead cells (each chunk's newest emitted rows read the
+    // NEXT chunk's rows) come from the carried pending set. Oracle:
+    // whole-history lead/lag windows minus each nation's newest 2 rows
+    // (their forward reads would not be final; the engine holds them).
+    "q216_fame_incremental_holdback" -> ((s, dir) => {
+      val base = scratch("q216")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = fameKeyedStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |mom = pct(rev)
+          |nxt = rev[t+1]
+          |fchg = (rev[t+1] - rev) / rev * 100
+          |gap2 = rev[t+2] - rev[t-1]""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), col("MOM").as("mom"),
+          col("NXT").as("nxt"), col("FCHG").as("fchg"),
+          col("GAP2").as("gap2"))
+        .orderBy("nation", "date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10033,6 +10073,27 @@ object QueriesExt {
          |FROM m LEFT JOIN b USING (nation)
          |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
          |ORDER BY nation, date""".stripMargin,
+
+    // whole-history replay of the HOLD-BACK run: identical lead/lag
+    // double arithmetic, restricted to rows with ≥2 successors per
+    // nation — exactly the rows the engine emitted (the newest 2 per
+    // nation are pending; their leads would not be final)
+    "q216_fame_incremental_holdback" ->
+      s"""${QueriesCore.monthlyByNationSql},
+         |r AS (
+         |  SELECT nation, date, rev,
+         |    (rev - lag(rev, 1) OVER w) / lag(rev, 1) OVER w * 100
+         |      AS mom,
+         |    lead(rev, 1) OVER w AS nxt,
+         |    (lead(rev, 1) OVER w - rev) / rev * 100 AS fchg,
+         |    lead(rev, 2) OVER w - lag(rev, 1) OVER w AS gap2,
+         |    row_number() OVER (PARTITION BY nation ORDER BY date DESC)
+         |      AS rn
+         |  FROM m
+         |  WINDOW w AS (PARTITION BY nation ORDER BY date)
+         |)
+         |SELECT nation, date, rev, mom, nxt, fchg, gap2
+         |FROM r WHERE rn > 2 ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

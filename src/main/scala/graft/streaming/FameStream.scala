@@ -50,6 +50,15 @@ object FameStream {
     * Force `Snapshot` when ingest is NOT nondecreasing-date-ordered per
     * key — the incremental path's contract (late rows need the
     * recompute form to revise already-emitted output).
+    *
+    * Lead-bearing scripts (`v[t+k]`, bounded forward reach —
+    * [[incrementalReach]]) run incrementally under HOLD-BACK emission,
+    * but ONLY on explicit opt-in (`Incremental`, or [[runIncremental]]
+    * directly): hold-back WITHHOLDS each key's newest `maxLead` rows
+    * until their lookahead arrives, while the snapshot emits them
+    * immediately with null leads — a different output contract, so
+    * `Auto` deliberately keeps routing lead scripts to the snapshot
+    * rather than silently trimming the frontier rows.
     */
   sealed trait Mode
   case object Auto        extends Mode
@@ -188,7 +197,38 @@ object FameStream {
     */
   def incrementalEligibility(script: String,
       partitioned: Boolean = false,
-      inputColumns: Option[Set[String]] = None): Either[String, Int] = {
+      inputColumns: Option[Set[String]] = None): Either[String, Int] =
+    reachAnalysis(script, partitioned, inputColumns,
+      allowLeads = false).map(_._2)
+
+  /** Lead-aware sibling of [[incrementalEligibility]]: returns
+    * `Right((maxLead, maxLag))` for scripts whose every statement has
+    * BOUNDED reach in both directions — backward lags up to maxLag rows
+    * and forward leads (`v[t+k]`, including net-forward compositions
+    * through derived series) up to maxLead rows — or `Left(reason)`.
+    *
+    * A positive maxLead means no maxLag-tail executor can evaluate the
+    * script append-only (the frontier test in StreamingSpec carries the
+    * counterexample: the value needs rows that have not arrived), so
+    * [[incrementalEligibility]] keeps refusing those scripts by name.
+    * [[runIncremental]] instead runs them under HOLD-BACK emission: a
+    * row is emitted only once `maxLead` rows after it (per key) have
+    * arrived — the watermark-style delay that makes every forward read
+    * resolvable at emission time. Leads stay refused where hold-back
+    * cannot help: inside whole-series aggregates and history lookups
+    * (their completeness arguments need lag-only arguments), and in
+    * every kernel statement.
+    */
+  def incrementalReach(script: String,
+      partitioned: Boolean = false,
+      inputColumns: Option[Set[String]] = None)
+      : Either[String, (Int, Int)] =
+    reachAnalysis(script, partitioned, inputColumns, allowLeads = true)
+
+  private def reachAnalysis(script: String,
+      partitioned: Boolean,
+      inputColumns: Option[Set[String]],
+      allowLeads: Boolean): Either[String, (Int, Int)] = {
     import java.time.LocalDate
     import FameExpr._
     import FameStmt._
@@ -297,8 +337,9 @@ object FameStream {
         // shifts (exact or over) — the START stays put, because a
         // forward-shifted start would SHORTEN the computed reach
         // (unsound); keeping it only lengthens the carried tail.
-        // Leads (offset > 0) return None — the reach step refuses
-        // them by name anyway.
+        // Leads (offset > 0) return None — conservative (the support
+        // would shift backward); whole-series over a lead-bearing
+        // argument is refused in `reach` regardless, hold-back or not.
         case TimeShift(m, off) if off < 0 =>
           supports.get(m).map { case (a, b) =>
             (a, plusPeriodsCeil(b, -off)) }
@@ -510,7 +551,7 @@ object FameStream {
     // [start, end] union (assigned tracks "has any definition", so a
     // plain or open-masked (re)assign removes the entry — outside-mask
     // rows then carry data, F3b preserve semantics)
-    final case class St(lag: Int, env: Map[String, (Int, Int)],
+    final case class St(lead: Int, lag: Int, env: Map[String, (Int, Int)],
         sdates: Map[String, LocalDate], freq: Option[Frequency],
         filter: Option[DateFilter],
         supports: Map[String, (LocalDate, LocalDate)],
@@ -526,7 +567,8 @@ object FameStream {
       } yield if (a.isAfter(b)) (b, a, f) else (a, b, f)
 
     stmts.foldLeft[Either[String, St]](
-      Right(St(0, Map.empty, Map.empty, None, None, Map.empty, Set.empty))) {
+      Right(St(0, 0, Map.empty, Map.empty, None, None, Map.empty,
+        Set.empty))) {
       (acc, s) =>
       acc.flatMap { st =>
         def accept(target: String, r: Either[String, (Int, Int)])
@@ -536,8 +578,9 @@ object FameStream {
           // TimeShift sites see the same folded name), so it is the
           // env key as-is — re-prefixing here would record AA_AA_X
           // and lose transitive reach for every local-db chain.
-          case rr @ (0, lg) => Right(st.copy(
-            lag = math.max(st.lag, lg), env = record(st.env, target, rr)))
+          case rr @ (ld, lg) if ld == 0 || allowLeads => Right(st.copy(
+            lead = math.max(st.lead, ld), lag = math.max(st.lag, lg),
+            env = record(st.env, target, rr)))
           case (ld, _) => Left(s"lead reach +$ld in ${s}")
         }
         // bounded-support bookkeeping after an ACCEPTED definition of
@@ -595,35 +638,49 @@ object FameStream {
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }.map(_.lag)
+    }.map(st => (st.lead, st.lag))
   }
 
-  /** Incremental micro-batched FAME for the forward-only script subset
-    * ([[incrementalEligibility]]): per-batch cost O(batch + maxLag·keys)
-    * instead of [[run]]'s O(history) snapshot recompute. Throws
-    * IllegalArgumentException on an ineligible script — callers choose
-    * the fallback explicitly (auto-silently degrading to O(history)
-    * would hide a 1000× cost cliff behind a flag).
+  /** Incremental micro-batched FAME for the bounded-reach script subset
+    * ([[incrementalReach]]): per-batch cost
+    * O(batch + (maxLag + maxLead)·keys) instead of [[run]]'s O(history)
+    * snapshot recompute. Throws IllegalArgumentException on an
+    * ineligible script — callers choose the fallback explicitly
+    * (auto-silently degrading to O(history) would hide a 1000× cost
+    * cliff behind a flag).
     *
     * Mechanics per micro-batch, all idempotent under checkpoint replay:
     *  1. the batch lands at `bronzeDir/batch=<id>` (overwrite — the
     *     [[run]] bronze contract);
-    *  2. the script runs over (carried tail ∪ batch): the tail is the
-    *     last `maxLag` INPUT rows per key as of the previous batch, so
-    *     every backward lag a batch row needs is present; tail rows are
-    *     marked and their outputs dropped (they were emitted by the
-    *     batch that first carried them);
-    *  3. new rows' outputs land at `resultDir/batch=<id>` (overwrite);
-    *  4. the new tail (last `maxLag` rows per key of tail ∪ batch) is
-    *     VERSIONED at `bronzeDir/_tail/v=<id>` — a replayed batch n
-    *     re-reads tail v=n−1, which a later batch never overwrites, so
-    *     recovery recomputes batch n byte-identically.
+    *  2. the script runs over (carried rows ∪ batch): the carry is the
+    *     last `maxLag + maxLead` INPUT rows per key as of the previous
+    *     batch, so every backward lag a row needs is present, and —
+    *     when the script reads FORWARD (`v[t+k]`, maxLead > 0) — every
+    *     still-unemitted row's lookahead accumulates until it arrives;
+    *  3. HOLD-BACK emission: a row's outputs land at
+    *     `resultDir/batch=<id>` (overwrite) only once `maxLead` rows
+    *     after it (per key) have arrived — at that point every forward
+    *     read the row makes is in frame, so its value is FINAL (the
+    *     watermark-style delay; for lag-only scripts maxLead = 0 and
+    *     every batch row emits immediately, the historical behavior).
+    *     Already-emitted carried rows are marked and their outputs
+    *     dropped (they were emitted by the batch that first saw their
+    *     lookahead complete);
+    *  4. the new carry (last `maxLag + maxLead` rows per key, each
+    *     flagged with whether it has been emitted) is VERSIONED at
+    *     `bronzeDir/_tail/v=<id>` — a replayed batch n re-reads carry
+    *     v=n−1, which a later batch never overwrites, so recovery
+    *     recomputes batch n byte-identically.
     *
     * Contract: rows arrive in nondecreasing date order per key (the
     * standard series-ingest shape — a late row would need the
     * snapshot-recompute form [[run]] to revise already-emitted output).
     * Read the result as `spark.read.parquet(resultDir)` (batch subdirs
-    * union; drop the synthetic `batch` partition column).
+    * union; drop the synthetic `batch` partition column). Under
+    * maxLead > 0 the last `maxLead` rows per key are PENDING — emitted
+    * rows match the whole-history run restricted to rows with `maxLead`
+    * successors; the pending rows' values would not be final (the batch
+    * run nulls their leads, a stream cannot know the series ended).
     */
   def runIncremental(stream: DataFrame, script: String, bronzeDir: String,
       resultDir: String, dateCol: String = "DATE",
@@ -631,12 +688,13 @@ object FameStream {
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val maxLag = incrementalEligibility(script, partitionKeys.nonEmpty,
+    val (maxLead, maxLag) = incrementalReach(script, partitionKeys.nonEmpty,
         Some(stream.columns.toSet)) match {
       case Left(reason) => throw new IllegalArgumentException(
         s"script not incrementally evaluable: $reason (use FameStream.run)")
-      case Right(k) => k
+      case Right(r) => r
     }
+    val carrySize = maxLag + maxLead
     val spark = stream.sparkSession
     val cols = stream.columns.toIndexedSeq
     val dateU = dateCol.toUpperCase
@@ -671,9 +729,13 @@ object FameStream {
       val upper = batch.select(
         cols.map(c => col(c).as(c.toUpperCase)): _*)
       val prevTail: DataFrame =
-        if (batchId > 0 && fs.exists(tailPath))
-          spark.read.parquet(tailPath.toString)
-        else upper.where(lit(false))
+        if (batchId > 0 && fs.exists(tailPath)) {
+          val t = spark.read.parquet(tailPath.toString)
+          // carries written before the hold-back contract lack the
+          // emitted flag; every row in such a carry was emitted
+          if (t.columns.contains("__EMITTED")) t
+          else t.withColumn("__EMITTED", lit(true))
+        } else upper.where(lit(false)).withColumn("__EMITTED", lit(true))
       // Enforce the ingest contract instead of documenting it: any
       // batch row dated before its key's newest carried-tail row is a
       // late arrival the incremental form cannot evaluate correctly —
@@ -695,19 +757,27 @@ object FameStream {
         s"history (first offender: ${late.head}); the incremental path " +
         "requires nondecreasing dates per key — use mode = Snapshot " +
         "for out-of-order ingest")
-      val work = prevTail.withColumn("__IS_TAIL", lit(true))
-        .unionByName(upper.withColumn("__IS_TAIL", lit(false)))
-      val out = FameSession.run(script, work, dateU, keysU,
-        nlrx, businessCal = businessCal).df
-      out.where(!col("__IS_TAIL")).drop("__IS_TAIL")
-        .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
-      // next tail: last maxLag INPUT rows per key of tail ∪ batch
+      // position from the key's frontier: the last maxLead rows per key
+      // are PENDING (their forward reads are incomplete) — everything
+      // older is emittable. For lag-only scripts maxLead = 0 and every
+      // row is emittable the batch it arrives, the historical behavior.
       val ord = Window.partitionBy(
           (if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)): _*)
         .orderBy(col(dateU).desc)
-      work.drop("__IS_TAIL")
+      val work = prevTail
+        .unionByName(upper.withColumn("__EMITTED", lit(false)))
+        .withColumn("__HOLD", row_number().over(ord) <= lit(maxLead))
+      val out = FameSession.run(script, work, dateU, keysU,
+        nlrx, businessCal = businessCal).df
+      out.where(!col("__EMITTED") && !col("__HOLD"))
+        .drop("__EMITTED", "__HOLD")
+        .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
+      // next carry: last maxLag+maxLead INPUT rows per key of
+      // carry ∪ batch, each flagged with whether it has been emitted
+      work.withColumn("__EMITTED", col("__EMITTED") || !col("__HOLD"))
+        .drop("__HOLD")
         .withColumn("__RN", row_number().over(ord))
-        .where(col("__RN") <= maxLag).drop("__RN")
+        .where(col("__RN") <= carrySize).drop("__RN")
         .write.mode("overwrite")
         .parquet(s"$bronzeDir/_tail/v=$batchId")
       ()

@@ -497,4 +497,128 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(keyedLookups >= 3,
       s"only $keyedLookups keyed-eligible lookup-bearing scripts")
   }
+
+  /** Lead-arm generator: plain assigns only, leads ALLOWED at statement
+    * level — the expectation is Right((maxLead, maxLag)) with env
+    * growing on every accepted statement (lead-bearing included, the
+    * difference from genScript), Left for the shapes hold-back cannot
+    * help (lookups/whole-series, which genExpr emits as Left under a
+    * None horizon and empty supports).
+    */
+  private val genLeadScript: Gen[(String, Either[String, (Int, Int)])] = {
+    val base = Map("REV" -> (0, 0), "CNT" -> (0, 0))
+    def stmts(i: Int, n: Int, env: Map[String, (Int, Int)],
+        acc: List[String], expect: Either[String, (Int, Int)])
+        : Gen[(String, Either[String, (Int, Int)])] =
+      if (i > n)
+        Gen.const((("freq m" :: acc.reverse).mkString("\n"), expect))
+      else {
+        // right-bias: under a None horizon every lookup / whole-series
+        // leaf is a refusal, which compounds to mostly-Left scripts;
+        // retry twice so ACCEPTED (parity-checked) volume stays high
+        // while genuine refusals still appear
+        val biased = genExpr(2, env, None, Map.empty).flatMap {
+          case l1 if l1._2.isLeft =>
+            genExpr(2, env, None, Map.empty).flatMap {
+              case l2 if l2._2.isLeft => genExpr(2, env, None, Map.empty)
+              case r2 => Gen.const(r2)
+            }
+          case r1 => Gen.const(r1)
+        }
+        biased.flatMap { case (txt, r) =>
+        val folded = s"V$i"
+        val nextExpect = expect.flatMap { case (ld0, lg0) =>
+          r.map { case (ld, lg) =>
+            (math.max(ld0, ld), math.max(lg0, lg)) }
+        }
+        val nextEnv = r match {
+          case Right((ld, lg)) =>
+            val old = env.getOrElse(folded, (0, 0))
+            env + (folded ->
+              (math.max(old._1, ld), math.max(old._2, lg)))
+          case _ => env
+        }
+        stmts(i + 1, n, nextEnv, s"v$i = $txt" :: acc, nextExpect)
+        }
+      }
+    Gen.choose(2, 4).flatMap(n =>
+      stmts(1, n, base, Nil, Right((0, 0))))
+  }
+
+  test("lead-aware reach (r16 hold-back): generated lead/lag scripts " +
+      "match the independent (maxLead, maxLag) algebra, and every " +
+      "accepted script is HOLD-BACK batch-equivalent — emitted rows " +
+      "bit-equal the whole-history run, the newest maxLead rows pend") {
+    import org.apache.spark.sql.functions.col
+    val dates = (1 to 9).map(m => f"1995-$m%02d-01")
+    var rights = 0
+    var leadRights = 0
+    var lefts = 0
+    forAllN(Gen.zip(genLeadScript,
+      Gen.listOfN(9, Gen.choose(1, 50)),
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 120) {
+      case ((script, expect), revRaw, cntRaw) =>
+        val got = FameStream.incrementalReach(script,
+          inputColumns = Some(Set("REV", "CNT")))
+        expect match {
+          case Left(_) =>
+            lefts += 1
+            assert(got.isLeft, s"reach accepted a refused script:\n$script")
+          case Right((led, lag)) =>
+            rights += 1
+            if (led > 0) leadRights += 1
+            assert(got == Right((led, lag)),
+              s"reach said $got, independent algebra Right(($led, $lag))" +
+                s":\n$script")
+            // ground truth: runIncremental's hold-back mechanics —
+            // carry the last (lag+lead) input rows, emit a row only
+            // once `led` rows after it have arrived — reproduce the
+            // whole-history run bit-for-bit on every EMITTED row,
+            // across 3 micro-batches
+            val rev = revRaw.map(_ + 0.5)
+            val cnt = cntRaw.map(_ + 0.25)
+            val full = FameSession.run(script,
+              frame(dates, "REV" -> rev, "CNT" -> cnt)).df
+            val series = full.columns.filter(_.startsWith("V"))
+            def byDate(df: org.apache.spark.sql.DataFrame,
+                keep: Set[String]): Map[String, Seq[Option[Long]]] =
+              df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+                .orderBy("DATE")
+                .select(series.map(col).toIndexedSeq: _*).collect().toSeq
+                .map(r => series.indices.map(j =>
+                  bits(if (r.isNullAt(j)) None else Some(r.getDouble(j)))))
+                .transpose match {
+                  case cols => series.zip(
+                    if (cols.isEmpty) series.map(_ => Seq.empty[Option[Long]])
+                    else cols).toMap
+                }
+            var carried = Seq.empty[Int]
+            var emitted = Set.empty[Int]
+            Seq(0 until 3, 3 until 6, 6 until 9).foreach { idx =>
+              val workIdx = carried ++ idx
+              val work = FameSession.run(script,
+                frame(workIdx.map(dates),
+                  "REV" -> workIdx.map(rev), "CNT" -> workIdx.map(cnt))).df
+              // emit: not yet emitted, and ≥ led rows after it in frame
+              val emitIdx = workIdx.zipWithIndex.collect {
+                case (gi, pos) if workIdx.size - pos > led &&
+                  !emitted.contains(gi) => gi
+              }
+              val emitDates = emitIdx.map(dates).toSet
+              assert(byDate(work, emitDates) == byDate(full, emitDates),
+                s"hold-back batch $idx diverged (lead=$led, lag=$lag):\n" +
+                  script)
+              emitted ++= emitIdx
+              carried = workIdx.takeRight(lag + led)
+            }
+            // after all batches exactly the newest `led` rows pend
+            assert(emitted == (0 until 9 - led).toSet,
+              s"emitted $emitted with lead=$led:\n$script")
+        }
+    }
+    assert(rights >= 40, s"only $rights accepted scripts generated")
+    assert(leadRights >= 15,
+      s"only $leadRights accepted LEAD-bearing scripts generated")
+    assert(lefts >= 10, s"only $lefts refused scripts generated")
+  }
 }

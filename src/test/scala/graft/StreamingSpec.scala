@@ -1683,6 +1683,94 @@ class StreamingSpec extends SparkSpec {
       "freq m\ndate * to 1995-05-01\nx = rev / rev[\"1995-03-01\"]",
       inputColumns = cols)
     assert(l3.isLeft, l3.toString)
+    // the lead-aware sibling ACCEPTS the counterexample shape with its
+    // bounded forward reach — runIncremental resolves it by HOLD-BACK
+    // emission (the next test), not by a longer tail: b's physical
+    // lead(a, 1) needs the next row to have ARRIVED, so emission waits
+    // for it. Global lag is a's own 3, not b's net 2.
+    assert(graft.streaming.FameStream.incrementalReach(script)
+      == Right((1, 3)))
+    // where hold-back cannot help, the lead-aware walker still refuses:
+    // unbounded constructs (open masks, whole-series over unbounded
+    // support) have no finite (lead, lag) either
+    assert(graft.streaming.FameStream.incrementalReach(
+      "freq m\ndate 1995-02-01 to *\nx = rev / rev[\"1995-01-01\"]",
+      inputColumns = cols).isLeft)
+    assert(graft.streaming.FameStream.incrementalReach(
+      "x = ave(rev)", inputColumns = cols).isLeft)
+  }
+
+  test("hold-back incremental (r16): lead scripts stream through " +
+      "runIncremental — emitted rows are bit-equal to the whole-history " +
+      "run, each key's newest maxLead rows stay PENDING until their " +
+      "lookahead arrives") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("fameholdb").toString
+    // forward reach 2 (nxt2 = a[t+2] reads rev[t+1] through the NEXT
+    // TWO physical rows — the frontier counterexample shape, now
+    // accepted), backward reach 1 (mom; a): (maxLead, maxLag) = (2, 1)
+    val script =
+      """freq m
+        |mom = pct(rev)
+        |fchg = (rev[t+1] - rev) / rev * 100
+        |a = rev[t-1]
+        |nxt2 = a[t+2]""".stripMargin
+    assert(graft.streaming.FameStream.incrementalEligibility(script).isLeft)
+    assert(graft.streaming.FameStream.incrementalReach(script)
+      == Right((2, 1)))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dates = (1 to 6).map(m => f"1995-0$m-01")
+    val revA = Seq(10.0, 12.0, 9.0, 11.0, 7.0, 8.0)
+    val revB = Seq(20.0, 18.0, 22.0, 25.0, 21.0, 19.0)
+    def rows(idx: Range) =
+      idx.map(i => ("A", d(dates(i)), revA(i))) ++
+        idx.map(i => ("B", d(dates(i)), revB(i)))
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = graft.streaming.FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try Seq(0 until 2, 2 until 4, 4 until 6).foreach { idx =>
+      src.addData(rows(idx): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "FCHG", "A", "NXT2")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 5).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    // emitted = whole-history run MINUS each key's newest 2 rows (their
+    // forward reads are not final); the boundary-crossing lead cells
+    // (Feb's fchg needs March — delivered one batch LATER; April's nxt2
+    // needs May — two batches later) must be real values, bit-equal
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 6).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df
+    val want = cells(full.where(col("DATE") <= lit(d(dates(3)))))
+    assert(got == want)
+    assert(got.size == 8, s"unexpected emitted shape: $got")
+    // Feb fchg = (Mar − Feb)/Feb: a forward read across the batch edge
+    val febA = got.find(c => c._1 == "A" && c._2 == "1995-02-01").get
+    assert(febA._3(1).map(java.lang.Double.longBitsToDouble)
+      == Some((9.0 - 12.0) / 12.0 * 100))
+    // batch 0 emitted NOTHING (2 rows/key < maxLead+1); batches 1 and 2
+    // each released the 2 rows/key whose lookahead completed
+    val perBatch = spark.read.parquet(s"$base/result")
+      .groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(1L -> 4L, 2L -> 4L), perBatch.toString)
+    // the carry holds maxLag+maxLead = 3 rows per key, flagged: after
+    // batch 2 each key carries Apr (emitted) + May/Jun (pending)
+    val carry = spark.read.parquet(s"$base/bronze/_tail/v=2")
+    assert(carry.count() == 6)
+    val pend = carry.where(!col("__EMITTED"))
+      .select("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(pend == Set("A" -> "1995-05-01", "A" -> "1995-06-01",
+      "B" -> "1995-05-01", "B" -> "1995-06-01"))
   }
 
   test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
