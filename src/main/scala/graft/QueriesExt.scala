@@ -4638,6 +4638,47 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // PINNED incremental FAME (r16): the OPEN-ENDED-mask production
+    // shape — rebase every row from 1995 ONWARD, FOREVER, against a
+    // fixed 1994 level. No closed horizon bounds the backward distance
+    // (the stream keeps arriving arbitrarily far after the 1994
+    // targets), so tail-reach analysis refuses; incrementalPlan instead
+    // PINS the read-target windows (base's 1994-H1 support; the June
+    // 1994 lookup row) in the versioned carry, where they persist for
+    // the stream's lifetime per key. maxLead = 0 → output contract
+    // identical to the snapshot (every row emits on arrival), which is
+    // why FameStream.run(Auto) also routes this shape incrementally.
+    // The last file chunk's rows rebase against targets delivered two
+    // chunks earlier — beyond the 1-row tail; the pins carry them.
+    "q217_fame_incremental_pinned" -> ((s, dir) => {
+      val base = scratch("q217")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = fameKeyedStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |growth = pct(rev)
+          |set <date 1994-01-01 to 1994-06-01> base = rev
+          |set <date 1995-01-01 to *> idx = rev / lastvalue(base) * 100
+          |set <date 1995-03-01 to *> rel = rev / rev["1994-06-01"] * 100""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), col("GROWTH").as("growth"),
+          col("BASE").as("base"), col("IDX").as("idx"),
+          col("REL").as("rel"))
+        .orderBy("nation", "date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10094,6 +10135,35 @@ object QueriesExt {
          |)
          |SELECT nation, date, rev, mom, nxt, fchg, gap2
          |FROM r WHERE rn > 2 ORDER BY nation, date""".stripMargin,
+
+    // whole-history replay of the PINNED run: maxLead = 0 so every row
+    // is emitted — full-frame parity; the open-ended masks are plain
+    // date >= A cases, idx/rel rebase against per-nation 1994 targets
+    // (arg_max / the June row), identical double op order
+    "q217_fame_incremental_pinned" ->
+      s"""${QueriesCore.monthlyByNationSql},
+         |b AS (
+         |  SELECT nation, arg_max(rev, date) AS base_last
+         |  FROM m
+         |  WHERE date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  GROUP BY 1
+         |),
+         |j AS (
+         |  SELECT nation, rev AS rev0 FROM m
+         |  WHERE date = DATE '1994-06-01'
+         |)
+         |SELECT m.nation, m.date, m.rev,
+         |  (m.rev - lag(m.rev, 1) OVER w) / lag(m.rev, 1) OVER w * 100
+         |    AS growth,
+         |  CASE WHEN m.date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |       THEN m.rev END AS base,
+         |  CASE WHEN m.date >= DATE '1995-01-01'
+         |       THEN m.rev / b.base_last * 100 END AS idx,
+         |  CASE WHEN m.date >= DATE '1995-03-01'
+         |       THEN m.rev / j.rev0 * 100 END AS rel
+         |FROM m LEFT JOIN b USING (nation) LEFT JOIN j USING (nation)
+         |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
+         |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

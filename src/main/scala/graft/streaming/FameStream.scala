@@ -58,7 +58,10 @@ object FameStream {
     * until their lookahead arrives, while the snapshot emits them
     * immediately with null leads — a different output contract, so
     * `Auto` deliberately keeps routing lead scripts to the snapshot
-    * rather than silently trimming the frontier rows.
+    * rather than silently trimming the frontier rows. PIN-bearing
+    * lead-free scripts (open-ended-mask fixed reads —
+    * [[incrementalPlan]]) emit exactly what the snapshot would, so
+    * `Auto` does route them incrementally.
     */
   sealed trait Mode
   case object Auto        extends Mode
@@ -101,8 +104,13 @@ object FameStream {
       case Incremental => true
       case Snapshot    => false
       case Auto        =>
-        incrementalEligibility(script, partitionKeys.nonEmpty,
-          Some(stream.columns.toSet)).isRight
+        // pin-bearing lead-FREE scripts emit exactly what the snapshot
+        // emits (pins change the carry, not the output), so Auto routes
+        // them incrementally; lead scripts (maxLead > 0) WITHHOLD the
+        // frontier rows — a different output contract — so Auto keeps
+        // them on the snapshot path unless the caller opts in
+        incrementalPlan(script, partitionKeys.nonEmpty,
+          Some(stream.columns.toSet)).exists(_.maxLead == 0)
     }
     if (incremental)
       return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
@@ -199,7 +207,20 @@ object FameStream {
       partitioned: Boolean = false,
       inputColumns: Option[Set[String]] = None): Either[String, Int] =
     reachAnalysis(script, partitioned, inputColumns,
-      allowLeads = false).map(_._2)
+      allowLeads = false, allowPins = false).map(_.maxLag)
+
+  /** What [[runIncremental]] needs to evaluate an eligible script:
+    * carry the last `maxLag + maxLead` input rows per key, emit a row
+    * once `maxLead` rows after it have arrived, and keep every input
+    * row whose date falls in a `pins` window in the carry PERMANENTLY
+    * (per key, flagged emitted) — those windows hold the fixed targets
+    * of open-ended-mask reads (`set <date A to *> x = … v["d"] …`,
+    * whole-series over bounded support), whose values are constants
+    * once their rows arrive but sit arbitrarily far behind the
+    * frontier, beyond any bounded tail.
+    */
+  final case class IncrementalPlan(maxLead: Int, maxLag: Int,
+      pins: Seq[(java.time.LocalDate, java.time.LocalDate)])
 
   /** Lead-aware sibling of [[incrementalEligibility]]: returns
     * `Right((maxLead, maxLag))` for scripts whose every statement has
@@ -223,12 +244,32 @@ object FameStream {
       partitioned: Boolean = false,
       inputColumns: Option[Set[String]] = None)
       : Either[String, (Int, Int)] =
-    reachAnalysis(script, partitioned, inputColumns, allowLeads = true)
+    reachAnalysis(script, partitioned, inputColumns, allowLeads = true,
+      allowPins = false).map(p => (p.maxLead, p.maxLag))
+
+  /** The widest analysis — leads AND pins allowed — feeding
+    * [[runIncremental]]. Accepts everything [[incrementalReach]] does,
+    * plus fixed-date lookups / bounded-support whole-series reads under
+    * an OPEN-ENDED mask (`set <date A to *>` with the read target
+    * entirely before A): those contribute no tail reach — the read
+    * target is a constant once arrived — and instead register a pin
+    * window the executor carries permanently. Open-START masks and
+    * plain assigns stay refused: their affected rows include rows
+    * BEFORE the read target, which would be emitted before the target
+    * arrives (a forward read no carry can satisfy).
+    */
+  def incrementalPlan(script: String,
+      partitioned: Boolean = false,
+      inputColumns: Option[Set[String]] = None)
+      : Either[String, IncrementalPlan] =
+    reachAnalysis(script, partitioned, inputColumns, allowLeads = true,
+      allowPins = true)
 
   private def reachAnalysis(script: String,
       partitioned: Boolean,
       inputColumns: Option[Set[String]],
-      allowLeads: Boolean): Either[String, (Int, Int)] = {
+      allowLeads: Boolean,
+      allowPins: Boolean): Either[String, IncrementalPlan] = {
     import java.time.LocalDate
     import FameExpr._
     import FameStmt._
@@ -281,10 +322,41 @@ object FameStream {
       }
     }
 
-    // the statement's lookup horizon: Some((latestAllowedLookupDate,
-    // lastAffectedRowDate, freq)) when every row the statement writes
-    // has a known last date; None = lookups unbounded here
-    type Look = Option[(LocalDate, LocalDate, Frequency)]
+    // the statement's write horizon: `latest` = the earliest affected
+    // date (a lookup dated ≤ latest is a backward read for EVERY
+    // affected row); `end` = Some(lastAffectedRowDate) when the affected
+    // range is CLOSED (bounded tail reach), None when OPEN-ENDED
+    // (`set <date A to *>`) — there a fixed-date read has no finite
+    // tail distance, but its target rows are a CONSTANT once arrived,
+    // so under `allowPins` the executor keeps them in the carry
+    // permanently (a PIN) instead of reaching through the tail.
+    // None (no horizon at all / open-START) = lookups unbounded here.
+    final case class Horizon(latest: LocalDate, end: Option[LocalDate],
+        f: Frequency)
+    type Look = Option[Horizon]
+    // pinned date windows accumulated by accepted open-ended reads;
+    // discarded with the Left on any later refusal (the fold aborts)
+    val pins = scala.collection.mutable.ListBuffer
+      .empty[(LocalDate, LocalDate)]
+    // date ≥/≤ the one n periods after/before d — over-wide on purpose
+    // (a wider pin window only carries extra rows, never corrupts)
+    def plusP(dte: LocalDate, n: Int, f: Frequency): LocalDate = f match {
+      case Frequency.Monthly   => dte.plusMonths(n.toLong)
+      case Frequency.Quarterly => dte.plusMonths(3L * n)
+      case Frequency.Annual    => dte.plusYears(n.toLong)
+      case Frequency.Weekly(_) => dte.plusWeeks(n.toLong)
+      case Frequency.Daily     => dte.plusDays(n.toLong)
+      case Frequency.Business  => dte.plusDays(2L * n + 3)
+    }
+    def minusP(dte: LocalDate, n: Int, f: Frequency): LocalDate =
+      f match {
+        case Frequency.Monthly   => dte.minusMonths(n.toLong)
+        case Frequency.Quarterly => dte.minusMonths(3L * n)
+        case Frequency.Annual    => dte.minusYears(n.toLong)
+        case Frequency.Weekly(_) => dte.minusWeeks(n.toLong)
+        case Frequency.Daily     => dte.minusDays(n.toLong)
+        case Frequency.Business  => dte.minusDays(2L * n + 3)
+      }
 
     // Support interval of an expression: Some((a, b)) proves the
     // compiled column is null at every row outside [a, b]. STRICT
@@ -386,14 +458,26 @@ object FameStream {
           : Either[String, (Int, Int)] = look match {
         case None => Left(s"history lookup $shown (bounded only inside a " +
           "closed date mask or point-in-time assign)")
-        case Some((latest, horizon, f)) =>
+        case Some(Horizon(latest, endOpt, f)) =>
           if (d.isAfter(latest))
             Left(s"history lookup $shown dated after the statement's " +
               "mask start — a forward read for masked rows")
-          else {
-            // s's value AT date d carries s's own recorded lag behind d
-            val lg = env.getOrElse(s, (0, 0))._2
-            Right((0, lg + periods(f, d, horizon)))
+          else endOpt match {
+            case Some(horizon) =>
+              // s's value AT date d carries s's own recorded lag behind d
+              val lg = env.getOrElse(s, (0, 0))._2
+              Right((0, lg + periods(f, d, horizon)))
+            case None if allowPins =>
+              // open-ended horizon: the read target is FIXED — pin the
+              // rows s@d computes from (s's own recorded interval
+              // around d) and contribute no tail reach
+              val (ld, lg) = env.getOrElse(s, (0, 0))
+              pins += ((minusP(d, lg, f), plusP(d, ld, f)))
+              Right((0, 0))
+            case None => Left(s"history lookup $shown under an " +
+              "open-ended mask (bounded only inside a closed date mask " +
+              "or point-in-time assign; the incremental executor " +
+              "evaluates it via pinned rows)")
           }
       }
       e match {
@@ -460,7 +544,7 @@ object FameStream {
           // counts (r16 widening; keyed parity in StreamingSpec /
           // IncrementalPropertySpec).
           case "ave" | "firstvalue" | "lastvalue" => look match {
-            case Some((latest, horizon, f)) =>
+            case Some(Horizon(latest, endOpt, f)) =>
               exprSupport(args.head, supports, f) match {
                 case Some((supStart, supEnd)) =>
                   if (supEnd.isAfter(latest))
@@ -472,8 +556,21 @@ object FameStream {
                       // the aggregated rows read their OWN inputs: the
                       // argument's relative lag rides on top of the
                       // support-to-horizon distance
-                      case (0, lg) =>
-                        Right((0, lg + periods(f, supStart, horizon)))
+                      case (0, lg) => endOpt match {
+                        case Some(horizon) =>
+                          Right((0, lg + periods(f, supStart, horizon)))
+                        case None if allowPins =>
+                          // open-ended horizon: the aggregate over the
+                          // bounded support is a CONSTANT once every
+                          // support row (plus its own lag window) has
+                          // arrived — pin that window, no tail reach
+                          pins += ((minusP(supStart, lg, f), supEnd))
+                          Right((0, 0))
+                        case None => Left(s"whole-series $name under " +
+                          "an open-ended horizon (closed horizon " +
+                          "required; the incremental executor evaluates " +
+                          "it via pinned rows)")
+                      }
                       case (ld, _) =>
                         Left(s"lead +$ld inside whole-series $name")
                     }
@@ -500,13 +597,22 @@ object FameStream {
             else look match {
               // per-key windows make the bounded-support argument hold
               // under partitioned execution too (see ave above)
-              case Some((latest, horizon, f)) =>
+              case Some(Horizon(latest, endOpt, f)) =>
                 exprSupport(args.head, supports, f) match {
                   case Some((supStart, supEnd))
                       if !supEnd.isAfter(latest) =>
                     reach(args.head, env, look, sdates, supports).flatMap {
-                      case (0, lg) =>
-                        Right((0, lg + periods(f, supStart, horizon)))
+                      case (0, lg) => endOpt match {
+                        case Some(horizon) =>
+                          Right((0, lg + periods(f, supStart, horizon)))
+                        case None if allowPins =>
+                          pins += ((minusP(supStart, lg, f), supEnd))
+                          Right((0, 0))
+                        case None => Left("whole-series dateof under " +
+                          "an open-ended horizon (closed horizon " +
+                          "required; the incremental executor evaluates " +
+                          "it via pinned rows)")
+                      }
                       case (ld, _) =>
                         Left(s"lead +$ld inside dateof")
                     }
@@ -563,8 +669,13 @@ object FameStream {
     def maskLook(st: St, inline: Option[DateFilter]): Look =
       for {
         df <- inline.orElse(st.filter)
-        a <- df.start; b <- df.end; f <- st.freq
-      } yield if (a.isAfter(b)) (b, a, f) else (a, b, f)
+        a <- df.start; f <- st.freq   // open-START: no horizon at all
+      } yield df.end match {
+        case Some(b) =>
+          if (a.isAfter(b)) Horizon(b, Some(a), f)
+          else Horizon(a, Some(b), f)
+        case None => Horizon(a, None, f)
+      }
 
     stmts.foldLeft[Either[String, St]](
       Right(St(0, 0, Map.empty, Map.empty, None, None, Map.empty,
@@ -611,11 +722,11 @@ object FameStream {
             val look = maskLook(st, inline)
             accept(target, reach(e, st.env, look, st.sdates, st.supports))
               .map(updSupport(_, target,
-                look.map { case (a, b, _) => (a, b) }))
+                look.flatMap(h => h.end.map(b => (h.latest, b)))))
           case PointInTime(target, dte, e) =>
             accept(target,
-              reach(e, st.env, st.freq.map(f => (dte, dte, f)), st.sdates,
-                st.supports))
+              reach(e, st.env, st.freq.map(f => Horizon(dte, Some(dte), f)),
+                st.sdates, st.supports))
               .map(updSupport(_, target, Some((dte, dte))))
           case ScalarAssign(n, e) =>
             // A non-date reassign must INVALIDATE any earlier make(...)
@@ -638,7 +749,7 @@ object FameStream {
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }.map(st => (st.lead, st.lag))
+    }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList))
   }
 
   /** Incremental micro-batched FAME for the bounded-reach script subset
@@ -688,12 +799,13 @@ object FameStream {
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       checkpointDir: Option[String] = None): StreamingQuery = {
-    val (maxLead, maxLag) = incrementalReach(script, partitionKeys.nonEmpty,
+    val plan = incrementalPlan(script, partitionKeys.nonEmpty,
         Some(stream.columns.toSet)) match {
       case Left(reason) => throw new IllegalArgumentException(
         s"script not incrementally evaluable: $reason (use FameStream.run)")
-      case Right(r) => r
+      case Right(p) => p
     }
+    val (maxLead, maxLag) = (plan.maxLead, plan.maxLag)
     val carrySize = maxLag + maxLead
     val spark = stream.sparkSession
     val cols = stream.columns.toIndexedSeq
@@ -773,11 +885,18 @@ object FameStream {
         .drop("__EMITTED", "__HOLD")
         .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
       // next carry: last maxLag+maxLead INPUT rows per key of
-      // carry ∪ batch, each flagged with whether it has been emitted
+      // carry ∪ batch, each flagged with whether it has been emitted —
+      // PLUS every row in a pinned window (the fixed targets of
+      // open-ended-mask reads; once a pinned row lands in the carry it
+      // stays there for the stream's lifetime, for every key)
+      val pinned: Column = plan.pins
+        .map { case (a, b) => col(dateU).between(
+          lit(java.sql.Date.valueOf(a)), lit(java.sql.Date.valueOf(b))) }
+        .reduceOption(_ || _).getOrElse(lit(false))
       work.withColumn("__EMITTED", col("__EMITTED") || !col("__HOLD"))
         .drop("__HOLD")
         .withColumn("__RN", row_number().over(ord))
-        .where(col("__RN") <= carrySize).drop("__RN")
+        .where(col("__RN") <= carrySize || pinned).drop("__RN")
         .write.mode("overwrite")
         .parquet(s"$bronzeDir/_tail/v=$batchId")
       ()

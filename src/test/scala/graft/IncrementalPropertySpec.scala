@@ -621,4 +621,134 @@ class IncrementalPropertySpec extends SparkSpec {
       s"only $leadRights accepted LEAD-bearing scripts generated")
     assert(lefts >= 10, s"only $lefts refused scripts generated")
   }
+
+  /** Pin-arm generator (r16 open-ended-mask widening): one closed-mask
+    * bounded-support statement, then 1–3 OPEN-ENDED-mask statements
+    * whose exprs mix lags, fixed-date lookups dated ≤ the mask start
+    * (of the input AND of the lagged derived series — the pin window
+    * must widen by the read series' own lag), and whole-series over
+    * the support. Carries the independently-computed expectation:
+    * (maxLag, pins in statement/site order, month arithmetic).
+    */
+  private val genPinScript
+      : Gen[(String, Int, List[(Int, Int)])] = {
+    def mdate(m: Int): String =
+      if (m >= 1) f"1995-$m%02d-01" else f"1994-${12 + m}%02d-01"
+    for {
+      j <- Gen.oneOf(0, 1)            // m1's own lag
+      s1 <- Gen.choose(1, 3)
+      s2 <- Gen.choose(s1, 4)
+      nOpen <- Gen.choose(1, 3)
+      terms <- Gen.listOfN(nOpen, for {
+        lo <- Gen.choose(s2, 9)
+        kind1 <- Gen.choose(0, 3)
+        kind2 <- Gen.choose(0, 3)
+        mm1 <- Gen.choose(1, lo)
+        mm2 <- Gen.choose(1, lo)
+        k <- Gen.choose(1, 2)
+        ws <- Gen.oneOf("ave", "firstvalue", "lastvalue")
+        inline <- Gen.oneOf(true, false)
+      } yield (lo, Seq((kind1, mm1), (kind2, mm2)), k, ws, inline))
+    } yield {
+      val m1rhs = if (j == 0) "rev" else s"rev[t-$j]"
+      val header = List("freq m",
+        f"set <date ${mdate(s1)} to ${mdate(s2)}> m1 = $m1rhs")
+      var lag = j                      // m1's statement records lag j
+      val pins = List.newBuilder[(Int, Int)]
+      val body = terms.zipWithIndex.map {
+        case ((lo, kinds, k, ws, inline), i) =>
+          val txt = kinds.map {
+            case (0, _) =>             // plain lag
+              lag = math.max(lag, k); s"pct((abs(rev) + 2), $k)"
+            case (1, mm) =>            // input lookup: pin (mm, mm)
+              pins += ((mm, mm)); f"""rev["${mdate(mm)}"]"""
+            case (2, mm) =>            // derived lookup: pin (mm-j, mm)
+              pins += ((mm - j, mm)); f"""m1["${mdate(mm)}"]"""
+            case _ =>                  // whole-series: pin (s1-j, s2)
+              pins += ((s1 - j, s2)); s"$ws(m1)"
+          }.mkString("(", " + ", ")")
+          if (inline)
+            List(s"set <date ${mdate(lo)} to *> v${i + 1} = $txt")
+          else List(s"date ${mdate(lo)} to *", s"v${i + 1} = $txt",
+            "date *")
+      }
+      ((header ++ body.flatten).mkString("\n"), lag, pins.result())
+    }
+  }
+
+  test("pin-aware plan (r16 open-ended masks): generated pin scripts " +
+      "match the independent (maxLag, pins) algebra, and the pinned " +
+      "work frame is batch-equivalent on EVERY row across 3 batches — " +
+      "reads land on targets beyond any tail") {
+    import org.apache.spark.sql.functions.col
+    import java.time.LocalDate
+    val dates = (1 to 9).map(m => f"1995-$m%02d-01")
+    var withDerivedLookup = 0
+    var withWholeSeries = 0
+    forAllN(Gen.zip(genPinScript,
+      Gen.listOfN(9, Gen.choose(1, 50)),
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 80) {
+      case ((script, lag, pinMonths), revRaw, cntRaw) =>
+        if (script.contains("m1[\"")) withDerivedLookup += 1
+        if (Seq("ave(m1)", "firstvalue(m1)", "lastvalue(m1)")
+            .exists(script.contains)) withWholeSeries += 1
+        val wantPins = pinMonths.map { case (a, b) =>
+          (LocalDate.of(1995, 1, 1).plusMonths(a - 1L),
+            LocalDate.of(1995, 1, 1).plusMonths(b - 1L))
+        }
+        // the tail-reach walkers refuse any pin-requiring script
+        // (a draw with only plain lags under the open mask is
+        // legitimately tail-eligible — no fixed reads, no pins)
+        if (wantPins.nonEmpty)
+          assert(FameStream.incrementalReach(script,
+            inputColumns = Some(Set("REV", "CNT"))).isLeft, script)
+        val got = FameStream.incrementalPlan(script,
+          inputColumns = Some(Set("REV", "CNT")))
+        assert(got == Right(FameStream.IncrementalPlan(0, lag, wantPins)),
+          s"plan said $got, independent algebra " +
+            s"(0, $lag, $wantPins):\n$script")
+        // ground truth: runIncremental's pin-aware carry — last maxLag
+        // rows PLUS every arrived pinned row — is batch-equivalent on
+        // every batch row (maxLead = 0: all rows emit on arrival)
+        val rev = revRaw.map(_ + 0.5)
+        val cnt = cntRaw.map(_ + 0.25)
+        val full = FameSession.run(script,
+          frame(dates, "REV" -> rev, "CNT" -> cnt)).df
+        val series = full.columns.filter(c =>
+          c.startsWith("V") || c == "M1")
+        def byDate(df: org.apache.spark.sql.DataFrame,
+            keep: Set[String]): Map[String, Seq[Option[Long]]] =
+          df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+            .orderBy("DATE")
+            .select(series.map(col).toIndexedSeq: _*).collect().toSeq
+            .map(r => series.indices.map(j =>
+              bits(if (r.isNullAt(j)) None else Some(r.getDouble(j)))))
+            .transpose match {
+              case cols => series.zip(
+                if (cols.isEmpty) series.map(_ => Seq.empty[Option[Long]])
+                else cols).toMap
+            }
+        def pinnedIdx(i: Int): Boolean = {
+          val dt = LocalDate.parse(dates(i))
+          wantPins.exists { case (a, b) => !dt.isBefore(a) && !dt.isAfter(b) }
+        }
+        var carried = Seq.empty[Int]
+        Seq(0 until 3, 3 until 6, 6 until 9).foreach { idx =>
+          val workIdx = (carried ++ idx).distinct.sorted
+          val work = FameSession.run(script,
+            frame(workIdx.map(dates),
+              "REV" -> workIdx.map(rev), "CNT" -> workIdx.map(cnt))).df
+          val batchDates = idx.map(dates).toSet
+          assert(byDate(work, batchDates) == byDate(full, batchDates),
+            s"pinned batch $idx diverged (lag=$lag pins=$wantPins):\n" +
+              script)
+          carried = (workIdx.takeRight(lag) ++ workIdx.filter(pinnedIdx))
+            .distinct.sorted
+        }
+    }
+    assert(withDerivedLookup >= 10,
+      s"only $withDerivedLookup scripts look up the LAGGED derived series")
+    assert(withWholeSeries >= 10,
+      s"only $withWholeSeries scripts aggregate the bounded support")
+  }
 }

@@ -1773,6 +1773,85 @@ class StreamingSpec extends SparkSpec {
       "B" -> "1995-05-01", "B" -> "1995-06-01"))
   }
 
+  test("pinned incremental (r16): OPEN-ENDED-mask fixed reads stream " +
+      "through runIncremental — the read-target rows persist in the " +
+      "carry beyond any tail, outputs bit-equal the whole-history run " +
+      "on EVERY row") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val base = java.nio.file.Files.createTempDirectory("famepin").toString
+    // `set <date A to *>` — the natural production shape (rebase from A
+    // onward, forever): no closed horizon bounds the backward distance
+    // (rows keep arriving arbitrarily far after the read target), so
+    // the tail-reach walkers refuse; the PLAN pins the target windows —
+    // ave(base)'s support and the Jan lookup row — which are constants
+    // once arrived
+    val script =
+      """freq m
+        |mom = pct(rev)
+        |set <date 1994-02-01 to 1994-03-01> base = rev
+        |set <date 1994-06-01 to *> idx = rev / ave(base) * 100
+        |set <date 1994-07-01 to *> rel = rev / rev["1994-01-01"] * 100
+        |set <date 1994-08-01 to *> dd = dateof(base, *, contain, end)""".stripMargin
+    val cols = Some(Set("DATE", "K", "REV"))
+    assert(FameStream.incrementalEligibility(script, partitioned = true,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalReach(script, partitioned = true,
+      inputColumns = cols).isLeft)
+    import java.time.LocalDate
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols) == Right(FameStream.IncrementalPlan(0, 1, Seq(
+        (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01")),
+        (LocalDate.parse("1994-01-01"), LocalDate.parse("1994-01-01")),
+        (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01"))))))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dates = (1 to 12).map(m => f"1994-$m%02d-01")
+    val revA = Seq(10.0, 12.0, 9.0, 11.0, 7.0, 8.0, 13.0, 6.0, 15.0,
+      5.0, 14.0, 4.0)
+    val revB = Seq(20.0, 18.0, 22.0, 25.0, 21.0, 19.0, 24.0, 17.0, 23.0,
+      26.0, 16.0, 27.0)
+    def rows(idx: Range) =
+      idx.map(i => ("A", d(dates(i)), revA(i))) ++
+        idx.map(i => ("B", d(dates(i)), revB(i)))
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try Seq(0 until 4, 4 until 8, 8 until 12).foreach { idx =>
+      src.addData(rows(idx): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("K"), col("DATE"), col("MOM"), col("BASE"),
+        col("IDX"), col("REL"), col("DD").cast("string"))
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 5).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j)))),
+        if (r.isNullAt(6)) null else r.getString(6)))
+      .toSeq
+    // maxLead = 0: every row emits the batch it arrives — output parity
+    // on ALL 24 rows, incl. the batch-2 rows whose idx/rel read Jan-Mar
+    // targets delivered TWO batches earlier (a 1-row tail could never
+    // carry them; the pins did)
+    val got = cells(spark.read.parquet(s"$base/result"))
+    val want = cells(graft.api.FameSession.run(script,
+      rows(0 until 12).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df)
+    assert(got == want)
+    assert(got.size == 24)
+    // the carry after batch 2 holds the 1-row tail (Dec) PLUS the three
+    // pinned rows (Jan, Feb, Mar) per key, all flagged emitted
+    val carry = spark.read.parquet(s"$base/bronze/_tail/v=2")
+    val byKey = carry.select("K", "DATE", "__EMITTED").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getBoolean(2)))
+      .toSet
+    assert(byKey == Set("A", "B").flatMap(k => Set(
+      (k, "1994-01-01", true), (k, "1994-02-01", true),
+      (k, "1994-03-01", true), (k, "1994-12-01", true))))
+  }
+
   test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
       "support whole-series over per-key carried tails are batch-" +
       "equivalent across 3 batches, incl. a key appearing mid-stream") {
