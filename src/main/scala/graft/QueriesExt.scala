@@ -4546,10 +4546,14 @@ object QueriesExt {
     // tails, per-key late-row enforcement, and a whole-series
     // `lastvalue` over a bounded-support masked series now accepted
     // under partitioned execution (the executor's windows partition by
-    // the keys, so each nation's 1994-H1 base level is its OWN, not a
+    // the keys, so each nation's 1995-H1 base level is its OWN, not a
     // frame literal). lastvalue (not ave) keeps the oracle arithmetic-
     // free: arg_max replays it bit-exactly with no summation-order
-    // hazard. maxLag = periods(1994-01 → 1996-12) = 35 rows per key.
+    // hazard. maxLag = periods(1995-01 → 1997-12) = 35 rows per key.
+    // (r16 date audit: the monthly frame spans 1995-01..2001-08 at
+    // every SF — the original 1994 base window matched NO rows, so
+    // base/idx were vacuously null on both engine and oracle. The
+    // windows now sit inside the data so the gate checks real values.)
     "q214_fame_incremental_keyed" -> ((s, dir) => {
       val base = scratch("q214")
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -4565,8 +4569,8 @@ object QueriesExt {
         """freq m
           |growth = pct(rev)
           |d2 = rev - rev[t-2]
-          |set <date 1994-01-01 to 1994-06-01> base = rev
-          |set <date 1995-01-01 to 1996-12-01> idx = rev / lastvalue(base) * 100""".stripMargin,
+          |set <date 1995-01-01 to 1995-06-01> base = rev
+          |set <date 1996-01-01 to 1997-12-01> idx = rev / lastvalue(base) * 100""".stripMargin,
         s"$base/bronze", s"$base/result",
         partitionKeys = Seq("NATION"),
         checkpointDir = Some(s"$base/ckpt"))
@@ -4582,7 +4586,7 @@ object QueriesExt {
     // Per-key fixed-date lookup through the SQL surface (r16): the
     // whole statement — fame_run TVF, partitioned execution, and the
     // per-key lookup-column materialization — runs as ONE spark.sql.
-    // Each nation rebases against ITS OWN June-1994 level; before the
+    // Each nation rebases against ITS OWN June-1995 level; before the
     // r16 materialization the executor inlined a single frame-global
     // limit(1) literal and every nation silently rebased against an
     // arbitrary one's value. Oracle: per-nation join on the date row.
@@ -4593,7 +4597,7 @@ object QueriesExt {
         """SELECT NATION AS nation, DATE AS date, REV AS rev,
           |  REL AS rel, D AS d
           |FROM fame_run(
-          |  'freq m\nrel = rev / rev["1994-06-01"] * 100\nd = diff(rel)',
+          |  'freq m\nrel = rev / rev["1995-06-01"] * 100\nd = diff(rel)',
           |  'q215_m', 'NATION')
           |ORDER BY nation, date""".stripMargin)
     }),
@@ -4639,12 +4643,12 @@ object QueriesExt {
     }),
 
     // PINNED incremental FAME (r16): the OPEN-ENDED-mask production
-    // shape — rebase every row from 1995 ONWARD, FOREVER, against a
-    // fixed 1994 level. No closed horizon bounds the backward distance
-    // (the stream keeps arriving arbitrarily far after the 1994
+    // shape — rebase every row from 1996 ONWARD, FOREVER, against a
+    // fixed 1995 level. No closed horizon bounds the backward distance
+    // (the stream keeps arriving arbitrarily far after the 1995
     // targets), so tail-reach analysis refuses; incrementalPlan instead
-    // PINS the read-target windows (base's 1994-H1 support; the June
-    // 1994 lookup row) in the versioned carry, where they persist for
+    // PINS the read-target windows (base's 1995-H1 support; the June
+    // 1995 lookup row) in the versioned carry, where they persist for
     // the stream's lifetime per key. maxLead = 0 → output contract
     // identical to the snapshot (every row emits on arrival), which is
     // why FameStream.run(Auto) also routes this shape incrementally.
@@ -4664,9 +4668,9 @@ object QueriesExt {
       val q = graft.streaming.FameStream.runIncremental(stream,
         """freq m
           |growth = pct(rev)
-          |set <date 1994-01-01 to 1994-06-01> base = rev
-          |set <date 1995-01-01 to *> idx = rev / lastvalue(base) * 100
-          |set <date 1995-03-01 to *> rel = rev / rev["1994-06-01"] * 100""".stripMargin,
+          |set <date 1995-01-01 to 1995-06-01> base = rev
+          |set <date 1996-01-01 to *> idx = rev / lastvalue(base) * 100
+          |set <date 1996-03-01 to *> rel = rev / rev["1995-06-01"] * 100""".stripMargin,
         s"$base/bronze", s"$base/result",
         partitionKeys = Seq("NATION"),
         checkpointDir = Some(s"$base/ckpt"))
@@ -10076,36 +10080,36 @@ object QueriesExt {
 
     // whole-history replay of the KEYED incremental run: per-nation
     // windows, and the masked whole-series lastvalue(base) is each
-    // nation's latest 1994-H1 rev — arg_max, no float aggregation, so
+    // nation's latest 1995-H1 rev — arg_max, no float aggregation, so
     // the engine's window-last must hash-match bit-for-bit
     "q214_fame_incremental_keyed" ->
       s"""${QueriesCore.monthlyByNationSql},
          |b AS (
          |  SELECT nation, arg_max(rev, date) AS base_last
          |  FROM m
-         |  WHERE date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  WHERE date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
          |  GROUP BY 1
          |)
          |SELECT m.nation, m.date, m.rev,
          |  (m.rev - lag(m.rev, 1) OVER w) / lag(m.rev, 1) OVER w * 100
          |    AS growth,
          |  m.rev - lag(m.rev, 2) OVER w AS d2,
-         |  CASE WHEN m.date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
          |       THEN m.rev END AS base,
-         |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1996-12-01'
+         |  CASE WHEN m.date BETWEEN DATE '1996-01-01' AND DATE '1997-12-01'
          |       THEN m.rev / b.base_last * 100 END AS idx
          |FROM m LEFT JOIN b USING (nation)
          |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
          |ORDER BY nation, date""".stripMargin,
 
-    // per-nation rebase against the nation's OWN 1994-06 row (LEFT
+    // per-nation rebase against the nation's OWN 1995-06 row (LEFT
     // JOIN: nations without that month stay null), identical double
     // op order, diff via lag of the same computed expression
     "q215_fame_keyed_lookup" ->
       s"""${QueriesCore.monthlyByNationSql},
          |b AS (
          |  SELECT nation, rev AS rev0 FROM m
-         |  WHERE date = DATE '1994-06-01'
+         |  WHERE date = DATE '1995-06-01'
          |)
          |SELECT m.nation, m.date, m.rev,
          |  m.rev / b.rev0 * 100 AS rel,
@@ -10138,28 +10142,28 @@ object QueriesExt {
 
     // whole-history replay of the PINNED run: maxLead = 0 so every row
     // is emitted — full-frame parity; the open-ended masks are plain
-    // date >= A cases, idx/rel rebase against per-nation 1994 targets
+    // date >= A cases, idx/rel rebase against per-nation 1995 targets
     // (arg_max / the June row), identical double op order
     "q217_fame_incremental_pinned" ->
       s"""${QueriesCore.monthlyByNationSql},
          |b AS (
          |  SELECT nation, arg_max(rev, date) AS base_last
          |  FROM m
-         |  WHERE date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  WHERE date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
          |  GROUP BY 1
          |),
          |j AS (
          |  SELECT nation, rev AS rev0 FROM m
-         |  WHERE date = DATE '1994-06-01'
+         |  WHERE date = DATE '1995-06-01'
          |)
          |SELECT m.nation, m.date, m.rev,
          |  (m.rev - lag(m.rev, 1) OVER w) / lag(m.rev, 1) OVER w * 100
          |    AS growth,
-         |  CASE WHEN m.date BETWEEN DATE '1994-01-01' AND DATE '1994-06-01'
+         |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
          |       THEN m.rev END AS base,
-         |  CASE WHEN m.date >= DATE '1995-01-01'
+         |  CASE WHEN m.date >= DATE '1996-01-01'
          |       THEN m.rev / b.base_last * 100 END AS idx,
-         |  CASE WHEN m.date >= DATE '1995-03-01'
+         |  CASE WHEN m.date >= DATE '1996-03-01'
          |       THEN m.rev / j.rev0 * 100 END AS rel
          |FROM m LEFT JOIN b USING (nation) LEFT JOIN j USING (nation)
          |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)

@@ -110,10 +110,10 @@ object ScaleProbe {
       s"fameprobe_lookup_x$reps" -> ((s, dir) => {
         val out = graft.api.FameSession.run(
           """freq m
-            |rel = rev / rev[1994-06-01] * 100
+            |rel = rev / rev[1995-06-01] * 100
             |scalar d0 = make(date(m), "1995-06-01")
             |rel2 = rev / rev[d0]
-            |set <date 1996-01-01 to 1996-12-01> z = rel / rel[1994-06-01]""".stripMargin,
+            |set <date 1997-01-01 to 1997-12-01> z = rel / rel[1995-06-01]""".stripMargin,
           wide(s, dir), partitionKeys = Seq("NATION"))
         out.df.groupBy(col("NATION").as("nation"))
           .agg(count(lit(1)).as("n_rows"),
@@ -138,10 +138,12 @@ object ScaleProbe {
     * exactly one micro-batch.
     */
   private def streamProbe(spark: SparkSession, sfDir: String, reps: Int,
-      listener: StageMetrics, drain: () => Unit): Unit = {
+      listener: StageMetrics, drain: () => Unit,
+      probe: String = "famestreamprobe",
+      scriptOverride: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files
-      .createTempDirectory("famestreamprobe").toString
+      .createTempDirectory(probe).toString
     val r = spark.range(reps.toLong)
       .select(col("id").cast("string").as("REP"))
     val m = QueriesCore.monthlyByNation(spark, sfDir).crossJoin(r)
@@ -159,12 +161,12 @@ object ScaleProbe {
     writeChunk(0)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema).parquet(srcDir)
-    val script =
+    val script = scriptOverride.getOrElse(
       """freq m
         |growth = pct(rev)
         |d2 = rev - rev[t-2]
-        |set <date 1994-01-01 to 1994-06-01> base = rev
-        |set <date 1995-01-01 to 1996-12-01> idx = rev / lastvalue(base) * 100""".stripMargin
+        |set <date 1995-01-01 to 1995-06-01> base = rev
+        |set <date 1996-01-01 to 1997-12-01> idx = rev / lastvalue(base) * 100""".stripMargin)
     listener.reset()
     val q = graft.streaming.FameStream.runIncremental(stream, script,
       s"$base/bronze", s"$base/result", partitionKeys = Seq("NATION"),
@@ -183,8 +185,16 @@ object ScaleProbe {
       "%.1f".formatLocal(java.util.Locale.US, snap.getOrElse(k, 0L) / 1e6)
     val bs = batchSecs.map(s =>
       "%.3f".formatLocal(java.util.Locale.US, s)).mkString("[", ",", "]")
-    println(s"""{"query":"famestreamprobe_x$reps","sf":"$sfDir",""" +
-      s""""n_keys":$nKeys,"out_rows":$outRows,"batch_secs":$bs,""" +
+    // carry size at the final version: tail + pinned rows (the pin
+    // cost is the carry's growth — report it so the broadcast-shaped
+    // claim is a number, not an adjective)
+    val lastV = new java.io.File(s"$base/bronze/_tail").listFiles()
+      .filter(_.isDirectory).map(_.getName.stripPrefix("v=").toLong).max
+    val carryRows = spark.read
+      .parquet(s"$base/bronze/_tail/v=$lastV").count()
+    println(s"""{"query":"${probe}_x$reps","sf":"$sfDir",""" +
+      s""""n_keys":$nKeys,"out_rows":$outRows,"carry_rows":$carryRows,""" +
+      s""""batch_secs":$bs,""" +
       s""""total_sec":${"%.3f".formatLocal(java.util.Locale.US,
         batchSecs.sum)},"shuffle_write_mb":${mb("shuffle_write")},""" +
       s""""memory_spill_mb":${mb("memory_spill")},"disk_spill_mb":${
@@ -244,6 +254,19 @@ object ScaleProbe {
     names.foreach { pat =>
       if (pat.startsWith("famestreamprobe")) {
         streamProbe(spark, sfDir, reps, listener, () => drain())
+      } else if (pat.startsWith("famepinprobe")) {
+        // the r16 pin + hold-back mechanics at entity scale: an
+        // open-ended rebase (two pin windows — base's 1995-H1 support
+        // and the June-1995 lookup row — carried permanently per key)
+        // plus one lead (1-row hold-back per key)
+        streamProbe(spark, sfDir, reps, listener, () => drain(),
+          probe = "famepinprobe", scriptOverride = Some(
+            """freq m
+              |growth = pct(rev)
+              |fchg = (rev[t+1] - rev) / rev * 100
+              |set <date 1995-01-01 to 1995-06-01> base = rev
+              |set <date 1996-01-01 to *> idx = rev / lastvalue(base) * 100
+              |set <date 1996-03-01 to *> rel = rev / rev["1995-06-01"] * 100""".stripMargin))
       } else {
       val matches = byName.keys.filter(_.contains(pat)).toSeq.sorted
       matches.foreach { name =>
