@@ -4683,6 +4683,44 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // BUCKETED incremental FAME (r16): a DOWN-conversion (m→q) streams
+    // through runIncremental — the kernel family's first incremental
+    // member. A quarter anchor's value aggregates its own bucket, i.e.
+    // a bounded lead of span−1 = 2 rows, so bucket hold-back emits each
+    // anchor only once its quarter has closed (2 rows past the anchor
+    // either complete the bucket or prove the next one started). Each
+    // nation's newest 2 rows pend — incl. the final PARTIAL quarter's
+    // anchor, which the snapshot would emit with a changing value every
+    // batch. The oracle replays quarterly sums on the whole history and
+    // drops each nation's newest 2 rows; emitted anchors must carry the
+    // COMPLETE bucket (8 dp grid on both sides, the q11 fp-order
+    // discipline for 3-double sums).
+    "q218_fame_incremental_bucketed" -> ((s, dir) => {
+      val base = scratch("q218")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = fameKeyedStreamSrc(s, dir)
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |growth = pct(rev)
+          |rev_q = convert(rev, q, discrete, sum)""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), col("GROWTH").as("growth"),
+          round(col("REV_QTRLY"), 8).as("rev_qtrly"))
+        .orderBy("nation", "date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10168,6 +10206,61 @@ object QueriesExt {
          |FROM m LEFT JOIN b USING (nation) LEFT JOIN j USING (nation)
          |WINDOW w AS (PARTITION BY m.nation ORDER BY m.date)
          |ORDER BY nation, date""".stripMargin,
+
+    // whole-history replay of the BUCKETED run: per-nation quarterly
+    // sums attached at the quarter-start anchor (the q11 join shape).
+    // The frame has per-nation month gaps, so quarters whose anchor
+    // month is missing surface as SYNTHETIC rows (the engine's convert
+    // bridge full-outer-joins the quarterly grid in BEFORE the leveled
+    // assigns — reference semantics — so pct's physical lag also runs
+    // over the joined grid: growth is computed over g, not m). Emitted
+    // set: input rows minus each nation's newest 2 (the bucket hold),
+    // plus synthetic anchors up to the nation's emission cutoff (the
+    // 3rd-newest input date — anchors at or before it have closed
+    // buckets, the hold-back closure argument).
+    "q218_fame_incremental_bucketed" ->
+      s"""${QueriesCore.monthlyByNationSql},
+         |qq AS (
+         |  SELECT nation, date_trunc('quarter', date)::DATE AS qd,
+         |    sum(rev) AS rq
+         |  FROM m GROUP BY 1, 2
+         |),
+         |anchors AS (
+         |  SELECT qq.nation, qq.qd FROM qq
+         |  LEFT JOIN m ON m.nation = qq.nation AND m.date = qq.qd
+         |  WHERE m.date IS NULL
+         |),
+         |g AS (
+         |  SELECT nation, date, rev, TRUE AS is_input FROM m
+         |  UNION ALL
+         |  SELECT nation, qd, NULL, FALSE FROM anchors
+         |),
+         |cut AS (
+         |  SELECT nation,
+         |    max(date) FILTER (WHERE rn > 2) AS cutd
+         |  FROM (SELECT nation, date, row_number() OVER
+         |          (PARTITION BY nation ORDER BY date DESC) AS rn
+         |        FROM m)
+         |  GROUP BY 1
+         |),
+         |r AS (
+         |  SELECT g.nation, g.date, g.rev, g.is_input,
+         |    (g.rev - lag(g.rev, 1) OVER w) / lag(g.rev, 1) OVER w * 100
+         |      AS growth,
+         |    round(qq.rq, 8) AS rev_qtrly,
+         |    CASE WHEN g.is_input THEN row_number() OVER
+         |      (PARTITION BY g.nation, g.is_input ORDER BY g.date DESC)
+         |    END AS rn
+         |  FROM g LEFT JOIN qq
+         |    ON g.nation = qq.nation AND g.date = qq.qd
+         |  WINDOW w AS (PARTITION BY g.nation ORDER BY g.date)
+         |)
+         |SELECT r.nation AS nation, r.date AS date, r.rev AS rev,
+         |  r.growth AS growth, r.rev_qtrly AS rev_qtrly
+         |FROM r JOIN cut ON r.nation = cut.nation
+         |WHERE (r.is_input AND r.rn > 2)
+         |   OR (NOT r.is_input AND r.date <= cut.cutd)
+         |ORDER BY r.nation, r.date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

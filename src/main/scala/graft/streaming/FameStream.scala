@@ -218,9 +218,42 @@ object FameStream {
     * whole-series over bounded support), whose values are constants
     * once their rows arrive but sit arbitrarily far behind the
     * frontier, beyond any bounded tail.
+    *
+    * `bucketed` marks a script with at least one DOWN-conversion
+    * (`convert(src, coarser, …)`): the executor then also emits the
+    * SYNTHETIC bucket-anchor rows the convert bridge's full-outer join
+    * creates for buckets whose anchor date has no input row, gated by
+    * per-key emission cutoffs (once per anchor, only after the bucket
+    * closes), and carries one extra row per key so the previous cutoff
+    * is always recoverable from the carry.
     */
   final case class IncrementalPlan(maxLead: Int, maxLag: Int,
-      pins: Seq[(java.time.LocalDate, java.time.LocalDate)])
+      pins: Seq[(java.time.LocalDate, java.time.LocalDate)],
+      bucketed: Boolean = false)
+
+  /** Upper bound on source rows per target-frequency bucket — the
+    * hold-back distance a down-conversion needs (an overestimate only
+    * delays emission, never corrupts it). None = not a downsample this
+    * analysis accepts.
+    */
+  private def bucketSpan(src: Frequency, tgt: Frequency): Option[Int] =
+    (src, tgt) match {
+      case (Frequency.Monthly, Frequency.Quarterly)   => Some(3)
+      case (Frequency.Monthly, Frequency.Annual)      => Some(12)
+      case (Frequency.Quarterly, Frequency.Annual)    => Some(4)
+      case (Frequency.Weekly(_), Frequency.Monthly)   => Some(5)
+      case (Frequency.Weekly(_), Frequency.Quarterly) => Some(14)
+      case (Frequency.Weekly(_), Frequency.Annual)    => Some(53)
+      case (Frequency.Daily | Frequency.Business, Frequency.Weekly(_)) =>
+        Some(7)
+      case (Frequency.Daily | Frequency.Business, Frequency.Monthly) =>
+        Some(31)
+      case (Frequency.Daily | Frequency.Business, Frequency.Quarterly) =>
+        Some(92)
+      case (Frequency.Daily | Frequency.Business, Frequency.Annual) =>
+        Some(366)
+      case _ => None
+    }
 
   /** Lead-aware sibling of [[incrementalEligibility]]: returns
     * `Right((maxLead, maxLag))` for scripts whose every statement has
@@ -661,7 +694,7 @@ object FameStream {
         sdates: Map[String, LocalDate], freq: Option[Frequency],
         filter: Option[DateFilter],
         supports: Map[String, (LocalDate, LocalDate)],
-        assigned: Set[String])
+        assigned: Set[String], bucketed: Boolean = false)
 
     // effective statement mask = inline if present else ambient —
     // EXACTLY the executor's rule (FameSession: inlineFilter.orElse
@@ -739,8 +772,33 @@ object FameStream {
               .map(d => st.copy(sdates = st.sdates + (n -> d)))
               .getOrElse(st.copy(sdates = st.sdates - n)))
             else Left(s"scalar $n derived from series data")
-          case ConvertAssign(t, _, _, _, _, _, _) =>
-            Left(s"convert ($t) re-buckets history")
+          // DOWN-conversion under hold-back (r16): the anchor row's
+          // value aggregates its own bucket — up to span−1 rows FORWARD
+          // of the anchor, never backward past it — so it is exactly a
+          // bounded lead: hold each key's newest span−1 rows and every
+          // emitted anchor's bucket is CLOSED (span−1 rows after the
+          // anchor either fill the bucket or prove a later bucket
+          // started; nondecreasing ingest forbids stragglers). Each
+          // bucket row reads the source's own recorded interval, which
+          // rides on top. Anchors with no input row at the anchor date
+          // (sparse frames) surface as synthetic full-outer-join rows —
+          // the `bucketed` flag makes runIncremental emit those by
+          // per-key date cutoffs. Up-conversions stay refused: their
+          // interpolation (linear/cubic) reads the NEXT observation,
+          // which can sit unboundedly far ahead.
+          case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
+            asFreq.orElse(st.freq)
+              .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
+              case Some(span) if allowLeads =>
+                val (sld, slg) = st.env.getOrElse(source, (0, 0))
+                accept(target, Right((span - 1 + sld, slg)))
+                  .map(st2 => updSupport(st2.copy(bucketed = true),
+                    target, None))
+              case _ =>
+                Left(s"convert ($target) re-buckets history" +
+                  (if (!allowLeads) " (downsamples run under hold-back " +
+                    "via runIncremental)" else ""))
+            }
           case ShiftPctAssign(t, _, _) =>
             Left(s"shift_pct ($t) recurses backward from series end")
           case ChainAssign(t, _, _)   => Left(s"chain ($t) whole-series")
@@ -749,7 +807,7 @@ object FameStream {
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList))
+    }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList, st.bucketed))
   }
 
   /** Incremental micro-batched FAME for the bounded-reach script subset
@@ -806,7 +864,11 @@ object FameStream {
       case Right(p) => p
     }
     val (maxLead, maxLag) = (plan.maxLead, plan.maxLag)
-    val carrySize = maxLag + maxLead
+    // bucketed scripts carry ONE extra row per key: the newest EMITTED
+    // input row is the previous emission cutoff for synthetic anchor
+    // rows, and with a carry of exactly maxLag+maxLead rows it could
+    // rotate out (maxLag may be 0)
+    val carrySize = maxLag + maxLead + (if (plan.bucketed) 1 else 0)
     val spark = stream.sparkSession
     val cols = stream.columns.toIndexedSeq
     val dateU = dateCol.toUpperCase
@@ -881,8 +943,39 @@ object FameStream {
         .withColumn("__HOLD", row_number().over(ord) <= lit(maxLead))
       val out = FameSession.run(script, work, dateU, keysU,
         nlrx, businessCal = businessCal).df
-      out.where(!col("__EMITTED") && !col("__HOLD"))
-        .drop("__EMITTED", "__HOLD")
+      val inputEmit = out.where(!col("__EMITTED") && !col("__HOLD"))
+      val emit =
+        if (!plan.bucketed) inputEmit
+        else {
+          // Down-conversions can create SYNTHETIC rows (the convert
+          // bridge's full-outer join, at bucket-anchor dates with no
+          // input row — null __EMITTED/__HOLD). Emit each exactly once,
+          // after its bucket closes: a bucket whose anchor is at or
+          // before the key's newest EMITTABLE input (__CUT_NEW) has
+          // span−1 arrived rows past its anchor — closed (the hold-back
+          // closure argument) — and anchors at or before the newest
+          // ALREADY-EMITTED input (__CUT_PREV, recovered from the
+          // carried flags) were emitted by an earlier batch. Anchors in
+          // (__CUT_PREV, __CUT_NEW] are new: every row of such a bucket
+          // postdates the previous cutoff, so it was carried (pending)
+          // or just arrived — the work frame holds the WHOLE bucket and
+          // the value is the whole-history one. Replay of batch n
+          // re-reads carry v=n−1 → identical cutoffs, idempotent.
+          val kw = Window.partitionBy(
+            (if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)): _*)
+          val scoped = out
+            .withColumn("__CUT_NEW",
+              max(when(col("__HOLD") === false, col(dateU))).over(kw))
+            .withColumn("__CUT_PREV",
+              max(when(col("__EMITTED") === true, col(dateU))).over(kw))
+          scoped.where(!col("__EMITTED") && !col("__HOLD"))
+            .unionByName(scoped.where(col("__EMITTED").isNull &&
+              col(dateU) <= col("__CUT_NEW") &&
+              (col("__CUT_PREV").isNull ||
+                col(dateU) > col("__CUT_PREV"))))
+            .drop("__CUT_NEW", "__CUT_PREV")
+        }
+      emit.drop("__EMITTED", "__HOLD")
         .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
       // next carry: last maxLag+maxLead INPUT rows per key of
       // carry ∪ batch, each flagged with whether it has been emitted —

@@ -1852,6 +1852,102 @@ class StreamingSpec extends SparkSpec {
       (k, "1994-03-01", true), (k, "1994-12-01", true))))
   }
 
+  test("bucketed incremental (r16): DOWN-conversion streams through " +
+      "runIncremental under bucket hold-back — anchors emit only once " +
+      "their bucket closes, synthetic anchors (sparse frames) emit " +
+      "exactly once, cells bit-equal the whole-history run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val base = java.nio.file.Files.createTempDirectory("famebkt").toString
+    // m→q downsample = a bounded lead of span−1 = 2 rows: the quarter
+    // anchor's value aggregates its own bucket, never anything behind
+    val script =
+      """freq m
+        |mom = pct(rev)
+        |rev_q = convert(rev, q, discrete, sum)""".stripMargin
+    assert(FameStream.incrementalEligibility(script).isLeft)
+    assert(FameStream.incrementalReach(script) == Right((2, 1)))
+    assert(FameStream.incrementalPlan(script) ==
+      Right(FameStream.IncrementalPlan(2, 1, Nil, bucketed = true)))
+    // the span table: hold = max source rows per target bucket − 1
+    import graft.streaming.FameStream.{incrementalPlan, IncrementalPlan}
+    assert(incrementalPlan("freq m\nx = convert(rev, a, discrete, average)")
+      == Right(IncrementalPlan(11, 0, Nil, bucketed = true)))
+    assert(incrementalPlan("freq q\nx = convert(rev, a, discrete, sum)")
+      == Right(IncrementalPlan(3, 0, Nil, bucketed = true)))
+    // a lagged derived SOURCE rides its interval into the bucket read
+    assert(incrementalPlan(
+      "freq m\na = rev[t-2]\nx = convert(a, q, discrete, sum)")
+      == Right(IncrementalPlan(2, 2, Nil, bucketed = true)))
+    // UP-conversions stay refused (interpolation reads the NEXT
+    // observation — unboundedly far ahead); so does a convert with no
+    // declared session/as frequency
+    assert(incrementalPlan("freq q\nx = convert(rev, m, linear, average)")
+      .isLeft)
+    assert(incrementalPlan("x = convert(rev, q, discrete, sum)").isLeft)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // A is dense Jan..Sep; B is SPARSE (no Jan, Apr, Aug): B's Q1 and
+    // Q2 anchors have no input row — the convert bridge materializes
+    // them as synthetic full-outer-join rows the executor must emit
+    // exactly once, after the bucket closes
+    val revA = Map(1 -> 10.0, 2 -> 12.0, 3 -> 9.0, 4 -> 11.0, 5 -> 7.0,
+      6 -> 8.0, 7 -> 13.0, 8 -> 6.0, 9 -> 15.0)
+    val revB = Map(2 -> 20.0, 3 -> 18.0, 5 -> 22.0, 6 -> 25.0,
+      7 -> 21.0, 9 -> 19.0)
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).flatMap(m => revA.get(m).map(v =>
+        ("A", d(f"1995-0$m-01"), v))) ++
+      (lo to hi).flatMap(m => revB.get(m).map(v =>
+        ("B", d(f"1995-0$m-01"), v)))
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try Seq((1, 3), (4, 6), (7, 9)).foreach { case (lo, hi) =>
+      src.addData(rows(lo, hi): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "REV_QTRLY")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    // expected emitted set: per key, inputs except the newest 2, PLUS
+    // synthetic anchors whose bucket closed (B's Q1 = Feb+Mar once Apr+
+    // rows prove Q1 over; B's Q2 = May+Jun once Jul arrives); A's Q3
+    // anchor is an INPUT row (Jul) emitted with the full Jul+Aug+Sep
+    // sum; B's Q3 anchor (Jul) stays HELD — its bucket never closes
+    val full = graft.api.FameSession.run(script,
+      rows(1, 9).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df
+    val wantKeys =
+      (1 to 7).map(m => ("A", f"1995-0$m-01")) ++
+      Seq(2, 3, 5, 6).map(m => ("B", f"1995-0$m-01")) ++
+      Seq(("B", "1995-01-01"), ("B", "1995-04-01"))   // synthetic anchors
+    val want = cells(full).filter(c => wantKeys.contains((c._1, c._2)))
+    assert(got == want, s"\ngot  = $got\nwant = $want")
+    assert(got.size == wantKeys.size)
+    // A's emitted Q3 anchor aggregates the COMPLETE bucket (Jul+Aug+Sep)
+    val a3 = got.find(c => c._1 == "A" && c._2 == "1995-07-01").get
+    assert(a3._3(1).map(java.lang.Double.longBitsToDouble)
+      == Some(13.0 + 6.0 + 15.0))
+    // B's synthetic Q1 anchor = Feb+Mar (no Jan row existed)
+    val b1 = got.find(c => c._1 == "B" && c._2 == "1995-01-01").get
+    assert(b1._3(1).map(java.lang.Double.longBitsToDouble)
+      == Some(20.0 + 18.0))
+    // per-batch emission: batch 0 releases only A's Jan; each later
+    // batch releases the rows whose lookahead/bucket completed, incl.
+    // exactly one synthetic anchor each — and NEVER re-emits one
+    val perBatch = spark.read.parquet(s"$base/result")
+      .groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 1L, 1L -> 6L, 2L -> 6L), perBatch.toString)
+  }
+
   test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
       "support whole-series over per-key carried tails are batch-" +
       "equivalent across 3 batches, incl. a key appearing mid-stream") {
