@@ -164,6 +164,35 @@ object FameStream {
     * [[graft.compile.ColumnCompiler]]'s offset composition
     * (`callAt`: pct/diff evaluate their argument at `o` and `o−k`).
     *
+    * This is the STRICTEST of three analysis tiers, the one whose
+    * `Right` means "emit every row the batch it arrives, tail only":
+    *
+    *  - [[incrementalEligibility]] (this): lag-only; refuses anything
+    *    needing delayed emission or extra carry.
+    *  - [[incrementalReach]] (r16): + bounded LEADS, evaluated by
+    *    hold-back emission (each key's newest maxLead rows pend).
+    *  - [[incrementalPlan]] (r16, what [[runIncremental]] uses): + PINS
+    *    (open-ended-mask fixed reads carried permanently) and BUCKETED
+    *    down-conversions (span−1 hold + synthetic-anchor emission).
+    *    `run(Auto)` routes on this tier when maxLead == 0 (identical
+    *    output contract to the snapshot) and falls back to the snapshot
+    *    for lead/bucket scripts (hold-back trims the frontier — an
+    *    explicit opt-in).
+    *
+    * Still refused at EVERY tier, with the reasoning on record:
+    * shift-pct (anti-causal — it recurses backward from the series END,
+    * so every row's value changes whenever the end advances);
+    * chain/fishvol (causal links, but the cumulative product and the
+    * base-year re-reference depend on per-year state from the WHOLE
+    * history — incremental evaluation would need a carried derived
+    * year-state table and a kernel that seeds from it, machinery out of
+    * proportion for annual-cadence constructs whose snapshot recompute
+    * is cheap); nlrx (a global smoother — every output depends on every
+    * input); up-conversions (interpolation reads the NEXT observation,
+    * unboundedly far ahead); open-START masks and plain-assign lookups
+    * (affected rows PRECEDE the read target — a forward read no carry
+    * policy can satisfy); and series-derived scalars (moving targets).
+    *
     * Reach is TRANSITIVE through derived series: in
     * `a = pct(rev); b = pct(a)`, `b` at row t reads `a[t−1]` which
     * reads `rev[t−2]`, so the script's maxLag is 2, not 1 — the fold
