@@ -254,6 +254,15 @@ object ScaleProbe {
     names.foreach { pat =>
       if (pat.startsWith("famestreamprobe")) {
         streamProbe(spark, sfDir, reps, listener, () => drain())
+      } else if (pat.startsWith("famebucketprobe")) {
+        // the r16 bucket hold-back at entity scale: a keyed m→q
+        // downsample (hold 2/key) plus a lag — the synthetic-anchor
+        // cutoff window and the quarterly groupBy run per batch
+        streamProbe(spark, sfDir, reps, listener, () => drain(),
+          probe = "famebucketprobe", scriptOverride = Some(
+            """freq m
+              |growth = pct(rev)
+              |rev_q = convert(rev, q, discrete, sum)""".stripMargin))
       } else if (pat.startsWith("famepinprobe")) {
         // the r16 pin + hold-back mechanics at entity scale: an
         // open-ended rebase (two pin windows — base's 1995-H1 support

@@ -1569,6 +1569,30 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getDate(0).toString,
         if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
     assert(snapGot == snapOracle)
+
+    // r16: PIN-bearing lead-free scripts (open-ended fixed reads) route
+    // INCREMENTALLY under Auto — their output equals the snapshot's
+    // row-for-row, so the O(history) cliff disappears with no contract
+    // change. Feb-onward rebase against the Jan row; parity on all rows.
+    val pinScript =
+      "freq m\nset <date 1995-02-01 to *> g = rev / rev[\"1995-01-01\"]"
+    val (pinBase, pinGot) = drive(pinScript)
+    assert(new java.io.File(s"$pinBase/bronze/_tail").isDirectory,
+      "pin script did not take the incremental path under Auto")
+    val pinOracle = graft.api.FameSession.run(pinScript,
+        rows.flatten.toDF("DATE", "REV")).df
+      .select("DATE", "G").orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString,
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+    assert(pinGot == pinOracle)
+
+    // LEAD scripts (maxLead > 0) stay on the snapshot under Auto: hold-
+    // back would WITHHOLD the frontier rows, a different output
+    // contract — here the snapshot emits all 4 rows (last x null)
+    val (leadBase, leadGot) = drive("freq m\nx = rev[t+1]")
+    assert(!new java.io.File(s"$leadBase/bronze/_tail").exists(),
+      "lead script must not silently trim the frontier under Auto")
+    assert(leadGot.size == 4 && leadGot.last._2 == null)
   }
 
   test("incremental FAME ingest: O(batch) evaluation equals the batch " +
@@ -1946,6 +1970,89 @@ class StreamingSpec extends SparkSpec {
       .groupBy("batch").count().collect()
       .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     assert(perBatch == Map(0L -> 1L, 1L -> 6L, 2L -> 6L), perBatch.toString)
+  }
+
+  test("incremental carry survives a query RESTART (r16): pins, " +
+      "hold-back pending flags and bucket cutoffs restore from the " +
+      "versioned carry — no double emission, no lost synthetic anchor, " +
+      "cells bit-equal the whole-history run") {
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("famerst").toString
+    // all three r16 carry mechanics at once: a lead (hold-back 1), an
+    // open-ended pinned rebase (pin = base's Jan-Feb support), and a
+    // bucketed m→q downsample (hold 2, synthetic anchors on sparse B)
+    val script =
+      """freq m
+        |mom = pct(rev)
+        |nxt = rev[t+1]
+        |set <date 1995-01-01 to 1995-02-01> base = rev
+        |set <date 1995-05-01 to *> idx = rev / ave(base) * 100
+        |rev_q = convert(rev, q, discrete, sum)""".stripMargin
+    import java.time.LocalDate
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = Some(Set("DATE", "K", "REV"))) ==
+      Right(FameStream.IncrementalPlan(2, 1, Seq(
+        (LocalDate.parse("1995-01-01"), LocalDate.parse("1995-02-01"))),
+        bucketed = true)))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val revA = Map(1 -> 10.0, 2 -> 12.0, 3 -> 9.0, 4 -> 11.0, 5 -> 7.0,
+      6 -> 8.0, 7 -> 13.0, 8 -> 6.0, 9 -> 15.0)
+    // B misses Jan (its Q1 anchor goes synthetic; its base support is
+    // Feb alone) and Apr (Q2 anchor synthetic — CLOSES AFTER THE
+    // RESTART, so its cutoffs must come from the restored carry)
+    val revB = revA.removedAll(Seq(1, 4)).map { case (k, v) => k -> (v + 10) }
+    def chunk(lo: Int, hi: Int) = {
+      import spark.implicits._
+      ((lo to hi).flatMap(m => revA.get(m).map(v =>
+        ("A", d(f"1995-0$m-01"), v))) ++
+       (lo to hi).flatMap(m => revB.get(m).map(v =>
+        ("B", d(f"1995-0$m-01"), v))))
+        .toDF("K", "DATE", "REV").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    chunk(1, 4)
+    val schema = spark.read.parquet(s"$base/src").schema
+    def start() = FameStream.runIncremental(
+      spark.readStream.schema(schema).parquet(s"$base/src"), script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    val q1 = start()
+    try { q1.processAllAvailable(); chunk(5, 6); q1.processAllAvailable() }
+    finally q1.stop()
+    // ---- RESTART: a fresh query on the same checkpoint + carry ----
+    val q2 = start()
+    try { chunk(7, 9); q2.processAllAvailable() } finally q2.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "NXT", "BASE", "IDX", "REV_QTRLY")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 6).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    // exactly once: no (key, date) appears twice across batch dirs
+    assert(got.map(c => (c._1, c._2)).distinct.size == got.size)
+    import spark.implicits._
+    val full = graft.api.FameSession.run(script,
+      ((1 to 9).flatMap(m => revA.get(m).map(v =>
+        ("A", d(f"1995-0$m-01"), v))) ++
+       (1 to 9).flatMap(m => revB.get(m).map(v =>
+        ("B", d(f"1995-0$m-01"), v))))
+        .toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df
+    val wantKeys =
+      (1 to 7).map(m => ("A", f"1995-0$m-01")) ++
+      Seq(2, 3, 5, 6, 7).map(m => ("B", f"1995-0$m-01")) ++
+      Seq(("B", "1995-01-01"), ("B", "1995-04-01"))
+    val want = cells(full).filter(c => wantKeys.contains((c._1, c._2)))
+    assert(got == want, s"\ngot  = $got\nwant = $want")
+    // B's Q2 synthetic anchor emitted in the POST-restart batch with
+    // the complete bucket (May+Jun revs), pinned idx values intact
+    val perBatch = spark.read.parquet(s"$base/result")
+      .where(col("K") === "B" && col("DATE") === lit(d("1995-04-01")))
+      .select("batch").collect().map(_.getInt(0)).toSeq
+    assert(perBatch == Seq(2), perBatch.toString)
   }
 
   test("incremental FAME, PARTITIONED (r16): chained lags + bounded-" +
