@@ -864,11 +864,21 @@ object FameStream {
     *     Already-emitted carried rows are marked and their outputs
     *     dropped (they were emitted by the batch that first saw their
     *     lookahead complete);
-    *  4. the new carry (last `maxLag + maxLead` rows per key, each
-    *     flagged with whether it has been emitted) is VERSIONED at
-    *     `bronzeDir/_tail/v=<id>` — a replayed batch n re-reads carry
-    *     v=n−1, which a later batch never overwrites, so recovery
-    *     recomputes batch n byte-identically.
+    *  4. the new carry (last `maxLag + maxLead` rows per key — plus one
+    *     more when the plan is bucketed, plus EVERY row in a pinned
+    *     window, each flagged with whether it has been emitted) is
+    *     VERSIONED at `bronzeDir/_tail/v=<id>` — a replayed batch n
+    *     re-reads carry v=n−1, which a later batch never overwrites, so
+    *     recovery recomputes batch n byte-identically (the pin rows,
+    *     pending flags and bucket cutoffs all restore from that carry —
+    *     the restart test in StreamingSpec drives all three through a
+    *     real stop/start);
+    *  5. bucketed plans additionally emit the SYNTHETIC bucket-anchor
+    *     rows the convert bridge creates for anchors with no input row,
+    *     gated per key to the window between the newest already-emitted
+    *     input (from the carried flags) and the newest emittable one —
+    *     each anchor exactly once, only after its bucket provably
+    *     closed.
     *
     * Contract: rows arrive in nondecreasing date order per key (the
     * standard series-ingest shape — a late row would need the

@@ -751,4 +751,90 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(withWholeSeries >= 10,
       s"only $withWholeSeries scripts aggregate the bounded support")
   }
+
+  test("bucket hold-back (r16 down-conversions): over generated SPARSE " +
+      "month patterns, the plan is (span-1, lag, bucketed) and the " +
+      "pinned emission rule — inputs past the hold, synthetic anchors " +
+      "between the carried cutoffs — is batch-equivalent bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    val allDates = (1 to 9).map(m => f"1995-$m%02d-01")
+    var synthScripts = 0
+    val gen = for {
+      keepMask <- Gen.listOfN(9, Gen.frequency(3 -> true, 1 -> false))
+        .suchThat(_.count(identity) >= 5)
+      obs <- Gen.oneOf("sum", "average", "first", "last", "high", "low")
+      withMom <- Gen.oneOf(true, false)
+    } yield (keepMask, obs, withMom)
+    forAllN(Gen.zip(gen, Gen.listOfN(9, Gen.choose(1, 50))), n = 60) {
+      case ((keepMask, obs, withMom), revRaw) =>
+        val present = (0 until 9).filter(keepMask)
+        val rev = revRaw.map(_ + 0.5)
+        val script = ("freq m" ::
+          (if (withMom) List("mom = pct(rev)") else Nil) :::
+          List(s"vq = convert(rev, q, discrete, $obs)")).mkString("\n")
+        val lag = if (withMom) 1 else 0
+        assert(FameStream.incrementalPlan(script,
+          inputColumns = Some(Set("REV"))) ==
+          Right(FameStream.IncrementalPlan(2, lag, Nil, bucketed = true)),
+          script)
+        def fr(idx: Seq[Int]) =
+          frame(idx.map(allDates), "REV" -> idx.map(rev))
+        val full = FameSession.run(script, fr(present)).df
+        val series = (if (withMom) Seq("MOM") else Nil) :+ "REV_QTRLY"
+        def cellMap(df: org.apache.spark.sql.DataFrame,
+            keep: Set[String]): Map[String, Seq[Option[Long]]] =
+          df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+            .select((Seq(col("DATE").cast("string")) ++
+              series.map(col)): _*).collect().toSeq
+            .map(r => r.getString(0) -> series.indices.map(j =>
+              bits(if (r.isNullAt(j + 1)) None
+                else Some(r.getDouble(j + 1)))))
+            .toMap
+        // emulate runIncremental's bucketed mechanics: carry the last
+        // lag+2+1 inputs, emit inputs past the 2-row hold, emit
+        // synthetic anchors in (prevCut, cutNew]
+        val hold = 2
+        val carrySize = lag + hold + 1
+        var carried = Seq.empty[Int]
+        var emittedInputs = Set.empty[Int]
+        var anySynth = false
+        Seq(0 until 3, 3 until 6, 6 until 9).foreach { r =>
+          val batchIdx = present.filter(r.contains)
+          val workIdx = carried ++ batchIdx
+          if (workIdx.nonEmpty) {
+            val work = FameSession.run(script, fr(workIdx)).df
+            val emitIn = workIdx.zipWithIndex.collect {
+              case (gi, pos) if workIdx.size - pos > hold &&
+                !emittedInputs.contains(gi) => gi
+            }
+            val cutNew =
+              if (workIdx.size > hold) Some(workIdx(workIdx.size - 1 - hold))
+              else None
+            val prevCut = emittedInputs.maxOption
+            val workDates = workIdx.map(allDates).toSet
+            val synthDates = work.select(col("DATE").cast("string"))
+              .collect().map(_.getString(0)).toSet -- workDates
+            val emitSynth = synthDates.filter { sd =>
+              cutNew.exists(c => sd <= allDates(c)) &&
+                prevCut.forall(p => sd > allDates(p))
+            }
+            if (emitSynth.nonEmpty) anySynth = true
+            val emitDates = emitIn.map(allDates).toSet ++ emitSynth
+            assert(cellMap(work, emitDates) == cellMap(full, emitDates),
+              s"bucket batch $r diverged (present=$present obs=$obs):\n" +
+                script)
+            emittedInputs ++= emitIn
+            carried = workIdx.takeRight(carrySize)
+          }
+        }
+        // the hold: exactly the newest 2 inputs never emitted
+        assert(emittedInputs == present.dropRight(2).toSet,
+          s"emitted $emittedInputs of $present")
+        if ((present.map(allDates).toSet.intersect(
+          Set("1995-01-01", "1995-04-01", "1995-07-01"))).size < 3)
+          synthScripts += 1
+    }
+    assert(synthScripts >= 15,
+      s"only $synthScripts scripts exercised a synthetic anchor")
+  }
 }

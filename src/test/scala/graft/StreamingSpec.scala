@@ -1829,6 +1829,17 @@ class StreamingSpec extends SparkSpec {
         (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01")),
         (LocalDate.parse("1994-01-01"), LocalDate.parse("1994-01-01")),
         (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01"))))))
+    // a SCALAR-date lookup under an open mask pins the same way (the
+    // resolvable make(...) binding routes through the DateLookup path),
+    // and the read series' own lag widens its pin window
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |scalar d0 = make(date(m), "1994-02-01")
+        |a = rev[t-1]
+        |set <date 1994-05-01 to *> z = a[d0]""".stripMargin,
+      inputColumns = Some(Set("DATE", "REV"))) ==
+      Right(FameStream.IncrementalPlan(0, 1, Seq(
+        (LocalDate.parse("1994-01-01"), LocalDate.parse("1994-02-01"))))))
     def d(s: String) = java.sql.Date.valueOf(s)
     val dates = (1 to 12).map(m => f"1994-$m%02d-01")
     val revA = Seq(10.0, 12.0, 9.0, 11.0, 7.0, 8.0, 13.0, 6.0, 15.0,
