@@ -103,6 +103,32 @@ class TestDataContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("the FAME queries' fixed-read dates sit INSIDE the monthly " +
+      "frame (the r16 vacuous-gate lesson: a masked read whose oracle " +
+      "mirrors the mask passes on an out-of-range date with all-null " +
+      "columns on both sides — this fails sbt test instead)") {
+    assume(available)
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
+    val m = QueriesCore.monthlyByNation(spark, sfDir)
+    val r = m.agg(fmin(col("DATE")), fmax(col("DATE"))).head()
+    val (lo, hi) = (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate)
+    // every fixed date the q214/q215/q217/q218 scripts read or anchor:
+    // the 1995-H1 base window, the June-1995 lookups, and the rebase
+    // starts must all be strictly inside [min, max] so the rebased
+    // columns carry real values at the gate
+    Seq("1995-01-01", "1995-06-01", "1996-01-01", "1996-03-01",
+        "1997-12-01").foreach { ds =>
+      val d = java.time.LocalDate.parse(ds)
+      assert(!d.isBefore(lo) && !d.isAfter(hi),
+        s"fixed read date $ds outside the monthly frame [$lo, $hi] — " +
+          "the FAME streaming queries would go vacuously null")
+    }
+    // and the base window actually matches rows (non-empty support)
+    assert(m.where(col("DATE").between(
+      lit(java.sql.Date.valueOf("1995-01-01")),
+      lit(java.sql.Date.valueOf("1995-06-01")))).count() > 0)
+  }
+
   test("star join broadcasts the fixed-size dims (nation/region) — " +
       "no exchange on the fact path for them") {
     assume(available)
