@@ -815,18 +815,22 @@ object FameStream {
           // per-key date cutoffs. Up-conversions stay refused: their
           // interpolation (linear/cubic) reads the NEXT observation,
           // which can sit unboundedly far ahead.
+          // plan-tier ONLY (allowPins): the bucketed flag is what makes
+          // the executor emit synthetic anchor rows — a reach-tier
+          // caller would get a correct (lead, lag) but silently drop
+          // sparse frames' anchors, so the reach tier refuses converts
           case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
             asFreq.orElse(st.freq)
               .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
-              case Some(span) if allowLeads =>
+              case Some(span) if allowLeads && allowPins =>
                 val (sld, slg) = st.env.getOrElse(source, (0, 0))
                 accept(target, Right((span - 1 + sld, slg)))
                   .map(st2 => updSupport(st2.copy(bucketed = true),
                     target, None))
               case _ =>
                 Left(s"convert ($target) re-buckets history" +
-                  (if (!allowLeads) " (downsamples run under hold-back " +
-                    "via runIncremental)" else ""))
+                  (if (!(allowLeads && allowPins)) " (downsamples run " +
+                    "under bucket hold-back via runIncremental)" else ""))
             }
           case ShiftPctAssign(t, _, _) =>
             Left(s"shift_pct ($t) recurses backward from series end")

@@ -1902,7 +1902,9 @@ class StreamingSpec extends SparkSpec {
         |mom = pct(rev)
         |rev_q = convert(rev, q, discrete, sum)""".stripMargin
     assert(FameStream.incrementalEligibility(script).isLeft)
-    assert(FameStream.incrementalReach(script) == Right((2, 1)))
+    // converts are PLAN-tier only: reach's (lead, lag) alone would let
+    // a tail-based caller drop sparse frames' synthetic anchors
+    assert(FameStream.incrementalReach(script).isLeft)
     assert(FameStream.incrementalPlan(script) ==
       Right(FameStream.IncrementalPlan(2, 1, Nil, bucketed = true)))
     // the span table: hold = max source rows per target bucket − 1
