@@ -560,6 +560,10 @@ class IncrementalPropertySpec extends SparkSpec {
       case ((script, expect), revRaw, cntRaw) =>
         val got = FameStream.incrementalReach(script,
           inputColumns = Some(Set("REV", "CNT")))
+        // keyed verdicts must equal unkeyed across the lead surface too
+        // (the q215 bug class: a keyed path silently diverging)
+        assert(FameStream.incrementalReach(script, partitioned = true,
+          inputColumns = Some(Set("REV", "CNT", "K"))) == got, script)
         expect match {
           case Left(_) =>
             lefts += 1
@@ -707,6 +711,8 @@ class IncrementalPropertySpec extends SparkSpec {
         assert(got == Right(FameStream.IncrementalPlan(0, lag, wantPins)),
           s"plan said $got, independent algebra " +
             s"(0, $lag, $wantPins):\n$script")
+        assert(FameStream.incrementalPlan(script, partitioned = true,
+          inputColumns = Some(Set("REV", "CNT", "K"))) == got, script)
         // ground truth: runIncremental's pin-aware carry — last maxLag
         // rows PLUS every arrived pinned row — is batch-equivalent on
         // every batch row (maxLead = 0: all rows emit on arrival)
@@ -777,6 +783,10 @@ class IncrementalPropertySpec extends SparkSpec {
           inputColumns = Some(Set("REV"))) ==
           Right(FameStream.IncrementalPlan(2, lag, Nil, bucketed = true)),
           script)
+        assert(FameStream.incrementalPlan(script, partitioned = true,
+          inputColumns = Some(Set("REV", "K"))) ==
+          FameStream.incrementalPlan(script,
+            inputColumns = Some(Set("REV"))), script)
         def fr(idx: Seq[Int]) =
           frame(idx.map(allDates), "REV" -> idx.map(rev))
         val full = FameSession.run(script, fr(present)).df
