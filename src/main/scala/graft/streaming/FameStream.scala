@@ -238,12 +238,33 @@ object FameStream {
     reachAnalysis(script, partitioned, inputColumns,
       allowLeads = false, allowPins = false).map(_.maxLag)
 
+  /** One permanently-carried window of input rows: every row whose
+    * date falls in [start, end], PLUS — when the read series is
+    * DERIVED with nonzero recorded reach — the `prec` physical rows
+    * immediately preceding the window's first row and the `foll`
+    * physical rows immediately following its last row, per key.
+    *
+    * prec/foll are ROW counts, not periods, because the engine
+    * evaluates lags/leads as physical row offsets over the key's
+    * ordered frame (ColumnCompiler `lag(col, k)`): with per-key date
+    * gaps the physical predecessor a pinned value depends on can sit
+    * arbitrarily many PERIODS before the window — a date-widened
+    * window under-pins there (r16's shipped form; the r17 fix), while
+    * rank adjacency is gap-proof. The rank selection is stable across
+    * batches: the carried predecessors stay physically adjacent to the
+    * window inside every later work frame (nothing between them and
+    * the window ever existed), so re-selecting "the prec rows before
+    * the window's first row" re-selects exactly them.
+    */
+  final case class Pin(start: java.time.LocalDate,
+      end: java.time.LocalDate, prec: Int, foll: Int)
+
   /** What [[runIncremental]] needs to evaluate an eligible script:
     * carry the last `maxLag + maxLead` input rows per key, emit a row
     * once `maxLead` rows after it have arrived, and keep every input
-    * row whose date falls in a `pins` window in the carry PERMANENTLY
-    * (per key, flagged emitted) — those windows hold the fixed targets
-    * of open-ended-mask reads (`set <date A to *> x = … v["d"] …`,
+    * row a `pins` entry selects in the carry PERMANENTLY (per key,
+    * flagged emitted) — those windows hold the fixed targets of
+    * open-ended-mask reads (`set <date A to *> x = … v["d"] …`,
     * whole-series over bounded support), whose values are constants
     * once their rows arrive but sit arbitrarily far behind the
     * frontier, beyond any bounded tail.
@@ -257,8 +278,7 @@ object FameStream {
     * is always recoverable from the carry.
     */
   final case class IncrementalPlan(maxLead: Int, maxLag: Int,
-      pins: Seq[(java.time.LocalDate, java.time.LocalDate)],
-      bucketed: Boolean = false)
+      pins: Seq[Pin], bucketed: Boolean = false)
 
   /** Upper bound on source rows per target-frequency bucket — the
     * hold-back distance a down-conversion needs (an overestimate only
@@ -396,29 +416,14 @@ object FameStream {
     final case class Horizon(latest: LocalDate, end: Option[LocalDate],
         f: Frequency)
     type Look = Option[Horizon]
-    // pinned date windows accumulated by accepted open-ended reads;
-    // discarded with the Left on any later refusal (the fold aborts)
-    val pins = scala.collection.mutable.ListBuffer
-      .empty[(LocalDate, LocalDate)]
-    // date ≥/≤ the one n periods after/before d — over-wide on purpose
-    // (a wider pin window only carries extra rows, never corrupts)
-    def plusP(dte: LocalDate, n: Int, f: Frequency): LocalDate = f match {
-      case Frequency.Monthly   => dte.plusMonths(n.toLong)
-      case Frequency.Quarterly => dte.plusMonths(3L * n)
-      case Frequency.Annual    => dte.plusYears(n.toLong)
-      case Frequency.Weekly(_) => dte.plusWeeks(n.toLong)
-      case Frequency.Daily     => dte.plusDays(n.toLong)
-      case Frequency.Business  => dte.plusDays(2L * n + 3)
-    }
-    def minusP(dte: LocalDate, n: Int, f: Frequency): LocalDate =
-      f match {
-        case Frequency.Monthly   => dte.minusMonths(n.toLong)
-        case Frequency.Quarterly => dte.minusMonths(3L * n)
-        case Frequency.Annual    => dte.minusYears(n.toLong)
-        case Frequency.Weekly(_) => dte.minusWeeks(n.toLong)
-        case Frequency.Daily     => dte.minusDays(n.toLong)
-        case Frequency.Business  => dte.minusDays(2L * n + 3)
-      }
+    // pinned windows accumulated by accepted open-ended reads;
+    // discarded with the Left on any later refusal (the fold aborts).
+    // A derived read series' recorded reach goes in as PHYSICAL ROW
+    // counts (Pin.prec/foll), never widened into calendar periods: the
+    // engine's lags are row offsets, and with per-key date gaps the
+    // dependent predecessor row can sit more periods back than rows —
+    // a period-widened window would under-pin it (r17 ADVICE fix).
+    val pins = scala.collection.mutable.ListBuffer.empty[Pin]
 
     // Support interval of an expression: Some((a, b)) proves the
     // compiled column is null at every row outside [a, b]. STRICT
@@ -531,10 +536,11 @@ object FameStream {
               Right((0, lg + periods(f, d, horizon)))
             case None if allowPins =>
               // open-ended horizon: the read target is FIXED — pin the
-              // rows s@d computes from (s's own recorded interval
-              // around d) and contribute no tail reach
+              // rows s@d computes from (the target row plus s's own
+              // recorded interval as PHYSICAL neighbors, gap-proof)
+              // and contribute no tail reach
               val (ld, lg) = env.getOrElse(s, (0, 0))
-              pins += ((minusP(d, lg, f), plusP(d, ld, f)))
+              pins += Pin(d, d, lg, ld)
               Right((0, 0))
             case None => Left(s"history lookup $shown under an " +
               "open-ended mask (bounded only inside a closed date mask " +
@@ -624,9 +630,10 @@ object FameStream {
                         case None if allowPins =>
                           // open-ended horizon: the aggregate over the
                           // bounded support is a CONSTANT once every
-                          // support row (plus its own lag window) has
+                          // support row (plus its lg PHYSICAL
+                          // predecessors — row-rank, gap-proof) has
                           // arrived — pin that window, no tail reach
-                          pins += ((minusP(supStart, lg, f), supEnd))
+                          pins += Pin(supStart, supEnd, lg, 0)
                           Right((0, 0))
                         case None => Left(s"whole-series $name under " +
                           "an open-ended horizon (closed horizon " +
@@ -668,7 +675,7 @@ object FameStream {
                         case Some(horizon) =>
                           Right((0, lg + periods(f, supStart, horizon)))
                         case None if allowPins =>
-                          pins += ((minusP(supStart, lg, f), supEnd))
+                          pins += Pin(supStart, supEnd, lg, 0)
                           Right((0, 0))
                         case None => Left("whole-series dateof under " +
                           "an open-ended horizon (closed horizon " +
@@ -869,8 +876,10 @@ object FameStream {
     *     dropped (they were emitted by the batch that first saw their
     *     lookahead complete);
     *  4. the new carry (last `maxLag + maxLead` rows per key — plus one
-    *     more when the plan is bucketed, plus EVERY row in a pinned
-    *     window, each flagged with whether it has been emitted) is
+    *     more when the plan is bucketed, plus every row a pin selects:
+    *     the window rows and their prec/foll physical neighbors by
+    *     per-key row rank, each flagged with whether it has been
+    *     emitted) is
     *     VERSIONED at `bronzeDir/_tail/v=<id>` — a replayed batch n
     *     re-reads carry v=n−1, which a later batch never overwrites, so
     *     recovery recomputes batch n byte-identically (the pin rows,
@@ -1022,17 +1031,53 @@ object FameStream {
         .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
       // next carry: last maxLag+maxLead INPUT rows per key of
       // carry ∪ batch, each flagged with whether it has been emitted —
-      // PLUS every row in a pinned window (the fixed targets of
+      // PLUS every row a pin selects (the fixed targets of
       // open-ended-mask reads; once a pinned row lands in the carry it
-      // stays there for the stream's lifetime, for every key)
-      val pinned: Column = plan.pins
-        .map { case (a, b) => col(dateU).between(
-          lit(java.sql.Date.valueOf(a)), lit(java.sql.Date.valueOf(b))) }
-        .reduceOption(_ || _).getOrElse(lit(false))
-      work.withColumn("__EMITTED", col("__EMITTED") || !col("__HOLD"))
+      // stays there for the stream's lifetime, for every key). A pin
+      // with nonzero prec/foll — a DERIVED read series with recorded
+      // reach — also keeps the prec/foll PHYSICAL rows adjacent to the
+      // window, selected by per-key row rank, NOT by widening the date
+      // window: lags are row offsets, so with gapped per-key dates the
+      // dependent predecessor can sit more periods back than rows and
+      // a date-widened window would silently drop it (r17 ADVICE fix;
+      // the rank re-selection is stable — see [[Pin]]). Retention
+      // induction: the first batch that holds a window row holds its
+      // physical neighbors too (prec ≤ maxLag rows behind it → still
+      // in the tail; foll rows arrive later, pinned on arrival), and
+      // every later carry re-selects them by adjacency.
+      val keyCols = if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)
+      val kw = Window.partitionBy(keyCols: _*)
+      val ascOrd = kw.orderBy(col(dateU).asc)
+      val needRank = plan.pins.exists(p => p.prec > 0 || p.foll > 0)
+      val flagged = work
+        .withColumn("__EMITTED", col("__EMITTED") || !col("__HOLD"))
         .drop("__HOLD")
         .withColumn("__RN", row_number().over(ord))
-        .where(col("__RN") <= carrySize || pinned).drop("__RN")
+      val ranked =
+        if (needRank) flagged.withColumn("__ARN", row_number().over(ascOrd))
+        else flagged
+      val pinned: Column = plan.pins
+        .map { p =>
+          val inWin = col(dateU).between(
+            lit(java.sql.Date.valueOf(p.start)),
+            lit(java.sql.Date.valueOf(p.end)))
+          if (p.prec == 0 && p.foll == 0) inWin
+          else {
+            val minRn = min(when(inWin, col("__ARN"))).over(kw)
+            val maxRn = max(when(inWin, col("__ARN"))).over(kw)
+            inWin ||
+              (col("__ARN") < minRn &&
+                col("__ARN") >= minRn - lit(p.prec)) ||
+              (col("__ARN") > maxRn &&
+                col("__ARN") <= maxRn + lit(p.foll))
+          }
+        }
+        .reduceOption(_ || _).getOrElse(lit(false))
+      // window aggregates (minRn/maxRn) may not sit inside WHERE —
+      // materialize the predicate as a column first
+      ranked.withColumn("__PINNED", coalesce(pinned, lit(false)))
+        .where(col("__RN") <= carrySize || col("__PINNED"))
+        .drop("__RN", "__ARN", "__PINNED")
         .write.mode("overwrite")
         .parquet(s"$bronzeDir/_tail/v=$batchId")
       ()

@@ -626,18 +626,21 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(lefts >= 10, s"only $lefts refused scripts generated")
   }
 
-  /** Pin-arm generator (r16 open-ended-mask widening): one closed-mask
-    * bounded-support statement, then 1–3 OPEN-ENDED-mask statements
-    * whose exprs mix lags, fixed-date lookups dated ≤ the mask start
-    * (of the input AND of the lagged derived series — the pin window
-    * must widen by the read series' own lag), and whole-series over
-    * the support. Carries the independently-computed expectation:
-    * (maxLag, pins in statement/site order, month arithmetic).
+  /** Pin-arm generator (r16 open-ended-mask widening; r17 gapped-date
+    * hardening): one closed-mask bounded-support statement, then 1–3
+    * OPEN-ENDED-mask statements whose exprs mix lags, fixed-date
+    * lookups dated ≤ the mask start (of the input AND of the lagged
+    * derived series — the read series' own lag rides in as a PHYSICAL
+    * prec row count, not a period-widened window), and whole-series
+    * over the support. Also draws a per-month keep-mask so the frame
+    * has per-key date GAPS — the case where period-widened pins
+    * under-pin (the r17 ADVICE fix). Carries the independently-
+    * computed expectation: (maxLag, pins as (startMonth, endMonth,
+    * prec, foll) in statement/site order).
     */
   private val genPinScript
-      : Gen[(String, Int, List[(Int, Int)])] = {
-    def mdate(m: Int): String =
-      if (m >= 1) f"1995-$m%02d-01" else f"1994-${12 + m}%02d-01"
+      : Gen[(String, Int, List[(Int, Int, Int, Int)], List[Boolean])] = {
+    def mdate(m: Int): String = f"1995-$m%02d-01"
     for {
       j <- Gen.oneOf(0, 1)            // m1's own lag
       s1 <- Gen.choose(1, 3)
@@ -653,52 +656,59 @@ class IncrementalPropertySpec extends SparkSpec {
         ws <- Gen.oneOf("ave", "firstvalue", "lastvalue")
         inline <- Gen.oneOf(true, false)
       } yield (lo, Seq((kind1, mm1), (kind2, mm2)), k, ws, inline))
+      keepMask <- Gen.listOfN(9, Gen.frequency(3 -> true, 1 -> false))
+        .suchThat(_.count(identity) >= 5)
     } yield {
       val m1rhs = if (j == 0) "rev" else s"rev[t-$j]"
       val header = List("freq m",
         f"set <date ${mdate(s1)} to ${mdate(s2)}> m1 = $m1rhs")
       var lag = j                      // m1's statement records lag j
-      val pins = List.newBuilder[(Int, Int)]
+      val pins = List.newBuilder[(Int, Int, Int, Int)]
       val body = terms.zipWithIndex.map {
         case ((lo, kinds, k, ws, inline), i) =>
           val txt = kinds.map {
             case (0, _) =>             // plain lag
               lag = math.max(lag, k); s"pct((abs(rev) + 2), $k)"
-            case (1, mm) =>            // input lookup: pin (mm, mm)
-              pins += ((mm, mm)); f"""rev["${mdate(mm)}"]"""
-            case (2, mm) =>            // derived lookup: pin (mm-j, mm)
-              pins += ((mm - j, mm)); f"""m1["${mdate(mm)}"]"""
-            case _ =>                  // whole-series: pin (s1-j, s2)
-              pins += ((s1 - j, s2)); s"$ws(m1)"
+            case (1, mm) =>            // input lookup: window only
+              pins += ((mm, mm, 0, 0)); f"""rev["${mdate(mm)}"]"""
+            case (2, mm) =>            // derived lookup: + j prec ROWS
+              pins += ((mm, mm, j, 0)); f"""m1["${mdate(mm)}"]"""
+            case _ =>                  // whole-series: + j prec ROWS
+              pins += ((s1, s2, j, 0)); s"$ws(m1)"
           }.mkString("(", " + ", ")")
           if (inline)
             List(s"set <date ${mdate(lo)} to *> v${i + 1} = $txt")
           else List(s"date ${mdate(lo)} to *", s"v${i + 1} = $txt",
             "date *")
       }
-      ((header ++ body.flatten).mkString("\n"), lag, pins.result())
+      ((header ++ body.flatten).mkString("\n"), lag, pins.result(),
+        keepMask)
     }
   }
 
-  test("pin-aware plan (r16 open-ended masks): generated pin scripts " +
-      "match the independent (maxLag, pins) algebra, and the pinned " +
-      "work frame is batch-equivalent on EVERY row across 3 batches — " +
-      "reads land on targets beyond any tail") {
+  test("pin-aware plan (r16 open-ended masks; r17 gapped frames): " +
+      "generated pin scripts match the independent (maxLag, pins) " +
+      "algebra with PHYSICAL-row prec counts, and the pinned work " +
+      "frame — carry selected by row rank, not date windows — is " +
+      "batch-equivalent on EVERY row across 3 batches over GAPPED " +
+      "per-key dates") {
     import org.apache.spark.sql.functions.col
     import java.time.LocalDate
     val dates = (1 to 9).map(m => f"1995-$m%02d-01")
     var withDerivedLookup = 0
     var withWholeSeries = 0
+    var gappedPinPrec = 0
     forAllN(Gen.zip(genPinScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
-      Gen.listOfN(9, Gen.choose(1, 50))), n = 80) {
-      case ((script, lag, pinMonths), revRaw, cntRaw) =>
+      Gen.listOfN(9, Gen.choose(1, 50))), n = 120) {
+      case ((script, lag, pinSpec, keepMask), revRaw, cntRaw) =>
         if (script.contains("m1[\"")) withDerivedLookup += 1
         if (Seq("ave(m1)", "firstvalue(m1)", "lastvalue(m1)")
             .exists(script.contains)) withWholeSeries += 1
-        val wantPins = pinMonths.map { case (a, b) =>
-          (LocalDate.of(1995, 1, 1).plusMonths(a - 1L),
-            LocalDate.of(1995, 1, 1).plusMonths(b - 1L))
+        val present = (0 until 9).filter(keepMask)
+        val wantPins = pinSpec.map { case (a, b, prec, foll) =>
+          FameStream.Pin(LocalDate.of(1995, a, 1),
+            LocalDate.of(1995, b, 1), prec, foll)
         }
         // the tail-reach walkers refuse any pin-requiring script
         // (a draw with only plain lags under the open mask is
@@ -714,12 +724,19 @@ class IncrementalPropertySpec extends SparkSpec {
         assert(FameStream.incrementalPlan(script, partitioned = true,
           inputColumns = Some(Set("REV", "CNT", "K"))) == got, script)
         // ground truth: runIncremental's pin-aware carry — last maxLag
-        // rows PLUS every arrived pinned row — is batch-equivalent on
-        // every batch row (maxLead = 0: all rows emit on arrival)
+        // rows PLUS every arrived pin-selected row, where a pin keeps
+        // its window rows AND their prec/foll PHYSICAL neighbors (row
+        // offsets over the present rows, independently derived here —
+        // NOT the plan's date windows) — is batch-equivalent on every
+        // batch row (maxLead = 0: all rows emit on arrival). On a
+        // gapped frame a date-widened carry would drop the physical
+        // predecessor a derived pin depends on; this emulation (and
+        // the executor) must not.
         val rev = revRaw.map(_ + 0.5)
         val cnt = cntRaw.map(_ + 0.25)
         val full = FameSession.run(script,
-          frame(dates, "REV" -> rev, "CNT" -> cnt)).df
+          frame(present.map(dates),
+            "REV" -> present.map(rev), "CNT" -> present.map(cnt))).df
         val series = full.columns.filter(c =>
           c.startsWith("V") || c == "M1")
         def byDate(df: org.apache.spark.sql.DataFrame,
@@ -734,28 +751,64 @@ class IncrementalPropertySpec extends SparkSpec {
                 if (cols.isEmpty) series.map(_ => Seq.empty[Option[Long]])
                 else cols).toMap
             }
-        def pinnedIdx(i: Int): Boolean = {
-          val dt = LocalDate.parse(dates(i))
-          wantPins.exists { case (a, b) => !dt.isBefore(a) && !dt.isAfter(b) }
-        }
+        // the executor's rank selection, derived independently from
+        // physical row offsets over the (sorted) work frame
+        def pinRows(work: Seq[Int]): Set[Int] =
+          wantPins.flatMap { p =>
+            val inWin = work.filter { i =>
+              val dt = LocalDate.parse(dates(i))
+              !dt.isBefore(p.start) && !dt.isAfter(p.end)
+            }
+            if (inWin.isEmpty) Seq.empty[Int]
+            else {
+              val posFirst = work.indexOf(inWin.head)
+              val posLast = work.indexOf(inWin.last)
+              inWin ++
+                work.slice(math.max(0, posFirst - p.prec), posFirst) ++
+                work.slice(posLast + 1, posLast + 1 + p.foll)
+            }
+          }.toSet
+        // count draws where the physical predecessor a derived pin
+        // carries sits MORE THAN prec months back (a date gap right
+        // before the window) — the exact shape the r16 date-widened
+        // carry lost
+        if (wantPins.exists { p =>
+          p.prec > 0 && {
+            val inWin = present.filter { i =>
+              val dt = LocalDate.parse(dates(i))
+              !dt.isBefore(p.start) && !dt.isAfter(p.end)
+            }
+            inWin.nonEmpty && {
+              val posFirst = present.indexOf(inWin.head)
+              posFirst >= p.prec &&
+                inWin.head - present(posFirst - p.prec) > p.prec
+            }
+          }
+        }) gappedPinPrec += 1
         var carried = Seq.empty[Int]
         Seq(0 until 3, 3 until 6, 6 until 9).foreach { idx =>
-          val workIdx = (carried ++ idx).distinct.sorted
-          val work = FameSession.run(script,
-            frame(workIdx.map(dates),
-              "REV" -> workIdx.map(rev), "CNT" -> workIdx.map(cnt))).df
-          val batchDates = idx.map(dates).toSet
-          assert(byDate(work, batchDates) == byDate(full, batchDates),
-            s"pinned batch $idx diverged (lag=$lag pins=$wantPins):\n" +
-              script)
-          carried = (workIdx.takeRight(lag) ++ workIdx.filter(pinnedIdx))
-            .distinct.sorted
+          val batchIdx = present.filter(idx.contains)
+          val workIdx = (carried ++ batchIdx).distinct.sorted
+          if (workIdx.nonEmpty) {
+            val work = FameSession.run(script,
+              frame(workIdx.map(dates),
+                "REV" -> workIdx.map(rev), "CNT" -> workIdx.map(cnt))).df
+            val batchDates = batchIdx.map(dates).toSet
+            assert(byDate(work, batchDates) == byDate(full, batchDates),
+              s"pinned batch $idx diverged (lag=$lag pins=$wantPins " +
+                s"present=$present):\n$script")
+            carried = (workIdx.takeRight(lag) ++ pinRows(workIdx))
+              .distinct.sorted
+          }
         }
     }
     assert(withDerivedLookup >= 10,
       s"only $withDerivedLookup scripts look up the LAGGED derived series")
     assert(withWholeSeries >= 10,
       s"only $withWholeSeries scripts aggregate the bounded support")
+    assert(gappedPinPrec >= 3,
+      s"only $gappedPinPrec draws put a date gap inside a derived " +
+        "pin's physical-predecessor span — the r17 fix's target shape")
   }
 
   test("bucket hold-back (r16 down-conversions): over generated SPARSE " +

@@ -1826,12 +1826,16 @@ class StreamingSpec extends SparkSpec {
     import java.time.LocalDate
     assert(FameStream.incrementalPlan(script, partitioned = true,
       inputColumns = cols) == Right(FameStream.IncrementalPlan(0, 1, Seq(
-        (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01")),
-        (LocalDate.parse("1994-01-01"), LocalDate.parse("1994-01-01")),
-        (LocalDate.parse("1994-02-01"), LocalDate.parse("1994-03-01"))))))
+        FameStream.Pin(LocalDate.parse("1994-02-01"),
+          LocalDate.parse("1994-03-01"), 0, 0),
+        FameStream.Pin(LocalDate.parse("1994-01-01"),
+          LocalDate.parse("1994-01-01"), 0, 0),
+        FameStream.Pin(LocalDate.parse("1994-02-01"),
+          LocalDate.parse("1994-03-01"), 0, 0)))))
     // a SCALAR-date lookup under an open mask pins the same way (the
     // resolvable make(...) binding routes through the DateLookup path),
-    // and the read series' own lag widens its pin window
+    // and the read series' own lag rides in as a PHYSICAL-row prec
+    // count (not a period-widened window — r17 ADVICE fix)
     assert(FameStream.incrementalPlan(
       """freq m
         |scalar d0 = make(date(m), "1994-02-01")
@@ -1839,7 +1843,8 @@ class StreamingSpec extends SparkSpec {
         |set <date 1994-05-01 to *> z = a[d0]""".stripMargin,
       inputColumns = Some(Set("DATE", "REV"))) ==
       Right(FameStream.IncrementalPlan(0, 1, Seq(
-        (LocalDate.parse("1994-01-01"), LocalDate.parse("1994-02-01"))))))
+        FameStream.Pin(LocalDate.parse("1994-02-01"),
+          LocalDate.parse("1994-02-01"), 1, 0)))))
     def d(s: String) = java.sql.Date.valueOf(s)
     val dates = (1 to 12).map(m => f"1994-$m%02d-01")
     val revA = Seq(10.0, 12.0, 9.0, 11.0, 7.0, 8.0, 13.0, 6.0, 15.0,
@@ -1885,6 +1890,80 @@ class StreamingSpec extends SparkSpec {
     assert(byKey == Set("A", "B").flatMap(k => Set(
       (k, "1994-01-01", true), (k, "1994-02-01", true),
       (k, "1994-03-01", true), (k, "1994-12-01", true))))
+  }
+
+  test("pinned incremental over GAPPED per-key dates (r17 ADVICE fix): " +
+      "a fixed read of a DERIVED lagged series pins the target row's " +
+      "PHYSICAL predecessor — which sits more periods back than rows — " +
+      "so later batches bit-equal the whole-history run; a date-widened " +
+      "pin window would have dropped it") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val base = java.nio.file.Files.createTempDirectory("famegap").toString
+    // a = rev[t-1] is a PHYSICAL row lag; z's fixed read a["1995-04-01"]
+    // therefore depends on the row immediately BEFORE Apr in each key's
+    // frame — for A that is Feb (2 periods back), for B Jan (3 periods
+    // back). The r16 period-widened pin window [Mar, Apr] carried
+    // neither; the r17 rank pin (window Apr..Apr, prec = 1 row) carries
+    // exactly the right row per key.
+    val script =
+      """freq m
+        |a = rev[t-1]
+        |set <date 1995-06-01 to *> z = rev / a["1995-04-01"]""".stripMargin
+    import java.time.LocalDate
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = Some(Set("DATE", "K", "REV"))) ==
+      Right(FameStream.IncrementalPlan(0, 1, Seq(
+        FameStream.Pin(LocalDate.parse("1995-04-01"),
+          LocalDate.parse("1995-04-01"), 1, 0)))))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    // gapped months per key (A misses Mar+May, B misses Feb+Mar+May)
+    val monthsA = Seq(1, 2, 4, 6, 7, 8, 9, 10, 11)
+    val monthsB = Seq(1, 4, 6, 7, 8, 9, 10, 11)
+    def rv(k: String, m: Int) = (if (k == "A") 10.0 else 100.0) + m
+    def rows(lo: Int, hi: Int) =
+      monthsA.filter(m => m >= lo && m <= hi)
+        .map(m => ("A", d(f"1995-$m%02d-01"), rv("A", m))) ++
+      monthsB.filter(m => m >= lo && m <= hi)
+        .map(m => ("B", d(f"1995-$m%02d-01"), rv("B", m)))
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try Seq((1, 4), (6, 8), (9, 11)).foreach { case (lo, hi) =>
+      src.addData(rows(lo, hi): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "A", "Z")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    val want = cells(graft.api.FameSession.run(script,
+      rows(1, 11).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df)
+    assert(got == want)
+    assert(got.size == monthsA.size + monthsB.size)
+    // the values are REAL (not vacuously null): the batch-2 z rows read
+    // a[Apr] = rev@Feb for A and rev@Jan for B, delivered two batches
+    // earlier and carried only by the rank pin
+    val zNov = got.filter(_._2 == "1995-11-01").map(c =>
+      c._1 -> c._3(1).map(java.lang.Double.longBitsToDouble))
+    assert(zNov.toMap == Map(
+      "A" -> Some((10.0 + 11) / (10.0 + 2)),    // rev@Nov / rev@Feb
+      "B" -> Some((100.0 + 11) / (100.0 + 1)))) // rev@Nov / rev@Jan
+    // the carry holds, per key, the 1-row tail (Nov) + the pinned Apr
+    // row + its ONE physical predecessor (Feb for A, Jan for B)
+    val carry = spark.read.parquet(s"$base/bronze/_tail/v=2")
+      .select("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(carry == Set(
+      ("A", "1995-02-01"), ("A", "1995-04-01"), ("A", "1995-11-01"),
+      ("B", "1995-01-01"), ("B", "1995-04-01"), ("B", "1995-11-01")))
   }
 
   test("bucketed incremental (r16): DOWN-conversion streams through " +
@@ -2006,7 +2085,8 @@ class StreamingSpec extends SparkSpec {
     assert(FameStream.incrementalPlan(script, partitioned = true,
       inputColumns = Some(Set("DATE", "K", "REV"))) ==
       Right(FameStream.IncrementalPlan(2, 1, Seq(
-        (LocalDate.parse("1995-01-01"), LocalDate.parse("1995-02-01"))),
+        FameStream.Pin(LocalDate.parse("1995-01-01"),
+          LocalDate.parse("1995-02-01"), 0, 0)),
         bucketed = true)))
     def d(s: String) = java.sql.Date.valueOf(s)
     val revA = Map(1 -> 10.0, 2 -> 12.0, 3 -> 9.0, 4 -> 11.0, 5 -> 7.0,
