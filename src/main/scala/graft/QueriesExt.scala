@@ -215,6 +215,63 @@ object QueriesExt {
   private def fameKeyedStreamSrc(s: SparkSession, dir: String): String =
     stageChunkedSrc(s, dir, "fame_ksrc")(QueriesCore.monthlyByNation(s, dir))
 
+  /** Per-nation monthly two-goods frame (q14's A/R quantity+unit-price
+    * pairs, keyed by the customer's nation) — the q219 incremental-chain
+    * fixture. Quantities and unit prices are SNAPPED TO INTEGERS (the
+    * q201/q207 integer-grid recipe): every yearly sum/avg the chain
+    * kernel takes is then exact in any aggregation order, so the
+    * incremental state (finalized batch-wise from work frames), the
+    * whole-history Spark run, and the DuckDB replay all see bit-equal
+    * links — without the snap, a last-ulp avg(price) difference in one
+    * nation-year amplifies through the cumulative product and round(,8)
+    * cannot absorb it at index magnitudes. The A/R inner join leaves
+    * genuine per-nation date gaps at small SF, which the chain's year
+    * aggregates handle like the batch path.
+    */
+  private def twoGoodsByNation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+    val base = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("DATE", trunc(col("l_shipdate").cast("date"), "month"))
+    def side(flag: String, q: String, p: String): DataFrame =
+      base.where(col("l_returnflag") === flag)
+        .groupBy(col("n_name").as("NATION"), col("DATE"))
+        .agg(
+          round(sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double")).as(q),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast("double")
+            / sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .cast("double")).as(p))
+    side("A", "A", "PA").join(side("R", "B", "PB"),
+      Seq("NATION", "DATE"), "inner")
+  }
+
+  private val twoGoodsByNationSql: String =
+    """WITH gg AS (
+      |  SELECT n_name AS nation,
+      |         date_trunc('month', l_shipdate)::DATE AS date,
+      |         l_returnflag AS f,
+      |         round(sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE) AS q,
+      |         round(sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE
+      |           / sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE) AS p
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_returnflag IN ('A','R') GROUP BY 1, 2, 3
+      |), w AS (
+      |  SELECT a.nation, a.date, a.q AS a, a.p AS pa, b.q AS b, b.p AS pb
+      |  FROM (SELECT * FROM gg WHERE f='A') a
+      |  JOIN (SELECT * FROM gg WHERE f='R') b USING (nation, date)
+      |)""".stripMargin
+
   /** events.parquet's `ts` physical type has drifted across testdata
     * generations — TIMESTAMP(NANOS) (readable only as a long via
     * `spark.sql.legacy.parquet.nanosAsLong`) and now TIMESTAMP(MICROS)
@@ -4718,6 +4775,47 @@ object QueriesExt {
         .select(col("NATION").as("nation"), col("DATE").as("date"),
           col("REV").as("rev"), col("GROWTH").as("growth"),
           round(col("REV_QTRLY"), 8).as("rev_qtrly"))
+        .orderBy("nation", "date")
+    }),
+
+    // CHAINED incremental FAME (r17): an annually-linked Fisher $chain
+    // (q14's two-goods script, keyed by nation) streams through
+    // runIncremental under YEAR hold-back. A row emits only once its
+    // calendar year AND the 1996 base year have closed for its nation
+    // (a later-year row proves the year complete under in-order
+    // ingest); each closed year's (avg price, sum qty) aggregates
+    // finalize into a versioned per-target state table that seeds the
+    // kernel, so every batch's link/cumprod/rebase recomputes over the
+    // COMPLETE year history while the carry holds only the open year's
+    // raw rows (plus the maxLag predecessors of the held suffix — the
+    // generic pct(a) lag must still resolve when a held row finally
+    // emits). The honest latency trade: the newest (open) year pends.
+    // Oracle: whole-history per-nation q14 chain replay restricted to
+    // rows whose year closed — exactly the engine's emitted set.
+    "q219_fame_incremental_chained" -> ((s, dir) => {
+      val base = scratch("q219")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = stageChunkedSrc(s, dir, "fame_csrc")(
+        twoGoodsByNation(s, dir))
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |mom = pct(a)
+          |set x = $chain("a - b", "1996")""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("A").as("a"), col("MOM").as("mom"),
+          round(col("X"), 8).as("x"))
         .orderBy("nation", "date")
     }),
 
@@ -10261,6 +10359,53 @@ object QueriesExt {
          |WHERE (r.is_input AND r.rn > 2)
          |   OR (NOT r.is_input AND r.date <= cut.cutd)
          |ORDER BY r.nation, r.date""".stripMargin,
+
+    // whole-history per-nation Fisher chain replay (the q14 CTE chain,
+    // windows PARTITION BY nation), plus the generic pct lag, restricted
+    // to the engine's emitted set: rows whose year closed for their
+    // nation (year < the nation's max year; the 1996 base year closes
+    // with it — max year is far past 1996 at every SF)
+    "q219_fame_incremental_chained" ->
+      s"""$twoGoodsByNationSql, y AS (
+         |  SELECT nation, year(date) AS yr, avg(pa) AS pa, sum(a) AS qa,
+         |         avg(pb) AS pb, sum(b) AS qb
+         |  FROM w GROUP BY 1, 2
+         |), l AS (
+         |  SELECT nation, yr, pa, qa, pb, qb,
+         |    lag(pa) OVER wy AS ppa, lag(qa) OVER wy AS pqa,
+         |    lag(pb) OVER wy AS ppb, lag(qb) OVER wy AS pqb
+         |  FROM y WINDOW wy AS (PARTITION BY nation ORDER BY yr)
+         |), f AS (
+         |  SELECT nation, yr,
+         |    coalesce(sqrt(CASE WHEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) > 0
+         |                       THEN ((ppa*qa - ppb*qb) / (ppa*pqa - ppb*pqb))
+         |                          * ((pa*qa - pb*qb) / (pa*pqa - pb*pqb)) END), 1.0)
+         |      AS fisher
+         |  FROM l
+         |), c AS (
+         |  SELECT nation, yr, product(CASE WHEN fisher > 0 THEN fisher END)
+         |    OVER (PARTITION BY nation ORDER BY yr
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+         |  FROM f
+         |), r AS (
+         |  SELECT nation, yr, raw / max(CASE WHEN yr = 1996 THEN raw END)
+         |    OVER (PARTITION BY nation) * 100 AS idx
+         |  FROM c
+         |), md AS (
+         |  SELECT nation, date, a,
+         |    (a - lag(a) OVER wn) / lag(a) OVER wn * 100 AS mom
+         |  FROM w WINDOW wn AS (PARTITION BY nation ORDER BY date)
+         |), my AS (
+         |  SELECT nation, max(year(date)) AS maxyr FROM w GROUP BY 1
+         |)
+         |SELECT md.nation AS nation, md.date AS date, md.a AS a,
+         |  md.mom AS mom, round(r.idx, 8) AS x
+         |FROM md
+         |JOIN r ON md.nation = r.nation AND year(md.date) = r.yr
+         |JOIN my ON md.nation = my.nation
+         |WHERE year(md.date) < my.maxyr AND 1996 < my.maxyr
+         |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

@@ -64,26 +64,35 @@ object FameSession {
     *                    acknowledged approximate in the reference's own
     *                    `ASSESSMENT_SUMMARY.md:181`). Default off =
     *                    reference parity.
+    * @param chainSeed   per-chain-target closed-year aggregate tables
+    *                    ([[Indices.yearlyAggs]] schema) carried by the
+    *                    incremental streaming executor; a seeded
+    *                    `$chain` statement links against seed ∪ the
+    *                    frame's own year aggregates instead of the
+    *                    frame alone. Empty (the default) = historical
+    *                    behavior for every batch caller.
     */
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother,
       dateofStub: Boolean = false,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
-      isoWeeks: Boolean = false): SeriesFrame =
+      isoWeeks: Boolean = false,
+      chainSeed: Map[String, DataFrame] = Map.empty): SeriesFrame =
     // date literals become plan literals during this synchronous driver-
     // thread call, so a dynamically-scoped parse mode is sound (nothing
     // re-parses after run returns)
     FameDate.withIsoWeeks(isoWeeks) {
       runImpl(script, input, dateCol, partitionKeys, nlrx, dateofStub,
-        businessCal)
+        businessCal, chainSeed)
     }
 
   private def runImpl(script: String, input: DataFrame, dateCol: String,
       partitionKeys: Seq[String],
       nlrx: Nlrx,
       dateofStub: Boolean,
-      businessCal: BusinessCalendar): SeriesFrame = {
+      businessCal: BusinessCalendar,
+      chainSeed: Map[String, DataFrame]): SeriesFrame = {
 
     // uppercase-normalize input columns (reference normalizes all names,
     // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a
@@ -252,7 +261,8 @@ object FameSession {
                 .otherwise(existing))
 
           case ChainAssign(target, terms, baseYear) =>
-            cur = Indices.chain(cur, dateCol, terms, baseYear, target, partitionKeys)
+            cur = Indices.chain(cur, dateCol, terms, baseYear, target,
+              partitionKeys, chainSeed.get(target))
 
           case FishvolAssign(target, vs, ps, baseYear) =>
             cur = Indices.fishvol(cur, dateCol, vs, ps, baseYear, target, partitionKeys)

@@ -46,21 +46,61 @@ object Indices {
       exp(sum(when(c > 0, log(c))).over(frame))
   }
 
-  /** Annually chain-linked Fisher volume index over signed
-    * (quantity, price=`P<quantity>`) term pairs.
+  /** Per-(keys, year) chain aggregates — the groupBy stage of
+    * [[chainYearly]], exposed on its own because the incremental
+    * streaming executor ([[graft.streaming.FameStream.runIncremental]])
+    * materializes CLOSED years' rows of this exact table as carried
+    * derived state: a year's aggregates are constants once the year
+    * closes, and carrying them (1 row per key per year) is what lets
+    * the chain recompute its whole link/cumprod/rebase pipeline each
+    * batch without carrying O(history) raw rows.
     *
-    * @param terms   (sign, quantityCol) pairs; price col = "P"+quantityCol
-    * @return frame `keys :+ __year :+ idxName` (one row per year) to join
-    *         back on year.
+    * @return frame `keys :+ __year :+ (__p$i, __q$i per term)`.
     */
-  def chainYearly(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
-      baseYear: Int, idxName: String, keys: Seq[String] = Nil): DataFrame = {
-
+  def yearlyAggs(df: DataFrame, dateCol: String,
+      terms: Seq[(Int, String)], keys: Seq[String]): DataFrame = {
     val y = year(col(dateCol)).as("__year")
     val aggs = terms.zipWithIndex.flatMap { case ((_, q), i) =>
       Seq(avg(col("P" + q)).as(s"__p$i"), sum(col(q)).as(s"__q$i"))
     }
-    val yearly = df.groupBy((keys.map(col) :+ y): _*).agg(aggs.head, aggs.tail: _*)
+    df.groupBy((keys.map(col) :+ y): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Annually chain-linked Fisher volume index over signed
+    * (quantity, price=`P<quantity>`) term pairs.
+    *
+    * @param terms   (sign, quantityCol) pairs; price col = "P"+quantityCol
+    * @param seed    closed-year aggregate rows ([[yearlyAggs]] schema)
+    *                carried by the incremental streaming executor: they
+    *                REPLACE this frame's own (possibly partial)
+    *                aggregates for those years, so a work frame holding
+    *                only the open year's raw rows still links against
+    *                the complete history. The link/cumprod/rebase
+    *                pipeline always recomputes over the FULL year table
+    *                (seed ∪ fresh) — the same window fold over the same
+    *                year rows as a whole-history run, so seeding changes
+    *                no fp association (unlike seeding a running product
+    *                with a scalar, which re-associates the fold — the
+    *                reason fishvol stays refused incrementally).
+    * @return frame `keys :+ __year :+ idxName` (one row per year) to join
+    *         back on year.
+    */
+  def chainYearly(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
+      baseYear: Int, idxName: String, keys: Seq[String] = Nil,
+      seed: Option[DataFrame] = None): DataFrame = {
+
+    val fresh = yearlyAggs(df, dateCol, terms, keys)
+    val yearly = seed match {
+      case Some(st) =>
+        // the carried rows are the COMPLETE aggregates for their years
+        // (finalized when the year closed); the frame's own rows for
+        // those years may be partial (pinned/tail leftovers) — prefer
+        // the state
+        st.unionByName(fresh.join(
+          st.select((keys :+ "__year").map(col): _*),
+          keys :+ "__year", "left_anti"))
+      case None => fresh
+    }
 
     val w = win(keys, "__year")
     def lagc(name: String) = lag(col(name), 1).over(w)
@@ -104,8 +144,10 @@ object Indices {
     * turns out genuinely small.
     */
   def chain(df: DataFrame, dateCol: String, terms: Seq[(Int, String)],
-      baseYear: Int, idxName: String, keys: Seq[String] = Nil): DataFrame = {
-    val yearly = chainYearly(df, dateCol, terms, baseYear, idxName, keys)
+      baseYear: Int, idxName: String, keys: Seq[String] = Nil,
+      seed: Option[DataFrame] = None): DataFrame = {
+    val yearly = chainYearly(df, dateCol, terms, baseYear, idxName, keys,
+      seed)
     val build = if (keys.isEmpty) broadcast(yearly) else yearly
     df.withColumn("__year", year(col(dateCol)))
       .join(build, keys :+ "__year", "left")

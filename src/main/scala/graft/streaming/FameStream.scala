@@ -107,10 +107,12 @@ object FameStream {
         // pin-bearing lead-FREE scripts emit exactly what the snapshot
         // emits (pins change the carry, not the output), so Auto routes
         // them incrementally; lead scripts (maxLead > 0) WITHHOLD the
-        // frontier rows — a different output contract — so Auto keeps
-        // them on the snapshot path unless the caller opts in
+        // frontier rows, and chain scripts (r17) withhold the whole
+        // open year — different output contracts — so Auto keeps both
+        // on the snapshot path unless the caller opts in
         incrementalPlan(script, partitionKeys.nonEmpty,
-          Some(stream.columns.toSet)).exists(_.maxLead == 0)
+          Some(stream.columns.toSet))
+          .exists(p => p.maxLead == 0 && p.chains.isEmpty)
     }
     if (incremental)
       return runIncremental(stream, script, bronzeDir, resultDir, dateCol,
@@ -182,16 +184,17 @@ object FameStream {
     * Still refused at EVERY tier, with the reasoning on record:
     * shift-pct (anti-causal — it recurses backward from the series END,
     * so every row's value changes whenever the end advances);
-    * chain/fishvol (causal links, but the cumulative product and the
-    * base-year re-reference depend on per-year state from the WHOLE
-    * history — incremental evaluation would need a carried derived
-    * year-state table and a kernel that seeds from it, machinery out of
-    * proportion for annual-cadence constructs whose snapshot recompute
-    * is cheap); nlrx (a global smoother — every output depends on every
-    * input); up-conversions (interpolation reads the NEXT observation,
-    * unboundedly far ahead); open-START masks and plain-assign lookups
-    * (affected rows PRECEDE the read target — a forward read no carry
-    * policy can satisfy); and series-derived scalars (moving targets).
+    * fishvol (its cumulative product is a per-ROW fold — seeding it
+    * batch-wise re-associates the fp fold, and carrying the rows would
+    * be O(history); see the FishvolAssign case); nlrx (a global
+    * smoother — every output depends on every input); up-conversions
+    * (interpolation reads the NEXT observation, unboundedly far
+    * ahead); open-START masks and plain-assign lookups (affected rows
+    * PRECEDE the read target — a forward read no carry policy can
+    * satisfy); and series-derived scalars (moving targets). CHAIN
+    * (r17) is accepted at the PLAN tier only: its per-YEAR fold is
+    * cheap to carry whole as derived state, and rows run under year
+    * hold-back (see [[ChainSpec]]).
     *
     * Reach is TRANSITIVE through derived series: in
     * `a = pct(rev); b = pct(a)`, `b` at row t reads `a[t−1]` which
@@ -276,9 +279,27 @@ object FameStream {
     * per-key emission cutoffs (once per anchor, only after the bucket
     * closes), and carries one extra row per key so the previous cutoff
     * is always recoverable from the carry.
+    *
+    * `chains` (r17) lists the script's annually-linked `$chain`
+    * statements: the executor then runs under YEAR hold-back — a row
+    * emits only once its calendar year has CLOSED for its key (a
+    * later-year row arrived; in-order ingest proves no more rows of the
+    * year can follow) AND every chain's base year has closed (the
+    * rebase denominator is final; before that every index value would
+    * still move). Closed years' aggregate rows ([[graft.kernels
+    * .Indices.yearlyAggs]] — 1 row per key per year) are carried as
+    * versioned derived state and seeded back into the kernel, so each
+    * batch recomputes the full link/cumprod/rebase pipeline over the
+    * COMPLETE year table without carrying O(history) raw rows. The
+    * honest latency trade: up to one year of hold-back (q218's bucket
+    * argument with span = periods-per-year).
     */
+  final case class ChainSpec(target: String, terms: Seq[(Int, String)],
+      baseYear: Int)
+
   final case class IncrementalPlan(maxLead: Int, maxLag: Int,
-      pins: Seq[Pin], bucketed: Boolean = false)
+      pins: Seq[Pin], bucketed: Boolean = false,
+      chains: Seq[ChainSpec] = Nil)
 
   /** Upper bound on source rows per target-frequency bucket — the
     * hold-back distance a down-conversion needs (an overestimate only
@@ -424,6 +445,31 @@ object FameStream {
     // dependent predecessor row can sit more periods back than rows —
     // a period-widened window would under-pin it (r17 ADVICE fix).
     val pins = scala.collection.mutable.ListBuffer.empty[Pin]
+    // accepted chain statements (plan tier only), their targets (reads
+    // of a chain index are refused: its open-year values are non-final
+    // until the year closes, so a derived read would leak a moving
+    // value into an already-emitted row), and their source columns
+    // (reassignment after the chain is refused: the executor finalizes
+    // a closed year's aggregates from the OUTPUT frame's source
+    // columns, which a later reassignment would have overwritten)
+    val chains = scala.collection.mutable.ListBuffer.empty[ChainSpec]
+    var sealedNames  = Set.empty[String]
+    var chainSrcNames = Set.empty[String]
+    // series-derived scalars accepted via pinned support windows (r17):
+    // name → the support's END date. The scalar's value is a constant
+    // once every support row (plus its arg's lag predecessors — both
+    // pinned) has arrived, which under in-order ingest is before any
+    // row dated ≥ the support end; a USE is therefore sound exactly
+    // when the using statement's horizon starts at/after that end.
+    // Their base series are frozen like chain sources (the extracted
+    // value must keep re-deriving from the same definition).
+    var seriesScalars = Map.empty[String, LocalDate]
+    var scalarBaseNames = Set.empty[String]
+    def sealedRead(n: String): Option[String] =
+      if (sealedNames.contains(n))
+        Some(s"read of chain index $n (open-year values are non-final " +
+          "until the year closes)")
+      else None
 
     // Support interval of an expression: Some((a, b)) proves the
     // compiled column is null at every row outside [a, b]. STRICT
@@ -550,16 +596,32 @@ object FameStream {
       }
       e match {
         case Num(_) | Str(_) | Missing | TimeVar => Right((0, 0))
-        case Ref(n) => Right(env.getOrElse(n, (0, 0)))
+        case Ref(n) if seriesScalars.contains(n) =>
+          // the pinned support makes the value a constant once arrived;
+          // affected rows must all postdate the support end so no row
+          // is emitted against a still-partial extraction
+          look match {
+            case Some(Horizon(latest, _, _))
+                if !seriesScalars(n).isAfter(latest) => Right((0, 0))
+            case _ => Left(s"use of series-derived scalar $n outside a " +
+              "mask starting at/after its support end (earlier rows " +
+              "would be emitted against a still-partial value)")
+          }
+        case Ref(n) =>
+          sealedRead(n).toLeft(env.getOrElse(n, (0, 0)))
         case TimeShift(n, k) =>
-          val (ld, lg) = env.getOrElse(n, (0, 0))
-          Right((math.max(0, ld + k), math.max(0, lg - k)))
-        case DynLookup(s, sc) => sdates.get(sc) match {
-          case Some(d) => lookupReach(s, d, s"$s[$sc]")
-          case None => Left(s"history lookup $s[$sc] (scalar is not a " +
-            "fixed date literal)")
-        }
-        case DateLookup(s, d) => lookupReach(s, d, s"""$s["$d"]""")
+          sealedRead(n).toLeft {
+            val (ld, lg) = env.getOrElse(n, (0, 0))
+            (math.max(0, ld + k), math.max(0, lg - k))
+          }
+        case DynLookup(s, sc) => sealedRead(s).map(Left(_)).getOrElse(
+          sdates.get(sc) match {
+            case Some(d) => lookupReach(s, d, s"$s[$sc]")
+            case None => Left(s"history lookup $s[$sc] (scalar is not a " +
+              "fixed date literal)")
+          })
+        case DateLookup(s, d) => sealedRead(s).map(Left(_)).getOrElse(
+          lookupReach(s, d, s"""$s["$d"]"""))
         case Bin(_, l, r)  =>
           for (a <- reach(l, env, look, sdates, supports);
                b <- reach(r, env, look, sdates, supports))
@@ -787,11 +849,26 @@ object FameStream {
           case SetDate(filter)  => Right(st.copy(filter = Some(filter)))
           case ClearDate        => Right(st.copy(filter = None))
           case ListAlias(_, _)  => Right(st)
+          case Assign(target, e, inline, _)
+              if chainSrcNames.contains(target) =>
+            Left(s"reassignment of chain source $target after the chain " +
+              "statement (the executor finalizes closed-year aggregates " +
+              "from the output frame, which would hold the new definition)")
+          case Assign(target, _, _, _)
+              if scalarBaseNames.contains(target) =>
+            Left(s"reassignment of $target after a scalar was derived " +
+              "from it (the pinned extraction must keep re-deriving " +
+              "from the same definition)")
           case Assign(target, e, inline, _) =>
             val look = maskLook(st, inline)
             accept(target, reach(e, st.env, look, st.sdates, st.supports))
               .map(updSupport(_, target,
                 look.flatMap(h => h.end.map(b => (h.latest, b)))))
+          case PointInTime(target, _, _)
+              if chainSrcNames.contains(target) ||
+                scalarBaseNames.contains(target) =>
+            Left(s"reassignment of $target after a chain/scalar " +
+              "statement froze it")
           case PointInTime(target, dte, e) =>
             accept(target,
               reach(e, st.env, st.freq.map(f => Horizon(dte, Some(dte), f)),
@@ -804,10 +881,54 @@ object FameStream {
             // the stream would die on its first micro-batch with the
             // executor's "scalar is not a date" CompileError instead of
             // being refused here, upfront, with a named reason.
-            if (scalarPure(e)) Right(dateOfMake(e)
-              .map(d => st.copy(sdates = st.sdates + (n -> d)))
-              .getOrElse(st.copy(sdates = st.sdates - n)))
-            else Left(s"scalar $n derived from series data")
+            if (scalarPure(e) &&
+                !FameExpr.refs(e).exists(seriesScalars.contains))
+              Right(dateOfMake(e)
+                .map(d => st.copy(sdates = st.sdates + (n -> d)))
+                .getOrElse(st.copy(sdates = st.sdates - n)))
+            else e match {
+              // r17 widening: a whole-series scalar over a BOUNDED-
+              // SUPPORT series is a constant once the support (plus the
+              // argument's lag predecessors) has arrived — pin that
+              // window (the r16 pin machinery verbatim) and record the
+              // support end for the use-site check in `reach`. UNKEYED
+              // only: under partitioned execution the engine's scalar
+              // extraction takes ONE arbitrary key's value from the
+              // frame (the documented `.item()` divergence), a frame-
+              // order-dependent choice no carry policy can reproduce.
+              case Call(ws, args)
+                  if Set("ave", "firstvalue", "lastvalue")(ws) &&
+                    args.nonEmpty && allowPins && !partitioned =>
+                st.freq match {
+                  case Some(f) =>
+                    exprSupport(args.head, st.supports, f) match {
+                      case Some((sA, sB)) =>
+                        reach(args.head, st.env,
+                          Some(Horizon(sB, Some(sB), f)), st.sdates,
+                          st.supports).flatMap {
+                          case (0, lg) =>
+                            pins += Pin(sA, sB, lg, 0)
+                            seriesScalars += n -> sB
+                            scalarBaseNames ++= FameExpr.refs(args.head)
+                            Right(st.copy(sdates = st.sdates - n))
+                          case (ld, _) => Left(
+                            s"lead +$ld inside scalar $n's whole-series " +
+                              "argument")
+                        }
+                      case None => Left(s"scalar $n derived from series " +
+                        "data (whole-series over UNBOUNDED support — " +
+                        "its value keeps moving as history grows)")
+                    }
+                  case None => Left(s"scalar $n derived from series " +
+                    "data (no declared frequency to bound its support)")
+                }
+              case _ =>
+                Left(s"scalar $n derived from series data" +
+                  (if (partitioned &&
+                      e.isInstanceOf[Call]) " (keyed scalar extraction " +
+                    "takes one arbitrary key's value — frame-dependent)"
+                  else ""))
+            }
           // DOWN-conversion under hold-back (r16): the anchor row's
           // value aggregates its own bucket — up to span−1 rows FORWARD
           // of the anchor, never backward past it — so it is exactly a
@@ -827,7 +948,11 @@ object FameStream {
           // caller would get a correct (lead, lag) but silently drop
           // sparse frames' anchors, so the reach tier refuses converts
           case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
-            asFreq.orElse(st.freq)
+            if (chains.nonEmpty)
+              Left(s"convert ($target) alongside a chain statement " +
+                "(bucket hold-back and year hold-back emission cutoffs " +
+                "are not composed; run them as separate streams)")
+            else asFreq.orElse(st.freq)
               .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
               case Some(span) if allowLeads && allowPins =>
                 val (sld, slg) = st.env.getOrElse(source, (0, 0))
@@ -841,13 +966,58 @@ object FameStream {
             }
           case ShiftPctAssign(t, _, _) =>
             Left(s"shift_pct ($t) recurses backward from series end")
-          case ChainAssign(t, _, _)   => Left(s"chain ($t) whole-series")
+          // Annually-linked chain (r17, plan tier only): a year-Y link
+          // reads only years ≤ Y, so the statement is exactly a
+          // year-bucket hold-back (q218's argument with span =
+          // periods-per-year) — the executor emits a row once its year
+          // AND every base year have closed, and carries closed years'
+          // aggregate rows as derived state (see [[ChainSpec]]).
+          // Sources must have zero recorded reach: a lagged source's
+          // year-boundary rows would read the PREVIOUS year's raw rows,
+          // which leave the carry when their year closes. The target is
+          // SEALED (no downstream reads) and sources are frozen (no
+          // reassignment) — both named refusals above.
+          case ChainAssign(target, terms, baseYear) =>
+            val srcs = (terms.map(_._2) ++ terms.map("P" + _._2)).distinct
+            if (!(allowLeads && allowPins))
+              Left(s"chain ($target) whole-series (annually-linked " +
+                "chains run under year hold-back via runIncremental)")
+            else if (st.bucketed)
+              Left(s"chain ($target) alongside a down-conversion (year " +
+                "hold-back and bucket hold-back emission cutoffs are " +
+                "not composed; run them as separate streams)")
+            else srcs.flatMap(sealedRead).headOption.map(Left(_)).getOrElse {
+              srcs.find(n => st.env.getOrElse(n, (0, 0)) != ((0, 0))) match {
+                case Some(n) =>
+                  val (ld, lg) = st.env(n)
+                  Left(s"chain ($target) source $n carries reach " +
+                    s"(+$ld, -$lg): its year-boundary rows read outside " +
+                    "the year bucket, beyond the closed-year carry")
+                case None =>
+                  chains += ChainSpec(target, terms, baseYear)
+                  sealedNames += target
+                  chainSrcNames ++= srcs
+                  Right(st.copy(assigned = st.assigned + target))
+              }
+            }
+          // fishvol stays refused at EVERY tier: its cumulative product
+          // is a per-ROW left fold (raw_t = raw_{t-1} × link_t over the
+          // row-level window) — seeding it batch-wise with a carried
+          // scalar re-associates the fold (seed × (a×b) ≠ (seed×a) × b
+          // in doubles), so batch outputs could not bit-equal the
+          // snapshot's whole-window product kernel; carrying the rows
+          // instead would be O(history). Chain escapes this because its
+          // fold runs over the YEAR table (1 row per key-year), cheap
+          // enough to carry whole and recompute exactly.
           case FishvolAssign(t, _, _, _) =>
-            Left(s"fishvol ($t) whole-series")
+            Left(s"fishvol ($t) whole-series (per-row cumulative " +
+              "product cannot be seeded batch-wise without changing " +
+              "the fp fold association)")
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
-    }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList, st.bucketed))
+    }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList, st.bucketed,
+      chains.toList))
   }
 
   /** Incremental micro-batched FAME for the bounded-reach script subset
@@ -891,7 +1061,15 @@ object FameStream {
     *     gated per key to the window between the newest already-emitted
     *     input (from the carried flags) and the newest emittable one —
     *     each anchor exactly once, only after its bucket provably
-    *     closed.
+    *     closed;
+    *  6. chain plans (r17) run under YEAR hold-back: a row emits once
+    *     its calendar year AND every chain base year have closed for
+    *     its key; still-unemitted rows (the open year; the pre-base-era
+    *     backlog) stay in the carry, and each closed year's aggregate
+    *     row joins a per-target versioned state table
+    *     (`bronzeDir/_state/<target>/v=<id>`) that seeds the kernel so
+    *     the link/cumprod/rebase pipeline recomputes over the COMPLETE
+    *     year history every batch.
     *
     * Contract: rows arrive in nondecreasing date order per key (the
     * standard series-ingest shape — a late row would need the
@@ -987,17 +1165,48 @@ object FameStream {
       // are PENDING (their forward reads are incomplete) — everything
       // older is emittable. For lag-only scripts maxLead = 0 and every
       // row is emittable the batch it arrives, the historical behavior.
-      val ord = Window.partitionBy(
-          (if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)): _*)
-        .orderBy(col(dateU).desc)
+      val keyCols = if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)
+      val kw = Window.partitionBy(keyCols: _*)
+      val ord = kw.orderBy(col(dateU).desc)
       val work = prevTail
         .unionByName(upper.withColumn("__EMITTED", lit(false)))
         .withColumn("__HOLD", row_number().over(ord) <= lit(maxLead))
+      // chain scripts (r17): seed each $chain with the closed-year
+      // aggregate state finalized by the previous batch (versioned like
+      // the carry — replay of batch n re-reads v=n−1, idempotent), so
+      // the kernel links against the COMPLETE year history while the
+      // work frame holds only the open year's raw rows
+      val chainSeeds: Map[String, DataFrame] = plan.chains.flatMap { c =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$bronzeDir/_state/${c.target}/v=${batchId - 1}")
+        if (batchId > 0 && p.getFileSystem(hconf).exists(p))
+          Some(c.target -> spark.read.parquet(p.toString))
+        else None
+      }.toMap
       val out = FameSession.run(script, work, dateU, keysU,
-        nlrx, businessCal = businessCal).df
-      val inputEmit = out.where(!col("__EMITTED") && !col("__HOLD"))
+        nlrx, businessCal = businessCal, chainSeed = chainSeeds).df
+      // YEAR hold-back gate (chain scripts): a row emits only once its
+      // calendar year has closed for its key (a later-year row exists —
+      // in-order ingest proves the year is complete) AND every chain's
+      // base year has closed (before that the rebase denominator, hence
+      // EVERY index value, would still move). maxBase < maxYr flushes
+      // the whole pre-base backlog the batch the base year closes.
+      val maxBase =
+        if (plan.chains.isEmpty) Int.MinValue
+        else plan.chains.map(_.baseYear).max
+      val yearGate: Column =
+        if (plan.chains.isEmpty) lit(true)
+        else {
+          val maxYr = max(year(col(dateU))).over(kw)
+          year(col(dateU)) < maxYr && lit(maxBase) < maxYr
+        }
       val emit =
-        if (!plan.bucketed) inputEmit
+        if (plan.chains.nonEmpty)
+          out.withColumn("__EGATE", yearGate)
+            .where(!col("__EMITTED") && !col("__HOLD") && col("__EGATE"))
+            .drop("__EGATE")
+        else if (!plan.bucketed)
+          out.where(!col("__EMITTED") && !col("__HOLD"))
         else {
           // Down-conversions can create SYNTHETIC rows (the convert
           // bridge's full-outer join, at bucket-anchor dates with no
@@ -1013,8 +1222,6 @@ object FameStream {
           // or just arrived — the work frame holds the WHOLE bucket and
           // the value is the whole-history one. Replay of batch n
           // re-reads carry v=n−1 → identical cutoffs, idempotent.
-          val kw = Window.partitionBy(
-            (if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)): _*)
           val scoped = out
             .withColumn("__CUT_NEW",
               max(when(col("__HOLD") === false, col(dateU))).over(kw))
@@ -1045,12 +1252,14 @@ object FameStream {
       // physical neighbors too (prec ≤ maxLag rows behind it → still
       // in the tail; foll rows arrive later, pinned on arrival), and
       // every later carry re-selects them by adjacency.
-      val keyCols = if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)
-      val kw = Window.partitionBy(keyCols: _*)
       val ascOrd = kw.orderBy(col(dateU).asc)
-      val needRank = plan.pins.exists(p => p.prec > 0 || p.foll > 0)
+      val needRank = plan.pins.exists(p => p.prec > 0 || p.foll > 0) ||
+        plan.chains.nonEmpty
+      // a chain-held row (open year / pre-base era) is NOT emitted even
+      // past the generic hold — the same yearGate governs the flag
       val flagged = work
-        .withColumn("__EMITTED", col("__EMITTED") || !col("__HOLD"))
+        .withColumn("__EMITTED",
+          col("__EMITTED") || (!col("__HOLD") && yearGate))
         .drop("__HOLD")
         .withColumn("__RN", row_number().over(ord))
       val ranked =
@@ -1074,12 +1283,50 @@ object FameStream {
         }
         .reduceOption(_ || _).getOrElse(lit(false))
       // window aggregates (minRn/maxRn) may not sit inside WHERE —
-      // materialize the predicate as a column first
+      // materialize the predicate as a column first. Chain plans also
+      // keep every still-unemitted row: the open year pends until it
+      // closes, and the pre-base-era backlog pends until the base year
+      // closes — both flushed (and dropped from the carry) the batch
+      // their gate opens.
+      // The year gate is monotone in date, so the unemitted rows form a
+      // SUFFIX per key — but they emit in a LATER batch than rows behind
+      // them, and their generic lags still read those rows then. Keep
+      // the suffix AND its maxLag physical predecessors (the newest-
+      // carrySize tail only guards the frontier, not a held suffix).
+      val keepUnemitted: Column =
+        if (plan.chains.isEmpty) lit(false)
+        else {
+          val minUnem = min(when(!col("__EMITTED"), col("__ARN"))).over(kw)
+          !col("__EMITTED") || col("__ARN") >= minUnem - lit(maxLag)
+        }
       ranked.withColumn("__PINNED", coalesce(pinned, lit(false)))
-        .where(col("__RN") <= carrySize || col("__PINNED"))
-        .drop("__RN", "__ARN", "__PINNED")
+        .withColumn("__KEEPUN", coalesce(keepUnemitted, lit(false)))
+        .where(col("__RN") <= carrySize || col("__PINNED") ||
+          col("__KEEPUN"))
+        .drop("__RN", "__ARN", "__PINNED", "__KEEPUN")
         .write.mode("overwrite")
         .parquet(s"$bronzeDir/_tail/v=$batchId")
+      // finalize chain state: closed years' aggregate rows, computed
+      // from the output frame (derived source columns materialized) and
+      // unioned with the carried state — the state keeps the version
+      // finalized at close time; later partial rows of the same year
+      // (tail/pin leftovers) are anti-joined away
+      plan.chains.foreach { c =>
+        val closed = out
+          .withColumn("__CYR", year(col(dateU)))
+          .withColumn("__CMAXYR", max(year(col(dateU))).over(kw))
+          .where(col("__CYR") < col("__CMAXYR"))
+        val fresh = graft.kernels.Indices.yearlyAggs(
+          closed, dateU, c.terms, keysU)
+        val newState = chainSeeds.get(c.target) match {
+          case Some(st) => st.unionByName(fresh.join(
+            st.select((keysU :+ "__year").map(col): _*),
+            keysU :+ "__year", "left_anti"))
+          case None => fresh
+        }
+        newState.write.mode("overwrite")
+          .parquet(s"$bronzeDir/_state/${c.target}/v=$batchId")
+      }
       ()
     }.start()
   }

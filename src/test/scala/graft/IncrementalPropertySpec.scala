@@ -655,7 +655,9 @@ class IncrementalPropertySpec extends SparkSpec {
         k <- Gen.choose(1, 2)
         ws <- Gen.oneOf("ave", "firstvalue", "lastvalue")
         inline <- Gen.oneOf(true, false)
-      } yield (lo, Seq((kind1, mm1), (kind2, mm2)), k, ws, inline))
+        useScalar <- Gen.oneOf(true, false)
+      } yield (lo, Seq((kind1, mm1), (kind2, mm2)), k, ws, inline,
+        useScalar))
       keepMask <- Gen.listOfN(9, Gen.frequency(3 -> true, 1 -> false))
         .suchThat(_.count(identity) >= 5)
     } yield {
@@ -665,21 +667,34 @@ class IncrementalPropertySpec extends SparkSpec {
       var lag = j                      // m1's statement records lag j
       val pins = List.newBuilder[(Int, Int, Int, Int)]
       val body = terms.zipWithIndex.map {
-        case ((lo, kinds, k, ws, inline), i) =>
-          val txt = kinds.map {
-            case (0, _) =>             // plain lag
+        case ((lo, kinds, k, ws, inline, useScalar), i) =>
+          // r17 scalar arm: a whole-series slot may route through a
+          // DERIVED SCALAR declared first — the scalar's pin registers
+          // at ITS statement, so script order puts it before the open-
+          // mask statement's own pins
+          val pre = List.newBuilder[String]
+          kinds.zipWithIndex.foreach {
+            case ((3, _), slot) if useScalar =>
+              pins += ((s1, s2, j, 0))
+              pre += s"scalar sc${i + 1}_$slot = $ws(m1)"
+            case _ => ()
+          }
+          val txt = kinds.zipWithIndex.map {
+            case ((0, _), _) =>        // plain lag
               lag = math.max(lag, k); s"pct((abs(rev) + 2), $k)"
-            case (1, mm) =>            // input lookup: window only
+            case ((1, mm), _) =>       // input lookup: window only
               pins += ((mm, mm, 0, 0)); f"""rev["${mdate(mm)}"]"""
-            case (2, mm) =>            // derived lookup: + j prec ROWS
+            case ((2, mm), _) =>       // derived lookup: + j prec ROWS
               pins += ((mm, mm, j, 0)); f"""m1["${mdate(mm)}"]"""
-            case _ =>                  // whole-series: + j prec ROWS
-              pins += ((s1, s2, j, 0)); s"$ws(m1)"
+            case ((_, _), slot) =>     // whole-series: + j prec ROWS
+              if (useScalar) s"sc${i + 1}_$slot"
+              else { pins += ((s1, s2, j, 0)); s"$ws(m1)" }
           }.mkString("(", " + ", ")")
-          if (inline)
-            List(s"set <date ${mdate(lo)} to *> v${i + 1} = $txt")
-          else List(s"date ${mdate(lo)} to *", s"v${i + 1} = $txt",
-            "date *")
+          pre.result() ++
+            (if (inline)
+              List(s"set <date ${mdate(lo)} to *> v${i + 1} = $txt")
+            else List(s"date ${mdate(lo)} to *", s"v${i + 1} = $txt",
+              "date *"))
       }
       ((header ++ body.flatten).mkString("\n"), lag, pins.result(),
         keepMask)
@@ -698,6 +713,7 @@ class IncrementalPropertySpec extends SparkSpec {
     var withDerivedLookup = 0
     var withWholeSeries = 0
     var gappedPinPrec = 0
+    var scalarArm = 0
     forAllN(Gen.zip(genPinScript,
       Gen.listOfN(9, Gen.choose(1, 50)),
       Gen.listOfN(9, Gen.choose(1, 50))), n = 120) {
@@ -721,8 +737,15 @@ class IncrementalPropertySpec extends SparkSpec {
         assert(got == Right(FameStream.IncrementalPlan(0, lag, wantPins)),
           s"plan said $got, independent algebra " +
             s"(0, $lag, $wantPins):\n$script")
-        assert(FameStream.incrementalPlan(script, partitioned = true,
-          inputColumns = Some(Set("REV", "CNT", "K"))) == got, script)
+        // scalar-bearing scripts must REFUSE keyed (the engine's scalar
+        // extraction is frame-global — one arbitrary key's value);
+        // everything else verdicts identically keyed and unkeyed
+        val keyed = FameStream.incrementalPlan(script, partitioned = true,
+          inputColumns = Some(Set("REV", "CNT", "K")))
+        if (script.contains("scalar sc")) {
+          scalarArm += 1
+          assert(keyed.isLeft, script)
+        } else assert(keyed == got, script)
         // ground truth: runIncremental's pin-aware carry — last maxLag
         // rows PLUS every arrived pin-selected row, where a pin keeps
         // its window rows AND their prec/foll PHYSICAL neighbors (row
@@ -809,6 +832,9 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(gappedPinPrec >= 3,
       s"only $gappedPinPrec draws put a date gap inside a derived " +
         "pin's physical-predecessor span — the r17 fix's target shape")
+    assert(scalarArm >= 10,
+      s"only $scalarArm scripts routed a whole-series read through a " +
+        "derived scalar (the r17 pinned-scalar widening)")
   }
 
   test("bucket hold-back (r16 down-conversions): over generated SPARSE " +

@@ -2064,6 +2064,203 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch == Map(0L -> 1L, 1L -> 6L, 2L -> 6L), perBatch.toString)
   }
 
+  test("pinned dynamic scalars (r17): a scalar derived from a bounded-" +
+      "support series streams through runIncremental — the support " +
+      "window (plus the argument's physical lag predecessors) pins, " +
+      "uses masked at/after the support end read the FINAL value, and " +
+      "outputs bit-equal the whole-history run over a GAPPED frame") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val base = java.nio.file.Files.createTempDirectory("famescl").toString
+    // base = rev[t-1] is a PHYSICAL lag: base@Feb reads the row before
+    // Feb — here 1994-11 (a 3-period gap), carried only by the pin's
+    // prec row. firstvalue(base) therefore depends on that gapped
+    // predecessor forever; lastvalue(base) moves until Mar arrives.
+    val script =
+      """freq m
+        |set <date 1995-02-01 to 1995-03-01> base = rev[t-1]
+        |scalar s0 = firstvalue(base)
+        |scalar s1 = lastvalue(base)
+        |set <date 1995-06-01 to *> z = rev / s0 + s1""".stripMargin
+    val cols = Some(Set("DATE", "REV"))
+    import java.time.LocalDate
+    assert(FameStream.incrementalEligibility(script,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(script, inputColumns = cols) ==
+      Right(FameStream.IncrementalPlan(0, 1, Seq(
+        FameStream.Pin(LocalDate.parse("1995-02-01"),
+          LocalDate.parse("1995-03-01"), 1, 0),
+        FameStream.Pin(LocalDate.parse("1995-02-01"),
+          LocalDate.parse("1995-03-01"), 1, 0)))))
+    // named fences: an UNMASKED use (rows before the support end would
+    // emit against a partial value), a mask starting INSIDE the
+    // support, a KEYED stream (scalar extraction is frame-global), and
+    // reassignment of the frozen base
+    assert(FameStream.incrementalPlan(
+      script.replace("set <date 1995-06-01 to *> z", "z"),
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      script.replace("1995-06-01", "1995-02-15"),
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = Some(Set("DATE", "K", "REV"))).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\nbase = rev * 2", inputColumns = cols).isLeft)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val dates = Seq("1994-11-01", "1995-02-01", "1995-03-01") ++
+      (4 to 12).map(m => f"1995-$m%02d-01")
+    val revs = Seq(8.0, 12.0, 9.0, 11.0, 7.0, 16.0, 13.0, 6.0, 15.0,
+      5.0, 14.0, 4.0)
+    def rows(r: Range) = r.map(i => (d(dates(i)), revs(i)))
+    val src = MemoryStream[(java.sql.Date, Double)]
+    val df = src.toDF().toDF("DATE", "REV")
+    val q = FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    // the support itself crosses a batch boundary: s1 is still partial
+    // during batch 0 (no z rows affected yet — they only start in June)
+    try Seq(0 until 2, 2 until 7, 7 until 12).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("DATE", "BASE", "Z")
+      .orderBy("DATE").collect()
+      .map(r => (r.getDate(0).toString,
+        (1 to 2).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    val want = cells(graft.api.FameSession.run(script,
+      rows(0 until 12).toDF("DATE", "REV")).df)
+    assert(got == want)
+    assert(got.size == 12)
+    // real values: s0 = base@Feb = rev@1994-11 (the gapped physical
+    // predecessor), s1 = base@Mar = rev@Feb
+    val zDec = got.find(_._1 == "1995-12-01").get
+    assert(zDec._2(1).map(java.lang.Double.longBitsToDouble)
+      == Some(4.0 / 8.0 + 12.0))
+    // the carry keeps the pinned support rows AND the gapped
+    // predecessor (1994-11) beyond the 1-row tail
+    val carry = spark.read.parquet(s"$base/bronze/_tail/v=2")
+      .select("DATE").collect().map(_.getDate(0).toString).toSet
+    assert(carry == Set("1994-11-01", "1995-02-01", "1995-03-01",
+      "1995-12-01"))
+  }
+
+  test("chained incremental (r17): an annually-linked $chain streams " +
+      "through runIncremental under YEAR hold-back — rows emit once " +
+      "their year AND the base year close, closed-year aggregates seed " +
+      "the kernel from versioned state, cells bit-equal the " +
+      "whole-history run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val script =
+      """freq m
+        |mom = pct(a)
+        |set x = $chain("a - b", "1997")""".stripMargin
+    val cols = Some(Set("DATE", "K", "A", "PA", "B", "PB"))
+    // strict and reach tiers refuse; the PLAN accepts with a ChainSpec
+    assert(FameStream.incrementalEligibility(script, partitioned = true,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalReach(script, partitioned = true,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols) == Right(FameStream.IncrementalPlan(0, 1, Nil,
+        bucketed = false,
+        chains = Seq(FameStream.ChainSpec("X",
+          Seq((1, "A"), (-1, "B")), 1997)))))
+    // named-reason fences: downstream reads of the sealed index, source
+    // reassignment after the chain, chain+convert composition, a lagged
+    // source, and fishvol's per-row fold
+    assert(FameStream.incrementalPlan(
+      script + "\nz = x * 2", inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\na = a * 2", inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\nv = convert(a, q, discrete, sum)",
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |c = a[t-1]
+        |set x = $chain("c", "1997")""".stripMargin,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      "freq m\nx = fishvol_rebase({a},{pa},1996)",
+      inputColumns = cols).isLeft)
+    // integer-valued series: every yearly sum/avg is order-independent
+    // in fp, so the incremental state (finalized batch-wise) must be
+    // BIT-identical to the whole-history aggregates
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>          // 1995-01 .. 1998-06
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    def rows(r: Range) =
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+    val batches = Seq(0 until 14, 14 until 34, 34 until 42)
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 42).toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "X")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    def runScenario(tag: String, base: Int)
+        : (Seq[(String, String, Seq[Option[Long]])], Map[Long, Long],
+           String) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      val scr = script.replace("1997", base.toString)
+      val src = MemoryStream[(String, java.sql.Date, Double, Double,
+        Double, Double)]
+      val df = src.toDF().toDF("K", "DATE", "A", "PA", "B", "PB")
+      val q = FameStream.runIncremental(df, scr,
+        s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+        checkpointDir = Some(s"$dir/ckpt"))
+      try batches.foreach { r =>
+        src.addData(rows(r): _*); q.processAllAvailable()
+      } finally q.stop()
+      val res = spark.read.parquet(s"$dir/result")
+      val perBatch = res.groupBy("batch").count().collect()
+        .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      (cells(res), perBatch, dir)
+    }
+    // ---- base = 1997 (closes only in the LAST batch): the whole
+    // pre-base backlog pends until then, and its index values are
+    // computed from closed-year aggregates that were finalized into
+    // state one and two batches earlier ----
+    val (gotLate, perBatchLate, dirLate) = runScenario("famechn", 1997)
+    val wantEmitted = cells(full.where(year(col("DATE")) <= 1997))
+    assert(gotLate == wantEmitted)
+    assert(gotLate.size == 72)
+    assert(perBatchLate == Map(2L -> 72L), perBatchLate.toString)
+    // the versioned state after batch 2 holds exactly the closed years
+    val st = spark.read.parquet(s"$dirLate/bronze/_state/X/v=2")
+      .select("K", "__year").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(st == Set("A1", "B2").flatMap(k =>
+      Set((k, 1995), (k, 1996), (k, 1997))))
+    // ---- base = 1995 (closes in batch 0): steady state — each batch
+    // emits exactly the years that closed in it, seeded from state ----
+    val (gotEarly, perBatchEarly, _) = runScenario("famechn2", 1995)
+    val fullEarly = graft.api.FameSession.run(
+      script.replace("1997", "1995"),
+      rows(0 until 42).toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    assert(gotEarly == cells(fullEarly.where(year(col("DATE")) <= 1997)))
+    assert(perBatchEarly == Map(0L -> 24L, 1L -> 24L, 2L -> 24L),
+      perBatchEarly.toString)
+  }
+
   test("incremental carry survives a query RESTART (r16): pins, " +
       "hold-back pending flags and bucket cutoffs restore from the " +
       "versioned carry — no double emission, no lost synthetic anchor, " +
