@@ -178,16 +178,36 @@ object Bench {
     // (r14 ADVICE): failures go to `noop_failed` (summary field) and
     // write `null` in bench_noop_queries.json instead of a time.
     val noopFailed = scala.collection.mutable.ArrayBuffer[String]()
-    val noopResults: Seq[(String, Double)] =
+    def noopOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => noopFailed += name; None }
+    }
+    // r17 deflake protocol: the single-run noop series swung ±10% with
+    // box load alone (200.5 s at load 3.4 vs 239.5 s at load 4.4 in the
+    // same round, zero code change), so (a) the load average is sampled
+    // BEFORE and AFTER the pass into the summary (`noop_load_pre/post`
+    // — a reader normalizes in place instead of hand-waving), and
+    // (b) the 5 slowest entries get one extra run min'd in, the same
+    // slowest-rerun rule the count series has used since r9 — the tail
+    // entries dominate the total and are exactly where a load spike
+    // masquerades as regression.
+    val noopLoadPre = if (noopPass) loadAvg() else -1.0
+    val noopFirst: Seq[(String, Double)] =
       if (!noopPass) Seq.empty
       else selected.filterNot { case (n, _) => failed.contains(n) }
-        .flatMap { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            Some(name -> (System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => noopFailed += name; None }
-        }
+        .flatMap { case (name, fn) => noopOnce(name, fn).map(name -> _) }
+    val noopSlowest = noopFirst.sortBy(-_._2).take(5).map(_._1).toSet
+    val noopResults: Seq[(String, Double)] = noopFirst.map { case (n, t) =>
+      if (noopSlowest.contains(n))
+        n -> math.min(t, noopOnce(n, byName(n)).getOrElse(t))
+      else n -> t
+    }
+    val noopLoadPost = if (noopPass) loadAvg() else -1.0
     val bsMedianJson = subsetMedian(passResults.map(_._1), bsTotal,
       subsetNames.nonEmpty).map(r3).getOrElse("null")
     val bsTotalJson = if (subsetNames.isEmpty) "null" else r3(bsTotal)
@@ -206,7 +226,7 @@ object Bench {
     val noopTotalJson =
       if (noopResults.isEmpty) "null" else r3(noopResults.map(_._2).sum)
     val noopFailedArr = noopFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"noop_total":$noopTotalJson,"noop_failed":$noopFailedArr,"load_avg":${r3(loadNow)}}"""
+    val summary = s"""{"metric":"summary","value":${r3(total)},"unit":"sec","sf":"$sfDir","runs":$runs,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedArr,"baseline_subset_sec":$bsTotalJson,"baseline_subset_n":${baselineSubset.size},"baseline_subset_median":$bsMedianJson,"subset_passes":$passJson,"noop_total":$noopTotalJson,"noop_failed":$noopFailedArr,"noop_load_pre":${r3(noopLoadPre)},"noop_load_post":${r3(noopLoadPost)},"load_avg":${r3(loadNow)}}"""
     // Persist the machine-readable record to FIXED filenames so it never
     // depends on stdout capture (rounds 6-8 all stored "parsed": null
     // because sbt log decoration / truncation ate the stdout line):
