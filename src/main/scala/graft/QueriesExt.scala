@@ -4819,6 +4819,27 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // ADVERSARIAL FAME TEXT through the gate (r17, VERDICT task 6):
+    // the committed tools/adversarial_fame.inp corpus — a 60-statement
+    // dependency chain, dotted/dollar/local-DB/work-prefixed names, a
+    // nested IF inside LSUM, all 7 date-literal formats as
+    // point-in-time targets, quarter/monyyyy mask bounds with a
+    // preserve-semantics masked reassign, and a reassignment AFTER a
+    // convert (the bridge redirect must resolve then invalidate) — runs
+    // end-to-end via the .inp FILE entry point (comment/blank-line
+    // syntax included) and every output cell replays in DuckDB.
+    "q220_fame_adversarial_text" -> ((s, dir) => {
+      val out = graft.api.FameSession.runFile(
+        "tools/adversarial_fame.inp", QueriesCore.monthly(s, dir))
+      out.df.select(col("DATE").as("date"),
+          col("C060").as("c060"), col("`V.DOT`").as("v_dot"),
+          col("V_DL").as("v_dl"), col("AA_LOC").as("loc"),
+          col("W1").as("w1"), col("Z1").as("z1"), col("Z2").as("z2"),
+          col("P1").as("p1"), col("MK").as("mk"),
+          round(col("RQ"), 8).as("rq"), round(col("YQ"), 8).as("yq"))
+        .orderBy("date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10406,6 +10427,47 @@ object QueriesExt {
          |JOIN my ON md.nation = my.nation
          |WHERE year(md.date) < my.maxyr AND 1996 < my.maxyr
          |ORDER BY nation, date""".stripMargin,
+
+    // cell-for-cell replay of the adversarial corpus: the 60-chain is
+    // rev+60, the name zoo is plain arithmetic, the nested-IF-in-LSUM
+    // is a CASE chain left-folded exactly like the engine's null-as-
+    // zero sum, the 7 PIT date formats resolve to their 7 ISO dates,
+    // the masked reassign preserves the inner window, and the convert
+    // redirect doubles the quarterly sum at anchor rows only
+    "q220_fame_adversarial_text" ->
+      s"""${QueriesCore.monthlySql}, qq AS (
+         |  SELECT date_trunc('quarter', date)::DATE AS qd, sum(rev) AS rq
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT m.date AS date,
+         |  m.rev + 60 AS c060,
+         |  m.rev * 2 AS v_dot,
+         |  m.rev * 2 / 2 AS v_dl,
+         |  m.rev + m.cnt AS loc,
+         |  m.rev - m.cnt AS w1,
+         |  (CASE WHEN m.rev > m.cnt / 8 THEN m.rev
+         |        ELSE CASE WHEN m.cnt > 150 THEN m.cnt
+         |             ELSE m.rev + m.cnt END END) + m.rev + 5 AS z1,
+         |  CASE WHEN (NOT (m.rev < m.cnt AND m.cnt > 50)) OR m.rev > 400
+         |       THEN 1.0 ELSE 0.0 END AS z2,
+         |  CASE m.date WHEN DATE '1995-06-01' THEN 1.0
+         |              WHEN DATE '1995-07-01' THEN 2.0
+         |              WHEN DATE '1995-09-01' THEN 3.0
+         |              WHEN DATE '1995-10-01' THEN 4.0
+         |              WHEN DATE '1995-11-01' THEN 5.0
+         |              WHEN DATE '1995-12-01' THEN 6.0
+         |              WHEN DATE '1996-01-01' THEN 7.0
+         |              ELSE 0.0 END AS p1,
+         |  CASE WHEN m.date BETWEEN DATE '1996-06-01' AND DATE '1996-09-01'
+         |       THEN (CASE WHEN m.date BETWEEN DATE '1996-04-01'
+         |                       AND DATE '1996-07-01'
+         |             THEN m.rev * 3 END) + 1
+         |       WHEN m.date BETWEEN DATE '1996-04-01' AND DATE '1996-07-01'
+         |       THEN m.rev * 3 END AS mk,
+         |  round(CASE WHEN m.date = qq.qd THEN qq.rq * 2 END, 8) AS rq,
+         |  round(CASE WHEN m.date = qq.qd THEN qq.rq * 2 END + 1, 8) AS yq
+         |FROM m LEFT JOIN qq ON m.date = qq.qd
+         |ORDER BY date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

@@ -115,7 +115,7 @@ object FameSession {
     def ctx = Ctx(dateCol, partitionKeys, scalars, refMap,
       lookup = (series, date) => {
         val r = cur.where(col(dateCol) === lit(java.sql.Date.valueOf(date)))
-          .select(col(series)).limit(1).collect()
+          .select(ColumnCompiler.qcol(series)).limit(1).collect()
         if (r.isEmpty || r(0).isNullAt(0)) null else r(0).get(0)
       },
       dateofStub = dateofStub,
@@ -144,7 +144,7 @@ object FameSession {
           val lk = cur
             .where(col(dateCol) === lit(java.sql.Date.valueOf(d)))
             .groupBy(partitionKeys.map(col): _*)
-            .agg(first(col(series)).as(name))
+            .agg(first(ColumnCompiler.qcol(series)).as(name))
           cur = cur.join(lk, partitionKeys, "left")
           lookupCols += (series, d) -> name
         }
@@ -254,7 +254,7 @@ object FameSession {
             materializeKeyedLookups(e)
             val v = ColumnCompiler.compile(e, ctx)
             val existing: Column =
-              if (cur.columns.contains(target)) col(target)
+              if (cur.columns.contains(target)) ColumnCompiler.qcol(target)
               else nullLike(v, cur)
             cur = cur.withColumn(target,
               when(col(dateCol) === lit(java.sql.Date.valueOf(date)), v)
@@ -370,7 +370,8 @@ object FameSession {
         ).flatten
         val inRange = conds.reduce(_ && _)
         val outside: Column =
-          if (preserve && cur.columns.contains(target)) col(target)
+          if (preserve && cur.columns.contains(target))
+            ColumnCompiler.qcol(target)
           else nullLike(value, cur)
         when(inRange, value).otherwise(outside)
     }

@@ -70,6 +70,16 @@ object ColumnCompiler {
 
   def compile(e: FameExpr, ctx: Ctx): Column = at(e, 0, ctx)
 
+  /** Column reference by LITERAL name: FAME series names keep their
+    * dots (`v.dot` → column "V.DOT", FameParser.colName), but a bare
+    * `col("V.DOT")` parses as struct-field access V.DOT and fails
+    * analysis — so dotted names must be backtick-quoted at every read
+    * site (found by the r17 adversarial corpus: dotted series could be
+    * ASSIGNED but never read back).
+    */
+  def qcol(name: String): Column =
+    if (name.contains(".")) col("`" + name + "`") else col(name)
+
   /** Shift a leaf column by `o` periods (positive = forward in time). */
   private def sh(c: Column, o: Int, ctx: Ctx): Column =
     if (o == 0) c
@@ -90,8 +100,8 @@ object ColumnCompiler {
     case Missing  => lit(null).cast(DoubleType)
     case TimeVar  => sh(col(ctx.dateCol), o, ctx)
     case Ref(n) if ctx.scalars.contains(n) => scalarLit(ctx.scalars(n))
-    case Ref(n)   => sh(col(ctx.resolve(n)), o, ctx)
-    case TimeShift(s, k) => sh(col(ctx.resolve(s)), o + k, ctx)
+    case Ref(n)   => sh(qcol(ctx.resolve(n)), o, ctx)
+    case TimeShift(s, k) => sh(qcol(ctx.resolve(s)), o + k, ctx)
 
     case DateLookup(s, d) =>
       ctx.lookupCols.get((ctx.resolve(s), d))

@@ -305,11 +305,20 @@ object FameParser {
     * statements; `--` starts a trailing comment, and lines beginning with
     * `#` or `!` are comment lines (the reference's `.inp` corpus uses `#`).
     */
+  /** Comment lines are dropped per NEWLINE before `;` splits into
+    * statements: splitting first turned a `;` INSIDE a `#`/`!` comment
+    * into a bogus statement fragment with no comment marker (found by
+    * the r17 adversarial corpus, tools/adversarial_fame.inp). A
+    * fragment after `;` that itself starts a comment is still dropped
+    * by the final filter.
+    */
   def splitLines(script: String): Seq[String] =
-    script.split("[\n;]")
+    script.split("\n").toSeq
+      .map(_.trim)
+      .filterNot(l => l.startsWith("#") || l.startsWith("!"))
+      .flatMap(_.split(";"))
       .map(_.replaceAll("--.*$", "").trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
-      .toSeq
 
   def parseScript(script: String): Seq[FameStmt] =
     splitLines(script).map(parseLine)
