@@ -204,10 +204,24 @@ object FameSession {
         // rename to the suffix contract: A → A_QTRLY etc. (SURVEY §2.5)
         val converted = srcCols.foldLeft(converted0)(
           (d, c) => d.withColumnRenamed(c, c + tgtFreq.suffix))
-        // full outer join back on DATE (`fame2py_converter.py:409`)
+        // full outer join back on DATE (`fame2py_converter.py:409`).
+        // KEYED execution hints SHUFFLE_HASH with the converted side as
+        // build: the converted frame is the bucket-aggregated grid —
+        // 1/span of the fact rows, per-task bounded — and a shuffled
+        // HASH join needs no sort on either side, where the default
+        // sort-merge join's two sort-heavy exchanges over the fact
+        // frame were the measured spill driver on the keyed streaming
+        // path (SCALING.md famebucketprobe: 1.22 GB external-sort
+        // paging per run at 250k keys on an 8 GiB JVM, partition-count
+        // independent). Keyless converts keep the default plan: their
+        // converted side is |buckets| rows and AQE's broadcast choice
+        // already beats any shuffle.
+        val convJoin =
+          if (partitionKeys.nonEmpty) converted.hint("SHUFFLE_HASH")
+          else converted
         cur = cur
           .withColumn(dateCol, to_date(col(dateCol)))
-          .join(converted, partitionKeys :+ dateCol, "full")
+          .join(convJoin, partitionKeys :+ dateCol, "full")
         group.foreach { case (_, c) =>
           refMap += c.target -> (c.source + tgtFreq.suffix)
         }
