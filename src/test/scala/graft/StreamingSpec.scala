@@ -2261,6 +2261,79 @@ class StreamingSpec extends SparkSpec {
       perBatchEarly.toString)
   }
 
+  test("chain state survives a query RESTART (r17): the versioned " +
+      "closed-year aggregate table restores from _state/v=n-1, the " +
+      "post-restart batch closes a year and emits it seeded from the " +
+      "restored state — no double emission, cells bit-equal the " +
+      "whole-history run") {
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("famecrst").toString
+    val script =
+      """freq m
+        |mom = pct(a)
+        |set x = $chain("a - b", "1995")""".stripMargin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    def chunk(r: Range): Unit = {
+      import spark.implicits._
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+        .toDF("K", "DATE", "A", "PA", "B", "PB").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    chunk(0 until 14)                      // 1995-01 .. 1996-02
+    val schema = spark.read.parquet(s"$base/src").schema
+    def start() = FameStream.runIncremental(
+      spark.readStream.schema(schema).parquet(s"$base/src"), script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    val q1 = start()
+    try { q1.processAllAvailable(); chunk(14 until 34)
+      q1.processAllAvailable() } finally q1.stop()
+    // 1995 closed+emitted in batch 0, 1996 closed+emitted in batch 1;
+    // the state at v=1 holds years {1995, 1996} per key
+    val st1 = spark.read.parquet(s"$base/bronze/_state/X/v=1")
+      .select("K", "__year").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(st1 == Set("A1", "B2").flatMap(k =>
+      Set((k, 1995), (k, 1996))))
+    // ---- RESTART: fresh query, same checkpoint + state + carry ----
+    val q2 = start()
+    try { chunk(34 until 42); q2.processAllAvailable() } finally q2.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "X")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    // exactly-once across the restart
+    assert(got.map(c => (c._1, c._2)).distinct.size == got.size)
+    import spark.implicits._
+    val full = graft.api.FameSession.run(script,
+      Seq("A1", "B2").flatMap(k => (0 until 42).map(i => row(k, i)))
+        .toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    // post-restart batch closes 1997 (first 1998 row arrives): its
+    // index multiplies links seeded from the RESTORED 1995+1996 state
+    assert(got == cells(full.where(year(col("DATE")) <= 1997)))
+    assert(got.size == 72)
+    val st2 = spark.read.parquet(s"$base/bronze/_state/X/v=2")
+      .select("K", "__year").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(st2 == Set("A1", "B2").flatMap(k =>
+      Set((k, 1995), (k, 1996), (k, 1997))))
+  }
+
   test("incremental carry survives a query RESTART (r16): pins, " +
       "hold-back pending flags and bucket cutoffs restore from the " +
       "versioned carry — no double emission, no lost synthetic anchor, " +
