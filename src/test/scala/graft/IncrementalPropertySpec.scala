@@ -315,6 +315,160 @@ class IncrementalPropertySpec extends SparkSpec {
   private def bits(o: Option[Double]): Option[Long] =
     o.map(java.lang.Double.doubleToLongBits)
 
+  /** Chain-arm generator (r17 year hold-back): an annually-linked
+    * `$chain` over gapped integer-valued months, optionally preceded by
+    * a lag statement. Carries the independent expectation:
+    * (script, maxLag, terms, baseYear, keepMask, value offset).
+    */
+  private val genChainScript: Gen[(String, Int, Seq[(Int, String)], Int,
+      List[Boolean], Int)] =
+    for {
+      spec <- Gen.oneOf(
+        ("a", Seq((1, "A"))),
+        ("a - b", Seq((1, "A"), (-1, "B"))),
+        ("a + b", Seq((1, "A"), (1, "B"))))
+      base <- Gen.oneOf(1995, 1996, 1997)
+      lagK <- Gen.oneOf(0, 1, 2)
+      off <- Gen.choose(0, 6)
+      keepMask <- Gen.listOfN(42, Gen.frequency(6 -> true, 1 -> false))
+        .suchThat(_.count(identity) >= 32)
+    } yield {
+      val pre = lagK match {
+        case 0 => Nil
+        case 1 => List("mom = pct(a)")
+        case _ => List("d2 = a - a[t-2]")
+      }
+      val script = ("freq m" :: pre :::
+        List(s"""set x = $$chain("${spec._1}", "$base")""")).mkString("\n")
+      (script, lagK, spec._2, base, keepMask, off)
+    }
+
+  test("chain arm (r17 year hold-back): generated chain scripts match " +
+      "the independent plan algebra, and the year-close emission rule — " +
+      "seeded with closed-year aggregates computed INDEPENDENTLY in " +
+      "plain Scala over the integer grid — is batch-equivalent " +
+      "bit-for-bit across 3 batches over gapped months") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val months = (0 until 42).map(i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong))
+    val dates = months.map(_.toString)
+    def yr(i: Int): Int = months(i).getYear
+    var lateBase = 0
+    var gapped = 0
+    forAllN(genChainScript, n = 30) {
+      case (script, lagK, terms, base, keepMask, off) =>
+        val present = (0 until 42).filter(keepMask)
+        if (base == 1997) lateBase += 1
+        if (present.size < 42) gapped += 1
+        // integer grid: every yearly sum/avg is order-exact, so the
+        // scala seed below is bitwise the engine's aggregate
+        def av(i: Int) = (10 + (i + off) % 5).toDouble
+        def pav(i: Int) = (2 + (i + off) % 3).toDouble
+        def bv(i: Int) = (4 + (i + off) % 4).toDouble
+        def pbv(i: Int) = (1 + (i + off) % 2).toDouble
+        def fr(idx: Seq[Int]) = frame(idx.map(dates),
+          "A" -> idx.map(av), "PA" -> idx.map(pav),
+          "B" -> idx.map(bv), "PB" -> idx.map(pbv))
+        val cols = Some(Set("DATE", "A", "PA", "B", "PB"))
+        // strict/reach tiers refuse; the plan carries the ChainSpec;
+        // keyed verdict equals unkeyed (chains stream keyed)
+        assert(FameStream.incrementalEligibility(script,
+          inputColumns = cols).isLeft, script)
+        assert(FameStream.incrementalReach(script,
+          inputColumns = cols).isLeft, script)
+        val got = FameStream.incrementalPlan(script, inputColumns = cols)
+        assert(got == Right(FameStream.IncrementalPlan(0, lagK, Nil,
+          bucketed = false,
+          chains = Seq(FameStream.ChainSpec("X", terms, base)))),
+          s"plan said $got:\n$script")
+        assert(FameStream.incrementalPlan(script, partitioned = true,
+          inputColumns = Some(Set("DATE", "K", "A", "PA", "B", "PB")))
+          == got, script)
+        val full = FameSession.run(script, fr(present)).df
+        val series = (lagK match {
+          case 0 => Seq.empty[String]
+          case 1 => Seq("MOM")
+          case _ => Seq("D2")
+        }) :+ "X"
+        def byDate(df: org.apache.spark.sql.DataFrame,
+            keep: Set[String]): Map[String, Seq[Option[Long]]] =
+          df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
+            .orderBy("DATE")
+            .select(series.map(col).toIndexedSeq: _*).collect().toSeq
+            .map(r => series.indices.map(j =>
+              bits(if (r.isNullAt(j)) None else Some(r.getDouble(j)))))
+            .transpose match {
+              case cs => series.zip(
+                if (cs.isEmpty) series.map(_ => Seq.empty[Option[Long]])
+                else cs).toMap
+            }
+        // independent closed-year aggregates over the integer grid:
+        // avg price = exact int sum / count, sum qty = exact int sum —
+        // bitwise what the engine's groupBy produces for the same rows
+        def yearAggs(y: Int): Seq[Double] = {
+          val rows = present.filter(yr(_) == y)
+          terms.flatMap { case (_, q) =>
+            val (pf, qf): (Int => Double, Int => Double) =
+              if (q == "A") (pav, av) else (pbv, bv)
+            Seq(rows.map(pf).sum / rows.size, rows.map(qf).sum)
+          }
+        }
+        var emitted = Set.empty[Int]
+        var carried = Seq.empty[Int]
+        var state = Map.empty[Int, Seq[Double]]   // closed year -> aggs
+        Seq(0 until 14, 14 until 34, 34 until 42).foreach { r =>
+          val batchIdx = present.filter(r.contains)
+          val workIdx = (carried ++ batchIdx).distinct.sorted
+          if (workIdx.nonEmpty) {
+            // seed = the state as of the END of the previous batch
+            // (the executor reads _state/v=n-1)
+            val seed: Map[String, org.apache.spark.sql.DataFrame] =
+              if (state.isEmpty) Map.empty
+              else Map("X" -> (
+                if (terms.size == 1)
+                  state.toSeq.sortBy(_._1)
+                    .map { case (y, s) => (y, s(0), s(1)) }
+                    .toDF("__year", "__p0", "__q0")
+                else
+                  state.toSeq.sortBy(_._1)
+                    .map { case (y, s) => (y, s(0), s(1), s(2), s(3)) }
+                    .toDF("__year", "__p0", "__q0", "__p1", "__q1")))
+            val out = FameSession.run(script, fr(workIdx),
+              chainSeed = seed).df
+            val maxYr = yr(workIdx.max)
+            val emitIdx = workIdx.filter(i => !emitted.contains(i) &&
+              yr(i) < maxYr && base < maxYr)
+            val emitDates = emitIdx.map(dates).toSet
+            assert(byDate(out, emitDates) == byDate(full, emitDates),
+              s"chain batch $r diverged (base=$base lag=$lagK " +
+                s"present=${present.size}):\n$script")
+            emitted ++= emitIdx
+            // finalize years that closed this batch
+            present.map(yr).distinct.filter(y => y < maxYr &&
+              !state.contains(y)).foreach(y => state += y -> yearAggs(y))
+            // carry: unemitted suffix + its lagK physical predecessors
+            val unem = workIdx.filterNot(emitted.contains)
+            val keep =
+              if (unem.isEmpty) workIdx.takeRight(lagK)
+              else {
+                val posFirst = workIdx.indexOf(unem.min)
+                workIdx.drop(math.max(0, posFirst - lagK))
+              }
+            carried = keep
+          }
+        }
+        // after all batches: everything except the open last year (and,
+        // for base=1997 with no 1998 rows present, nothing) is emitted
+        val maxYrAll = yr(present.max)
+        assert(emitted == present.filter(i =>
+          yr(i) < maxYrAll && base < maxYrAll).toSet, script)
+    }
+    assert(lateBase >= 5, s"only $lateBase draws used the 1997 base " +
+      "(the pre-base backlog flush shape)")
+    assert(gapped >= 20, s"only $gapped draws had month gaps")
+  }
+
   test("eligibility walker: generated-script verdicts match the " +
       "independent reach algebra, and every Right(maxLag) script is " +
       "batch-equivalent over a maxLag tail across 3 micro-batches") {
