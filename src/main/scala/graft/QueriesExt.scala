@@ -10428,8 +10428,11 @@ object QueriesExt {
          |WHERE year(md.date) < my.maxyr AND 1996 < my.maxyr
          |ORDER BY nation, date""".stripMargin,
 
-    // cell-for-cell replay of the adversarial corpus: the 60-chain is
-    // rev+60, the name zoo is plain arithmetic, the nested-IF-in-LSUM
+    // cell-for-cell replay of the adversarial corpus: the 60-chain
+    // replays +1 BY +1 (sixty left-assoc additions — the cascade is
+    // NOT bitwise rev+60; the sparse fixture caught 1-ulp drift on 6
+    // of 73 months), the name zoo is plain arithmetic, the
+    // nested-IF-in-LSUM
     // is a CASE chain left-folded exactly like the engine's null-as-
     // zero sum, the 7 PIT date formats resolve to their 7 ISO dates,
     // the masked reassign preserves the inner window, and the convert
@@ -10440,7 +10443,7 @@ object QueriesExt {
          |  FROM m GROUP BY 1
          |)
          |SELECT m.date AS date,
-         |  m.rev + 60 AS c060,
+         |  ${"m.rev" + " + 1" * 60} AS c060,
          |  m.rev * 2 AS v_dot,
          |  m.rev * 2 / 2 AS v_dl,
          |  m.rev + m.cnt AS loc,
