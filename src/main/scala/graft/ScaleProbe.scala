@@ -140,15 +140,27 @@ object ScaleProbe {
   private def streamProbe(spark: SparkSession, sfDir: String, reps: Int,
       listener: StageMetrics, drain: () => Unit,
       probe: String = "famestreamprobe",
-      scriptOverride: Option[String] = None): Unit = {
+      scriptOverride: Option[String] = None,
+      wide: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val base = java.nio.file.Files
       .createTempDirectory(probe).toString
     val r = spark.range(reps.toLong)
       .select(col("id").cast("string").as("REP"))
-    val m = QueriesCore.monthlyByNation(spark, sfDir).crossJoin(r)
+    val m0 = QueriesCore.monthlyByNation(spark, sfDir).crossJoin(r)
       .select(concat_ws("#", col("NATION"), col("REP")).as("NATION"),
         col("DATE"), col("REV"))
+    // `wide` (famechainprobe): the chain kernel needs signed
+    // quantity/price pairs — derive deterministic per-month prices so
+    // the data volume and value distribution are realistic without a
+    // second fact join
+    val m = (if (!wide) m0
+      else m0
+        .withColumn("A", col("REV"))
+        .withColumn("PA", (lit(2) + month(col("DATE")) % 3).cast("double"))
+        .withColumn("B", col("REV") / 2)
+        .withColumn("PB", (lit(1) + month(col("DATE")) % 2).cast("double"))
+        .drop("REV"))
       .localCheckpoint(true)
     val nKeys = m.select("NATION").distinct().count()
     val dates = m.select(col("DATE")).distinct().orderBy("DATE")
@@ -192,8 +204,21 @@ object ScaleProbe {
       .filter(_.isDirectory).map(_.getName.stripPrefix("v=").toLong).max
     val carryRows = spark.read
       .parquet(s"$base/bronze/_tail/v=$lastV").count()
+    // chain probes: the versioned closed-year state is the OTHER carry
+    // channel — report its final row count (keys × closed years per
+    // chain target; 0 when no chain state exists)
+    val stateRows = {
+      val stDir = new java.io.File(s"$base/bronze/_state")
+      if (!stDir.isDirectory) 0L
+      else stDir.listFiles().filter(_.isDirectory).map { t =>
+        val v = t.listFiles().filter(_.isDirectory)
+          .map(_.getName.stripPrefix("v=").toLong).max
+        spark.read.parquet(s"${t.getPath}/v=$v").count()
+      }.sum
+    }
     println(s"""{"query":"${probe}_x$reps","sf":"$sfDir",""" +
       s""""n_keys":$nKeys,"out_rows":$outRows,"carry_rows":$carryRows,""" +
+      s""""state_rows":$stateRows,""" +
       s""""batch_secs":$bs,""" +
       s""""total_sec":${"%.3f".formatLocal(java.util.Locale.US,
         batchSecs.sum)},"shuffle_write_mb":${mb("shuffle_write")},""" +
@@ -267,6 +292,19 @@ object ScaleProbe {
             """freq m
               |growth = pct(rev)
               |rev_q = convert(rev, q, discrete, sum)""".stripMargin))
+      } else if (pat.startsWith("famechainprobe")) {
+        // the r17 year hold-back at entity scale: a keyed two-goods
+        // Fisher chain plus a lag — per batch the executor re-links
+        // the FULL carried year table (keys × closed years) against
+        // the open year's raw rows, and the question is whether the
+        // state channel stays linear in keys while the raw carry stays
+        // bounded by the open year
+        streamProbe(spark, sfDir, reps, listener, () => drain(),
+          probe = "famechainprobe", scriptOverride = Some(
+            """freq m
+              |mom = pct(a)
+              |set x = $chain("a - b", "1996")""".stripMargin),
+          wide = true)
       } else if (pat.startsWith("famepinprobe")) {
         // the r16 pin + hold-back mechanics at entity scale: an
         // open-ended rebase (two pin windows — base's 1995-H1 support

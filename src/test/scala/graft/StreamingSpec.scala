@@ -2261,6 +2261,76 @@ class StreamingSpec extends SparkSpec {
       perBatchEarly.toString)
   }
 
+  test("TWO chains in one script (r17): each carries its own versioned " +
+      "state, emission gates on the LATEST base year, cells bit-equal " +
+      "the whole-history run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val base = java.nio.file.Files.createTempDirectory("famech2").toString
+    val script =
+      """freq m
+        |set x = $chain("a - b", "1996")
+        |set y = $chain("b", "1995")""".stripMargin
+    val cols = Some(Set("DATE", "K", "A", "PA", "B", "PB"))
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols) == Right(FameStream.IncrementalPlan(0, 0, Nil,
+        bucketed = false,
+        chains = Seq(
+          FameStream.ChainSpec("X", Seq((1, "A"), (-1, "B")), 1996),
+          FameStream.ChainSpec("Y", Seq((1, "B")), 1995)))))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    def rows(r: Range) =
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+    val src = MemoryStream[(String, java.sql.Date, Double, Double,
+      Double, Double)]
+    val df = src.toDF().toDF("K", "DATE", "A", "PA", "B", "PB")
+    val q = FameStream.runIncremental(df, script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    try Seq(0 until 14, 14 until 34, 34 until 42).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "X", "Y")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 42).toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    // the LATEST base (1996) gates: 1995 rows pend until 1997-01
+    // arrives even though Y's own base closed a year earlier
+    assert(got == cells(full.where(year(col("DATE")) <= 1997)))
+    assert(got.size == 72)
+    // each chain owns a versioned state dir
+    Seq("X", "Y").foreach { t =>
+      val st = spark.read.parquet(s"$base/bronze/_state/$t/v=2")
+        .select("K", "__year").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(st == Set("A1", "B2").flatMap(k =>
+        Set((k, 1995), (k, 1996), (k, 1997))), t)
+    }
+    // per-batch: nothing emits until 1996 closes (batch 1: work reaches
+    // 1997-10), then years ≤1996 flush; batch 2 closes 1997
+    val perBatch = spark.read.parquet(s"$base/result")
+      .groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(1L -> 48L, 2L -> 24L), perBatch.toString)
+  }
+
   test("chain state survives a query RESTART (r17): the versioned " +
       "closed-year aggregate table restores from _state/v=n-1, the " +
       "post-restart batch closes a year and emits it seeded from the " +
