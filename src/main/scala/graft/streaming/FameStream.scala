@@ -465,6 +465,34 @@ object FameStream {
     // value must keep re-deriving from the same definition).
     var seriesScalars = Map.empty[String, LocalDate]
     var scalarBaseNames = Set.empty[String]
+    // FORWARD REFERENCES are refused by name (r17 find): the engine's
+    // Kahn scheduler computes a later-defined series FIRST, so a read
+    // site ahead of the definition sees the DERIVED values — but this
+    // fold walks in script order and would treat the name as a
+    // reach-free input, silently under-counting the tail (the
+    // counterexample `b = a[t-1]; a = pct(rev)` verdicts Right(1)
+    // where the true transitive reach is 2). Series-derived scalars
+    // read before their definition have the same hazard; PURE scalars
+    // are plan-time constants and stay order-free.
+    lazy val assignedAnywhere: Set[String] = stmts.collect {
+      case Assign(t, _, _, _)             => t
+      case PointInTime(t, _, _)           => t
+      case ConvertAssign(t, _, _, _, _, _, _) => t
+      case ChainAssign(t, _, _)           => t
+      case FishvolAssign(t, _, _, _)      => t
+      case NlrxAssign(t, _, _)            => t
+      case ShiftPctAssign(t, _, _)        => t
+    }.toSet ++ stmts.collect {
+      case ScalarAssign(n, e) if !scalarPure(e) => n
+    }
+    def fwdRead(n: String, env: Map[String, (Int, Int)])
+        : Option[String] =
+      if (!env.contains(n) && assignedAnywhere.contains(n) &&
+          !seriesScalars.contains(n))
+        Some(s"forward reference to $n (defined later in the script — " +
+          "the scheduler computes the definition first, so the read's " +
+          "reach is unknown here; write the script in dependency order)")
+      else None
     def sealedRead(n: String): Option[String] =
       if (sealedNames.contains(n))
         Some(s"read of chain index $n (open-year values are non-final " +
@@ -608,20 +636,23 @@ object FameStream {
               "would be emitted against a still-partial value)")
           }
         case Ref(n) =>
-          sealedRead(n).toLeft(env.getOrElse(n, (0, 0)))
+          sealedRead(n).orElse(fwdRead(n, env))
+            .toLeft(env.getOrElse(n, (0, 0)))
         case TimeShift(n, k) =>
-          sealedRead(n).toLeft {
+          sealedRead(n).orElse(fwdRead(n, env)).toLeft {
             val (ld, lg) = env.getOrElse(n, (0, 0))
             (math.max(0, ld + k), math.max(0, lg - k))
           }
-        case DynLookup(s, sc) => sealedRead(s).map(Left(_)).getOrElse(
-          sdates.get(sc) match {
-            case Some(d) => lookupReach(s, d, s"$s[$sc]")
-            case None => Left(s"history lookup $s[$sc] (scalar is not a " +
-              "fixed date literal)")
-          })
-        case DateLookup(s, d) => sealedRead(s).map(Left(_)).getOrElse(
-          lookupReach(s, d, s"""$s["$d"]"""))
+        case DynLookup(s, sc) =>
+          sealedRead(s).orElse(fwdRead(s, env)).map(Left(_)).getOrElse(
+            sdates.get(sc) match {
+              case Some(d) => lookupReach(s, d, s"$s[$sc]")
+              case None => Left(s"history lookup $s[$sc] (scalar is not a " +
+                "fixed date literal)")
+            })
+        case DateLookup(s, d) =>
+          sealedRead(s).orElse(fwdRead(s, env)).map(Left(_)).getOrElse(
+            lookupReach(s, d, s"""$s["$d"]"""))
         case Bin(_, l, r)  =>
           for (a <- reach(l, env, look, sdates, supports);
                b <- reach(r, env, look, sdates, supports))
@@ -972,11 +1003,17 @@ object FameStream {
           // periods-per-year) — the executor emits a row once its year
           // AND every base year have closed, and carries closed years'
           // aggregate rows as derived state (see [[ChainSpec]]).
-          // Sources must have zero recorded reach: a lagged source's
-          // year-boundary rows would read the PREVIOUS year's raw rows,
-          // which leave the carry when their year closes. The target is
-          // SEALED (no downstream reads) and sources are frozen (no
-          // reassignment) — both named refusals above.
+          // LAGGED sources are sound: a year closes with ALL its rows
+          // still carried (unemitted), and the carry keeps the maxLag
+          // physical predecessors of the unemitted suffix — exactly
+          // the previous year's tail a lagged source's year-boundary
+          // rows read — so the closing batch's fresh aggregates see
+          // complete derived values (the source's own lag is already
+          // folded into maxLag by its defining statement). LEAD-bearing
+          // sources stay refused: closing a year proves only ONE later
+          // row arrived, not k. The target is SEALED (no downstream
+          // reads) and sources are frozen (no reassignment) — both
+          // named refusals above.
           case ChainAssign(target, terms, baseYear) =>
             val srcs = (terms.map(_._2) ++ terms.map("P" + _._2)).distinct
             if (!(allowLeads && allowPins))
@@ -986,13 +1023,13 @@ object FameStream {
               Left(s"chain ($target) alongside a down-conversion (year " +
                 "hold-back and bucket hold-back emission cutoffs are " +
                 "not composed; run them as separate streams)")
-            else srcs.flatMap(sealedRead).headOption.map(Left(_)).getOrElse {
-              srcs.find(n => st.env.getOrElse(n, (0, 0)) != ((0, 0))) match {
+            else srcs.flatMap(n => sealedRead(n).orElse(fwdRead(n, st.env)))
+              .headOption.map(Left(_)).getOrElse {
+              srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
                 case Some(n) =>
-                  val (ld, lg) = st.env(n)
-                  Left(s"chain ($target) source $n carries reach " +
-                    s"(+$ld, -$lg): its year-boundary rows read outside " +
-                    "the year bucket, beyond the closed-year carry")
+                  Left(s"chain ($target) source $n carries lead reach " +
+                    s"+${st.env(n)._1}: a closing year proves one later " +
+                    "row arrived, not the source's full lookahead")
                 case None =>
                   chains += ChainSpec(target, terms, baseYear)
                   sealedNames += target

@@ -324,23 +324,30 @@ class IncrementalPropertySpec extends SparkSpec {
       List[Boolean], Int)] =
     for {
       spec <- Gen.oneOf(
-        ("a", Seq((1, "A"))),
-        ("a - b", Seq((1, "A"), (-1, "B"))),
-        ("a + b", Seq((1, "A"), (1, "B"))))
+        ("a", Seq((1, "A")), false),
+        ("a - b", Seq((1, "A"), (-1, "B")), false),
+        ("a + b", Seq((1, "A"), (1, "B")), false),
+        // r17 widening: a LAGGED derived source — its year-boundary
+        // rows read the previous year's tail, carried as the suffix's
+        // maxLag physical predecessors
+        ("c - b", Seq((1, "C"), (-1, "B")), true))
       base <- Gen.oneOf(1995, 1996, 1997)
       lagK <- Gen.oneOf(0, 1, 2)
       off <- Gen.choose(0, 6)
       keepMask <- Gen.listOfN(42, Gen.frequency(6 -> true, 1 -> false))
         .suchThat(_.count(identity) >= 32)
     } yield {
-      val pre = lagK match {
-        case 0 => Nil
-        case 1 => List("mom = pct(a)")
-        case _ => List("d2 = a - a[t-2]")
-      }
+      val (txt, terms, lagSrc) = spec
+      val pre = (if (lagSrc) List("c = a[t-1]", "pc = pa[t-1]") else Nil) :::
+        (lagK match {
+          case 0 => Nil
+          case 1 => List("mom = pct(a)")
+          case _ => List("d2 = a - a[t-2]")
+        })
       val script = ("freq m" :: pre :::
-        List(s"""set x = $$chain("${spec._1}", "$base")""")).mkString("\n")
-      (script, lagK, spec._2, base, keepMask, off)
+        List(s"""set x = $$chain("$txt", "$base")""")).mkString("\n")
+      (script, math.max(if (lagSrc) 1 else 0, lagK), terms, base,
+        keepMask, off)
     }
 
   test("chain arm (r17 year hold-back): generated chain scripts match " +
@@ -356,11 +363,13 @@ class IncrementalPropertySpec extends SparkSpec {
     def yr(i: Int): Int = months(i).getYear
     var lateBase = 0
     var gapped = 0
+    var laggedSrc = 0
     forAllN(genChainScript, n = 30) {
       case (script, lagK, terms, base, keepMask, off) =>
         val present = (0 until 42).filter(keepMask)
         if (base == 1997) lateBase += 1
         if (present.size < 42) gapped += 1
+        if (script.contains("c = a[t-1]")) laggedSrc += 1
         // integer grid: every yearly sum/avg is order-exact, so the
         // scala seed below is bitwise the engine's aggregate
         def av(i: Int) = (10 + (i + off) % 5).toDouble
@@ -386,11 +395,11 @@ class IncrementalPropertySpec extends SparkSpec {
           inputColumns = Some(Set("DATE", "K", "A", "PA", "B", "PB")))
           == got, script)
         val full = FameSession.run(script, fr(present)).df
-        val series = (lagK match {
-          case 0 => Seq.empty[String]
-          case 1 => Seq("MOM")
-          case _ => Seq("D2")
-        }) :+ "X"
+        val series = (if (script.contains("mom =")) Seq("MOM")
+          else if (script.contains("d2 =")) Seq("D2")
+          else Seq.empty[String]) ++
+          (if (script.contains("c = a[t-1]")) Seq("C")
+          else Seq.empty[String]) :+ "X"
         def byDate(df: org.apache.spark.sql.DataFrame,
             keep: Set[String]): Map[String, Seq[Option[Long]]] =
           df.where(col("DATE").isInCollection(keep.toSeq.map(d)))
@@ -405,13 +414,23 @@ class IncrementalPropertySpec extends SparkSpec {
             }
         // independent closed-year aggregates over the integer grid:
         // avg price = exact int sum / count, sum qty = exact int sum —
-        // bitwise what the engine's groupBy produces for the same rows
+        // bitwise what the engine's groupBy produces for the same rows.
+        // The lagged source C/PC reads the PREVIOUS PRESENT row (the
+        // engine's lag is a physical row offset); the frame's first
+        // present row has no predecessor and its null is skipped, like
+        // the engine's null-ignoring avg/sum.
+        val prevOf: Map[Int, Int] =
+          present.zip(present.drop(1)).map(_.swap).toMap
         def yearAggs(y: Int): Seq[Double] = {
           val rows = present.filter(yr(_) == y)
           terms.flatMap { case (_, q) =>
-            val (pf, qf): (Int => Double, Int => Double) =
-              if (q == "A") (pav, av) else (pbv, bv)
-            Seq(rows.map(pf).sum / rows.size, rows.map(qf).sum)
+            val vals: Seq[(Double, Double)] = q match {
+              case "A" => rows.map(i => (pav(i), av(i)))
+              case "B" => rows.map(i => (pbv(i), bv(i)))
+              case _   => rows.flatMap(i =>
+                prevOf.get(i).map(p => (pav(p), av(p))))
+            }
+            Seq(vals.map(_._1).sum / vals.size, vals.map(_._2).sum)
           }
         }
         var emitted = Set.empty[Int]
@@ -467,6 +486,8 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(lateBase >= 5, s"only $lateBase draws used the 1997 base " +
       "(the pre-base backlog flush shape)")
     assert(gapped >= 20, s"only $gapped draws had month gaps")
+    assert(laggedSrc >= 4, s"only $laggedSrc draws chained a LAGGED " +
+      "derived source (the r17 widening)")
   }
 
   test("eligibility walker: generated-script verdicts match the " +

@@ -2181,14 +2181,51 @@ class StreamingSpec extends SparkSpec {
     assert(FameStream.incrementalPlan(
       script + "\nv = convert(a, q, discrete, sum)",
       inputColumns = cols).isLeft)
+    // LAGGED sources are accepted (r17 widening): the year closes with
+    // its rows still carried plus the suffix's maxLag predecessors, so
+    // the closing batch's fresh aggregates see complete derived values
     assert(FameStream.incrementalPlan(
       """freq m
         |c = a[t-1]
+        |pc = pa[t-1]
         |set x = $chain("c", "1997")""".stripMargin,
+      inputColumns = cols) ==
+      Right(FameStream.IncrementalPlan(0, 1, Nil, bucketed = false,
+        chains = Seq(FameStream.ChainSpec("X", Seq((1, "C")), 1997)))))
+    // LEAD-bearing sources stay refused (a closing year proves one
+    // later row, not the lookahead), as do FORWARD-referenced sources
+    // (the scheduler computes the later definition first — the read
+    // site's reach is unknown in script order)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |c = a[t+1]
+        |pc = pa[t+1]
+        |set x = $chain("c", "1997")""".stripMargin,
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |set x = $chain("c", "1997")
+        |c = a[t-1]
+        |pc = pa[t-1]""".stripMargin,
       inputColumns = cols).isLeft)
     assert(FameStream.incrementalPlan(
       "freq m\nx = fishvol_rebase({a},{pa},1996)",
       inputColumns = cols).isLeft)
+    // forward references through ORDINARY statements are refused at
+    // every tier (r17 find: `b = a[t-1]; a = pct(rev)` used to verdict
+    // Right(1) where the true transitive reach is 2 — the scheduler
+    // computes `a` first, so the tail was silently under-carried)
+    assert(FameStream.incrementalEligibility(
+      "freq m\nb = a[t-1]\na = pct(rev)",
+      inputColumns = Some(Set("DATE", "REV"))).isLeft)
+    assert(FameStream.incrementalPlan(
+      "freq m\nb = a[t-1]\na = pct(rev)",
+      inputColumns = Some(Set("DATE", "REV"))).isLeft)
+    // ...and the dependency-ordered spelling of the same script is
+    // accepted with the CORRECT transitive reach
+    assert(FameStream.incrementalEligibility(
+      "freq m\na = pct(rev)\nb = a[t-1]",
+      inputColumns = Some(Set("DATE", "REV"))) == Right(2))
     // integer-valued series: every yearly sum/avg is order-independent
     // in fp, so the incremental state (finalized batch-wise) must be
     // BIT-identical to the whole-history aggregates
