@@ -1519,6 +1519,46 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("snapshot-layout"))
   }
 
+  test("FameStream.run auto-dispatch keeps CHAIN scripts on the " +
+      "snapshot path (r17): year hold-back withholds the open year — a " +
+      "different output contract — so Auto must not route them " +
+      "incrementally without opt-in") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("famecauto").toString
+    val script = """freq m
+                   |set x = $chain("a", "1996")""".stripMargin
+    val batches = Seq(
+      Seq((d("1995-01-01"), 4.0, 2.0), (d("1995-02-01"), 5.0, 3.0)),
+      Seq((d("1996-01-01"), 6.0, 2.0), (d("1996-02-01"), 3.0, 4.0)))
+    val src = MemoryStream[(java.sql.Date, Double, Double)]
+    val df = src.toDF().toDF("DATE", "A", "PA")
+    val q = graft.streaming.FameStream.run(df, script,
+      s"$base/bronze", s"$base/result",
+      checkpointDir = Some(s"$base/ckpt"))
+    try batches.foreach { b => src.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // snapshot layout: flat gold overwrite, no versioned tail/state —
+    // and EVERY row present (the incremental form would withhold the
+    // open 1996 year)
+    assert(!new java.io.File(s"$base/bronze/_tail").exists(),
+      "chain script was routed incrementally by Auto")
+    assert(!new java.io.File(s"$base/result/batch=0").exists())
+    val got = spark.read.parquet(s"$base/result")
+      .select(col("DATE").cast("string"), col("X"))
+      .orderBy("DATE").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val want = graft.api.FameSession.run(script,
+        batches.flatten.toDF("DATE", "A", "PA")).df
+      .select(col("DATE").cast("string"), col("X"))
+      .orderBy("DATE").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(got.size == 4)
+  }
+
   test("FameStream.run auto-dispatch: eligible scripts take the " +
       "incremental path, ineligible fall back to snapshot; parity on both") {
     implicit val sql = spark.sqlContext
