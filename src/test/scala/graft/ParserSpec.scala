@@ -190,4 +190,20 @@ class ParserSpec extends AnyFunSuite {
     assert(iso("1999.26").getDayOfWeek == java.time.DayOfWeek.MONDAY)
     assert(FameDate.parse("2020.05").get == LocalDate.of(2020, 1, 29))
   }
+
+  test("splitLines: comments strip per newline BEFORE ';' statement " +
+      "splits (r17 adversarial-corpus find)") {
+    import graft.parse.FameParser
+    // a ';' INSIDE a comment line used to produce a bogus statement
+    // fragment with no comment marker
+    assert(FameParser.splitLines(
+      "# intro; still the same comment\nfreq m\nv = rev + 1") ==
+      Seq("freq m", "v = rev + 1"))
+    assert(FameParser.splitLines(
+      "! bang; comment too\na = 1; b = 2 -- trailer\n# x; y") ==
+      Seq("a = 1", "b = 2"))
+    // a fragment after ';' that itself starts a comment is dropped
+    assert(FameParser.splitLines("a = 1; # trailing note") ==
+      Seq("a = 1"))
+  }
 }
