@@ -123,6 +123,29 @@ object ScaleProbe {
               .cast("double").as("sum_rel2"),
             sum(round(col("Z"), 8).cast(DecimalType(28, 8)))
               .cast("double").as("sum_z"))
+      }),
+      // r18 (r17 verdict task 2): the PQ/ADC serve path at eval-set
+      // scale — |queries| = 100 × reps (reps=100 → 10⁴ queries), built
+      // by replicating the corpus vectors under fresh ids. The old
+      // serve shape folded one plan branch per query row (unionByName),
+      // so 10⁴ queries exploded the PLAN; the broadcast-LUT join keeps
+      // the plan constant-size and this arm's wall clock is the
+      // linear-serve-cost evidence (run at reps 10 vs 100). Digest
+      // output: per-rank counts + est_d2 checksum, bounded at any reps.
+      s"pqserveprobe_x$reps" -> ((s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val base = e.select(col("vec_id"), col("embedding"))
+        val n = base.count()
+        val nq = 100L * reps
+        val copies = ((nq + n - 1) / n).toInt
+        val q = base.crossJoin(
+            s.range(copies.toLong).select(col("id").as("__r")))
+          .select((col("vec_id") * copies + col("__r") + lit(1000000L))
+            .as("vec_id"), col("embedding"))
+          .limit(nq.toInt)
+        graft.ops.Similarity.pqServe(q, e, "vec_id", "embedding", k = 10)
+          .groupBy(col("rank"))
+          .agg(count(lit(1)).as("n"), sum(col("est_d2")).as("sum_est"))
       }))
   }
 

@@ -98,7 +98,10 @@ object FameSession {
     // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a
     // foldLeft(withColumnRenamed) builds one nested Project per column and
     // analysis cost grows quadratically on wide (hundreds-of-series) frames
-    val df0 = input.select(input.columns.toIndexedSeq.map(c => col(c).as(c.toUpperCase)): _*)
+    // qcol: a dotted input column must uppercase-normalize too, not fail
+    // analysis as struct access (r18 — same class as the q220 find)
+    val df0 = input.select(input.columns.toIndexedSeq
+      .map(c => ColumnCompiler.qcol(c).as(c.toUpperCase)): _*)
     val stmts = FameParser.parseScript(script)
     val preExisting = df0.columns.toSet
     val bounds = Scheduler.bind(stmts, preExisting)
@@ -193,7 +196,8 @@ object FameSession {
         val srcFreq = srcFreqOpt.orElse(sessionFreq).getOrElse(Frequency.Monthly)
         val srcCols = group.map(_._2.source).distinct
         val projected = bridgeBase.select(
-          (partitionKeys.map(col) :+ col(dateCol)) ++ srcCols.map(col): _*)
+          (partitionKeys.map(col) :+ col(dateCol)) ++
+            srcCols.map(ColumnCompiler.qcol): _*)
         val converted0 =
           if (Convert.isDown(srcFreq, tgtFreq))
             Convert.down(projected, dateCol, srcCols, srcFreq, tgtFreq, observed,
@@ -308,7 +312,7 @@ object FameSession {
             // hard-coded anchors, SURVEY §2.6); default anchor = last date
             // with a non-null target value.
             val anchor: LocalDate = b.dateFilter.flatMap(_.end).getOrElse {
-              val r = cur.where(col(target).isNotNull)
+              val r = cur.where(ColumnCompiler.qcol(target).isNotNull)
                 .agg(max(col(dateCol))).collect()(0)
               if (r.isNullAt(0)) throw new IllegalArgumentException(
                 s"shift-pct: no anchor value for $target")
@@ -339,7 +343,7 @@ object FameSession {
     // --------------------------------------------- local-DB projections (F9)
     val dbs = localDbCols.map { case (db, cols0) =>
       val selects = col(dateCol) +: cols0.map { c =>
-        col(c).as(c.stripPrefix(db + "_"))
+        ColumnCompiler.qcol(c).as(c.stripPrefix(db + "_"))
       }
       db -> cur.select(selects: _*)
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.compile.ColumnCompiler.qcol
 import graft.ast.Frequency
 
 /** Frequency conversion (FAME `convert`) — SURVEY §2.5.
@@ -114,9 +115,9 @@ object Convert {
     val srcPpy = periodsPerYear(src)
     val tgtPpy = periodsPerYear(target)
     grouped.agg(
-      observedAgg(col(cols.head), col(dateCol), observed, srcPpy, tgtPpy).as(cols.head),
+      observedAgg(qcol(cols.head), col(dateCol), observed, srcPpy, tgtPpy).as(cols.head),
       cols.tail.map(c =>
-        observedAgg(col(c), col(dateCol), observed, srcPpy, tgtPpy).as(c)): _*)
+        observedAgg(qcol(c), col(dateCol), observed, srcPpy, tgtPpy).as(c)): _*)
   }
 
   /** Fine-calendar step for a target frequency. */
@@ -174,7 +175,7 @@ object Convert {
     }
 
     val src = df.select((keys.map(col) :+ to_date(col(dateCol)).as(dateCol)) ++
-      cols.map(col): _*)
+      cols.map(qcol): _*)
     // FULL join so source observations that fall between grid points (e.g.
     // quarter starts under a Friday-anchored weekly grid) still feed the
     // fill/interpolation windows; only grid rows survive into the result
@@ -192,14 +193,14 @@ object Convert {
     val filled = technique match {
       case "constant" | "discrete" =>
         cols.foldLeft(joined) { (acc, c) =>
-          acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
+          acc.withColumn(c, last(qcol(c), ignoreNulls = true).over(back))
         }
       case "linear" =>
         cols.foldLeft(joined) { (acc, c) =>
-          val obsDate = when(col(c).isNotNull, col(dateCol))
-          val pv = last(col(c), ignoreNulls = true).over(back)
+          val obsDate = when(qcol(c).isNotNull, col(dateCol))
+          val pv = last(qcol(c), ignoreNulls = true).over(back)
           val pd = max(obsDate).over(back)
-          val nv = first(col(c), ignoreNulls = true).over(fwd)
+          val nv = first(qcol(c), ignoreNulls = true).over(fwd)
           val nd = min(obsDate).over(fwd)
           val frac = datediff(col(dateCol), pd).cast("double") /
             datediff(nd, pd).cast("double")
@@ -223,26 +224,26 @@ object Convert {
         val prevW = srcW.rowsBetween(Window.unboundedPreceding, -1)
         val nextW = srcW.rowsBetween(1, Window.unboundedFollowing)
         val slopeCols = cols.map { c =>
-          val obsDate = when(col(c).isNotNull, col(dateCol))
-          val pvv = last(col(c), ignoreNulls = true).over(prevW)
+          val obsDate = when(qcol(c).isNotNull, col(dateCol))
+          val pvv = last(qcol(c), ignoreNulls = true).over(prevW)
           val pdd = max(obsDate).over(prevW)
-          val nvv = first(col(c), ignoreNulls = true).over(nextW)
+          val nvv = first(qcol(c), ignoreNulls = true).over(nextW)
           val ndd = min(obsDate).over(nextW)
           val centered = (nvv - pvv) / datediff(ndd, pdd).cast("double")
-          val fwdSlope = (nvv - col(c)) / datediff(ndd, col(dateCol)).cast("double")
-          val bwdSlope = (col(c) - pvv) / datediff(col(dateCol), pdd).cast("double")
-          when(col(c).isNotNull,
+          val fwdSlope = (nvv - qcol(c)) / datediff(ndd, col(dateCol)).cast("double")
+          val bwdSlope = (qcol(c) - pvv) / datediff(col(dateCol), pdd).cast("double")
+          when(qcol(c).isNotNull,
             coalesce(centered, fwdSlope, bwdSlope)).as(s"__m_$c")
         }
         val slopes = src.select(
           (keys.map(col) :+ col(dateCol)) ++ slopeCols: _*)
         val joinedS = joined.join(slopes, keys :+ dateCol, "left")
         cols.foldLeft(joinedS) { (acc, c) =>
-          val obsDate = when(col(c).isNotNull, col(dateCol))
-          val pv = last(col(c), ignoreNulls = true).over(back)
+          val obsDate = when(qcol(c).isNotNull, col(dateCol))
+          val pv = last(qcol(c), ignoreNulls = true).over(back)
           val pd = max(obsDate).over(back)
           val m0 = last(col(s"__m_$c"), ignoreNulls = true).over(back)
-          val nv = first(col(c), ignoreNulls = true).over(fwd)
+          val nv = first(qcol(c), ignoreNulls = true).over(fwd)
           val nd = min(obsDate).over(fwd)
           val m1 = first(col(s"__m_$c"), ignoreNulls = true).over(fwd)
           val h = datediff(nd, pd).cast("double")
@@ -262,7 +263,7 @@ object Convert {
       case _ =>
         // unrecognized technique (the reference is equally lax): step fill
         cols.foldLeft(joined) { (acc, c) =>
-          acc.withColumn(c, last(col(c), ignoreNulls = true).over(back))
+          acc.withColumn(c, last(qcol(c), ignoreNulls = true).over(back))
         }
     }
     onGrid(filled)

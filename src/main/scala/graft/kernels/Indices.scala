@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.compile.ColumnCompiler.qcol
+
 /** Chain-linked volume indices (FAME `$chain`/`mchain`) and Fisher volume
   * rebasing (`fishvol_rebase`) — SURVEY §2.7.
   *
@@ -61,7 +63,9 @@ object Indices {
       terms: Seq[(Int, String)], keys: Seq[String]): DataFrame = {
     val y = year(col(dateCol)).as("__year")
     val aggs = terms.zipWithIndex.flatMap { case ((_, q), i) =>
-      Seq(avg(col("P" + q)).as(s"__p$i"), sum(col(q)).as(s"__q$i"))
+      // qcol, not col: a dotted quantity series (`v.dot`) must read as a
+      // literal column, not struct access (same class as the r17 q220 find)
+      Seq(avg(qcol("P" + q)).as(s"__p$i"), sum(qcol(q)).as(s"__q$i"))
     }
     df.groupBy((keys.map(col) :+ y): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -169,8 +173,9 @@ object Indices {
     def dot(price: String => Column, vol: String => Column): Column =
       pairs.map { case (v, p) => price(p) * vol(v) }.reduce(_ + _)
 
-    val cur  = (c: String) => col(c)
-    val prev = (c: String) => lag(col(c), 1).over(w)
+    // qcol, not col: dotted volume/price series names read literally
+    val cur  = (c: String) => qcol(c)
+    val prev = (c: String) => lag(qcol(c), 1).over(w)
 
     val lasp = dot(prev, cur) / dot(prev, prev)
     val paas = dot(cur, cur) / dot(cur, prev)

@@ -2,6 +2,7 @@ package graft.kernels
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.compile.ColumnCompiler.qcol
 
 /** NLRX — λ-parameterized nonlinear relaxation smoothing — SURVEY §2.8.
   *
@@ -61,7 +62,7 @@ object Nlrx {
     // nulling that entity's output).
     val keyExpr = concat_ws("\u0001",
       keys.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-    val in = df.select(keyExpr.as("__k"), col(dateCol), col(y).cast("double"))
+    val in = df.select(keyExpr.as("__k"), col(dateCol), qcol(y).cast("double"))
     import spark.implicits._
     implicit val enc: org.apache.spark.sql.Encoder[
       (String, java.sql.Date, java.lang.Double)] =
@@ -90,7 +91,7 @@ object Nlrx {
   object Compat extends Nlrx {
     def apply(df: DataFrame, dateCol: String, target: String, lambda: Double,
         args: Seq[String]): DataFrame =
-      df.withColumn(target, col(args.head))
+      df.withColumn(target, qcol(args.head))
   }
 
   /** HP-filter penalized-least-squares smoother, (I + λDᵀD)x = y. */
@@ -98,7 +99,7 @@ object Nlrx {
     def apply(df: DataFrame, dateCol: String, target: String, lambda: Double,
         args: Seq[String]): DataFrame = {
       val y = args.head
-      val rows = df.select(col(dateCol), col(y).cast("double"))
+      val rows = df.select(col(dateCol), qcol(y).cast("double"))
         .where(col(dateCol).isNotNull)
         .orderBy(dateCol)
         .collect()

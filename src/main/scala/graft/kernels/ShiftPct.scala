@@ -6,6 +6,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.compile.ColumnCompiler.qcol
+
 /** SHIFT_PCT backward level reconstruction — SURVEY §2.6.
   *
   * `v[t] = v[t+1] / (1 + pct(p[t+1]) / 100)` with v self-referential
@@ -51,11 +53,13 @@ object ShiftPct {
     // otherwise (see graft.plans.GraftExtensions)
     val useProduct = Kernels.hasProductAgg(df)
     pairs.foldLeft(df) { case (acc, (tgt, p)) =>
+      // qcol: dotted target/pct series names must read literally, not as
+      // struct access (same class as the r17 q220 dotted-name find)
       val stepped = acc
         .withColumn("__f",
-          when(col(dateCol) <= anchorLit, col(p) / lag(col(p), 1).over(w)))
+          when(col(dateCol) <= anchorLit, qcol(p) / lag(qcol(p), 1).over(w)))
         .withColumn("__anchor",
-          max(when(col(dateCol) === anchorLit, col(tgt))).over(everything))
+          max(when(col(dateCol) === anchorLit, qcol(tgt))).over(everything))
       val suffixProduct =
         if (useProduct)
           coalesce(call_function("product_agg",
@@ -65,7 +69,7 @@ object ShiftPct {
             .over(suffix), lit(0.0)))
       stepped
         .withColumn(tgt,
-          when(inRange, col("__anchor") / suffixProduct).otherwise(col(tgt)))
+          when(inRange, col("__anchor") / suffixProduct).otherwise(qcol(tgt)))
         .drop("__f", "__anchor")
     }
   }

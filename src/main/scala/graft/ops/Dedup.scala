@@ -1588,7 +1588,7 @@ object Dedup {
   def editDistanceOnePairs(df: DataFrame, idCol: String,
       strCol: String): DataFrame = {
     // length >= 1: sequence(1, 0) is DESCENDING ([1,0]), so an empty
-    // string would emit the bare " " wildcard twice and pair with
+    // string would emit the bare "NUL(0x00)" wildcard twice and pair with
     // every 1-char string, violating the same-length contract.
     val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
       .where(col("__s").isNotNull && length(col("__s")) >= 1)

@@ -573,6 +573,22 @@ object Similarity {
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, m: Int = 8, ksub: Int = 16,
+      iters: Int = 2): DataFrame =
+    pqServe(queries, corpus, idCol, vecCol, k, m, ksub, iters)
+      .join(gridWitness(queries, corpus, idCol, vecCol),
+        Seq("query_id", "cand_id"))
+      .withColumn("in_exact_topk", col("true_rank") <= k)
+      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
+        "in_exact_topk")
+
+  /** The serve path alone — (query_id, cand_id, rank, est_d2) without the
+    * exact-grid witness columns. This is what runs at eval-set scale: the
+    * witness join re-reads every raw vector per query (the cost the codes
+    * exist to avoid), so [[pqTopK]]'s extra columns are a small-fixture
+    * luxury and the ScaleProbe arm measures THIS method.
+    */
+  def pqServe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, m: Int = 8, ksub: Int = 16,
       iters: Int = 2): DataFrame = {
     val (codes, books) = pqTrain(corpus, idCol, vecCol, m, ksub, iters)
     val dim = vecDim(corpus, vecCol)
@@ -580,28 +596,37 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val qRows = queries.select(col(idCol), toGrid(v)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    val est = qRows.map { case (qid, qv) =>
-      val sums = (0 until m).map { j =>
-        val lut = books(j).map { cent =>
-          var d = 0L; var i = 0
-          while (i < sub) { val t = qv(j * sub + i) - cent(i); d += t * t; i += 1 }
-          d
-        }.toSeq
-        element_at(typedlit(lut), col(s"__c$j") + 1)
-      }.reduce(_ + _)
-      codes.select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
-        sums.as("est_d2"))
-    }.reduce(_ unionByName _)
+    // serve via ONE broadcast-LUT join, not per-query plan branches: the
+    // r17 shape folded a `codes.select` per query row with unionByName,
+    // so the PLAN grew linearly in |queries| (fan-out at 10⁴ queries).
+    // Here the per-query m×ksub tables ship as a small DataFrame —
+    // |queries| rows × m·ksub longs, broadcast by construction — and one
+    // flat crossJoin scores every (query, code) pair: plan size is
+    // constant, serve cost linear, and the arithmetic is the same exact
+    // long LUT lookups (element_at over the broadcast nested array).
+    val sparkQ = queries.sparkSession
+    import sparkQ.implicits._
+    val lutRows: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map {
+      case (qid, qv) =>
+        qid -> (0 until m).map { j =>
+          books(j).map { cent =>
+            var d = 0L; var i = 0
+            while (i < sub) { val t = qv(j * sub + i) - cent(i); d += t * t; i += 1 }
+            d
+          }.toSeq
+        }
+    }
+    val lutDf = lutRows.toDF("query_id", "__lut")
+    val est = codes.crossJoin(broadcast(lutDf))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        (0 until m).map(j =>
+          element_at(element_at(col("__lut"), j + 1), col(s"__c$j") + 1))
+          .reduce(_ + _).as("est_d2"))
     val wEst = Window.partitionBy("query_id")
       .orderBy(col("est_d2").asc, col("cand_id").asc)
-    val top = est.where(col("query_id") =!= col("cand_id"))
+    est.where(col("query_id") =!= col("cand_id"))
       .withColumn("rank", row_number().over(wEst))
       .where(col("rank") <= k)
-    top.join(gridWitness(queries, corpus, idCol, vecCol),
-        Seq("query_id", "cand_id"))
-      .withColumn("in_exact_topk", col("true_rank") <= k)
-      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
-        "in_exact_topk")
   }
 
   /** Exact-grid witness frame (query_id, cand_id, true_d2, true_rank):
@@ -642,6 +667,21 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int = 10, nlist: Int = 16, coarseIters: Int = 2,
       m: Int = 8, ksub: Int = 16, pqIters: Int = 2, nprobe: Int = 2)
+      : DataFrame =
+    ivfPqServe(queries, corpus, idCol, vecCol, k, nlist, coarseIters, m,
+        ksub, pqIters, nprobe)
+      .join(gridWitness(queries, corpus, idCol, vecCol),
+        Seq("query_id", "cand_id"))
+      .withColumn("in_exact_topk", col("true_rank") <= k)
+      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
+        "in_exact_topk")
+
+  /** Serve-only IVF-PQ — see [[pqServe]] for why the witness columns are
+    * split out of the scale path.
+    */
+  def ivfPqServe(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 10, nlist: Int = 16, coarseIters: Int = 2,
+      m: Int = 8, ksub: Int = 16, pqIters: Int = 2, nprobe: Int = 2)
       : DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val (assigned, coarse) =
@@ -659,38 +699,44 @@ object Similarity {
     val sub = dim / m
     val qRows = queries.select(col(idCol), toGrid(v)).collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
-    val est = qRows.toSeq.flatMap { case (qid, qv) =>
-      val probes = coarse.zipWithIndex.map { case (cent, i) =>
-        var d = 0L; var x = 0
-        while (x < cent.length) { val t = qv(x) - cent(x); d += t * t; x += 1 }
-        (d, i)
-      }.sorted.take(nprobe)
-      probes.map { case (_, listId) =>
-        val cent = coarse(listId)
-        val rq = Array.tabulate(dim)(i => qv(i) - cent(i))
-        val estCol = (0 until m).map { j =>
-          val lut = books(j).map { bc =>
-            var d = 0L; var i = 0
-            while (i < sub) { val t = rq(j * sub + i) - bc(i); d += t * t; i += 1 }
-            d
-          }.toSeq
-          element_at(typedlit(lut), col(s"__c$j") + 1)
-        }.reduce(_ + _)
-        coded.where(col("list_id") === listId)
-          .select(lit(qid).as("query_id"), col(idCol).as("cand_id"),
-            estCol.as("est_d2"))
+    // same broadcast-LUT shape as [[pqTopK]] (r17 plan fan-out fix), with
+    // probe routing folded into the join key: one LUT row per
+    // (query, probed list) — |queries|·nprobe rows — equi-joined on
+    // list_id, so only probed lists' codes are scored and the plan stays
+    // one join regardless of |queries|.
+    val sparkQ = queries.sparkSession
+    import sparkQ.implicits._
+    val lutRows: Seq[(Long, Int, Seq[Seq[Long]])] =
+      qRows.toSeq.flatMap { case (qid, qv) =>
+        val probes = coarse.zipWithIndex.map { case (cent, i) =>
+          var d = 0L; var x = 0
+          while (x < cent.length) { val t = qv(x) - cent(x); d += t * t; x += 1 }
+          (d, i)
+        }.sorted.take(nprobe)
+        probes.map { case (_, listId) =>
+          val cent = coarse(listId)
+          val rq = Array.tabulate(dim)(i => qv(i) - cent(i))
+          val lut = (0 until m).map { j =>
+            books(j).map { bc =>
+              var d = 0L; var i = 0
+              while (i < sub) { val t = rq(j * sub + i) - bc(i); d += t * t; i += 1 }
+              d
+            }.toSeq
+          }
+          (qid, listId, lut)
+        }
       }
-    }.reduce(_ unionByName _)
+    val lutDf = lutRows.toDF("query_id", "list_id", "__lut")
+    val est = coded.join(broadcast(lutDf), Seq("list_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        (0 until m).map(j =>
+          element_at(element_at(col("__lut"), j + 1), col(s"__c$j") + 1))
+          .reduce(_ + _).as("est_d2"))
     val wEst = Window.partitionBy("query_id")
       .orderBy(col("est_d2").asc, col("cand_id").asc)
-    val top = est.where(col("query_id") =!= col("cand_id"))
+    est.where(col("query_id") =!= col("cand_id"))
       .withColumn("rank", row_number().over(wEst))
       .where(col("rank") <= k)
-    top.join(gridWitness(queries, corpus, idCol, vecCol),
-        Seq("query_id", "cand_id"))
-      .withColumn("in_exact_topk", col("true_rank") <= k)
-      .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
-        "in_exact_topk")
   }
 
   /** Top principal component of the embedding corpus by power iteration

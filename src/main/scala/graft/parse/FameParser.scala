@@ -316,8 +316,12 @@ object FameParser {
     script.split("\n").toSeq
       .map(_.trim)
       .filterNot(l => l.startsWith("#") || l.startsWith("!"))
+      // strip `--` trailing comments per PHYSICAL line, before the `;`
+      // split: `x = 1 -- a; b` is one statement, not a bogus fragment
+      // `b` (r17 ADVICE — the same order bug the `#`/`!` fix addressed)
+      .map(_.replaceAll("--.*$", ""))
       .flatMap(_.split(";"))
-      .map(_.replaceAll("--.*$", "").trim)
+      .map(_.trim)
       .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith("!"))
 
   def parseScript(script: String): Seq[FameStmt] =

@@ -1285,10 +1285,16 @@ object FameStream {
       // dependent predecessor can sit more periods back than rows and
       // a date-widened window would silently drop it (r17 ADVICE fix;
       // the rank re-selection is stable — see [[Pin]]). Retention
-      // induction: the first batch that holds a window row holds its
-      // physical neighbors too (prec ≤ maxLag rows behind it → still
-      // in the tail; foll rows arrive later, pinned on arrival), and
-      // every later carry re-selects them by adjacency.
+      // induction, scoped to the predecessors actually READ: Pin.prec
+      // counts every explicit TimeShift in the argument (e.g.
+      // ave(x[t-5]) records prec = lg+5), which can exceed plan.maxLag —
+      // but only the predecessors within the env lag ≤ maxLag carry
+      // values the derived read depends on; the extras beyond maxLag
+      // contribute out-of-support/null reads. So: the first batch that
+      // holds a window row still holds every value-bearing neighbor
+      // (≤ maxLag rows behind it → in the tail; foll rows arrive later,
+      // pinned on arrival), and every later carry re-selects them by
+      // adjacency.
       val ascOrd = kw.orderBy(col(dateU).asc)
       val needRank = plan.pins.exists(p => p.prec > 0 || p.foll > 0) ||
         plan.chains.nonEmpty

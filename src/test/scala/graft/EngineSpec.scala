@@ -575,4 +575,74 @@ class EngineSpec extends SparkSpec {
         " EqualTo\\(K,FR\\).*"),
       s"lookup-side scan not pruned to (date, key):\n$plan")
   }
+
+  test("dotted series names read through every kernel (r18: chain/fishvol/" +
+      "convert/nlrx/shift_pct read via qcol — r17 ADVICE, same class as " +
+      "the q220 dotted-name find)") {
+    // equivalence harness: the same script modulo names, run over the same
+    // values under dotted vs plain column names, must agree cell-for-cell —
+    // a bare col("A.X") would instead fail analysis as struct access
+    val dates = (0 until 24).map(i => f"${1994 + i / 12}-${i % 12 + 1}%02d-01")
+    // a dominates b so the signed basket (a - b) keeps every Fisher-link
+    // dot product positive (ANSI mode turns a zero denominator into an error)
+    val a  = (1 to 24).map(i => (i * 7 % 13 + 20).toDouble)
+    val b  = (1 to 24).map(i => (i * 5 % 3  + 1).toDouble)
+    val pa = (1 to 24).map(i => (i * 3 % 4  + 2).toDouble)
+    val pb = (1 to 24).map(i => (i * 11 % 2 + 1).toDouble)
+    val dotted = frame(dates, "A.X" -> a, "B.Y" -> b,
+      "PA.X" -> pa, "PB.Y" -> pb)
+    val plain  = frame(dates, "A" -> a, "B" -> b, "PA" -> pa, "PB" -> pb)
+
+    // chain: term read goes through yearlyAggs (qcol(q), qcol("P"+q))
+    val cd = FameSession.run("""set x = $chain("a.x - b.y", "1995")""", dotted).df
+    val cp = FameSession.run("""set x = $chain("a - b", "1995")""", plain).df
+    assertSeq(column(cd, "X"), column(cp, "X"))
+
+    // fishvol: cur/prev read via qcol
+    val fd = FameSession.run(
+      "x = fishvol_rebase({a.x,b.y},{pa.x,pb.y},1995)", dotted).df
+    val fp = FameSession.run(
+      "x = fishvol_rebase({a,b},{pa,pb},1995)", plain).df
+    assertSeq(column(fd, "X"), column(fp, "X"))
+
+    // convert down + up: per-series reads via qcol; output keeps the
+    // literal dotted name + suffix (withColumnRenamed contract)
+    val vd = FameSession.run("freq m\nv = convert(a.x, q, discrete, sum)",
+      dotted).df.withColumnRenamed("A.X_QTRLY", "VQ")
+    val vp = FameSession.run("freq m\nv = convert(a, q, discrete, sum)",
+      plain).df.withColumnRenamed("A_QTRLY", "VQ")
+    assertSeq(
+      column(vd.where(org.apache.spark.sql.functions.col("VQ").isNotNull), "VQ"),
+      column(vp.where(org.apache.spark.sql.functions.col("VQ").isNotNull), "VQ"))
+    val qDates = Seq("2020-01-01", "2020-04-01", "2020-07-01", "2020-10-01")
+    val qv = Seq(4.0, 8.0, 6.0, 10.0)
+    val ud = FameSession.run("freq q\nu = convert(r.ev, m, linear, average)",
+      frame(qDates, "R.EV" -> qv)).df.withColumnRenamed("R.EV_MON", "UM")
+    val up = FameSession.run("freq q\nu = convert(rev, m, linear, average)",
+      frame(qDates, "REV" -> qv)).df.withColumnRenamed("REV_MON", "UM")
+    assertSeq(column(ud, "UM"), column(up, "UM"))
+
+    // nlrx: y read via qcol
+    val nd = FameSession.run(
+      "sm = nlrx(1600, a.x, a.x, a.x, a.x, a.x, a.x, a.x)", dotted).df
+    val np = FameSession.run(
+      "sm = nlrx(1600, a, a, a, a, a, a, a)", plain).df
+    assertSeq(column(nd, "SM"), column(np, "SM"))
+
+    // shift_pct with an OPEN-ended mask (`to *`): exercises the
+    // default-anchor lookup (FameSession qcol(target)) plus the
+    // kernel's qcol(p)/qcol(tgt) reads; target and pct source both dotted
+    val sd = FameSession.run(
+      """r.ev = a.x * 10
+        |date 1994-01-01 to *
+        |r.ev[t] = r.ev[t+1]/(1+(pct(b.y[t+1])/100))""".stripMargin, dotted).df
+    val sp = FameSession.run(
+      """rev = a * 10
+        |date 1994-01-01 to *
+        |rev[t] = rev[t+1]/(1+(pct(b[t+1])/100))""".stripMargin, plain).df
+    assertSeq(
+      sd.orderBy("DATE").select(org.apache.spark.sql.functions.col("`R.EV`")).collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))),
+      column(sp, "REV"))
+  }
 }

@@ -1155,6 +1155,29 @@ class OpsSpec extends SparkSpec {
     assert(rec >= 0.9, s"pq twin recall@1 = $rec")
   }
 
+  test("PQ/IVF-PQ serve plan size is FLAT in |queries| (r17 verdict: the " +
+      "old shape unioned one plan branch per query row)") {
+    val (_, corpus) = plantedCorpus()
+    def queriesOf(n: Int) = corpus.limit(n)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      var c = 0
+      df.queryExecution.optimizedPlan.foreach(_ => c += 1)
+      c
+    }
+    val pq2 = planNodes(Similarity.pqServe(queriesOf(2), corpus,
+      "vec_id", "embedding", k = 1))
+    val pq40 = planNodes(Similarity.pqServe(queriesOf(40), corpus,
+      "vec_id", "embedding", k = 1))
+    assert(pq2 == pq40, s"pqServe plan grew with |queries|: $pq2 -> $pq40")
+    val ivf2 = planNodes(Similarity.ivfPqServe(queriesOf(2), corpus,
+      "vec_id", "embedding", k = 1, nprobe = 2))
+    val ivf40 = planNodes(Similarity.ivfPqServe(queriesOf(40), corpus,
+      "vec_id", "embedding", k = 1, nprobe = 2))
+    assert(ivf2 == ivf40,
+      s"ivfPqServe plan grew with |queries|: $ivf2 -> $ivf40")
+  }
+
   test("IVF-PQ: residual index retrieves planted twins through probed lists") {
     val (qs, corpus) = plantedCorpus()
     // a twin differs by per-dim noise ≤ 0.012, so it shares the query's

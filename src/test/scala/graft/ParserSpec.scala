@@ -205,5 +205,10 @@ class ParserSpec extends AnyFunSuite {
     // a fragment after ';' that itself starts a comment is dropped
     assert(FameParser.splitLines("a = 1; # trailing note") ==
       Seq("a = 1"))
+    // r18: '--' strips per PHYSICAL line BEFORE the ';' split — a ';'
+    // inside the trailing comment is comment text, not a statement
+    assert(FameParser.splitLines("x = 1 -- a; b") == Seq("x = 1"))
+    assert(FameParser.splitLines("x = 1; y = 2 -- note; z = 3\nw = 4") ==
+      Seq("x = 1", "y = 2", "w = 4"))
   }
 }
