@@ -228,6 +228,26 @@ object QueriesExt {
     * genuine per-nation date gaps at small SF, which the chain's year
     * aggregates handle like the batch path.
     */
+  /** Per-nation monthly revenue in INTEGER CENTS (decimal sum × 100,
+    * cast to double): integer-valued doubles sum exactly in ANY
+    * aggregation order, so every downstream average is an exact integer
+    * sum plus one division — bit-equal across Spark's window fold, the
+    * incremental replay, and DuckDB (the q201/q207 integer-grid recipe;
+    * the q221 fixture).
+    */
+  private def monthlyByNationCents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("NATION"),
+        trunc(col("o_orderdate").cast("date"), "month").as("DATE"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("double").as("REV"))
+  }
+
   private def twoGoodsByNation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -4838,6 +4858,46 @@ object QueriesExt {
           col("P1").as("p1"), col("MK").as("mk"),
           round(col("RQ"), 8).as("rq"), round(col("YQ"), 8).as("yq"))
         .orderBy("date")
+    }),
+
+    // KEYED DYNAMIC SCALAR, incrementally (r18, r17 verdict task 4): a
+    // series-derived scalar (`scalar mu = ave(base)`) over a bounded
+    // support streams under PARTITIONED execution — each nation's mu is
+    // its OWN support-window average (the r18 per-key extraction), the
+    // support rows are pinned into the carry, and every batch's replay
+    // re-derives each key's value from exactly the rows the
+    // whole-history run reads. REV is snapped to integer cents (decimal
+    // sum ×100) so each average is an exact integer sum plus one
+    // division — bit-equal across Spark's date-ordered window fold, the
+    // batch replay, and DuckDB's avg, in any aggregation order. The
+    // use-site mask starts after the support end, so no row is ever
+    // emitted against a still-partial per-key value.
+    "q221_fame_incremental_keyed_scalar" -> ((s, dir) => {
+      val base = scratch("q221")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = stageChunkedSrc(s, dir, "fame_scsrc")(
+        monthlyByNationCents(s, dir))
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |set <date 1995-01-01 to 1995-06-01> base = rev
+          |scalar mu = ave(base)
+          |set <date 1995-07-01 to *> dev = rev - mu""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), col("BASE").as("base"),
+          col("DEV").as("dev"))
+        .orderBy("nation", "date")
     }),
 
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
@@ -10471,6 +10531,33 @@ object QueriesExt {
          |  round(CASE WHEN m.date = qq.qd THEN qq.rq * 2 END + 1, 8) AS yq
          |FROM m LEFT JOIN qq ON m.date = qq.qd
          |ORDER BY date""".stripMargin,
+
+    // whole-history replay: per-nation support-window average (exact on
+    // the integer-cents grid), CASE-mirrored masks; LEFT JOIN keeps
+    // nations with no support rows (null mu → null dev)
+    "q221_fame_incremental_keyed_scalar" ->
+      """WITH m AS (
+        |  SELECT n_name AS nation,
+        |         date_trunc('month', o_orderdate)::DATE AS date,
+        |         (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::DOUBLE
+        |           AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |),
+        |b AS (
+        |  SELECT nation, avg(rev) AS mu FROM m
+        |  WHERE date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
+        |  GROUP BY 1
+        |)
+        |SELECT m.nation, m.date, m.rev,
+        |  CASE WHEN m.date BETWEEN DATE '1995-01-01' AND DATE '1995-06-01'
+        |       THEN m.rev END AS base,
+        |  CASE WHEN m.date >= DATE '1995-07-01' THEN m.rev - b.mu END
+        |    AS dev
+        |FROM m LEFT JOIN b USING (nation)
+        |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

@@ -266,7 +266,30 @@ object FameSession {
       others.foreach { b =>
         b.stmt match {
           case ScalarAssign(name, e) =>
-            scalars += name -> evalScalar(e, cur, ctx)
+            if (partitionKeys.nonEmpty && staticFold(e, scalars).isEmpty) {
+              // PER-KEY scalar (r18): under partitioned execution a
+              // series-derived scalar is each key's OWN value — the
+              // key's earliest-row extraction, the keyed analog of the
+              // unkeyed evalScalar below — materialized as a hidden
+              // key-constant column Ref(name) resolves to (refMap).
+              // The old behavior read ONE arbitrary frame row, so every
+              // entity shared whichever key's value came first (the
+              // same frame-global hazard the r16 per-key lookup fix
+              // removed for v[date]). Date-valued scalars stay driver
+              // constants via staticFold above (make(...) is pure); a
+              // per-key DATE scalar used in v[s] is not supported.
+              materializeKeyedLookups(e)
+              val compiled = ColumnCompiler.compile(e, ctx)
+              val tmp = s"__SCL_$name"
+              val vals = cur
+                .select((partitionKeys.map(col) :+ col(dateCol) :+
+                  compiled.as(tmp)): _*)
+                .groupBy(partitionKeys.map(col): _*)
+                .agg(min_by(col(tmp), col(dateCol)).as(tmp))
+              cur = cur.join(vals, partitionKeys, "left")
+              refMap += name -> tmp
+              scalars -= name
+            } else scalars += name -> evalScalar(e, cur, ctx)
 
           case PointInTime(target, date, e) =>
             materializeKeyedLookups(e)
@@ -337,8 +360,9 @@ object FameSession {
       }
     }
 
-    // the per-key lookup scaffolding is engine-internal — drop it
-    cur = cur.drop(cur.columns.filter(_.startsWith("__LKP_")).toIndexedSeq: _*)
+    // the per-key lookup/scalar scaffolding is engine-internal — drop it
+    cur = cur.drop(cur.columns.filter(c =>
+      c.startsWith("__LKP_") || c.startsWith("__SCL_")).toIndexedSeq: _*)
 
     // --------------------------------------------- local-DB projections (F9)
     val dbs = localDbCols.map { case (db, cols0) =>

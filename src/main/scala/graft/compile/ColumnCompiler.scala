@@ -113,6 +113,11 @@ object ColumnCompiler {
             .map(col).getOrElse(scalarLit(ctx.lookup(ctx.resolve(s), d)))
         case Some(other) => throw CompileError(
           s"scalar $scalarName is not a date (got $other) in $s[$scalarName]")
+        case None if ctx.refMap.get(scalarName)
+            .exists(_.startsWith("__SCL_")) => throw CompileError(
+          s"scalar $scalarName is PER-KEY under partitioned execution " +
+            s"and cannot be a date subscript in $s[$scalarName] (a keyed " +
+            "lookup would need a different date per key)")
         case None => throw CompileError(s"unknown scalar `$scalarName`")
       }
 

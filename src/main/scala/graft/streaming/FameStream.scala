@@ -922,14 +922,20 @@ object FameStream {
               // SUPPORT series is a constant once the support (plus the
               // argument's lag predecessors) has arrived — pin that
               // window (the r16 pin machinery verbatim) and record the
-              // support end for the use-site check in `reach`. UNKEYED
-              // only: under partitioned execution the engine's scalar
-              // extraction takes ONE arbitrary key's value from the
-              // frame (the documented `.item()` divergence), a frame-
-              // order-dependent choice no carry policy can reproduce.
+              // support end for the use-site check in `reach`. KEYED
+              // too since r18: the batch engine now extracts
+              // series-derived scalars PER KEY (a key-constant hidden
+              // column from the key's own support rows —
+              // FameSession's ScalarAssign), so each batch's replay
+              // re-derives every key's value from the SAME pinned
+              // support rows the whole-history run reads: deterministic
+              // and hash-exact. (The pre-r18 batch semantics read ONE
+              // arbitrary frame row — a frame-order-dependent choice no
+              // carry policy could reproduce, which is why this was
+              // refused keyed.)
               case Call(ws, args)
                   if Set("ave", "firstvalue", "lastvalue")(ws) &&
-                    args.nonEmpty && allowPins && !partitioned =>
+                    args.nonEmpty && allowPins =>
                 st.freq match {
                   case Some(f) =>
                     exprSupport(args.head, st.supports, f) match {
@@ -954,11 +960,10 @@ object FameStream {
                     "data (no declared frequency to bound its support)")
                 }
               case _ =>
-                Left(s"scalar $n derived from series data" +
-                  (if (partitioned &&
-                      e.isInstanceOf[Call]) " (keyed scalar extraction " +
-                    "takes one arbitrary key's value — frame-dependent)"
-                  else ""))
+                Left(s"scalar $n derived from series data (only " +
+                  "whole-series ave/firstvalue/lastvalue over a bounded " +
+                  "support are incrementalizable — any other shape's " +
+                  "value keeps moving as history grows)")
             }
           // DOWN-conversion under hold-back (r16): the anchor row's
           // value aggregates its own bucket — up to span−1 rows FORWARD

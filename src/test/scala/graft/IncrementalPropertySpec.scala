@@ -912,15 +912,44 @@ class IncrementalPropertySpec extends SparkSpec {
         assert(got == Right(FameStream.IncrementalPlan(0, lag, wantPins)),
           s"plan said $got, independent algebra " +
             s"(0, $lag, $wantPins):\n$script")
-        // scalar-bearing scripts must REFUSE keyed (the engine's scalar
-        // extraction is frame-global — one arbitrary key's value);
-        // everything else verdicts identically keyed and unkeyed
+        // EVERY shape here — scalar-bearing included since r18 —
+        // verdicts identically keyed and unkeyed: the batch engine
+        // extracts series-derived scalars per key, so the keyed replay
+        // is as deterministic as the unkeyed one
         val keyed = FameStream.incrementalPlan(script, partitioned = true,
           inputColumns = Some(Set("REV", "CNT", "K")))
+        assert(keyed == got, script)
         if (script.contains("scalar sc")) {
           scalarArm += 1
-          assert(keyed.isLeft, script)
-        } else assert(keyed == got, script)
+          // keyed batch DECOMPOSITION (r18, first draws only — each is
+          // 3 extra engine runs): a 2-key frame with different data per
+          // key must equal per-key unkeyed runs cell-for-cell — the
+          // per-key scalar extraction must not leak one key's value
+          // into the other (the pre-r18 frame-global extraction did)
+          if (scalarArm <= 8) {
+            import org.apache.spark.sql.functions.lit
+            val present9 = (0 until 9).filter(keepMask)
+            val rvA = revRaw.map(_ + 0.5); val cnA = cntRaw.map(_ + 0.25)
+            val rvB = revRaw.map(_ + 7.5); val cnB = cntRaw.map(_ + 3.25)
+            def fr1(rv: Seq[Double], cn: Seq[Double]) =
+              frame(present9.map(dates), "REV" -> present9.map(rv),
+                "CNT" -> present9.map(cn))
+            val keyedOut = FameSession.run(script,
+              fr1(rvA, cnA).withColumn("K", lit("A")).unionByName(
+                fr1(rvB, cnB).withColumn("K", lit("B"))),
+              partitionKeys = Seq("K")).df
+            val sers = keyedOut.columns.filter(c =>
+              c.startsWith("V") || c == "M1").toSeq
+            def cells(df: org.apache.spark.sql.DataFrame) =
+              df.orderBy("DATE").select(sers.map(col).toIndexedSeq: _*)
+                .collect().toSeq.map(r => sers.indices.map(j =>
+                  bits(if (r.isNullAt(j)) None else Some(r.getDouble(j)))))
+            assert(cells(keyedOut.where(col("K") === "A")) ==
+              cells(FameSession.run(script, fr1(rvA, cnA)).df), script)
+            assert(cells(keyedOut.where(col("K") === "B")) ==
+              cells(FameSession.run(script, fr1(rvB, cnB)).df), script)
+          }
+        }
         // ground truth: runIncremental's pin-aware carry — last maxLag
         // rows PLUS every arrived pin-selected row, where a pin keeps
         // its window rows AND their prec/foll PHYSICAL neighbors (row

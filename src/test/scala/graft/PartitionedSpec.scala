@@ -56,6 +56,47 @@ class PartitionedSpec extends SparkSpec {
       Seq(None, Some(40.0), Some(60.0), None))
   }
 
+  test("series-derived SCALARS are per-key (r18): each entity's own " +
+      "value, not one arbitrary frame row's") {
+    val in = entityFrame(("V", Seq(10, 20, 30, 40), Seq(100, 300, 500, 700)))
+    val out = FameSession.run(
+      """freq m
+        |scalar mu = ave(v)
+        |dev = v - mu
+        |scalar lv = lastvalue(v)
+        |rel = v / lv""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    // A: mu = 25, lv = 40; B: mu = 400, lv = 700
+    assertSeq(byEntity(out, "A", "DEV"),
+      Seq(Some(-15.0), Some(-5.0), Some(5.0), Some(15.0)))
+    assertSeq(byEntity(out, "B", "DEV"),
+      Seq(Some(-300.0), Some(-100.0), Some(100.0), Some(300.0)))
+    assertSeq(byEntity(out, "A", "REL"),
+      Seq(Some(0.25), Some(0.5), Some(0.75), Some(1.0)))
+    assertSeq(byEntity(out, "B", "REL"),
+      Seq(Some(1.0 / 7), Some(3.0 / 7), Some(5.0 / 7), Some(1.0)))
+    assert(!out.columns.exists(_.startsWith("__SCL_")),
+      "per-key scalar scaffolding leaked into the output frame")
+    // a general (non-window) RHS takes each key's EARLIEST-row value —
+    // the keyed analog of the unkeyed earliest-row extraction
+    val out2 = FameSession.run(
+      """freq m
+        |scalar base = v * 2
+        |idx = v / base""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out2, "A", "IDX"),
+      Seq(Some(0.5), Some(1.0), Some(1.5), Some(2.0)))
+    assertSeq(byEntity(out2, "B", "IDX"),
+      Seq(Some(0.5), Some(1.5), Some(2.5), Some(3.5)))
+    // pure date scalars stay driver constants (the q215 lookup path);
+    // a PER-KEY scalar in date position is refused with a named reason
+    val err = intercept[Exception] {
+      FameSession.run(
+        """freq m
+          |scalar s = ave(v)
+          |x = v[s]""".stripMargin, in, partitionKeys = Seq("ENT")).df.count()
+    }
+    assert(err.getMessage.contains("PER-KEY"), err.getMessage)
+  }
+
   test("fixed-date lookups are PER-KEY (r16): each entity rebases " +
       "against its OWN value, reassignment invalidates the column, " +
       "scaffolding never leaks") {

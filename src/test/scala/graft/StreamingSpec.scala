@@ -2135,16 +2135,20 @@ class StreamingSpec extends SparkSpec {
           LocalDate.parse("1995-03-01"), 1, 0)))))
     // named fences: an UNMASKED use (rows before the support end would
     // emit against a partial value), a mask starting INSIDE the
-    // support, a KEYED stream (scalar extraction is frame-global), and
-    // reassignment of the frozen base
+    // support, and reassignment of the frozen base
     assert(FameStream.incrementalPlan(
       script.replace("set <date 1995-06-01 to *> z", "z"),
       inputColumns = cols).isLeft)
     assert(FameStream.incrementalPlan(
       script.replace("1995-06-01", "1995-02-15"),
       inputColumns = cols).isLeft)
+    // KEYED streams ACCEPT since r18: the batch engine extracts
+    // series-derived scalars per key (each key's own support-window
+    // value), so the replay is deterministic — same plan as unkeyed
+    // (q221 carries the keyed 3-chunk hash-parity gate proof)
     assert(FameStream.incrementalPlan(script, partitioned = true,
-      inputColumns = Some(Set("DATE", "K", "REV"))).isLeft)
+      inputColumns = Some(Set("DATE", "K", "REV"))) ==
+      FameStream.incrementalPlan(script, inputColumns = cols))
     assert(FameStream.incrementalPlan(
       script + "\nbase = rev * 2", inputColumns = cols).isLeft)
     def d(s: String) = java.sql.Date.valueOf(s)
