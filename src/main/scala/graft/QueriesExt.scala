@@ -4900,6 +4900,47 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // RELAXED-FP INCREMENTAL FISHVOL (r18, r17 verdict task 5): the
+    // per-row Fisher fold streams under the OPT-IN relaxed tier
+    // (runIncremental(relaxedFp = true)) — the executor carries, per
+    // nation, the prefix product at the newest emitted row plus the
+    // base average finalized the batch the base year closed, and each
+    // batch's kernel continues the fold from the seed. Under the
+    // native ProductAgg the seeded fold is the SAME multiplication
+    // sequence as the whole-history run (bit-exact — StreamingSpec
+    // pins it); the gate compares at round(,8) on the q219 integer
+    // grid, the tier's documented tolerance (the exp∘sum∘log fallback
+    // re-associates ≤1 ulp per batch). Emission holds until the
+    // nation's base year closes; after that every row is final on
+    // arrival — the emitted set is whole keys, not year prefixes.
+    "q222_fame_incremental_fishvol" -> ((s, dir) => {
+      val base = scratch("q222")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = stageChunkedSrc(s, dir, "fame_csrc")(
+        twoGoodsByNation(s, dir))
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |mom = pct(a)
+          |x = fishvol_rebase({a,b},{pa,pb},1996)""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"),
+        relaxedFp = true)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("A").as("a"), col("MOM").as("mom"),
+          round(col("X"), 8).as("x"))
+        .orderBy("nation", "date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10558,6 +10599,40 @@ object QueriesExt {
         |    AS dev
         |FROM m LEFT JOIN b USING (nation)
         |ORDER BY nation, date""".stripMargin,
+
+    // whole-history keyed fishvol replay (the q15 oracle per nation);
+    // the emitted set is every row of nations whose base year CLOSED
+    // (max year > 1996) — once it closes, all arrived rows emit
+    "q222_fame_incremental_fishvol" ->
+      s"""$twoGoodsByNationSql, l AS (
+         |  SELECT nation, date, a,
+         |    (lag(pa) OVER wd * a + lag(pb) OVER wd * b)
+         |      / (lag(pa) OVER wd * lag(a) OVER wd
+         |         + lag(pb) OVER wd * lag(b) OVER wd) AS lasp,
+         |    (pa * a + pb * b)
+         |      / (pa * lag(a) OVER wd + pb * lag(b) OVER wd) AS paas,
+         |    (a - lag(a) OVER wd) / lag(a) OVER wd * 100 AS mom
+         |  FROM w
+         |  WINDOW wd AS (PARTITION BY nation ORDER BY date)
+         |), lk AS (
+         |  SELECT nation, date, a, mom,
+         |    coalesce(sqrt(CASE WHEN lasp * paas > 0
+         |                       THEN lasp * paas END), 1.0) AS link
+         |  FROM l
+         |), c AS (
+         |  SELECT nation, date, a, mom,
+         |    product(CASE WHEN link > 0 THEN link END)
+         |      OVER (PARTITION BY nation ORDER BY date
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS raw,
+         |    max(year(date)) OVER (PARTITION BY nation) AS maxyr
+         |  FROM lk
+         |)
+         |SELECT nation, date, a, mom,
+         |  round(raw / avg(CASE WHEN year(date) = 1996 THEN raw END)
+         |    OVER (PARTITION BY nation) * 100, 8) AS x
+         |FROM c WHERE 1996 < maxyr
+         |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

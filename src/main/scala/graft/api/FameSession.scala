@@ -71,6 +71,12 @@ object FameSession {
     *                    frame's own year aggregates instead of the
     *                    frame alone. Empty (the default) = historical
     *                    behavior for every batch caller.
+    * @param fishvolSeed per-fishvol-target carried state for the
+    *                    relaxed-fp incremental tier
+    *                    ([[Indices.fishvolRaw]] seed schema: prefix
+    *                    product at the newest emitted row + the closed
+    *                    base-year average, one row per key). Empty
+    *                    (the default) = whole-history fold.
     */
   def run(script: String, input: DataFrame, dateCol: String = "DATE",
       partitionKeys: Seq[String] = Nil,
@@ -78,13 +84,14 @@ object FameSession {
       dateofStub: Boolean = false,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
       isoWeeks: Boolean = false,
-      chainSeed: Map[String, DataFrame] = Map.empty): SeriesFrame =
+      chainSeed: Map[String, DataFrame] = Map.empty,
+      fishvolSeed: Map[String, DataFrame] = Map.empty): SeriesFrame =
     // date literals become plan literals during this synchronous driver-
     // thread call, so a dynamically-scoped parse mode is sound (nothing
     // re-parses after run returns)
     FameDate.withIsoWeeks(isoWeeks) {
       runImpl(script, input, dateCol, partitionKeys, nlrx, dateofStub,
-        businessCal, chainSeed)
+        businessCal, chainSeed, fishvolSeed)
     }
 
   private def runImpl(script: String, input: DataFrame, dateCol: String,
@@ -92,7 +99,8 @@ object FameSession {
       nlrx: Nlrx,
       dateofStub: Boolean,
       businessCal: BusinessCalendar,
-      chainSeed: Map[String, DataFrame]): SeriesFrame = {
+      chainSeed: Map[String, DataFrame],
+      fishvolSeed: Map[String, DataFrame]): SeriesFrame = {
 
     // uppercase-normalize input columns (reference normalizes all names,
     // `formulas_generator.py:248-257`) — ONE select, not a rename chain: a
@@ -306,7 +314,8 @@ object FameSession {
               partitionKeys, chainSeed.get(target))
 
           case FishvolAssign(target, vs, ps, baseYear) =>
-            cur = Indices.fishvol(cur, dateCol, vs, ps, baseYear, target, partitionKeys)
+            cur = Indices.fishvol(cur, dateCol, vs, ps, baseYear, target,
+              partitionKeys, fishvolSeed.get(target))
 
           case NlrxAssign(target, lambdaRef, args) =>
             val lam = lambdaRef match {

@@ -83,9 +83,11 @@ object Indices {
     *                pipeline always recomputes over the FULL year table
     *                (seed ∪ fresh) — the same window fold over the same
     *                year rows as a whole-history run, so seeding changes
-    *                no fp association (unlike seeding a running product
-    *                with a scalar, which re-associates the fold — the
-    *                reason fishvol stays refused incrementally).
+    *                no fp association (fishvol's per-row fold instead
+    *                seeds a running product — bit-exact only under the
+    *                sequential native ProductAgg, which is why its
+    *                incremental tier is the opt-in relaxedFp one; see
+    *                [[fishvolRaw]]).
     * @return frame `keys :+ __year :+ idxName` (one row per year) to join
     *         back on year.
     */
@@ -165,7 +167,35 @@ object Indices {
     */
   def fishvol(df: DataFrame, dateCol: String, volumes: Seq[String],
       prices: Seq[String], baseYear: Int, idxName: String,
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil, seed: Option[DataFrame] = None): DataFrame =
+    fishvolRaw(df, dateCol, volumes, prices, baseYear, keys, seed)
+      .withColumn(idxName, col("__FV_RAW") / col("__FV_BAVG") * lit(100.0))
+      .drop("__FV_RAW", "__FV_BAVG")
+
+  /** The fishvol pipeline up to (but not including) the final rebase
+    * division: returns `df` plus `__FV_RAW` (the cumulative Fisher
+    * product) and `__FV_BAVG` (the base-year average of `__FV_RAW`,
+    * key-constant). Split out so the incremental executor can finalize
+    * its carried state — the prefix product at the newest emitted row
+    * and the closed base average — from the SAME plan the kernel uses.
+    *
+    * @param seed per-key carried state (the relaxed-fp incremental
+    *   tier): `keys :+ __FV_SEED :+ __FV_SEED_DATE :+ __FV_BAVG_ST`.
+    *   Rows dated ≤ the key's seed date get a null raw (they were
+    *   emitted by earlier batches; the work frame holds them only as
+    *   lag predecessors); the FIRST row after it folds the seed into
+    *   its link — `(seed × l_f) × l_{f+1} × …` — which under the
+    *   sequential native ProductAgg is the SAME multiplication sequence
+    *   as the whole-history fold (bit-exact by induction; under the
+    *   exp∘sum∘log fallback it re-associates — the ≤1-ulp-per-batch
+    *   the relaxed tier's name concedes). The base average comes from
+    *   the carried state (it finalized, in-frame and whole, the batch
+    *   the base year closed); keys absent from the seed run the plain
+    *   whole-history path (their entire backlog is still in frame).
+    */
+  def fishvolRaw(df: DataFrame, dateCol: String, volumes: Seq[String],
+      prices: Seq[String], baseYear: Int, keys: Seq[String] = Nil,
+      seed: Option[DataFrame] = None): DataFrame = {
     require(volumes.length == prices.length, "fishvol needs matching v/p lists")
     val w = win(keys, dateCol)
     val pairs = volumes.zip(prices)
@@ -182,18 +212,37 @@ object Indices {
     val lp = lasp * paas
     val link = coalesce(sqrt(when(lp > 0, lp)), lit(1.0))
 
+    val seeded = seed match {
+      case None => df
+        .withColumn("__FV_SEED", lit(null).cast("double"))
+        .withColumn("__FV_SEED_DATE", lit(null).cast("date"))
+        .withColumn("__FV_BAVG_ST", lit(null).cast("double"))
+      case Some(st) =>
+        // |keys| rows (one per key) — broadcast-sized at any scale
+        if (keys.isEmpty) df.crossJoin(broadcast(st))
+        else df.join(broadcast(st), keys, "left")
+    }
+    // epoch stand-in for "no seed": every row is after it
+    val sd = coalesce(col("__FV_SEED_DATE"),
+      lit(java.sql.Date.valueOf("0001-01-01")))
+    val prevDate = lag(col(dateCol), 1).over(w)
+    val isFirst = (col(dateCol) > sd) && (prevDate.isNull || prevDate <= sd)
+    val foldLink = when(col(dateCol) > sd,
+      when(isFirst, coalesce(col("__FV_SEED"), lit(1.0)) * link)
+        .otherwise(link))
     // materialize the link before the cumulative window — its lag() can't
-    // nest inside the running sum's window function
-    val withRaw = df
-      .withColumn("__fv_link", link)
-      .withColumn("__fv_raw", cumprod(df, col("__fv_link"), w))
+    // nest inside the running product's window function
+    val withRaw = seeded
+      .withColumn("__fv_link", foldLink)
+      .withColumn("__FV_RAW", cumprod(seeded, col("__fv_link"), w))
       .drop("__fv_link")
     val baseW =
       if (keys.isEmpty) Window.partitionBy()
       else Window.partitionBy(keys.map(col): _*)
-    val baseAvg = avg(when(year(col(dateCol)) === baseYear, col("__fv_raw"))).over(baseW)
+    val baseAvg = coalesce(col("__FV_BAVG_ST"),
+      avg(when(year(col(dateCol)) === baseYear, col("__FV_RAW"))).over(baseW))
     withRaw
-      .withColumn(idxName, col("__fv_raw") / baseAvg * lit(100.0))
-      .drop("__fv_raw")
+      .withColumn("__FV_BAVG", baseAvg)
+      .drop("__FV_SEED", "__FV_SEED_DATE", "__FV_BAVG_ST")
   }
 }

@@ -184,9 +184,11 @@ object FameStream {
     * Still refused at EVERY tier, with the reasoning on record:
     * shift-pct (anti-causal — it recurses backward from the series END,
     * so every row's value changes whenever the end advances);
-    * fishvol (its cumulative product is a per-ROW fold — seeding it
-    * batch-wise re-associates the fp fold, and carrying the rows would
-    * be O(history); see the FishvolAssign case); nlrx (a global
+    * fishvol ON THE BIT-EXACT TIERS (its cumulative product is a
+    * per-ROW fold — seeding it batch-wise re-associates the
+    * exp∘sum∘log fallback, and carrying the rows would be O(history);
+    * the r18 OPT-IN relaxed-fp tier accepts it, bit-exact under the
+    * native ProductAgg — see [[FishvolSpec]]); nlrx (a global
     * smoother — every output depends on every input); up-conversions
     * (interpolation reads the NEXT observation, unboundedly far
     * ahead); open-START masks and plain-assign lookups (affected rows
@@ -297,9 +299,28 @@ object FameStream {
   final case class ChainSpec(target: String, terms: Seq[(Int, String)],
       baseYear: Int)
 
+  /** A `fishvol_rebase` statement accepted on the RELAXED-FP
+    * incremental tier (`relaxedFp = true`): the executor carries, per
+    * key, the Fisher prefix product at the newest emitted row plus the
+    * closed base-year average ([[graft.kernels.Indices.fishvolRaw]]
+    * seed schema), and every batch's kernel run continues the fold
+    * from the seed. Under the sequential native ProductAgg the seeded
+    * fold performs the SAME multiplication sequence as the
+    * whole-history run (bit-exact by induction); under the
+    * exp∘sum∘log fallback the seed injection re-associates the fold —
+    * ≤ 1 ulp per batch boundary — which is why this tier is opt-in and
+    * the bit-exact default keeps refusing fishvol. Emission holds
+    * until the key's base year closes (before that the rebase
+    * denominator, hence EVERY index value, would still move); after
+    * the close each row's index is final on arrival.
+    */
+  final case class FishvolSpec(target: String, volumes: Seq[String],
+      prices: Seq[String], baseYear: Int)
+
   final case class IncrementalPlan(maxLead: Int, maxLag: Int,
       pins: Seq[Pin], bucketed: Boolean = false,
-      chains: Seq[ChainSpec] = Nil)
+      chains: Seq[ChainSpec] = Nil,
+      fishvols: Seq[FishvolSpec] = Nil)
 
   /** Upper bound on source rows per target-frequency bucket — the
     * hold-back distance a down-conversion needs (an overestimate only
@@ -363,16 +384,18 @@ object FameStream {
     */
   def incrementalPlan(script: String,
       partitioned: Boolean = false,
-      inputColumns: Option[Set[String]] = None)
+      inputColumns: Option[Set[String]] = None,
+      relaxedFp: Boolean = false)
       : Either[String, IncrementalPlan] =
     reachAnalysis(script, partitioned, inputColumns, allowLeads = true,
-      allowPins = true)
+      allowPins = true, relaxedFp = relaxedFp)
 
   private def reachAnalysis(script: String,
       partitioned: Boolean,
       inputColumns: Option[Set[String]],
       allowLeads: Boolean,
-      allowPins: Boolean): Either[String, IncrementalPlan] = {
+      allowPins: Boolean,
+      relaxedFp: Boolean = false): Either[String, IncrementalPlan] = {
     import java.time.LocalDate
     import FameExpr._
     import FameStmt._
@@ -453,6 +476,7 @@ object FameStream {
     // a closed year's aggregates from the OUTPUT frame's source
     // columns, which a later reassignment would have overwritten)
     val chains = scala.collection.mutable.ListBuffer.empty[ChainSpec]
+    val fishvols = scala.collection.mutable.ListBuffer.empty[FishvolSpec]
     var sealedNames  = Set.empty[String]
     var chainSrcNames = Set.empty[String]
     // series-derived scalars accepted via pinned support windows (r17):
@@ -984,10 +1008,11 @@ object FameStream {
           // caller would get a correct (lead, lag) but silently drop
           // sparse frames' anchors, so the reach tier refuses converts
           case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
-            if (chains.nonEmpty)
-              Left(s"convert ($target) alongside a chain statement " +
-                "(bucket hold-back and year hold-back emission cutoffs " +
-                "are not composed; run them as separate streams)")
+            if (chains.nonEmpty || fishvols.nonEmpty)
+              Left(s"convert ($target) alongside a chain/fishvol " +
+                "statement (bucket hold-back and year hold-back " +
+                "emission cutoffs are not composed; run them as " +
+                "separate streams)")
             else asFreq.orElse(st.freq)
               .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
               case Some(span) if allowLeads && allowPins =>
@@ -1024,10 +1049,10 @@ object FameStream {
             if (!(allowLeads && allowPins))
               Left(s"chain ($target) whole-series (annually-linked " +
                 "chains run under year hold-back via runIncremental)")
-            else if (st.bucketed)
-              Left(s"chain ($target) alongside a down-conversion (year " +
-                "hold-back and bucket hold-back emission cutoffs are " +
-                "not composed; run them as separate streams)")
+            else if (st.bucketed || fishvols.nonEmpty)
+              Left(s"chain ($target) alongside a down-conversion or " +
+                "fishvol (hold-back emission cutoffs are not composed; " +
+                "run them as separate streams)")
             else srcs.flatMap(n => sealedRead(n).orElse(fwdRead(n, st.env)))
               .headOption.map(Left(_)).getOrElse {
               srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
@@ -1042,24 +1067,59 @@ object FameStream {
                   Right(st.copy(assigned = st.assigned + target))
               }
             }
-          // fishvol stays refused at EVERY tier: its cumulative product
-          // is a per-ROW left fold (raw_t = raw_{t-1} × link_t over the
-          // row-level window) — seeding it batch-wise with a carried
-          // scalar re-associates the fold (seed × (a×b) ≠ (seed×a) × b
-          // in doubles), so batch outputs could not bit-equal the
-          // snapshot's whole-window product kernel; carrying the rows
-          // instead would be O(history). Chain escapes this because its
-          // fold runs over the YEAR table (1 row per key-year), cheap
-          // enough to carry whole and recompute exactly.
-          case FishvolAssign(t, _, _, _) =>
-            Left(s"fishvol ($t) whole-series (per-row cumulative " +
-              "product cannot be seeded batch-wise without changing " +
-              "the fp fold association)")
+          // fishvol is refused on the BIT-EXACT tiers: its cumulative
+          // product is a per-ROW left fold (raw_t = raw_{t-1} × link_t
+          // over the row-level window) — seeding it batch-wise with a
+          // carried scalar re-associates the exp∘sum∘log fallback fold,
+          // so batch outputs could not bit-equal the snapshot kernel
+          // there; carrying the rows instead would be O(history). Chain
+          // escapes this because its fold runs over the YEAR table
+          // (1 row per key-year), cheap enough to carry whole and
+          // recompute exactly. The RELAXED-FP tier (r18, opt-in via
+          // runIncremental(relaxedFp = true)) accepts it: the executor
+          // carries the per-key prefix product + closed base average
+          // and the seeded fold is bit-exact under the sequential
+          // native ProductAgg, ≤ 1 ulp per batch under the fallback
+          // (see [[FishvolSpec]]).
+          case FishvolAssign(t, vs, ps, baseYear) =>
+            val srcs = (vs ++ ps).distinct
+            if (!relaxedFp)
+              Left(s"fishvol ($t) whole-series (per-row cumulative " +
+                "product cannot be seeded batch-wise without changing " +
+                "the fp fold association; opt in to the relaxed-fp " +
+                "tier with runIncremental(relaxedFp = true))")
+            else if (!(allowLeads && allowPins))
+              Left(s"fishvol ($t) whole-series (the relaxed-fp tier " +
+                "runs under base-year hold-back via runIncremental)")
+            else if (st.bucketed || chains.nonEmpty)
+              Left(s"fishvol ($t) alongside a down-conversion or chain " +
+                "(hold-back emission cutoffs are not composed; run " +
+                "them as separate streams)")
+            else srcs.flatMap(n => sealedRead(n).orElse(fwdRead(n, st.env)))
+              .headOption.map(Left(_)).getOrElse {
+              srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
+                case Some(n) =>
+                  Left(s"fishvol ($t) source $n carries lead reach " +
+                    s"+${st.env(n)._1}: a closing base year proves one " +
+                    "later row arrived, not the source's full lookahead")
+                case None =>
+                  // the Fisher link reads each source at t−1: the carry
+                  // must keep one physical predecessor ahead of the
+                  // unemitted suffix, plus the sources' own lag reach
+                  val srcLag = srcs.map(n =>
+                    st.env.getOrElse(n, (0, 0))._2).foldLeft(0)(math.max)
+                  fishvols += FishvolSpec(t, vs, ps, baseYear)
+                  sealedNames += t
+                  chainSrcNames ++= srcs
+                  accept(t, Right((0, srcLag + 1)))
+                    .map(st2 => st2.copy(assigned = st2.assigned + t))
+              }
+            }
           case NlrxAssign(t, _, _)    => Left(s"nlrx ($t) whole-series solve")
         }
       }
     }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList, st.bucketed,
-      chains.toList))
+      chains.toList, fishvols.toList))
   }
 
   /** Incremental micro-batched FAME for the bounded-reach script subset
@@ -1128,9 +1188,10 @@ object FameStream {
       partitionKeys: Seq[String] = Nil,
       nlrx: Nlrx = Nlrx.HpSmoother,
       businessCal: BusinessCalendar = BusinessCalendar.WeekdaysOnly,
-      checkpointDir: Option[String] = None): StreamingQuery = {
+      checkpointDir: Option[String] = None,
+      relaxedFp: Boolean = false): StreamingQuery = {
     val plan = incrementalPlan(script, partitionKeys.nonEmpty,
-        Some(stream.columns.toSet)) match {
+        Some(stream.columns.toSet), relaxedFp = relaxedFp) match {
       case Left(reason) => throw new IllegalArgumentException(
         s"script not incrementally evaluable: $reason (use FameStream.run)")
       case Right(p) => p
@@ -1218,15 +1279,23 @@ object FameStream {
       // the carry — replay of batch n re-reads v=n−1, idempotent), so
       // the kernel links against the COMPLETE year history while the
       // work frame holds only the open year's raw rows
-      val chainSeeds: Map[String, DataFrame] = plan.chains.flatMap { c =>
+      def readState(target: String): Option[DataFrame] = {
         val p = new org.apache.hadoop.fs.Path(
-          s"$bronzeDir/_state/${c.target}/v=${batchId - 1}")
+          s"$bronzeDir/_state/$target/v=${batchId - 1}")
         if (batchId > 0 && p.getFileSystem(hconf).exists(p))
-          Some(c.target -> spark.read.parquet(p.toString))
+          Some(spark.read.parquet(p.toString))
         else None
-      }.toMap
+      }
+      val chainSeeds: Map[String, DataFrame] = plan.chains.flatMap(c =>
+        readState(c.target).map(c.target -> _)).toMap
+      // fishvol state (relaxed-fp tier): per-key prefix product at the
+      // newest emitted row + the closed base average — versioned like
+      // the chain state (replay of batch n re-reads v=n−1, idempotent)
+      val fishSeeds: Map[String, DataFrame] = plan.fishvols.flatMap(f =>
+        readState(f.target).map(f.target -> _)).toMap
       val out = FameSession.run(script, work, dateU, keysU,
-        nlrx, businessCal = businessCal, chainSeed = chainSeeds).df
+        nlrx, businessCal = businessCal, chainSeed = chainSeeds,
+        fishvolSeed = fishSeeds).df
       // YEAR hold-back gate (chain scripts): a row emits only once its
       // calendar year has closed for its key (a later-year row exists —
       // in-order ingest proves the year is complete) AND every chain's
@@ -1242,9 +1311,22 @@ object FameStream {
           val maxYr = max(year(col(dateU))).over(kw)
           year(col(dateU)) < maxYr && lit(maxBase) < maxYr
         }
+      // fishvol gate (relaxed-fp tier): a row emits once its key's BASE
+      // year has closed — before that the rebase denominator, hence
+      // every index value, would still move; AFTER it each row's raw
+      // (hence index) is final on arrival, so unlike chain the row's
+      // own year need not close
+      val fishGate: Column =
+        if (plan.fishvols.isEmpty) lit(true)
+        else {
+          val maxYr = max(year(col(dateU))).over(kw)
+          plan.fishvols.map(f => lit(f.baseYear) < maxYr).reduce(_ && _)
+        }
+      val holdGate = yearGate && fishGate
+      val gated = plan.chains.nonEmpty || plan.fishvols.nonEmpty
       val emit =
-        if (plan.chains.nonEmpty)
-          out.withColumn("__EGATE", yearGate)
+        if (gated)
+          out.withColumn("__EGATE", holdGate)
             .where(!col("__EMITTED") && !col("__HOLD") && col("__EGATE"))
             .drop("__EGATE")
         else if (!plan.bucketed)
@@ -1302,12 +1384,12 @@ object FameStream {
       // adjacency.
       val ascOrd = kw.orderBy(col(dateU).asc)
       val needRank = plan.pins.exists(p => p.prec > 0 || p.foll > 0) ||
-        plan.chains.nonEmpty
+        gated
       // a chain-held row (open year / pre-base era) is NOT emitted even
       // past the generic hold — the same yearGate governs the flag
       val flagged = work
         .withColumn("__EMITTED",
-          col("__EMITTED") || (!col("__HOLD") && yearGate))
+          col("__EMITTED") || (!col("__HOLD") && holdGate))
         .drop("__HOLD")
         .withColumn("__RN", row_number().over(ord))
       val ranked =
@@ -1342,7 +1424,7 @@ object FameStream {
       // the suffix AND its maxLag physical predecessors (the newest-
       // carrySize tail only guards the frontier, not a held suffix).
       val keepUnemitted: Column =
-        if (plan.chains.isEmpty) lit(false)
+        if (!gated) lit(false)
         else {
           val minUnem = min(when(!col("__EMITTED"), col("__ARN"))).over(kw)
           !col("__EMITTED") || col("__ARN") >= minUnem - lit(maxLag)
@@ -1374,6 +1456,37 @@ object FameStream {
         }
         newState.write.mode("overwrite")
           .parquet(s"$bronzeDir/_state/${c.target}/v=$batchId")
+      }
+      // finalize fishvol state (relaxed-fp tier): per key, the raw
+      // prefix product at the NEWEST EMITTED row (emitted ⇒ base year
+      // closed ⇒ raw final) and the closed base average — recomputed
+      // from the same [[Indices.fishvolRaw]] plan the kernel ran, so
+      // the stored seed is the kernel's own value. Keys with no new
+      // emissions keep their carried row (anti-join).
+      plan.fishvols.foreach { f =>
+        val rawed = graft.kernels.Indices.fishvolRaw(out, dateU,
+          f.volumes, f.prices, f.baseYear, keysU, fishSeeds.get(f.target))
+          .withColumn("__FVEM",
+            (col("__EMITTED") || (!col("__HOLD") && holdGate)) &&
+              col("__FV_RAW").isNotNull)
+        val emRows = rawed.where(col("__FVEM"))
+        val fresh = (if (keysU.isEmpty) emRows.groupBy()
+          else emRows.groupBy(keysU.map(col): _*)).agg(
+            max_by(col("__FV_RAW"), col(dateU)).as("__FV_SEED"),
+            max(col(dateU)).as("__FV_SEED_DATE"),
+            max(col("__FV_BAVG")).as("__FV_BAVG_ST"))
+          // unkeyed groupBy() yields one all-null row when nothing has
+          // been emitted yet — that is "no state", not a seed
+          .where(col("__FV_SEED").isNotNull)
+        val newState = fishSeeds.get(f.target) match {
+          case Some(old) if keysU.nonEmpty =>
+            fresh.unionByName(old.join(
+              fresh.select(keysU.map(col): _*), keysU, "left_anti"))
+          case Some(old) => if (fresh.isEmpty) old else fresh
+          case None => fresh
+        }
+        newState.write.mode("overwrite")
+          .parquet(s"$bronzeDir/_state/${f.target}/v=$batchId")
       }
       ()
     }.start()

