@@ -1293,9 +1293,17 @@ object FameStream {
       // the chain state (replay of batch n re-reads v=n−1, idempotent)
       val fishSeeds: Map[String, DataFrame] = plan.fishvols.flatMap(f =>
         readState(f.target).map(f.target -> _)).toMap
-      val out = FameSession.run(script, work, dateU, keysU,
+      val out0 = FameSession.run(script, work, dateU, keysU,
         nlrx, businessCal = businessCal, chainSeed = chainSeeds,
         fishvolSeed = fishSeeds).df
+      // chain/fishvol plans execute the output frame TWICE (the emit
+      // write + the state finalize) — persist it for those; a plain
+      // plan executes it once and caching would only add overhead
+      val outGated = plan.chains.nonEmpty || plan.fishvols.nonEmpty
+      val out =
+        if (outGated) out0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else out0
       // YEAR hold-back gate (chain scripts): a row emits only once its
       // calendar year has closed for its key (a later-year row exists —
       // in-order ingest proves the year is complete) AND every chain's
@@ -1488,6 +1496,7 @@ object FameStream {
         newState.write.mode("overwrite")
           .parquet(s"$bronzeDir/_state/${f.target}/v=$batchId")
       }
+      if (outGated) out.unpersist(false)
       ()
     }.start()
   }

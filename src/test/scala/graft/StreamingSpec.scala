@@ -2586,6 +2586,143 @@ class StreamingSpec extends SparkSpec {
       Set((k, 1995), (k, 1996), (k, 1997))))
   }
 
+  test("TWO fishvols in one script (r18): each carries its own state, " +
+      "emission gates on BOTH base years, and a key with NO base-year " +
+      "rows gets null indices without stalling emission — cells " +
+      "bit-equal the whole-history run") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val script =
+      """freq m
+        |x = fishvol_rebase({a},{pa},1995)
+        |y = fishvol_rebase({b},{pb},1996)""".stripMargin
+    val cols = Some(Set("DATE", "K", "A", "PA", "B", "PB"))
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols, relaxedFp = true) ==
+      Right(FameStream.IncrementalPlan(0, 1, Nil, bucketed = false,
+        fishvols = Seq(
+          FameStream.FishvolSpec("X", Seq("A"), Seq("PA"), 1995),
+          FameStream.FishvolSpec("Y", Seq("B"), Seq("PB"), 1996)))))
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 7
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    // C3 has NO rows before 1997 — no 1995/1996 base data at all: its
+    // base averages are null, so its indices are null, but its rows
+    // still emit once ITS OWN max year clears both base years
+    def rows(r: Range) =
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i))) ++
+        r.filter(_ >= 24).map(i => row("C3", i))
+    val dir = java.nio.file.Files.createTempDirectory("famefv2").toString
+    val src = MemoryStream[(String, java.sql.Date, Double, Double,
+      Double, Double)]
+    val df = src.toDF().toDF("K", "DATE", "A", "PA", "B", "PB")
+    val q = FameStream.runIncremental(df, script,
+      s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$dir/ckpt"), relaxedFp = true)
+    try Seq(0 until 14, 14 until 34, 34 until 42).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "X", "Y")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$dir/result"))
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 42).toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    assert(got == cells(full))
+    assert(got.size == 84 + 18)
+    // C3's indices are all null (no base-year data), values still flow
+    val c3 = got.filter(_._1 == "C3")
+    assert(c3.size == 18 && c3.forall(_._3 == Seq(None, None)))
+    // each target carries its OWN versioned state
+    assert(spark.read.parquet(s"$dir/bronze/_state/X/v=2").count() == 3)
+    assert(spark.read.parquet(s"$dir/bronze/_state/Y/v=2").count() == 3)
+  }
+
+  test("fishvol relaxed-fp state survives a query RESTART (r18): the " +
+      "per-key seed/base-average state restores from _state/v=n-1, the " +
+      "post-restart batch continues the fold from the restored prefix " +
+      "product — no double emission, cells bit-equal the whole-history " +
+      "run") {
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("famefvrst").toString
+    val script =
+      """freq m
+        |mom = pct(a)
+        |x = fishvol_rebase({a,b},{pa,pb},1995)""".stripMargin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 42).map { i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString),
+        (10 + (i + o) % 5).toDouble, (2 + (i + o) % 3).toDouble,
+        (4 + (i + o) % 4).toDouble, (1 + (i + o) % 2).toDouble)
+    }
+    def chunk(r: Range): Unit = {
+      import spark.implicits._
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+        .toDF("K", "DATE", "A", "PA", "B", "PB").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    chunk(0 until 14)                      // 1995-01 .. 1996-02
+    val schema = spark.read.parquet(s"$base/src").schema
+    def start() = FameStream.runIncremental(
+      spark.readStream.schema(schema).parquet(s"$base/src"), script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"), relaxedFp = true)
+    val q1 = start()
+    try { q1.processAllAvailable(); chunk(14 until 34)
+      q1.processAllAvailable() } finally q1.stop()
+    // base 1995 closed in batch 0 (a 1996 row arrived): all batch-0
+    // rows emitted; state v=1 seeds at each key's newest emitted row
+    val st1 = spark.read.parquet(s"$base/bronze/_state/X/v=1")
+      .select("K", "__FV_SEED_DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(st1 == Set(("A1", "1997-10-01"), ("B2", "1997-10-01")))
+    // ---- RESTART: fresh query, same checkpoint + state + carry ----
+    val q2 = start()
+    try { chunk(34 until 42); q2.processAllAvailable() } finally q2.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "MOM", "X")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val got = cells(spark.read.parquet(s"$base/result"))
+    // exactly-once across the restart
+    assert(got.map(c => (c._1, c._2)).distinct.size == got.size)
+    import spark.implicits._
+    val full = graft.api.FameSession.run(script,
+      Seq("A1", "B2").flatMap(k => (0 until 42).map(i => row(k, i)))
+        .toDF("K", "DATE", "A", "PA", "B", "PB"),
+      partitionKeys = Seq("K")).df
+    // post-restart rows fold from the RESTORED prefix product — every
+    // arrived row emits (base closed long ago), bit-equal whole-history
+    assert(got == cells(full))
+    assert(got.size == 84)
+    val st2 = spark.read.parquet(s"$base/bronze/_state/X/v=2")
+      .select("K", "__FV_SEED_DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString)).toSet
+    assert(st2 == Set(("A1", "1998-06-01"), ("B2", "1998-06-01")))
+  }
+
   test("incremental carry survives a query RESTART (r16): pins, " +
       "hold-back pending flags and bucket cutoffs restore from the " +
       "versioned carry — no double emission, no lost synthetic anchor, " +
