@@ -1176,6 +1176,18 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 1, nprobe = 2))
     assert(ivf2 == ivf40,
       s"ivfPqServe plan grew with |queries|: $ivf2 -> $ivf40")
+    // …and the one join is BROADCAST-shaped: the LUT side ships to the
+    // executors (pqServe: broadcast nested-loop over the cross score;
+    // ivfPqServe: broadcast hash on list_id), never a shuffle of the
+    // codes table per query set
+    val pqPlan = Similarity.pqServe(queriesOf(5), corpus, "vec_id",
+      "embedding", k = 1).queryExecution.executedPlan.toString
+    assert(pqPlan.contains("BroadcastNestedLoopJoin"),
+      s"pqServe LUT join not broadcast:\n$pqPlan")
+    val ivfPlan = Similarity.ivfPqServe(queriesOf(5), corpus, "vec_id",
+      "embedding", k = 1, nprobe = 2).queryExecution.executedPlan.toString
+    assert(ivfPlan.contains("BroadcastHashJoin"),
+      s"ivfPqServe LUT join not broadcast-hash:\n$ivfPlan")
   }
 
   test("IVF-PQ: residual index retrieves planted twins through probed lists") {
