@@ -294,10 +294,17 @@ object FameSession {
                   compiled.as(tmp)): _*)
                 .groupBy(partitionKeys.map(col): _*)
                 .agg(min_by(col(tmp), col(dateCol)).as(tmp))
-              cur = cur.join(vals, partitionKeys, "left")
+              // reassignment: drop the stale __SCL_ column first, or the
+              // re-join leaves two columns named tmp and later Ref reads
+              // resolve AMBIGUOUS_REFERENCE (vals above already read the
+              // OLD value, so an RHS referencing the scalar still sees it)
+              cur = cur.drop(tmp).join(vals, partitionKeys, "left")
               refMap += name -> tmp
               scalars -= name
-            } else scalars += name -> evalScalar(e, cur, ctx)
+            } else {
+              scalars += name -> evalScalar(e, cur, ctx)
+              refMap -= name // keyed->unkeyed reassignment supersedes __SCL_
+            }
 
           case PointInTime(target, date, e) =>
             materializeKeyedLookups(e)

@@ -100,8 +100,16 @@ object ColumnCompiler {
     case Missing  => lit(null).cast(DoubleType)
     case TimeVar  => sh(col(ctx.dateCol), o, ctx)
     case Ref(n) if ctx.scalars.contains(n) => scalarLit(ctx.scalars(n))
-    case Ref(n)   => sh(qcol(ctx.resolve(n)), o, ctx)
-    case TimeShift(s, k) => sh(qcol(ctx.resolve(s)), o + k, ctx)
+    case Ref(n)   =>
+      val r = ctx.resolve(n)
+      // A per-key scalar materializes as a key-constant __SCL_ column;
+      // it is shift-invariant by construction (like the unkeyed literal),
+      // so ignore any surrounding time shift instead of lag()-ing nulls
+      // into each key's boundary rows.
+      sh(qcol(r), if (r.startsWith("__SCL_")) 0 else o, ctx)
+    case TimeShift(s, k) =>
+      val r = ctx.resolve(s)
+      sh(qcol(r), if (r.startsWith("__SCL_")) 0 else o + k, ctx)
 
     case DateLookup(s, d) =>
       ctx.lookupCols.get((ctx.resolve(s), d))

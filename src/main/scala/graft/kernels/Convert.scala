@@ -242,10 +242,10 @@ object Convert {
           val obsDate = when(qcol(c).isNotNull, col(dateCol))
           val pv = last(qcol(c), ignoreNulls = true).over(back)
           val pd = max(obsDate).over(back)
-          val m0 = last(col(s"__m_$c"), ignoreNulls = true).over(back)
+          val m0 = last(qcol(s"__m_$c"), ignoreNulls = true).over(back)
           val nv = first(qcol(c), ignoreNulls = true).over(fwd)
           val nd = min(obsDate).over(fwd)
-          val m1 = first(col(s"__m_$c"), ignoreNulls = true).over(fwd)
+          val m1 = first(qcol(s"__m_$c"), ignoreNulls = true).over(fwd)
           val h = datediff(nd, pd).cast("double")
           val t = datediff(col(dateCol), pd).cast("double") / h
           val t2 = t * t

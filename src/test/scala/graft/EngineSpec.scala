@@ -622,6 +622,16 @@ class EngineSpec extends SparkSpec {
       frame(qDates, "REV" -> qv)).df.withColumnRenamed("REV_MON", "UM")
     assertSeq(column(ud, "UM"), column(up, "UM"))
 
+    // cubic up-conversion: the Hermite slope column is itself named
+    // __m_<series> with the DOT preserved (__m_R.EV) and is read back via
+    // window first/last — an r19 ADVICE fix (col() parsed it as struct
+    // access and failed analysis; only linear was covered above)
+    val cud = FameSession.run("freq q\nu = convert(r.ev, m, cubic, average)",
+      frame(qDates, "R.EV" -> qv)).df.withColumnRenamed("R.EV_MON", "UM")
+    val cup = FameSession.run("freq q\nu = convert(rev, m, cubic, average)",
+      frame(qDates, "REV" -> qv)).df.withColumnRenamed("REV_MON", "UM")
+    assertSeq(column(cud, "UM"), column(cup, "UM"))
+
     // nlrx: y read via qcol
     val nd = FameSession.run(
       "sm = nlrx(1600, a.x, a.x, a.x, a.x, a.x, a.x, a.x)", dotted).df

@@ -97,6 +97,46 @@ class PartitionedSpec extends SparkSpec {
     assert(err.getMessage.contains("PER-KEY"), err.getMessage)
   }
 
+  test("per-key scalar reassignment and shifted reads (r19 ADVICE): " +
+      "re-assigning drops the stale __SCL_ column (no AMBIGUOUS_REFERENCE) " +
+      "and a time-shifted scalar ref stays shift-invariant like the " +
+      "unkeyed literal") {
+    val in = entityFrame(("V", Seq(10, 20, 30, 40), Seq(100, 300, 500, 700)))
+    // mu reassigned: second RHS references the OLD mu (statement-order
+    // semantics), later DEV reads resolve to the NEW one unambiguously
+    val out = FameSession.run(
+      """freq m
+        |scalar mu = ave(v)
+        |scalar mu = mu * 2
+        |dev = v - mu""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    // A: ave=25 -> mu=50; B: ave=400 -> mu=800
+    assertSeq(byEntity(out, "A", "DEV"),
+      Seq(Some(-40.0), Some(-30.0), Some(-20.0), Some(-10.0)))
+    assertSeq(byEntity(out, "B", "DEV"),
+      Seq(Some(-700.0), Some(-500.0), Some(-300.0), Some(-100.0)))
+    // shifted scalar ref: mu[t-1] == mu everywhere (key-constant), in
+    // particular NOT null at each key's first row; whole-expression
+    // shifts leave the scalar untouched too
+    val out2 = FameSession.run(
+      """freq m
+        |scalar mu = ave(v)
+        |d1 = v - mu[t-1]
+        |d2 = v[t-1] - mu""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out2, "A", "D1"),
+      Seq(Some(-15.0), Some(-5.0), Some(5.0), Some(15.0)))
+    assertSeq(byEntity(out2, "A", "D2"),
+      Seq(None, Some(-15.0), Some(-5.0), Some(5.0)))
+    // keyed -> unkeyed reassignment: a later constant RHS supersedes the
+    // __SCL_ mapping (refMap invalidated), so reads are the literal
+    val out3 = FameSession.run(
+      """freq m
+        |scalar mu = ave(v)
+        |scalar mu = 7
+        |dev = v - mu""".stripMargin, in, partitionKeys = Seq("ENT")).df
+    assertSeq(byEntity(out3, "A", "DEV"),
+      Seq(Some(3.0), Some(13.0), Some(23.0), Some(33.0)))
+  }
+
   test("fixed-date lookups are PER-KEY (r16): each entity rebases " +
       "against its OWN value, reassignment invalidates the column, " +
       "scaffolding never leaks") {
