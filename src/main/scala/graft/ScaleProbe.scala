@@ -138,11 +138,16 @@ object ScaleProbe {
         val n = base.count()
         val nq = 100L * reps
         val copies = ((nq + n - 1) / n).toInt
+        // repartition after the limit: GlobalLimit collapses to ONE
+        // partition, which would serialize the query-side scoring loop
+        // (r19 flipped serve streams the queries) — a real query table
+        // arrives partitioned, so the probe should too
         val q = base.crossJoin(
             s.range(copies.toLong).select(col("id").as("__r")))
           .select((col("vec_id") * copies + col("__r") + lit(1000000L))
             .as("vec_id"), col("embedding"))
           .limit(nq.toInt)
+          .repartition(s.sparkContext.defaultParallelism)
         graft.ops.Similarity.pqServe(q, e, "vec_id", "embedding", k = 10)
           .groupBy(col("rank"))
           .agg(count(lit(1)).as("n"), sum(col("est_d2")).as("sum_est"))

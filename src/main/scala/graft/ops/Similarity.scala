@@ -581,6 +581,32 @@ object Similarity {
       .select("query_id", "cand_id", "rank", "est_d2", "true_d2",
         "in_exact_topk")
 
+  /** Per-query ADC lookup table, computed IN-PLAN: entry [j][c] is the
+    * exact long squared distance from the query's j-th grid subvector
+    * to codebook centroid c — so no query vector ever reaches the
+    * driver (r19; the VERDICT-r18 "LUT build is the last driver data
+    * path on serve" item). Uses the native [[graft.plans.AdcLut]]
+    * expression when the session has GraftExtensions (one multiply-add
+    * loop; the builtin higher-order-function spelling below measured
+    * ~2.6 ms/row interpreted — 26 s of the 10⁴-query serve probe).
+    * Both spellings are the same exact long arithmetic the DuckDB
+    * oracle replays.
+    */
+  private def adcLut(books: Seq[Seq[Array[Long]]], qg: Column,
+      sub: Int): Column = {
+    val booksLit = typedlit(books.map(_.map(_.toSeq)))
+    if (org.apache.spark.sql.SparkSession.getActiveSession
+        .exists(_.catalog.functionExists("adc_lut")))
+      call_function("adc_lut", qg, booksLit)
+    else
+      transform(booksLit, (book, j) =>
+        transform(book, cent =>
+          aggregate(
+            zip_with(slice(qg, j * lit(sub) + lit(1), lit(sub)), cent,
+              (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, x) => acc + x)))
+  }
+
   /** The serve path alone — (query_id, cand_id, rank, est_d2) without the
     * exact-grid witness columns. This is what runs at eval-set scale: the
     * witness join re-reads every raw vector per query (the cost the codes
@@ -594,8 +620,6 @@ object Similarity {
     val dim = vecDim(corpus, vecCol)
     val sub = dim / m
     val v = col(vecCol).cast("array<double>")
-    val qRows = queries.select(col(idCol), toGrid(v)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     // serve via ONE broadcast-LUT join, not per-query plan branches: the
     // r17 shape folded a `codes.select` per query row with unionByName,
     // so the PLAN grew linearly in |queries| (fan-out at 10⁴ queries).
@@ -604,20 +628,30 @@ object Similarity {
     // flat crossJoin scores every (query, code) pair: plan size is
     // constant, serve cost linear, and the arithmetic is the same exact
     // long LUT lookups (element_at over the broadcast nested array).
-    val sparkQ = queries.sparkSession
-    import sparkQ.implicits._
-    val lutRows: Seq[(Long, Seq[Seq[Long]])] = qRows.toSeq.map {
-      case (qid, qv) =>
-        qid -> (0 until m).map { j =>
-          books(j).map { cent =>
-            var d = 0L; var i = 0
-            while (i < sub) { val t = qv(j * sub + i) - cent(i); d += t * t; i += 1 }
-            d
-          }.toSeq
-        }
-    }
-    val lutDf = lutRows.toDF("query_id", "__lut")
-    val est = codes.crossJoin(broadcast(lutDf))
+    // r19: the LUTs build IN-PLAN — `transform` over the codebook
+    // LITERAL (m×ksub×sub grid longs, driver-sized like every codebook)
+    // against each query's grid vector — so serve has no driver data
+    // path at all (the r18 shape still collect()ed the query vectors to
+    // compute the LUTs driver-side: a memory/CPU bottleneck at ≥10⁶
+    // queries). slice/zip_with/aggregate replay the exact same long
+    // subvector squared distances, so the oracle is unchanged.
+    val lutDf = queries
+      .select(col(idCol).as("query_id"), toGrid(v).as("__qg"))
+      .select(col("query_id"),
+        adcLut(books, col("__qg"), sub).as("__lut"))
+    // join orientation (r19): STREAM the query/LUT side, BROADCAST the
+    // codes — codes are the 64×-compressed side by design (4 B/vector;
+    // a corpus whose codes outgrow broadcast belongs on [[ivfPqServe]]'s
+    // list-routed join), and streaming the queries co-locates every
+    // candidate of a query in ONE partition, so the pre-shuffle partial
+    // top-k (WindowGroupLimit) prunes the nq×|codes| scored pairs down
+    // to nq×k rows before the rank exchange. The r18 orientation
+    // (broadcast-LUT, stream codes) scattered each query's candidates
+    // across all partitions — the partial prune kept ~k per partition
+    // per query, so the shuffle stayed O(nq×partitions×k) and the sort
+    // spilled at 10⁵ queries (6.5 GB memory spill, 13.6× wall per 10×).
+    val est = lutDf.crossJoin(broadcast(
+        codes.select(col(idCol) +: (0 until m).map(j => col(s"__c$j")): _*)))
       .select(col("query_id"), col(idCol).as("cand_id"),
         (0 until m).map(j =>
           element_at(element_at(col("__lut"), j + 1), col(s"__c$j") + 1))
@@ -697,36 +731,33 @@ object Similarity {
       Seq(idCol)).localCheckpoint(true)
     val dim = coarse.headOption.map(_.length).getOrElse(0)
     val sub = dim / m
-    val qRows = queries.select(col(idCol), toGrid(v)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
     // same broadcast-LUT shape as [[pqTopK]] (r17 plan fan-out fix), with
     // probe routing folded into the join key: one LUT row per
     // (query, probed list) — |queries|·nprobe rows — equi-joined on
     // list_id, so only probed lists' codes are scored and the plan stays
     // one join regardless of |queries|.
-    val sparkQ = queries.sparkSession
-    import sparkQ.implicits._
-    val lutRows: Seq[(Long, Int, Seq[Seq[Long]])] =
-      qRows.toSeq.flatMap { case (qid, qv) =>
-        val probes = coarse.zipWithIndex.map { case (cent, i) =>
-          var d = 0L; var x = 0
-          while (x < cent.length) { val t = qv(x) - cent(x); d += t * t; x += 1 }
-          (d, i)
-        }.sorted.take(nprobe)
-        probes.map { case (_, listId) =>
-          val cent = coarse(listId)
-          val rq = Array.tabulate(dim)(i => qv(i) - cent(i))
-          val lut = (0 until m).map { j =>
-            books(j).map { bc =>
-              var d = 0L; var i = 0
-              while (i < sub) { val t = rq(j * sub + i) - bc(i); d += t * t; i += 1 }
-              d
-            }.toSeq
-          }
-          (qid, listId, lut)
-        }
-      }
-    val lutDf = lutRows.toDF("query_id", "list_id", "__lut")
+    // r19, like [[pqServe]]: routing AND residual LUTs build IN-PLAN.
+    // array_sort on (d, list) structs ranks the coarse centroids with
+    // the same (distance, index) tie-break the driver `.sorted` used;
+    // slice keeps nprobe, explode yields the (query, probed list) rows,
+    // and each row's residual (query − list centroid, exact long
+    // subtraction) feeds [[adcLut]]. No query vector reaches the driver.
+    // coarse ranking reuses [[adcLut]] with the coarse centroids as a
+    // single-subspace codebook (1×nlist×dim): one native loop yields the
+    // query's exact distance to every list centroid
+    val coarseDists = element_at(adcLut(Seq(coarse), col("__qg"), dim), 1)
+    val probes = slice(array_sort(transform(coarseDists, (d, i) =>
+      struct(d.as("d"), i.as("i")))), 1, nprobe)
+    val lutDf = queries
+      .select(col(idCol).as("query_id"), toGrid(v).as("__qg"))
+      .select(col("query_id"), col("__qg"), explode(probes).as("__p"))
+      .select(col("query_id"),
+        col("__p").getField("i").as("list_id"),
+        zip_with(col("__qg"),
+          element_at(centLit, col("__p").getField("i") + 1),
+          (x, c) => x - c).as("__rq"))
+      .select(col("query_id"), col("list_id"),
+        adcLut(books, col("__rq"), sub).as("__lut"))
     val est = coded.join(broadcast(lutDf), Seq("list_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
         (0 until m).map(j =>

@@ -76,6 +76,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(Cast(children(0), org.apache.spark.sql.types.ArrayType(DoubleType)),
           Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
     ext.injectFunction((
+      FunctionIdentifier("adc_lut"),
+      new ExpressionInfo(classOf[AdcLut].getName, "adc_lut"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"adc_lut expects 2 arguments (gridVec, codebooks), got ${children.length}")
+        AdcLut(Cast(children(0),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (children: Seq[Expression]) => {

@@ -1176,10 +1176,12 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 1, nprobe = 2))
     assert(ivf2 == ivf40,
       s"ivfPqServe plan grew with |queries|: $ivf2 -> $ivf40")
-    // …and the one join is BROADCAST-shaped: the LUT side ships to the
-    // executors (pqServe: broadcast nested-loop over the cross score;
-    // ivfPqServe: broadcast hash on list_id), never a shuffle of the
-    // codes table per query set
+    // …and the one join is BROADCAST-shaped (pqServe: the compact codes
+    // broadcast under a nested-loop cross score with the queries
+    // streamed, so each query's candidates stay in one partition and
+    // the partial top-k prunes before the rank shuffle — r19 flip;
+    // ivfPqServe: broadcast hash of the LUT side on list_id), never a
+    // per-query-set shuffle of the corpus
     val pqPlan = Similarity.pqServe(queriesOf(5), corpus, "vec_id",
       "embedding", k = 1).queryExecution.executedPlan.toString
     assert(pqPlan.contains("BroadcastNestedLoopJoin"),
