@@ -4941,6 +4941,54 @@ object QueriesExt {
         .orderBy("nation", "date")
     }),
 
+    // ANCHORED INCREMENTAL SHIFT_PCT (r19, r18 verdict task 4): the
+    // backward level reconstruction streams on the BIT-EXACT default
+    // tier when its date mask has a FIXED end — the anchor is then a
+    // constant date, every factor a window row needs lives on rows
+    // ≤ anchor, and the executor holds [start, anchor] back until the
+    // key's frontier passes the anchor, flushing the window whole in
+    // ONE in-frame computation. There is never a cross-batch fp fold
+    // (stronger than the verdict's requested relaxed-fp tier: the
+    // flush batch's suffix product multiplies exactly the
+    // whole-history factor sequence — rows outside the window
+    // contribute null factors to both). The open/default-anchor form
+    // keeps its named refusal: a moving anchor would revise emitted
+    // rows every batch. REV rides the integer-cents grid (growth
+    // factors are exact-integer divisions, identical on both engines)
+    // and the level is scaled to rev/1000 (~2e5) so DuckDB's
+    // tree-associated windowed product() and the engine's sequential
+    // ProductAgg agree within the round(,8) grid — at cents magnitude
+    // (~4e8) their few-ulp association difference exceeds 1e-8. Rows
+    // outside the window emit on arrival with the un-shifted level;
+    // window rows emit only for nations whose frontier passed the
+    // anchor (all of them at this fixture's 1992-1998 span).
+    "q223_fame_incremental_shift_pct" -> ((s, dir) => {
+      val base = scratch("q223")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = stageChunkedSrc(s, dir, "fame_scsrc")(
+        monthlyByNationCents(s, dir))
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        """freq m
+          |lvl = rev / 1000
+          |date 1995-03-01 to 1996-06-01
+          |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin,
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"), round(col("LVL"), 8).as("lvl"))
+        .orderBy("nation", "date")
+    }),
+
     // CUSUM changepoint scan per nation: S_t = prefix_sum(x) − t·μ on
     // the q201 integer grid (μ = the nation's exact-sum mean, one
     // double division), the changepoint is the argmax of |S_t| with
@@ -10633,6 +10681,47 @@ object QueriesExt {
          |    OVER (PARTITION BY nation) * 100, 8) AS x
          |FROM c WHERE 1996 < maxyr
          |ORDER BY nation, date""".stripMargin,
+
+    // whole-history backward reconstruction replay (the q13 oracle per
+    // nation, anchor = the fixed mask end): suffix product of growth
+    // factors, same ascending multiplication order as the kernel's
+    // ProductAgg frame. Emitted set = every row outside the window,
+    // plus window rows of nations whose frontier passed the anchor.
+    "q223_fame_incremental_shift_pct" ->
+      """WITH m AS (
+        |  SELECT n_name AS nation,
+        |         date_trunc('month', o_orderdate)::DATE AS date,
+        |         (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::DOUBLE
+        |           AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT nation, date, rev,
+        |    CASE WHEN date <= DATE '1996-06-01'
+        |         THEN rev / lag(rev, 1) OVER
+        |           (PARTITION BY nation ORDER BY date) END AS f,
+        |    max(date) OVER (PARTITION BY nation) AS maxd
+        |  FROM m
+        |), sfx AS (
+        |  SELECT nation, date, rev, maxd,
+        |    product(CASE WHEN f > 0 THEN f END) OVER
+        |      (PARTITION BY nation ORDER BY date
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sprod,
+        |    max(CASE WHEN date = DATE '1996-06-01' THEN rev / 1000 END)
+        |      OVER (PARTITION BY nation) AS anch
+        |  FROM b
+        |)
+        |SELECT nation, date, rev,
+        |  round(CASE WHEN date BETWEEN DATE '1995-03-01'
+        |                          AND DATE '1996-06-01'
+        |             THEN anch / coalesce(sprod, 1.0)
+        |             ELSE rev / 1000 END, 8) AS lvl
+        |FROM sfx
+        |WHERE date NOT BETWEEN DATE '1995-03-01' AND DATE '1996-06-01'
+        |   OR maxd > DATE '1996-06-01'
+        |ORDER BY nation, date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

@@ -317,10 +317,34 @@ object FameStream {
   final case class FishvolSpec(target: String, volumes: Seq[String],
       prices: Seq[String], baseYear: Int)
 
+  /** A backward `shift_pct` statement accepted on the incremental plan
+    * tier when its date mask has a FIXED end (the anchor): rows inside
+    * [start, anchor] reconstruct from the anchor value and the suffix
+    * product of growth factors in (t, anchor] — ALL of which live on
+    * rows dated ≤ anchor — so the executor holds the window back until
+    * the key's frontier passes the anchor and then flushes it whole.
+    * At the flush every window row is in frame and the kernel's suffix
+    * product multiplies the SAME factor sequence the whole-history run
+    * multiplies (rows outside the window contribute null factors,
+    * skipped by both), so emitted values are BIT-exact under either
+    * product spelling — there is never a cross-batch fp fold, which is
+    * why this statement lands on the bit-exact default tier even
+    * though fishvol's per-row forward fold needs the relaxed tier.
+    * State is the un-flushed window's raw rows: bounded by the FIXED
+    * mask span (the chain pre-base-backlog argument), dropping to the
+    * generic tail forever after the flush. The open/default-anchor
+    * form (`to *` or no mask) keeps its named refusal on every tier —
+    * its anchor is the moving series end, so already-emitted rows
+    * would be revised by every batch.
+    */
+  final case class ShiftPctSpec(target: String, pctSeries: String,
+      start: Option[java.time.LocalDate], anchor: java.time.LocalDate)
+
   final case class IncrementalPlan(maxLead: Int, maxLag: Int,
       pins: Seq[Pin], bucketed: Boolean = false,
       chains: Seq[ChainSpec] = Nil,
-      fishvols: Seq[FishvolSpec] = Nil)
+      fishvols: Seq[FishvolSpec] = Nil,
+      shiftPcts: Seq[ShiftPctSpec] = Nil)
 
   /** Upper bound on source rows per target-frequency bucket — the
     * hold-back distance a down-conversion needs (an overestimate only
@@ -477,6 +501,7 @@ object FameStream {
     // columns, which a later reassignment would have overwritten)
     val chains = scala.collection.mutable.ListBuffer.empty[ChainSpec]
     val fishvols = scala.collection.mutable.ListBuffer.empty[FishvolSpec]
+    val shiftPcts = scala.collection.mutable.ListBuffer.empty[ShiftPctSpec]
     var sealedNames  = Set.empty[String]
     var chainSrcNames = Set.empty[String]
     // series-derived scalars accepted via pinned support windows (r17):
@@ -1008,11 +1033,11 @@ object FameStream {
           // caller would get a correct (lead, lag) but silently drop
           // sparse frames' anchors, so the reach tier refuses converts
           case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
-            if (chains.nonEmpty || fishvols.nonEmpty)
-              Left(s"convert ($target) alongside a chain/fishvol " +
-                "statement (bucket hold-back and year hold-back " +
-                "emission cutoffs are not composed; run them as " +
-                "separate streams)")
+            if (chains.nonEmpty || fishvols.nonEmpty || shiftPcts.nonEmpty)
+              Left(s"convert ($target) alongside a chain/fishvol/" +
+                "shift_pct statement (bucket hold-back and year/anchor " +
+                "hold-back emission cutoffs are not composed; run them " +
+                "as separate streams)")
             else asFreq.orElse(st.freq)
               .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
               case Some(span) if allowLeads && allowPins =>
@@ -1025,8 +1050,57 @@ object FameStream {
                   (if (!(allowLeads && allowPins)) " (downsamples run " +
                     "under bucket hold-back via runIncremental)" else ""))
             }
-          case ShiftPctAssign(t, _, _) =>
-            Left(s"shift_pct ($t) recurses backward from series end")
+          // Backward shift_pct (r19): with a FIXED mask end the anchor
+          // is a constant date, every factor a window row needs lives
+          // on rows ≤ anchor, and the executor flushes the whole window
+          // the batch the key's frontier passes the anchor — a single
+          // in-frame computation, bit-exact vs the whole-history run
+          // (see [[ShiftPctSpec]]). State = the un-flushed window's raw
+          // rows, bounded by the fixed mask span (the chain
+          // pre-base-backlog argument). The default/open-anchor form
+          // keeps the named refusal: its anchor is the moving series
+          // end, so emitted rows would be revised every batch.
+          case ShiftPctAssign(t, p, _) =>
+            st.filter.flatMap(_.end) match {
+              case None =>
+                Left(s"shift_pct ($t) recurses backward from series " +
+                  "end (a fixed mask end date makes the anchor a " +
+                  "constant and streams under anchor hold-back)")
+              case Some(anchor) =>
+                val srcs = Seq(p, t).distinct
+                if (!(allowLeads && allowPins))
+                  Left(s"shift_pct ($t) whole-series (fixed-anchor " +
+                    "backward reconstruction runs under anchor " +
+                    "hold-back via runIncremental)")
+                else if (st.bucketed || chains.nonEmpty ||
+                    fishvols.nonEmpty)
+                  Left(s"shift_pct ($t) alongside a down-conversion, " +
+                    "chain or fishvol (hold-back emission cutoffs are " +
+                    "not composed; run them as separate streams)")
+                else srcs.flatMap(n =>
+                    sealedRead(n).orElse(fwdRead(n, st.env)))
+                  .headOption.map(Left(_)).getOrElse {
+                  srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
+                    case Some(n) =>
+                      Left(s"shift_pct ($t) source $n carries lead " +
+                        s"reach +${st.env(n)._1}: the frontier passing " +
+                        "the anchor proves one later row arrived, not " +
+                        "the source's full lookahead")
+                    case None =>
+                      // the growth factor reads the pct source at t−1:
+                      // keep one physical predecessor ahead of the held
+                      // window, plus the sources' own lag reach
+                      val srcLag = srcs.map(n =>
+                        st.env.getOrElse(n, (0, 0))._2).foldLeft(0)(math.max)
+                      shiftPcts += ShiftPctSpec(t, p,
+                        st.filter.flatMap(_.start), anchor)
+                      sealedNames += t
+                      chainSrcNames ++= srcs
+                      accept(t, Right((0, srcLag + 1)))
+                        .map(st2 => st2.copy(assigned = st2.assigned + t))
+                  }
+                }
+            }
           // Annually-linked chain (r17, plan tier only): a year-Y link
           // reads only years ≤ Y, so the statement is exactly a
           // year-bucket hold-back (q218's argument with span =
@@ -1049,10 +1123,10 @@ object FameStream {
             if (!(allowLeads && allowPins))
               Left(s"chain ($target) whole-series (annually-linked " +
                 "chains run under year hold-back via runIncremental)")
-            else if (st.bucketed || fishvols.nonEmpty)
-              Left(s"chain ($target) alongside a down-conversion or " +
-                "fishvol (hold-back emission cutoffs are not composed; " +
-                "run them as separate streams)")
+            else if (st.bucketed || fishvols.nonEmpty || shiftPcts.nonEmpty)
+              Left(s"chain ($target) alongside a down-conversion, " +
+                "fishvol or shift_pct (hold-back emission cutoffs are " +
+                "not composed; run them as separate streams)")
             else srcs.flatMap(n => sealedRead(n).orElse(fwdRead(n, st.env)))
               .headOption.map(Left(_)).getOrElse {
               srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
@@ -1091,10 +1165,10 @@ object FameStream {
             else if (!(allowLeads && allowPins))
               Left(s"fishvol ($t) whole-series (the relaxed-fp tier " +
                 "runs under base-year hold-back via runIncremental)")
-            else if (st.bucketed || chains.nonEmpty)
-              Left(s"fishvol ($t) alongside a down-conversion or chain " +
-                "(hold-back emission cutoffs are not composed; run " +
-                "them as separate streams)")
+            else if (st.bucketed || chains.nonEmpty || shiftPcts.nonEmpty)
+              Left(s"fishvol ($t) alongside a down-conversion, chain " +
+                "or shift_pct (hold-back emission cutoffs are not " +
+                "composed; run them as separate streams)")
             else srcs.flatMap(n => sealedRead(n).orElse(fwdRead(n, st.env)))
               .headOption.map(Left(_)).getOrElse {
               srcs.find(n => st.env.getOrElse(n, (0, 0))._1 > 0) match {
@@ -1119,7 +1193,7 @@ object FameStream {
         }
       }
     }.map(st => IncrementalPlan(st.lead, st.lag, pins.toList, st.bucketed,
-      chains.toList, fishvols.toList))
+      chains.toList, fishvols.toList, shiftPcts.toList))
   }
 
   /** Incremental micro-batched FAME for the bounded-reach script subset
@@ -1330,8 +1404,28 @@ object FameStream {
           val maxYr = max(year(col(dateU))).over(kw)
           plan.fishvols.map(f => lit(f.baseYear) < maxYr).reduce(_ && _)
         }
-      val holdGate = yearGate && fishGate
-      val gated = plan.chains.nonEmpty || plan.fishvols.nonEmpty
+      // shift_pct gate (r19): a row inside a statement's [start, anchor]
+      // reconstruction window emits only once its key's frontier has
+      // passed the anchor — at that point the whole window (carried as
+      // the unemitted suffix) is in frame, the kernel's suffix product
+      // multiplies the same factor sequence as the whole-history run,
+      // and the flush is bit-exact (see [[ShiftPctSpec]]). Rows outside
+      // every window keep their existing value and emit on arrival.
+      val shiftGate: Column =
+        if (plan.shiftPcts.isEmpty) lit(true)
+        else {
+          val frontier = max(col(dateU)).over(kw)
+          plan.shiftPcts.map { sp =>
+            val aLit = lit(java.sql.Date.valueOf(sp.anchor))
+            val sCond = sp.start
+              .map(s0 => col(dateU) >= lit(java.sql.Date.valueOf(s0)))
+              .getOrElse(lit(true))
+            !(sCond && col(dateU) <= aLit) || (frontier > aLit)
+          }.reduce(_ && _)
+        }
+      val holdGate = yearGate && fishGate && shiftGate
+      val gated = plan.chains.nonEmpty || plan.fishvols.nonEmpty ||
+        plan.shiftPcts.nonEmpty
       val emit =
         if (gated)
           out.withColumn("__EGATE", holdGate)

@@ -1209,4 +1209,52 @@ class IncrementalPropertySpec extends SparkSpec {
     // sequence — every checked cell must have been bit-exact
     assert(bitExact > 0)
   }
+
+  test("anchored shift_pct flush (r19): for ANY window [start, anchor], " +
+      "work-frame start ≤ start−1 and frontier > anchor, the backward " +
+      "reconstruction over the held work frame BIT-equals the " +
+      "whole-history run — the anchor hold-back's soundness argument " +
+      "(every factor a window row needs lives on rows ≤ anchor, all " +
+      "held; rows beyond the frontier contribute null factors to both)") {
+    import org.apache.spark.sql.functions.col
+    import graft.kernels.ShiftPct
+    val dates = (0 until 24).map(i =>
+      f"${1995 + i / 12}-${i % 12 + 1}%02d-01")
+    val gen = for {
+      rev <- Gen.listOfN(24, Gen.choose(50, 150))
+      s <- Gen.choose(1, 8)
+      a <- Gen.choose(s + 2, 20)
+      frontier <- Gen.choose(a + 1, 23)
+      workStart <- Gen.choose(0, s - 1)
+    } yield (rev, s, a, frontier, workStart)
+    forAllN(gen, n = 30) { case (revI, s, a, frontier, workStart) =>
+      val rev = revI.map(_.toDouble)
+      val lvl = rev.map(_ * 2)
+      def fr(idx: Seq[Int]) = frame(idx.map(dates),
+        "REV" -> idx.map(rev), "LVL" -> idx.map(lvl))
+      def bits(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+        df.select(col("DATE").cast("string"), col("LVL"))
+          .collect().filterNot(_.isNullAt(1))
+          .map(r => r.getString(0) ->
+            java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+      val start = Some(java.time.LocalDate.parse(dates(s)))
+      val anchor = java.time.LocalDate.parse(dates(a))
+      val full = bits(ShiftPct.backwards(fr(0 until 24), "DATE",
+        Seq("LVL" -> "REV"), start, anchor))
+      val part = bits(ShiftPct.backwards(
+        fr(workStart to frontier), "DATE",
+        Seq("LVL" -> "REV"), start, anchor))
+      (s to a).foreach { i =>
+        assert(part(dates(i)) == full(dates(i)),
+          s"window [$s,$a] frontier $frontier workStart $workStart " +
+            s"date ${dates(i)}: " +
+            s"${java.lang.Double.longBitsToDouble(part(dates(i)))} vs " +
+            s"${java.lang.Double.longBitsToDouble(full(dates(i)))}")
+      }
+      // rows outside the window keep the un-shifted level on both
+      (workStart until s).foreach { i =>
+        assert(part(dates(i)) == full(dates(i)))
+      }
+    }
+  }
 }

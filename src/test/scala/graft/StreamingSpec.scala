@@ -2443,6 +2443,107 @@ class StreamingSpec extends SparkSpec {
     assert(st == Set(("A1", "1998-06-01"), ("B2", "1998-06-01")))
   }
 
+  test("anchored incremental shift_pct (r19): a FIXED mask end streams " +
+      "the backward reconstruction under ANCHOR hold-back — the window " +
+      "flushes whole the batch the frontier passes the anchor, cells " +
+      "bit-equal the whole-history run (single in-frame suffix product, " +
+      "no cross-batch fold, so it lands on the BIT-EXACT default tier), " +
+      "and the open-anchor form keeps its named refusal") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    val script =
+      """freq m
+        |lvl = rev * 2
+        |date 1995-03-01 to 1996-06-01
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin
+    val cols = Some(Set("DATE", "K", "REV"))
+    // open/default-anchor forms stay refused by name on every tier
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |lvl = rev * 2
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin,
+      partitioned = true, inputColumns = cols)
+      .left.exists(_.contains("series end")))
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |lvl = rev * 2
+        |date 1995-03-01 to *
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin,
+      partitioned = true, inputColumns = cols)
+      .left.exists(_.contains("series end")))
+    // the reach tier refuses (anchor hold-back needs runIncremental)
+    assert(FameStream.incrementalEligibility(script,
+      inputColumns = cols).isLeft)
+    // the DEFAULT plan tier accepts — no relaxedFp needed: the flush is
+    // a single in-frame computation, never a cross-batch fold
+    assert(FameStream.incrementalPlan(script, partitioned = true,
+      inputColumns = cols) ==
+      Right(FameStream.IncrementalPlan(0, 1, Nil, bucketed = false,
+        shiftPcts = Seq(FameStream.ShiftPctSpec("LVL", "REV",
+          Some(java.time.LocalDate.of(1995, 3, 1)),
+          java.time.LocalDate.of(1996, 6, 1))))))
+    // fences: downstream read of the sealed target, source
+    // reassignment, composition with chain, lead-bearing source
+    assert(FameStream.incrementalPlan(script + "\nz = lvl + 1",
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(script + "\nrev = rev * 2",
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      script + "\nset y = $chain(\"rev\", \"1996\")",
+      inputColumns = cols).isLeft)
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |c = rev[t+1]
+        |lvl = c * 2
+        |date 1995-03-01 to 1996-06-01
+        |lvl[t] = lvl[t+1]/(1+(pct(c[t+1])/100))""".stripMargin,
+      inputColumns = cols).isLeft)
+
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 30).map { i =>          // 1995-01 .. 1997-06
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString), (100 + (i + o) % 7 * 10).toDouble)
+    }
+    def rows(r: Range) = Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+    val dir = java.nio.file.Files.createTempDirectory("famesp").toString
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val df = src.toDF().toDF("K", "DATE", "REV")
+    val q = FameStream.runIncremental(df, script,
+      s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$dir/ckpt"))
+    // batch 0 ends INSIDE the window (frontier 1995-11 < anchor);
+    // batch 1 crosses the anchor (frontier 1996-09) and flushes it
+    try Seq(0 until 11, 11 until 21, 21 until 30).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "REV", "LVL")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val res = spark.read.parquet(s"$dir/result")
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 30).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df
+    assert(cells(res) == cells(full))
+    assert(cells(res).size == 60)
+    // batch 0 emits only the pre-window rows (Jan+Feb ×2 keys); the
+    // flush batch emits the whole window [Mar95, Jun96] plus its own
+    // post-anchor arrivals; batch 2 is pass-through
+    val perBatch = res.groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 4L, 1L -> 38L, 2L -> 18L),
+      perBatch.toString)
+    // no state table: the anchor hold-back carries raw rows only
+    assert(!new java.io.File(s"$dir/bronze/_state").exists())
+  }
+
   test("TWO chains in one script (r17): each carries its own versioned " +
       "state, emission gates on the LATEST base year, cells bit-equal " +
       "the whole-history run") {
