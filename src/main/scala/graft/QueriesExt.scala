@@ -248,6 +248,23 @@ object QueriesExt {
         .cast("double").as("REV"))
   }
 
+  /** Per-nation QUARTERLY revenue in integer cents — the q224
+    * up-conversion streaming fixture (the quarterly analog of
+    * [[monthlyByNationCents]]; same exactness argument).
+    */
+  private def quarterlyByNationCents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val c = s.read.parquet(s"$dir/customer.parquet")
+    val n = s.read.parquet(s"$dir/nation.parquet")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("NATION"),
+        trunc(col("o_orderdate").cast("date"), "quarter").as("DATE"))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast("double").as("REV"))
+  }
+
   private def twoGoodsByNation(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -4986,6 +5003,42 @@ object QueriesExt {
       s.read.parquet(s"$base/result")
         .select(col("NATION").as("nation"), col("DATE").as("date"),
           col("REV").as("rev"), round(col("LVL"), 8).as("lvl"))
+        .orderBy("nation", "date")
+    }),
+
+    // UP-CONVERSION INCREMENTAL (r19): a quarterly→monthly LINEAR
+    // upsample streams under OBSERVATION hold-back — a fine-grid month
+    // emits once its nation's newest quarterly observation reaches it
+    // (both bracketing observations are then fixed: "first obs ≥ t" is
+    // determined the moment any obs ≥ t exists), while the synthetic
+    // tail past the frontier pends awaiting its next observation. The
+    // emitted set is therefore every grid row up to each nation's last
+    // quarter, and each cell bit-equals the whole-history kernel (the
+    // interpolation reads the same bracketing obs in the work frame as
+    // in the full frame). REV rides the integer-cents grid; the
+    // interpolation is one identical fp sequence on both engines.
+    "q224_fame_incremental_upconvert" -> ((s, dir) => {
+      val base = scratch("q224")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val src = stageChunkedSrc(s, dir, "fame_qupsrc")(
+        quarterlyByNationCents(s, dir))
+      val srcSchema = s.read.parquet(src).schema
+      val stream = s.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .drop("c")
+      val q = graft.streaming.FameStream.runIncremental(stream,
+        "freq q\nu = convert(rev, m, linear, average)",
+        s"$base/bronze", s"$base/result",
+        partitionKeys = Seq("NATION"),
+        checkpointDir = Some(s"$base/ckpt"))
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/result")
+        .select(col("NATION").as("nation"), col("DATE").as("date"),
+          col("REV").as("rev"),
+          round(col("REV_MON") / 1000, 8).as("rev_mon"))
         .orderBy("nation", "date")
     }),
 
@@ -10722,6 +10775,52 @@ object QueriesExt {
         |WHERE date NOT BETWEEN DATE '1995-03-01' AND DATE '1996-06-01'
         |   OR maxd > DATE '1996-06-01'
         |ORDER BY nation, date""".stripMargin,
+
+    // whole-history q→m linear upsample replay, restricted to each
+    // nation's grid rows at or before its newest quarterly observation
+    // (the emitted set under observation hold-back). Same bracketing
+    // obs, same pv + (nv−pv)·(Δdays/Δdays) double sequence.
+    "q224_fame_incremental_upconvert" ->
+      """WITH q AS (
+        |  SELECT n_name AS nation,
+        |         date_trunc('quarter', o_orderdate)::DATE AS qd,
+        |         (sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100)::DOUBLE
+        |           AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT nation, min(qd) AS lo, max(qd) AS hi FROM q GROUP BY 1
+        |), cal AS (
+        |  SELECT nation,
+        |         unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE
+        |           AS date
+        |  FROM b
+        |), j AS (
+        |  SELECT cal.nation, cal.date, q.rev
+        |  FROM cal LEFT JOIN q
+        |    ON q.nation = cal.nation AND q.qd = cal.date
+        |), w AS (
+        |  SELECT nation, date, rev,
+        |    max(CASE WHEN rev IS NOT NULL THEN date END) OVER
+        |      (PARTITION BY nation ORDER BY date
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |    min(CASE WHEN rev IS NOT NULL THEN date END) OVER
+        |      (PARTITION BY nation ORDER BY date
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j
+        |)
+        |SELECT w.nation, w.date, w.rev,
+        |  round((CASE WHEN w.pd = w.nd THEN p.rev
+        |       ELSE p.rev + (n.rev - p.rev) *
+        |            (datediff('day', w.pd, w.date)::DOUBLE /
+        |             datediff('day', w.pd, w.nd)::DOUBLE) END) / 1000,
+        |    8) AS rev_mon
+        |FROM w
+        |JOIN q p ON p.nation = w.nation AND p.qd = w.pd
+        |JOIN q n ON n.nation = w.nation AND n.qd = w.nd
+        |ORDER BY w.nation, w.date""".stripMargin,
 
     // the same integer grid, the same prefix-sum − t·mean double
     // arithmetic, the same (score DESC, date) argmax tie-break

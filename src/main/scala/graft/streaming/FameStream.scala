@@ -1025,30 +1025,61 @@ object FameStream {
           // rides on top. Anchors with no input row at the anchor date
           // (sparse frames) surface as synthetic full-outer-join rows —
           // the `bucketed` flag makes runIncremental emit those by
-          // per-key date cutoffs. Up-conversions stay refused: their
-          // interpolation (linear/cubic) reads the NEXT observation,
-          // which can sit unboundedly far ahead.
+          // per-key date cutoffs.
+          // UP-conversions (r19): accepted under OBSERVATION hold-back.
+          // A fine-grid row's fill/interpolation reads its BRACKETING
+          // observations: constant/discrete need only the previous one
+          // (final on arrival), linear additionally the next one — and
+          // "first obs ≥ t" is fixed the moment any obs ≥ t exists, so
+          // a grid row is final once the key's newest input row reaches
+          // it (lead 0; the date cutoffs gate the synthetic tail past
+          // the frontier, which still awaits its next observation).
+          // Cubic's Hermite slope at an observation is the centered
+          // secant, one-sided at the series edge — the newest obs's
+          // slope CHANGES when its successor arrives — so cubic holds
+          // one extra input row (lead 1): the cutoff then sits at the
+          // second-newest observation, behind which every slope is
+          // centered and final. Backward lag: the bracketing obs below
+          // (and, for cubic, its predecessor for the slope) ride in the
+          // carry (lag 1 / 2 + the source's own reach). The TARGET is
+          // SEALED: downstream row-offset reads on the fine grid would
+          // mix synthetic rows, whose offsets are not representable in
+          // the input-row carry contract.
           // plan-tier ONLY (allowPins): the bucketed flag is what makes
           // the executor emit synthetic anchor rows — a reach-tier
           // caller would get a correct (lead, lag) but silently drop
           // sparse frames' anchors, so the reach tier refuses converts
-          case ConvertAssign(target, source, tgtFreq, _, _, asFreq, _) =>
+          case ConvertAssign(target, source, tgtFreq, technique, _, asFreq, _) =>
             if (chains.nonEmpty || fishvols.nonEmpty || shiftPcts.nonEmpty)
               Left(s"convert ($target) alongside a chain/fishvol/" +
                 "shift_pct statement (bucket hold-back and year/anchor " +
                 "hold-back emission cutoffs are not composed; run them " +
                 "as separate streams)")
-            else asFreq.orElse(st.freq)
-              .flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
-              case Some(span) if allowLeads && allowPins =>
-                val (sld, slg) = st.env.getOrElse(source, (0, 0))
-                accept(target, Right((span - 1 + sld, slg)))
-                  .map(st2 => updSupport(st2.copy(bucketed = true),
-                    target, None))
-              case _ =>
-                Left(s"convert ($target) re-buckets history" +
-                  (if (!(allowLeads && allowPins)) " (downsamples run " +
-                    "under bucket hold-back via runIncremental)" else ""))
+            else {
+              val srcFOpt = asFreq.orElse(st.freq)
+              srcFOpt.flatMap(srcF => bucketSpan(srcF, tgtFreq)) match {
+                case Some(span) if allowLeads && allowPins =>
+                  val (sld, slg) = st.env.getOrElse(source, (0, 0))
+                  accept(target, Right((span - 1 + sld, slg)))
+                    .map(st2 => updSupport(st2.copy(bucketed = true),
+                      target, None))
+                case _ if allowLeads && allowPins && srcFOpt.exists(
+                    srcF => graft.ast.Frequency.rank(tgtFreq) <
+                      graft.ast.Frequency.rank(srcF)) =>
+                  val (sld, slg) = st.env.getOrElse(source, (0, 0))
+                  val (leadK, lagK) =
+                    if (technique == "cubic") (1, 2) else (0, 1)
+                  accept(target, Right((leadK + sld, lagK + slg)))
+                    .map { st2 =>
+                      sealedNames += target
+                      updSupport(st2.copy(bucketed = true), target, None)
+                    }
+                case _ =>
+                  Left(s"convert ($target) re-buckets history" +
+                    (if (!(allowLeads && allowPins)) " (converts run " +
+                      "under bucket/observation hold-back via " +
+                      "runIncremental)" else ""))
+              }
             }
           // Backward shift_pct (r19): with a FIXED mask end the anchor
           // is a constant date, every factor a window row needs lives

@@ -2036,11 +2036,16 @@ class StreamingSpec extends SparkSpec {
     assert(incrementalPlan(
       "freq m\na = rev[t-2]\nx = convert(a, q, discrete, sum)")
       == Right(IncrementalPlan(2, 2, Nil, bucketed = true)))
-    // UP-conversions stay refused (interpolation reads the NEXT
-    // observation — unboundedly far ahead); so does a convert with no
-    // declared session/as frequency
+    // UP-conversions (r19): accepted under OBSERVATION hold-back —
+    // constant/discrete/linear grid rows finalize at the newest
+    // observation (lead 0, bracketing-obs lag 1); cubic's edge slope
+    // moves until the next obs arrives, so it holds one input row
+    // (lead 1, lag 2). A convert with no declared session/as
+    // frequency stays refused.
     assert(incrementalPlan("freq q\nx = convert(rev, m, linear, average)")
-      .isLeft)
+      == Right(IncrementalPlan(0, 1, Nil, bucketed = true)))
+    assert(incrementalPlan("freq q\nx = convert(rev, m, cubic, average)")
+      == Right(IncrementalPlan(1, 2, Nil, bucketed = true)))
     assert(incrementalPlan("x = convert(rev, q, discrete, sum)").isLeft)
     def d(s: String) = java.sql.Date.valueOf(s)
     // A is dense Jan..Sep; B is SPARSE (no Jan, Apr, Aug): B's Q1 and
@@ -2102,6 +2107,74 @@ class StreamingSpec extends SparkSpec {
       .groupBy("batch").count().collect()
       .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
     assert(perBatch == Map(0L -> 1L, 1L -> 6L, 2L -> 6L), perBatch.toString)
+  }
+
+  test("up-conversion incremental (r19): a q→m LINEAR upsample streams " +
+      "under OBSERVATION hold-back — fine-grid rows emit once the " +
+      "key's newest observation reaches them (their bracketing obs are " +
+      "then fixed), the synthetic tail past the frontier pends, cells " +
+      "bit-equal the whole-history run; CUBIC holds one extra obs (its " +
+      "edge slope moves until the successor arrives)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val quarters = (0 until 12).map { i =>      // 1995-Q1 .. 1997-Q4
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(3L * i)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(quarters(i).toString), (100 + (i + o) % 7 * 10).toDouble)
+    }
+    def rows(r: Range) = Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+
+    def drive(script: String, tag: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toString
+      val src = MemoryStream[(String, java.sql.Date, Double)]
+      val df = src.toDF().toDF("K", "DATE", "REV")
+      val q = FameStream.runIncremental(df, script,
+        s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+        checkpointDir = Some(s"$dir/ckpt"))
+      try Seq(0 until 4, 4 until 8, 8 until 12).foreach { r =>
+        src.addData(rows(r): _*); q.processAllAvailable()
+      } finally q.stop()
+      val res = spark.read.parquet(s"$dir/result")
+      val full = graft.api.FameSession.run(script,
+        rows(0 until 12).toDF("K", "DATE", "REV"),
+        partitionKeys = Seq("K")).df
+      (res, full)
+    }
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "REV_MON")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(2)))))
+      .toSeq
+
+    // LINEAR: emitted set = every grid row up to the newest observation
+    // (1997-10-01); the Nov/Dec-1997 synthetic tail pends (its next
+    // observation never arrives)
+    val (resL, fullL) = drive(
+      "freq q\nu = convert(rev, m, linear, average)", "fameupL")
+    assert(cells(resL) ==
+      cells(fullL.where(col("DATE") <= lit(d("1997-10-01")))))
+    assert(cells(resL).size == 68) // 34 months × 2 keys
+    // per-batch: batch 0 emits Jan..Oct-95 (inputs + closed synthetics),
+    // batches 1-2 each flush the prior tail + their own closed window
+    val perBatch = resL.groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 20L, 1L -> 24L, 2L -> 24L),
+      perBatch.toString)
+
+    // CUBIC: one extra observation of hold-back — emitted set stops at
+    // the SECOND-newest observation (1997-07-01)
+    val (resC, fullC) = drive(
+      "freq q\nu = convert(rev, m, cubic, average)", "fameupC")
+    assert(cells(resC) ==
+      cells(fullC.where(col("DATE") <= lit(d("1997-07-01")))))
+    assert(cells(resC).size == 62) // 31 months × 2 keys
   }
 
   test("pinned dynamic scalars (r17): a scalar derived from a bounded-" +
