@@ -2687,6 +2687,73 @@ class StreamingSpec extends SparkSpec {
     assert(perBatch == Map(1L -> 48L, 2L -> 24L), perBatch.toString)
   }
 
+  test("anchor hold-back survives a query RESTART (r19): a shift_pct " +
+      "window held across stop/start restores from the versioned carry " +
+      "(keepUnemitted suffix, no state table), the post-restart batch " +
+      "crosses the anchor and flushes the whole window — no double " +
+      "emission, cells bit-equal the whole-history run") {
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("famesprst").toString
+    val script =
+      """freq m
+        |lvl = rev * 2
+        |date 1995-03-01 to 1996-06-01
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val months = (0 until 30).map { i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(months(i).toString), (100 + (i + o) % 7 * 10).toDouble)
+    }
+    def chunk(r: Range): Unit = {
+      import spark.implicits._
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+        .toDF("K", "DATE", "REV").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    chunk(0 until 11)                     // frontier 1995-11 < anchor
+    val schema = spark.read.parquet(s"$base/src").schema
+    def start() = FameStream.runIncremental(
+      spark.readStream.schema(schema).parquet(s"$base/src"), script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 0 emitted only the pre-window rows; the window [Mar-95,
+    // Nov-95] rides the carry as the unemitted suffix
+    assert(spark.read.parquet(s"$base/result").count() == 4)
+    val carried = spark.read.parquet(s"$base/bronze/_tail/v=0")
+      .where(!col("__EMITTED")).count()
+    assert(carried == 18, s"held window not carried: $carried")
+    // RESTART; the next batch crosses the anchor and flushes
+    chunk(11 until 21)
+    val q2 = start()
+    try { q2.processAllAvailable(); chunk(21 until 30)
+      q2.processAllAvailable() } finally q2.stop()
+    def cells(df: org.apache.spark.sql.DataFrame) = df
+      .select("K", "DATE", "REV", "LVL")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val res = spark.read.parquet(s"$base/result")
+    val full = graft.api.FameSession.run(script,
+      { import spark.implicits._
+        Seq("A1", "B2").flatMap(k => (0 until 30).map(i => row(k, i)))
+          .toDF("K", "DATE", "REV") },
+      partitionKeys = Seq("K")).df
+    assert(cells(res) == cells(full))
+    assert(cells(res).size == 60)
+    val perBatch = res.groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 4L, 1L -> 38L, 2L -> 18L),
+      perBatch.toString)
+  }
+
   test("chain state survives a query RESTART (r17): the versioned " +
       "closed-year aggregate table restores from _state/v=n-1, the " +
       "post-restart batch closes a year and emits it seeded from the " +
