@@ -5016,7 +5016,8 @@ object QueriesExt {
     // quarter, and each cell bit-equals the whole-history kernel (the
     // interpolation reads the same bracketing obs in the work frame as
     // in the full frame). REV rides the integer-cents grid; the
-    // interpolation is one identical fp sequence on both engines.
+    // interpolated month is snapped back to integer cents before the
+    // display divide (see the projection comment below).
     "q224_fame_incremental_upconvert" -> ((s, dir) => {
       val base = scratch("q224")
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -5035,10 +5036,18 @@ object QueriesExt {
         partitionKeys = Seq("NATION"),
         checkpointDir = Some(s"$base/ckpt"))
       try q.processAllAvailable() finally q.stop()
+      // Snap the interpolated value to INTEGER cents before the /1000
+      // display scale: round(x, 8) on an off-grid double is engine-
+      // ambiguous (Spark rounds the shortest decimal repr via
+      // BigDecimal.valueOf, DuckDB the exact binary value — they
+      // disagree whenever the repr ends in a bare '5' one digit past
+      // the scale, measured at sf0.1). Integer rounding agrees on both
+      // engines (half-away-from-zero), and dividing the exact integer
+      // by 1000 is one identical IEEE op on each side.
       s.read.parquet(s"$base/result")
         .select(col("NATION").as("nation"), col("DATE").as("date"),
           col("REV").as("rev"),
-          round(col("REV_MON") / 1000, 8).as("rev_mon"))
+          (round(col("REV_MON")) / 1000).as("rev_mon"))
         .orderBy("nation", "date")
     }),
 
@@ -10812,11 +10821,11 @@ object QueriesExt {
         |  FROM j
         |)
         |SELECT w.nation, w.date, w.rev,
-        |  round((CASE WHEN w.pd = w.nd THEN p.rev
+        |  round(CASE WHEN w.pd = w.nd THEN p.rev
         |       ELSE p.rev + (n.rev - p.rev) *
         |            (datediff('day', w.pd, w.date)::DOUBLE /
-        |             datediff('day', w.pd, w.nd)::DOUBLE) END) / 1000,
-        |    8) AS rev_mon
+        |             datediff('day', w.pd, w.nd)::DOUBLE) END) / 1000
+        |    AS rev_mon
         |FROM w
         |JOIN q p ON p.nation = w.nation AND p.qd = w.pd
         |JOIN q n ON n.nation = w.nation AND n.qd = w.nd
