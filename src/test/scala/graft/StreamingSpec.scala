@@ -2565,6 +2565,22 @@ class StreamingSpec extends SparkSpec {
     assert(FameStream.incrementalPlan(
       script + "\nset y = $chain(\"rev\", \"1996\")",
       inputColumns = cols).isLeft)
+    // hold-back machineries do NOT compose: an up-conversion after the
+    // shift_pct is refused by name (and the reverse order via the
+    // bucketed flag the convert sets) — window hold and observation
+    // hold have different emission cutoffs
+    assert(FameStream.incrementalPlan(
+      script + "\ndate *\nu = convert(rev, w, linear, average)",
+      partitioned = true, inputColumns = cols)
+      .left.exists(_.contains("alongside")))
+    assert(FameStream.incrementalPlan(
+      """freq m
+        |u = convert(rev, w, linear, average)
+        |lvl = rev * 2
+        |date 1995-03-01 to 1996-06-01
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin,
+      partitioned = true, inputColumns = cols)
+      .left.exists(_.contains("alongside")))
     assert(FameStream.incrementalPlan(
       """freq m
         |c = rev[t+1]
