@@ -2177,6 +2177,70 @@ class StreamingSpec extends SparkSpec {
     assert(cells(resC).size == 62) // 31 months × 2 keys
   }
 
+  test("observation hold-back survives a query RESTART (r19): an " +
+      "up-conversion's pending fine-grid tail and bracketing-obs carry " +
+      "restore from the versioned tail table across stop/start — the " +
+      "post-restart batches emit exactly the non-restart batch sets, " +
+      "no double emission, cells bit-equal the whole-history run") {
+    import graft.streaming.FameStream
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("fameuprst").toString
+    val script = "freq q\nu = convert(rev, m, linear, average)"
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val quarters = (0 until 12).map { i =>      // 1995-Q1 .. 1997-Q4
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(3L * i)
+    }
+    def row(k: String, i: Int) = {
+      val o = if (k == "A1") 0 else 3
+      (k, d(quarters(i).toString), (100 + (i + o) % 7 * 10).toDouble)
+    }
+    def chunk(r: Range): Unit = {
+      import spark.implicits._
+      Seq("A1", "B2").flatMap(k => r.map(i => row(k, i)))
+        .toDF("K", "DATE", "REV").coalesce(1)
+        .write.mode("append").parquet(s"$base/src")
+    }
+    chunk(0 until 4)                      // obs frontier 1995-10-01
+    val schema = spark.read.parquet(s"$base/src").schema
+    def start() = FameStream.runIncremental(
+      spark.readStream.schema(schema).parquet(s"$base/src"), script,
+      s"$base/bronze", s"$base/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$base/ckpt"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 0 emitted every grid month ≤ the frontier observation
+    assert(spark.read.parquet(s"$base/result").count() == 20)
+    // RESTART; the interpolation across the batch boundary must read
+    // its below-bracket observation from the restored carry
+    chunk(4 until 8)
+    val q2 = start()
+    try { q2.processAllAvailable(); chunk(8 until 12)
+      q2.processAllAvailable() } finally q2.stop()
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "REV_MON")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(2)))))
+      .toSeq
+    val res = spark.read.parquet(s"$base/result")
+    val full = graft.api.FameSession.run(script,
+      { import spark.implicits._
+        Seq("A1", "B2").flatMap(k => (0 until 12).map(i => row(k, i)))
+          .toDF("K", "DATE", "REV") },
+      partitionKeys = Seq("K")).df
+    assert(cells(res) ==
+      cells(full.where(col("DATE") <= lit(d("1997-10-01")))))
+    assert(cells(res).size == 68)          // 34 months × 2 keys
+    // no row emitted twice, and the restarted run's batch sets match
+    // the non-restart run exactly
+    assert(res.select("K", "DATE").distinct().count() == 68)
+    val perBatch = res.groupBy("batch").count().collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(perBatch == Map(0L -> 20L, 1L -> 24L, 2L -> 24L),
+      perBatch.toString)
+  }
+
   test("pinned dynamic scalars (r17): a scalar derived from a bounded-" +
       "support series streams through runIncremental — the support " +
       "window (plus the argument's physical lag predecessors) pins, " +
