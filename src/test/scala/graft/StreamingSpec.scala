@@ -2177,6 +2177,100 @@ class StreamingSpec extends SparkSpec {
     assert(cells(resC).size == 62) // 31 months × 2 keys
   }
 
+  test("hold-back EDGE KEYS (r19): a key starting after the anchor " +
+      "passes through whole, a key ending before the anchor pends its " +
+      "window forever (pre-window rows still emit), a key first " +
+      "appearing mid-stream joins cleanly, and single/gapped-" +
+      "observation keys up-convert under observation hold-back") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FameStream
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def month(i: Int) =
+      d(java.time.LocalDate.of(1995, 1, 1).plusMonths(i.toLong).toString)
+
+    // ---- anchored shift_pct (window [1995-03, 1996-06]) ----
+    val script =
+      """freq m
+        |lvl = rev * 2
+        |date 1995-03-01 to 1996-06-01
+        |lvl[t] = lvl[t+1]/(1+(pct(rev[t+1])/100))""".stripMargin
+    // A1 spans the window; C3 STARTS after the anchor (no window rows,
+    // first appears in batch 1); D4 ENDS before the anchor (its window
+    // rows must pend forever)
+    val span: Map[String, Range] =
+      Map("A1" -> (0 until 30), "C3" -> (20 until 30), "D4" -> (0 until 15))
+    def row(k: String, i: Int) = {
+      val o = k.hashCode.abs % 5
+      (k, month(i), (100 + (i + o) % 7 * 10).toDouble)
+    }
+    def rows(r: Range) = span.toSeq.sortBy(_._1).flatMap { case (k, s) =>
+      r.filter(s.contains).map(i => row(k, i))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fameedge").toString
+    val src = MemoryStream[(String, java.sql.Date, Double)]
+    val q = FameStream.runIncremental(src.toDF().toDF("K", "DATE", "REV"),
+      script, s"$dir/bronze", s"$dir/result", partitionKeys = Seq("K"),
+      checkpointDir = Some(s"$dir/ckpt"))
+    try Seq(0 until 11, 11 until 21, 21 until 30).foreach { r =>
+      src.addData(rows(r): _*); q.processAllAvailable()
+    } finally q.stop()
+    def cells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "REV", "LVL")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        (2 to 3).map(j => if (r.isNullAt(j)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(j))))))
+      .toSeq
+    val res = spark.read.parquet(s"$dir/result")
+    val full = graft.api.FameSession.run(script,
+      rows(0 until 30).toDF("K", "DATE", "REV"),
+      partitionKeys = Seq("K")).df
+    // emitted set: everything except D4's forever-pending window rows
+    val emitted = full.where(!(col("K") === "D4" &&
+      col("DATE").between(lit(d("1995-03-01")), lit(d("1996-06-01")))))
+    assert(cells(res) == cells(emitted))
+    assert(res.where(col("K") === "C3").count() == 10)  // all pass-through
+    assert(res.where(col("K") === "D4").count() == 2)   // Jan+Feb-95 only
+
+    // ---- up-conversion observation hold-back, degenerate obs sets ----
+    // E5 has ONE quarterly observation (its grid is that single month,
+    // pd == nd → the value itself); F6 has two observations TWO
+    // quarters apart (one long bracket interpolates across the gap)
+    val upScript = "freq q\nu = convert(rev, m, linear, average)"
+    val upRows = Seq(
+      ("E5", d("1995-04-01"), 120.0),
+      ("F6", d("1995-01-01"), 100.0), ("F6", d("1995-07-01"), 160.0))
+    val dir2 = java.nio.file.Files.createTempDirectory("fameedgeup").toString
+    val src2 = MemoryStream[(String, java.sql.Date, Double)]
+    val q2 = FameStream.runIncremental(src2.toDF().toDF("K", "DATE", "REV"),
+      upScript, s"$dir2/bronze", s"$dir2/result",
+      partitionKeys = Seq("K"), checkpointDir = Some(s"$dir2/ckpt"))
+    try Seq(upRows.take(2), upRows.drop(2)).foreach { b =>
+      src2.addData(b: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    def upCells(dfx: org.apache.spark.sql.DataFrame) = dfx
+      .select("K", "DATE", "REV_MON")
+      .orderBy("K", "DATE").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) None
+        else Some(java.lang.Double.doubleToLongBits(r.getDouble(2)))))
+      .toSeq
+    val res2 = spark.read.parquet(s"$dir2/result")
+    val full2 = graft.api.FameSession.run(upScript,
+      upRows.toDF("K", "DATE", "REV"), partitionKeys = Seq("K")).df
+    // emitted set = grid rows up to each key's NEWEST observation; the
+    // whole-history frame additionally carries the final quarter's
+    // trailing months (null under linear — no upper bracket), which the
+    // incremental path correctly pends awaiting the next observation
+    val emitted2 = full2.where(
+      (col("K") === "E5" && col("DATE") <= lit(d("1995-04-01"))) ||
+      (col("K") === "F6" && col("DATE") <= lit(d("1995-07-01"))))
+    assert(upCells(res2) == upCells(emitted2))
+    assert(res2.where(col("K") === "E5").count() == 1)
+    assert(res2.where(col("K") === "F6").count() == 7)  // Jan..Jul-95
+  }
+
   test("observation hold-back survives a query RESTART (r19): an " +
       "up-conversion's pending fine-grid tail and bracketing-obs carry " +
       "restore from the versioned tail table across stop/start — the " +
