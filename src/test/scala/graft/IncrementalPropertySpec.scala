@@ -1257,4 +1257,47 @@ class IncrementalPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("observation hold-back up-conversion (r19): for ANY gapped " +
+      "observation set and ANY frontier, the upsample over the held " +
+      "work frame (observations up to the frontier) BIT-equals the " +
+      "whole-history run on every grid row at or before the emission " +
+      "cutoff — the newest observation, or the second-newest for cubic " +
+      "(the interpolation stencil is the hold-back radius)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.kernels.Convert
+    import graft.ast.Frequency
+    val qdates = (0 until 16).map(i =>
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(3L * i).toString)
+    val gen = for {
+      n <- Gen.choose(3, 10)
+      idx <- Gen.pick(n, 0 until 16)
+      rev <- Gen.listOfN(n, Gen.choose(50, 150))
+      f <- Gen.choose(2, n - 1)
+      tech <- Gen.oneOf("constant", "linear", "cubic")
+    } yield (idx.sorted.toList, rev, f, tech)
+    forAllN(gen, n = 40) { case (idx, revI, f, tech) =>
+      val obsDates = idx.map(i => qdates(i))
+      val rev = revI.map(_.toDouble)
+      def run(k: Int) = Convert.up(
+        frame(obsDates.take(k + 1), "REV" -> rev.take(k + 1)),
+        "DATE", Seq("REV"), Frequency.Quarterly, Frequency.Monthly, tech)
+      val cutoff = java.sql.Date.valueOf(
+        if (tech == "cubic") obsDates(f - 1) else obsDates(f))
+      def bits(df: org.apache.spark.sql.DataFrame): Map[String, Option[Long]] =
+        df.where(col("DATE") <= lit(cutoff))
+          .select(col("DATE").cast("string"), col("REV"))
+          .collect()
+          .map(r => r.getString(0) -> (if (r.isNullAt(1)) None
+            else Some(java.lang.Double.doubleToLongBits(r.getDouble(1)))))
+          .toMap
+      val full = bits(run(idx.size - 1))
+      val part = bits(run(f))
+      assert(part == full,
+        s"obs $idx frontier $f tech $tech cutoff $cutoff")
+      // the emitted set is never empty: the frontier observation (or
+      // its predecessor for cubic) always has a defined value
+      assert(part.nonEmpty && part.values.exists(_.isDefined))
+    }
+  }
 }
