@@ -46,9 +46,24 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Shuffle writer choice (r20, guide §2.2): with R reduce partitions,
+    // the bypass-merge writer creates R files PER MAP TASK (then mmaps,
+    // concatenates and deletes them) — at this suite's scale thread
+    // sampling showed the executor pool dominated by FileOutputStream
+    // open / FileChannel map/unmap from exactly that path (~100-200 ms
+    // of syscall churn per task on data measured in KB), 12x the real
+    // work on q67-shaped queries. The sort-based writer emits ONE file
+    // per map task regardless of R. Production is unaffected: any
+    // shuffle with R > 200 already takes the sort path under the
+    // default threshold, so lowering it only rescues the small-R case
+    // where per-file churn dominates; override via
+    // SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD to restore the default.
+    val bypassThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassThreshold)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

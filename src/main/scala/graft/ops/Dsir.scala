@@ -261,7 +261,13 @@ object Dsir {
     * bit-identical to [[importanceWeights]]'s DECIMAL sum).
     */
   def scoreExpr(text: Column, m: Model): Column = {
-    val lrMap = typedLit(m.lr4dp)
+    // dense-domain ARRAY literal, not a map literal: element_at over a
+    // literal map is a linear scan of all `buckets` entries per gram
+    // (ArrayBasedMapData has no hash index) — O(buckets) per lookup
+    // where a positional array read is O(1), value-identical (the model
+    // covers the full 0..buckets-1 domain by construction)
+    val lrArr = typedLit(
+      (0L until m.buckets.toLong).map(m.lr4dp).toIndexedSeq)
     // ONE reference to the gram array: the step sum and the gram count
     // accumulate together in a struct, and the finish lambda emits the
     // guarded score. Referencing `grams` once matters because every
@@ -271,7 +277,8 @@ object Dsir {
     aggregate(gramsOf(TextOps.tokens(text)),
       struct(lit(0L).as("s"), lit(0L).as("n")),
       (acc, g) => struct(
-        (acc.getField("s") + element_at(lrMap, gramBucket(g, m.buckets))).as("s"),
+        (acc.getField("s") + element_at(lrArr,
+          (gramBucket(g, m.buckets) + 1).cast("int"))).as("s"),
         (acc.getField("n") + lit(1L)).as("n")),
       acc => when(acc.getField("n") > 0,
         acc.getField("s").cast("double") / 1e4))

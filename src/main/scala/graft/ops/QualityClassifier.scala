@@ -77,11 +77,18 @@ object QualityClassifier {
     // oracle replay training
     def grid6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     (0 until epochs).foreach { _ =>
-      val wMap = typedLit(w)
+      // weights as an ARRAY literal indexed by bucket, not a map literal:
+      // element_at over a literal map is a LINEAR SCAN of all `buckets`
+      // entries per lookup (ArrayBasedMapData has no hash index), which
+      // made every feature-row lookup O(buckets) — the dominant per-epoch
+      // cost at 1024 buckets. The bucket domain is dense 0..buckets-1, so
+      // a positional array lookup is O(1) and value-identical.
+      val wArr = typedLit((0L until buckets.toLong).map(w).toIndexedSeq)
       // per-doc margin: exact long sum of grid steps, one division
       val margins = feats
         .groupBy(col(idCol))
-        .agg(sum(element_at(wMap, col("__b"))).as("__steps"))
+        .agg(sum(element_at(wArr, (col("__b") + 1).cast("int")))
+          .as("__steps"))
         .join(perDoc, idCol)
         .select(col(idCol),
           (sigmoid(marginOf(bias, col("__steps"), col("__n"))) - col("__y"))
@@ -122,7 +129,10 @@ object QualityClassifier {
     * training, which skips them).
     */
   def scoreExpr(text: Column, m: LrModel): Column = {
-    val wMap = typedLit(m.w6dp)
+    // dense-domain ARRAY literal, not a map literal: element_at on a
+    // literal map linear-scans all `buckets` entries per gram (see train)
+    val wArr = typedLit(
+      (0L until m.buckets.toLong).map(m.w6dp).toIndexedSeq)
     // one reference to the gram array (step sum + count in a struct
     // accumulator, score in the finish lambda) — every reference inlines
     // the full tokenizer chain into this interpreted projection, see
@@ -130,7 +140,8 @@ object QualityClassifier {
     aggregate(Dsir.gramsOf(TextOps.tokens(text)),
       struct(lit(0L).as("s"), lit(0L).as("n")),
       (acc, g) => struct(
-        (acc.getField("s") + element_at(wMap, Dsir.gramBucket(g, m.buckets))).as("s"),
+        (acc.getField("s") + element_at(wArr,
+          (Dsir.gramBucket(g, m.buckets) + 1).cast("int"))).as("s"),
         (acc.getField("n") + lit(1L)).as("n")),
       acc => when(acc.getField("n") > 0,
         sigmoid(marginOf(m.bias6dp, acc.getField("s"), acc.getField("n")))))

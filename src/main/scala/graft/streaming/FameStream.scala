@@ -43,6 +43,21 @@ import graft.parse.FameParser
   */
 object FameStream {
 
+  /** Small daemon pool for the per-batch independent writes (emit,
+    * carry, kernel states) — see the `parallel` helper in
+    * [[runIncremental]]. 4 threads: a batch has at most ~4 independent
+    * writes, and more in flight would only fight for executor slots.
+    */
+  private lazy val batchWritePool =
+    java.util.concurrent.Executors.newFixedThreadPool(4,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"fame-batch-write-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
   /** Execution mode for [[run]]: `Auto` (default) consults
     * [[incrementalEligibility]] and routes forward-only scripts to the
     * O(batch) incremental evaluator, everything else to the O(history)
@@ -1347,7 +1362,15 @@ object FameStream {
           // emitted flag; every row in such a carry was emitted
           if (t.columns.contains("__EMITTED")) t
           else t.withColumn("__EMITTED", lit(true))
-        } else upper.where(lit(false)).withColumn("__EMITTED", lit(true))
+        } else
+          // empty tail built on the ORIGINAL session, not as a filter of
+          // the micro-batch frame (r20): the stream runner's cloned
+          // session pins batch-unfriendly confs (AQE off), and the work
+          // frame inherits ITS session from prevTail — batch 0 would
+          // otherwise run its whole pipeline under the stream clone
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            upper.schema).withColumn("__EMITTED", lit(true))
       // Enforce the ingest contract instead of documenting it: any
       // batch row dated before its key's newest carried-tail row is a
       // late arrival the incremental form cannot evaluate correctly —
@@ -1376,9 +1399,21 @@ object FameStream {
       val keyCols = if (keysU.isEmpty) Seq(lit(1)) else keysU.map(col)
       val kw = Window.partitionBy(keyCols: _*)
       val ord = kw.orderBy(col(dateU).desc)
+      // MATERIALIZE the work frame once (r20, guide §2.4/§5): every
+      // action this batch takes — the emit write, the carry write, the
+      // chain/fishvol state finalizes — previously re-executed (and,
+      // worse, re-SERIALIZED into every task binary) the whole
+      // tail-parquet ∪ batch ∪ hold-window lineage; stage sampling
+      // showed 100-200 ms of task DESERIALIZE time per task on KB-sized
+      // frames, the dominant per-batch cost for the kernel-bearing
+      // streams. The work frame is bounded (carry + one micro-batch),
+      // so an eager localCheckpoint is one tiny job that makes every
+      // downstream plan hang off a leaf RDD. Values are unchanged: the
+      // same rows, computed by the same plan, now computed exactly once.
       val work = prevTail
         .unionByName(upper.withColumn("__EMITTED", lit(false)))
         .withColumn("__HOLD", row_number().over(ord) <= lit(maxLead))
+        .localCheckpoint(true)
       // chain scripts (r17): seed each $chain with the closed-year
       // aggregate state finalized by the previous batch (versioned like
       // the carry — replay of batch n re-reads v=n−1, idempotent), so
@@ -1402,12 +1437,16 @@ object FameStream {
         nlrx, businessCal = businessCal, chainSeed = chainSeeds,
         fishvolSeed = fishSeeds).df
       // chain/fishvol plans execute the output frame TWICE (the emit
-      // write + the state finalize) — persist it for those; a plain
-      // plan executes it once and caching would only add overhead
+      // write + the state finalize) — materialize it for those; a plain
+      // plan executes it once and materializing would only add overhead.
+      // localCheckpoint, not persist (r20): persist kept the full FAME
+      // plan in every downstream task binary (the state finalize ships
+      // the kernel recompute PLUS the cached plan it reads), where the
+      // checkpoint truncates the lineage to a leaf RDD — the same
+      // task-binary bloat the work checkpoint above removes.
       val outGated = plan.chains.nonEmpty || plan.fishvols.nonEmpty
       val out =
-        if (outGated) out0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (outGated) out0.localCheckpoint(true)
         else out0
       // YEAR hold-back gate (chain scripts): a row emits only once its
       // calendar year has closed for its key (a later-year row exists —
@@ -1491,8 +1530,24 @@ object FameStream {
                 col(dateU) > col("__CUT_PREV"))))
             .drop("__CUT_NEW", "__CUT_PREV")
         }
-      emit.drop("__EMITTED", "__HOLD")
-        .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
+      // Independent writes of this batch — the emit below, the carry,
+      // and the chain/fishvol state finalizes — all read the
+      // MATERIALIZED work/out leaves and land in disjoint directories,
+      // so they run as concurrent jobs (guide §2.6: actions are only
+      // sequential because the driver calls them sequentially). Each
+      // job is tiny; sequencing them paid ~150 ms of driver+scheduler
+      // latency apiece. Failure of any write fails the batch exactly as
+      // before (Await rethrows), and checkpoint replay overwrites every
+      // destination idempotently, so the commit contract is unchanged.
+      val pendingWrites =
+        scala.collection.mutable.ListBuffer.empty[java.util.concurrent.Future[_]]
+      def parallel(body: => Unit): Unit =
+        pendingWrites += batchWritePool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = body })
+      parallel {
+        emit.drop("__EMITTED", "__HOLD")
+          .write.mode("overwrite").parquet(s"$resultDir/batch=$batchId")
+      }
       // next carry: last maxLag+maxLead INPUT rows per key of
       // carry ∪ batch, each flagged with whether it has been emitted —
       // PLUS every row a pin selects (the fixed targets of
@@ -1562,13 +1617,15 @@ object FameStream {
           val minUnem = min(when(!col("__EMITTED"), col("__ARN"))).over(kw)
           !col("__EMITTED") || col("__ARN") >= minUnem - lit(maxLag)
         }
-      ranked.withColumn("__PINNED", coalesce(pinned, lit(false)))
-        .withColumn("__KEEPUN", coalesce(keepUnemitted, lit(false)))
-        .where(col("__RN") <= carrySize || col("__PINNED") ||
-          col("__KEEPUN"))
-        .drop("__RN", "__ARN", "__PINNED", "__KEEPUN")
-        .write.mode("overwrite")
-        .parquet(s"$bronzeDir/_tail/v=$batchId")
+      parallel {
+        ranked.withColumn("__PINNED", coalesce(pinned, lit(false)))
+          .withColumn("__KEEPUN", coalesce(keepUnemitted, lit(false)))
+          .where(col("__RN") <= carrySize || col("__PINNED") ||
+            col("__KEEPUN"))
+          .drop("__RN", "__ARN", "__PINNED", "__KEEPUN")
+          .write.mode("overwrite")
+          .parquet(s"$bronzeDir/_tail/v=$batchId")
+      }
       // finalize chain state: closed years' aggregate rows, computed
       // from the output frame (derived source columns materialized) and
       // unioned with the carried state — the state keeps the version
@@ -1587,8 +1644,10 @@ object FameStream {
             keysU :+ "__year", "left_anti"))
           case None => fresh
         }
-        newState.write.mode("overwrite")
-          .parquet(s"$bronzeDir/_state/${c.target}/v=$batchId")
+        parallel {
+          newState.write.mode("overwrite")
+            .parquet(s"$bronzeDir/_state/${c.target}/v=$batchId")
+        }
       }
       // finalize fishvol state (relaxed-fp tier): per key, the raw
       // prefix product at the NEWEST EMITTED row (emitted ⇒ base year
@@ -1611,17 +1670,21 @@ object FameStream {
           // unkeyed groupBy() yields one all-null row when nothing has
           // been emitted yet — that is "no state", not a seed
           .where(col("__FV_SEED").isNotNull)
-        val newState = fishSeeds.get(f.target) match {
-          case Some(old) if keysU.nonEmpty =>
-            fresh.unionByName(old.join(
-              fresh.select(keysU.map(col): _*), keysU, "left_anti"))
-          case Some(old) => if (fresh.isEmpty) old else fresh
-          case None => fresh
+        parallel {
+          val newState = fishSeeds.get(f.target) match {
+            case Some(old) if keysU.nonEmpty =>
+              fresh.unionByName(old.join(
+                fresh.select(keysU.map(col): _*), keysU, "left_anti"))
+            case Some(old) => if (fresh.isEmpty) old else fresh
+            case None => fresh
+          }
+          newState.write.mode("overwrite")
+            .parquet(s"$bronzeDir/_state/${f.target}/v=$batchId")
         }
-        newState.write.mode("overwrite")
-          .parquet(s"$bronzeDir/_state/${f.target}/v=$batchId")
       }
-      if (outGated) out.unpersist(false)
+      // rethrows the first failed write — the batch fails exactly as it
+      // did when the writes were sequential
+      pendingWrites.foreach(_.get())
       ()
     }.start()
   }
