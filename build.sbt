@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (r21): the perf gate parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as bare JSON. sbt's default LoggedOutput
+// decorates every forked-process line with "[info] " and prints
+// "[success] Total time..." after it, which made the driver's parser read
+// null for 20 straight rounds (PERF_r20 prev/now_bench_ok both false).
+// StdoutOutput passes the forked JVM's stdout through verbatim;
+// showSuccess=false drops the trailing [success] line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -46,24 +46,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    // Shuffle writer choice (r20, guide §2.2): with R reduce partitions,
-    // the bypass-merge writer creates R files PER MAP TASK (then mmaps,
-    // concatenates and deletes them) — at this suite's scale thread
-    // sampling showed the executor pool dominated by FileOutputStream
-    // open / FileChannel map/unmap from exactly that path (~100-200 ms
-    // of syscall churn per task on data measured in KB), 12x the real
-    // work on q67-shaped queries. The sort-based writer emits ONE file
-    // per map task regardless of R. Production is unaffected: any
-    // shuffle with R > 200 already takes the sort path under the
-    // default threshold, so lowering it only rescues the small-R case
-    // where per-file churn dominates; override via
-    // SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD to restore the default.
-    val bypassThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1")
-    val spark = SparkSession.builder()
+    // Engine session defaults (r21): the shuffle-writer choice
+    // (bypassMergeThreshold=1, guide §2.2 — see the rationale on
+    // SparkEntry.sessionDefaults) moved from a bench-only config into the
+    // engine defaults so production sessions get the same writer; the bench
+    // session applies the shared map, value unchanged from r20.
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.shuffle.sort.bypassMergeThreshold", bypassThreshold)
+    val spark = SparkEntry.sessionDefaults.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -262,6 +254,20 @@ object Bench {
         (summary + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(summary)
+    // FINAL stdout line (r21 measurement-contract fix, VERDICT r20 item 1):
+    // the driver's perf gate parses the LAST stdout line as bare JSON and
+    // has read null for 20 rounds — the per-query "total" line printed
+    // first and the compact summary lacked the per-query map. This line
+    // merges everything the gate needs: the summary fields plus the
+    // per-query map under BOTH names the contract/gate use ("queries" per
+    // the bench contract, "per_query" per the PERF gate). Timing protocol,
+    // sinks, warmup and the two lines above are unchanged — this is purely
+    // where the already-measured numbers are printed. Paired with
+    // build.sbt's StdoutOutput/showSuccess=false so sbt neither prefixes
+    // "[info] " nor appends "[success] ..." after it.
+    val merged = summary.dropRight(1) +
+      s""","queries":$qs,"per_query":$qs}"""
+    println(merged)
     spark.stop()
   }
 }

@@ -5,9 +5,11 @@ import org.apache.spark.sql.SparkSession
 object DebugOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, outDir) = args
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkEntry.sessionDefaults.foldLeft(
+      SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")) {
+      case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

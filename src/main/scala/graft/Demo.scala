@@ -12,10 +12,12 @@ import graft.api.FameSession
 object Demo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", "4")
+    val spark = SparkEntry.sessionDefaults.foldLeft(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-demo")
+        .config("spark.sql.shuffle.partitions", "4")) {
+      case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")

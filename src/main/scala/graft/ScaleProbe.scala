@@ -263,8 +263,9 @@ object ScaleProbe {
     // garbage wall_sec JSON (r13 ADVICE) — the probe needs >= 1 timed run
     require(runs >= 1, s"ScaleProbe needs runs >= 1, got $runs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = SparkEntry.sessionDefaults.foldLeft(
+      SparkSession.builder()
+        .master(s"local[$cpus]")) { case (b, (k, v)) => b.config(k, v) }
       // override to measure partition-count mitigations (e.g. the
       // famebucketprobe spill row: more partitions = less join state
       // per task, the knob a real cluster scales with keys)

@@ -2,6 +2,26 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  /** Engine session defaults — the single source every main (Bench, Verify,
+    * Demo, DebugOne, ScaleProbe, PlanDump) applies to its builder and the
+    * recommended production configuration.
+    *
+    * `spark.shuffle.sort.bypassMergeThreshold=1` (guide §2.2): with R reduce
+    * partitions the bypass-merge writer creates R files PER MAP TASK (then
+    * mmaps, concatenates, deletes them); thread sampling in r20 showed
+    * executor pools dominated by that file churn (~100-200 ms/task on KB of
+    * data) whenever R <= the 200 default. The sort-based writer emits ONE
+    * file per map task regardless of R. At production partition counts
+    * (R > 200, any 100 TB layout) every shuffle already takes the sort path,
+    * so the setting is a provable no-op there (ScaleProbe sf10 rows in
+    * SCALING.md) and only rescues the small-R regime where per-file churn
+    * dominates. Lived only in Bench.scala in r20; homed here in r21 so the
+    * production session gets the same writer (VERDICT r20 item 2).
+    * Env-overridable: SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD.
+    */
+  def sessionDefaults: Map[String, String] = Map(
+    "spark.shuffle.sort.bypassMergeThreshold" ->
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BYPASS_THRESHOLD", "1"))
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a multi-operator FAME model over the monthly revenue series.
     */
