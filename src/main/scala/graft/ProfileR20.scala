@@ -31,11 +31,14 @@ object ProfileR20 {
         jobStart += e.jobId -> System.nanoTime(); outstanding += 1
       }
     override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
+      // ADVICE r20: only decrement for jobs whose start we recorded —
+      // otherwise ends of pre-reset jobs drive the counter negative and
+      // drain() returns while jobs are still running
       jobStart.get(e.jobId).foreach { t0 =>
         jobWallNs += System.nanoTime() - t0; jobs += 1
+        outstanding -= 1
       }
       jobStart -= e.jobId
-      outstanding -= 1
       notifyAll()
     }
     val detail = sys.env.get("SPARK_GRAFT_PROFILE_DETAIL").contains("1")
@@ -52,7 +55,7 @@ object ProfileR20 {
     def outstandingJobs: Int = synchronized(outstanding)
     def reset(): Unit = synchronized {
       jobStart = Map.empty; jobWallNs = 0; jobs = 0; stages = 0
-      tasks = 0; taskTimeMs = 0
+      tasks = 0; taskTimeMs = 0; outstanding = 0 // ADVICE r20
     }
     def drain(timeoutMs: Long = 10000): Unit = synchronized {
       val deadline = System.currentTimeMillis() + timeoutMs

@@ -1308,19 +1308,23 @@ object QueriesExt {
       val batch = d.where(col("u") >= 0.5).select("doc_id", "text")
       // the standing index is PERSISTED (written once in setup — at the
       // real cadence it exists from last night) and tonight's batch
-      // index rows are STAGED to parquet in ONE signature pass, then
-      // reused by scan for both the screen and the survivor append —
-      // nothing computes any doc's signatures twice, and nothing
-      // recomputes standing-side shingles per night (r9 rework)
+      // index rows are STAGED in ONE signature pass, then reused for
+      // both the screen and the survivor append — nothing computes any
+      // doc's signatures twice, and nothing recomputes standing-side
+      // shingles per night (r9 rework). r21 (guide §2.4/§5, VERDICT r20
+      // item 5): the batch staging is a localCheckpoint — same
+      // compute-once/reuse-twice contract, minus the parquet
+      // write+readback round-trip the r20 profile showed inside the
+      // timed query; the STANDING index keeps its parquet write (it
+      // models last night's stored artifact, which is the operator
+      // under test).
       val idxPath = scratch("q89_index")
-      val batPath = scratch("q89_batch_idx")
       def idxOf(part: DataFrame) =
         Dedup.lshIndexRows(part, "doc_id", "text", numHashes = 32, bands = 8)
           .select("doc_id", "band", "bucket")
       idxOf(standing).write.mode("overwrite").parquet(idxPath)
-      idxOf(batch).write.mode("overwrite").parquet(batPath)
       val index = s.read.parquet(idxPath)
-      val batIdx = s.read.parquet(batPath)
+      val batIdx = idxOf(batch).localCheckpoint(true)
       val survivors = Dedup.nearDupAgainstIndex(batch, index, standing,
         "doc_id", "text", minJaccard = 0.5, batchIndex = Some(batIdx))
       val appended = batIdx

@@ -27,12 +27,14 @@ import org.apache.spark.sql.types.DecimalType
   * score round, where a ≤1-ulp libm difference only matters within
   * ~1e-17 of a grid boundary.)
   *
-  * Scale shape: the feature explode runs ONCE and persists; each epoch
-  * is one per-doc aggregation (margins — long sums of a broadcast
-  * literal-map lookup) plus one per-bucket aggregation (gradients onto
-  * ≤ `buckets` keys, map-side partials) and a ≤ `buckets`-row collect —
-  * the IVF-centroid class of driver boundary. Epochs are sequential by
-  * definition; each moves only bucket aggregates, never the corpus.
+  * Scale shape: the feature explode runs ONCE, collapsing to a
+  * per-(doc, bucket) count frame hash-partitioned by doc and
+  * localCheckpointed; each epoch is one partitioning-reusing per-doc
+  * aggregation (margins — exact long step sums), a co-partitioned
+  * join, and one per-bucket aggregation (gradients onto ≤ `buckets`
+  * keys, map-side partials) ending in a ≤ `buckets`-row collect — the
+  * IVF-centroid class of driver boundary. Epochs are sequential by
+  * definition; each shuffles only bucket aggregates, never the corpus.
   */
 object QualityClassifier {
 
@@ -60,17 +62,30 @@ object QualityClassifier {
       buckets: Int = 1024, epochs: Int = 10, lrRate: Double = 1.0,
       l2: Double = 0.0): LrModel = {
     require(epochs >= 1 && buckets > 0, "need epochs >= 1, buckets > 0")
-    // one feature row per gram occurrence, label carried; persisted for
-    // the whole training loop and released before returning
-    val feats = Dsir.featRows(
+    // r21 epoch-loop shape (guide §2.4, VERDICT r20 item 7): the feature
+    // stream is EPOCH-INVARIANT, so it collapses ONCE to a per-(doc,
+    // bucket) count frame, hash-partitioned by doc and localCheckpointed.
+    // Each epoch then runs exchange-free until the ≤`buckets`-key
+    // gradient aggregation: the margin groupBy(doc) reuses the leaf's
+    // partitioning, the margins↔counts join is co-partitioned, and only
+    // bucket-sized partial aggregates cross the wire — where the r20 loop
+    // re-shuffled the occurrence stream per epoch (groupBy + two joins),
+    // 43 scheduler-latency-bound single-task jobs over 6 epochs in the
+    // r20 profile. Margins and gradients are value-identical: the margin
+    // step-sum Σ_occ w(b) == Σ_(b) c·w(b) in exact longs, and each
+    // occurrence's 12dp-quantized gradient addend is a constant per (doc,
+    // bucket), so c·addend in DECIMAL equals the occurrence sum exactly.
+    val cnts = Dsir.featRows(
         df.withColumn("__y", labelCol.cast("boolean").cast("double")),
         idCol, textCol, buckets, keep = Seq("__y"))
-      .persist()
-    val perDoc = feats.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n"), first(col("__y")).as("__y"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), first(col("__y")).as("__y"))
+      .repartition(col(idCol))
+      .localCheckpoint(true)
     var bias = 0L
     var w: Map[Long, Long] = (0L until buckets.toLong).map(_ -> 0L).toMap
-    val nDocs = math.max(1L, perDoc.count()) // constant across epochs
+    val nDocs = math.max(1L, // docs with ≥1 feature — constant across epochs
+      cnts.select(countDistinct(col(idCol))).collect()(0).getLong(0))
     // 1e-6 grid snap as pure fp ops (multiply, add, floor — all exactly
     // rounded), NOT BigDecimal HALF_UP: the same three ops in SQL give
     // the same long on any IEEE-754 engine, which is what lets the q78
@@ -84,24 +99,29 @@ object QualityClassifier {
       // cost at 1024 buckets. The bucket domain is dense 0..buckets-1, so
       // a positional array lookup is O(1) and value-identical.
       val wArr = typedLit((0L until buckets.toLong).map(w).toIndexedSeq)
-      // per-doc margin: exact long sum of grid steps, one division
-      val margins = feats
+      // per-doc margin: exact long sum of grid steps (count × weight per
+      // bucket), one division; __n/__y ride the same aggregation — no
+      // perDoc join
+      val margins = cnts
         .groupBy(col(idCol))
-        .agg(sum(element_at(wArr, (col("__b") + 1).cast("int")))
-          .as("__steps"))
-        .join(perDoc, idCol)
+        .agg(sum(col("__c") * element_at(wArr, (col("__b") + 1).cast("int")))
+            .as("__steps"),
+          sum(col("__c")).as("__n"), first(col("__y")).as("__y"))
         .select(col(idCol),
           (sigmoid(marginOf(bias, col("__steps"), col("__n"))) - col("__y"))
             .as("__r"),
           col("__n"))
-      // per-bucket gradient: 12dp-quantized contributions, DECIMAL sum.
-      // The bias gradient is Σ_docs r = Σ_feats (r/n) up to the grid —
-      // i.e. the SUM of the bucket gradients — so one aggregation feeds
-      // both updates (summed in bucket order for determinism).
-      val grads = feats.join(margins, idCol)
+      // per-bucket gradient: 12dp-quantized contributions, DECIMAL sum —
+      // c · round(r/n, 12) is the exact DECIMAL sum of c identical
+      // occurrence addends, so the grid arithmetic is unchanged. The
+      // bias gradient is Σ_docs r = Σ_feats (r/n) up to the grid — i.e.
+      // the SUM of the bucket gradients — so one aggregation feeds both
+      // updates (summed in bucket order for determinism).
+      val grads = cnts.join(margins, idCol)
         .groupBy(col("__b"))
-        .agg(sum(round(col("__r") / col("__n"), 12)
-          .cast(DecimalType(28, 12))).as("__g"))
+        .agg(sum(col("__c").cast(DecimalType(10, 0)) *
+          round(col("__r") / col("__n"), 12)
+            .cast(DecimalType(28, 12))).as("__g"))
         .collect()
         .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
       // bias gradient = Σ bucket gradients as the EXACT decimal sum
@@ -117,7 +137,6 @@ object QualityClassifier {
       }
       bias = grid6(bias.toDouble / 1e6 - lrRate * biasGrad / nDocs)
     }
-    feats.unpersist()
     LrModel(buckets, bias, w)
   }
 
@@ -129,21 +148,20 @@ object QualityClassifier {
     * training, which skips them).
     */
   def scoreExpr(text: Column, m: LrModel): Column = {
+    // ADVICE r20: fail loudly at build time if the model map is sparse —
+    // the dense-domain array construction below would otherwise throw an
+    // opaque NoSuchElementException mid-build
+    require(m.w6dp.size == m.buckets,
+      s"LrModel: w6dp must cover all ${m.buckets} buckets, has ${m.w6dp.size}")
     // dense-domain ARRAY literal, not a map literal: element_at on a
-    // literal map linear-scans all `buckets` entries per gram (see train)
+    // literal map linear-scans all `buckets` entries per gram (see train).
+    // The gram walk itself is the shared serving kernel
+    // [[Dsir.gramStepSum]] — the codegen'd native gram_wsum when the
+    // session has GraftExtensions, the interpreted HOF otherwise (r21,
+    // guide §4.1; identical longs either way).
     val wArr = typedLit(
       (0L until m.buckets.toLong).map(m.w6dp).toIndexedSeq)
-    // one reference to the gram array (step sum + count in a struct
-    // accumulator, score in the finish lambda) — every reference inlines
-    // the full tokenizer chain into this interpreted projection, see
-    // Dsir.scoreExpr
-    aggregate(Dsir.gramsOf(TextOps.tokens(text)),
-      struct(lit(0L).as("s"), lit(0L).as("n")),
-      (acc, g) => struct(
-        (acc.getField("s") + element_at(wArr,
-          (Dsir.gramBucket(g, m.buckets) + 1).cast("int"))).as("s"),
-        (acc.getField("n") + lit(1L)).as("n")),
-      acc => when(acc.getField("n") > 0,
-        sigmoid(marginOf(m.bias6dp, acc.getField("s"), acc.getField("n")))))
+    Dsir.scoreFromSum(Dsir.gramStepSum(text, wArr, m.buckets),
+      sn => sigmoid(marginOf(m.bias6dp, sn._1, sn._2)))
   }
 }

@@ -305,15 +305,36 @@ object Sketches {
       k: Int): DataFrame = {
     val g = groupCols.map(col)
     val hashed = df.select(g :+ Sampling.md5Prefix32(item).as("hv"): _*)
-      .distinct()
-    val wPre = Window.partitionBy(g :+ (col("hv") % 64).as("__b"): _*)
-      .orderBy("hv")
-    val pruned = hashed.withColumn("__rn", row_number().over(wPre))
-      .where(col("__rn") <= k).drop("__rn")
-    val wFin = Window.partitionBy(g: _*).orderBy("hv")
-    pruned.withColumn("rank", row_number().over(wFin))
-      .where(col("rank") <= k)
+    // r21 (guide §2.3 — aggregate before you shuffle): the k smallest
+    // distinct hashes per group are ONE partially-aggregating native
+    // aggregate ([[graft.plans.KmvTopK]]) — the map side reduces each
+    // partition to ≤ k longs of bounded state, so the exchange carries
+    // groups×partitions×k longs no matter the corpus size, where the
+    // pre-r21 distinct() + bucket-prune window + rank window shuffled
+    // every distinct hash three times. Same rows out: the k smallest
+    // distinct values are partitioning-independent and rank = ascending
+    // position (ties impossible on a distinct set); SketchSpec pins the
+    // equivalence. Window fallback for sessions without GraftExtensions.
+    if (hasKmvTopK)
+      hashed.groupBy(g: _*)
+        .agg(call_function("kmv_topk", col("hv"), lit(k)).as("__hvs"))
+        .select(g :+ posexplode(col("__hvs")).as(Seq("__p", "hv")): _*)
+        .select(g ++ Seq(col("hv"), (col("__p") + 1).as("rank")): _*)
+    else {
+      val distinctHashed = hashed.distinct()
+      val wPre = Window.partitionBy(g :+ (col("hv") % 64).as("__b"): _*)
+        .orderBy("hv")
+      val pruned = distinctHashed.withColumn("__rn", row_number().over(wPre))
+        .where(col("__rn") <= k).drop("__rn")
+      val wFin = Window.partitionBy(g: _*).orderBy("hv")
+      pruned.withColumn("rank", row_number().over(wFin))
+        .where(col("rank") <= k)
+    }
   }
+
+  private def hasKmvTopK: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(_.catalog.functionExists("kmv_topk"))
 
   /** Merge two KMV sketches (same group columns): union the value
     * sets, drop duplicate values, keep the k smallest per group.
@@ -323,10 +344,21 @@ object Sketches {
   def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String],
       k: Int): DataFrame = {
     val g = groupCols.map(col)
-    val w = Window.partitionBy(g: _*).orderBy("hv")
-    a.drop("rank").unionByName(b.drop("rank")).distinct()
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val uni = a.drop("rank").unionByName(b.drop("rank"))
+    // same kmv_topk aggregate as [[kmvSketch]] (r21): dedup + k-smallest
+    // + rank in one partial-aggregating exchange instead of
+    // distinct + rank window (two)
+    if (hasKmvTopK)
+      uni.groupBy(g: _*)
+        .agg(call_function("kmv_topk", col("hv"), lit(k)).as("__hvs"))
+        .select(g :+ posexplode(col("__hvs")).as(Seq("__p", "hv")): _*)
+        .select(g ++ Seq(col("hv"), (col("__p") + 1).as("rank")): _*)
+    else {
+      val w = Window.partitionBy(g: _*).orderBy("hv")
+      uni.distinct()
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
   }
 
   /** Collapse a sketch to one row per group:

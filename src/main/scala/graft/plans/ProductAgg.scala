@@ -147,6 +147,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.types.StringType), children(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("gram_wsum"),
+      new ExpressionInfo(classOf[GramWsum].getName, "gram_wsum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"gram_wsum expects 2 arguments (tokens, weights), got ${children.length}")
+        GramWsum(children(0),
+          Cast(children(1), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_topk"),
+      new ExpressionInfo(classOf[KmvTopK].getName, "kmv_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"kmv_topk expects 2 arguments (value, k), got ${children.length}")
+        KmvTopK(Cast(children(0), org.apache.spark.sql.types.LongType),
+          children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("md5_second32"),
       new ExpressionInfo(classOf[Md5Second32].getName, "md5_second32"),
       (children: Seq[Expression]) => {

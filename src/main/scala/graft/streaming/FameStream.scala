@@ -1348,6 +1348,27 @@ object FameStream {
     }
     var w = stream.writeStream.outputMode("append")
     checkpointDir.foreach(c => w = w.option("checkpointLocation", c))
+    // r21 per-batch fixed-cost trim (guide §5 driver / §2.4, VERDICT r20
+    // item 6): the carry and kernel-state frames written by batch n−1
+    // were re-READ from parquet by batch n — one driver round-trip (FS
+    // listing, footer read, schema inference, fresh scan job) per frame
+    // per batch, which the r20 profiles showed dominating walls on
+    // streams whose task time is sub-second. Batch n−1 therefore also
+    // hands batch n its frames as lazily-localCheckpointed in-memory
+    // leaves — materialized BY their own parquet write, so no extra job
+    // — and the parquet write remains the versioned recovery artifact: a
+    // restarted query has empty caches and re-reads v=n−1 exactly as
+    // before, so the replay contract is unchanged (the leaf and the file
+    // hold the same rows by construction). Consumed leaves are released
+    // as soon as the batch that read them finishes (ADVICE r20:
+    // localCheckpoint blocks otherwise live until RDD GC).
+    var tailCache: Option[(Long, DataFrame)] = None
+    var stateCache: Map[String, (Long, DataFrame)] = Map.empty
+    def releaseLeaf(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
     w.foreachBatch { (batch: DataFrame, batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$bronzeDir/batch=$batchId")
       val tailPath = new org.apache.hadoop.fs.Path(
@@ -1355,7 +1376,9 @@ object FameStream {
       val fs = tailPath.getFileSystem(hconf)
       val upper = batch.select(
         cols.map(c => col(c).as(c.toUpperCase)): _*)
-      val prevTail: DataFrame =
+      val cachedTail = tailCache.collect {
+        case (v, df) if v == batchId - 1 => df }
+      val prevTail: DataFrame = cachedTail.getOrElse {
         if (batchId > 0 && fs.exists(tailPath)) {
           val t = spark.read.parquet(tailPath.toString)
           // carries written before the hold-back contract lack the
@@ -1371,6 +1394,7 @@ object FameStream {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             upper.schema).withColumn("__EMITTED", lit(true))
+      }
       // Enforce the ingest contract instead of documenting it: any
       // batch row dated before its key's newest carried-tail row is a
       // late arrival the incremental form cannot evaluate correctly —
@@ -1419,13 +1443,16 @@ object FameStream {
       // the carry — replay of batch n re-reads v=n−1, idempotent), so
       // the kernel links against the COMPLETE year history while the
       // work frame holds only the open year's raw rows
-      def readState(target: String): Option[DataFrame] = {
-        val p = new org.apache.hadoop.fs.Path(
-          s"$bronzeDir/_state/$target/v=${batchId - 1}")
-        if (batchId > 0 && p.getFileSystem(hconf).exists(p))
-          Some(spark.read.parquet(p.toString))
-        else None
-      }
+      def readState(target: String): Option[DataFrame] =
+        stateCache.get(target).collect {
+          case (v, df) if v == batchId - 1 => df
+        }.orElse {
+          val p = new org.apache.hadoop.fs.Path(
+            s"$bronzeDir/_state/$target/v=${batchId - 1}")
+          if (batchId > 0 && p.getFileSystem(hconf).exists(p))
+            Some(spark.read.parquet(p.toString))
+          else None
+        }
       val chainSeeds: Map[String, DataFrame] = plan.chains.flatMap(c =>
         readState(c.target).map(c.target -> _)).toMap
       // fishvol state (relaxed-fp tier): per-key prefix product at the
@@ -1617,13 +1644,18 @@ object FameStream {
           val minUnem = min(when(!col("__EMITTED"), col("__ARN"))).over(kw)
           !col("__EMITTED") || col("__ARN") >= minUnem - lit(maxLag)
         }
+      // lazy localCheckpoint: the parquet write below materializes the
+      // leaf as a side effect (no extra job); the leaf is next batch's
+      // in-memory prevTail
+      val carry = ranked
+        .withColumn("__PINNED", coalesce(pinned, lit(false)))
+        .withColumn("__KEEPUN", coalesce(keepUnemitted, lit(false)))
+        .where(col("__RN") <= carrySize || col("__PINNED") ||
+          col("__KEEPUN"))
+        .drop("__RN", "__ARN", "__PINNED", "__KEEPUN")
+        .localCheckpoint(false)
       parallel {
-        ranked.withColumn("__PINNED", coalesce(pinned, lit(false)))
-          .withColumn("__KEEPUN", coalesce(keepUnemitted, lit(false)))
-          .where(col("__RN") <= carrySize || col("__PINNED") ||
-            col("__KEEPUN"))
-          .drop("__RN", "__ARN", "__PINNED", "__KEEPUN")
-          .write.mode("overwrite")
+        carry.write.mode("overwrite")
           .parquet(s"$bronzeDir/_tail/v=$batchId")
       }
       // finalize chain state: closed years' aggregate rows, computed
@@ -1631,6 +1663,11 @@ object FameStream {
       // unioned with the carried state — the state keeps the version
       // finalized at close time; later partial rows of the same year
       // (tail/pin leftovers) are anti-joined away
+      // each finalized state is also handed to the next batch as an
+      // in-memory leaf (lazy localCheckpoint, materialized by its own
+      // write) — set after quiescence below, only on batch success
+      val newStateRefs = scala.collection.mutable.ListBuffer
+        .empty[(String, java.util.concurrent.atomic.AtomicReference[DataFrame])]
       plan.chains.foreach { c =>
         val closed = out
           .withColumn("__CYR", year(col(dateU)))
@@ -1638,12 +1675,15 @@ object FameStream {
           .where(col("__CYR") < col("__CMAXYR"))
         val fresh = graft.kernels.Indices.yearlyAggs(
           closed, dateU, c.terms, keysU)
-        val newState = chainSeeds.get(c.target) match {
+        val newState = (chainSeeds.get(c.target) match {
           case Some(st) => st.unionByName(fresh.join(
             st.select((keysU :+ "__year").map(col): _*),
             keysU :+ "__year", "left_anti"))
           case None => fresh
-        }
+        }).localCheckpoint(false)
+        val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame](
+          newState)
+        newStateRefs += c.target -> ref
         parallel {
           newState.write.mode("overwrite")
             .parquet(s"$bronzeDir/_state/${c.target}/v=$batchId")
@@ -1670,21 +1710,49 @@ object FameStream {
           // unkeyed groupBy() yields one all-null row when nothing has
           // been emitted yet — that is "no state", not a seed
           .where(col("__FV_SEED").isNotNull)
+        val ref = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+        newStateRefs += f.target -> ref
         parallel {
-          val newState = fishSeeds.get(f.target) match {
+          // the isEmpty probe is an action — keep it in the pool thread
+          val newState = (fishSeeds.get(f.target) match {
             case Some(old) if keysU.nonEmpty =>
               fresh.unionByName(old.join(
                 fresh.select(keysU.map(col): _*), keysU, "left_anti"))
             case Some(old) => if (fresh.isEmpty) old else fresh
             case None => fresh
-          }
+          }).localCheckpoint(false)
+          ref.set(newState)
           newState.write.mode("overwrite")
             .parquet(s"$bronzeDir/_state/${f.target}/v=$batchId")
         }
       }
-      // rethrows the first failed write — the batch fails exactly as it
-      // did when the writes were sequential
-      pendingWrites.foreach(_.get())
+      // Await ALL pool futures before propagating any failure (ADVICE
+      // r20): rethrowing at the FIRST failed write left later pool
+      // writes running — a restarted query replaying this batch could
+      // then overwrite _tail/_state v=N concurrently with an orphaned
+      // writer. Full quiescence first; then the first failure fails the
+      // batch exactly as the sequential writes did.
+      val failures = pendingWrites.flatMap { f =>
+        try { f.get(); None } catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+          case e: Throwable => Some(e)
+        }
+      }
+      // this batch's consumed leaves are dead once the writes are done:
+      // release their blocks now instead of at RDD GC (ADVICE r20)
+      releaseLeaf(work)
+      if (outGated) releaseLeaf(out)
+      cachedTail.foreach(releaseLeaf)
+      stateCache.foreach { case (_, (v, df)) =>
+        if (v == batchId - 1) releaseLeaf(df) }
+      failures.headOption.foreach(e => throw e)
+      // commit the new leaves for batch n+1 (success path only — a
+      // failed batch leaves the caches stale and the replay, a fresh
+      // foreachBatch closure after restart, reads parquet)
+      tailCache = Some((batchId, carry))
+      stateCache = newStateRefs.flatMap { case (t, ref) =>
+        Option(ref.get()).map(df => t -> ((batchId, df))) }.toMap
       ()
     }.start()
   }

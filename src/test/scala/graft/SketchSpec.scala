@@ -218,6 +218,32 @@ class SketchSpec extends SparkSpec {
         .SeqHasAsJava(rows.map { case (g, v) => Row(g, v) }).asJava), schema)
   }
 
+  test("KMV kmv_topk aggregate equals the window top-k form bit-for-bit") {
+    // r21: kmvSketch runs on the partially-aggregating KmvTopK native
+    // aggregate when GraftExtensions is installed (this session). Pin its
+    // output against the pre-r21 window construction, built inline here,
+    // on random multi-group data with duplicates — same rows, same ranks.
+    import org.apache.spark.sql.expressions.Window
+    val k = 16
+    val rnd = new scala.util.Random(20211)
+    val rows = (1 to 5000).map(_ =>
+      (s"g${rnd.nextInt(3)}", s"it#${rnd.nextInt(400)}"))
+    val df = gFrame(rows)
+    val viaAgg = kmvSketch(df, Seq("g"), col("item"), k)
+      .orderBy("g", "rank").collect().toSeq
+    val hashed = df.select(col("g"),
+      graft.ops.Sampling.md5Prefix32(col("item")).as("hv")).distinct()
+    val wFin = Window.partitionBy(col("g")).orderBy("hv")
+    val viaWindow = hashed.withColumn("rank", row_number().over(wFin))
+      .where(col("rank") <= k)
+      .orderBy("g", "rank").collect().toSeq
+    assert(viaAgg == viaWindow)
+    // a group with < k distinct values yields its whole distinct set
+    val tiny = kmvSketch(gFrame((1 to 5).map(i => ("t", s"v$i"))),
+      Seq("g"), col("item"), k).collect()
+    assert(tiny.length == 5)
+  }
+
   test("KMV merge of split sketches equals the sketch of the union, exactly") {
     val k = 64
     val items = (1 to 4000).map(i => ("g", s"item#$i"))
