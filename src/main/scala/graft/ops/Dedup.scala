@@ -1457,11 +1457,19 @@ object Dedup {
           .select(col(idCol), col("gram").as("__t")).distinct())
         .persist()
     val dfreq = tok.groupBy("__t").agg(count(lit(1)).as("__df"))
+    // r21 (guide §1.2/§2.4): `lists` has FOUR consumers — both prefix
+    // sides and the two final length joins — and was re-derived per use:
+    // the r21 profile showed the tok⋈dfreq join + collect_list groupBy
+    // (a 6.3 MB exchange + sort per pass) executed 4× per run, the
+    // dominant share of q172's 42 s cumulative task time. Persist it
+    // like tok (one doc-sized row per doc — bounded), released with tok
+    // below once the pair result materializes.
     val lists = tok.join(dfreq, "__t")
       .groupBy(idCol)
       .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
         .as("__lst"))
       .withColumn("__len", size(col("__lst")))
+      .persist()
     // TWO prefix lengths per doc (the full PPJoin self-join form, Xiao
     // et al. 2008 §4, not just AllPairs): every unordered pair is
     // generated exactly once with the SMALLER doc in (length, id)
@@ -1532,6 +1540,7 @@ object Dedup {
       .select("id1", "id2", "n_common", "l1", "l2", "jaccard")
       .localCheckpoint(true)
     tok.unpersist()
+    lists.unpersist()
     out
   }
 
